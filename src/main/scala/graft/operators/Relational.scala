@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY §2.3, §2.4, §2.6), each a pure
+  * `DataFrame => DataFrame` transform that declares the logical plan and
+  * lets Catalyst pick the physical strategy.
+  *
+  * Scale notes (100 TB, 1000 executors):
+  *  - membership/enrichment joins keep the small side broadcastable; the
+  *    big fact side never shuffles for them.
+  *  - dedup variants that MUST shuffle (anti-join, distinct) shuffle on
+  *    a compact hash key, not whole rows, so the exchange payload stays
+  *    narrow.
+  *  - latest-per-key avoids a global sort: it is a hash repartition by
+  *    key + per-partition sort (window), fully parallel.
+  */
+object Relational {
+
+  /** J1 — left semi join: keep fact rows whose composite key appears in
+    * the membership table (`url...py:54,64`). Catalyst plans a broadcast
+    * semi join while `members` fits the threshold — the fact side is
+    * never shuffled.
+    */
+  def semiJoinMembers(fact: DataFrame, members: DataFrame,
+      keys: Seq[String]): DataFrame =
+    fact.join(broadcast(members.select(keys.map(col): _*).distinct()),
+      keys, "left_semi")
+
+  /** J2 — broadcast left-outer enrichment join with per-column defaults
+    * (`url...py:71-73,84-95`): probe the (small) detail table, missing
+    * key → defaults, exactly the reference's `details_map.get(key, {})`.
+    *
+    * `defaults` maps enrichment column → default literal applied via
+    * `coalesce` after the join.
+    */
+  def enrich(fact: DataFrame, dims: DataFrame, keys: Seq[String],
+      defaults: Map[String, Any]): DataFrame = {
+    val joined = fact.join(broadcast(dims), keys, "left")
+    defaults.foldLeft(joined) { case (df, (c, d)) =>
+      df.withColumn(c, coalesce(col(c), lit(d)))
+    }
+  }
+
+  /** J3 — anti-join dedup against a previous snapshot
+    * (`extract.py:115-132`): current ∖ previous by whole-row equality,
+    * column-order-insensitive (the reference canonicalizes with
+    * `json.dumps(sort_keys=True)`; Spark resolves join keys by name so
+    * ordering is moot).
+    *
+    * At 100 TB the exchange ships only a 256-bit row hash per side, not
+    * the full row: both sides are hashed (F11), anti-joined on the hash,
+    * and the surviving hashes keep their payload columns. Null-safe
+    * equality is inherent (hash of null is stable), unlike a naive
+    * multi-column join where `null = null` is false.
+    */
+  def antiJoinDedup(current: DataFrame, previous: DataFrame): DataFrame = {
+    val cols = current.columns.toSeq
+    val key = graft.functions.ScalarOps.canonicalRowKey(cols)
+    current.withColumn("__row_key", key)
+      .join(previous.select(key.as("__row_key")), Seq("__row_key"),
+        "left_anti")
+      .drop("__row_key")
+  }
+
+  /** J4 — cross-product fan-out: every host × every registered service
+    * (`extract.py:50,107-112`) producing the fetch-task table. The
+    * services side is a literal array exploded on the hosts side — no
+    * join, no shuffle, stays in the hosts scan's stage.
+    */
+  def fanOut(hosts: DataFrame, services: Seq[String],
+      outCol: String): DataFrame =
+    hosts.withColumn(outCol,
+      explode(array(services.map(lit): _*)))
+
+  /** P1/P2 — IN-list filter (`extract.py:140`, `hosts_to_csv.py:40`). */
+  def inListFilter(df: DataFrame, c: String, values: Seq[String]): DataFrame =
+    df.filter(col(c).isin(values: _*))
+
+  /** P3 — completeness gate (`extract.py:95-99`): drop any row with a
+    * null (or NaN, already normalized to null by F1) in any column.
+    * The reference also logs rejects; [[deadLetterSplit]] exposes that
+    * branch.
+    */
+  def completenessGate(df: DataFrame): DataFrame = df.na.drop("any")
+
+  /** P3 logging branch — split a frame into (clean, rejected) without
+    * scanning twice more than needed; callers persist `df` if both
+    * branches are consumed.
+    */
+  def deadLetterSplit(df: DataFrame): (DataFrame, DataFrame) = {
+    val anyNull = df.columns.map(c => col(c).isNull).reduce(_ || _)
+    (df.filter(!anyNull), df.filter(anyNull))
+  }
+
+  /** P4 — content-based routing to metric-family outputs
+    * (`load_to_db.py:34-48`), as a derived partition column. Downstream:
+    * `.write.partitionBy("metric_family")` gives the reference's 4
+    * tables as partitions of one sink, in one pass instead of 4 filtered
+    * scans.
+    */
+  def withMetricFamily(df: DataFrame, serviceCol: String): DataFrame =
+    df.withColumn("metric_family",
+      graft.functions.ScalarOps.metricFamily(col(serviceCol)))
+
+  /** Latest-state-per-key (SURVEY §2.9): the reference's "current status
+    * snapshot" semantics (`url...py:60-64`), declaratively:
+    * `row_number` over key ordered by ts desc, keep rank 1. Ties broken
+    * by `tieBreak` so the result is deterministic.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], ts: String,
+      tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).desc, col(tieBreak).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Top-k by a measure, deterministic via tie-break column. A global
+    * sort-limit: Spark plans `TakeOrderedAndProject` — per-partition
+    * top-k then a k-row merge on the driver, no full shuffle.
+    */
+  def topK(df: DataFrame, k: Int, by: Column*): DataFrame =
+    df.orderBy(by: _*).limit(k)
+}

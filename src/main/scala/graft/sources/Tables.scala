@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the harness testdata (TESTDATA.md).
+  *
+  * Plain `spark.read.parquet` so Catalyst's scan-level optimizations
+  * (column pruning → `ReadSchema`, predicate pushdown → `PushedFilters`,
+  * partition pruning) all apply — SURVEY §4's pushdown rewrites come for
+  * free as long as nothing opaque sits between the scan and the filters.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  /** The events parquet stores `ts` as INT64 TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects. Read nanos as long and convert
+    * to a microsecond timestamp with integer `div` (not `/`, which goes
+    * through double and loses precision above 2^53 ns). Truncation
+    * matches DuckDB's TIMESTAMP_NS → TIMESTAMP conversion, so oracle
+    * comparisons agree.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
