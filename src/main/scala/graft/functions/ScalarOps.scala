@@ -13,13 +13,13 @@ object ScalarOps {
   /** F1 — `convert_to_int` (`extract.py:53-61`): anything → double
     * rounded to 2 dp; NaN and unparseable input → null.
     *
-    * `cast("double")` already yields null on a bad parse (matching the
-    * reference's ValueError branch); `isnan` guard matches its
-    * `math.isnan` branch. Round AFTER the NaN check: round(NaN) is NaN
-    * and would leak through.
+    * `try_cast` yields null on a bad parse (matching the reference's
+    * ValueError branch — plain `cast` throws under Spark 4's default
+    * ANSI mode); `isnan` guard matches its `math.isnan` branch. Round
+    * AFTER the NaN check: round(NaN) is NaN and would leak through.
     */
   def parseRound2(c: Column): Column = {
-    val d = c.cast("double")
+    val d = c.try_cast("double")
     when(d.isNull || isnan(d), lit(null).cast("double"))
       .otherwise(round(d, 2))
   }
@@ -35,7 +35,7 @@ object ScalarOps {
     * (`url_service_status_InfluxDB_insert.py:102`). Inverse of F2.
     */
   def datetime2ToEpoch(c: Column): Column =
-    unix_timestamp(to_timestamp(c, "yyyy-MM-dd HH:mm:ss"))
+    unix_timestamp(try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")))
 
   /** F4 — status code → text with default "UNKNOWN"
     * (`url...py:26-31,107`). CASE chain folds to a codegen'd switch.
@@ -80,7 +80,7 @@ object ScalarOps {
     */
   def zipToColumns(valueArray: Column, keys: Seq[String]): Seq[Column] =
     keys.zipWithIndex.map { case (k, i) =>
-      parseRound2(element_at(valueArray, i + 1)).as(k)
+      parseRound2(try_element_at(valueArray, lit(i + 1))).as(k)
     }
 
   /** F11 — canonical row-identity key (`extract.py:119,127`): the
