@@ -1,0 +1,206 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, TypeUtils}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the similarity/dedup hot path
+  * (SURVEY §7.3b: justified custom work — Spark's built-in equivalent,
+  * `aggregate(zip_with(...))`, evaluates higher-order lambdas
+  * interpreted per element, which is the bottleneck when scoring
+  * millions of candidate pairs).
+  */
+object VectorExpressions {
+
+  /** Cosine similarity between two float/double array columns as a
+    * native expression with whole-stage codegen: one fused loop
+    * computing dot product and both norms. Zero-norm → 0.0.
+    */
+  def cosine(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimilarity(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Bounded top-k aggregate: `topKByScore(score, payload, k)` keeps
+    * only k (score, payload) pairs per aggregation state, so the
+    * map-side partial aggregation ships at most k rows per partition
+    * per group — the scalable alternative to
+    * `Window.orderBy(score).rowNumber <= k`, which shuffles every
+    * candidate row.
+    */
+  def topKByScore(score: Column, payload: Column, k: Int): Column =
+    ExpressionUtils.column(TopKByScore(
+      ExpressionUtils.expression(score),
+      ExpressionUtils.expression(payload), k).toAggregateExpression())
+}
+
+/** `cosine(array<float|double>, array<float|double>) -> double`.
+  * Both children must share the element type. Single fused loop in both
+  * interpreted and codegen'd form.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType: DataType = left.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
+           (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"cosine requires two arrays of float or two arrays of double, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[ArrayData]
+    val b = bv.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    if (elemType == FloatType) {
+      while (i < n) {
+        val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+    } else {
+      while (i < n) {
+        val x = a.getDouble(i); val y = b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemType == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.$get($i);
+         |  double $y = (double) $b.$get($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 :
+         |  $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Bounded top-k by score with long payloads:
+  * `array<struct<score double, id bigint>>`, sorted score-descending
+  * (ties by ascending id for determinism). The buffer never exceeds k
+  * entries, so partial aggregation keeps shuffle payloads O(k) per
+  * group instead of O(candidates).
+  */
+case class TopKByScore(score: Expression, payload: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKBuffer] {
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(score, payload)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType), StructField("id", LongType))))
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = score.eval(input)
+    val p = payload.eval(input)
+    if (s != null && p != null) {
+      buf.add(s.asInstanceOf[Double], p.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer = {
+    b.foreach((s, i) => a.add(s, i)); a
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val sorted = buf.sortedDesc
+    new GenericArrayData(sorted.map { case (s, i) =>
+      InternalRow(s, i)
+    })
+  }
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): TopKBuffer =
+    TopKBuffer.deserialize(bytes, k)
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKByScore =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByScore =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), payload = newChildren(1))
+}
+
+/** Size-bounded min-heap on score; keeps the k largest. */
+final class TopKBuffer(k: Int) {
+  // PriorityQueue dequeues the maximum of its Ordering, so order items
+  // by "badness": the head is the worst kept entry (smallest score,
+  // ties broken toward the larger id) and is what k+1-th entries must
+  // beat.
+  private val heap = scala.collection.mutable.PriorityQueue
+    .empty[(Double, Long)](Ordering.by[(Double, Long), (Double, Long)] {
+      case (s, i) => (-s, i)
+    })
+
+  def add(s: Double, id: Long): Unit = {
+    if (heap.size < k) heap.enqueue((s, id))
+    else {
+      val (ws, wi) = heap.head // worst kept
+      if (s > ws || (s == ws && id < wi)) { heap.dequeue(); heap.enqueue((s, id)) }
+    }
+  }
+
+  def foreach(f: (Double, Long) => Unit): Unit =
+    heap.foreach { case (s, i) => f(s, i) }
+
+  def sortedDesc: Array[(Double, Long)] =
+    heap.toArray.sortBy { case (s, i) => (-s, i) }
+
+  def serialize(): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(heap.size)
+    heap.foreach { case (s, i) => out.writeDouble(s); out.writeLong(i) }
+    out.flush(); bos.toByteArray
+  }
+}
+
+object TopKBuffer {
+  def deserialize(bytes: Array[Byte], k: Int): TopKBuffer = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val buf = new TopKBuffer(k)
+    val n = in.readInt()
+    (0 until n).foreach { _ => buf.add(in.readDouble(), in.readLong()) }
+    buf
+  }
+}

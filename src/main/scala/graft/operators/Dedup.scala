@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §2.10):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * Scale design (100 TB, 1000 executors):
+  *  - Exact dedup shuffles a 256-bit content hash, never document
+  *    bodies.
+  *  - MinHash/LSH: signatures are computed map-side in codegen'd
+  *    expressions; the only shuffle is the band-bucket exchange whose
+  *    key is (band index, band hash) — candidate pairs are generated
+  *    per-bucket, so cost is Σ|bucket|², not n². Skewed buckets (e.g.
+  *    boilerplate) are capped by `maxBucket` — the standard guard
+  *    against quadratic blowup on degenerate buckets.
+  *  - Verification (exact Jaccard / cosine) runs only on candidate
+  *    pairs, joining back to bodies by id, so wide text columns cross
+  *    the wire once, not per-pair.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical winner (min id) per identical content.
+    * groupBy on a content hash = one partial-aggregated shuffle of
+    * (hash, id) pairs.
+    */
+  def exactByContent(df: DataFrame, idCol: String, contentCol: String)
+      : DataFrame = {
+    val h = sha2(col(contentCol), 256)
+    val winners = df.select(col(idCol), h.as("__h"))
+      .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
+  /** Exact duplicate groups: content hash → ids (for audit/reporting). */
+  def duplicateGroups(df: DataFrame, idCol: String, contentCol: String)
+      : DataFrame =
+    df.groupBy(sha2(col(contentCol), 256).as("content_hash"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col(idCol)))
+        .as("ids"))
+      .filter(col("n") > 1)
+
+  /** MinHash signature of `numHashes` permutations over the shingle
+    * set. Permutation i is xxhash64 seeded by prefixing the index —
+    * deterministic, codegen'd, zero UDFs. Returns array<long> of
+    * length `numHashes`.
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    graft.functions.TextExpressions.minhashSignature(
+      array_distinct(shingleArr), numHashes)
+
+  /** LSH band key columns: split the signature into `bands` bands of
+    * `rows` hashes; each band's slice hashes to one bucket key (xxhash64
+    * hashes array values structurally). Emits one row per (band,
+    * bucket) via posexplode downstream.
+    */
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * lit(rows) + 1, lit(rows))))
+
+  /** MinHash+LSH candidate pairs with exact-Jaccard verification.
+    *
+    * df → (id, shingles) → signature → band buckets → self-join within
+    * bucket (id< id to orient pairs) → distinct pairs → verify exact
+    * Jaccard on the shingle sets → pairs with `jaccard >= threshold`.
+    *
+    * Returns (id_a, id_b, jaccard). `maxBucket` drops pathological
+    * buckets (all-identical boilerplate) before the quadratic step.
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val shingled = df.select(col(idCol).as("id"),
+      TextOps.shingles(col(textCol), shingleK).as("sh"))
+    val sigs = shingled.select(col("id"), col("sh"),
+      bandHashes(minhashSignature(col("sh"), numHashes), bands, rows)
+        .as("bands"))
+
+    val buckets = sigs.select(col("id"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
+    val dense = buckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+      .select("band", "bucket")
+    val inPlay = buckets.join(dense, Seq("band", "bucket"))
+
+    val a = inPlay.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = inPlay.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val withSets = candidates
+      .join(shingled.select(col("id").as("id_a"),
+        array_distinct(col("sh")).as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"),
+        array_distinct(col("sh")).as("sh_b")), Seq("id_b"))
+    withSets.select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+         size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Drop near-duplicates: keep the min-id representative of each
+    * connected pair (single-pass approximation of the connected
+    * component: a doc is dropped if any retained smaller-id doc pairs
+    * with it — for dedup purposes the standard greedy rule).
+    */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val losers = minhashNearDupPairs(df, idCol, textCol, shingleK,
+      numHashes, bands, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** 64-bit SimHash over the token multiset: per token hash, add ±1 to
+    * each of 64 bit planes, sign gives the bit. Whole computation is
+    * higher-order array expressions (aggregate + zip_with) — codegen'd,
+    * no UDF. Near-dups then differ in ≤ `maxHamming` bits.
+    */
+  def simhash64(text: Column): Column =
+    graft.functions.TextExpressions.simhash64(TextOps.tokens(text))
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on rotations of the fingerprint's
+    * 16-bit chunks (a ≤3-bit difference leaves at least one chunk
+    * intact), verify Hamming ≤ maxHamming. Same bucket-join shape as
+    * LSH — no n² pass.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"),
+      simhash64(col(textCol)).as("fp"))
+    val chunks = fp.select(col("id"), col("fp"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("fp"), i * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    val a = chunks.select(col("chunk_idx"), col("chunk"),
+      col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = chunks.select(col("chunk_idx"), col("chunk"),
+      col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram Jaccard similarity for an explicit pair list — the exact
+    * verifier used standalone: joins bodies by id, computes set
+    * Jaccard over k-shingles.
+    */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"),
+      array_distinct(TextOps.shingles(col(textCol), k)).as("__sh"))
+    pairs
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")),
+        Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")),
+        Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .drop("sh_a", "sh_b")
+  }
+
+  /** Embedding-cosine near-dup pairs above `threshold`, using the
+    * random-hyperplane LSH bucketing from [[Similarity]] to avoid the
+    * n² cross join; exact cosine verifies candidates.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8): DataFrame = {
+    val pairs = Similarity.lshCandidatePairs(df, idCol, vecCol, planes)
+    pairs.filter(col("cosine") >= threshold)
+  }
+}

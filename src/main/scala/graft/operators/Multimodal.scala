@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support (SURVEY §2.10): image/audio/video as
+  * opaque `binary` payloads with typed metadata, plus the
+  * decode / feature-extract / resize / frame-sample plumbing a
+  * training-data pipeline needs.
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * environment): [[StubCodec]] is a deterministic fake that stands in
+  * for e.g. a JPEG decoder. Everything around it — the schema contract,
+  * batch iteration via `mapPartitions`, partition sizing, the
+  * metadata/payload split — is real and is what matters on a cluster:
+  * decode is per-row CPU work that scales linearly with partition
+  * count and never shuffles.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: id + opaque payload + typed metadata.
+    * Parquet stores the payload as a binary column (row group striping
+    * keeps scans of metadata-only queries cheap via column pruning).
+    */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType))), nullable = true)))
+
+  /** Feature row produced by the decode/extract stage. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("checksum", LongType, nullable = false),
+    StructField("features", ArrayType(FloatType), nullable = false)))
+
+  /** Deterministic fake codec: "decodes" a payload into a fixed-length
+    * feature vector derived from byte statistics. Replace with a real
+    * decoder (JNI/FFM to libjpeg etc.) in production — the call site,
+    * batching and schema stay identical.
+    */
+  object StubCodec {
+    def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) {
+        out(i % dim) += (payload(i) & 0xFF) / 255.0f
+        i += 1
+      }
+      out
+    }
+    def checksum(payload: Array[Byte]): Long = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+      h
+    }
+  }
+
+  /** Build a media table from any binary-able column — used by tests
+    * and the harness queries to synthesize media rows from text.
+    */
+  def fromBinary(df: DataFrame, idCol: String, binCol: String,
+      format: String): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      col(binCol).cast("binary").as("payload"),
+      struct(lit(format).as("format"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("n_frames")).as("meta"))
+
+  /** Decode + feature-extract over partitions. `mapPartitions` (not a
+    * per-row UDF) so a real codec can amortize per-batch setup
+    * (decoder contexts, pinned buffers) exactly like a Pandas-UDF batch
+    * would; output rows stay columnar downstream.
+    */
+  def extractFeatures(media: DataFrame, dim: Int): DataFrame = {
+    val spark = media.sparkSession
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    media.select("media_id", "payload", "meta.format")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) Array.empty[Byte]
+            else r.getAs[Array[Byte]](1)
+          val fmt = if (r.isNullAt(2)) null else r.getString(2)
+          Row(id, fmt, payload.length, StubCodec.checksum(payload),
+            StubCodec.decode(payload, dim).toSeq)
+        }
+      }(enc)
+  }
+
+  /** "Resize" stub: truncate/pad payload to `n` bytes — stands in for
+    * an image resize; pure column expressions (no codec needed for the
+    * byte-level contract).
+    */
+  def resizePayload(media: DataFrame, n: Int): DataFrame =
+    media.withColumn("payload",
+      substring(col("payload"), 1, n))
+      .withColumn("meta", col("meta").withField("width", lit(n)))
+
+  /** Frame-sample stub for video-like payloads: every `stride`-th byte
+    * as a "frame" — the partition/batch shape of real frame sampling.
+    */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media.select(col("media_id"),
+      filter(transform(sequence(lit(1), length(col("payload"))),
+          i => when(pmod(i - 1, lit(stride)) === 0, i).otherwise(lit(null))),
+        x => x.isNotNull).as("frame_offsets"))
+}

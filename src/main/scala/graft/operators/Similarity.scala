@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** Similarity search over embedding columns (SURVEY §2.10):
+  * brute-force cosine top-k as the exact baseline; random-hyperplane
+  * LSH bucketing as the scale path.
+  *
+  * Scale design (100 TB / billions of vectors):
+  *  - The scorer is a codegen'd Catalyst expression
+  *    ([[VectorExpressions.cosine]]): one fused loop per pair, no
+  *    interpreted higher-order lambdas in the hot path.
+  *  - Brute force broadcasts the (small) query set and aggregates with
+  *    a bounded top-k ([[VectorExpressions.topKByScore]]): map-side
+  *    partial aggregation keeps k candidates per partition per query,
+  *    so the shuffle carries O(queries × partitions × k) rows — never
+  *    the full corpus×queries score matrix.
+  *  - LSH buckets on sign-patterns of random hyperplane projections:
+  *    candidate generation is a bucket-key equi-join (hash shuffle on
+  *    the bucket key), cost Σ|bucket|² instead of n².
+  */
+object Similarity {
+
+  /** Reference-implementation cosine via built-ins (zip_with +
+    * aggregate). Interpreted lambdas — correct everywhere, used as the
+    * differential check for the codegen'd expression.
+    */
+  def cosineBuiltin(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
+    when(na === 0 || nb === 0, 0.0).otherwise(dot / (na * nb))
+  }
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * queries: (qidCol, vecCol); corpus: (idCol, vecCol). Returns
+    * (query_id, neighbors: array<struct<score, id>>) with `neighbors`
+    * sorted score-descending, ties id-ascending, self-matches excluded
+    * when `excludeSelf`.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(qidCol).as("query_id"),
+      col(vecCol).as("__qvec")))
+    val scored = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
+      .crossJoin(q)
+      .filter(if (excludeSelf) col("__cid") =!= col("query_id") else lit(true))
+      .select(col("query_id"),
+        VectorExpressions.cosine(col("__cvec"), col("__qvec")).as("score"),
+        col("__cid"))
+    scored.groupBy(col("query_id"))
+      .agg(VectorExpressions.topKByScore(col("score"), col("__cid"), k)
+        .as("neighbors"))
+  }
+
+  /** Sign-bit bucket key from `planes` random hyperplanes. Plane p's
+    * direction is a deterministic Rademacher vector (±1 per dimension,
+    * from xxhash64(p, j)); the key packs the projection signs into a
+    * long. Same key ⇒ likely-similar direction. Pure codegen'd
+    * expressions; recomputable on both sides of any join.
+    */
+  def lshBucket(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => when(xxhash64(lit(p), j).bitwiseAND(1L) === 1L, x)
+            .otherwise(-x)),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Candidate pairs via LSH bucket equi-join, scored with exact
+    * cosine: (id_a, id_b, cosine), id_a < id_b. Recall can be raised by
+    * lowering `planes` (coarser buckets) at quadratic-bucket cost.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int): DataFrame = {
+    val keyed = df.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
+      lshBucket(col(vecCol), planes).as("__bucket"))
+    val a = keyed.select(col("__bucket"), col("__id").as("id_a"),
+      col("__vec").as("__vec_a"))
+    val b = keyed.select(col("__bucket"), col("__id").as("id_b"),
+      col("__vec").as("__vec_b"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorExpressions.cosine(col("__vec_a"), col("__vec_b"))
+          .as("cosine"))
+      .distinct()
+  }
+
+  /** Bucketed ANN top-k: like [[bruteForceTopK]] but each query only
+    * scores corpus vectors in its own LSH bucket — the IVF-style probe
+    * path. Exactness traded for a Σ|bucket|² candidate set.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, k: Int, planes: Int): DataFrame = {
+    val ck = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cvec"),
+      lshBucket(col(vecCol), planes).as("__bucket"))
+    val qk = queries.select(col(qidCol).as("query_id"),
+      col(vecCol).as("__qvec"), lshBucket(col(vecCol), planes).as("__bucket"))
+    ck.join(qk, Seq("__bucket"))
+      .filter(col("__cid") =!= col("query_id"))
+      .select(col("query_id"),
+        VectorExpressions.cosine(col("__cvec"), col("__qvec")).as("score"),
+        col("__cid"))
+      .groupBy(col("query_id"))
+      .agg(VectorExpressions.topKByScore(col("score"), col("__cid"), k)
+        .as("neighbors"))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY §2.10): tokenization, token/char statistics, quality
+  * scoring, language identification, document fingerprinting.
+  *
+  * Everything is pure Catalyst column expressions (split / higher-order
+  * array functions / regexp), so the whole surface stays inside
+  * whole-stage codegen and scales embarrassingly-parallel: no shuffle,
+  * no UDF, no driver involvement — at 100 TB these run at scan
+  * throughput.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer. `split` with a regex delimiter; trailing
+    * empty strings removed so `"a b " → [a, b]`.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-budget estimate: word tokens plus punctuation
+    * marks counted separately (`\w+` runs and single non-space
+    * non-word chars), the shape a byte-pair tokenizer's pre-tokenizer
+    * uses. Pure regexp — no tokenizer library needed for budgeting.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** Punctuation character ratio over total characters (0 when empty). */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[A-Za-z0-9_\\s]+", ""))
+    when(length(text) === 0, 0.0)
+      .otherwise(punct.cast("double") / length(text))
+  }
+
+  /** Ratio of tokens that appear in `stopwords` (0 when no tokens). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => array_contains(sw, t))).cast("double")
+        / size(toks))
+  }
+
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence
+    * + low punctuation + sane mean token length. The weights are the
+    * usual heuristic-filter shape (C4/Gopher-style rules) expressed as
+    * one codegen'd expression.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nTok = tokenCount(text)
+    val lengthOk = when(nTok.between(50, 100000), 1.0)
+      .when(nTok.between(10, 49), 0.5).otherwise(0.0)
+    val swOk = when(stopwordRatio(text, stopwords) > 0.05, 1.0)
+      .otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.0)
+    val mtl = meanTokenLength(text)
+    val mtlOk = when(mtl.between(2.0, 12.0), 1.0).otherwise(0.0)
+    round((lengthOk + swOk + punctOk + mtlOk) / 4.0, 4)
+  }
+
+  /** Per-language stopword profiles for the language-ID heuristic.
+    * Small closed-class word lists — the standard cheap signal.
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it",
+      "was", "for", "with", "are", "this", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "von",
+      "mit", "ein", "eine", "zu", "den", "auf", "für"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en",
+      "un", "una", "es", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "est", "que", "dans",
+      "un", "une", "du", "pour", "sur", "pas"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这",
+      "中", "大", "来", "上", "国", "个"))
+
+  /** Score of one language profile against a text: fraction of tokens
+    * that are members of that profile (zh falls back to character
+    * containment since it doesn't whitespace-tokenize).
+    */
+  def langScore(text: Column, lang: String): Column =
+    if (lang == "zh") {
+      val hits = langProfiles(lang)
+        .map(w => when(text.contains(w), 1).otherwise(0))
+        .reduce(_ + _)
+      hits.cast("double") / langProfiles(lang).size
+    } else stopwordRatio(text, langProfiles(lang))
+
+  /** Language-ID: argmax over profile scores; "und" (undetermined) when
+    * every score is 0. One pass, pure expressions.
+    */
+  def langId(text: Column): Column = {
+    val scored = langProfiles.keys.toSeq.sorted.map(l =>
+      struct(langScore(text, l).as("score"), lit(l).as("lang")))
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise("und")
+  }
+
+  /** k-shingles (word n-grams) of the token array: the standard unit
+    * for near-dup detection. `sequence` + `transform` + `slice` keeps
+    * it in codegen.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  /** Rolling-hash document fingerprint (winnowing-style): hash every
+    * k-shingle, keep the `keep` smallest hashes as the document's
+    * signature. Robust to local edits; signature comparison is a set
+    * intersection. Deterministic (xxhash64 with fixed seed).
+    */
+  def fingerprint(text: Column, k: Int, keep: Int): Column =
+    slice(array_sort(array_distinct(
+      transform(shingles(text, k), s => xxhash64(s)))), 1, keep)
+}

@@ -1,0 +1,230 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** §2.10 extension operators: text analysis, dedup family, similarity
+  * search, multimodal plumbing — on testdata + injected fixtures
+  * (FIXTURES.md B.6).
+  */
+class ExtensionOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet(sf("sf0.001") + "/documents.parquet").cache()
+  private lazy val emb =
+    spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").cache()
+
+  test("text: tokens/counts/ratios/quality") {
+    val got = Seq("the cat sat, on the mat!", "", "xyzzy")
+      .toDF("text").select(
+        TextOps.tokenCount($"text").as("n"),
+        TextOps.bpeishTokenCount($"text").as("bpe"),
+        round(TextOps.punctRatio($"text"), 4).as("punct"),
+        round(TextOps.stopwordRatio($"text",
+          TextOps.langProfiles("en")), 4).as("sw"),
+        round(TextOps.meanTokenLength($"text"), 4).as("mtl"))
+      .collect()
+    assert(got(0).getAs[Int]("n") == 6)
+    assert(got(0).getAs[Int]("bpe") == 8)    // 6 words + ',' + '!'
+    assert(got(0).getAs[Double]("sw") == 0.3333) // "the" x2 of 6
+    assert(got(1).getAs[Int]("n") == 0)
+    assert(got(1).getAs[Double]("punct") == 0.0)
+    assert(got(2).getAs[Double]("sw") == 0.0)
+  }
+
+  test("text: langId detects real-language snippets, und on garbage") {
+    val samples = Seq(
+      ("the cat is on the mat and it is happy", "en"),
+      ("der Hund ist nicht mit der Katze", "de"),
+      ("el perro y la casa es de madera", "es"),
+      ("le chat est dans la maison pour dormir", "fr"),
+      ("我是中国人他有一个大家", "zh"),
+      ("qwerty zxcvb 12345", "und"))
+    val got = samples.map(_._1).toDF("text")
+      .select(TextOps.langId($"text")).as[String].collect().toSeq
+    assert(got == samples.map(_._2))
+  }
+
+  test("text: shingles + fingerprint stability under distant edit") {
+    val base = "a b c d e f g h i j k l m n o p"
+    val edited = base + " zz"   // edit at the end
+    val df = Seq(base, edited).toDF("text")
+      .select(TextOps.fingerprint($"text", 3, 5).as("fp"))
+    val Array(f1, f2) = df.as[Seq[Long]].collect()
+    assert(f1.size == 5 && f2.size == 5)
+    assert(f1.intersect(f2).size >= 3) // local edit keeps most mins
+    val sh = Seq("a b c d").toDF("t")
+      .select(TextOps.shingles($"t", 3)).as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    // shorter than k -> single whole-text shingle
+    val short = Seq("a b").toDF("t")
+      .select(TextOps.shingles($"t", 3)).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("dedup: exact by content keeps min id; groups found") {
+    val base = docs.select($"doc_id", $"text")
+    val dup = base.filter($"doc_id" < 5)
+      .withColumn("doc_id", $"doc_id" + 100000)
+    val all = base.unionByName(dup)
+    val kept = Dedup.exactByContent(all, "doc_id", "text")
+    assert(kept.count() == base.count())          // dups removed
+    assert(kept.filter($"doc_id" >= 100000).count() == 0) // min id kept
+    val groups = Dedup.duplicateGroups(all, "doc_id", "text")
+    assert(groups.count() == 5)
+    assert(groups.agg(max($"n")).as[Long].head() == 2)
+  }
+
+  test("dedup: minhash finds injected near-dups, survives re-run") {
+    // near-dup: append one token to a 50-token doc => shingle overlap ~ 0.9
+    val base = docs.select($"doc_id", $"text").filter($"doc_id" < 50)
+    val near = base.filter($"doc_id" < 10)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        concat($"text", lit(" extraword")).as("text"))
+    val all = base.unionByName(near)
+    val pairs = Dedup.minhashNearDupPairs(all, "doc_id", "text",
+      shingleK = 5, numHashes = 64, bands = 16, threshold = 0.5)
+    val found = pairs.select($"id_a", $"id_b").as[(Long, Long)]
+      .collect().toSet
+    // all 10 injected pairs recovered
+    assert((0L until 10L).forall(i => found.contains((i, i + 100000))))
+    // dedup drops the injected copies (higher ids)
+    val deduped = Dedup.minhashDedup(all, "doc_id", "text",
+      threshold = 0.5)
+    assert(deduped.count() >= 50 - 2 && deduped.count() <= 50)
+    assert(deduped.filter($"doc_id" >= 100000).count() == 0)
+  }
+
+  test("dedup: simhash fingerprint determinism, hamming, blocking") {
+    val a = "spark table join filter aggregate window shuffle partition"
+    val df = Seq(
+      (1L, a), (2L, a),  // identical -> hamming 0, must be found
+      (3L, "completely different words about cooking pasta tonight")
+    ).toDF("id", "text")
+    // determinism: same text -> same fingerprint
+    val fps = df.select($"id", Dedup.simhash64($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+    // hamming64 is exact bit-count of xor
+    val h = Seq((0x0FL, 0x00L)).toDF("a", "b")
+      .select(Dedup.hamming64($"a", $"b")).as[Int].head()
+    assert(h == 4)
+    val pairs = Dedup.simhashNearDupPairs(df, "id", "text", maxHamming = 3)
+    val got = pairs.select($"id_a", $"id_b", $"hamming").collect()
+    val p12 = got.find(r => r.getLong(0) == 1 && r.getLong(1) == 2)
+    assert(p12.isDefined && p12.get.getAs[Int]("hamming") == 0)
+    assert(!got.exists(r => r.getLong(1) == 3 || r.getLong(0) == 3))
+  }
+
+  test("dedup: ngram jaccard on explicit pairs") {
+    val docs2 = Seq((1L, "a b c d e f"), (2L, "a b c d e g"),
+      (3L, "x y z w v u")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.ngramJaccard(pairs, docs2, "doc_id", "text", 2)
+      .select($"id_a", $"id_b", round($"jaccard", 3).as("j"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(got((1L, 2L)) == 0.667)  // 4 common of 6 distinct bigrams
+    assert(got((1L, 3L)) == 0.0)
+  }
+
+  test("similarity: codegen cosine == builtin cosine; self-cos = 1") {
+    val x = emb.select($"vec_id", $"embedding")
+    val pairs = x.as("a").crossJoin(x.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id").limit(500)
+      .select(
+        VectorExpressions.cosine($"a.embedding", $"b.embedding").as("fast"),
+        Similarity.cosineBuiltin($"a.embedding", $"b.embedding").as("ref"))
+    // builtin zip_with multiplies in float before the double sum, so
+    // allow float-level tolerance; the exact-double differential lives
+    // in the brute-force topk test below
+    val diffs = pairs.select(max(abs($"fast" - $"ref"))).as[Double].head()
+    assert(diffs < 1e-6)
+    val self = x.limit(5).select(
+      VectorExpressions.cosine($"embedding", $"embedding")).as[Double]
+      .collect()
+    assert(self.forall(v => math.abs(v - 1.0) < 1e-9))
+  }
+
+  test("similarity: brute-force topk matches exact driver-side compute") {
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding")
+    val nn = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", "qid", k = 5)
+    assert(nn.count() == 20)
+    // neighbors sorted desc within each query, exactly k of them
+    val scores = nn.select($"neighbors.score").as[Seq[Double]].collect()
+    assert(scores.forall(s => s.zip(s.tail).forall { case (a, b) => a >= b }))
+    assert(scores.forall(_.size == 5))
+    // differential oracle: exact top-5 computed driver-side in the same
+    // double arithmetic (sequential dot over elements)
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.size) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.filter(_._1 < 20).map { case (qid, qv) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (id, v) => (cos(v, qv), id) }
+        .sortBy { case (s, i) => (-s, i) }.take(5).map(_._2).toSeq
+    }.toMap
+    val got = nn.select($"query_id", $"neighbors.id")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got == expected)
+  }
+
+  test("similarity: lsh topk recall vs brute force is reasonable") {
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding")
+    def flatten(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", explode($"neighbors.id").as("nid"))
+        .as[(Long, Long)].collect().toSet
+    val exact = flatten(Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", "qid", k = 5))
+    val approx = flatten(Similarity.lshTopK(emb, queries, "vec_id",
+      "embedding", "qid", k = 5, planes = 4))
+    // few planes => coarse buckets => decent recall; the point here is
+    // the bucketing mechanics, not tuned recall on synthetic vectors
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.05, s"lsh recall $recall too low")
+    assert(approx.nonEmpty)
+  }
+
+  test("multimodal: binary payload round-trip + stub feature extract") {
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f =>
+        (f.name, f.dataType.sql.replace(" NOT NULL", ""))).toSeq
+    val media = Multimodal.fromBinary(
+      docs.limit(10), "doc_id", "text", "text/plain")
+    assert(shape(media.schema) == shape(Multimodal.mediaSchema))
+    val dir = java.nio.file.Files.createTempDirectory("graftmedia").toString
+    media.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10)
+
+    val feats = Multimodal.extractFeatures(back, dim = 8)
+    assert(shape(feats.schema) == shape(Multimodal.featureSchema))
+    val rows = feats.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[Seq[Float]]("features").size == 8))
+    // deterministic: same payload -> same checksum/features
+    val again = Multimodal.extractFeatures(back, dim = 8)
+      .select($"media_id", $"checksum").as[(Long, Long)].collect().toMap
+    rows.foreach(r => assert(
+      again(r.getAs[Long]("media_id")) == r.getAs[Long]("checksum")))
+
+    val resized = Multimodal.resizePayload(back, 16)
+    assert(resized.select(max(length($"payload"))).as[Int].head() <= 16)
+    val frames = Multimodal.sampleFrames(back, stride = 100)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_offsets"))
+  }
+}
