@@ -1,37 +1,35 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.ScalarOps
-import graft.operators.Relational
+import graft.functions.{ScalarOps, TextExpressions, VectorExpressions}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — one named query per implemented operator from
-  * SURVEY.md §2, each with a DuckDB oracle in [[oracleSql]].
+  * SURVEY.md §2 (+ §2.10 extensions), each with a DuckDB oracle in
+  * [[oracleSql]] where ANSI-SQL-expressible; hash-based operators
+  * (minhash/simhash/knn) are rows-only checks.
   *
   * Role mapping (FIXTURES.md §A): `events` plays the status/metric
   * stream, `customer`/`nation` the membership + enrichment dimensions,
   * `lineitem` the wide metric fact table, `part` the type-routing
   * table, `documents`/`embeddings` the §2.10 extension operators.
+  *
+  * Oracle-parity conventions: aggregate money/double sums go through
+  * DECIMAL(18,x) (exact, order-independent) then cast to double;
+  * counts are cast to long (DuckDB len()/count() are BIGINT); ratios
+  * are rounded to fixed decimals computed identically on both sides.
   */
 object SparkEntry {
 
-  /** Flagship: the §3.2 status-enrichment pipeline shape
-    * (semi-join membership → broadcast enrichment → status CASE maps →
-    * validity filters → typed point projection) on sf0.001.
-    */
+  /** Flagship: the §3.2 status-enrichment pipeline shape on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     statusEnrich(spark, "/root/testdata/sf0.001")
 
   // ---------------------------------------------------------------- //
 
-  /** J1+J2+F3+F4+F5+P6+P8 — the full status pipeline shape (§3.2).
-    * members = customers of one segment (the "servicegroup"); details =
-    * customer⋈nation (the dimension with customvars-style attributes);
-    * status stream = events. Both dimension joins broadcast: the fact
-    * side never shuffles.
-    */
   private def statusEnrich(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val cust = Tables.customer(s, dir)
@@ -60,8 +58,16 @@ object SparkEntry {
         round(col("value"), 2).as("value2"))
   }
 
+  /** Exact, order-independent sum of a double measure: through decimal,
+    * out as double.
+    */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  private val enStop = TextOps.langProfiles("en")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // -------- core aggregation surface (§2.5) --------
+    // ================= core relational surface =================
     "q1_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -69,13 +75,12 @@ object SparkEntry {
           sum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("count_order"),
           min(col("l_extendedprice")).as("min_price"),
-          max(col("l_extendedprice")).as("max_price"))
+          max(col("l_extendedprice")).as("max_price"),
+          dsum(col("l_extendedprice")).as("sum_price"))
     }),
 
-    // -------- flagship pipeline (§3.2 shape) --------
     "q_status_enrich" -> ((s, dir) => statusEnrich(s, dir)),
 
-    // -------- J1 semi join (membership filter) --------
     "q_semi_join" -> ((s, dir) => {
       val members = Tables.customer(s, dir)
         .filter(col("c_mktsegment") === "MACHINERY")
@@ -85,7 +90,6 @@ object SparkEntry {
         .select("event_id", "user_id", "event_type")
     }),
 
-    // -------- J3 anti-join dedup vs previous snapshot --------
     "q_anti_dedup" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val current = ev.filter(col("ts") >= lit("2024-01-10"))
@@ -94,14 +98,12 @@ object SparkEntry {
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     }),
 
-    // -------- latest-per-key snapshot (§2.9) --------
     "q_latest_per_key" -> ((s, dir) => {
       Relational.latestPerKey(Tables.events(s, dir), Seq("user_id"),
           "ts", "event_id")
         .select("user_id", "event_id", "ts", "event_type", "value")
     }),
 
-    // -------- P4 substring type routing --------
     "q_type_route" -> ((s, dir) => {
       val routed = Tables.part(s, dir).withColumn("metric_family",
         when(ScalarOps.familyPredicate(col("p_type"), "promo"), "promo")
@@ -109,8 +111,201 @@ object SparkEntry {
           .when(ScalarOps.familyPredicate(col("p_type"), "large"), "large")
           .otherwise(lit(null).cast("string")))
       routed.groupBy(col("metric_family"))
+        .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("sum_price"))
+    }),
+
+    "q_multi_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+            scale = 4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    "q_cross_fanout" -> ((s, dir) => {
+      Relational.fanOut(Tables.nation(s, dir).select("n_name"),
+          graft.model.NagiosModel.services, "service_name")
+        .select("n_name", "service_name")
+    }),
+
+    "q_explode_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 20)
+    }),
+
+    "q_pivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_linestatus") === "F", col("l_quantity"))).as("qty_f"),
+          sum(when(col("l_linestatus") === "O", col("l_quantity"))).as("qty_o"),
+          count(when(col("l_linestatus") === "F", lit(1))).as("n_f"),
+          count(when(col("l_linestatus") === "O", lit(1))).as("n_o"))
+    }),
+
+    "q_union_all" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), lit("err").as("src"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), lit("buy").as("src"))
+      errors.unionByName(buys)
+    }),
+
+    "q_except_all" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.select("user_id", "event_type")
+        .exceptAll(ev.filter(col("value") < 50)
+          .select("user_id", "event_type"))
+    }),
+
+    "q_rollup" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_total"))
+    }),
+
+    "q_window_hour" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    }),
+
+    "q_topk_orders" -> ((s, dir) => {
+      Relational.topK(Tables.orders(s, dir), 10,
+          col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    "q_distinct" -> ((s, dir) => {
+      Tables.customer(s, dir).select("c_mktsegment", "c_nationkey")
+        .distinct()
+    }),
+
+    "q_count_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+    }),
+
+    "q_json_props" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy("k").agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    }),
+
+    "q_completeness" -> ((s, dir) => {
+      val framed = Tables.events(s, dir).select(
+        col("event_id"),
+        when(col("event_type") =!= "error", col("event_type")).as("et"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      Relational.completenessGate(framed)
+    }),
+
+    // ================= §2.10 text analysis =================
+    "q_doc_stats" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("n_chars"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+        round(TextOps.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TextOps.meanTokenLength(col("text")), 4).as("mean_tok_len"),
+        round(TextOps.stopwordRatio(col("text"), enStop), 4).as("sw_ratio"))
+    }),
+
+    "q_quality" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text"), enStop).as("quality"))
+        .groupBy("lang")
         .agg(count(lit(1)).as("n"),
-          sum(col("p_retailprice").cast("decimal(18,2)")).as("sum_price"))
+          dsum(col("quality"), scale = 4).as("sum_quality"))
+    }),
+
+    "q_dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+        .select("doc_id", "n")
+    }),
+
+    // ============ §2.10 hash-based (rows-only checks) ============
+    "q_minhash_sig" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        Dedup.minhashSignature(TextOps.shingles(col("text"), 5), 64)
+          .as("sig"))
+    }),
+
+    "q_simhash" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        Dedup.simhash64(col("text")).as("fingerprint"))
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextOps.fingerprint(col("text"), 3, 8).as("fp"))
+    }),
+
+    "q_langid" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextOps.langId(col("text")).as("predicted_lang"))
+    }),
+
+    "q_minhash_pairs" -> ((s, dir) => {
+      // raw corpus has no near-dups; union a shifted-id near-dup copy of
+      // 20 docs so the operator's full path (sig -> bands -> bucket join
+      // -> verify) runs and returns rows
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val near = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" near dup suffix")).as("text"))
+      Dedup.minhashNearDupPairs(docs.unionByName(near), "doc_id", "text",
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    "q_knn_bruteforce" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+          "qid", k = 10)
+        .select(col("query_id"), col("neighbors.id").as("neighbor_ids"))
+    }),
+
+    "q_knn_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", "qid",
+          k = 10, planes = 4)
+        .select(col("query_id"), col("neighbors.id").as("neighbor_ids"))
+    }),
+
+    "q_neardup_embedding" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id",
+          "embedding", threshold = 0.2, planes = 4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+    }),
+
+    "q_media_features" -> ((s, dir) => {
+      val media = Multimodal.fromBinary(Tables.documents(s, dir),
+        "doc_id", "text", "text/plain")
+      Multimodal.extractFeatures(media, dim = 8)
+        .select("media_id", "n_bytes", "checksum")
     })
   )
 
@@ -118,7 +313,8 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | count(*) AS count_order, min(l_extendedprice) AS min_price,
-        | max(l_extendedprice) AS max_price
+        | max(l_extendedprice) AS max_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_status_enrich" ->
@@ -159,7 +355,141 @@ object SparkEntry {
         |  WHEN lower(p_type) LIKE '%large%' THEN 'large'
         |  ELSE NULL END AS metric_family,
         | count(*) AS n,
-        | sum(CAST(p_retailprice AS DECIMAL(18,2))) AS sum_price
-        |FROM part GROUP BY 1""".stripMargin
+        | CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part GROUP BY 1""".stripMargin,
+
+    "q_multi_join" ->
+      """SELECT n.n_name,
+        | CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |   AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name""".stripMargin,
+
+    "q_cross_fanout" ->
+      """SELECT n_name, s AS service_name FROM nation
+        |CROSS JOIN (SELECT unnest(['Memory Usage','Swap Usage',
+        | 'Disk Usage root','Disk Usage tmp','Disk Usage apps',
+        | 'Disk Usage boot','Disk Usage opt','Disk Usage var',
+        | 'Disk Usage home','CPU Usage']) AS s) t""".stripMargin,
+
+    "q_explode_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        | SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |   x -> len(x) > 0)) AS token FROM documents) t
+        |GROUP BY token HAVING count(*) >= 20""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        | sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+        | sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o,
+        | count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+        | count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT event_id, user_id, 'err' AS src FROM events
+        | WHERE event_type = 'error'
+        |UNION ALL
+        |SELECT event_id, user_id, 'buy' AS src FROM events
+        | WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT user_id, event_type FROM events
+        |EXCEPT ALL
+        |SELECT user_id, event_type FROM events WHERE value < 50""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_window_hour" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_completeness" ->
+      """SELECT event_id,
+        | CASE WHEN event_type <> 'error' THEN event_type END AS et,
+        | value,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE event_id IS NOT NULL
+        |  AND (CASE WHEN event_type <> 'error' THEN event_type END) IS NOT NULL
+        |  AND value IS NOT NULL
+        |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL""".stripMargin,
+
+    "q_doc_stats" -> {
+      val toks = """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
+      s"""SELECT doc_id, n_chars,
+         | CAST(len($toks) AS BIGINT) AS n_tokens,
+         | CAST(len(regexp_extract_all(text,
+         |   '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_bpeish,
+         | round(CASE WHEN len(text) = 0 THEN 0.0
+         |   ELSE CAST(len(regexp_replace(text, '[A-Za-z0-9_\\s]+', '', 'g'))
+         |     AS DOUBLE) / len(text) END, 4) AS punct_ratio,
+         | round(CASE WHEN len($toks) = 0 THEN 0.0
+         |   ELSE CAST(list_aggregate(list_transform($toks, x -> len(x)),
+         |     'sum') AS DOUBLE) / len($toks) END, 4) AS mean_tok_len,
+         | round(CASE WHEN len($toks) = 0 THEN 0.0
+         |   ELSE CAST(len(list_filter($toks, x -> list_contains(
+         |     ['the','and','of','to','in','is','that','it','was','for',
+         |      'with','are','this','a'], x))) AS DOUBLE) / len($toks)
+         |   END, 4) AS sw_ratio
+         |FROM documents""".stripMargin
+    },
+
+    "q_quality" -> {
+      val toks = """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
+      val nTok = s"len($toks)"
+      val sw = s"""CASE WHEN $nTok = 0 THEN 0.0
+        | ELSE CAST(len(list_filter($toks, x -> list_contains(
+        |   ['the','and','of','to','in','is','that','it','was','for',
+        |    'with','are','this','a'], x))) AS DOUBLE) / $nTok END""".stripMargin
+      val punct = s"""CASE WHEN len(text) = 0 THEN 0.0
+        | ELSE CAST(len(regexp_replace(text, '[A-Za-z0-9_\\s]+', '', 'g'))
+        |   AS DOUBLE) / len(text) END""".stripMargin
+      val mtl = s"""CASE WHEN $nTok = 0 THEN 0.0
+        | ELSE CAST(list_aggregate(list_transform($toks, x -> len(x)),
+        |   'sum') AS DOUBLE) / $nTok END""".stripMargin
+      s"""SELECT lang, count(*) AS n,
+         | CAST(sum(CAST(round((
+         |   (CASE WHEN $nTok BETWEEN 50 AND 100000 THEN 1.0
+         |     WHEN $nTok BETWEEN 10 AND 49 THEN 0.5 ELSE 0.0 END)
+         |   + (CASE WHEN ($sw) > 0.05 THEN 1.0 ELSE 0.0 END)
+         |   + (CASE WHEN ($punct) < 0.2 THEN 1.0 ELSE 0.0 END)
+         |   + (CASE WHEN ($mtl) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+         | ) / 4.0, 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_quality
+         |FROM documents GROUP BY lang""".stripMargin
+    },
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n
+        |FROM documents GROUP BY text""".stripMargin
   )
 }

@@ -73,11 +73,20 @@ object Dedup {
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
+    // Both intermediates are multiply-consumed (bucket join probes +
+    // exact-Jaccard verification), so materialize them once: signature
+    // computation must not re-run per downstream branch — and exploding
+    // an unmaterialized signature projection re-evaluates the chain per
+    // emitted row (measured 70x slower). At cluster scale the
+    // production form of this persist is a parquet staging write of the
+    // signature table.
     val shingled = df.select(col(idCol).as("id"),
       TextOps.shingles(col(textCol), shingleK).as("sh"))
-    val sigs = shingled.select(col("id"), col("sh"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = shingled.select(col("id"),
       bandHashes(minhashSignature(col("sh"), numHashes), bands, rows)
         .as("bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val buckets = sigs.select(col("id"),
         posexplode(col("bands")).as(Seq("band", "bucket")))
@@ -138,6 +147,7 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val fp = df.select(col(idCol).as("id"),
       simhash64(col(textCol)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = fp.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("fp"), i * 16).bitwiseAND(0xFFFFL)): _*))

@@ -85,6 +85,7 @@ object Similarity {
       planes: Int): DataFrame = {
     val keyed = df.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
       lshBucket(col(vecCol), planes).as("__bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = keyed.select(col("__bucket"), col("__id").as("id_a"),
       col("__vec").as("__vec_a"))
     val b = keyed.select(col("__bucket"), col("__id").as("id_b"),
