@@ -217,19 +217,48 @@ object SparkEntry {
     }),
 
     // ================= §2.10 text analysis =================
+    // Fused single-pass TextStats expression computes every counter in
+    // one string scan (struct materialized in its own projection so
+    // each derived ratio reads a field instead of re-running the scan).
     "q_doc_stats" -> ((s, dir) => {
-      Tables.documents(s, dir).select(
-        col("doc_id"), col("n_chars"),
-        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextOps.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
-        round(TextOps.punctRatio(col("text")), 4).as("punct_ratio"),
-        round(TextOps.meanTokenLength(col("text")), 4).as("mean_tok_len"),
-        round(TextOps.stopwordRatio(col("text"), enStop), 4).as("sw_ratio"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          graft.functions.TextStatsExpression
+            .textStats(col("text"), enStop).as("st"))
+        .select(
+          col("doc_id"), col("n_chars"),
+          col("st.n_tokens").as("n_tokens"),
+          col("st.n_bpeish").as("n_bpeish"),
+          round(when(col("st.n_chars") === 0, 0.0)
+            .otherwise(col("st.n_punct").cast("double") / col("st.n_chars")),
+            4).as("punct_ratio"),
+          round(when(col("st.n_tokens") === 0, 0.0)
+            .otherwise(col("st.sum_tok_len").cast("double") / col("st.n_tokens")),
+            4).as("mean_tok_len"),
+          round(when(col("st.n_tokens") === 0, 0.0)
+            .otherwise(col("st.n_stopwords").cast("double") / col("st.n_tokens")),
+            4).as("sw_ratio"))
     }),
 
     "q_quality" -> ((s, dir) => {
-      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-        TextOps.qualityScore(col("text"), enStop).as("quality"))
+      val st = col("st")
+      val nTok = st.getField("n_tokens")
+      val sw = when(nTok === 0, 0.0)
+        .otherwise(st.getField("n_stopwords").cast("double") / nTok)
+      val punct = when(st.getField("n_chars") === 0, 0.0)
+        .otherwise(st.getField("n_punct").cast("double") / st.getField("n_chars"))
+      val mtl = when(nTok === 0, 0.0)
+        .otherwise(st.getField("sum_tok_len").cast("double") / nTok)
+      val lengthOk = when(nTok.between(50, 100000), 1.0)
+        .when(nTok.between(10, 49), 0.5).otherwise(0.0)
+      val quality = round((lengthOk
+        + when(sw > 0.05, 1.0).otherwise(0.0)
+        + when(punct < 0.2, 1.0).otherwise(0.0)
+        + when(mtl.between(2.0, 12.0), 1.0).otherwise(0.0)) / 4.0, 4)
+      Tables.documents(s, dir)
+        .select(col("lang"), graft.functions.TextStatsExpression
+          .textStats(col("text"), enStop).as("st"))
+        .select(col("lang"), quality.as("quality"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n"),
           dsum(col("quality"), scale = 4).as("sum_quality"))

@@ -26,8 +26,10 @@ object Relational {
     */
   def semiJoinMembers(fact: DataFrame, members: DataFrame,
       keys: Seq[String]): DataFrame =
-    fact.join(broadcast(members.select(keys.map(col): _*).distinct()),
-      keys, "left_semi")
+    // no distinct() on the build side: semi-join semantics ignore build
+    // duplicates, and the dedup would cost an extra exchange
+    fact.join(broadcast(members.select(keys.map(col): _*)), keys,
+      "left_semi")
 
   /** J2 — broadcast left-outer enrichment join with per-column defaults
     * (`url...py:71-73,84-95`): probe the (small) detail table, missing

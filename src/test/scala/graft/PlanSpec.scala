@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions (SURVEY §4): the optimizations the
+  * engine relies on at 100 TB must actually appear in the plans —
+  * pushdown to the scan, broadcast joins for dims, partial
+  * aggregation, TakeOrderedAndProject for top-k, no shuffle on
+  * scan-level pipelines.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private val dir = sf("sf0.001")
+
+  test("filter + projection push down to parquet scan") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val plan = physical(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"missing pushed filter:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan not pruned to 2 columns:\n$plan")
+  }
+
+  test("status-enrich pipeline: dims broadcast, fact side not shuffled") {
+    val df = SparkEntry.queries("q_status_enrich")(spark, dir)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only exchanges are broadcast exchanges: the event stream
+    // itself never hash-repartitions
+    val shuffles = "ShuffleExchange|Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(shuffles == 0, s"fact side shuffled:\n$plan")
+  }
+
+  test("multi-join keeps small dims broadcast, big join shuffled once each") {
+    val df = SparkEntry.queries("q_multi_join")(spark, dir)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("q1 aggregation is partial+final hash aggregate") {
+    val df = SparkEntry.queries("q1_agg")(spark, dir)
+    val plan = physical(df)
+    // map-side combine: two HashAggregate levels around one exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("topK plans TakeOrderedAndProject (no full sort-shuffle)") {
+    val df = SparkEntry.queries("q_topk_orders")(spark, dir)
+    val plan = physical(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("GlobalSort"), plan)
+  }
+
+  test("semi join stays broadcast (membership filter never shuffles fact)") {
+    val df = SparkEntry.queries("q_semi_join")(spark, dir)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan)
+  }
+
+  test("whole-stage codegen covers the scalar pipeline") {
+    val df = SparkEntry.queries("q_doc_stats")(spark, dir)
+    val plan = physical(df)
+    // "*(n)" marks operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project") || plan.contains("*(1) "), plan)
+  }
+
+  test("custom cosine expression participates in codegen (no fallback)") {
+    import graft.functions.VectorExpressions
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = emb.select(VectorExpressions.cosine(col("embedding"),
+      col("embedding")).as("c"))
+    val plan = physical(df)
+    assert(plan.contains("*(1) Project"), plan)
+    // and it evaluates correctly inside codegen
+    val v = df.limit(3).collect().map(_.getDouble(0))
+    assert(v.forall(x => math.abs(x - 1.0) < 1e-9))
+  }
+}

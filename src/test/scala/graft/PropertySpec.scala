@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.functions.ScalarOps
+import graft.operators.Relational
+
+/** Property-based semantics (SURVEY §5.3): ScalaCheck generators drive
+  * the data; each property is evaluated in one Spark pass over the
+  * generated rows (per-sample Spark jobs would be prohibitively slow).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("F1: parseRound2 of numeric strings = 2dp round; never NaN") {
+    val values = Gen.listOfN(300, Gen.chooseNum(-1e6, 1e6)).sample.get
+    val got = values.map(v => f"$v%.6f").toDF("s")
+      .select(ScalarOps.parseRound2($"s").as("r")).as[Double].collect()
+    got.zip(values).foreach { case (r, v) =>
+      assert(!r.isNaN)
+      assert(math.abs(r - v) <= 0.005 + 1e-9, s"$r vs $v")
+      assert(math.round(r * 100) == (r * 100).round) // at most 2dp
+    }
+  }
+
+  test("F2/F3: epoch -> datetime2 -> epoch is identity on [0, 2^31)") {
+    val epochs = Gen.listOfN(300, Gen.chooseNum(0L, Int.MaxValue.toLong))
+      .sample.get
+    val got = epochs.toDF("e")
+      .select(ScalarOps.datetime2ToEpoch(
+        ScalarOps.epochToDatetime2($"e")).as("back")).as[Long].collect()
+    assert(got.toSeq == epochs)
+  }
+
+  test("F4/F5: status text->numeric inverts text mapping on enum domain") {
+    val codes = Gen.listOfN(200, Gen.oneOf("0", "1", "2", "3")).sample.get
+    val got = codes.toDF("c")
+      .select(ScalarOps.statusText($"c").as("t"))
+      .select(ScalarOps.statusNumeric($"t").as("n")).as[Int].collect()
+    assert(got.toSeq == codes.map(_.toInt))
+  }
+
+  test("J3: anti-join dedup is idempotent and complete") {
+    val rows = Gen.listOfN(150,
+      Gen.zip(Gen.chooseNum(0, 40), Gen.oneOf("a", "b", "c"))).sample.get
+    val current = rows.toDF("k", "v")
+    val previous = rows.take(60).toDF("k", "v")
+    val once = Relational.antiJoinDedup(current, previous)
+    val twice = Relational.antiJoinDedup(once, previous)
+    assert(once.count() == twice.count())
+    // complete: nothing in the result row-matches the previous set
+    val prevSet = previous.select(concat_ws("|", $"k", $"v"))
+      .as[String].collect().toSet
+    val remaining = once.select(concat_ws("|", $"k", $"v"))
+      .as[String].collect()
+    assert(remaining.forall(r => !prevSet.contains(r)))
+    // and current rows NOT in previous all survive (multiset caveat:
+    // whole-row dedup removes all copies of a matched row, like the
+    // reference's set-membership filter, extract.py:127)
+    val curOnly = rows.filterNot(r => previous.collect().map(x =>
+      (x.getInt(0), x.getString(1))).contains(r))
+    assert(remaining.size == curOnly.size)
+  }
+
+  test("F8 pivot + melt round-trip preserves values") {
+    val keys = Seq("m1", "m2", "m3")
+    val rows = Gen.listOfN(80, Gen.listOfN(3,
+      Gen.chooseNum(0.0, 100.0))).sample.get
+      .zipWithIndex.map { case (vs, i) =>
+        (i.toLong, vs.map(v => f"$v%.2f")) }
+    val df = rows.toDF("id", "values")
+    val wide = df.select(col("id") +:
+      ScalarOps.zipToColumns(col("values"), keys): _*)
+    val melted = wide.select(col("id"), explode(array(keys.map(k =>
+      struct(lit(k).as("metric"), col(k).as("value"))): _*)).as("m"))
+      .select(col("id"), col("m.metric"), col("m.value"))
+    // every (id, metric, value) triple survives the round trip
+    val back = melted.groupBy("id").pivot("metric", keys).sum("value")
+    val a = wide.orderBy("id").collect().map(_.toSeq)
+    val b = back.orderBy("id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("F11: canonical row key invariant under column permutation") {
+    val rows = Gen.listOfN(100,
+      Gen.zip(Gen.alphaStr, Gen.chooseNum(0, 1000))).sample.get
+    val k1 = rows.toDF("s", "n")
+      .select(ScalarOps.canonicalRowKey(Seq("s", "n"))).as[String].collect()
+    val k2 = rows.map(_.swap).toDF("n", "s")
+      .select(ScalarOps.canonicalRowKey(Seq("n", "s"))).as[String].collect()
+    assert(k1.toSeq == k2.toSeq)
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingDedup
+
+/** §2.9 streaming semantics on MemoryStream fixtures (FIXTURES.md B.7):
+  * cross-batch dedup replicates the 25 h-overlap anti-join; watermarks
+  * drop late ("immature") data.
+  */
+case class Point(host: String, ts: java.sql.Timestamp, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def p(host: String, minute: Int, v: Double) =
+    Point(host, java.sql.Timestamp.valueOf(f"2024-08-11 10:$minute%02d:00"), v)
+
+  test("cross-batch dedup: overlap rows emitted once (extract.py:115-132)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Point]
+    val q = StreamingDedup.dedupedStream(input.toDF(), "ts", "2 hours")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+
+    // batch 1: the "previous run" window
+    input.addData(p("h1", 0, 1.0), p("h1", 10, 2.0), p("h2", 10, 5.0))
+    q.processAllAvailable()
+    // batch 2: overlapping re-extract (same rows) + new rows
+    input.addData(p("h1", 10, 2.0), p("h2", 10, 5.0), p("h1", 20, 3.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_out").as[Point].collect()
+      .map(r => (r.host, r.ts.toString, r.value)).toSet
+    assert(got.size == 4) // 3 from batch 1 + only the genuinely new row
+    assert(got.contains(("h1", "2024-08-11 10:20:00.0", 3.0)))
+  }
+
+  test("watermark drops late data beyond horizon (extract.py:94-95)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Point]
+    val q = StreamingDedup.windowedCounts(input.toDF(), "ts", "host",
+        horizon = "10 minutes", window = "10 minutes")
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+
+    input.addData(p("h1", 0, 1.0), p("h1", 5, 2.0))
+    q.processAllAvailable()
+    // advance event time far ahead => watermark passes 10:10
+    input.addData(p("h1", 55, 9.0))
+    q.processAllAvailable()
+    // this point is now > horizon late; its window is closed => dropped
+    input.addData(p("h1", 1, 100.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wm_out")
+      .select($"window.start".cast("string"), $"n", $"sum_value")
+      .as[(String, Long, Double)].collect().toMap2
+    // the 10:00 window closed with exactly the 2 on-time points
+    assert(rows("2024-08-11 10:00:00") == (2L, 3.0))
+  }
+
+  private implicit class MapOps(a: Array[(String, Long, Double)]) {
+    def toMap2: Map[String, (Long, Double)] =
+      a.map { case (k, n, s) => k -> (n, s) }.toMap
+  }
+
+  test("latest-per-key over stream snapshot (url...py:60-64)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Point]
+    val q = StreamingDedup.latestPerKeyStream(input.toDF(), "host", "ts",
+        Seq("value"))
+      .writeStream.format("memory").queryName("latest_out")
+      .outputMode("complete").start()
+
+    input.addData(p("h1", 0, 1.0), p("h1", 30, 7.0), p("h2", 10, 5.0))
+    q.processAllAvailable()
+    input.addData(p("h2", 40, 6.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("latest_out")
+      .select($"host", $"value").as[(String, Double)].collect().toMap
+    assert(got == Map("h1" -> 7.0, "h2" -> 6.0))
+  }
+
+  test("foreachBatch idempotent parquet sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graftsink").toString
+    val input = MemoryStream[Point]
+    val q = StreamingDedup.dedupedStream(input.toDF(), "ts", "1 hour")
+      .writeStream
+      .foreachBatch(StreamingDedup.foreachBatchParquetSink(dir) _)
+      .outputMode("append").start()
+    input.addData(p("h1", 0, 1.0), p("h2", 5, 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2)
+    assert(back.columns.contains("__batch_id"))
+  }
+}
