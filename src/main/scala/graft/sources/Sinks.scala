@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink surface K1–K6 (SURVEY §2.2) as thin, uniform wrappers over the
+  * DataFrameWriter — the reference's hand-rolled serialization, backup
+  * copies and dynamic INSERT text all collapse into writer options.
+  */
+object Sinks {
+
+  /** K1 — JSON payload sink (`extract.py:145,156`). Line-delimited JSON
+    * (the scalable form of the reference's single indented array).
+    */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** K2/K3 — CSV sink with header (`hosts_to_csv.py:48`,
+    * `url...py:128-133`).
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** K6 — versioned snapshot write: partition path stamped with the run
+    * date (`load_to_db.py:17-18`'s dated backup, F14), so every run's
+    * payload is retained and replayable — the engine form of
+    * `data_extract_last.txt` + dated backups.
+    */
+  def writeVersioned(df: DataFrame, base: String, runDate: String): Unit =
+    df.write.mode("overwrite").parquet(s"$base/run_date=$runDate")
+
+  /** K4 failure path (`load_to_db.py:60-62`): attempt the primary
+    * write; on failure, quarantine the payload to a dated parquet path
+    * for manual replay instead of losing it.
+    */
+  def writeWithQuarantine(df: DataFrame, quarantineBase: String,
+      runDate: String)(primary: DataFrame => Unit): Either[String, Unit] =
+    try Right(primary(df))
+    catch {
+      case e: Exception =>
+        df.write.mode("overwrite")
+          .parquet(s"$quarantineBase/failed_run_date=$runDate")
+        Left(e.getMessage)
+    }
+
+  /** K4 — JDBC batched append (`load_to_db.py:27-56`): schema-driven
+    * INSERT replaces the reference's dynamic SQL text; `batchsize`
+    * replaces `fast_executemany`.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): Unit = {
+    props.setProperty("batchsize", "10000")
+    df.write.mode("append").jdbc(url, table, props)
+  }
+
+  /** A1–A5 — reconciliation counts (`url...py:136-137,156-159`;
+    * `extract.py:132`): attach named count metrics to the frame via
+    * `observe` — collected for free during whatever action runs the
+    * plan, instead of extra count() jobs.
+    */
+  def observed(df: DataFrame, name: String): DataFrame =
+    df.observe(name, count(lit(1)).as("rows"))
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Sinks
+
+/** K1–K6 sink round-trips, including a real JDBC write/read against
+  * embedded Derby (stands in for the reference's MSSQL, K4).
+  */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graftsinks").toString
+
+  private lazy val payload = Seq(
+    ("web01", "2024-08-11 19:00:00", "CPU Usage", 42.12),
+    ("web02", "2024-08-11 19:00:00", "CPU Usage", 17.5)
+  ).toDF("host_name", "timestamp", "service_name", "percent_used")
+
+  test("K1 json sink round-trip") {
+    val d = tmp()
+    Sinks.writeJson(payload, d)
+    val back = spark.read.json(d)
+    assert(back.count() == 2)
+    assert(back.columns.sorted.toSeq ==
+      Seq("host_name", "percent_used", "service_name", "timestamp"))
+  }
+
+  test("K2 csv sink round-trip with header") {
+    val d = tmp()
+    Sinks.writeCsv(payload, d)
+    val back = spark.read.option("header", "true").csv(d)
+    assert(back.count() == 2 && back.columns.length == 4)
+  }
+
+  test("K6 versioned snapshot + quarantine failure path") {
+    val base = tmp()
+    Sinks.writeVersioned(payload, base, "20240811")
+    assert(spark.read.parquet(s"$base/run_date=20240811").count() == 2)
+
+    val qbase = tmp()
+    val res = Sinks.writeWithQuarantine(payload, qbase, "20240811") { _ =>
+      throw new RuntimeException("simulated sink outage")
+    }
+    assert(res.isLeft)
+    assert(spark.read.parquet(s"$qbase/failed_run_date=20240811")
+      .count() == 2)
+    val ok = Sinks.writeWithQuarantine(payload, qbase, "20240812") { df =>
+      Sinks.writeVersioned(df, qbase + "/ok", "20240812")
+    }
+    assert(ok.isRight)
+  }
+
+  test("K4 jdbc append + read back (embedded Derby)") {
+    val url = s"jdbc:derby:memory:graftdb;create=true"
+    Sinks.writeJdbc(payload, url, "host_cpu_usage")
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "host_cpu_usage").load()
+    assert(back.count() == 2)
+    assert(back.columns.map(_.toLowerCase).sorted.toSeq ==
+      Seq("host_name", "percent_used", "service_name", "timestamp"))
+    // append semantics: second write doubles rows (batched INSERT path)
+    Sinks.writeJdbc(payload, url, "host_cpu_usage")
+    val again = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "host_cpu_usage").load()
+    assert(again.count() == 4)
+  }
+
+  test("A1-A5 observe metrics collected during the action") {
+    val observed = Sinks.observed(payload.filter($"percent_used" > 20),
+      "valid_rows")
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      @volatile var rows = -1L
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
+        qe.observedMetrics.get("valid_rows").foreach(r =>
+          rows = r.getAs[Long]("rows"))
+      }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      observed.collect()
+      // listener fires asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.rows < 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(listener.rows == 1L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+}
