@@ -131,6 +131,17 @@ object SparkEntry {
           count(lit(1)).as("n_lines"))
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val build = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"),
+          col("value").as("signup_value"),
+          col("event_id").as("signup_event_id"))
+      Relational.asOfJoin(probe, build, Seq("user_id"), "ts")
+    }),
+
     "q_cross_fanout" -> ((s, dir) => {
       Relational.fanOut(Tables.nation(s, dir).select("n_name"),
           graft.model.NagiosModel.services, "service_name")
@@ -399,6 +410,13 @@ object SparkEntry {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |WHERE r.r_name = 'ASIA'
         |GROUP BY n.n_name""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        | s.value AS signup_value, s.event_id AS signup_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
 
     "q_cross_fanout" ->
       """SELECT n_name, s AS service_name FROM nation

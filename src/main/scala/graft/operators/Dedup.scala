@@ -48,8 +48,9 @@ object Dedup {
     * length `numHashes`.
     */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    graft.functions.TextExpressions.minhashSignature(
-      array_distinct(shingleArr), numHashes)
+    // no array_distinct: the minimum over a multiset equals the minimum
+    // over its support, so dedup before min-hashing is pure overhead
+    graft.functions.TextExpressions.minhashSignature(shingleArr, numHashes)
 
   /** LSH band key columns: split the signature into `bands` bands of
     * `rows` hashes; each band's slice hashes to one bucket key (xxhash64

@@ -127,4 +127,43 @@ object Relational {
     */
   def topK(df: DataFrame, k: Int, by: Column*): DataFrame =
     df.orderBy(by: _*).limit(k)
+
+  /** As-of join (SURVEY §2.4 extension): for each probe row, attach the
+    * most recent build row with `build.ts <= probe.ts` on the same
+    * keys; probe rows with no prior build row keep nulls (left-asof).
+    *
+    * Composed from built-ins — union the tagged sides, one window pass
+    * with `last(_, ignoreNulls)` carrying build payloads forward in
+    * event time. Exactly one hash shuffle on the keys + per-partition
+    * sort; no range explosion, no per-row lookups. Ties at equal ts
+    * resolve build-before-probe (inclusive <=), matching SQL ASOF
+    * semantics.
+    *
+    * Build payload columns must not collide with probe columns (rename
+    * beforehand).
+    */
+  def asOfJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      tsCol: String): DataFrame = {
+    val payload = build.columns.filterNot(c =>
+      keys.contains(c) || c == tsCol).toSeq
+    val probeCols = probe.columns.toSeq
+    val pSide = probe
+      .withColumn("__is_probe", lit(1))
+      .select((probeCols.map(col) :+ col("__is_probe")) ++
+        payload.map(c => lit(null).cast(
+          build.schema(c).dataType).as(c)): _*)
+    val bSide = build
+      .withColumn("__is_probe", lit(0))
+      .select((probeCols.map(c =>
+        if (keys.contains(c) || c == tsCol) col(c)
+        else lit(null).cast(probe.schema(c).dataType).as(c))
+        :+ col("__is_probe")) ++ payload.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__is_probe").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(pSide.unionByName(bSide)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__is_probe") === 1).drop("__is_probe")
+  }
 }

@@ -109,17 +109,13 @@ object TextOps {
       .otherwise("und")
   }
 
-  /** k-shingles (word n-grams) of the token array: the standard unit
-    * for near-dup detection. `sequence` + `transform` + `slice` keeps
-    * it in codegen.
+  /** k-shingles (word n-grams): the standard unit for near-dup
+    * detection. Fused single-pass codegen expression
+    * ([[graft.functions.Shingles]]) — the composable
+    * transform/slice/concat_ws form ran interpreted per window.
     */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
-  }
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.TextExpressions.shingles(text, k)
 
   /** Rolling-hash document fingerprint (winnowing-style): hash every
     * k-shingle, keep the `keep` smallest hashes as the document's

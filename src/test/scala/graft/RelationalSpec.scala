@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Join-operator edge semantics not covered by the pipeline specs. */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOfJoin: most recent build row at or before probe ts per key") {
+    val probe = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 5.0),  // after s1
+      (2L, 10L, ts("2024-01-01 12:00:00"), 6.0),  // after s2
+      (3L, 10L, ts("2024-01-01 08:00:00"), 7.0),  // before any signup
+      (4L, 20L, ts("2024-01-01 11:00:00"), 8.0),  // exactly at s3 (inclusive)
+      (5L, 30L, ts("2024-01-01 11:00:00"), 9.0)   // key with no build rows
+    ).toDF("event_id", "user_id", "ts", "value")
+    val build = Seq(
+      (10L, ts("2024-01-01 09:00:00"), 100.0),    // s1
+      (10L, ts("2024-01-01 11:00:00"), 200.0),    // s2
+      (20L, ts("2024-01-01 11:00:00"), 300.0)     // s3
+    ).toDF("user_id", "ts", "signup_value")
+
+    val got = Relational.asOfJoin(probe, build, Seq("user_id"), "ts")
+      .select($"event_id", $"signup_value")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(
+      1L -> Some(100.0), 2L -> Some(200.0), 3L -> None,
+      4L -> Some(300.0), 5L -> None))
+  }
+
+  test("asOfJoin preserves probe row count (left semantics)") {
+    val probe = spark.range(100).select(
+      col("id").as("event_id"), (col("id") % 7).as("user_id"),
+      timestamp_seconds(col("id") * 1000).as("ts"))
+    val build = spark.range(10).select(
+      (col("id") % 7).as("user_id"),
+      timestamp_seconds(col("id") * 9000).as("ts"),
+      col("id").as("payload"))
+    val out = Relational.asOfJoin(probe, build, Seq("user_id"), "ts")
+    assert(out.count() == 100)
+    assert(out.columns.toSeq ==
+      Seq("event_id", "user_id", "ts", "payload"))
+  }
+
+  test("enrich applies defaults only to missing keys") {
+    val fact = Seq((1L, "a"), (2L, "b")).toDF("k", "x")
+    val dims = Seq((1L, "named")).toDF("k", "name")
+    val got = Relational.enrich(fact, dims, Seq("k"),
+        Map("name" -> "unknown"))
+      .select($"k", $"name").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "named", 2L -> "unknown"))
+  }
+}
