@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipelines.HostMetrics
+
+/** DSv2 nagios-rest connector: schema, fan-out-as-partitions, filter
+  * pushdown (task pruning + start bound), and end-to-end composition
+  * with the metric pipeline.
+  */
+class RestSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graftrest")
+    def write(host: String, service: String, body: String): Unit =
+      java.nio.file.Files.writeString(
+        d.resolve(graft.sources.rest.NagiosRestSource.taskFile(host, service)),
+        body)
+    write("web01", "CPU Usage",
+      """{"data": {"row": [
+        |  {"t": "1723402800", "v": "42.123"},
+        |  {"t": "1723406400", "v": "55.5"}
+        |]}}""".stripMargin)
+    write("web01", "Memory Usage",
+      """{"data": {"row": [
+        |  {"t": "1723402800", "v": ["3.50", "15.6", "77.5612", "3.4", "12.1"]}
+        |]}}""".stripMargin)
+    write("web02", "CPU Usage",
+      """{"data": {"row": [{"t": "1723402800", "v": "10.0"}]}}""")
+    d.toString
+  }
+
+  private def src = spark.read.format("nagios-rest")
+    .option("endpointDir", dir).load()
+
+  test("reads all endpoint docs; polymorphic v normalized to array") {
+    val got = src.orderBy("host_name", "service_name", "epoch").collect()
+    assert(got.length == 4)
+    assert(src.columns.toSeq ==
+      Seq("host_name", "service_name", "epoch", "values"))
+    val mem = got.find(_.getString(1) == "Memory Usage").get
+    assert(mem.getSeq[String](3) ==
+      Seq("3.50", "15.6", "77.5612", "3.4", "12.1"))
+    val cpu = got.find(r => r.getString(0) == "web02").get
+    assert(cpu.getSeq[String](3) == Seq("10.0"))
+  }
+
+  test("host/service equality prunes fetch tasks; pushdown visible in plan") {
+    val q = src.filter($"host_name" === "web01" &&
+      $"service_name" === "CPU Usage")
+    assert(q.count() == 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("NagiosRestScan") &&
+      plan.contains("EqualTo(host_name,web01)"), plan)
+    // IN-list prunes too (P1/P2 pushed into the source)
+    assert(src.filter($"host_name".isin("web01", "webXX")).count() == 3)
+  }
+
+  test("epoch lower bound becomes the start parameter (extract.py:71)") {
+    val q = src.filter($"epoch" >= 1723406400L)
+    assert(q.count() == 1)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(epoch,1723406400)"), plan)
+  }
+
+  test("composes with the metric pipeline end-to-end") {
+    val fam = HostMetrics.familyFrame(
+      src.withColumnRenamed("epoch", "epoch").select(
+        col("host_name"), col("service_name"), col("epoch"), col("values")),
+      "CPU Usage")
+    val rows = fam.orderBy("host_name", "timestamp").collect()
+    assert(rows.length == 3)
+    assert(rows.head.getAs[Double]("percent_used") == 42.12)
+  }
+}
