@@ -128,6 +128,39 @@ object Relational {
   def topK(df: DataFrame, k: Int, by: Column*): DataFrame =
     df.orderBy(by: _*).limit(k)
 
+  /** Skew-safe equi-join: salt the (skewed) fact side into
+    * `saltBuckets` sub-keys and replicate the dim side across the salt
+    * range, so one hot key spreads over `saltBuckets` reducers instead
+    * of melting a single task. The manual form of AQE's skew-join
+    * handling, for when the dim is too big to broadcast but small
+    * enough to replicate `saltBuckets`×.
+    *
+    * The salt is derived from the fact row's full content hash —
+    * deterministic under task retries (rand() salts are not).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(saltBuckets))
+        .cast("int"))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Bucketed table write: pre-shuffles once at write time so
+    * subsequent equi-joins/aggregations on `keys` between tables with
+    * matching bucket counts plan with NO exchange — the standard
+    * co-location strategy for repeatedly-joined 100 TB fact tables.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** As-of join (SURVEY §2.4 extension): for each probe row, attach the
     * most recent build row with `build.ts <= probe.ts` on the same
     * keys; probe rows with no prior build row keep nulls (left-asof).
