@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, TypeUtils}
@@ -25,6 +25,16 @@ object VectorExpressions {
   def cosine(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Random-hyperplane LSH bucket key: sign bits of `planes`
+    * Rademacher projections packed into a long. Fused loop (plane
+    * directions derived per-dimension from splitmix64, no materialized
+    * plane matrix); replaces an interpreted zip_with/aggregate chain
+    * evaluated per plane.
+    */
+  def lshBucket(vec: Column, planes: Int): Column =
+    ExpressionUtils.column(RademacherLsh(
+      ExpressionUtils.expression(vec), planes))
 
   /** Bounded top-k aggregate: `topKByScore(score, payload, k)` keeps
     * only k (score, payload) pairs per aggregation state, so the
@@ -106,6 +116,81 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `array<float|double> -> long`: packed sign bits of `planes`
+  * Rademacher (±1) hyperplane projections. Plane p's sign for
+  * dimension j comes from bit 0 of splitmix64(p * 1e9 + j) — the same
+  * deterministic direction on every executor and both sides of any
+  * join, with no plane matrix to ship.
+  */
+case class RademacherLsh(child: Expression, planes: Int)
+    extends UnaryExpression {
+
+  require(planes > 0 && planes <= 63)
+
+  override def dataType: DataType = LongType
+
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"rademacher_lsh requires array<float|double>, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val isFloat = elemType == FloatType
+    java.lang.Long.valueOf(
+      RademacherLsh.compute(arr, arr.numElements(), planes, isFloat))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val isFloat = if (elemType == FloatType) "true" else "false"
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = graft.functions.RademacherLsh.compute(
+         |  $arr, $arr.numElements(), $planes, $isFloat);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object RademacherLsh {
+  private def splitmix(seed0: Long): Long = {
+    var z = seed0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def compute(arr: ArrayData, n: Int, planes: Int,
+      isFloat: Boolean): Long = {
+    var key = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var j = 0
+      while (j < n) {
+        val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+        val sign = if ((splitmix(p * 1000000007L + j) & 1L) == 1L) x else -x
+        proj += sign
+        j += 1
+      }
+      if (proj > 0) key |= (1L << p)
+      p += 1
+    }
+    key
+  }
 }
 
 /** Bounded top-k by score with long payloads:

@@ -59,23 +59,13 @@ object Similarity {
         .as("neighbors"))
   }
 
-  /** Sign-bit bucket key from `planes` random hyperplanes. Plane p's
-    * direction is a deterministic Rademacher vector (±1 per dimension,
-    * from xxhash64(p, j)); the key packs the projection signs into a
-    * long. Same key ⇒ likely-similar direction. Pure codegen'd
-    * expressions; recomputable on both sides of any join.
+  /** Sign-bit bucket key from `planes` random hyperplanes
+    * (deterministic Rademacher directions). Same key ⇒ likely-similar
+    * direction; recomputable on both sides of any join. Fused codegen
+    * expression — see [[VectorExpressions.lshBucket]].
     */
-  def lshBucket(vec: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => when(xxhash64(lit(p), j).bitwiseAND(1L) === 1L, x)
-            .otherwise(-x)),
-        lit(0.0d), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def lshBucket(vec: Column, planes: Int): Column =
+    VectorExpressions.lshBucket(vec, planes)
 
   /** Candidate pairs via LSH bucket equi-join, scored with exact
     * cosine: (id_a, id_b, cosine), id_a < id_b. Recall can be raised by
@@ -96,6 +86,58 @@ object Similarity {
         VectorExpressions.cosine(col("__vec_a"), col("__vec_b"))
           .as("cosine"))
       .distinct()
+  }
+
+  /** IVF-style ANN: coarse-quantize the corpus into `nlist` inverted
+    * lists (nearest-centroid assignment), probe each query's `nprobe`
+    * closest lists, score only those lists' vectors exactly.
+    *
+    * Centroids are a deterministic nlist-row sample collected to the
+    * driver (nlist × dim floats — trivially small) and inlined as
+    * literals, so BOTH assignment and probing are pure map-side
+    * codegen'd expressions: the corpus is never shuffled for
+    * assignment. The only exchange is the (bucket) equi-join between
+    * corpus lists and query probes, then the bounded top-k aggregate.
+    * `nprobe = nlist` degenerates to an exact search (full scan) —
+    * asserted in tests; recall/cost scales down with nprobe.
+    *
+    * A production build would run a few Lloyd iterations for the
+    * centroids (same plumbing, better lists); sample-centroids keeps
+    * the operator deterministic for the harness.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, k: Int, nlist: Int,
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
+    val cents: Seq[(Int, Seq[Float])] = corpus
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nlist)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toSeq) }.toSeq
+
+    def scored(vec: Column): Column = array(cents.map { case (j, c) =>
+      struct(VectorExpressions.cosine(vec, typedlit(c)).as("score"),
+        lit(j).as("cid"))
+    }: _*)
+
+    val corpusAssigned = corpus.select(col(idCol).as("__cid"),
+      col(vecCol).as("__cvec"),
+      array_max(scored(col(vecCol))).getField("cid").as("__bucket"))
+
+    val probes = queries.select(col(qidCol).as("query_id"),
+        col(vecCol).as("__qvec"),
+        explode(slice(reverse(array_sort(scored(col(vecCol)))), 1, nprobe))
+          .as("__probe"))
+      .select(col("query_id"), col("__qvec"),
+        col("__probe.cid").as("__bucket"))
+
+    corpusAssigned.join(probes, Seq("__bucket"))
+      .filter(col("__cid") =!= col("query_id"))
+      .select(col("query_id"),
+        VectorExpressions.cosine(col("__cvec"), col("__qvec")).as("score"),
+        col("__cid"))
+      .groupBy(col("query_id"))
+      .agg(VectorExpressions.topKByScore(col("score"), col("__cid"), k)
+        .as("neighbors"))
   }
 
   /** Bucketed ANN top-k: like [[bruteForceTopK]] but each query only

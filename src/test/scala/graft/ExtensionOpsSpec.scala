@@ -199,6 +199,25 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("similarity: ivf with nprobe=nlist is exact; partial probe degrades gracefully") {
+    val queries = emb.filter($"vec_id" < 15)
+      .select($"vec_id".as("qid"), $"embedding")
+    def flatten(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", explode($"neighbors.id").as("nid"))
+        .as[(Long, Long)].collect().toSet
+    val exact = flatten(Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", "qid", k = 5))
+    // probing every list == full scan == brute force
+    val full = flatten(Similarity.ivfTopK(emb, queries, "vec_id",
+      "embedding", "qid", k = 5, nlist = 8, nprobe = 8))
+    assert(full == exact)
+    // partial probe: a subset of the work, still useful recall
+    val partial = flatten(Similarity.ivfTopK(emb, queries, "vec_id",
+      "embedding", "qid", k = 5, nlist = 8, nprobe = 3))
+    val recall = (exact & partial).size.toDouble / exact.size
+    assert(recall > 0.2, s"ivf recall $recall")
+  }
+
   test("multimodal: binary payload round-trip + stub feature extract") {
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f =>
