@@ -537,6 +537,45 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n
-        |FROM documents GROUP BY text""".stripMargin
+        |FROM documents GROUP BY text""".stripMargin,
+
+    // langId = argmax over per-language stopword-ratio scores (zh:
+    // char-containment hits / profile size); ties resolve to the
+    // lexicographically largest language (struct max semantics), so the
+    // CASE tests langs in reverse-lexicographic order.
+    "q_langid" -> {
+      def ratio(words: Seq[String]) = {
+        val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+        s"""CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
+           |  x -> len(x) > 0)) = 0 THEN 0.0
+           | ELSE CAST(len(list_filter(list_filter(
+           |   string_split_regex(text, '\\s+'), x -> len(x) > 0),
+           |   x -> list_contains($lst, x))) AS DOUBLE) /
+           |  len(list_filter(string_split_regex(text, '\\s+'),
+           |   x -> len(x) > 0)) END""".stripMargin
+      }
+      val zhHits = TextOps.langProfiles("zh")
+        .map(w => s"(CASE WHEN contains(text, '$w') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val s_en = ratio(TextOps.langProfiles("en"))
+      val s_de = ratio(TextOps.langProfiles("de"))
+      val s_es = ratio(TextOps.langProfiles("es"))
+      val s_fr = ratio(TextOps.langProfiles("fr"))
+      val s_zh = s"CAST($zhHits AS DOUBLE) / ${TextOps.langProfiles("zh").size}"
+      s"""SELECT doc_id,
+         | CASE WHEN g = 0 THEN 'und'
+         |   WHEN s_zh = g THEN 'zh'
+         |   WHEN s_fr = g THEN 'fr'
+         |   WHEN s_es = g THEN 'es'
+         |   WHEN s_en = g THEN 'en'
+         |   WHEN s_de = g THEN 'de'
+         | END AS predicted_lang
+         |FROM (
+         | SELECT doc_id,
+         |  ($s_en) AS s_en, ($s_de) AS s_de, ($s_es) AS s_es,
+         |  ($s_fr) AS s_fr, ($s_zh) AS s_zh,
+         |  greatest(($s_en), ($s_de), ($s_es), ($s_fr), ($s_zh)) AS g
+         | FROM documents) t""".stripMargin
+    }
   )
 }
