@@ -335,6 +335,15 @@ object SparkEntry {
         .select(col("query_id"), col("neighbors.id").as("neighbor_ids"))
     }),
 
+    "q_knn_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "qid",
+          k = 10, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbors.id").as("neighbor_ids"))
+    }),
+
     "q_neardup_embedding" -> ((s, dir) => {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id",
           "embedding", threshold = 0.2, planes = 4)

@@ -91,6 +91,10 @@ object Dedup {
 
     val buckets = sigs.select(col("id"),
         posexplode(col("bands")).as(Seq("band", "bucket")))
+    // bucket-size gate via partial-aggregated counts + join back: the
+    // map-side combine shrinks the exchange to distinct buckets (a
+    // window-count over (band,bucket) was tried and is worse — it
+    // forces a full sort of every bucket row and has no combiner)
     val dense = buckets.groupBy("band", "bucket")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1 && col("n") <= maxBucket)

@@ -98,6 +98,22 @@ class PipelinesSpec extends SparkSpec {
       back.columns.contains("metric_family"))
   }
 
+  test("§7.4.2 registry reproduces the reference's casing quirks verbatim") {
+    // Free_Gib (not GiB) for "Disk Usage home" ONLY (extract.py:46);
+    // Used_Gib for every disk family (extract.py:40-46)
+    val home =
+      """{"data": {"row": [{"t": "1723402800", "v": ["1.0", "2.0", "3.0"]}]}}"""
+    val resp = Seq(("h1", "Disk Usage home", home),
+      ("h1", "Disk Usage root", home))
+      .toDF("host_name", "service_name", "body")
+    val flat = HostMetrics.flattenResponses(resp)
+    val homeCols = HostMetrics.familyFrame(flat, "Disk Usage home").columns
+    assert(homeCols.contains("Free_Gib") && !homeCols.contains("Free_GiB"))
+    assert(homeCols.contains("Used_Gib"))
+    val rootCols = HostMetrics.familyFrame(flat, "Disk Usage root").columns
+    assert(rootCols.contains("Free_GiB") && rootCols.contains("Used_Gib"))
+  }
+
   // ---- B.5: service-status trio --------------------------------------
   test("§3.2 status points: semi-join, enrich, defaults, drops, maps") {
     val members = Seq(
