@@ -194,6 +194,51 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
     }),
 
+    // session windows (§2.9 engine surface): events within a 1h gap
+    // merge into one session per user
+    "q_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "1 hour").as("sw"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("n"), col("sum_value"))
+    }),
+
+    // sliding windows: 2h length, 1h slide — each event lands in 2
+    // windows
+    "q_sliding_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("n"))
+    }),
+
+    "q_grouping_sets" -> ((s, dir) => {
+      // cube = all grouping sets over (status, priority)
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_total"))
+    }),
+
+    // TF-IDF over the document corpus: classic training-data scoring;
+    // log rounded to 6dp for cross-engine float parity
+    "q_tfidf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val tf = docs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(df, Seq("token"))
+        .filter(col("tf") >= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 6)
+            .as("tfidf"))
+    }),
+
     "q_topk_orders" -> ((s, dir) => {
       Relational.topK(Tables.orders(s, dir), 10,
           col("o_totalprice").desc, col("o_orderkey").asc)
@@ -470,6 +515,49 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_session_window" ->
+      """SELECT user_id, min(ts) AS session_start, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        | SELECT *, sum(new_sess) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id) AS sess
+        | FROM (
+        |  SELECT *, CASE WHEN lag(ts) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |   OR ts - lag(ts) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id)
+        |     >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_sess
+        |  FROM events) a) b
+        |GROUP BY user_id, sess""".stripMargin,
+
+    "q_sliding_window" ->
+      """SELECT wstart, event_type, count(*) AS n FROM (
+        | SELECT date_trunc('hour', ts) AS wstart, event_type FROM events
+        | UNION ALL
+        | SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type
+        | FROM events) t
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(list_filter(
+        |   string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        | FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |  GROUP BY doc_id, token),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf
+        |  GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        | round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |FROM tf JOIN df USING (token) CROSS JOIN n
+        |WHERE tf.tf >= 3""".stripMargin,
 
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

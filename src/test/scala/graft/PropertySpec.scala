@@ -82,6 +82,16 @@ class PropertySpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("approx_count_distinct (HLL) within rsd bounds of exact") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val (approxN, exactN) = li.select(
+        approx_count_distinct($"l_partkey", 0.02).as("a"),
+        countDistinct($"l_partkey").as("e"))
+      .as[(Long, Long)].head()
+    val err = math.abs(approxN - exactN).toDouble / exactN
+    assert(err < 0.06, s"HLL err $err (approx=$approxN exact=$exactN)")
+  }
+
   test("F11: canonical row key invariant under column permutation") {
     val rows = Gen.listOfN(100,
       Gen.zip(Gen.alphaStr, Gen.chooseNum(0, 1000))).sample.get
