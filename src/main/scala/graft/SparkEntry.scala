@@ -245,6 +245,30 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
+    // exact interpolated percentiles (both engines: linear
+    // interpolation over the sorted set; 4dp rounding for float parity)
+    "q_percentile" -> ((s, dir) => {
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("q25"))
+    }),
+
+    // scalar string surface over one projection
+    "q_string_funcs" -> ((s, dir) => {
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        lower(col("c_mktsegment")).as("lseg"),
+        substring(col("c_name"), 1, 8).as("prefix8"),
+        length(col("c_name")).cast("long").as("name_len"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        levenshtein(col("c_mktsegment"), lit("MACHINERY")).cast("long")
+          .as("lev"))
+    }),
+
     "q_distinct" -> ((s, dir) => {
       Tables.customer(s, dir).select("c_mktsegment", "c_nationkey")
         .distinct()
@@ -562,6 +586,23 @@ object SparkEntry {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | round(quantile_cont(l_quantity, 0.25), 4) AS q25
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname,
+        | lower(c_mktsegment) AS lseg,
+        | substr(c_name, 1, 8) AS prefix8,
+        | CAST(len(c_name) AS BIGINT) AS name_len,
+        | regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+        | concat_ws('|', c_mktsegment, c_name) AS joined,
+        | CAST(levenshtein(c_mktsegment, 'MACHINERY') AS BIGINT) AS lev
+        |FROM customer""".stripMargin,
 
     "q_distinct" ->
       "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",

@@ -74,18 +74,16 @@ object Dedup {
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
-    // Both intermediates are multiply-consumed (bucket join probes +
-    // exact-Jaccard verification), so materialize them once: signature
-    // computation must not re-run per downstream branch — and exploding
-    // an unmaterialized signature projection re-evaluates the chain per
+    // Materialize the band keys once: the frame is multiply-consumed
+    // (bucket counting + both sides of the self-join), and exploding an
+    // unmaterialized signature projection re-evaluates the chain per
     // emitted row (measured 70x slower). At cluster scale the
     // production form of this persist is a parquet staging write of the
-    // signature table.
-    val shingled = df.select(col(idCol).as("id"),
-      TextOps.shingles(col(textCol), shingleK).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = shingled.select(col("id"),
-      bandHashes(minhashSignature(col("sh"), numHashes), bands, rows)
+    // signature table. Shingle SETS are deliberately NOT materialized
+    // corpus-wide — only candidate rows need them (see below).
+    val sigs = df.select(col(idCol).as("id"),
+      bandHashes(minhashSignature(
+        TextOps.shingles(col(textCol), shingleK), numHashes), bands, rows)
         .as("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -103,15 +101,32 @@ object Dedup {
 
     val a = inPlay.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = inPlay.select(col("band"), col("bucket"), col("id").as("id_b"))
+    // persisted: candidates feed both the id-set broadcast and the
+    // verification join; without it the LSH chain re-executes per
+    // consumer. Small by construction (LSH-pruned pairs).
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Exact-Jaccard verification touches only candidate documents:
+    // semi-join the corpus down to candidate ids FIRST (broadcast —
+    // the candidate set is LSH-pruned and small relative to the
+    // corpus), then compute shingle sets for just those rows. Avoids
+    // materializing per-document shingle arrays corpus-wide (at 100 TB
+    // that cache would be ~5x the text itself).
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id"))).distinct()
+    val candShingles = df
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .select(col("id"),
+        array_distinct(TextOps.shingles(col("__text"), shingleK)).as("sh"))
     val withSets = candidates
-      .join(shingled.select(col("id").as("id_a"),
-        array_distinct(col("sh")).as("sh_a")), Seq("id_a"))
-      .join(shingled.select(col("id").as("id_b"),
-        array_distinct(col("sh")).as("sh_b")), Seq("id_b"))
+      .join(candShingles.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(candShingles.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
     withSets.select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
