@@ -141,8 +141,8 @@ object Relational {
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(saltBuckets))
-        .cast("int"))
+      pmod(xxhash64(struct(fact.columns.toSeq.map(col): _*)),
+        lit(saltBuckets)).cast("int"))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
