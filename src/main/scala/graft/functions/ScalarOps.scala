@@ -122,7 +122,13 @@ object ScalarOps {
     */
   def customVar(asMap: Column, asList: Column, key: String,
       default: String): Column = {
-    val fromList = element_at(map_from_entries(asList), key)
+    // list shape: take the LAST matching entry, like the reference's
+    // dict comprehension (last-wins on duplicate names). No
+    // map_from_entries — that throws DUPLICATED_MAP_KEY on repeats the
+    // reference accepts silently.
+    val matches = filter(asList, e => e.getField("name") === key)
+    val fromList = when(size(matches) > 0,
+      element_at(matches, -1).getField("value"))
     val fromMap = element_at(asMap, key)
     coalesce(when(asMap.isNotNull, fromMap)
       .when(asList.isNotNull, fromList), lit(default))

@@ -121,17 +121,20 @@ object Shingles {
 }
 
 object HashCoefficients {
-  /** splitmix64 — deterministic per-permutation coefficients. */
-  private def splitmix(seed0: Long): Long = {
+  /** splitmix64 — the one copy of the mixing constants; deterministic
+    * coefficients/directions for MinHash permutations and LSH planes
+    * are derived from it on every executor.
+    */
+  def splitmix64(seed0: Long): Long = {
     var z = seed0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
   def multipliers(n: Int): Array[Long] =
-    Array.tabulate(n)(i => splitmix(2L * i) | 1L) // odd => bijective
+    Array.tabulate(n)(i => splitmix64(2L * i) | 1L) // odd => bijective
   def addends(n: Int): Array[Long] =
-    Array.tabulate(n)(i => splitmix(2L * i + 1))
+    Array.tabulate(n)(i => splitmix64(2L * i + 1))
 }
 
 /** `array<string> -> array<long>`: MinHash signature. Each element is

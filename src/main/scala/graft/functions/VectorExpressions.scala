@@ -73,10 +73,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
         s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
     }
 
+  // length mismatch (corrupt vector) yields NULL, never a silently
+  // truncated similarity — and matches the zip_with-based builtin,
+  // whose padded-null dot also nulls out
+  override def nullable: Boolean = true
+
   override def nullSafeEval(av: Any, bv: Any): Any = {
     val a = av.asInstanceOf[ArrayData]
     val b = bv.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     if (elemType == FloatType) {
       while (i < n) {
@@ -100,15 +106,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.$get($i);
-         |  double $y = (double) $b.$get($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.$get($i);
+         |    double $y = (double) $b.$get($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 :
+         |    $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 :
-         |  $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
   }
@@ -166,12 +176,10 @@ case class RademacherLsh(child: Expression, planes: Int)
 }
 
 object RademacherLsh {
-  private def splitmix(seed0: Long): Long = {
-    var z = seed0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  // single source of truth for the mixing constants: the plane
+  // directions are a cross-executor contract
+  private def splitmix(seed0: Long): Long =
+    HashCoefficients.splitmix64(seed0)
 
   def compute(arr: ArrayData, n: Int, planes: Int,
       isFloat: Boolean): Long = {

@@ -110,7 +110,13 @@ object Multimodal {
     */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame =
     media.select(col("media_id"),
-      filter(transform(sequence(lit(1), length(col("payload"))),
-          i => when(pmod(i - 1, lit(stride)) === 0, i).otherwise(lit(null))),
-        x => x.isNotNull).as("frame_offsets"))
+      // empty payload => no frames (sequence(1,0) would count DOWN and
+      // fabricate offsets)
+      when(length(col("payload")) === 0 || col("payload").isNull,
+          array().cast("array<int>"))
+        .otherwise(filter(
+          transform(sequence(lit(1), length(col("payload"))),
+            i => when(pmod(i - 1, lit(stride)) === 0, i)
+              .otherwise(lit(null))),
+          x => x.isNotNull)).as("frame_offsets"))
 }

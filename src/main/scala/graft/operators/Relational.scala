@@ -93,8 +93,17 @@ object Relational {
     * branches are consumed.
     */
   def deadLetterSplit(df: DataFrame): (DataFrame, DataFrame) = {
-    val anyNull = df.columns.map(c => col(c).isNull).reduce(_ || _)
-    (df.filter(!anyNull), df.filter(anyNull))
+    // must agree with na.drop("any"), which treats NaN like null for
+    // float/double columns
+    val anyBad = df.schema.fields.map { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          col(f.name).isNull || isnan(col(f.name))
+        case _ => col(f.name).isNull
+      }
+    }.reduce(_ || _)
+    (df.filter(!anyBad), df.filter(anyBad))
   }
 
   /** P4 — content-based routing to metric-family outputs
@@ -140,6 +149,12 @@ object Relational {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit unmatched dim rows once per salt
+    // replica — not expressible under salting without a dedup pass
+    val allowed = Set("inner", "left", "leftouter", "left_outer",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val salted = fact.withColumn("__salt",
       pmod(xxhash64(struct(fact.columns.toSeq.map(col): _*)),
         lit(saltBuckets)).cast("int"))
@@ -180,23 +195,32 @@ object Relational {
     val payload = build.columns.filterNot(c =>
       keys.contains(c) || c == tsCol).toSeq
     val probeCols = probe.columns.toSeq
+    // carry the payload as ONE struct, not per-column fills: per-column
+    // last(_, ignoreNulls) would skip a null FIELD and stitch together
+    // values from different build rows; a struct is non-null for every
+    // build row (even with null fields), so the carried value is always
+    // one atomic build row — matching SQL ASOF semantics.
+    val payloadStruct = struct(payload.map(col): _*)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => build.schema(c).copy(name = c)))
     val pSide = probe
       .withColumn("__is_probe", lit(1))
-      .select((probeCols.map(col) :+ col("__is_probe")) ++
-        payload.map(c => lit(null).cast(
-          build.schema(c).dataType).as(c)): _*)
+      .withColumn("__payload", lit(null).cast(payloadType))
     val bSide = build
       .withColumn("__is_probe", lit(0))
+      .withColumn("__payload", payloadStruct)
       .select((probeCols.map(c =>
         if (keys.contains(c) || c == tsCol) col(c)
         else lit(null).cast(probe.schema(c).dataType).as(c))
-        :+ col("__is_probe")) ++ payload.map(col): _*)
+        :+ col("__is_probe")) :+ col("__payload"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__is_probe").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(pSide.unionByName(bSide)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__is_probe") === 1).drop("__is_probe")
+    pSide.unionByName(bSide)
+      .withColumn("__payload",
+        last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__is_probe") === 1)
+      .select(probeCols.map(col) ++
+        payload.map(c => col(s"__payload.$c").as(c)): _*)
   }
 }

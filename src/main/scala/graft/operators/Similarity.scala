@@ -107,7 +107,7 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, qidCol: String, k: Int, nlist: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions.typedlit
     val cents: Seq[(Int, Seq[Float])] = corpus
       .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nlist)
@@ -131,7 +131,8 @@ object Similarity {
         col("__probe.cid").as("__bucket"))
 
     corpusAssigned.join(probes, Seq("__bucket"))
-      .filter(col("__cid") =!= col("query_id"))
+      .filter(if (excludeSelf) col("__cid") =!= col("query_id")
+        else lit(true))
       .select(col("query_id"),
         VectorExpressions.cosine(col("__cvec"), col("__qvec")).as("score"),
         col("__cid"))
@@ -145,13 +146,15 @@ object Similarity {
     * path. Exactness traded for a Σ|bucket|² candidate set.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, qidCol: String, k: Int, planes: Int): DataFrame = {
+      vecCol: String, qidCol: String, k: Int, planes: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val ck = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cvec"),
       lshBucket(col(vecCol), planes).as("__bucket"))
     val qk = queries.select(col(qidCol).as("query_id"),
       col(vecCol).as("__qvec"), lshBucket(col(vecCol), planes).as("__bucket"))
     ck.join(qk, Seq("__bucket"))
-      .filter(col("__cid") =!= col("query_id"))
+      .filter(if (excludeSelf) col("__cid") =!= col("query_id")
+        else lit(true))
       .select(col("query_id"),
         VectorExpressions.cosine(col("__cvec"), col("__qvec")).as("score"),
         col("__cid"))

@@ -27,5 +27,5 @@ object HostInventory {
 
   /** K2 — CSV sink (`hosts_to_csv.py:48`). */
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    graft.sources.Sinks.writeCsv(df, path)
 }

@@ -89,26 +89,34 @@ class RestScanBuilder(endpointDir: String) extends ScanBuilder
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rejected) = filters.partition {
-      case EqualTo("host_name", _: String) => true
-      case In("host_name", _) => true
-      case EqualTo("service_name", _: String) => true
-      case In("service_name", _) => true
-      case GreaterThanOrEqual("epoch", _: Long) => true
+    // multiple predicates on one column must COMBINE (intersect sets,
+    // max epoch bound), never last-wins-overwrite
+    def narrow(cur: Option[Set[String]], vs: Set[String]) =
+      Some(cur.fold(vs)(_ intersect vs))
+    val accepted = filters.filter {
+      case EqualTo("host_name", v: String) =>
+        hosts = narrow(hosts, Set(v)); true
+      case In("host_name", vs) =>
+        hosts = narrow(hosts, vs.collect { case s: String => s }.toSet); true
+      case EqualTo("service_name", v: String) =>
+        services = narrow(services, Set(v)); true
+      case In("service_name", vs) =>
+        services = narrow(services,
+          vs.collect { case s: String => s }.toSet); true
+      case GreaterThanOrEqual("epoch", v: Long) =>
+        startEpoch = Some(startEpoch.fold(v)(math.max(_, v))); true
       case _ => false
     }
-    accepted.foreach {
-      case EqualTo("host_name", v: String) => hosts = Some(Set(v))
-      case In("host_name", vs) =>
-        hosts = Some(vs.collect { case s: String => s }.toSet)
-      case EqualTo("service_name", v: String) => services = Some(Set(v))
-      case In("service_name", vs) =>
-        services = Some(vs.collect { case s: String => s }.toSet)
-      case GreaterThanOrEqual("epoch", v: Long) => startEpoch = Some(v)
-      case _ => ()
-    }
     pushed = accepted
-    rejected
+    // host/service pruning is EXACT (task-name equality) so those are
+    // fully handled; the epoch bound is INEXACT at the source (rows
+    // with missing/garbage `t` can't evaluate it), so hand it back as
+    // a residual for Spark to re-check — source-side it still prunes.
+    val residual = accepted.filter {
+      case GreaterThanOrEqual("epoch", _) => true
+      case _ => false
+    }
+    filters.filterNot(accepted.contains) ++ residual
   }
 
   override def pushedFilters(): Array[Filter] = pushed

@@ -31,6 +31,20 @@ class RelationalSpec extends SparkSpec {
       4L -> Some(300.0), 5L -> None))
   }
 
+  test("asOfJoin carries build rows atomically (null fields don't mix rows)") {
+    val probe = Seq((1L, 10L, ts("2024-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val build = Seq(
+      (10L, ts("2024-01-01 09:00:00"), Some(5.0), 100L),
+      (10L, ts("2024-01-01 11:00:00"), None, 200L) // null field in latest
+    ).toDF("user_id", "ts", "signup_value", "signup_event_id")
+    val got = Relational.asOfJoin(probe, build, Seq("user_id"), "ts")
+      .select($"signup_value", $"signup_event_id")
+      .as[(Option[Double], Long)].head()
+    // must be the LATEST row as-is: (null, 200) — not (5.0, 200)
+    assert(got == (None, 200L))
+  }
+
   test("asOfJoin preserves probe row count (left semantics)") {
     val probe = spark.range(100).select(
       col("id").as("event_id"), (col("id") % 7).as("user_id"),

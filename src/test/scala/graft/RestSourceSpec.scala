@@ -63,6 +63,32 @@ class RestSourceSpec extends SparkSpec {
     assert(plan.contains("GreaterThanOrEqual(epoch,1723406400)"), plan)
   }
 
+  test("null/garbage epoch rows respect a pushed epoch bound (residual)") {
+    val d = java.nio.file.Files.createTempDirectory("graftrest2")
+    java.nio.file.Files.writeString(
+      d.resolve(graft.sources.rest.NagiosRestSource.taskFile("hX", "CPU Usage")),
+      """{"data": {"row": [
+        |  {"t": "100", "v": "1.0"},
+        |  {"v": "2.0"},
+        |  {"t": "garbage", "v": "3.0"}
+        |]}}""".stripMargin)
+    val s2 = spark.read.format("nagios-rest")
+      .option("endpointDir", d.toString).load()
+    // unfiltered: all 3 rows visible (null epochs pass through)
+    assert(s2.count() == 3)
+    // with a bound: SQL semantics — null >= 100 is not true
+    assert(s2.filter($"epoch" >= 100L).count() == 1)
+  }
+
+  test("conjunctive filters on one column combine, not last-wins") {
+    // epoch >= 10 AND epoch >= 1723406400 must use the tighter bound
+    val q = src.filter($"epoch" >= 10L && $"epoch" >= 1723406400L)
+    assert(q.count() == 1)
+    // host = A AND host = B => empty, not whichever came last
+    assert(src.filter($"host_name" === "web01" &&
+      $"host_name" === "web02").count() == 0)
+  }
+
   test("composes with the metric pipeline end-to-end") {
     val fam = HostMetrics.familyFrame(
       src.withColumnRenamed("epoch", "epoch").select(

@@ -83,6 +83,25 @@ class ScalarOpsSpec extends SparkSpec {
       "unknown" -> "no"))
   }
 
+  test("F10 customVar: duplicate names in list shape -> last wins (no crash)") {
+    import graft.pipelines.StatusPoints
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(null,
+          Seq(org.apache.spark.sql.Row("FRIENDLYNAME", "first"),
+            org.apache.spark.sql.Row("FRIENDLYNAME", "second"))))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("m",
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)),
+        org.apache.spark.sql.types.StructField("l",
+          StatusPoints.customvarsListType))))
+    val got = df.select(ScalarOps.customVar($"m", $"l", "FRIENDLYNAME",
+      "unknown")).as[String].head()
+    assert(got == "second") // reference dict comprehension is last-wins
+  }
+
   test("F11 canonicalRowKey is column-order insensitive") {
     val a = Seq((1, "x")).toDF("p", "q")
       .select(ScalarOps.canonicalRowKey(Seq("p", "q"))).as[String].head()
