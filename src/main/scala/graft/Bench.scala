@@ -18,11 +18,20 @@ object Bench {
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache() // drop warmup persists before timing
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // min-of-3 per query (BASELINE.md protocol): this host shows random
+    // 3-6s single-run spikes on arbitrary queries; the min is the
+    // reproducible statistic. Full passes (not back-to-back repeats) so
+    // one sustained host stall can't poison all three samples of a query.
+    val passes = (1 to 3).map { _ =>
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
+    val results = SparkEntry.queries.keys.map { name =>
+      name -> passes.map(_(name)).min
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ScalarOps, TextExpressions, VectorExpressions}
@@ -223,19 +224,24 @@ object SparkEntry {
     }),
 
     // TF-IDF over the document corpus: classic training-data scoring;
-    // log rounded to 6dp for cross-engine float parity
+    // log rounded to 6dp for cross-engine float parity.
+    // Single-pass shape: tf rows are unique per (doc_id, token), so
+    // df(token) is a window count over tf — the explode+agg chain runs
+    // ONCE and tf→df needs one exchange on token, not a groupBy + join
+    // (two exchanges + a re-executed upstream). N folds in via a 1-row
+    // broadcast aggregate instead of a separate driver-side count job.
     "q_tfidf" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val n = docs.count()
+      val n = docs.agg(count(lit(1)).cast("double").as("__n"))
       val tf = docs.select(col("doc_id"),
           explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("token")
-        .agg(countDistinct(col("doc_id")).as("df"))
-      tf.join(df, Seq("token"))
+      val wDf = Window.partitionBy(col("token"))
+      tf.withColumn("df", count(lit(1)).over(wDf))
         .filter(col("tf") >= 3)
+        .crossJoin(broadcast(n))
         .select(col("doc_id"), col("token"), col("tf"), col("df"),
-          round(col("tf") * log(lit(n.toDouble) / col("df")), 6)
+          round(col("tf") * log(col("__n") / col("df")), 6)
             .as("tfidf"))
     }),
 
@@ -352,10 +358,14 @@ object SparkEntry {
     }),
 
     // ============ §2.10 hash-based (rows-only checks) ============
+    // Array-typed outputs are projected to canonical comma-joined
+    // strings: the driver's pandas comparator cannot sort/hash ndarray
+    // cells, and the string form is order-preserving and lossless.
     "q_minhash_sig" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
-        Dedup.minhashSignature(TextOps.shingles(col("text"), 5), 64)
-          .as("sig"))
+        concat_ws(",",
+          Dedup.minhashSignature(TextOps.shingles(col("text"), 5), 64)
+            .cast("array<string>")).as("sig"))
     }),
 
     "q_simhash" -> ((s, dir) => {
@@ -365,7 +375,9 @@ object SparkEntry {
 
     "q_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
-        TextOps.fingerprint(col("text"), 3, 8).as("fp"))
+        concat_ws(",",
+          TextOps.fingerprint(col("text"), 3, 8).cast("array<string>"))
+          .as("fp"))
     }),
 
     "q_langid" -> ((s, dir) => {
@@ -376,23 +388,33 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, dir) => {
       // raw corpus has no near-dups; union a shifted-id near-dup copy of
       // 20 docs so the operator's full path (sig -> bands -> bucket join
-      // -> verify) runs and returns rows
+      // -> verify) runs and returns rows. 32 bands × 2 rows: candidate
+      // probability at jaccard 0.5 is 1-(1-0.25)^32 ≈ 0.9999, so the
+      // verified output equals the exact all-pairs oracle on this
+      // corpus (exactness asserted by the DuckDB brute-force oracle).
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val near = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" near dup suffix")).as("text"))
       Dedup.minhashNearDupPairs(docs.unionByName(near), "doc_id", "text",
-          threshold = 0.5)
+          numHashes = 64, bands = 32, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
+    // knn outputs are exploded to one row per (query, rank): scalar
+    // columns the comparator can sort, and — for brute force — the
+    // shape an exact ANSI oracle (window rank over all pair scores) can
+    // reproduce.
     "q_knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 50)
         .select(col("vec_id").as("qid"), col("embedding"))
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
           "qid", k = 10)
-        .select(col("query_id"), col("neighbors.id").as("neighbor_ids"))
+        .select(col("query_id"),
+          posexplode(col("neighbors")).as(Seq("pos", "nb")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("nb.id").as("neighbor_id"))
     }),
 
     "q_knn_lsh" -> ((s, dir) => {
@@ -401,7 +423,10 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding"))
       Similarity.lshTopK(emb, queries, "vec_id", "embedding", "qid",
           k = 10, planes = 4)
-        .select(col("query_id"), col("neighbors.id").as("neighbor_ids"))
+        .select(col("query_id"),
+          posexplode(col("neighbors")).as(Seq("pos", "nb")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("nb.id").as("neighbor_id"))
     }),
 
     "q_knn_ivf" -> ((s, dir) => {
@@ -410,7 +435,10 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding"))
       Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "qid",
           k = 10, nlist = 16, nprobe = 4)
-        .select(col("query_id"), col("neighbors.id").as("neighbor_ids"))
+        .select(col("query_id"),
+          posexplode(col("neighbors")).as(Seq("pos", "nb")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("nb.id").as("neighbor_id"))
     }),
 
     "q_neardup_embedding" -> ((s, dir) => {
@@ -714,6 +742,54 @@ object SparkEntry {
          |  ($s_fr) AS s_fr, ($s_zh) AS s_zh,
          |  greatest(($s_en), ($s_de), ($s_es), ($s_fr), ($s_zh)) AS g
          | FROM documents) t""".stripMargin
+    },
+
+    // exact brute-force cosine top-k: same double accumulation (DOUBLE[]
+    // cast), same ordering (score desc, id asc), same self-exclusion —
+    // upgrades the strongest ANN claim from rows-only to hash-matched
+    "q_knn_bruteforce" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        | SELECT q.vec_id AS query_id,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |   ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |     CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC)
+        |   AS BIGINT) AS rank,
+        |  c.vec_id AS neighbor_id
+        | FROM embeddings c
+        | CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+        |   WHERE vec_id < 50) q
+        | WHERE c.vec_id <> q.vec_id) t
+        |WHERE rank <= 10""".stripMargin,
+
+    // exact all-pairs 5-shingle Jaccard (brute force is feasible at the
+    // verify SF): proves the LSH candidate generation misses nothing on
+    // this corpus AND the verification step admits nothing below
+    // threshold — precision and recall both 1.0 against ground truth.
+    // Shingle semantics mirror graft.functions.Shingles: whitespace
+    // tokens, k-grams joined by ' ', <k tokens => one all-token shingle,
+    // empty => [''].
+    "q_minhash_pairs" -> {
+      val shingle = """CASE WHEN len(toks) = 0 THEN ['']
+        |   WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(range(1, len(toks) - 3),
+        |     i -> array_to_string(list_slice(toks, i, i + 4), ' ')) END""".stripMargin
+      s"""WITH docs AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 1000000 AS doc_id,
+         |   text || ' near dup suffix' AS text
+         | FROM documents WHERE doc_id < 20),
+         |sh AS (
+         | SELECT doc_id, list_distinct($shingle) AS sh
+         | FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+         |   x -> len(x) > 0) AS toks FROM docs) t)
+         |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |   AS jaccard
+         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+         |WHERE jaccard >= 0.5""".stripMargin
     }
   )
 }

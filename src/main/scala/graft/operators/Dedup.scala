@@ -72,7 +72,8 @@ object Dedup {
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 1000,
+      broadcastCandidateLimit: Long = 1000000L): DataFrame = {
     val rows = numHashes / bands
     // Materialize the band keys once: the frame is multiply-consumed
     // (bucket counting + both sides of the self-join), and exploding an
@@ -110,16 +111,23 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Exact-Jaccard verification touches only candidate documents:
-    // semi-join the corpus down to candidate ids FIRST (broadcast —
-    // the candidate set is LSH-pruned and small relative to the
-    // corpus), then compute shingle sets for just those rows. Avoids
-    // materializing per-document shingle arrays corpus-wide (at 100 TB
-    // that cache would be ~5x the text itself).
+    // semi-join the corpus down to candidate ids FIRST, then compute
+    // shingle sets for just those rows. Avoids materializing
+    // per-document shingle arrays corpus-wide (at 100 TB that cache
+    // would be ~5x the text itself). The id set is broadcast only while
+    // it is provably driver-small (candidates is persisted, so the
+    // count is a cheap cached action); a boilerplate-heavy corpus that
+    // floods past `broadcastCandidateLimit` pairs falls back to a
+    // shuffle semi-join instead of OOMing the driver.
+    val nCandidates = candidates.count()
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id"))).distinct()
+    val candIdsSized =
+      if (nCandidates <= broadcastCandidateLimit) broadcast(candIds)
+      else candIds
     val candShingles = df
       .select(col(idCol).as("id"), col(textCol).as("__text"))
-      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .join(candIdsSized, Seq("id"), "left_semi")
       .select(col("id"),
         array_distinct(TextOps.shingles(col("__text"), shingleK)).as("sh"))
     val withSets = candidates
@@ -127,10 +135,18 @@ object Dedup {
         Seq("id_a"))
       .join(candShingles.select(col("id").as("id_b"), col("sh").as("sh_b")),
         Seq("id_b"))
-    withSets.select(col("id_a"), col("id_b"),
+    val verified = withSets.select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // materialize the (small, LSH-pruned) result eagerly so the two
+    // intermediate persists can be released now instead of leaking
+    // across a long-lived session; the cluster-scale form of this is a
+    // parquet staging write of the verified pairs
+    val out = verified.localCheckpoint(true)
+    sigs.unpersist(false)
+    candidates.unpersist(false)
+    out
   }
 
   /** Drop near-duplicates: keep the min-id representative of each
@@ -176,12 +192,17 @@ object Dedup {
       col("id").as("id_a"), col("fp").as("fp_a"))
     val b = chunks.select(col("chunk_idx"), col("chunk"),
       col("id").as("id_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("chunk_idx", "chunk"))
+    val pairs = a.join(b, Seq("chunk_idx", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming64(col("fp_a"), col("fp_b")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    // eager-materialize the small verified set, then release the
+    // fingerprint cache (see minhashNearDupPairs)
+    val out = pairs.localCheckpoint(true)
+    fp.unpersist(false)
+    out
   }
 
   /** n-gram Jaccard similarity for an explicit pair list — the exact

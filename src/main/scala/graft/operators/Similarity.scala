@@ -80,12 +80,17 @@ object Similarity {
       col("__vec").as("__vec_a"))
     val b = keyed.select(col("__bucket"), col("__id").as("id_b"),
       col("__vec").as("__vec_b"))
-    a.join(b, Seq("__bucket"))
+    val pairs = a.join(b, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorExpressions.cosine(col("__vec_a"), col("__vec_b"))
           .as("cosine"))
       .distinct()
+    // eager-materialize the bucket-pruned pairs, then release the keyed
+    // cache so repeated calls in one session don't accumulate blocks
+    val out = pairs.localCheckpoint(true)
+    keyed.unpersist(false)
+    out
   }
 
   /** IVF-style ANN: coarse-quantize the corpus into `nlist` inverted
