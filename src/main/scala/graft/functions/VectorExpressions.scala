@@ -214,6 +214,15 @@ case class TopKByScore(score: Expression, payload: Expression, k: Int,
   require(k > 0, "k must be positive")
 
   override def children: Seq[Expression] = Seq(score, payload)
+  // mis-typed inputs (int id, float score) fail at analysis time
+  // instead of ClassCastException inside update(). (ImplicitCastInputTypes
+  // is unusable here: AbstractDataType is private[sql] in Spark 4.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == DoubleType && payload.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "topKByScore requires (double score, bigint payload), got (" +
+        s"${score.dataType.simpleString}, ${payload.dataType.simpleString})")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType), StructField("id", LongType))))

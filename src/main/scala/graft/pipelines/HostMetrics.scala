@@ -50,9 +50,13 @@ object HostMetrics {
     // wrapping the scalar (strip surrounding quotes if present).
     val asArray = from_json(col("point.v"), ArrayType(StringType))
     val scalar = regexp_replace(col("point.v"), "^\"|\"$", "")
+    // try_cast, not cast: ANSI mode would crash the job on one garbage
+    // timestamp, while the DSv2 reader emits null for unparseable t —
+    // null epoch flows to a null timestamp and is dropped by the
+    // completeness gate, keeping both ingestion paths consistent.
     parsed.select(
       col("host_name"), col("service_name"),
-      col("point.t").cast("long").as("epoch"),
+      col("point.t").try_cast("long").as("epoch"),
       coalesce(asArray, array(scalar)).as("values"))
   }
 

@@ -49,8 +49,12 @@ object Sinks {
     */
   def writeJdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties = new java.util.Properties()): Unit = {
-    props.setProperty("batchsize", "10000")
-    df.write.mode("append").jdbc(url, table, props)
+    // never mutate the caller's Properties; default batchsize only
+    // when the caller didn't choose one
+    val p = new java.util.Properties()
+    p.putAll(props)
+    if (!p.containsKey("batchsize")) p.setProperty("batchsize", "10000")
+    df.write.mode("append").jdbc(url, table, p)
   }
 
   /** A1–A5 — reconciliation counts (`url...py:136-137,156-159`;

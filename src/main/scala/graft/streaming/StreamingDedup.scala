@@ -66,13 +66,17 @@ object StreamingDedup {
       .agg(max(col(tsCol)).as(tsCol),
         valueCols.map(c => max_by(col(c), col(tsCol)).as(c)): _*)
 
-  /** Exactly-once-ish sink contract (K4/K5 streaming form): idempotent
-    * foreachBatch writer — the batch id makes retried batches
-    * detectable, the payload write is atomic-per-partition parquet.
-    * The reference's equivalent is the dated backup + manual replay
-    * (`load_to_db.py:60-62`).
+  /** Exactly-once sink contract (K4/K5 streaming form): idempotent
+    * foreachBatch writer — each batch lands in its own
+    * `__batch_id=<id>` partition under dynamic partition overwrite, so
+    * a retried batch REPLACES its partition instead of appending
+    * duplicates. The reference's equivalent is the dated backup +
+    * manual replay (`load_to_db.py:60-62`).
     */
   def foreachBatchParquetSink(out: String)(df: DataFrame, batchId: Long): Unit =
     df.withColumn("__batch_id", lit(batchId))
-      .write.mode("append").parquet(out)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id")
+      .parquet(out)
 }

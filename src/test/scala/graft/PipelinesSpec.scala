@@ -37,7 +37,8 @@ class PipelinesSpec extends SparkSpec {
   private val cpuBody =
     """{"data": {"row": [
       |  {"t": "1723402800", "v": "42.123"},
-      |  {"t": "1723406400", "v": "junk"}
+      |  {"t": "1723406400", "v": "junk"},
+      |  {"t": "garbage-ts", "v": "9.9"}
       |]}}""".stripMargin
 
   private def responses = Seq(
@@ -47,10 +48,12 @@ class PipelinesSpec extends SparkSpec {
 
   test("§3.1 flatten: explode rows, polymorphic v normalized") {
     val flat = HostMetrics.flattenResponses(responses)
-    assert(flat.count() == 5)
+    assert(flat.count() == 6)
+    // garbage t doesn't crash under ANSI mode — it becomes a null epoch
+    // (nulls sort first) and is later dropped by the completeness gate
     val cpu = flat.filter($"service_name" === "CPU Usage")
       .orderBy("epoch").select("values").as[Seq[String]].collect()
-    assert(cpu.toSeq == Seq(Seq("42.123"), Seq("junk")))
+    assert(cpu.toSeq == Seq(Seq("9.9"), Seq("42.123"), Seq("junk")))
     val mem = flat.filter($"service_name" === "Memory Usage")
       .orderBy("epoch").select("values").as[Seq[String]].head()
     assert(mem == Seq("3.50", "15.6", "77.5612", "3.4", "12.1"))

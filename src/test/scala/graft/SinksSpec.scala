@@ -64,6 +64,13 @@ class SinksSpec extends SparkSpec {
     val again = spark.read.format("jdbc")
       .option("url", url).option("dbtable", "host_cpu_usage").load()
     assert(again.count() == 4)
+    // the caller's Properties object is never mutated, and a
+    // caller-chosen batchsize wins over the default
+    val callerProps = new java.util.Properties()
+    callerProps.setProperty("batchsize", "500")
+    Sinks.writeJdbc(payload, url, "host_cpu_usage", callerProps)
+    assert(callerProps.size == 1 &&
+      callerProps.getProperty("batchsize") == "500")
   }
 
   test("A1-A5 observe metrics collected during the action") {

@@ -131,5 +131,15 @@ class StreamingSpec extends SparkSpec {
     val back = spark.read.parquet(dir)
     assert(back.count() == 2)
     assert(back.columns.contains("__batch_id"))
+    // retried batch (same batch id) REPLACES its partition instead of
+    // appending — the idempotence the contract promises
+    // materialize before replaying: the overwrite deletes the very
+    // files a lazy plan would still be reading
+    val replay = back.drop("__batch_id").localCheckpoint(true)
+    StreamingDedup.foreachBatchParquetSink(dir)(replay, 0L)
+    assert(spark.read.parquet(dir).count() == 2)
+    // a NEW batch id lands in its own partition, old batches untouched
+    StreamingDedup.foreachBatchParquetSink(dir)(replay.limit(1), 1L)
+    assert(spark.read.parquet(dir).count() == 3)
   }
 }
