@@ -105,6 +105,14 @@ object SparkEntry {
         .select("user_id", "event_id", "ts", "event_type", "value")
     }),
 
+    // skew-safe two-phase form; same oracle as the window form — the
+    // oracle row IS the equivalence proof
+    "q_latest_per_key_salted" -> ((s, dir) => {
+      Relational.latestPerKeySalted(Tables.events(s, dir), Seq("user_id"),
+          "ts", "event_id", saltBuckets = 8)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    }),
+
     "q_type_route" -> ((s, dir) => {
       val routed = Tables.part(s, dir).withColumn("metric_family",
         when(ScalarOps.familyPredicate(col("p_type"), "promo"), "promo")
@@ -127,6 +135,20 @@ object SparkEntry {
         .join(broadcast(r.filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+            scale = 4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // the big lineitem⋈orders pairing served from pre-bucketed tables:
+    // the join itself plans with ZERO exchange (bucket-local SMJ); the
+    // only shuffle left is the final tiny aggregation. Same revenue
+    // semantics as q_multi_join, grouped by order priority.
+    "q_multi_join_bucketed" -> ((s, dir) => {
+      val li = Tables.bucketed(s, dir, "lineitem", "l_orderkey", 16)
+      val o = Tables.bucketed(s, dir, "orders", "o_orderkey", 16)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")),
             scale = 4).as("revenue"),
           count(lit(1)).as("n_lines"))
@@ -495,6 +517,12 @@ object SparkEntry {
         |   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) t WHERE rn = 1""".stripMargin,
 
+    "q_latest_per_key_salted" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t WHERE rn = 1""".stripMargin,
+
     "q_type_route" ->
       """SELECT CASE WHEN lower(p_type) LIKE '%promo%' THEN 'promo'
         |  WHEN lower(p_type) LIKE '%small%' THEN 'small'
@@ -516,6 +544,15 @@ object SparkEntry {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |WHERE r.r_name = 'ASIA'
         |GROUP BY n.n_name""".stripMargin,
+
+    "q_multi_join_bucketed" ->
+      """SELECT o.o_orderpriority,
+        | CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |   AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin,
 
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value,

@@ -130,6 +130,36 @@ object Relational {
       .drop("__rn")
   }
 
+  /** Skew-safe latest-per-key: the two-phase aggregate form of
+    * [[latestPerKey]] for hot keys (one user producing 90% of events
+    * melts the window form's single reducer at 100 TB).
+    *
+    * Phase 1 reduces per (key, salt) — a hot key's rows spread over
+    * `saltBuckets` reducers; phase 2 reduces the ≤`saltBuckets`
+    * survivors per key. Both phases are hash aggregates with map-side
+    * partial combine, so each exchange carries at most one row per
+    * (key, salt) / key per map task, never the raw event volume. The
+    * row travels as ONE struct picked atomically by `max_by` over the
+    * (ts, tieBreak) ordering — same winner as the window form.
+    *
+    * Salt is derived from the full row content hash: deterministic
+    * under task retries (rand() is not).
+    */
+  def latestPerKeySalted(df: DataFrame, keys: Seq[String], ts: String,
+      tieBreak: String, saltBuckets: Int = 32): DataFrame = {
+    val cols = df.columns.toSeq
+    val rowStruct = struct(cols.map(col): _*)
+    val salt = pmod(xxhash64(rowStruct), lit(saltBuckets)).cast("int")
+    val partial = df
+      .groupBy((keys.map(col) :+ salt.as("__salt")): _*)
+      .agg(max_by(rowStruct, struct(col(ts), col(tieBreak))).as("__row"))
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(col("__row"),
+        struct(col(s"__row.$ts"), col(s"__row.$tieBreak"))).as("__row"))
+      .select(cols.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
   /** Top-k by a measure, deterministic via tie-break column. A global
     * sort-limit: Spark plans `TakeOrderedAndProject` — per-partition
     * top-k then a k-row merge on the driver, no full shuffle.

@@ -36,4 +36,30 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Bucketed view of a table: write-once into the session warehouse
+    * (bucketBy + sortBy on `key`), then serve from the catalog. At
+    * cluster scale the bucketed copy is the long-lived layout paid once
+    * at ingest; every subsequent equi-join/agg on `key` plans with NO
+    * exchange. The table name encodes the source dir so different SFs
+    * never alias, and the write is skipped when the table already
+    * exists (amortized across queries in one session, exactly like
+    * production).
+    */
+  def bucketed(s: SparkSession, d: String, name: String, key: String,
+      buckets: Int): DataFrame = {
+    val table = s"graft_b_${name}_${buckets}_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    if (!s.catalog.tableExists(table)) {
+      // a previous JVM may have left the managed location behind (the
+      // in-memory catalog dies with the session; its files do not)
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      graft.operators.Relational.writeBucketed(
+        load(s, d, name), table, Seq(key), buckets)
+    }
+    s.table(table)
+  }
 }

@@ -45,6 +45,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("bucketed multi-join: the big join itself plans zero exchange") {
+    // at sf0.001 orders would broadcast, hiding the layout win; at
+    // 100 TB neither side broadcasts — that regime is what's asserted
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q_multi_join_bucketed")(spark, dir)
+      val plan = physical(df)
+      // the only exchange is the final (tiny) aggregation on
+      // o_orderpriority; the lineitem⋈orders join reads co-bucketed
+      // tables and never shuffles
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).toSeq
+      assert(exchanges.size == 1,
+        s"expected 1 agg exchange, got ${exchanges.size}:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("q1 aggregation is partial+final hash aggregate") {
     val df = SparkEntry.queries("q1_agg")(spark, dir)
     val plan = physical(df)

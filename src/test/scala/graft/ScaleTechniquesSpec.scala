@@ -33,6 +33,25 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(got == Map(1L -> Some("d1"), 99L -> None))
   }
 
+  test("salted latest-per-key equals window form on 90%-hot-key data") {
+    // one user owns 90% of events — the window form's worst case
+    val events = spark.range(5000).select(
+      when($"id" % 10 === 0, $"id" % 13).otherwise(7L).as("user_id"),
+      ($"id" * 37 % 100000).as("ts_ord"),
+      $"id".as("event_id"),
+      concat(lit("v"), $"id" % 5).as("payload"))
+    val window = Relational.latestPerKey(events, Seq("user_id"),
+      "ts_ord", "event_id")
+    val salted = Relational.latestPerKeySalted(events, Seq("user_id"),
+      "ts_ord", "event_id", saltBuckets = 8)
+    assert(salted.count() == window.count())
+    assert(salted.exceptAll(window).isEmpty &&
+      window.exceptAll(salted).isEmpty)
+    // both phases are hash aggregates; no window (sort-based) operator
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"salted form should not plan a window:\n$plan")
+  }
+
   test("bucketed tables join without any exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graftwh").toString
     val s = spark
