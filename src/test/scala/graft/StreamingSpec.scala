@@ -87,6 +87,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map("h1" -> 7.0, "h2" -> 6.0))
   }
 
+  test("stateful latest-per-key: flush on quiet, state evicted, fresh epoch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Point]
+    val q = StreamingDedup.latestPerKeyStateful(input.toDF(), "host", "ts",
+        "10 minutes")
+      .writeStream.format("memory").queryName("stateful_latest")
+      .outputMode("append").start()
+
+    input.addData(p("h1", 0, 1.0), p("h1", 30, 7.0), p("h2", 10, 5.0))
+    q.processAllAvailable()
+    // no key quiet yet — nothing emitted
+    assert(spark.table("stateful_latest").count() == 0)
+
+    // h3 pushes the watermark to 10:49 — h1 (last 10:30) and h2 (last
+    // 10:10) are now quiet past the horizon; the timeout fires on the
+    // NEXT batch after the watermark advances
+    input.addData(p("h3", 59, 9.9))
+    q.processAllAvailable()
+    input.addData(p("h3", 59, 9.9))
+    q.processAllAvailable()
+
+    val got = spark.table("stateful_latest")
+      .select($"host", $"value").as[(String, Double)].collect().toMap
+    // each evicted key emitted its LATEST row exactly once; h3 still
+    // active (state bounded by active keys, not keys ever seen)
+    assert(got == Map("h1" -> 7.0, "h2" -> 5.0))
+    q.stop()
+  }
+
   test("dedup state survives query restart via checkpoint (K6 recovery)") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graftckpt").toString
