@@ -56,10 +56,17 @@ object Dedup {
     * `rows` hashes; each band's slice hashes to one bucket key (xxhash64
     * hashes array values structurally). Emits one row per (band,
     * bucket) via posexplode downstream.
+    *
+    * Built as a static `array(...)` of codegen'd slices, NOT a
+    * `transform` lambda: transform is CodegenFallback and its lambda
+    * body re-evaluates the embedded signature expression once PER BAND
+    * (measured 32x the signature cost); the array form stays inside
+    * whole-stage codegen where subexpression elimination computes the
+    * signature once per row.
     */
   def bandHashes(sig: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, slice(sig, b * lit(rows) + 1, lit(rows))))
+    array((0 until bands).map(b =>
+      xxhash64(lit(b), slice(sig, b * rows + 1, rows))): _*)
 
   /** MinHash+LSH candidate pairs with exact-Jaccard verification.
     *
@@ -87,6 +94,11 @@ object Dedup {
         TextOps.shingles(col(textCol), shingleK), numHashes), bands, rows)
         .as("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE the multi-branch DAG below: the self-join's
+    // two sides plus the bucket-count branch otherwise race to fill
+    // the cache in one job, computing every partition 3x and fighting
+    // over block locks (measured 2-4x slower end to end)
+    sigs.count()
 
     val buckets = sigs.select(col("id"),
         posexplode(col("bands")).as(Seq("band", "bucket")))
@@ -184,6 +196,8 @@ object Dedup {
     val fp = df.select(col(idCol).as("id"),
       simhash64(col(textCol)).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize before the two-sided chunk join (cache-fill race)
+    fp.count()
     val chunks = fp.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("fp"), i * 16).bitwiseAND(0xFFFFL)): _*))

@@ -76,6 +76,9 @@ object Similarity {
     val keyed = df.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
       lshBucket(col(vecCol), planes).as("__bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize before the self-join consumes it from two branches
+    // at once (cache-fill race computes partitions twice)
+    keyed.count()
     val a = keyed.select(col("__bucket"), col("__id").as("id_a"),
       col("__vec").as("__vec_a"))
     val b = keyed.select(col("__bucket"), col("__id").as("id_b"),
