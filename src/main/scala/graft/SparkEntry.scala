@@ -474,6 +474,35 @@ object SparkEntry {
         "doc_id", "text", "text/plain")
       Multimodal.extractFeatures(media, dim = 8)
         .select("media_id", "n_bytes", "checksum")
+    }),
+
+    // oracle-backed slice of the multimodal surface: byte length and
+    // md5 over the binary payload are engine-portable, so the
+    // binary-column plumbing (cast, column pruning past the payload)
+    // gets a hash-matched row, complementing the rows-only
+    // mapPartitions codec path above
+    "q_media_checksum" -> ((s, dir) => {
+      val media = Multimodal.fromBinary(Tables.documents(s, dir),
+        "doc_id", "text", "text/plain")
+      media.select(col("media_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("checksum"))
+    }),
+
+    // IVF with nprobe = nlist probes every inverted list — exact by
+    // construction, so the whole IVF machinery (assignment, Lloyd
+    // refinement, probe join, bounded top-k) is proven against the
+    // same brute-force oracle as q_knn_bruteforce
+    "q_knn_ivf_full" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "qid",
+          k = 10, nlist = 8, nprobe = 8, refineIters = 1)
+        .select(col("query_id"),
+          posexplode(col("neighbors")).as(Seq("pos", "nb")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("nb.id").as("neighbor_id"))
     })
   )
 
@@ -797,6 +826,30 @@ object SparkEntry {
         |   WHERE vec_id < 50) q
         | WHERE c.vec_id <> q.vec_id) t
         |WHERE rank <= 10""".stripMargin,
+
+    // nprobe = nlist probes every list => exact; identical ground truth
+    "q_knn_ivf_full" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        | SELECT q.vec_id AS query_id,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |   ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |     CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC)
+        |   AS BIGINT) AS rank,
+        |  c.vec_id AS neighbor_id
+        | FROM embeddings c
+        | CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+        |   WHERE vec_id < 50) q
+        | WHERE c.vec_id <> q.vec_id) t
+        |WHERE rank <= 10""".stripMargin,
+
+    // engine-portable checksum over the binary payload: DuckDB's
+    // md5(VARCHAR) hashes the UTF-8 bytes, which is exactly Spark's
+    // md5(cast(text AS binary))
+    "q_media_checksum" ->
+      """SELECT doc_id AS media_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS checksum
+        |FROM documents""".stripMargin,
 
     // exact all-pairs 5-shingle Jaccard (brute force is feasible at the
     // verify SF): proves the LSH candidate generation misses nothing on
