@@ -36,6 +36,18 @@ object VectorExpressions {
     ExpressionUtils.column(RademacherLsh(
       ExpressionUtils.expression(vec), planes))
 
+  /** Top-`n` centroid ids by cosine for a vector column, against a
+    * centroid matrix carried as a REFERENCE OBJECT (not literal
+    * expression trees): an nlist×dim literal array-of-structs makes the
+    * plan quadratically bigger, compiles a huge codegen function per
+    * use site, and re-evaluates per element when post-processed with
+    * interpreted HOFs. This is one small fused loop, compiled once.
+    */
+  def centroidTopIds(vec: Column, centroids: Seq[Seq[Float]], n: Int): Column =
+    ExpressionUtils.column(CentroidTopIds(
+      ExpressionUtils.expression(vec),
+      centroids.map(_.toArray).toArray, n))
+
   /** Bounded top-k aggregate: `topKByScore(score, payload, k)` keeps
     * only k (score, payload) pairs per aggregation state, so the
     * map-side partial aggregation ships at most k rows per partition
@@ -198,6 +210,97 @@ object RademacherLsh {
       p += 1
     }
     key
+  }
+}
+
+/** `array<float|double> -> array<int>`: ids of the `n` nearest
+  * centroids by cosine, score-descending (ties id-ascending). The
+  * centroid matrix rides along as a serialized reference object —
+  * broadcast with the task closure, never inlined into the plan.
+  */
+case class CentroidTopIds(child: Expression, matrix: Array[Array[Float]],
+    n: Int) extends UnaryExpression {
+
+  require(n > 0 && n <= matrix.length,
+    s"n must be in [1, ${matrix.length}], got $n")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"centroid_top_ids requires array<float|double>, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    CentroidTopIds.compute(v.asInstanceOf[ArrayData], matrix, n,
+      elemType == FloatType)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centroids", matrix, "float[][]")
+    val isFloat = if (elemType == FloatType) "true" else "false"
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = graft.functions.CentroidTopIds.compute(
+         |  $arr, $m, $n, $isFloat);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object CentroidTopIds {
+  def compute(arr: ArrayData, m: Array[Array[Float]], n: Int,
+      isFloat: Boolean): ArrayData = {
+    val nl = m.length
+    val len = arr.numElements()
+    // |vec| is constant across centroids — hoisted out of the loop
+    var na = 0.0
+    var i = 0
+    while (i < len) {
+      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      na += x * x; i += 1
+    }
+    val scores = new Array[Double](nl)
+    var c = 0
+    while (c < nl) {
+      val cent = m(c)
+      val d = math.min(len, cent.length)
+      var dot = 0.0; var nb = 0.0
+      var j = 0
+      while (j < d) {
+        val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+        val y = cent(j).toDouble
+        dot += x * y; nb += y * y; j += 1
+      }
+      scores(c) = if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      c += 1
+    }
+    // selection of the n best (score desc, id asc): n and nlist are
+    // both small, so the n*nlist scan beats sorting
+    val ids = new Array[Int](n)
+    val used = new Array[Boolean](nl)
+    var k = 0
+    while (k < n) {
+      var best = -1; var bs = Double.NegativeInfinity
+      var j = 0
+      while (j < nl) {
+        if (!used(j) && scores(j) > bs) { bs = scores(j); best = j }
+        j += 1
+      }
+      used(best) = true; ids(k) = best; k += 1
+    }
+    new GenericArrayData(ids)
   }
 }
 

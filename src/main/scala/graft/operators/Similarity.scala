@@ -101,10 +101,13 @@ object Similarity {
     * closest lists, score only those lists' vectors exactly.
     *
     * Centroids are a deterministic nlist-row sample collected to the
-    * driver (nlist × dim floats — trivially small) and inlined as
-    * literals, so BOTH assignment and probing are pure map-side
-    * codegen'd expressions: the corpus is never shuffled for
-    * assignment. The only exchange is the (bucket) equi-join between
+    * driver (nlist × dim floats — trivially small) and carried as a
+    * reference object inside [[graft.functions.CentroidTopIds]] (NOT
+    * literal expression trees, which bloat the plan nlist×dim-fold and
+    * dominate codegen compile time), so BOTH assignment and probing
+    * are pure map-side codegen'd expressions: the corpus is never
+    * shuffled for assignment. The only exchange is the (bucket)
+    * equi-join between
     * corpus lists and query probes, then the bounded top-k aggregate.
     * `nprobe = nlist` degenerates to an exact search (full scan) —
     * asserted in tests; recall/cost scales down with nprobe.
@@ -122,28 +125,21 @@ object Similarity {
       vecCol: String, qidCol: String, k: Int, nlist: Int,
       nprobe: Int, excludeSelf: Boolean = true,
       refineIters: Int = 2): DataFrame = {
-    import org.apache.spark.sql.functions.typedlit
-    val init: Seq[(Int, Seq[Float])] = corpus
+    val init: Seq[Seq[Float]] = corpus
       .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nlist)
-      .collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1).toSeq) }.toSeq
+      .collect().map(_.getSeq[Float](1).toSeq).toSeq
     val cents = refineCentroids(corpus, vecCol, init, refineIters)
-
-    def scored(vec: Column): Column = array(cents.map { case (j, c) =>
-      struct(VectorExpressions.cosine(vec, typedlit(c)).as("score"),
-        lit(j).as("cid"))
-    }: _*)
 
     val corpusAssigned = corpus.select(col(idCol).as("__cid"),
       col(vecCol).as("__cvec"),
-      array_max(scored(col(vecCol))).getField("cid").as("__bucket"))
+      element_at(
+        VectorExpressions.centroidTopIds(col(vecCol), cents, 1), 1)
+        .as("__bucket"))
 
     val probes = queries.select(col(qidCol).as("query_id"),
         col(vecCol).as("__qvec"),
-        explode(slice(reverse(array_sort(scored(col(vecCol)))), 1, nprobe))
-          .as("__probe"))
-      .select(col("query_id"), col("__qvec"),
-        col("__probe.cid").as("__bucket"))
+        explode(VectorExpressions.centroidTopIds(col(vecCol), cents, nprobe))
+          .as("__bucket"))
 
     corpusAssigned.join(probes, Seq("__bucket"))
       .filter(if (excludeSelf) col("__cid") =!= col("query_id")
@@ -157,35 +153,37 @@ object Similarity {
   }
 
   /** Lloyd refinement of IVF centroids: assign every vector to its
-    * nearest centroid (map-side codegen'd cosine against inlined
-    * literals), take the element-wise mean per list, repeat. The mean
-    * is computed as ONE distributed aggregation over
-    * (list, dim-position, value) triples — no driver-side vector math
-    * beyond the nlist×dim collect of the new centroids themselves.
+    * nearest centroid (map-side codegen'd loop against the reference
+    * matrix), take the element-wise mean per list, repeat. The mean is
+    * ONE hash aggregation with `dim` per-dimension avg states — the
+    * exchange carries nlist × dim partial averages per map task (a
+    * posexplode formulation was tried: it shuffles n×dim ROWS and
+    * needs a second aggregation to re-assemble vectors). No
+    * driver-side vector math beyond the nlist×dim collect of the new
+    * centroids themselves.
     */
   private def refineCentroids(corpus: DataFrame, vecCol: String,
-      init: Seq[(Int, Seq[Float])], iters: Int): Seq[(Int, Seq[Float])] = {
-    import org.apache.spark.sql.functions.typedlit
+      init: Seq[Seq[Float]], iters: Int): Seq[Seq[Float]] = {
+    if (init.isEmpty) return init
+    val dim = init.head.length
     var cents = init
     (1 to iters).foreach { _ =>
-      val scoredArr = array(cents.map { case (j, c) =>
-        struct(VectorExpressions.cosine(col("__vec"), typedlit(c)).as("score"),
-          lit(j).as("cid"))
-      }: _*)
       val means = corpus.select(col(vecCol).as("__vec"))
         .select(col("__vec"),
-          array_max(scoredArr).getField("cid").as("__b"))
-        .select(col("__b"), posexplode(col("__vec")).as(Seq("__pos", "__x")))
-        .groupBy(col("__b"), col("__pos")).agg(avg(col("__x")).as("__m"))
+          element_at(
+            VectorExpressions.centroidTopIds(col("__vec"), cents, 1), 1)
+            .as("__b"))
         .groupBy(col("__b"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("__pos"), col("__m")))),
-          s => s.getField("__m")).as("__c"))
+        .agg(avg(element_at(col("__vec"), 1)).as("m0"),
+          (1 until dim).map(i =>
+            avg(element_at(col("__vec"), i + 1)).as(s"m$i")): _*)
         .collect()
         .map(r => r.getAs[Int]("__b") ->
-          r.getSeq[Double](1).map(_.toFloat).toSeq)
+          (0 until dim).map(i => r.getDouble(i + 1).toFloat))
         .toMap
-      cents = cents.map { case (j, old) => (j, means.getOrElse(j, old)) }
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        means.getOrElse(j, old)
+      }
     }
     cents
   }
