@@ -489,6 +489,20 @@ object SparkEntry {
         md5(col("payload")).as("checksum"))
     }),
 
+    // the exact pairwise verifier standalone: explicit (consecutive-id)
+    // pair list, 3-shingle set Jaccard — fully ANSI-expressible, so the
+    // verification arithmetic shared by the whole near-dup family gets
+    // its own hash-matched row
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val pairs = docs.filter(col("doc_id") < 30)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1).as("id_b"))
+      Dedup.ngramJaccard(pairs, docs, "doc_id", "text", k = 3)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+    }),
+
     // IVF with nprobe = nlist probes every inverted list — exact by
     // construction, so the whole IVF machinery (assignment, Lloyd
     // refinement, probe join, bounded top-k) is proven against the
@@ -826,6 +840,27 @@ object SparkEntry {
         |   WHERE vec_id < 50) q
         | WHERE c.vec_id <> q.vec_id) t
         |WHERE rank <= 10""".stripMargin,
+
+    // 3-shingle set Jaccard over explicit consecutive-id pairs; shingle
+    // semantics mirror graft.functions.Shingles (see q_minhash_pairs)
+    "q_ngram_jaccard" -> {
+      val shingle = """CASE WHEN len(toks) = 0 THEN ['']
+        |   WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(range(1, len(toks) - 1),
+        |     i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END""".stripMargin
+      s"""WITH sh AS (
+         | SELECT doc_id, list_distinct($shingle) AS sh
+         | FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+         |   x -> len(x) > 0) AS toks FROM documents) t)
+         |SELECT p.id_a, p.id_b,
+         | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+         |  AS jaccard
+         |FROM (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+         |  WHERE doc_id < 30) p
+         |JOIN sh a ON a.doc_id = p.id_a
+         |JOIN sh b ON b.doc_id = p.id_b""".stripMargin
+    },
 
     // nprobe = nlist probes every list => exact; identical ground truth
     "q_knn_ivf_full" ->
