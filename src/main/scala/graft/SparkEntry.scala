@@ -379,6 +379,39 @@ object SparkEntry {
         .select("doc_id", "n")
     }),
 
+    // the canonical LLM corpus-curation composition — exact dedup →
+    // language-ID → quality gate → per-language token budget — all in
+    // one declarative plan: one content-hash exchange (dedup), then
+    // pure map-side scoring (fused TextStats + langId), then a
+    // languages-cardinality aggregation. Proves the operators compose.
+    "q_curation" -> ((s, dir) => {
+      val st = col("st")
+      val nTok = st.getField("n_tokens")
+      val sw = when(nTok === 0, 0.0)
+        .otherwise(st.getField("n_stopwords").cast("double") / nTok)
+      val punct = when(st.getField("n_chars") === 0, 0.0)
+        .otherwise(st.getField("n_punct").cast("double") / st.getField("n_chars"))
+      val mtl = when(nTok === 0, 0.0)
+        .otherwise(st.getField("sum_tok_len").cast("double") / nTok)
+      val lengthOk = when(nTok.between(50, 100000), 1.0)
+        .when(nTok.between(10, 49), 0.5).otherwise(0.0)
+      val quality = round((lengthOk
+        + when(sw > 0.05, 1.0).otherwise(0.0)
+        + when(punct < 0.2, 1.0).otherwise(0.0)
+        + when(mtl.between(2.0, 12.0), 1.0).otherwise(0.0)) / 4.0, 4)
+      Dedup.exactByContent(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"),
+          TextOps.langId(col("text")).as("lang_pred"),
+          graft.functions.TextStatsExpression
+            .textStats(col("text"), enStop).as("st"))
+        .select(col("doc_id"), col("lang_pred"), quality.as("quality"),
+          st.getField("n_bpeish").cast("long").as("n_bpeish"))
+        .filter(col("quality") >= 0.5 && col("lang_pred") =!= "und")
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpeish")).as("token_budget"))
+    }),
+
     // ============ §2.10 hash-based (rows-only checks) ============
     // Array-typed outputs are projected to canonical comma-joined
     // strings: the driver's pandas comparator cannot sort/hash ndarray
@@ -784,6 +817,72 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n
         |FROM documents GROUP BY text""".stripMargin,
+
+    // dedup ∘ langid ∘ quality ∘ token budget, assembled from the same
+    // fragments the single-operator oracles use
+    "q_curation" -> {
+      val toks = """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
+      val nTok = s"len($toks)"
+      val sw = s"""CASE WHEN $nTok = 0 THEN 0.0
+        | ELSE CAST(len(list_filter($toks, x -> list_contains(
+        |   ['the','and','of','to','in','is','that','it','was','for',
+        |    'with','are','this','a'], x))) AS DOUBLE) / $nTok END""".stripMargin
+      val punct = s"""CASE WHEN len(text) = 0 THEN 0.0
+        | ELSE CAST(len(regexp_replace(text, '[A-Za-z0-9_\\s]+', '', 'g'))
+        |   AS DOUBLE) / len(text) END""".stripMargin
+      val mtl = s"""CASE WHEN $nTok = 0 THEN 0.0
+        | ELSE CAST(list_aggregate(list_transform($toks, x -> len(x)),
+        |   'sum') AS DOUBLE) / $nTok END""".stripMargin
+      val quality = s"""round((
+        |   (CASE WHEN $nTok BETWEEN 50 AND 100000 THEN 1.0
+        |     WHEN $nTok BETWEEN 10 AND 49 THEN 0.5 ELSE 0.0 END)
+        |   + (CASE WHEN ($sw) > 0.05 THEN 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN ($punct) < 0.2 THEN 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN ($mtl) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        | ) / 4.0, 4)""".stripMargin
+      def ratio(words: Seq[String]) = {
+        val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+        s"""CASE WHEN $nTok = 0 THEN 0.0
+           | ELSE CAST(len(list_filter($toks,
+           |   x -> list_contains($lst, x))) AS DOUBLE) / $nTok END""".stripMargin
+      }
+      val zhHits = TextOps.langProfiles("zh")
+        .map(w => s"(CASE WHEN contains(text, '$w') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val s_en = ratio(TextOps.langProfiles("en"))
+      val s_de = ratio(TextOps.langProfiles("de"))
+      val s_es = ratio(TextOps.langProfiles("es"))
+      val s_fr = ratio(TextOps.langProfiles("fr"))
+      val s_zh = s"CAST($zhHits AS DOUBLE) / ${TextOps.langProfiles("zh").size}"
+      s"""WITH kept AS (
+         | SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |base AS (
+         | SELECT d.doc_id, d.text FROM documents d
+         | JOIN kept k ON d.doc_id = k.doc_id),
+         |scored AS (
+         | SELECT doc_id,
+         |  CASE WHEN g = 0 THEN 'und'
+         |    WHEN s_zh = g THEN 'zh'
+         |    WHEN s_fr = g THEN 'fr'
+         |    WHEN s_es = g THEN 'es'
+         |    WHEN s_en = g THEN 'en'
+         |    WHEN s_de = g THEN 'de'
+         |  END AS lang_pred,
+         |  q AS quality, n_bpeish
+         | FROM (
+         |  SELECT doc_id, ($quality) AS q,
+         |   CAST(len(regexp_extract_all(text,
+         |     '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_bpeish,
+         |   ($s_en) AS s_en, ($s_de) AS s_de, ($s_es) AS s_es,
+         |   ($s_fr) AS s_fr, ($s_zh) AS s_zh,
+         |   greatest(($s_en), ($s_de), ($s_es), ($s_fr), ($s_zh)) AS g
+         |  FROM base) t)
+         |SELECT lang_pred, count(*) AS n_docs,
+         | CAST(sum(n_bpeish) AS BIGINT) AS token_budget
+         |FROM scored
+         |WHERE quality >= 0.5 AND lang_pred <> 'und'
+         |GROUP BY lang_pred""".stripMargin
+    },
 
     // langId = argmax over per-language stopword-ratio scores (zh:
     // char-containment hits / profile size); ties resolve to the
