@@ -399,6 +399,13 @@ object SparkEntry {
         + when(sw > 0.05, 1.0).otherwise(0.0)
         + when(punct < 0.2, 1.0).otherwise(0.0)
         + when(mtl.between(2.0, 12.0), 1.0).otherwise(0.0)) / 4.0, 4)
+      // the quality gate lives INSIDE the aggregation (conditional
+      // aggregates over the projected attribute), not in a filter: a
+      // filter on a derived column gets predicate-pushed below the
+      // projection, inlining the whole TextStats+langId tree into an
+      // interpreted per-row predicate and re-evaluating it (measured
+      // 4x this query's cost)
+      val gate = col("quality") >= 0.5
       Dedup.exactByContent(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"),
           TextOps.langId(col("text")).as("lang_pred"),
@@ -406,10 +413,10 @@ object SparkEntry {
             .textStats(col("text"), enStop).as("st"))
         .select(col("doc_id"), col("lang_pred"), quality.as("quality"),
           st.getField("n_bpeish").cast("long").as("n_bpeish"))
-        .filter(col("quality") >= 0.5 && col("lang_pred") =!= "und")
         .groupBy(col("lang_pred"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_bpeish")).as("token_budget"))
+        .agg(count(when(gate, 1)).as("n_docs"),
+          sum(when(gate, col("n_bpeish"))).as("token_budget"))
+        .filter(col("lang_pred") =!= "und" && col("n_docs") > 0)
     }),
 
     // ============ §2.10 hash-based (rows-only checks) ============

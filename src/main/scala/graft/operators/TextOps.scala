@@ -99,9 +99,18 @@ object TextOps {
     } else stopwordRatio(text, langProfiles(lang))
 
   /** Language-ID: argmax over profile scores; "und" (undetermined) when
-    * every score is 0. One pass, pure expressions.
+    * every score is 0. Fused single-pass codegen expression
+    * ([[graft.functions.LangIdExpression]]); [[langIdBuiltin]] is the
+    * composable reference formulation kept for differential testing.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    graft.functions.LangIdExpression.langId(text, langProfiles)
+
+  /** Reference langId via composable built-ins — interpreted HOF chain
+    * re-tokenizing per profile; used as the differential check for the
+    * fused expression.
+    */
+  def langIdBuiltin(text: Column): Column = {
     val scored = langProfiles.keys.toSeq.sorted.map(l =>
       struct(langScore(text, l).as("score"), lit(l).as("lang")))
     val best = array_max(array(scored: _*))

@@ -48,6 +48,18 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got == samples.map(_._2))
   }
 
+  test("text: fused langId == builtin langId on the corpus + edge cases") {
+    val edge = Seq("", "   ", "the der el le 的",
+      "the the the", "der der der").toDF("text")
+    val corpus = docs.select($"text").unionByName(edge)
+    val diff = corpus.select(
+        TextOps.langId($"text").as("fused"),
+        TextOps.langIdBuiltin($"text").as("ref"))
+      .filter($"fused" =!= $"ref")
+    assert(diff.count() == 0,
+      s"mismatches: ${diff.limit(5).collect().mkString(", ")}")
+  }
+
   test("text: shingles + fingerprint stability under distant edit") {
     val base = "a b c d e f g h i j k l m n o p"
     val edited = base + " zz"   // edit at the end
@@ -148,6 +160,27 @@ class ExtensionOpsSpec extends SparkSpec {
       VectorExpressions.cosine($"embedding", $"embedding")).as[Double]
       .collect()
     assert(self.forall(v => math.abs(v - 1.0) < 1e-9))
+  }
+
+  test("similarity: centroidTopIds == driver-side cosine ranking") {
+    val cents: Seq[Seq[Float]] = emb.orderBy($"vec_id").limit(6)
+      .select($"embedding").as[Seq[Float]].collect().toSeq
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val got = emb.limit(50).select($"vec_id",
+        VectorExpressions.centroidTopIds($"embedding", cents, 3).as("ids"))
+      .as[(Long, Seq[Int])].collect()
+    val vecs = emb.limit(50).select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    got.foreach { case (id, ids) =>
+      val expect = cents.indices
+        .sortBy(j => (-cos(vecs(id), cents(j)), j)).take(3)
+      assert(ids == expect, s"vec $id: got $ids expected $expect")
+    }
   }
 
   test("similarity: brute-force topk matches exact driver-side compute") {
