@@ -11,10 +11,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Force FULL evaluation of every output column with a noop sink:
+    // a count() action lets Catalyst prune the projection, so
+    // map-heavy queries (langid, doc stats, signatures) would be timed
+    // as bare row-count scans. (BASELINE.md protocol v2.)
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Unit =
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
     // Warm the JVM + codegen/plan caches on the smallest SF so timed
     // numbers measure the queries, not first-query JIT startup.
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
+      try run(fn, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache() // drop warmup persists before timing
@@ -25,7 +32,7 @@ object Bench {
     val passes = (1 to 3).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { run(fn, sfDir) } catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
