@@ -276,11 +276,17 @@ object SparkEntry {
     // exact interpolated percentiles (both engines: linear
     // interpolation over the sorted set; 4dp rounding for float parity)
     "q_percentile" -> ((s, dir) => {
+      // both l_extendedprice percentiles from ONE aggregate buffer
+      // (the scalar form builds a separate per-group value map per
+      // percentile — 2x the work for the same answer)
       Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          expr("percentile(l_extendedprice, array(0.5, 0.9))").as("pe"),
           round(expr("percentile(l_quantity, 0.25)"), 4).as("q25"))
+        .select(col("l_returnflag"),
+          round(element_at(col("pe"), 1), 4).as("p50"),
+          round(element_at(col("pe"), 2), 4).as("p90"),
+          col("q25"))
     }),
 
     // scalar string surface over one projection
