@@ -535,6 +535,21 @@ object SparkEntry {
         md5(col("payload")).as("checksum"))
     }),
 
+    // end-to-end near-dup REMOVAL (the corpus-level generalization of
+    // the reference's dedup-by-content): survivors = corpus minus
+    // higher-id members of verified near-dup pairs. Same injected
+    // near-dup corpus as q_minhash_pairs, so the exact all-pairs
+    // Jaccard oracle determines the surviving id set exactly.
+    "q_minhash_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val near = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" near dup suffix")).as("text"))
+      Dedup.minhashDedup(docs.unionByName(near), "doc_id", "text",
+          numHashes = 64, bands = 32, threshold = 0.5)
+        .select(col("doc_id"))
+    }),
+
     // the exact pairwise verifier standalone: explicit (consecutive-id)
     // pair list, 3-shingle set Jaccard — fully ANSI-expressible, so the
     // verification arithmetic shared by the whole near-dup family gets
@@ -952,6 +967,32 @@ object SparkEntry {
         |   WHERE vec_id < 50) q
         | WHERE c.vec_id <> q.vec_id) t
         |WHERE rank <= 10""".stripMargin,
+
+    // survivors = corpus \ higher-id members of exact near-dup pairs
+    "q_minhash_dedup" -> {
+      val shingle = """CASE WHEN len(toks) = 0 THEN ['']
+        |   WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(range(1, len(toks) - 3),
+        |     i -> array_to_string(list_slice(toks, i, i + 4), ' ')) END""".stripMargin
+      s"""WITH docs AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 1000000 AS doc_id,
+         |   text || ' near dup suffix' AS text
+         | FROM documents WHERE doc_id < 20),
+         |sh AS (
+         | SELECT doc_id, list_distinct($shingle) AS sh
+         | FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+         |   x -> len(x) > 0) AS toks FROM docs) t),
+         |losers AS (
+         | SELECT DISTINCT b.doc_id AS doc_id
+         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |   >= 0.5)
+         |SELECT d.doc_id FROM docs d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+    },
 
     // 3-shingle set Jaccard over explicit consecutive-id pairs; shingle
     // semantics mirror graft.functions.Shingles (see q_minhash_pairs)
