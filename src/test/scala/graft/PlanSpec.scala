@@ -84,6 +84,18 @@ class PlanSpec extends SparkSpec {
       plan)
   }
 
+  test("curation pipeline: two exchanges (dedup hash + final agg), codegen scoring") {
+    val df = SparkEntry.queries("q_curation")(spark, dir)
+    val plan = physical(df)
+    // exactByContent groupBy(sha2) is one hash exchange; the winners
+    // semi-join broadcasts; per-language aggregation is the second —
+    // the scoring (langId + TextStats) never shuffles
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 2, s"expected 2 exchanges, got $shuffles:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"dedup semi-join should broadcast:\n$plan")
+  }
+
   test("whole-stage codegen covers the scalar pipeline") {
     val df = SparkEntry.queries("q_doc_stats")(spark, dir)
     val plan = physical(df)
