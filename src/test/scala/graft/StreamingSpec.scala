@@ -146,6 +146,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("h1", 1.0), ("h1", 2.0), ("h1", 3.0)))
   }
 
+  test("stateful latest-per-key state survives restart via checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graftstateckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graftstateout").toString
+    val input = MemoryStream[Point]
+
+    def start() = StreamingDedup.latestPerKeyStateful(input.toDF(), "host",
+        "ts", "10 minutes")
+      .writeStream
+      .foreachBatch(StreamingDedup.foreachBatchParquetSink(out) _)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    input.addData(p("h1", 0, 1.0), p("h1", 30, 7.0))
+    q1.processAllAvailable()
+    q1.stop() // process death with h1's latest row in kryo-encoded state
+
+    // restart: watermark advances past h1's horizon -> the flush must
+    // come from CHECKPOINT-recovered state
+    val q2 = start()
+    input.addData(p("h2", 59, 5.0))
+    q2.processAllAvailable()
+    input.addData(p("h2", 59, 5.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(out).select($"host", $"value")
+      .as[(String, Double)].collect().toSet
+    assert(got == Set(("h1", 7.0)))
+  }
+
   test("foreachBatch idempotent parquet sink") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graftsink").toString
