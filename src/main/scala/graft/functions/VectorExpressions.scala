@@ -30,11 +30,12 @@ object VectorExpressions {
     * Rademacher projections packed into a long. Fused loop (plane
     * directions derived per-dimension from splitmix64, no materialized
     * plane matrix); replaces an interpreted zip_with/aggregate chain
-    * evaluated per plane.
+    * evaluated per plane. `planeOffset` selects an independent plane
+    * family — the multi-table LSH recall knob.
     */
-  def lshBucket(vec: Column, planes: Int): Column =
+  def lshBucket(vec: Column, planes: Int, planeOffset: Int = 0): Column =
     ExpressionUtils.column(RademacherLsh(
-      ExpressionUtils.expression(vec), planes))
+      ExpressionUtils.expression(vec), planes, planeOffset))
 
   /** Top-`n` centroid ids by cosine for a vector column, against a
     * centroid matrix carried as a REFERENCE OBJECT (not literal
@@ -146,10 +147,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * deterministic direction on every executor and both sides of any
   * join, with no plane matrix to ship.
   */
-case class RademacherLsh(child: Expression, planes: Int)
-    extends UnaryExpression {
+case class RademacherLsh(child: Expression, planes: Int,
+    planeOffset: Int = 0) extends UnaryExpression {
 
   require(planes > 0 && planes <= 63)
+  require(planeOffset >= 0)
 
   override def dataType: DataType = LongType
 
@@ -170,7 +172,8 @@ case class RademacherLsh(child: Expression, planes: Int)
     val arr = v.asInstanceOf[ArrayData]
     val isFloat = elemType == FloatType
     java.lang.Long.valueOf(
-      RademacherLsh.compute(arr, arr.numElements(), planes, isFloat))
+      RademacherLsh.compute(arr, arr.numElements(), planes, planeOffset,
+        isFloat))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -178,7 +181,7 @@ case class RademacherLsh(child: Expression, planes: Int)
     nullSafeCodeGen(ctx, ev, arr => {
       s"""
          |${ev.value} = graft.functions.RademacherLsh.compute(
-         |  $arr, $arr.numElements(), $planes, $isFloat);
+         |  $arr, $arr.numElements(), $planes, $planeOffset, $isFloat);
        """.stripMargin
     })
   }
@@ -193,7 +196,7 @@ object RademacherLsh {
   private def splitmix(seed0: Long): Long =
     HashCoefficients.splitmix64(seed0)
 
-  def compute(arr: ArrayData, n: Int, planes: Int,
+  def compute(arr: ArrayData, n: Int, planes: Int, planeOffset: Int,
       isFloat: Boolean): Long = {
     var key = 0L
     var p = 0
@@ -202,7 +205,9 @@ object RademacherLsh {
       var j = 0
       while (j < n) {
         val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
-        val sign = if ((splitmix(p * 1000000007L + j) & 1L) == 1L) x else -x
+        val sign =
+          if ((splitmix((p + planeOffset) * 1000000007L + j) & 1L) == 1L) x
+          else -x
         proj += sign
         j += 1
       }

@@ -64,8 +64,8 @@ object Similarity {
     * direction; recomputable on both sides of any join. Fused codegen
     * expression — see [[VectorExpressions.lshBucket]].
     */
-  def lshBucket(vec: Column, planes: Int): Column =
-    VectorExpressions.lshBucket(vec, planes)
+  def lshBucket(vec: Column, planes: Int, planeOffset: Int = 0): Column =
+    VectorExpressions.lshBucket(vec, planes, planeOffset)
 
   /** Candidate pairs via LSH bucket equi-join, scored with exact
     * cosine: (id_a, id_b, cosine), id_a < id_b. Recall can be raised by
@@ -189,22 +189,38 @@ object Similarity {
   }
 
   /** Bucketed ANN top-k: like [[bruteForceTopK]] but each query only
-    * scores corpus vectors in its own LSH bucket — the IVF-style probe
+    * scores corpus vectors sharing an LSH bucket — the IVF-style probe
     * path. Exactness traded for a Σ|bucket|² candidate set.
+    *
+    * `tables` is the standard multi-table LSH recall knob: each table
+    * hashes with an independent plane family (seeded offset), a
+    * candidate matches if it collides in ANY table, and recall grows
+    * as 1-(1-r)^L while per-table precision is unchanged. Duplicate
+    * (query, candidate) collisions across tables are deduplicated
+    * AFTER scoring (score is deterministic), so the bounded top-k
+    * never double-counts a neighbor.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, qidCol: String, k: Int, planes: Int,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, tables: Int = 1): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    def buckets(vec: Column): Column = posexplode(array(
+      (0 until tables).map(t => lshBucket(vec, planes, t * planes)): _*))
     val ck = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cvec"),
-      lshBucket(col(vecCol), planes).as("__bucket"))
+      buckets(col(vecCol)).as(Seq("__tbl", "__bucket")))
     val qk = queries.select(col(qidCol).as("query_id"),
-      col(vecCol).as("__qvec"), lshBucket(col(vecCol), planes).as("__bucket"))
-    ck.join(qk, Seq("__bucket"))
+      col(vecCol).as("__qvec"),
+      buckets(col(vecCol)).as(Seq("__tbl", "__bucket")))
+    val scored = ck.join(qk, Seq("__tbl", "__bucket"))
       .filter(if (excludeSelf) col("__cid") =!= col("query_id")
         else lit(true))
       .select(col("query_id"),
         VectorExpressions.cosine(col("__cvec"), col("__qvec")).as("score"),
         col("__cid"))
+    // single table ⇒ at most one collision per (query, candidate):
+    // skip the dedup exchange entirely
+    val deduped = if (tables == 1) scored else scored.distinct()
+    deduped
       .groupBy(col("query_id"))
       .agg(VectorExpressions.topKByScore(col("score"), col("__cid"), k)
         .as("neighbors"))

@@ -230,6 +230,12 @@ class ExtensionOpsSpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall > 0.05, s"lsh recall $recall too low")
     assert(approx.nonEmpty)
+    // multi-table: table 0 reuses the single-table planes, so its
+    // candidate set is a superset — recall is monotone in L
+    val multi = flatten(Similarity.lshTopK(emb, queries, "vec_id",
+      "embedding", "qid", k = 5, planes = 4, tables = 4))
+    val recallL = (exact & multi).size.toDouble / exact.size
+    assert(recallL >= recall, s"multi-table recall $recallL < single $recall")
   }
 
   test("similarity: ivf with nprobe=nlist is exact; partial probe degrades gracefully") {
