@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions._
+
+/** SQL surface for the custom Catalyst expressions (SURVEY §2.8): an
+  * extensions installer so `spark.sql("SELECT graft_cosine(a, b) ...")`
+  * works anywhere the Column API does — the standard way a library
+  * ships engine extensions:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * `GraftExtensions.install(spark)` registers the same functions on an
+  * already-running session.
+  *
+  * Literal-typed parameters (hash counts, plane counts, shingle k) are
+  * extracted at resolution time and validated — a non-literal argument
+  * fails analysis, not execution.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        GraftExtensions.info(name, usage), builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** Register every graft SQL function on a live session. */
+  def install(spark: SparkSession): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      ColumnBridge.registerFunction(spark, FunctionIdentifier(name),
+        info(name, usage), builder)
+    }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions", null, name, usage, "")
+
+  private def expect(args: Seq[Expression], n: Int, name: String): Unit =
+    require(args.length == n,
+      s"$name expects $n arguments, got ${args.length}")
+
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got ${other.sql}")
+  }
+
+  /** (name, usage, builder) for every exposed function. */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine", "cosine similarity of two float/double arrays",
+      (args: Seq[Expression]) => { expect(args, 2, "graft_cosine")
+        CosineSimilarity(args(0), args(1)) }),
+    ("graft_minhash", "minhash signature: (shingle array, numHashes)",
+      (args: Seq[Expression]) => { expect(args, 2, "graft_minhash")
+        MinHashSignature(args(0), intLit(args(1), "numHashes")) }),
+    ("graft_simhash64", "64-bit simhash of a token array",
+      (args: Seq[Expression]) => { expect(args, 1, "graft_simhash64")
+        SimHash64(args(0)) }),
+    ("graft_shingles", "word k-grams: (text, k)",
+      (args: Seq[Expression]) => { expect(args, 2, "graft_shingles")
+        Shingles(args(0), intLit(args(1), "k")) }),
+    ("graft_lsh_bucket",
+      "hyperplane LSH bucket: (vector, planes[, planeOffset])",
+      (args: Seq[Expression]) => args.length match {
+        case 2 => RademacherLsh(args(0), intLit(args(1), "planes"))
+        case 3 => RademacherLsh(args(0), intLit(args(1), "planes"),
+          intLit(args(2), "planeOffset"))
+        case n => throw new IllegalArgumentException(
+          s"graft_lsh_bucket expects 2 or 3 arguments, got $n")
+      }),
+    ("graft_text_stats",
+      "single-pass text statistics struct (english stopword profile)",
+      (args: Seq[Expression]) => { expect(args, 1, "graft_text_stats")
+        TextStats(args(0), graft.operators.TextOps.langProfiles("en")) }),
+    ("graft_lang_id", "language-ID over the built-in profiles",
+      (args: Seq[Expression]) => { expect(args, 1, "graft_lang_id")
+        LangIdExpr(args(0), graft.operators.TextOps.langProfiles
+          .toSeq.sortBy(_._1).map { case (l, ws) => (l, ws.toVector) }) })
+  )
+}

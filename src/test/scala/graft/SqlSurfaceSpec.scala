@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+import graft.operators.{Dedup, TextOps}
+
+/** The SQL registration surface (§2.8): every graft function callable
+  * from `spark.sql`, equal to its Column-API form.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.install(spark)
+
+  private lazy val docs =
+    spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+
+  test("graft_cosine / graft_lsh_bucket from SQL == Column API") {
+    spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .limit(20).createOrReplaceTempView("emb_sql")
+    val viaSql = spark.sql(
+      """SELECT vec_id, graft_cosine(embedding, embedding) AS c,
+        | graft_lsh_bucket(embedding, 8) AS b,
+        | graft_lsh_bucket(embedding, 8, 8) AS b2
+        |FROM emb_sql""".stripMargin)
+      .as[(Long, Double, Long, Long)].collect().toSeq
+    val viaCol = spark.table("emb_sql").select($"vec_id",
+        VectorExpressions.cosine($"embedding", $"embedding").as("c"),
+        VectorExpressions.lshBucket($"embedding", 8).as("b"),
+        VectorExpressions.lshBucket($"embedding", 8, 8).as("b2"))
+      .as[(Long, Double, Long, Long)].collect().toSeq
+    assert(viaSql == viaCol)
+    // independent plane families actually differ somewhere
+    assert(viaSql.exists(r => r._3 != r._4))
+  }
+
+  test("graft_shingles / graft_minhash / graft_simhash64 / text fns from SQL") {
+    docs.limit(20).createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        | graft_minhash(graft_shingles(text, 5), 16) AS sig,
+        | graft_simhash64(graft_shingles(text, 1)) AS sh,
+        | graft_lang_id(text) AS lang,
+        | graft_text_stats(text).n_tokens AS n_tokens
+        |FROM docs_sql""".stripMargin)
+      .as[(Long, Seq[Long], Long, String, Long)].collect().toSeq
+    val viaCol = spark.table("docs_sql").select($"doc_id",
+        Dedup.minhashSignature(TextOps.shingles($"text", 5), 16).as("sig"),
+        graft.functions.TextExpressions
+          .simhash64(TextOps.shingles($"text", 1)).as("sh"),
+        TextOps.langId($"text").as("lang"),
+        graft.functions.TextStatsExpression
+          .textStats($"text", TextOps.langProfiles("en"))
+          .getField("n_tokens").as("n_tokens"))
+      .as[(Long, Seq[Long], Long, String, Long)].collect().toSeq
+    assert(viaSql == viaCol)
+  }
+
+  test("non-literal parameter fails at analysis, not execution") {
+    docs.limit(5).createOrReplaceTempView("docs_sql2")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(text, doc_id) FROM docs_sql2")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      e.getMessage.contains("k must be"))
+  }
+}
