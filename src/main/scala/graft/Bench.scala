@@ -31,13 +31,19 @@ object Bench {
     // one sustained host stall can't poison all three samples of a query.
     val passes = (1 to 3).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
+        // a failing pass must not contribute its time-to-failure as a
+        // "fast" sample — record it as +inf so min() only ever picks
+        // successful runs; all-failed surfaces as -1 in the JSON
         val t0 = System.nanoTime()
-        try { run(fn, sfDir) } catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { run(fn, sfDir); true }
+          catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9
+          else Double.PositiveInfinity)
       }
     }
     val results = SparkEntry.queries.keys.map { name =>
-      name -> passes.map(_(name)).min
+      val best = passes.map(_(name)).min
+      name -> (if (best.isInfinity) -1.0 else best)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -84,7 +84,7 @@ object GraftExtensions {
         TextStats(args(0), graft.operators.TextOps.langProfiles("en")) }),
     ("graft_lang_id", "language-ID over the built-in profiles",
       (args: Seq[Expression]) => { expect(args, 1, "graft_lang_id")
-        LangIdExpr(args(0), graft.operators.TextOps.langProfiles
-          .toSeq.sortBy(_._1).map { case (l, ws) => (l, ws.toVector) }) })
+        LangIdExpression.expr(args(0),
+          graft.operators.TextOps.langProfiles) })
   )
 }

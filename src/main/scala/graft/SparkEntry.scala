@@ -65,6 +65,45 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  /** The injected-near-dup corpus shared by the minhash pair/dedup
+    * queries: documents plus a shifted-id, suffix-edited copy of the
+    * first 20 docs. ONE definition on each side (Scala here, SQL in
+    * [[nearDupCorpusSql]]) — the oracle ground truth depends on the
+    * two staying identical.
+    */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    docs.unionByName(docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" near dup suffix")).as("text")))
+  }
+
+  private val nearDupCorpusSql: String =
+    """docs AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 1000000 AS doc_id,
+      |   text || ' near dup suffix' AS text
+      | FROM documents WHERE doc_id < 20)""".stripMargin
+
+  /** DuckDB k-shingle expression over a `toks` list column; mirrors
+    * `graft.functions.Shingles` exactly (whitespace tokens, k-grams
+    * joined by ' ', <k tokens ⇒ one all-token shingle, empty ⇒ ['']).
+    * One definition for every shingle-based oracle.
+    */
+  private def shingleSql(k: Int): String =
+    s"""CASE WHEN len(toks) = 0 THEN ['']
+       |   WHEN len(toks) < $k THEN [array_to_string(toks, ' ')]
+       |   ELSE list_transform(range(1, len(toks) - ${k - 2}),
+       |     i -> array_to_string(list_slice(toks, i, i + ${k - 1}), ' ')) END""".stripMargin
+
+  /** `sh` CTE: doc_id → distinct k-shingle set from table/CTE `src`. */
+  private def shingleCteSql(k: Int, src: String): String =
+    s"""sh AS (
+       | SELECT doc_id, list_distinct(${shingleSql(k)}) AS sh
+       | FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+       |   x -> len(x) > 0) AS toks FROM $src) t)""".stripMargin
+
   private val enStop = TextOps.langProfiles("en")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -454,17 +493,13 @@ object SparkEntry {
     }),
 
     "q_minhash_pairs" -> ((s, dir) => {
-      // raw corpus has no near-dups; union a shifted-id near-dup copy of
-      // 20 docs so the operator's full path (sig -> bands -> bucket join
-      // -> verify) runs and returns rows. 32 bands × 2 rows: candidate
+      // raw corpus has no near-dups; the injected-near-dup corpus makes
+      // the operator's full path (sig -> bands -> bucket join ->
+      // verify) run and return rows. 32 bands × 2 rows: candidate
       // probability at jaccard 0.5 is 1-(1-0.25)^32 ≈ 0.9999, so the
       // verified output equals the exact all-pairs oracle on this
       // corpus (exactness asserted by the DuckDB brute-force oracle).
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val near = docs.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" near dup suffix")).as("text"))
-      Dedup.minhashNearDupPairs(docs.unionByName(near), "doc_id", "text",
+      Dedup.minhashNearDupPairs(nearDupCorpus(s, dir), "doc_id", "text",
           numHashes = 64, bands = 32, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
@@ -541,11 +576,7 @@ object SparkEntry {
     // near-dup corpus as q_minhash_pairs, so the exact all-pairs
     // Jaccard oracle determines the surviving id set exactly.
     "q_minhash_dedup" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val near = docs.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" near dup suffix")).as("text"))
-      Dedup.minhashDedup(docs.unionByName(near), "doc_id", "text",
+      Dedup.minhashDedup(nearDupCorpus(s, dir), "doc_id", "text",
           numHashes = 64, bands = 32, threshold = 0.5)
         .select(col("doc_id"))
     }),
@@ -969,21 +1000,9 @@ object SparkEntry {
         |WHERE rank <= 10""".stripMargin,
 
     // survivors = corpus \ higher-id members of exact near-dup pairs
-    "q_minhash_dedup" -> {
-      val shingle = """CASE WHEN len(toks) = 0 THEN ['']
-        |   WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
-        |   ELSE list_transform(range(1, len(toks) - 3),
-        |     i -> array_to_string(list_slice(toks, i, i + 4), ' ')) END""".stripMargin
-      s"""WITH docs AS (
-         | SELECT doc_id, text FROM documents
-         | UNION ALL
-         | SELECT doc_id + 1000000 AS doc_id,
-         |   text || ' near dup suffix' AS text
-         | FROM documents WHERE doc_id < 20),
-         |sh AS (
-         | SELECT doc_id, list_distinct($shingle) AS sh
-         | FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
-         |   x -> len(x) > 0) AS toks FROM docs) t),
+    "q_minhash_dedup" ->
+      s"""WITH $nearDupCorpusSql,
+         |${shingleCteSql(5, "docs")},
          |losers AS (
          | SELECT DISTINCT b.doc_id AS doc_id
          | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -991,20 +1010,12 @@ object SparkEntry {
          |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
          |   >= 0.5)
          |SELECT d.doc_id FROM docs d
-         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
-    },
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
 
     // 3-shingle set Jaccard over explicit consecutive-id pairs; shingle
     // semantics mirror graft.functions.Shingles (see q_minhash_pairs)
-    "q_ngram_jaccard" -> {
-      val shingle = """CASE WHEN len(toks) = 0 THEN ['']
-        |   WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |   ELSE list_transform(range(1, len(toks) - 1),
-        |     i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END""".stripMargin
-      s"""WITH sh AS (
-         | SELECT doc_id, list_distinct($shingle) AS sh
-         | FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
-         |   x -> len(x) > 0) AS toks FROM documents) t)
+    "q_ngram_jaccard" ->
+      s"""WITH ${shingleCteSql(3, "documents")}
          |SELECT p.id_a, p.id_b,
          | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
@@ -1012,8 +1023,7 @@ object SparkEntry {
          |FROM (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
          |  WHERE doc_id < 30) p
          |JOIN sh a ON a.doc_id = p.id_a
-         |JOIN sh b ON b.doc_id = p.id_b""".stripMargin
-    },
+         |JOIN sh b ON b.doc_id = p.id_b""".stripMargin,
 
     // nprobe = nlist probes every list => exact; identical ground truth
     "q_knn_ivf_full" ->
@@ -1046,21 +1056,9 @@ object SparkEntry {
     // Shingle semantics mirror graft.functions.Shingles: whitespace
     // tokens, k-grams joined by ' ', <k tokens => one all-token shingle,
     // empty => [''].
-    "q_minhash_pairs" -> {
-      val shingle = """CASE WHEN len(toks) = 0 THEN ['']
-        |   WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
-        |   ELSE list_transform(range(1, len(toks) - 3),
-        |     i -> array_to_string(list_slice(toks, i, i + 4), ' ')) END""".stripMargin
-      s"""WITH docs AS (
-         | SELECT doc_id, text FROM documents
-         | UNION ALL
-         | SELECT doc_id + 1000000 AS doc_id,
-         |   text || ' near dup suffix' AS text
-         | FROM documents WHERE doc_id < 20),
-         |sh AS (
-         | SELECT doc_id, list_distinct($shingle) AS sh
-         | FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
-         |   x -> len(x) > 0) AS toks FROM docs) t)
+    "q_minhash_pairs" ->
+      s"""WITH $nearDupCorpusSql,
+         |${shingleCteSql(5, "docs")}
          |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
          | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -1068,6 +1066,5 @@ object SparkEntry {
          |   AS jaccard
          | FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
          |WHERE jaccard >= 0.5""".stripMargin
-    }
   )
 }

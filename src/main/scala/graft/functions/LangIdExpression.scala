@@ -23,8 +23,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object LangIdExpression {
   def langId(text: Column, profiles: Map[String, Seq[String]]): Column =
-    ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text),
-      profiles.toSeq.sortBy(_._1).map { case (l, ws) => (l, ws.toVector) }))
+    ColumnBridge.column(expr(ColumnBridge.expression(text), profiles))
+
+  /** The single place the lang-ascending profile normalization lives —
+    * the tie-break contract depends on it, so every construction path
+    * (Column API, SQL registration) must go through here.
+    */
+  def expr(child: Expression,
+      profiles: Map[String, Seq[String]]): Expression =
+    LangIdExpr(child,
+      profiles.toSeq.sortBy(_._1).map { case (l, ws) => (l, ws.toVector) })
 }
 
 case class LangIdExpr(child: Expression,

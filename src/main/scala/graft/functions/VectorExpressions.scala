@@ -292,7 +292,10 @@ object CentroidTopIds {
       c += 1
     }
     // selection of the n best (score desc, id asc): n and nlist are
-    // both small, so the n*nlist scan beats sorting
+    // both small, so the n*nlist scan beats sorting. `best < 0` seeds
+    // the first unused index even when every score is NaN (a NaN in
+    // the input vector must degrade to an arbitrary-but-valid ranking,
+    // not an ArrayIndexOutOfBounds task failure).
     val ids = new Array[Int](n)
     val used = new Array[Boolean](nl)
     var k = 0
@@ -300,7 +303,9 @@ object CentroidTopIds {
       var best = -1; var bs = Double.NegativeInfinity
       var j = 0
       while (j < nl) {
-        if (!used(j) && scores(j) > bs) { bs = scores(j); best = j }
+        if (!used(j) && (best < 0 || scores(j) > bs)) {
+          bs = scores(j); best = j
+        }
         j += 1
       }
       used(best) = true; ids(k) = best; k += 1

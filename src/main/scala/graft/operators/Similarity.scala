@@ -128,7 +128,15 @@ object Similarity {
     val init: Seq[Seq[Float]] = corpus
       .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nlist)
       .collect().map(_.getSeq[Float](1).toSeq).toSeq
+    // corpus smaller than nlist ⇒ fewer centroids than asked: probing
+    // every collected list is then a full scan — degrade to the exact
+    // brute-force path instead of failing plan construction (the
+    // slice-based probe this replaced degraded the same way)
+    if (init.length <= 1)
+      return bruteForceTopK(corpus, queries, idCol, vecCol, qidCol, k,
+        excludeSelf)
     val cents = refineCentroids(corpus, vecCol, init, refineIters)
+    val probeN = math.min(nprobe, cents.length)
 
     val corpusAssigned = corpus.select(col(idCol).as("__cid"),
       col(vecCol).as("__cvec"),
@@ -138,7 +146,7 @@ object Similarity {
 
     val probes = queries.select(col(qidCol).as("query_id"),
         col(vecCol).as("__qvec"),
-        explode(VectorExpressions.centroidTopIds(col(vecCol), cents, nprobe))
+        explode(VectorExpressions.centroidTopIds(col(vecCol), cents, probeN))
           .as("__bucket"))
 
     corpusAssigned.join(probes, Seq("__bucket"))

@@ -50,9 +50,13 @@ object Sinks {
   def writeJdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties = new java.util.Properties()): Unit = {
     // never mutate the caller's Properties; default batchsize only
-    // when the caller didn't choose one
+    // when the caller didn't choose one. Copy via stringPropertyNames,
+    // NOT putAll: putAll ignores a layered `new Properties(defaults)`
+    // chain (the standard place JDBC credentials live)
     val p = new java.util.Properties()
-    p.putAll(props)
+    props.stringPropertyNames().forEach { k =>
+      p.setProperty(k, props.getProperty(k))
+    }
     if (!p.containsKey("batchsize")) p.setProperty("batchsize", "10000")
     df.write.mode("append").jdbc(url, table, p)
   }

@@ -48,7 +48,10 @@ object Tables {
     */
   def bucketed(s: SparkSession, d: String, name: String, key: String,
       buckets: Int): DataFrame = {
-    val table = s"graft_b_${name}_${buckets}_" +
+    // the memo key must cover EVERY layout-determining input — a name
+    // that omitted `key` would silently serve a table bucketed on the
+    // wrong column to the second caller
+    val table = s"graft_b_${name}_${key}_${buckets}_" +
       java.lang.Integer.toHexString(d.hashCode)
     if (!s.catalog.tableExists(table)) {
       // a previous JVM may have left the managed location behind (the

@@ -79,6 +79,13 @@ object StreamingDedup {
     * State is then removed, so total state is bounded by the number of
     * concurrently-active keys, not all keys ever seen. A key that
     * re-appears after eviction starts a fresh state epoch.
+    *
+    * Rows with a null key or null event time are DROPPED at entry (the
+    * completeness-gate rule): a poison row must not crash a query that
+    * replays it from the checkpoint forever. Ties at equal event time
+    * resolve to an arbitrary-but-single row of that timestamp (stream
+    * shuffle order is not deterministic), matching `dropDuplicates`'s
+    * tie behavior rather than the batch forms' tieBreak-column order.
     */
   def latestPerKeyStateful(stream: DataFrame, keyCol: String, tsCol: String,
       horizon: String): DataFrame = {
@@ -93,6 +100,7 @@ object StreamingDedup {
     def tsMs(r: Row): Long = r.getAs[java.sql.Timestamp](tsIdx).getTime
 
     stream
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .withWatermark(tsCol, horizon)
       .groupByKey((r: Row) => r.get(keyIdx).toString)(Encoders.STRING)
       .flatMapGroupsWithState[Row, Row](
@@ -122,6 +130,12 @@ object StreamingDedup {
     * a retried batch REPLACES its partition instead of appending
     * duplicates. The reference's equivalent is the dated backup +
     * manual replay (`load_to_db.py:60-62`).
+    *
+    * Layout contract: `out` must be a fresh directory (or one written
+    * by this sink). Directories written by a root-level append sink
+    * can't be upgraded in place — dynamic overwrite never removes old
+    * root files, and `__batch_id` becomes a partition column
+    * (partition-inferred integer type) rather than a data column.
     */
   def foreachBatchParquetSink(out: String)(df: DataFrame, batchId: Long): Unit =
     df.withColumn("__batch_id", lit(batchId))
