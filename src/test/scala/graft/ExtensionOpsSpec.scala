@@ -264,6 +264,28 @@ class ExtensionOpsSpec extends SparkSpec {
       s"refined recall $recall < unrefined $recall0")
   }
 
+  test("similarity: ivf degrades to exact when corpus is smaller than nlist") {
+    val tiny = emb.filter($"vec_id" < 6)
+    val queries = tiny.select($"vec_id".as("qid"), $"embedding")
+    def flatten(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", explode($"neighbors.id").as("nid"))
+        .as[(Long, Long)].collect().toSet
+    val exact = flatten(Similarity.bruteForceTopK(tiny, queries, "vec_id",
+      "embedding", "qid", k = 3))
+    // nlist/nprobe far beyond the corpus: must not fail plan
+    // construction, and full probing of whatever exists == exact
+    val got = flatten(Similarity.ivfTopK(tiny, queries, "vec_id",
+      "embedding", "qid", k = 3, nlist = 16, nprobe = 16))
+    assert(got == exact)
+    // single-vector corpus degrades to brute force outright — plans
+    // and runs (self excluded => no neighbor rows), no construction
+    // failure
+    val one = emb.filter($"vec_id" === 0)
+    val q1 = one.select($"vec_id".as("qid"), $"embedding")
+    assert(Similarity.ivfTopK(one, q1, "vec_id", "embedding", "qid",
+      k = 3, nlist = 8, nprobe = 8).count() == 0)
+  }
+
   test("multimodal: binary payload round-trip + stub feature extract") {
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f =>

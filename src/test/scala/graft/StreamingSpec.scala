@@ -146,6 +146,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("h1", 1.0), ("h1", 2.0), ("h1", 3.0)))
   }
 
+  test("stateful latest-per-key drops null-key/null-ts rows instead of crashing") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Point]
+    val q = StreamingDedup.latestPerKeyStateful(input.toDF(), "host", "ts",
+        "10 minutes")
+      .writeStream.format("memory").queryName("stateful_nulls")
+      .outputMode("append").start()
+    // null ts and null key are the poison rows a checkpoint would
+    // replay forever if they crashed the stateful operator
+    input.addData(Point("h1", null, 1.0), Point(null, p("h1", 0, 0).ts, 2.0),
+      p("h1", 30, 7.0))
+    q.processAllAvailable()
+    input.addData(p("h3", 59, 9.9))
+    q.processAllAvailable()
+    input.addData(p("h3", 59, 9.9))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stateful_nulls")
+      .select($"host", $"value").as[(String, Double)].collect().toMap
+    assert(got == Map("h1" -> 7.0))
+  }
+
   test("stateful latest-per-key state survives restart via checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graftstateckpt").toString
