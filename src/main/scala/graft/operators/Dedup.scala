@@ -161,6 +161,93 @@ object Dedup {
     out
   }
 
+  /** Stage exploded band keys for a corpus version to parquet — the
+    * cluster-scale form of the in-memory signature persist: the
+    * signature computation is paid ONCE per corpus version, and
+    * incremental dedup of the next batch joins against this table
+    * instead of re-hashing 100 TB of history.
+    *
+    * Layout: (id, band, bucket) partitioned by band — an incoming
+    * batch's bucket probe prunes to its band partitions.
+    */
+  def stageBandKeys(df: DataFrame, idCol: String, textCol: String,
+      path: String, shingleK: Int = 5, numHashes: Int = 64,
+      bands: Int = 16): Unit = {
+    val rows = numHashes / bands
+    df.select(col(idCol).as("id"),
+        posexplode(bandHashes(minhashSignature(
+          TextOps.shingles(col(textCol), shingleK), numHashes),
+          bands, rows)).as(Seq("band", "bucket")))
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+  }
+
+  /** Incremental near-dup pairs: verified pairs TOUCHING the new batch
+    * — (new × staged-history) ∪ (new × new) — without recomputing any
+    * historical signature. `stagedBands` is [[stageBandKeys]] output;
+    * `corpus` must contain the text of every id that can appear in a
+    * pair (history + batch) for the verification join.
+    *
+    * Same bucket-join shape as [[minhashNearDupPairs]]: the only
+    * data-sized exchange keys on (band, bucket), history arrives
+    * pre-hashed from parquet, and verification touches candidate rows
+    * only. Pairs wholly inside history are excluded by construction —
+    * they were reported when their batches arrived.
+    */
+  def minhashNearDupPairsIncremental(newDocs: DataFrame, corpus: DataFrame,
+      stagedBands: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val newBands = newDocs.select(col(idCol).as("id"),
+        posexplode(bandHashes(minhashSignature(
+          TextOps.shingles(col(textCol), shingleK), numHashes),
+          bands, rows)).as(Seq("band", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    newBands.count() // materialize before multi-branch consumption
+
+    val allBands = stagedBands.select("id", "band", "bucket")
+      .unionByName(newBands)
+    // degenerate-bucket guard: counts scan only the narrow staged
+    // (band, bucket) columns, never text. No n>1 requirement here —
+    // a new-side singleton may still pair with history.
+    val dense = allBands.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket)
+      .select("band", "bucket")
+    // candidate = new ⋈ all, normalized to id_a < id_b
+    val a = newBands.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = allBands.join(dense, Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidates.count()
+
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id"))).distinct()
+    val candShingles = corpus
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .select(col("id"),
+        array_distinct(TextOps.shingles(col("__text"), shingleK)).as("sh"))
+    val verified = candidates
+      .join(candShingles.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(candShingles.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+         size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val out = verified.localCheckpoint(true)
+    newBands.unpersist(false)
+    candidates.unpersist(false)
+    out
+  }
+
   /** Drop near-duplicates: keep the min-id representative of each
     * connected pair (single-pass approximation of the connected
     * component: a doc is dropped if any retained smaller-id doc pairs

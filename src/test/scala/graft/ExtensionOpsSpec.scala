@@ -110,6 +110,43 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(deduped.filter($"doc_id" >= 100000).count() == 0)
   }
 
+  test("dedup: incremental minhash == full-run pairs touching the new batch") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val base = docs.select("doc_id", "text")
+    // history = docs 100+; new batch = docs <100 plus near-dups of 10
+    // history docs (cross-epoch pairs) and 5 batch docs (intra-batch)
+    val history = base.filter($"doc_id" >= 100)
+    val crossDups = base.filter($"doc_id" >= 100 && $"doc_id" < 110)
+      .select(($"doc_id" + 2000000).as("doc_id"),
+        concat($"text", lit(" tail")).as("text"))
+    val intraDups = base.filter($"doc_id" < 5)
+      .select(($"doc_id" + 3000000).as("doc_id"),
+        concat($"text", lit(" tail")).as("text"))
+    val batch = base.filter($"doc_id" < 100)
+      .unionByName(crossDups).unionByName(intraDups)
+    val corpus = history.unionByName(batch)
+
+    val staged = java.nio.file.Files.createTempDirectory("graftstage").toString
+    Dedup.stageBandKeys(history, "doc_id", "text", staged,
+      numHashes = 64, bands = 32)
+    val incr = Dedup.minhashNearDupPairsIncremental(batch, corpus,
+        spark.read.parquet(staged), "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+
+    val full = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val batchIds = batch.select($"doc_id").as[Long].collect().toSet
+    val fullTouchingBatch = full.filter { case (x, y) =>
+      batchIds.contains(x) || batchIds.contains(y) }
+
+    assert(incr == fullTouchingBatch)
+    // both pair families actually present
+    assert(incr.exists { case (x, y) => x >= 100 && x < 110 && y >= 2000000 })
+    assert(incr.exists { case (x, y) => x < 5 && y >= 3000000 })
+  }
+
   test("dedup: simhash fingerprint determinism, hamming, blocking") {
     val a = "spark table join filter aggregate window shuffle partition"
     val df = Seq(
