@@ -144,6 +144,33 @@ object SparkEntry {
         .select("user_id", "event_id", "ts", "event_type", "value")
     }),
 
+    // analytic window surface: lag/lead/rank/running aggregate in one
+    // pass — hash exchange on the key + one per-partition sort serves
+    // all four functions
+    "q_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 300)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          row_number().over(w).cast("long").as("rn"),
+          sum(col("value").cast("decimal(18,2)")).over(wRun)
+            .cast("double").as("running_value"))
+    }),
+
+    // global sort: range exchange + per-partition sort (the only
+    // total-order operator; everything else avoids it deliberately)
+    "q_global_sort" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .orderBy(col("value").desc, col("event_id"))
+        .select(col("event_id"), col("user_id"), round(col("value"), 2)
+          .as("value2"))
+    }),
+
     // skew-safe two-phase form; same oracle as the window form — the
     // oracle row IS the equivalence proof
     "q_latest_per_key_salted" -> ((s, dir) => {
@@ -657,6 +684,23 @@ object SparkEntry {
         | SELECT *, row_number() OVER (
         |   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) t WHERE rn = 1""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT user_id, event_id, ts,
+        | lag(value, 1) OVER w AS prev_value,
+        | lead(value, 1) OVER w AS next_value,
+        | CAST(row_number() OVER w AS BIGINT) AS rn,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS running_value
+        |FROM events WHERE user_id < 300
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q_global_sort" ->
+      """SELECT event_id, user_id, round(value, 2) AS value2
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY value DESC, event_id""".stripMargin,
 
     "q_type_route" ->
       """SELECT CASE WHEN lower(p_type) LIKE '%promo%' THEN 'promo'

@@ -70,6 +70,17 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("global sort plans a range exchange; window funcs one hash exchange") {
+    val sorted = SparkEntry.queries("q_global_sort")(spark, dir)
+    val sortedPlan = physical(sorted)
+    assert(sortedPlan.contains("rangepartitioning"), sortedPlan)
+    val wf = SparkEntry.queries("q_window_funcs")(spark, dir)
+    val wfPlan = physical(wf)
+    // all four window functions share one exchange + one sort
+    assert("Exchange hashpartitioning".r.findAllIn(wfPlan).size == 1, wfPlan)
+    assert(wfPlan.contains("Window"), wfPlan)
+  }
+
   test("topK plans TakeOrderedAndProject (no full sort-shuffle)") {
     val df = SparkEntry.queries("q_topk_orders")(spark, dir)
     val plan = physical(df)
