@@ -144,6 +144,29 @@ object SparkEntry {
         .select("user_id", "event_id", "ts", "event_type", "value")
     }),
 
+    // the SQL frontend end-to-end: same engine, declared as SQL text
+    // over registered views (TPC-H Q3 shape) — proves the full parser/
+    // analyzer path, not just the DataFrame DSL
+    "q_sql_shipping_priority" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("g_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT l.l_orderkey,
+          CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+            AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          o.o_orderdate, o.o_orderpriority
+        FROM g_customer c
+        JOIN g_orders o ON c.c_custkey = o.o_custkey
+        JOIN g_lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < DATE '1995-03-15'
+          AND l.l_shipdate > DATE '1995-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+        LIMIT 10""")
+    }),
+
     // analytic window surface: lag/lead/rank/running aggregate in one
     // pass — hash exchange on the key + one per-partition sort serves
     // all four functions
@@ -684,6 +707,21 @@ object SparkEntry {
         | SELECT *, row_number() OVER (
         |   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) t WHERE rn = 1""".stripMargin,
+
+    "q_sql_shipping_priority" ->
+      """SELECT l.l_orderkey,
+        | CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |   AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | o.o_orderdate, o.o_orderpriority
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < DATE '1995-03-15'
+        |  AND l.l_shipdate > DATE '1995-03-15'
+        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+        |LIMIT 10""".stripMargin,
 
     "q_window_funcs" ->
       """SELECT user_id, event_id, ts,
