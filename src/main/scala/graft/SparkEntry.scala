@@ -144,6 +144,24 @@ object SparkEntry {
         .select("user_id", "event_id", "ts", "event_type", "value")
     }),
 
+    // deterministic train/val/test assignment: a pure function of row
+    // identity (md5 bucket), reproducible across runs/engines — the
+    // correctness-critical property rand()-based splits lack
+    "q_split_assign" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        operators.Sampling.splitBucket(col("doc_id"), 100).as("bucket"),
+        operators.Sampling.splitLabel(col("doc_id"),
+          Seq("train" -> 90, "val" -> 5, "test" -> 5)).as("split"))
+    }),
+
+    // C4-style cleaning: control chars -> space, whitespace collapsed,
+    // trimmed; engine-portable semantics proven by the oracle
+    "q_clean_text" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextOps.cleanText(concat(lit("  x\t\ty "), col("text"),
+          lit("\u0001 z  "))).as("cleaned"))
+    }),
+
     // the SQL frontend end-to-end: same engine, declared as SQL text
     // over registered views (TPC-H Q3 shape) — proves the full parser/
     // analyzer path, not just the DataFrame DSL
@@ -707,6 +725,24 @@ object SparkEntry {
         | SELECT *, row_number() OVER (
         |   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) t WHERE rn = 1""".stripMargin,
+
+    "q_split_assign" -> {
+      val bucket =
+        """CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+          |  AS BIGINT) % 100""".stripMargin
+      s"""SELECT doc_id, ($bucket) AS bucket,
+         | CASE WHEN ($bucket) < 90 THEN 'train'
+         |   WHEN ($bucket) < 95 THEN 'val'
+         |   ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    },
+
+    "q_clean_text" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(
+        |   '  x' || chr(9) || chr(9) || 'y ' || text || chr(1) || ' z  ',
+        |   '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned
+        |FROM documents""".stripMargin,
 
     "q_sql_shipping_priority" ->
       """SELECT l.l_orderkey,

@@ -118,6 +118,15 @@ object TextOps {
       .otherwise("und")
   }
 
+  /** C4-style text normalization: control characters → space,
+    * whitespace runs collapsed, trimmed. Pure codegen'd regexp — the
+    * cleaning pass runs at scan throughput; engine-portable semantics
+    * (ASCII control class, `\s` runs) so it oracles exactly.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\p{Cntrl}]", " "), "\\s+", " "))
+
   /** k-shingles (word n-grams): the standard unit for near-dup
     * detection. Fused single-pass codegen expression
     * ([[graft.functions.Shingles]]) — the composable

@@ -48,6 +48,32 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got == samples.map(_._2))
   }
 
+  test("sampling: deterministic split is stable, partitioned, and proportional") {
+    import graft.operators.Sampling
+    val a = docs.select($"doc_id",
+      Sampling.splitLabel($"doc_id",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5)).as("split"))
+      .as[(Long, String)].collect().toMap
+    val b = docs.select($"doc_id",
+      Sampling.splitLabel($"doc_id",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5)).as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(a == b)                       // identical across runs
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    val train = a.values.count(_ == "train")
+    assert(train > 400 && train < 490, s"train=$train of ${a.size}")
+    // deterministic sample is a stable subset
+    val s10 = Sampling.deterministicSample(docs, "doc_id", 10)
+      .select($"doc_id").as[Long].collect().toSet
+    val s10b = Sampling.deterministicSample(docs, "doc_id", 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s10 == s10b && s10.size > 20 && s10.size < 100)
+    // pct subsets nest: 10% ⊆ 20%
+    val s20 = Sampling.deterministicSample(docs, "doc_id", 20)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s10.subsetOf(s20))
+  }
+
   test("text: fused langId == builtin langId on the corpus + edge cases") {
     val edge = Seq("", "   ", "the der el le 的",
       "the the the", "der der der").toDF("text")
