@@ -154,6 +154,17 @@ object SparkEntry {
           Seq("train" -> 90, "val" -> 5, "test" -> 5)).as("split"))
     }),
 
+    // token-budget sharding: pack docs into ~5000-token shards in id
+    // order — training-shard sizing by content, not row count
+    "q_shard_by_budget" -> ((s, dir) => {
+      val weighted = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      operators.Sampling.shardByBudget(weighted, "doc_id", "n_tokens",
+          budget = 5000L)
+        .select(col("doc_id"), col("n_tokens"), col("shard"))
+    }),
+
     // C4-style cleaning: control chars -> space, whitespace collapsed,
     // trimmed; engine-portable semantics proven by the oracle
     "q_clean_text" -> ((s, dir) => {
@@ -735,6 +746,16 @@ object SparkEntry {
          |   WHEN ($bucket) < 95 THEN 'val'
          |   ELSE 'test' END AS split
          |FROM documents""".stripMargin
+    },
+
+    "q_shard_by_budget" -> {
+      val toks = """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
+      s"""SELECT doc_id, n_tokens,
+         | CAST(floor(COALESCE(sum(n_tokens) OVER (
+         |   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |   AND 1 PRECEDING), 0) / 5000) AS BIGINT) AS shard
+         |FROM (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM documents) t""".stripMargin
     },
 
     "q_clean_text" ->

@@ -40,4 +40,29 @@ object Sampling {
     */
   def deterministicSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(splitBucket(col(idCol), 100) < pct)
+
+  /** Pack rows into shards of ~`budget` units (token counts, bytes) in
+    * `orderCol` order: shard = floor(running-sum-before-this-row /
+    * budget) — the standard way a curation pipeline sizes training
+    * shards so each downstream file holds a comparable token count
+    * rather than a comparable document count.
+    *
+    * One global window (single partition) is deliberate and documented:
+    * shard assignment is a prefix-sum, inherently sequential in the
+    * chosen order. At 100 TB the order key is usually a composite
+    * (bucket, intra-bucket order) so the window partitions by bucket —
+    * pass `partitionCols` for that form; with partitions the prefix sum
+    * parallelizes per partition.
+    */
+  def shardByBudget(df: DataFrame, orderCol: String, weightCol: String,
+      budget: Long, partitionCols: Seq[String] = Nil): DataFrame = {
+    val w0 = if (partitionCols.isEmpty)
+      org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+    else org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = w0.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("shard",
+      floor(coalesce(sum(col(weightCol)).over(w), lit(0L)) / budget))
+  }
 }
