@@ -122,35 +122,9 @@ object Dedup {
       .select("id_a", "id_b").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Exact-Jaccard verification touches only candidate documents:
-    // semi-join the corpus down to candidate ids FIRST, then compute
-    // shingle sets for just those rows. Avoids materializing
-    // per-document shingle arrays corpus-wide (at 100 TB that cache
-    // would be ~5x the text itself). The id set is broadcast only while
-    // it is provably driver-small (candidates is persisted, so the
-    // count is a cheap cached action); a boilerplate-heavy corpus that
-    // floods past `broadcastCandidateLimit` pairs falls back to a
-    // shuffle semi-join instead of OOMing the driver.
     val nCandidates = candidates.count()
-    val candIds = candidates.select(col("id_a").as("id"))
-      .union(candidates.select(col("id_b").as("id"))).distinct()
-    val candIdsSized =
-      if (nCandidates <= broadcastCandidateLimit) broadcast(candIds)
-      else candIds
-    val candShingles = df
-      .select(col(idCol).as("id"), col(textCol).as("__text"))
-      .join(candIdsSized, Seq("id"), "left_semi")
-      .select(col("id"),
-        array_distinct(TextOps.shingles(col("__text"), shingleK)).as("sh"))
-    val withSets = candidates
-      .join(candShingles.select(col("id").as("id_a"), col("sh").as("sh_a")),
-        Seq("id_a"))
-      .join(candShingles.select(col("id").as("id_b"), col("sh").as("sh_b")),
-        Seq("id_b"))
-    val verified = withSets.select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-         size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val verified = verifyCandidatePairs(candidates, df, idCol, textCol,
+      shingleK, threshold, broadcastCandidateLimit, nCandidates)
     // materialize the (small, LSH-pruned) result eagerly so the two
     // intermediate persists can be released now instead of leaking
     // across a long-lived session; the cluster-scale form of this is a
@@ -161,23 +135,73 @@ object Dedup {
     out
   }
 
+  /** Exploded (id, band, bucket) band-key rows — the single definition
+    * of the signature layout shared by staging and the incremental
+    * probe (a drift here silently empties the bucket join).
+    */
+  private def bandKeyRows(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    df.select(col(idCol).as("id"),
+      posexplode(bandHashes(minhashSignature(
+        TextOps.shingles(col(textCol), shingleK), numHashes),
+        bands, rows)).as(Seq("band", "bucket")))
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs: the
+    * corpus is semi-joined down to candidate ids FIRST, then shingle
+    * sets are computed for just those rows — per-document shingle
+    * arrays are never materialized corpus-wide (at 100 TB that cache
+    * would be ~5x the text itself). The id set is broadcast only while
+    * provably driver-small; a boilerplate-heavy corpus that floods
+    * past `broadcastCandidateLimit` pairs falls back to a shuffle
+    * semi-join instead of OOMing the driver.
+    */
+  private def verifyCandidatePairs(candidates: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, shingleK: Int, threshold: Double,
+      broadcastCandidateLimit: Long, nCandidates: Long): DataFrame = {
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id"))).distinct()
+    val candIdsSized =
+      if (nCandidates <= broadcastCandidateLimit) broadcast(candIds)
+      else candIds
+    val candShingles = corpus
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(candIdsSized, Seq("id"), "left_semi")
+      .select(col("id"),
+        array_distinct(TextOps.shingles(col("__text"), shingleK)).as("sh"))
+    candidates
+      .join(candShingles.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(candShingles.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+         size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Stage exploded band keys for a corpus version to parquet — the
     * cluster-scale form of the in-memory signature persist: the
     * signature computation is paid ONCE per corpus version, and
     * incremental dedup of the next batch joins against this table
     * instead of re-hashing 100 TB of history.
     *
-    * Layout: (id, band, bucket) partitioned by band — an incoming
-    * batch's bucket probe prunes to its band partitions.
+    * Layout: (id, band, bucket, shingle_k, num_hashes, bands)
+    * partitioned by band — an incoming batch's bucket probe prunes to
+    * its band partitions. The hash parameters ride along as constant
+    * columns (RLE-compressed to nothing) so the incremental probe can
+    * REFUSE mismatched parameters instead of silently joining buckets
+    * hashed under a different scheme (which would miss every
+    * cross-epoch near-dup with no error).
     */
   def stageBandKeys(df: DataFrame, idCol: String, textCol: String,
       path: String, shingleK: Int = 5, numHashes: Int = 64,
       bands: Int = 16): Unit = {
-    val rows = numHashes / bands
-    df.select(col(idCol).as("id"),
-        posexplode(bandHashes(minhashSignature(
-          TextOps.shingles(col(textCol), shingleK), numHashes),
-          bands, rows)).as(Seq("band", "bucket")))
+    bandKeyRows(df, idCol, textCol, shingleK, numHashes, bands)
+      .withColumn("shingle_k", lit(shingleK))
+      .withColumn("num_hashes", lit(numHashes))
+      .withColumn("bands", lit(bands))
       .write.mode("overwrite").partitionBy("band").parquet(path)
   }
 
@@ -196,12 +220,22 @@ object Dedup {
   def minhashNearDupPairsIncremental(newDocs: DataFrame, corpus: DataFrame,
       stagedBands: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
-    val rows = numHashes / bands
-    val newBands = newDocs.select(col(idCol).as("id"),
-        posexplode(bandHashes(minhashSignature(
-          TextOps.shingles(col(textCol), shingleK), numHashes),
-          bands, rows)).as(Seq("band", "bucket")))
+      threshold: Double = 0.8, maxBucket: Int = 1000,
+      broadcastCandidateLimit: Long = 1000000L): DataFrame = {
+    // refuse parameter drift against the staged metadata columns: a
+    // mismatched band scheme would silently miss every cross-epoch pair
+    if (stagedBands.columns.contains("num_hashes")) {
+      stagedBands.select("shingle_k", "num_hashes", "bands").head(1)
+        .foreach { r =>
+          require(r.getInt(0) == shingleK && r.getInt(1) == numHashes &&
+            r.getInt(2) == bands,
+            s"staged band keys were built with (shingleK=${r.getInt(0)}, " +
+            s"numHashes=${r.getInt(1)}, bands=${r.getInt(2)}) but the " +
+            s"probe uses ($shingleK, $numHashes, $bands)")
+        }
+    }
+    val newBands = bandKeyRows(newDocs, idCol, textCol, shingleK,
+        numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     newBands.count() // materialize before multi-branch consumption
 
@@ -224,24 +258,10 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidates.count()
+    val nCandidates = candidates.count()
 
-    val candIds = candidates.select(col("id_a").as("id"))
-      .union(candidates.select(col("id_b").as("id"))).distinct()
-    val candShingles = corpus
-      .select(col(idCol).as("id"), col(textCol).as("__text"))
-      .join(broadcast(candIds), Seq("id"), "left_semi")
-      .select(col("id"),
-        array_distinct(TextOps.shingles(col("__text"), shingleK)).as("sh"))
-    val verified = candidates
-      .join(candShingles.select(col("id").as("id_a"), col("sh").as("sh_a")),
-        Seq("id_a"))
-      .join(candShingles.select(col("id").as("id_b"), col("sh").as("sh_b")),
-        Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-         size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val verified = verifyCandidatePairs(candidates, corpus, idCol, textCol,
+      shingleK, threshold, broadcastCandidateLimit, nCandidates)
     val out = verified.localCheckpoint(true)
     newBands.unpersist(false)
     candidates.unpersist(false)

@@ -171,6 +171,14 @@ class ExtensionOpsSpec extends SparkSpec {
     // both pair families actually present
     assert(incr.exists { case (x, y) => x >= 100 && x < 110 && y >= 2000000 })
     assert(incr.exists { case (x, y) => x < 5 && y >= 3000000 })
+    // parameter drift against the staged scheme is refused, not
+    // silently joined into an empty pair set
+    val drift = intercept[IllegalArgumentException] {
+      Dedup.minhashNearDupPairsIncremental(batch, corpus,
+        spark.read.parquet(staged), "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.5)
+    }
+    assert(drift.getMessage.contains("staged band keys"))
   }
 
   test("dedup: simhash fingerprint determinism, hamming, blocking") {
