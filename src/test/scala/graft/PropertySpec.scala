@@ -63,6 +63,40 @@ class PropertySpec extends SparkSpec {
     assert(remaining.size == curOnly.size)
   }
 
+  test("as-of join == driver-side per-probe scan on random data") {
+    // random probes/builds over few keys with heavy ts collisions —
+    // the regime where the tagged-union window form could mis-order
+    val keys = Seq("k1", "k2", "k3")
+    val gen = Gen.zip(Gen.oneOf(keys), Gen.chooseNum(0, 50))
+    val probeRows = Gen.listOfN(120, gen).sample.get.zipWithIndex
+      .map { case ((k, t), i) => (k, t.toLong, i.toLong) }
+    val buildRows = Gen.listOfN(80, gen).sample.get.zipWithIndex
+      .map { case ((k, t), i) => (k, t.toLong, (1000 + i).toLong) }
+    val probe = probeRows.toDF("k", "ts", "probe_id")
+    val build = buildRows.toDF("k", "ts", "build_id")
+
+    val got = Relational.asOfJoin(probe, build, Seq("k"), "ts")
+      .select($"probe_id", $"build_id")
+      .as[(Long, Option[Long])].collect().toMap
+
+    // expected: for each probe, the build row with the max ts <= probe
+    // ts on the same key; among equal build ts the LAST in event order
+    // is carried (the window's last() over ties) — assert the carried
+    // ts matches, and the id is any build with that (k, ts)
+    val buildByKey = buildRows.groupBy(_._1)
+    probeRows.foreach { case (k, pts, pid) =>
+      val eligible = buildByKey.getOrElse(k, Nil).filter(_._2 <= pts)
+      if (eligible.isEmpty) {
+        assert(got(pid).isEmpty, s"probe $pid expected no match")
+      } else {
+        val bestTs = eligible.map(_._2).max
+        val okIds = eligible.filter(_._2 == bestTs).map(_._3).toSet
+        assert(got(pid).exists(okIds.contains),
+          s"probe $pid: got ${got(pid)}, expected one of $okIds (ts=$bestTs)")
+      }
+    }
+  }
+
   test("F8 pivot + melt round-trip preserves values") {
     val keys = Seq("m1", "m2", "m3")
     val rows = Gen.listOfN(80, Gen.listOfN(3,
