@@ -144,6 +144,31 @@ object SparkEntry {
         .select("user_id", "event_id", "ts", "event_type", "value")
     }),
 
+    // per-key anomaly scoring (the monitoring domain's bread and
+    // butter): z-score every event against its user's mean/stddev —
+    // one grouped aggregate broadcast back onto the stream, flag |z|>2.
+    // Moments via exact decimal sums (order-independent), then IEEE
+    // double arithmetic — bit-identical across engines, so the
+    // boundary membership hash-matches.
+    "q_zscore_outliers" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val stats = ev.groupBy(col("user_id"))
+        .agg(
+          sum(col("value").cast("decimal(28,10)")).cast("double").as("__s1"),
+          sum((col("value") * col("value")).cast("decimal(28,10)"))
+            .cast("double").as("__s2"),
+          count(lit(1)).cast("double").as("__n"))
+        .filter(col("__n") >= 5)
+      val mu = col("__s1") / col("__n")
+      val sigma = sqrt(col("__s2") / col("__n") - mu * mu)
+      val z = (col("value") - mu) / sigma
+      ev.join(broadcast(stats), Seq("user_id"))
+        .filter(sigma > 0 && abs(z) > 2)
+        .select(col("event_id"), col("user_id"), round(z, 4).as("z"))
+    }),
+
     // deterministic train/val/test assignment: a pure function of row
     // identity (md5 bucket), reproducible across runs/engines — the
     // correctness-critical property rand()-based splits lack
@@ -623,6 +648,16 @@ object SparkEntry {
           col("nb.id").as("neighbor_id"))
     }),
 
+    // int8 scalar quantization of the embedding column: per-vector
+    // scale + codes, bit-portable arithmetic (floor(x*scale+0.5)) so
+    // the codes hash-match the oracle; codes projected to a string
+    // (array cells crash the comparator)
+    "q_quantize_embedding" -> ((s, dir) => {
+      Similarity.withQuantizedInt8(Tables.embeddings(s, dir), "embedding")
+        .select(col("vec_id"), round(col("q_scale"), 6).as("q_scale"),
+          concat_ws(",", col("q_codes").cast("array<string>")).as("codes"))
+    }),
+
     "q_neardup_embedding" -> ((s, dir) => {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id",
           "embedding", threshold = 0.2, planes = 4)
@@ -736,6 +771,36 @@ object SparkEntry {
         | SELECT *, row_number() OVER (
         |   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) t WHERE rn = 1""".stripMargin,
+
+    "q_quantize_embedding" ->
+      """SELECT vec_id,
+        | round(CASE WHEN m = 0 THEN 0.0 ELSE 127.0 / m END, 6) AS q_scale,
+        | array_to_string(list_transform(v,
+        |   x -> CAST(CAST(floor(x * (CASE WHEN m = 0 THEN 0.0
+        |     ELSE 127.0 / m END) + 0.5) AS INTEGER) AS VARCHAR)), ',')
+        |   AS codes
+        |FROM (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> abs(x)), 'max') AS m
+        | FROM embeddings) t""".stripMargin,
+
+    "q_zscore_outliers" ->
+      """WITH stats AS (
+        | SELECT user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2,
+        |  CAST(count(*) AS DOUBLE) AS n
+        | FROM events WHERE value IS NOT NULL
+        | GROUP BY user_id HAVING count(*) >= 5)
+        |SELECT e.event_id, e.user_id,
+        | round((e.value - s.s1 / s.n) /
+        |   sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 4) AS z
+        |FROM events e JOIN stats s ON e.user_id = s.user_id
+        |WHERE e.value IS NOT NULL
+        |  AND sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) > 0
+        |  AND abs((e.value - s.s1 / s.n) /
+        |    sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))) > 2""".stripMargin,
 
     "q_split_assign" -> {
       val bucket =

@@ -24,6 +24,49 @@ import graft.functions.VectorExpressions
   */
 object Similarity {
 
+  /** L2-normalize a vector column. Two-step projection on purpose: the
+    * norm is computed ONCE into its own column and the per-element
+    * lambda references that attribute — embedding the norm expression
+    * inside the lambda would re-evaluate the full reduction per
+    * element (the interpreted-HOF trap).
+    */
+  def withL2Normalized(df: DataFrame, vecCol: String,
+      outCol: String): DataFrame = {
+    val norm = sqrt(aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    df.withColumn("__norm", norm)
+      .withColumn(outCol,
+        when(col("__norm") === 0, col(vecCol).cast("array<double>"))
+          .otherwise(transform(col(vecCol),
+            x => x.cast("double") / col("__norm"))))
+      .drop("__norm")
+  }
+
+  /** Symmetric int8 scalar quantization: per-vector scale = 127/max|x|,
+    * q_i = floor(x_i·scale + 0.5). floor(+0.5) rather than round():
+    * half-rounding conventions differ across engines, floor is
+    * bit-portable — the quantized codes hash-match any engine
+    * computing the same formula. Adds (scale, int codes); dequantize
+    * error is bounded by 0.5/scale per element.
+    */
+  def withQuantizedInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val maxAbs = aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    df.withColumn("__maxabs", maxAbs)
+      .withColumn("q_scale",
+        when(col("__maxabs") === 0, 0.0)
+          .otherwise(lit(127.0) / col("__maxabs")))
+      .withColumn("q_codes",
+        transform(col(vecCol), x =>
+          floor(x.cast("double") * col("q_scale") + 0.5).cast("int")))
+      .drop("__maxabs")
+  }
+
+  /** Inverse of [[withQuantizedInt8]]: x̂_i = q_i / scale. */
+  def dequantizeInt8(codes: Column, scale: Column): Column =
+    when(scale === 0, transform(codes, _ => lit(0.0d)))
+      .otherwise(transform(codes, q => q.cast("double") / scale))
+
   /** Reference-implementation cosine via built-ins (zip_with +
     * aggregate). Interpreted lambdas — correct everywhere, used as the
     * differential check for the codegen'd expression.

@@ -233,6 +233,28 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(self.forall(v => math.abs(v - 1.0) < 1e-9))
   }
 
+  test("similarity: l2-normalize unit norms; int8 quantize error bounded") {
+    val n = Similarity.withL2Normalized(emb.limit(50), "embedding", "nvec")
+    val norms = n.select(
+      sqrt(aggregate($"nvec", lit(0.0d), (a, x) => a + x * x)).as("nn"))
+      .as[Double].collect()
+    assert(norms.forall(v => math.abs(v - 1.0) < 1e-9))
+
+    val q = Similarity.withQuantizedInt8(emb.limit(50), "embedding")
+    val errOk = q.select($"embedding", $"q_scale",
+        Similarity.dequantizeInt8($"q_codes", $"q_scale").as("deq"))
+      .as[(Seq[Float], Double, Seq[Double])].collect()
+      .forall { case (orig, scale, deq) =>
+        val bound = 0.5 / scale + 1e-12
+        orig.zip(deq).forall { case (o, d) => math.abs(o - d) <= bound }
+      }
+    assert(errOk)
+    // codes fit int8 range
+    val inRange = q.select($"q_codes").as[Seq[Int]].collect()
+      .forall(_.forall(c => c >= -128 && c <= 127))
+    assert(inRange)
+  }
+
   test("similarity: centroidTopIds == driver-side cosine ranking") {
     val cents: Seq[Seq[Float]] = emb.orderBy($"vec_id").limit(6)
       .select($"embedding").as[Seq[Float]].collect().toSeq
