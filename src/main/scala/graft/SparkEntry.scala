@@ -144,6 +144,25 @@ object SparkEntry {
         .select("user_id", "event_id", "ts", "event_type", "value")
     }),
 
+    // full outer reconciliation: activity per user ⟗ the customer dim —
+    // rows for silent customers AND for events whose user is unknown
+    "q_full_outer" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      perUser.join(cust, Seq("user_id"), "full_outer")
+        .select(col("user_id"), col("n_events"), col("c_mktsegment"))
+    }),
+
+    // set intersection on the key domain
+    "q_intersect" -> ((s, dir) => {
+      Tables.events(s, dir).select(col("user_id")).distinct()
+        .intersect(Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "HOUSEHOLD")
+          .select(col("c_custkey").as("user_id")))
+    }),
+
     // per-key anomaly scoring (the monitoring domain's bread and
     // butter): z-score every event against its user's mean/stddev —
     // one grouped aggregate broadcast back onto the stream, flag |z|>2.
@@ -765,6 +784,20 @@ object SparkEntry {
         | SELECT *, row_number() OVER (
         |   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) t WHERE rn = 1""".stripMargin,
+
+    "q_full_outer" ->
+      """SELECT COALESCE(e.user_id, c.user_id) AS user_id,
+        | e.n_events, c.c_mktsegment
+        |FROM (SELECT user_id, count(*) AS n_events FROM events
+        |  GROUP BY user_id) e
+        |FULL OUTER JOIN (SELECT c_custkey AS user_id, c_mktsegment
+        |  FROM customer) c ON e.user_id = c.user_id""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT DISTINCT user_id FROM events
+        |INTERSECT
+        |SELECT c_custkey AS user_id FROM customer
+        |WHERE c_mktsegment = 'HOUSEHOLD'""".stripMargin,
 
     "q_latest_per_key_salted" ->
       """SELECT user_id, event_id, ts, event_type, value FROM (
