@@ -155,9 +155,10 @@ object SparkEntry {
         .select(col("user_id"), col("n_events"), col("c_mktsegment"))
     }),
 
-    // set intersection on the key domain
+    // set intersection on the key domain (intersect already has set
+    // semantics — no pre-distinct pass)
     "q_intersect" -> ((s, dir) => {
-      Tables.events(s, dir).select(col("user_id")).distinct()
+      Tables.events(s, dir).select(col("user_id"))
         .intersect(Tables.customer(s, dir)
           .filter(col("c_mktsegment") === "HOUSEHOLD")
           .select(col("c_custkey").as("user_id")))
@@ -181,10 +182,15 @@ object SparkEntry {
           count(lit(1)).cast("double").as("__n"))
         .filter(col("__n") >= 5)
       val mu = col("__s1") / col("__n")
-      val sigma = sqrt(col("__s2") / col("__n") - mu * mu)
-      val z = (col("value") - mu) / sigma
+      // clamp at 0: constant-valued groups round the moment difference
+      // a few ulps NEGATIVE (s2/n exact, mu*mu not) — sqrt of that is
+      // NaN here and an error in the oracle; the guard must sit on the
+      // VARIANCE (NaN compares greater-than in Spark, so a sigma > 0
+      // guard would pass garbage through)
+      val variance = greatest(col("__s2") / col("__n") - mu * mu, lit(0.0))
+      val z = (col("value") - mu) / sqrt(variance)
       ev.join(broadcast(stats), Seq("user_id"))
-        .filter(sigma > 0 && abs(z) > 2)
+        .filter(variance > 0 && abs(z) > 2)
         .select(col("event_id"), col("user_id"), round(z, 4).as("z"))
     }),
 
@@ -794,7 +800,7 @@ object SparkEntry {
         |  FROM customer) c ON e.user_id = c.user_id""".stripMargin,
 
     "q_intersect" ->
-      """SELECT DISTINCT user_id FROM events
+      """SELECT user_id FROM events
         |INTERSECT
         |SELECT c_custkey AS user_id FROM customer
         |WHERE c_mktsegment = 'HOUSEHOLD'""".stripMargin,
@@ -814,10 +820,13 @@ object SparkEntry {
         |   AS codes
         |FROM (
         | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |  list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
-        |    x -> abs(x)), 'max') AS m
+        |  COALESCE(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> abs(x)), 'max'), 0) AS m
         | FROM embeddings) t""".stripMargin,
 
+    // variance clamped at 0 (matching the Spark side): a constant
+    // group's moment difference rounds ulps-negative and sqrt of that
+    // ERRORS in DuckDB
     "q_zscore_outliers" ->
       """WITH stats AS (
         | SELECT user_id,
@@ -825,15 +834,16 @@ object SparkEntry {
         |  CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2,
         |  CAST(count(*) AS DOUBLE) AS n
         | FROM events WHERE value IS NOT NULL
-        | GROUP BY user_id HAVING count(*) >= 5)
+        | GROUP BY user_id HAVING count(*) >= 5),
+        |v AS (
+        | SELECT user_id, s1 / n AS mu,
+        |  greatest(s2 / n - (s1 / n) * (s1 / n), 0) AS var
+        | FROM stats)
         |SELECT e.event_id, e.user_id,
-        | round((e.value - s.s1 / s.n) /
-        |   sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 4) AS z
-        |FROM events e JOIN stats s ON e.user_id = s.user_id
-        |WHERE e.value IS NOT NULL
-        |  AND sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) > 0
-        |  AND abs((e.value - s.s1 / s.n) /
-        |    sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))) > 2""".stripMargin,
+        | round((e.value - v.mu) / sqrt(v.var), 4) AS z
+        |FROM events e JOIN v ON e.user_id = v.user_id
+        |WHERE e.value IS NOT NULL AND v.var > 0
+        |  AND abs((e.value - v.mu) / sqrt(v.var)) > 2""".stripMargin,
 
     "q_split_assign" -> {
       val bucket =

@@ -32,6 +32,8 @@ object Similarity {
     */
   def withL2Normalized(df: DataFrame, vecCol: String,
       outCol: String): DataFrame = {
+    require(!df.columns.contains("__norm") && !df.columns.contains(outCol),
+      s"input already has a __norm or $outCol column")
     val norm = sqrt(aggregate(col(vecCol), lit(0.0d),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
     df.withColumn("__norm", norm)
@@ -50,6 +52,9 @@ object Similarity {
     * error is bounded by 0.5/scale per element.
     */
   def withQuantizedInt8(df: DataFrame, vecCol: String): DataFrame = {
+    require(Seq("__maxabs", "q_scale", "q_codes")
+      .forall(c => !df.columns.contains(c)),
+      "input already has a __maxabs/q_scale/q_codes column")
     val maxAbs = aggregate(col(vecCol), lit(0.0d),
       (acc, x) => greatest(acc, abs(x.cast("double"))))
     df.withColumn("__maxabs", maxAbs)

@@ -75,9 +75,14 @@ class PropertySpec extends SparkSpec {
     val probe = probeRows.toDF("k", "ts", "probe_id")
     val build = buildRows.toDF("k", "ts", "build_id")
 
-    val got = Relational.asOfJoin(probe, build, Seq("k"), "ts")
+    val gotRows = Relational.asOfJoin(probe, build, Seq("k"), "ts")
       .select($"probe_id", $"build_id")
-      .as[(Long, Option[Long])].collect().toMap
+      .as[(Long, Option[Long])].collect()
+    // exactly one output row per probe — duplicates would vanish in
+    // the map below and pass silently
+    assert(gotRows.length == probeRows.size,
+      s"expected ${probeRows.size} rows, got ${gotRows.length}")
+    val got = gotRows.toMap
 
     // expected: for each probe, the build row with the max ts <= probe
     // ts on the same key; among equal build ts the LAST in event order
