@@ -166,10 +166,12 @@ object SparkEntry {
 
     // per-key anomaly scoring (the monitoring domain's bread and
     // butter): z-score every event against its user's mean/stddev —
-    // one grouped aggregate broadcast back onto the stream, flag |z|>2.
+    // one grouped aggregate joined back onto the stream, flag |z|>2.
     // Moments via exact decimal sums (order-independent), then IEEE
     // double arithmetic — bit-identical across engines, so the
-    // boundary membership hash-matches.
+    // boundary membership hash-matches. No broadcast hint: stats
+    // cardinality = number of active keys, unbounded at scale — AQE
+    // picks broadcast while the build side fits and sort-merge after.
     "q_zscore_outliers" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .filter(col("value").isNotNull)
@@ -189,7 +191,7 @@ object SparkEntry {
       // guard would pass garbage through)
       val variance = greatest(col("__s2") / col("__n") - mu * mu, lit(0.0))
       val z = (col("value") - mu) / sqrt(variance)
-      ev.join(broadcast(stats), Seq("user_id"))
+      ev.join(stats, Seq("user_id"))
         .filter(variance > 0 && abs(z) > 2)
         .select(col("event_id"), col("user_id"), round(z, 4).as("z"))
     }),

@@ -47,22 +47,86 @@ object Sampling {
     * shards so each downstream file holds a comparable token count
     * rather than a comparable document count.
     *
-    * One global window (single partition) is deliberate and documented:
-    * shard assignment is a prefix-sum, inherently sequential in the
-    * chosen order. At 100 TB the order key is usually a composite
-    * (bucket, intra-bucket order) so the window partitions by bucket —
-    * pass `partitionCols` for that form; with partitions the prefix sum
-    * parallelizes per partition.
+    * A prefix sum is inherently sequential in the chosen order, but it
+    * is NOT inherently single-task: the global form runs a distributed
+    * two-pass prefix sum — (1) range-partition on the order key and sum
+    * each partition's weight (one tiny row per partition), (2) collect
+    * those partials to the driver, fold them into per-partition starting
+    * offsets, and (3) assign shards map-side as
+    * floor((offset(partition) + running-sum-within-partition) / budget).
+    * The only single-point work is the fold over numPartitions partial
+    * sums on the driver — O(partitions), not O(rows) — so the plan holds
+    * at 100 TB where a global `Window.orderBy` (one task sorting the
+    * whole corpus) dies.
+    *
+    * With `partitionCols` the prefix sum restarts per partition value
+    * (independent shard numbering per bucket) — a different, also
+    * useful, semantics; that form parallelizes via the window itself.
+    *
+    * The range-partitioned frame is persisted: the per-partition totals
+    * and the final pass MUST see identical partition boundaries (range
+    * sampling re-draws per job otherwise). At cluster scale the
+    * equivalent barrier is a parquet staging write; persist is the
+    * local-mode stand-in. Project `df` to the columns you need before
+    * calling — the persist and the pid shuffle carry every column.
     */
   def shardByBudget(df: DataFrame, orderCol: String, weightCol: String,
       budget: Long, partitionCols: Seq[String] = Nil): DataFrame = {
-    val w0 = if (partitionCols.isEmpty)
-      org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
-    else org.apache.spark.sql.expressions.Window
-      .partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
-    val w = w0.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.withColumn("shard",
-      floor(coalesce(sum(col(weightCol)).over(w), lit(0L)) / budget))
+    import org.apache.spark.sql.expressions.Window
+    if (partitionCols.nonEmpty) {
+      val w = Window.partitionBy(partitionCols.map(col): _*)
+        .orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("shard",
+        floor(coalesce(sum(col(weightCol)).over(w), lit(0L)) / budget))
+    } else {
+      val pid = "_graft_shard_pid"
+      val run = "_graft_shard_run"
+      val integral = df.schema(weightCol).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+      val ranged = df
+        .repartitionByRange(col(orderCol))
+        .withColumn(pid, spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pass 1: one (pid, partial-sum) row per partition — tiny
+      val partials = ranged.groupBy(col(pid))
+        .agg(sum(col(weightCol)).as("_w"))
+        .collect()
+        .sortBy(_.getInt(0))
+      // driver-side fold into exclusive starting offsets, O(partitions)
+      val offsetCol: Column =
+        if (integral) {
+          var acc = 0L
+          val offsets = partials.map { r =>
+            val entry = r.getInt(0) -> acc
+            if (!r.isNullAt(1)) acc += r.getLong(1)
+            entry
+          }.toMap
+          if (offsets.isEmpty) lit(0L)
+          else coalesce(try_element_at(typedLit(offsets), col(pid)), lit(0L))
+        } else {
+          var acc = 0.0
+          val offsets = partials.map { r =>
+            val entry = r.getInt(0) -> acc
+            if (!r.isNullAt(1)) acc += r.getDouble(1)
+            entry
+          }.toMap
+          if (offsets.isEmpty) lit(0.0)
+          else coalesce(try_element_at(typedLit(offsets), col(pid)), lit(0.0))
+        }
+      // pass 2: running sum restarts per range partition (parallel),
+      // global position = partition offset + local running sum
+      val w = Window.partitionBy(col(pid)).orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ranged
+        .withColumn(run, coalesce(sum(col(weightCol)).over(w), lit(0L)))
+        .withColumn("shard", floor((offsetCol + col(run)) / budget))
+        .drop(pid, run)
+    }
   }
 }

@@ -107,6 +107,31 @@ class PlanSpec extends SparkSpec {
       s"dedup semi-join should broadcast:\n$plan")
   }
 
+  test("shardByBudget plans no single-partition window (distributed prefix sum)") {
+    // the round-2 form ran the whole corpus through one global
+    // Window.orderBy task; the oracled query must now take the
+    // two-pass path: every window in the plan is partitioned
+    val df = SparkEntry.queries("q_shard_by_budget")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected a per-partition running-sum window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window survives:\n${df.queryExecution.optimizedPlan}")
+  }
+
+  test("zscore join is not hint-pinned: SMJ when stats exceed broadcast threshold") {
+    // stats cardinality grows with the key domain — the join must be
+    // free to leave broadcast at scale (AQE picks BHJ while it fits)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q_zscore_outliers")(spark, dir)
+      val plan = physical(df)
+      assert(plan.contains("SortMergeJoin"),
+        s"stats join should degrade to SMJ without broadcast room:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("whole-stage codegen covers the scalar pipeline") {
     val df = SparkEntry.queries("q_doc_stats")(spark, dir)
     val plan = physical(df)

@@ -52,6 +52,23 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"salted form should not plan a window:\n$plan")
   }
 
+  test("shardByBudget distributed prefix sum equals a sequential scan") {
+    import graft.operators.Sampling
+    val docs = spark.range(0, 1000).select(
+      format_string("doc%04d", $"id").as("doc_id"),
+      (($"id" * 131 % 997) + 1).as("w"))
+    val got = Sampling.shardByBudget(docs, "doc_id", "w", budget = 5000L)
+      .select($"doc_id", $"shard").as[(String, Long)].collect().toMap
+    // driver-side sequential reference: running sum BEFORE each row
+    val rows = docs.select($"doc_id", $"w").as[(String, Long)]
+      .collect().sortBy(_._1)
+    var acc = 0L
+    val want = rows.map { case (d, w) =>
+      val s = acc / 5000L; acc += w; d -> s
+    }.toMap
+    assert(got == want)
+  }
+
   test("bucketed tables join without any exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graftwh").toString
     val s = spark
