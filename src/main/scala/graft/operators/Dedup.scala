@@ -223,16 +223,26 @@ object Dedup {
       threshold: Double = 0.8, maxBucket: Int = 1000,
       broadcastCandidateLimit: Long = 1000000L): DataFrame = {
     // refuse parameter drift against the staged metadata columns: a
-    // mismatched band scheme would silently miss every cross-epoch pair
+    // mismatched band scheme would silently miss every cross-epoch pair.
+    // Validate ALL distinct parameter tuples, not a sampled head row —
+    // a staged path that accumulated two epochs' schemes must also be
+    // refused, or whichever epoch the sample missed silently drops its
+    // cross-epoch pairs. The distinct scans three RLE'd constant
+    // columns — metadata cost, not a data scan.
     if (stagedBands.columns.contains("num_hashes")) {
-      stagedBands.select("shingle_k", "num_hashes", "bands").head(1)
-        .foreach { r =>
-          require(r.getInt(0) == shingleK && r.getInt(1) == numHashes &&
-            r.getInt(2) == bands,
-            s"staged band keys were built with (shingleK=${r.getInt(0)}, " +
-            s"numHashes=${r.getInt(1)}, bands=${r.getInt(2)}) but the " +
-            s"probe uses ($shingleK, $numHashes, $bands)")
-        }
+      val schemes = stagedBands.select("shingle_k", "num_hashes", "bands")
+        .distinct().collect()
+      require(schemes.length <= 1,
+        s"staged band keys mix ${schemes.length} parameter schemes " +
+          s"(${schemes.map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+            .mkString(", ")}) — restage under one scheme")
+      schemes.foreach { r =>
+        require(r.getInt(0) == shingleK && r.getInt(1) == numHashes &&
+          r.getInt(2) == bands,
+          s"staged band keys were built with (shingleK=${r.getInt(0)}, " +
+          s"numHashes=${r.getInt(1)}, bands=${r.getInt(2)}) but the " +
+          s"probe uses ($shingleK, $numHashes, $bands)")
+      }
     }
     val newBands = bandKeyRows(newDocs, idCol, textCol, shingleK,
         numHashes, bands)

@@ -234,8 +234,17 @@ object Similarity {
           (1 until dim).map(i =>
             avg(element_at(col("__vec"), i + 1)).as(s"m$i")): _*)
         .collect()
-        .map(r => r.getAs[Int]("__b") ->
-          (0 until dim).map(i => r.getDouble(i + 1).toFloat))
+        // a dimension's mean can be null (null elements, or ragged
+        // vectors shorter than `dim` under try-semantics): keep the
+        // previous centroid component rather than NPE mid-refinement,
+        // mirroring the empty-list fallback below
+        .map { r =>
+          val b = r.getAs[Int]("__b")
+          b -> (0 until dim).map { i =>
+            if (r.isNullAt(i + 1)) cents(b)(i)
+            else r.getDouble(i + 1).toFloat
+          }
+        }
         .toMap
       cents = cents.zipWithIndex.map { case (old, j) =>
         means.getOrElse(j, old)

@@ -50,9 +50,13 @@ object Tables {
       buckets: Int): DataFrame = {
     // the memo key must cover EVERY layout-determining input — a name
     // that omitted `key` would silently serve a table bucketed on the
-    // wrong column to the second caller
-    val table = s"graft_b_${name}_${key}_${buckets}_" +
-      java.lang.Integer.toHexString(d.hashCode)
+    // wrong column to the second caller. The dir is encoded as 64 bits
+    // of its sha-256: a 32-bit String.hashCode collision between two
+    // dirs would silently serve one scale factor's data for another
+    val dirTag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(8)
+      .map(b => f"${b & 0xff}%02x").mkString
+    val table = s"graft_b_${name}_${key}_${buckets}_$dirTag"
     if (!s.catalog.tableExists(table)) {
       // a previous JVM may have left the managed location behind (the
       // in-memory catalog dies with the session; its files do not)

@@ -92,12 +92,33 @@ object StreamingDedup {
     val schema = stream.schema
     val keyIdx = schema.fieldIndex(keyCol)
     val tsIdx = schema.fieldIndex(tsCol)
+    // fail fast at construction: a wrong-typed event-time column must
+    // not become a ClassCastException inside the stateful function,
+    // where the failing batch replays from the checkpoint forever
+    schema(tsIdx).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => ()
+      case dt => throw new IllegalArgumentException(
+        s"latestPerKeyStateful: event-time column '$tsCol' must be a " +
+          s"timestamp, got ${dt.simpleString}")
+    }
     val rowEnc: Encoder[Row] = Encoders.row(schema)
     // state is one Row — kryo, since two implicit Encoder[Row] would
     // be ambiguous and the state payload never crosses a SQL boundary
     val stateEnc: Encoder[Row] = Encoders.kryo[Row]
 
-    def tsMs(r: Row): Long = r.getAs[java.sql.Timestamp](tsIdx).getTime
+    // the JVM value backing a timestamp cell varies with session conf:
+    // java.sql.Timestamp classically, java.time.Instant under
+    // datetimeJava8API, java.time.LocalDateTime for TIMESTAMP_NTZ —
+    // extract epoch millis tolerantly instead of hard-casting
+    def tsMs(r: Row): Long = r.get(tsIdx) match {
+      case t: java.sql.Timestamp     => t.getTime
+      case i: java.time.Instant      => i.toEpochMilli
+      case l: java.time.LocalDateTime =>
+        l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case other => throw new IllegalStateException(
+        s"unsupported event-time value ${other.getClass.getName}")
+    }
 
     stream
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)

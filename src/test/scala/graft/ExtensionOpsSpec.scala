@@ -179,6 +179,19 @@ class ExtensionOpsSpec extends SparkSpec {
         numHashes = 64, bands = 16, threshold = 0.5)
     }
     assert(drift.getMessage.contains("staged band keys"))
+    // a staged path that accumulated TWO epochs' schemes is refused
+    // even when the probe matches one of them — a head-sampled guard
+    // would pass and silently miss the other epoch's pairs
+    val staged2 = java.nio.file.Files.createTempDirectory("graftstage2").toString
+    Dedup.stageBandKeys(history, "doc_id", "text", staged2,
+      numHashes = 64, bands = 16)
+    val mixed = spark.read.parquet(staged)
+      .unionByName(spark.read.parquet(staged2))
+    val mixedDrift = intercept[IllegalArgumentException] {
+      Dedup.minhashNearDupPairsIncremental(batch, corpus, mixed,
+        "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.5)
+    }
+    assert(mixedDrift.getMessage.contains("parameter schemes"))
   }
 
   test("dedup: simhash fingerprint determinism, hamming, blocking") {
