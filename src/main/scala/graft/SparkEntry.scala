@@ -613,9 +613,7 @@ object SparkEntry {
 
     "q_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
-        concat_ws(",",
-          TextOps.fingerprint(col("text"), 3, 8).cast("array<string>"))
-          .as("fp"))
+        concat_ws(",", TextOps.fingerprint(col("text"), 3, 8)).as("fp"))
     }),
 
     "q_langid" -> ((s, dir) => {
@@ -874,6 +872,23 @@ object SparkEntry {
         |   '  x' || chr(9) || chr(9) || 'y ' || text || chr(1) || ' z  ',
         |   '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned
         |FROM documents""".stripMargin,
+
+    // winnowing fingerprint reconstructed shingle-by-shingle: whitespace
+    // tokens, k=3 word-grams joined by single spaces (< 3 tokens -> one
+    // whole-text shingle, zero tokens -> the empty string), md5 each,
+    // distinct, sort, keep the 8 smallest — fixed-width lowercase hex
+    // sorts identically in both engines
+    "q_fingerprint" -> {
+      val toks = """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
+      s"""SELECT doc_id,
+         | array_to_string(list_slice(list_sort(list_distinct(
+         |   CASE WHEN len(toks) < 3
+         |     THEN [md5(array_to_string(toks, ' '))]
+         |     ELSE list_transform(range(1, len(toks) - 1),
+         |       i -> md5(array_to_string(toks[i:i+2], ' ')))
+         |   END)), 1, 8), ',') AS fp
+         |FROM (SELECT doc_id, $toks AS toks FROM documents) t""".stripMargin
+    },
 
     "q_sql_shipping_priority" ->
       """SELECT l.l_orderkey,

@@ -135,12 +135,17 @@ object TextOps {
   def shingles(text: Column, k: Int): Column =
     graft.functions.TextExpressions.shingles(text, k)
 
-  /** Rolling-hash document fingerprint (winnowing-style): hash every
-    * k-shingle, keep the `keep` smallest hashes as the document's
-    * signature. Robust to local edits; signature comparison is a set
-    * intersection. Deterministic (xxhash64 with fixed seed).
+  /** Document fingerprint (winnowing-style): hash every k-shingle,
+    * keep the `keep` smallest hashes as the document's signature.
+    * Robust to local edits; signature comparison is a set
+    * intersection. md5 hex as the shingle hash — same winnowing
+    * semantics as a 64-bit rolling hash (any uniform deterministic
+    * hash works; min-selection only needs a total order, and
+    * fixed-width lowercase hex sorts identically everywhere), but
+    * ANSI-expressible, so the whole operator is oracle-checkable
+    * against an independent engine.
     */
   def fingerprint(text: Column, k: Int, keep: Int): Column =
     slice(array_sort(array_distinct(
-      transform(shingles(text, k), s => xxhash64(s)))), 1, keep)
+      transform(shingles(text, k), s => md5(s)))), 1, keep)
 }

@@ -91,7 +91,7 @@ class ExtensionOpsSpec extends SparkSpec {
     val edited = base + " zz"   // edit at the end
     val df = Seq(base, edited).toDF("text")
       .select(TextOps.fingerprint($"text", 3, 5).as("fp"))
-    val Array(f1, f2) = df.as[Seq[Long]].collect()
+    val Array(f1, f2) = df.as[Seq[String]].collect()
     assert(f1.size == 5 && f2.size == 5)
     assert(f1.intersect(f2).size >= 3) // local edit keeps most mins
     val sh = Seq("a b c d").toDF("t")
