@@ -689,6 +689,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }),
 
+    // exact variant (q_knn_ivf_full pattern): planes = 0 degenerates
+    // the LSH bucket join to a provably lossless all-pairs candidate
+    // set at verify SF, so the exact-cosine verification step — the
+    // part that decides pair membership — is hash-proven end to end
+    "q_neardup_embedding_full" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id",
+          "embedding", threshold = 0.2, planes = 0)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+    }),
+
     "q_media_features" -> ((s, dir) => {
       val media = Multimodal.fromBinary(Tables.documents(s, dir),
         "doc_id", "text", "text/plain")
@@ -1245,6 +1255,24 @@ object SparkEntry {
          |  greatest(($s_en), ($s_de), ($s_es), ($s_fr), ($s_zh)) AS g
          | FROM documents) t""".stripMargin
     },
+
+    // all-pairs exact-cosine near-dup membership: the DuckDB side
+    // mirrors the engine's CosineSimilarity loop exactly — sequential
+    // double accumulation in element order, dot / (sqrt(na) * sqrt(nb))
+    // — so the rounded score and the 0.2 boundary membership both
+    // hash-match
+    "q_neardup_embedding_full" ->
+      """WITH e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(range(1, len(a.v) + 1),
+        |    i -> a.v[i] * b.v[i])) AS dot,
+        |  sqrt(list_sum(list_transform(a.v, x -> x * x))) AS na,
+        |  sqrt(list_sum(list_transform(b.v, x -> x * x))) AS nb
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(dot / (na * nb), 4) AS cosine
+        |FROM p WHERE dot / (na * nb) >= 0.2""".stripMargin,
 
     // exact brute-force cosine top-k: same double accumulation (DOUBLE[]
     // cast), same ordering (score desc, id asc), same self-exclusion —

@@ -118,11 +118,19 @@ object Similarity {
   /** Candidate pairs via LSH bucket equi-join, scored with exact
     * cosine: (id_a, id_b, cosine), id_a < id_b. Recall can be raised by
     * lowering `planes` (coarser buckets) at quadratic-bucket cost.
+    * `planes = 0` is the exact degenerate mode — one bucket, so the
+    * equi-join IS the all-pairs join and candidate generation is
+    * provably lossless (the `nprobe = nlist` trick for LSH): the
+    * oracle-proof configuration at verify scale; real corpora run with
+    * planes > 0.
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
       planes: Int): DataFrame = {
+    require(planes >= 0, "planes must be >= 0 (0 = exact single-bucket)")
+    val bucketKey =
+      if (planes == 0) lit(0L) else lshBucket(col(vecCol), planes)
     val keyed = df.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
-      lshBucket(col(vecCol), planes).as("__bucket"))
+      bucketKey.as("__bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize before the self-join consumes it from two branches
     // at once (cache-fill race computes partitions twice)
