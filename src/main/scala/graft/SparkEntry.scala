@@ -730,6 +730,17 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // transitive-closure survivor rule: min-id representative per
+    // connected component of the verified pair graph (the
+    // corpus-curation semantics; the greedy rule above can keep chain
+    // members whose only neighbors were themselves dropped). Oracle =
+    // DuckDB recursive CTE computing the same closure.
+    "q_minhash_dedup_cc" -> ((s, dir) => {
+      Dedup.minhashDedupComponents(nearDupCorpus(s, dir), "doc_id", "text",
+          numHashes = 64, bands = 32, threshold = 0.5)
+        .select(col("doc_id"))
+    }),
+
     // the exact pairwise verifier standalone: explicit (consecutive-id)
     // pair list, 3-shingle set Jaccard — fully ANSI-expressible, so the
     // verification arithmetic shared by the whole near-dup family gets
@@ -1303,6 +1314,29 @@ object SparkEntry {
          |   >= 0.5)
          |SELECT d.doc_id FROM docs d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+
+    // closure dedup: min-id representative per connected component of
+    // the exact verified pair graph, via recursive min-propagation
+    // (reach holds every (node, reachable-label) pair; components here
+    // are small dup clusters, so the closure is tiny)
+    "q_minhash_dedup_cc" ->
+      s"""WITH RECURSIVE $nearDupCorpusSql,
+         |${shingleCteSql(5, "docs")},
+         |pairs AS (
+         | SELECT a.doc_id AS u, b.doc_id AS v
+         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |   >= 0.5),
+         |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+         |reach(id, r) AS (
+         | SELECT DISTINCT u, u FROM edges
+         | UNION
+         | SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |SELECT d.doc_id FROM docs d
+         |WHERE NOT EXISTS (SELECT 1 FROM comp c
+         |  WHERE c.id = d.doc_id AND c.component <> d.doc_id)""".stripMargin,
 
     // 3-shingle set Jaccard over explicit consecutive-id pairs; shingle
     // semantics mirror graft.functions.Shingles (see q_minhash_pairs)

@@ -292,6 +292,88 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Connected components of the undirected pair graph by iterated
+    * min-label propagation: every node starts labeled with itself;
+    * each round re-labels to the minimum of its own and its neighbors'
+    * labels; fixpoint = every node carries its component's minimum id.
+    * Returns (id, component) for every node that appears in a pair.
+    *
+    * Scale shape: a round is one groupBy-min plus one join over the
+    * NARROW (src, dst) edge list — no per-node neighbor collection, so
+    * a hot node (boilerplate matched by millions) costs an aggregate,
+    * not a giant array. Rounds = graph diameter; near-dup components
+    * are quasi-cliques (every member pairs with most others), so the
+    * fixpoint lands in 2–3 rounds in practice. For adversarially long
+    * chains the alternating large-star/small-star formulation cuts
+    * rounds to O(log d) at the price of edge-set rewrites per round —
+    * the documented escalation path, not the default.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIters: Int = 50): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(lvl)
+    sym.count() // materialize before per-round multi-branch reuse
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist(lvl)
+    labels.count()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      it += 1
+      val nbMin = sym
+        .join(labels.select(col("id").as("dst"),
+          col("component").as("__nc")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("__nc")).as("__nbMin"))
+      val next = labels
+        .join(nbMin, Seq("id"), "left")
+        .select(col("id"), least(col("component"),
+          coalesce(col("__nbMin"), col("component"))).as("component"))
+        .persist(lvl)
+      val changed = next.join(
+          labels.select(col("id"), col("component").as("__old")), Seq("id"))
+        .filter(col("component") =!= col("__old")).count()
+      labels.unpersist(false)
+      labels = next
+      converged = changed == 0
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds")
+    val out = labels.localCheckpoint(true)
+    labels.unpersist(false)
+    sym.unpersist(false)
+    out
+  }
+
+  /** Drop near-duplicates by TRANSITIVE closure: one survivor (the
+    * minimum id) per connected component of the pair graph. This is
+    * the corpus-curation semantics — a dup chain A~B~C is one content
+    * cluster even when A≁C directly — versus [[minhashDedup]]'s greedy
+    * single-pass rule, which keeps any doc with no smaller direct
+    * neighbor (so a chain 1~2, 2~0 keeps {0, 1}; the closure keeps
+    * {0}). Docs in no pair survive untouched.
+    */
+  def dedupByComponents(df: DataFrame, idCol: String, pairs: DataFrame)
+      : DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[minhashDedup]]'s pipeline with [[dedupByComponents]]'s
+    * connected-components survivor rule.
+    */
+  def minhashDedupComponents(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame =
+    dedupByComponents(df, idCol,
+      minhashNearDupPairs(df, idCol, textCol, shingleK, numHashes, bands,
+        threshold))
+
   /** 64-bit SimHash over the token multiset: per token hash, add ±1 to
     * each of 64 bit planes, sign gives the bit. Whole computation is
     * higher-order array expressions (aggregate + zip_with) — codegen'd,

@@ -194,6 +194,34 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(mixedDrift.getMessage.contains("parameter schemes"))
   }
 
+  test("dedup: connected-components closure vs greedy on a chain") {
+    // chain 1~2, 2~0 (A~B~C with A≁C): one component, min id 0
+    val pairs = Seq((0L, 2L), (1L, 2L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+    val corpus9 = Seq(0L, 1L, 2L, 9L).toDF("doc_id")
+    val closure = Dedup.dedupByComponents(corpus9, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(closure == Set(0L, 9L))
+    // greedy rule (minhashDedup's): drop any id that pairs with a
+    // smaller one — keeps 1 (its only neighbor, 2, is larger), so the
+    // two semantics genuinely differ on chains
+    val greedy = corpus9.join(
+        pairs.select($"id_b".as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .as[Long].collect().toSet
+    assert(greedy == Set(0L, 1L, 9L) && greedy != closure)
+    // long chain exercises multi-round propagation (diameter 5); a
+    // disjoint pair proves components do not bleed into each other
+    val chain = Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L), (0L, 1L),
+      (10L, 11L)).toDF("id_a", "id_b")
+    val chainComp = Dedup.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(chainComp ==
+      ((0 to 5).map(_.toLong -> 0L) ++ Seq(10L -> 10L, 11L -> 10L)).toMap)
+  }
+
   test("dedup: simhash fingerprint determinism, hamming, blocking") {
     val a = "spark table join filter aggregate window shuffle partition"
     val df = Seq(
