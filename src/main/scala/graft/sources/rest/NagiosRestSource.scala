@@ -31,11 +31,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`extract.py:71`) — filters are evaluated at the source, not after
   * ingestion.
   *
-  * Transport: zero-egress environment, so a "request" reads
+  * Transport: a [[RestTransport]] seam — one "request" = `fetch(url,
+  * params)` returning a status + body, selected by the `transportClass`
+  * option and wrapped in [[RestTransport.guarded]], which models the
+  * reference's request contract: per-attempt timeout
+  * (`url...py:50`, timeout=30), `raise_for_status` (`url...py:51`) with
+  * 4xx failing FAST (a client error cannot succeed on retry), and
+  * bounded exponential-backoff retry for 5xx/IO/timeout. The default
+  * [[FileTransport]] reads
   * `$endpointDir/rrdexport__<host>__<service>.json` (the same document
-  * the HTTP GET would return). A production build swaps
-  * [[RestPartitionReader.fetchBody]] for a pooled HTTP client; nothing
-  * else changes.
+  * the HTTP GET would return — zero-egress environment); a production
+  * build swaps in a pooled-HTTP `RestTransport` and nothing else
+  * changes. Options: `transportClass`, `maxRetries` (default 3),
+  * `timeoutMs` (default 30000), `backoffMs` (default 100).
   *
   * Output schema: (host_name, service_name, epoch long, values
   * array<string>) — the normalized form consumed by
@@ -51,8 +59,115 @@ class NagiosRestSource extends TableProvider
     NagiosRestSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new RestTable(properties.get("endpointDir"))
+      properties: util.Map[String, String]): Table = {
+    def opt(k: String): Option[String] =
+      Option(properties.get(k)).orElse(Option(properties.get(k.toLowerCase)))
+    new RestTable(properties.get("endpointDir"), RestTransportConf(
+      opt("transportClass").getOrElse(classOf[FileTransport].getName),
+      opt("maxRetries").map(_.toInt).getOrElse(3),
+      opt("timeoutMs").map(_.toLong).getOrElse(30000L),
+      opt("backoffMs").map(_.toLong).getOrElse(100L)))
+  }
+}
+
+/** Per-request transport policy, shipped inside every input partition
+  * (plain primitives — java-serializable to executors).
+  */
+case class RestTransportConf(transportClass: String, maxRetries: Int,
+    timeoutMs: Long, backoffMs: Long)
+
+/** One request attempt. Implementations must have a zero-arg
+  * constructor (instantiated by class name on the executor) and should
+  * treat `params` as the query string (host, service, start bound).
+  * Status/retry/timeout policy lives OUTSIDE the transport, in
+  * [[RestTransport.guarded]] — an HTTP implementation only maps
+  * (url, params) to a response.
+  */
+trait RestTransport extends Serializable {
+  def fetch(url: String, params: Map[String, String]): RestResponse
+}
+
+final case class RestResponse(status: Int, body: String)
+
+/** Thrown by the guard; `retryable = false` marks a 4xx fast-fail. */
+class RestRequestException(msg: String, val retryable: Boolean,
+    cause: Throwable = null) extends RuntimeException(msg, cause)
+
+/** Default zero-egress transport: the "GET" reads the endpoint doc the
+  * real API would have returned. A missing doc surfaces as an
+  * IOException → retried, then fails the task (matching a dead
+  * endpoint).
+  */
+class FileTransport extends RestTransport {
+  override def fetch(url: String, params: Map[String, String]): RestResponse =
+    RestResponse(200, new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(url)), "UTF-8"))
+}
+
+object RestTransport {
+
+  /** The reference's request contract around any transport
+    * (`url...py:49-51`): per-attempt deadline, raise_for_status, and
+    * bounded retry. 2xx returns the body; 4xx throws immediately
+    * (fail fast — retrying a client error cannot help, and hammering
+    * the API hides the config bug); 5xx, IOException, and deadline
+    * overruns retry up to `maxRetries` with exponential backoff.
+    */
+  def guarded(base: RestTransport, url: String,
+      params: Map[String, String], conf: RestTransportConf): String = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= conf.maxRetries) {
+      if (attempt > 0 && conf.backoffMs > 0)
+        Thread.sleep(conf.backoffMs * (1L << math.min(attempt - 1, 6)))
+      try {
+        val resp = fetchWithDeadline(base, url, params, conf.timeoutMs)
+        if (resp.status >= 200 && resp.status < 300) return resp.body
+        else if (resp.status >= 400 && resp.status < 500)
+          throw new RestRequestException(
+            s"$url returned client error ${resp.status}", retryable = false)
+        else lastErr = new RestRequestException(
+          s"$url returned ${resp.status}", retryable = true)
+      } catch {
+        case e: RestRequestException if !e.retryable => throw e
+        case e: Exception => lastErr = e
+      }
+      attempt += 1
+    }
+    throw new RestRequestException(
+      s"$url failed after ${conf.maxRetries + 1} attempts: " +
+        s"${lastErr.getMessage}", retryable = true, lastErr)
+  }
+
+  /** Hard per-attempt deadline even for transports that cannot enforce
+    * one internally: run the fetch on a daemon thread, cancel past the
+    * deadline. An HTTP transport additionally passes the timeout to its
+    * client (connect/read), making this the outer bound.
+    */
+  private def fetchWithDeadline(base: RestTransport, url: String,
+      params: Map[String, String], timeoutMs: Long): RestResponse = {
+    val ex = java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-rest-fetch"); t.setDaemon(true); t
+      })
+    try {
+      val fut = ex.submit(new java.util.concurrent.Callable[RestResponse] {
+        override def call(): RestResponse = base.fetch(url, params)
+      })
+      try fut.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          fut.cancel(true)
+          throw new java.io.IOException(
+            s"request timed out after $timeoutMs ms")
+        case e: java.util.concurrent.ExecutionException =>
+          e.getCause match {
+            case c: Exception => throw c
+            case _ => throw e
+          }
+      }
+    } finally ex.shutdownNow()
+  }
 }
 
 object NagiosRestSource {
@@ -67,21 +182,22 @@ object NagiosRestSource {
     s"rrdexport__${host}__${service}.json"
 }
 
-class RestTable(endpointDir: String) extends Table with SupportsRead {
+class RestTable(endpointDir: String, conf: RestTransportConf)
+    extends Table with SupportsRead {
   override def name(): String = s"nagios-rest($endpointDir)"
   override def schema(): StructType = NagiosRestSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RestScanBuilder(endpointDir)
+    new RestScanBuilder(endpointDir, conf)
 }
 
 /** Pushdown: equality/IN on host_name & service_name prune fetch
   * tasks; `epoch >= ts` becomes the start parameter. Everything else
   * stays for Spark to evaluate (returned from pushFilters).
   */
-class RestScanBuilder(endpointDir: String) extends ScanBuilder
-    with SupportsPushDownFilters {
+class RestScanBuilder(endpointDir: String, conf: RestTransportConf)
+    extends ScanBuilder with SupportsPushDownFilters {
 
   private var hosts: Option[Set[String]] = None
   private var services: Option[Set[String]] = None
@@ -122,12 +238,13 @@ class RestScanBuilder(endpointDir: String) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new RestScan(endpointDir, hosts, services, startEpoch, pushed)
+    new RestScan(endpointDir, hosts, services, startEpoch, pushed, conf)
 }
 
 class RestScan(endpointDir: String, hosts: Option[Set[String]],
     services: Option[Set[String]], startEpoch: Option[Long],
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], conf: RestTransportConf)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = NagiosRestSource.schema
   override def toBatch: Batch = this
@@ -149,7 +266,7 @@ class RestScan(endpointDir: String, hosts: Option[Set[String]],
             if hosts.forall(_.contains(host)) &&
                services.forall(_.contains(service)) =>
           Some(RestInputPartition(host, service, f.getAbsolutePath,
-            startEpoch): InputPartition)
+            startEpoch, conf): InputPartition)
         case _ => None
       }
     }
@@ -160,22 +277,28 @@ class RestScan(endpointDir: String, hosts: Option[Set[String]],
 }
 
 case class RestInputPartition(host: String, service: String, path: String,
-    startEpoch: Option[Long]) extends InputPartition
+    startEpoch: Option[Long], conf: RestTransportConf)
+    extends InputPartition
 
 class RestReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new RestPartitionReader(p.asInstanceOf[RestInputPartition])
 }
 
-/** One "API call": read + parse the response document, emit one row per
-  * data point at or after the start bound.
+/** One "API call": fetch + parse the response document through the
+  * guarded transport, emit one row per data point at or after the
+  * start bound.
   */
 class RestPartitionReader(part: RestInputPartition)
     extends PartitionReader[InternalRow] {
 
-  protected def fetchBody(): String =
-    new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(part.path)), "UTF-8")
+  protected def fetchBody(): String = {
+    val transport = Class.forName(part.conf.transportClass)
+      .getDeclaredConstructor().newInstance().asInstanceOf[RestTransport]
+    val params = Map("host" -> part.host, "service" -> part.service) ++
+      part.startEpoch.map(s => "start" -> s.toString)
+    RestTransport.guarded(transport, part.path, params, part.conf)
+  }
 
   private lazy val rows: Iterator[InternalRow] = {
     val mapper = new ObjectMapper()

@@ -2,6 +2,46 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.pipelines.HostMetrics
+import graft.sources.rest.{FileTransport, RestResponse, RestTransport}
+
+/** Transport doubles for the retry/status-guard contract. Top-level
+  * classes with zero-arg constructors — the reader instantiates them by
+  * class name on the (local-mode, same-JVM) executor; static counters
+  * observe the attempt history.
+  */
+class Flaky503Transport extends RestTransport {
+  override def fetch(url: String, params: Map[String, String]): RestResponse = {
+    val n = Flaky503Transport.attempts.incrementAndGet()
+    // the request carries the reference's query params
+    assert(params.contains("host") && params.contains("service"))
+    if (n <= 2) RestResponse(503, "busy")
+    else new FileTransport().fetch(url, params)
+  }
+}
+object Flaky503Transport {
+  val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+class NotFound404Transport extends RestTransport {
+  override def fetch(url: String, params: Map[String, String]): RestResponse = {
+    NotFound404Transport.attempts.incrementAndGet()
+    RestResponse(404, "no such endpoint")
+  }
+}
+object NotFound404Transport {
+  val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+class HangingTransport extends RestTransport {
+  override def fetch(url: String, params: Map[String, String]): RestResponse = {
+    HangingTransport.attempts.incrementAndGet()
+    Thread.sleep(60000)
+    RestResponse(200, "too late")
+  }
+}
+object HangingTransport {
+  val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+}
 
 /** DSv2 nagios-rest connector: schema, fan-out-as-partitions, filter
   * pushdown (task pruning + start bound), and end-to-end composition
@@ -87,6 +127,60 @@ class RestSourceSpec extends SparkSpec {
     // host = A AND host = B => empty, not whichever came last
     assert(src.filter($"host_name" === "web01" &&
       $"host_name" === "web02").count() == 0)
+  }
+
+  test("transient 5xx is retried and the task then succeeds (url...py:50-51)") {
+    Flaky503Transport.attempts.set(0)
+    // one fetch task (host+service pinned) so the attempt count is
+    // deterministic: 2 failures + 1 success
+    val got = spark.read.format("nagios-rest")
+      .option("endpointDir", dir)
+      .option("transportClass", classOf[Flaky503Transport].getName)
+      .option("backoffMs", "1")
+      .load()
+      .filter($"host_name" === "web01" && $"service_name" === "CPU Usage")
+      .collect()
+    assert(got.length == 2)
+    assert(Flaky503Transport.attempts.get() == 3)
+  }
+
+  test("4xx fails fast: raise_for_status semantics, no retry") {
+    NotFound404Transport.attempts.set(0)
+    val e = intercept[Exception] {
+      spark.read.format("nagios-rest")
+        .option("endpointDir", dir)
+        .option("transportClass", classOf[NotFound404Transport].getName)
+        .option("backoffMs", "1")
+        .load()
+        .filter($"host_name" === "web01" && $"service_name" === "CPU Usage")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("client error 404")),
+      messages(e).mkString(" | "))
+    // a client error cannot succeed on retry — exactly one attempt
+    assert(NotFound404Transport.attempts.get() == 1)
+  }
+
+  test("per-attempt deadline: a hung transport times out and retries, then fails") {
+    HangingTransport.attempts.set(0)
+    val e = intercept[Exception] {
+      spark.read.format("nagios-rest")
+        .option("endpointDir", dir)
+        .option("transportClass", classOf[HangingTransport].getName)
+        .option("timeoutMs", "200")
+        .option("maxRetries", "1")
+        .option("backoffMs", "1")
+        .load()
+        .filter($"host_name" === "web01" && $"service_name" === "CPU Usage")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("timed out")),
+      messages(e).mkString(" | "))
+    assert(HangingTransport.attempts.get() == 2) // initial + 1 retry
   }
 
   test("composes with the metric pipeline end-to-end") {
