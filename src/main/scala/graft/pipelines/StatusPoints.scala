@@ -100,10 +100,34 @@ object StatusPoints {
     * per partition inside `foreachPartition` so writes scale with the
     * cluster, `writeFn` abstracting the actual client (tested with a
     * collector; production would wrap an HTTP line-protocol client).
-    * The DB-exists precondition (`url...py:151-152`) belongs to the
-    * concrete writer.
     */
   def sinkPoints(points: Dataset[StatusPoint])(
       writeFn: Iterator[StatusPoint] => Unit): Unit =
     points.foreachPartition(writeFn)
+
+  /** Raised by [[sinkPoints]]'s precondition check before any
+    * partition work — the typed form of the reference's fail-fast when
+    * the target database is missing (`url...py:151-152`).
+    */
+  class SinkPreconditionException(msg: String)
+    extends RuntimeException(msg)
+
+  /** K5 with the reference's DB-exists precondition: `listDatabases`
+    * is one driver-side metadata call against the target store (the
+    * Influx `SHOW DATABASES` equivalent); a missing database fails the
+    * job with a typed error BEFORE any executor opens a client or
+    * sends a point — a misconfigured target must not surface as
+    * thousands of per-partition write failures.
+    */
+  def sinkPoints(points: Dataset[StatusPoint], database: String,
+      listDatabases: () => Set[String])(
+      writeFn: Iterator[StatusPoint] => Unit): Unit = {
+    val existing = listDatabases()
+    if (!existing.contains(database))
+      throw new SinkPreconditionException(
+        s"target database '$database' does not exist " +
+          s"(available: ${existing.toSeq.sorted.mkString(", ")}); " +
+          "create it before writing")
+    points.foreachPartition(writeFn)
+  }
 }

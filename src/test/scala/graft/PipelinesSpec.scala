@@ -181,5 +181,23 @@ class PipelinesSpec extends SparkSpec {
       it.foreach(p => acc.add(s"${p.service_description}:${p.service_status}"))
     }
     assert(acc.value.size() == 4)
+
+    // K5 precondition (url...py:151-152): a missing target DB fails
+    // fast with a typed error and ZERO partition work
+    val wrote = spark.sparkContext.collectionAccumulator[String]("pre")
+    val e = intercept[StatusPoints.SinkPreconditionException] {
+      StatusPoints.sinkPoints(StatusPoints.typedPoints(pts), "metrics",
+        () => Set("telegraf", "internal")) { it =>
+        it.foreach(p => wrote.add(p.service_description))
+      }
+    }
+    assert(e.getMessage.contains("'metrics' does not exist"))
+    assert(wrote.value.size() == 0)
+    // present DB -> writes proceed
+    StatusPoints.sinkPoints(StatusPoints.typedPoints(pts), "metrics",
+      () => Set("metrics")) { it =>
+      it.foreach(p => wrote.add(p.service_description))
+    }
+    assert(wrote.value.size() == 4)
   }
 }
