@@ -500,6 +500,51 @@ object SparkEntry {
       Relational.completenessGate(framed)
     }),
 
+    // ============== §3.1 composed metrics ETL (flagship) ==============
+    // The whole host-metric pipeline in ONE plan, end to end: synthetic
+    // rrdexport response docs (JSON bodies built from events, scalar v
+    // for CPU / list v for Swap — both polymorphic shapes) → explode
+    // data.row (F9) → zip-pivot onto the registry schema (F8) →
+    // parse-or-null + round (F1) + epoch→datetime2 (F2) → completeness
+    // gate dropping injected NaN/garbage rows (P3) → melt to the long
+    // payload → anti-join dedup against the previous run (J3) → family
+    // routing (P4). Values are exact 2-decimal strings derived from
+    // event_id, so F1's rounding is engine-portable; the oracle rebuilds
+    // the same relation directly (the JSON round-trip is identity).
+    "q_metrics_etl" -> ((s, dir) => {
+      import graft.pipelines.HostMetrics
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        concat(lit("host"), (col("user_id") % 25).cast("string"))
+          .as("host_name"),
+        unix_timestamp(col("ts")).as("epoch"))
+      def dd(m: Column): Column = format_string("%d.%02d",
+        floor(m / 100).cast("long"), (m % 100).cast("long"))
+      val cpuV = when(col("event_id") % 97 === 0, lit("NaN"))
+        .otherwise(dd((col("event_id") * 7) % 10000))
+      val swapV = array(
+        dd((col("event_id") * 3) % 5000),
+        when(col("event_id") % 89 === 0, lit("garbage"))
+          .otherwise(dd((col("event_id") * 11) % 9000)),
+        dd((col("event_id") * 13) % 7000))
+      def responses(svc: String, vCol: Column): DataFrame = ev
+        .select(col("host_name"),
+          struct(col("epoch").cast("string").as("t"), vCol.as("v")).as("p"))
+        .groupBy(col("host_name"))
+        .agg(collect_list(col("p")).as("row"))
+        .select(col("host_name"), lit(svc).as("service_name"),
+          to_json(struct(struct(col("row")).as("data"))).as("body"))
+      val points = HostMetrics.flattenResponses(
+        responses("CPU Usage", cpuV)
+          .unionByName(responses("Swap Usage", swapV)))
+      val payload = HostMetrics.longPayload(points)
+      // previous run's payload = the three already-loaded hosts; the
+      // anti-join dedup must remove exactly their rows
+      val previous = payload.filter(
+        col("host_name").isin("host0", "host1", "host2"))
+      HostMetrics.routed(HostMetrics.dedupAgainst(payload, previous))
+    }),
+
     // ================= §2.10 text analysis =================
     // Fused single-pass TextStats expression computes every counter in
     // one string scan (struct materialized in its own projection so
@@ -1113,6 +1158,52 @@ object SparkEntry {
         |  AND (CASE WHEN event_type <> 'error' THEN event_type END) IS NOT NULL
         |  AND value IS NOT NULL
         |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL""".stripMargin,
+
+    // the §3.1 pipeline's ground truth rebuilt relationally: the JSON
+    // response round-trip is identity, so the oracle derives the same
+    // (host, ts, service, metric, value) rows straight from events —
+    // injected NaN/garbage rows excluded (the completeness gate's
+    // effect), previous-run hosts excluded (the anti-join's effect)
+    "q_metrics_etl" ->
+      """WITH ev AS (
+        | SELECT event_id,
+        |  'host' || CAST(user_id % 25 AS VARCHAR) AS host_name,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |base AS (
+        | SELECT host_name,
+        |  strftime(make_timestamp(epoch * 1000000),
+        |    '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  event_id FROM ev),
+        |cpu AS (
+        | SELECT host_name, ts_str, 'CPU Usage' AS service_name,
+        |  'percent_used' AS metric_name,
+        |  CAST(printf('%d.%02d', (event_id * 7 % 10000) // 100,
+        |    (event_id * 7 % 10000) % 100) AS DOUBLE) AS value
+        | FROM base WHERE event_id % 97 <> 0),
+        |swap AS (
+        | SELECT host_name, ts_str, 'Swap Usage' AS service_name,
+        |  metric_name,
+        |  CAST(printf('%d.%02d', m // 100, m % 100) AS DOUBLE) AS value
+        | FROM (
+        |  SELECT host_name, ts_str, 'swap_used_GiB' AS metric_name,
+        |    event_id * 3 % 5000 AS m FROM base WHERE event_id % 89 <> 0
+        |  UNION ALL
+        |  SELECT host_name, ts_str, 'swap_total_GiB',
+        |    event_id * 11 % 9000 FROM base WHERE event_id % 89 <> 0
+        |  UNION ALL
+        |  SELECT host_name, ts_str, 'swap_free_GiB',
+        |    event_id * 13 % 7000 FROM base WHERE event_id % 89 <> 0) t),
+        |payload AS (SELECT * FROM cpu UNION ALL SELECT * FROM swap)
+        |SELECT host_name, ts_str AS "timestamp", service_name,
+        |  metric_name, value,
+        |  CASE WHEN contains(lower(service_name), 'cpu') THEN 'cpu'
+        |    WHEN contains(lower(service_name), 'mem') THEN 'mem'
+        |    WHEN contains(lower(service_name), 'disk') THEN 'disk'
+        |    WHEN contains(lower(service_name), 'swap') THEN 'swap'
+        |  END AS metric_family
+        |FROM payload
+        |WHERE host_name NOT IN ('host0', 'host1', 'host2')""".stripMargin,
 
     "q_doc_stats" -> {
       val toks = """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
