@@ -69,6 +69,56 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("AQE splits the hot-key partition at join time (OptimizeSkewedJoin)") {
+    // 90% of the sf0.1 events collapse onto one hot key — the
+    // boilerplate-user shape. With broadcast off (the 100 TB regime for
+    // a large dim) the SMJ's hot shuffle partition crosses the skew
+    // threshold and AQE must split it into parallel sub-reads, marked
+    // skew=true in the final adaptive plan. This is the runtime answer
+    // to fact-side JOIN skew; manual salting (saltedJoin /
+    // latestPerKeySalted) is still the tool when the skew sits in an
+    // AGGREGATION (no join to split) or the join is already
+    // broadcast-ineligible many-to-many where split sub-partitions
+    // would each still pair with the whole build side.
+    val s = spark
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // test-scale thresholds (defaults target real shuffle sizes:
+    // 256 MB skew threshold); coalescing off so the small partitions
+    // keep the median small instead of merging into bigger reads
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "4096")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4096")
+    try {
+      val ev = graft.sources.Tables.events(s, sf("sf0.1"))
+      // repartition(8) models the many-mapper shape of a real cluster:
+      // AQE's skew split subdivides a reducer partition by MAP ranges,
+      // so a shuffle fed by a single mapper (this local single-row-group
+      // parquet file) has nothing to subdivide — skew mitigation needs
+      // map-side parallelism, which any 100 TB scan has by construction
+      val fact = ev.select(
+        when($"event_id" % 10 =!= 0, 7L)
+          .otherwise($"user_id" % 1000).as("k"),
+        $"event_id".as("payload"))
+        .repartition(8)
+      val dim = s.range(1000).select($"id".as("k"), ($"id" * 3).as("attr"))
+      val joined = fact.join(dim, Seq("k"))
+      val n = joined.collect().length
+      assert(n == fact.count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"no skewed-join split in the adaptive plan:\n$plan")
+    } finally {
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      s.conf.unset(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      s.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      s.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
+  }
+
   test("bucketed tables join without any exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graftwh").toString
     val s = spark
