@@ -554,10 +554,17 @@ object SparkEntry {
         .agg(collect_list(col("p")).as("row"))
         .select(col("host_name"), lit(svc).as("service_name"),
           to_json(struct(struct(col("row")).as("data"))).as("body"))
+      // one plan end to end: every melt/dedup branch re-derives points
+      // from the grouped responses, but the groupBy EXCHANGE is reused
+      // across branches, so each branch re-parses only the 50 post-
+      // shuffle body rows (measured cheaper than caching the exploded
+      // point relation and re-scanning it per branch). The melt is
+      // scoped to the two families this batch actually carries.
       val points = HostMetrics.flattenResponses(
         responses("CPU Usage", cpuV)
           .unionByName(responses("Swap Usage", swapV)))
-      val payload = HostMetrics.longPayload(points)
+      val payload = HostMetrics.longPayload(points,
+        Seq("CPU Usage", "Swap Usage"))
       // previous run's payload = the three already-loaded hosts; the
       // anti-join dedup must remove exactly their rows
       val previous = payload.filter(
@@ -756,8 +763,9 @@ object SparkEntry {
 
     // exact variant (q_knn_ivf_full pattern): planes = 0 degenerates
     // the LSH bucket join to a provably lossless all-pairs candidate
-    // set at verify SF, so the exact-cosine verification step — the
-    // part that decides pair membership — is hash-proven end to end
+    // set, so the exact-cosine verification step — the part that
+    // decides pair membership — is hash-proven end to end (the
+    // planes > 0 query above measures the real scale path)
     "q_neardup_embedding_full" -> ((s, dir) => {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id",
           "embedding", threshold = 0.2, planes = 0)

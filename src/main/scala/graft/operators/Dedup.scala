@@ -442,8 +442,9 @@ object Dedup {
     * n² cross join; exact cosine verifies candidates.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8): DataFrame = {
-    val pairs = Similarity.lshCandidatePairs(df, idCol, vecCol, planes)
-    pairs.filter(col("cosine") >= threshold)
-  }
+      threshold: Double, planes: Int = 8): DataFrame =
+    // threshold pushed into the candidate generator: the quadratic
+    // per-bucket scored stream never crosses a shuffle at full width
+    Similarity.lshCandidatePairs(df, idCol, vecCol, planes,
+      minCosine = Some(threshold))
 }

@@ -125,7 +125,7 @@ object Similarity {
     * planes > 0.
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
-      planes: Int): DataFrame = {
+      planes: Int, minCosine: Option[Double] = None): DataFrame = {
     require(planes >= 0, "planes must be >= 0 (0 = exact single-bucket)")
     val bucketKey =
       if (planes == 0) lit(0L) else lshBucket(col(vecCol), planes)
@@ -139,12 +139,20 @@ object Similarity {
       col("__vec").as("__vec_a"))
     val b = keyed.select(col("__bucket"), col("__id").as("id_b"),
       col("__vec").as("__vec_b"))
-    val pairs = a.join(b, Seq("__bucket"))
+    val scored = a.join(b, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorExpressions.cosine(col("__vec_a"), col("__vec_b"))
           .as("cosine"))
-      .distinct()
+    // the score threshold is pushed BELOW the dedup/materialization
+    // barrier: the quadratic scored stream shrinks to the above-
+    // threshold survivors before anything is shuffled or checkpointed
+    val thresholded =
+      minCosine.fold(scored)(t => scored.filter(col("cosine") >= t))
+    // one bucket per vector ⇒ a pair can only appear once; the
+    // distinct dedup is needed only when multiple plane families (or
+    // callers stacking tables) can emit the same pair twice
+    val pairs = if (planes == 0) thresholded else thresholded.distinct()
     // eager-materialize the bucket-pruned pairs, then release the keyed
     // cache so repeated calls in one session don't accumulate blocks
     val out = pairs.localCheckpoint(true)

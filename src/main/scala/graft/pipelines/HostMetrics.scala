@@ -76,14 +76,20 @@ object HostMetrics {
       points.filter(col("service_name") === service).select(cols: _*))
   }
 
-  /** The union "long" payload over all families:
+  /** The union "long" payload over the given families:
     * (host_name, timestamp, service_name, metric_name, value) — the
     * engine's single-relation equivalent of the reference's
     * heterogeneous JSON payload (`extract.py:153-156`). Built by
     * melting each family frame; `unionByName` keeps it one plan.
+    *
+    * Pass `services` when the ingest batch carries a known family
+    * subset: every listed family adds a full scan branch over `points`
+    * (empty families still pay their scan), so melting 10 registry
+    * families for a 2-family batch quintuples the plan for nothing.
     */
-  def longPayload(points: DataFrame): DataFrame = {
-    val frames = NagiosModel.services.map { svc =>
+  def longPayload(points: DataFrame,
+      services: Seq[String] = NagiosModel.services): DataFrame = {
+    val frames = services.map { svc =>
       val keys = NagiosModel.serviceKeys(svc)
       val melted = explode(array(keys.map(k =>
         struct(lit(k).as("metric_name"), col(k).as("value"))): _*))
