@@ -15,6 +15,32 @@ object Sinks {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** K1 compat form — ONE file holding ONE JSON array, the payload
+    * shape the reference writes and re-reads (`extract.py:145`:
+    * `json.dump(..., indent=4)`; `load_to_db.py:22-23`): one element
+    * per row, array-level indentation, row fields in sorted-name order
+    * (the reference's `sort_keys=True` canonical form,
+    * `extract.py:119,127`). The array is assembled on the driver —
+    * correct ONLY for driver-sized payloads, which is the reference's
+    * own operating envelope (its whole payload lives in one Python
+    * list). `maxRows` guards that contract: a payload past it belongs
+    * in [[writeJson]] (line-delimited, distributed), and failing fast
+    * beats an OOM'd driver.
+    */
+  def writeJsonArrayFile(df: DataFrame, file: String,
+      maxRows: Int = 1000000): Unit = {
+    val cols = df.columns.sorted
+    val jsonRows = df.select(to_json(struct(cols.map(col): _*)).as("j"))
+      .limit(maxRows + 1).collect().map(_.getString(0))
+    require(jsonRows.length <= maxRows,
+      s"payload exceeds $maxRows rows — use writeJson (line-delimited) " +
+        "for distributed payloads")
+    val body = jsonRows.mkString("[\n    ", ",\n    ", "\n]")
+    val p = java.nio.file.Paths.get(file)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, body)
+  }
+
   /** K2/K3 — CSV sink with header (`hosts_to_csv.py:48`,
     * `url...py:128-133`).
     */

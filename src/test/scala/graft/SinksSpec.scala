@@ -26,6 +26,24 @@ class SinksSpec extends SparkSpec {
       Seq("host_name", "percent_used", "service_name", "timestamp"))
   }
 
+  test("K1 single-file JSON array compat sink (extract.py:145 shape)") {
+    val f = tmp() + "/payload.json"
+    Sinks.writeJsonArrayFile(payload, f)
+    // one physical file, one JSON array, parseable by any consumer
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(f))
+    assert(text.trim.startsWith("[") && text.trim.endsWith("]"))
+    val back = spark.read.option("multiLine", "true").json(f)
+    assert(back.count() == 2)
+    assert(back.columns.toSeq ==
+      Seq("host_name", "percent_used", "service_name", "timestamp"))
+    // driver-size contract is enforced, not silently truncated
+    val big = spark.range(100).selectExpr("id", "id * 2 AS v")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.writeJsonArrayFile(big, tmp() + "/too_big.json", maxRows = 50)
+    }
+    assert(e.getMessage.contains("line-delimited"))
+  }
+
   test("K2 csv sink round-trip with header") {
     val d = tmp()
     Sinks.writeCsv(payload, d)
