@@ -355,6 +355,25 @@ object SparkEntry {
       Relational.asOfJoin(probe, build, Seq("user_id"), "ts")
     }),
 
+    // interval containment as a binned hash equi-join (never a
+    // broadcast nested loop): 300 synthetic 30-minute maintenance
+    // windows laid out over the events month, each event paired with
+    // every window containing it
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .select(col("event_id"), unix_timestamp(col("ts")).as("pt"))
+      val wid = col("n_nationkey") * 12 + col("k")
+      val windows = Tables.nation(s, dir)
+        .select(col("n_nationkey"), explode(sequence(lit(0), lit(11))).as("k"))
+        .select(wid.cast("long").as("window_id"),
+          (lit(1704067200L) + wid * 7200L).as("w_start"))
+        .withColumn("w_end", col("w_start") + 1800L)
+      Relational.rangeJoin(ev, windows, "pt", "w_start", "w_end",
+          binWidth = 3600L)
+        .select(col("event_id"), col("window_id"))
+    }),
+
     "q_cross_fanout" -> ((s, dir) => {
       Relational.fanOut(Tables.nation(s, dir).select("n_name"),
           graft.model.NagiosModel.services, "service_name")
@@ -1079,6 +1098,20 @@ object SparkEntry {
         | 'Disk Usage root','Disk Usage tmp','Disk Usage apps',
         | 'Disk Usage boot','Disk Usage opt','Disk Usage var',
         | 'Disk Usage home','CPU Usage']) AS s) t""".stripMargin,
+
+    // same 300 windows rebuilt relationally; the binning is an engine
+    // detail, so the oracle is the plain containment join
+    "q_range_join" ->
+      """WITH w AS (
+        | SELECT CAST(n_nationkey * 12 + k AS BIGINT) AS window_id,
+        |  1704067200 + (n_nationkey * 12 + k) * 7200 AS w_start,
+        |  1704067200 + (n_nationkey * 12 + k) * 7200 + 1800 AS w_end
+        | FROM nation, (SELECT unnest(range(0, 12)) AS k) ks),
+        |e AS (
+        | SELECT event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS pt
+        | FROM events WHERE ts IS NOT NULL)
+        |SELECT e.event_id, w.window_id
+        |FROM e JOIN w ON e.pt >= w.w_start AND e.pt <= w.w_end""".stripMargin,
 
     "q_explode_tokens" ->
       """SELECT token, count(*) AS n FROM (

@@ -253,4 +253,38 @@ object Relational {
       .select(probeCols.map(col) ++
         payload.map(c => col(s"__payload.$c").as(c)): _*)
   }
+
+  /** Interval (range) join (SURVEY §2.4 extension): pair each point
+    * row with every interval containing it —
+    * `start <= pt <= end`, bounds inclusive.
+    *
+    * Spark plans a raw non-equi join as a broadcast nested loop
+    * (O(|points|·|intervals|) comparisons — the classic 100 TB
+    * killer). This form maps both sides onto fixed-width bins of the
+    * point axis: each interval explodes to the bins it overlaps, each
+    * point to its one bin, and the pairing becomes a hash EQUI-join on
+    * the bin, post-filtered by the exact predicate. The exchange
+    * carries (bin + narrow columns); comparison work is Σ per-bin
+    * products instead of the full cross product.
+    *
+    * `binWidth` (same unit as the point/bound columns) should sit near
+    * the typical interval length: much smaller multiplies the exploded
+    * interval rows, much larger degrades toward per-bin quadratic.
+    * Columns must be integral (epoch seconds/millis); point and bound
+    * column names must not collide.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, ptCol: String,
+      startCol: String, endCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val bin = "__graft_range_bin"
+    val binnedPts = points.withColumn(bin,
+      floor(col(ptCol) / binWidth).cast("long"))
+    val binnedIvs = intervals.withColumn(bin,
+      explode(sequence(
+        floor(col(startCol) / binWidth).cast("long"),
+        floor(col(endCol) / binWidth).cast("long"))))
+    binnedPts.join(binnedIvs, Seq(bin))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop(bin)
+  }
 }

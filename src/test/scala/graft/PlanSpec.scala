@@ -132,6 +132,14 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("range join plans a hash equi-join on the bin, never a nested loop") {
+    val df = SparkEntry.queries("q_range_join")(spark, dir)
+    val plan = physical(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to a nested loop:\n$plan")
+    assert(plan.contains("HashJoin"), s"expected a hash equi-join:\n$plan")
+  }
+
   test("whole-stage codegen covers the scalar pipeline") {
     val df = SparkEntry.queries("q_doc_stats")(spark, dir)
     val plan = physical(df)

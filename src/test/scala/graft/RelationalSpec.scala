@@ -59,6 +59,30 @@ class RelationalSpec extends SparkSpec {
       Seq("event_id", "user_id", "ts", "payload"))
   }
 
+  test("rangeJoin equals the naive containment join; bounds inclusive") {
+    import org.apache.spark.sql.functions.{col, floor}
+    val points = spark.range(0, 500).select(
+      col("id").as("pid"), (col("id") * 37 % 1000).as("pt"))
+    val intervals = spark.range(0, 40).select(
+      col("id").as("iid"),
+      (col("id") * 25).as("s"),
+      // varied lengths, some spanning several bins, some empty-range
+      (col("id") * 25 + col("id") % 4 * 30).as("e"))
+    val got = Relational.rangeJoin(points, intervals, "pt", "s", "e",
+        binWidth = 50L)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    val naive = points.crossJoin(intervals)
+      .filter(col("pt") >= col("s") && col("pt") <= col("e"))
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(got == naive && got.nonEmpty)
+    // inclusive at both bounds, exclusive just outside
+    val p2 = Seq((1L, 10L), (2L, 20L), (3L, 9L), (4L, 21L)).toDF("pid", "pt")
+    val i2 = Seq((7L, 10L, 20L)).toDF("iid", "s", "e")
+    val b = Relational.rangeJoin(p2, i2, "pt", "s", "e", 8L)
+      .select($"pid").as[Long].collect().toSet
+    assert(b == Set(1L, 2L))
+  }
+
   test("enrich applies defaults only to missing keys") {
     val fact = Seq((1L, "a"), (2L, "b")).toDF("k", "x")
     val dims = Seq((1L, "named")).toDF("k", "name")
