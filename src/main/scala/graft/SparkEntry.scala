@@ -107,16 +107,22 @@ object SparkEntry {
   private val enStop = TextOps.langProfiles("en")
 
   /** Staged minhash band keys for the history corpus, written ONCE per
-    * source dir and served from parquet on every later call — the
-    * 100 TB operating mode, where re-ingest probes staged buckets
+    * source-data version and served from parquet on every later call —
+    * the 100 TB operating mode, where re-ingest probes staged buckets
     * instead of re-hashing the corpus. The bench's min-of-3 therefore
     * measures the steady-state probe, with the one-time staging cost
     * amortized away exactly as in production.
+    *
+    * The staging key covers the source file's identity AND version
+    * (length + mtime): regenerated data in the same dir must invalidate
+    * the staging, or the probe would silently join buckets hashed from
+    * a stale corpus — the exact failure the incremental drift guard
+    * exists to prevent.
     */
   private def stagedHistoryBands(s: SparkSession, dir: String): DataFrame = {
-    val tag = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(dir.getBytes("UTF-8")).take(8)
-      .map(b => f"${b & 0xff}%02x").mkString
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val tag = Tables.dirTag(
+      s"$dir|${src.length()}|${src.lastModified()}")
     val path = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_staged_bands_$tag").getAbsolutePath
     if (!new java.io.File(path, "_SUCCESS").exists())
@@ -1005,20 +1011,15 @@ object SparkEntry {
         |   '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned
         |FROM documents""".stripMargin,
 
-    // winnowing fingerprint reconstructed shingle-by-shingle: whitespace
-    // tokens, k=3 word-grams joined by single spaces (< 3 tokens -> one
-    // whole-text shingle, zero tokens -> the empty string), md5 each,
+    // winnowing fingerprint: the shared shingle definition, md5 each,
     // distinct, sort, keep the 8 smallest — fixed-width lowercase hex
     // sorts identically in both engines
     "q_fingerprint" -> {
       val toks = """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
       s"""SELECT doc_id,
          | array_to_string(list_slice(list_sort(list_distinct(
-         |   CASE WHEN len(toks) < 3
-         |     THEN [md5(array_to_string(toks, ' '))]
-         |     ELSE list_transform(range(1, len(toks) - 1),
-         |       i -> md5(array_to_string(toks[i:i+2], ' ')))
-         |   END)), 1, 8), ',') AS fp
+         |   list_transform(${shingleSql(3)}, s -> md5(s)))), 1, 8), ',')
+         |   AS fp
          |FROM (SELECT doc_id, $toks AS toks FROM documents) t""".stripMargin
     },
 

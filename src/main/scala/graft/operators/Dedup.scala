@@ -319,33 +319,37 @@ object Dedup {
       .withColumn("component", col("id"))
       .persist(lvl)
     labels.count()
-    var it = 0
-    var converged = false
-    while (!converged && it < maxIters) {
-      it += 1
-      val nbMin = sym
-        .join(labels.select(col("id").as("dst"),
-          col("component").as("__nc")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("__nc")).as("__nbMin"))
-      val next = labels
-        .join(nbMin, Seq("id"), "left")
-        .select(col("id"), least(col("component"),
-          coalesce(col("__nbMin"), col("component"))).as("component"))
-        .persist(lvl)
-      val changed = next.join(
-          labels.select(col("id"), col("component").as("__old")), Seq("id"))
-        .filter(col("component") =!= col("__old")).count()
+    try {
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIters) {
+        it += 1
+        val nbMin = sym
+          .join(labels.select(col("id").as("dst"),
+            col("component").as("__nc")), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("__nc")).as("__nbMin"))
+        val next = labels
+          .join(nbMin, Seq("id"), "left")
+          .select(col("id"), least(col("component"),
+            coalesce(col("__nbMin"), col("component"))).as("component"))
+          .persist(lvl)
+        val changed = next.join(
+            labels.select(col("id"), col("component").as("__old")), Seq("id"))
+          .filter(col("component") =!= col("__old")).count()
+        labels.unpersist(false)
+        labels = next
+        converged = changed == 0
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxIters rounds")
+      labels.localCheckpoint(true)
+    } finally {
+      // a non-convergence throw (or any mid-loop failure) must not
+      // strand the edge list and the last label frame in the cache
       labels.unpersist(false)
-      labels = next
-      converged = changed == 0
+      sym.unpersist(false)
     }
-    require(converged,
-      s"connectedComponents did not converge in $maxIters rounds")
-    val out = labels.localCheckpoint(true)
-    labels.unpersist(false)
-    sym.unpersist(false)
-    out
   }
 
   /** Drop near-duplicates by TRANSITIVE closure: one survivor (the

@@ -71,7 +71,8 @@ object Sampling {
     * calling — the persist and the pid shuffle carry every column.
     */
   def shardByBudget(df: DataFrame, orderCol: String, weightCol: String,
-      budget: Long, partitionCols: Seq[String] = Nil): DataFrame = {
+      budget: Long, partitionCols: Seq[String] = Nil,
+      materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     if (partitionCols.nonEmpty) {
       val w = Window.partitionBy(partitionCols.map(col): _*)
@@ -98,7 +99,10 @@ object Sampling {
         .agg(sum(col(weightCol)).as("_w"))
         .collect()
         .sortBy(_.getInt(0))
-      // driver-side fold into exclusive starting offsets, O(partitions)
+      // driver-side fold into exclusive starting offsets, O(partitions).
+      // Integral weights stay exact longs; everything else (double,
+      // float, decimal) folds through Number.doubleValue — a decimal
+      // weight column must not ClassCastException the fold
       val offsetCol: Column =
         if (integral) {
           var acc = 0L
@@ -113,7 +117,13 @@ object Sampling {
           var acc = 0.0
           val offsets = partials.map { r =>
             val entry = r.getInt(0) -> acc
-            if (!r.isNullAt(1)) acc += r.getDouble(1)
+            r.get(1) match {
+              case null => ()
+              case n: java.lang.Number => acc += n.doubleValue()
+              case other => throw new IllegalArgumentException(
+                s"non-numeric weight column '$weightCol' " +
+                  s"(${other.getClass.getName})")
+            }
             entry
           }.toMap
           if (offsets.isEmpty) lit(0.0)
@@ -123,10 +133,19 @@ object Sampling {
       // global position = partition offset + local running sum
       val w = Window.partitionBy(col(pid)).orderBy(col(orderCol))
         .rowsBetween(Window.unboundedPreceding, -1)
-      ranged
+      val sharded = ranged
         .withColumn(run, coalesce(sum(col(weightCol)).over(w), lit(0L)))
         .withColumn("shard", floor((offsetCol + col(run)) / budget))
         .drop(pid, run)
+      if (!materialize) sharded // plan stays inspectable; cache retained
+      else {
+        // materialize the shard assignment, then release the big
+        // range-partitioned cache — holding it for the session would
+        // leak one full-corpus copy per call
+        val out = sharded.localCheckpoint(true)
+        ranged.unpersist(false)
+        out
+      }
     }
   }
 }

@@ -144,15 +144,16 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         VectorExpressions.cosine(col("__vec_a"), col("__vec_b"))
           .as("cosine"))
-    // the score threshold is pushed BELOW the dedup/materialization
-    // barrier: the quadratic scored stream shrinks to the above-
-    // threshold survivors before anything is shuffled or checkpointed
-    val thresholded =
+    // the score threshold is pushed BELOW the materialization barrier:
+    // the quadratic scored stream shrinks to the above-threshold
+    // survivors before anything is shuffled or checkpointed. No
+    // distinct: every vector maps to exactly ONE bucket key, so a
+    // pair can emerge from at most one bucket — deduplication here
+    // would shuffle the dominant intermediate to remove nothing
+    // (multi-table variants dedup in their own post-score step,
+    // see lshTopK)
+    val pairs =
       minCosine.fold(scored)(t => scored.filter(col("cosine") >= t))
-    // one bucket per vector ⇒ a pair can only appear once; the
-    // distinct dedup is needed only when multiple plane families (or
-    // callers stacking tables) can emit the same pair twice
-    val pairs = if (planes == 0) thresholded else thresholded.distinct()
     // eager-materialize the bucket-pruned pairs, then release the keyed
     // cache so repeated calls in one session don't accumulate blocks
     val out = pairs.localCheckpoint(true)

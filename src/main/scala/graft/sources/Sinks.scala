@@ -30,7 +30,10 @@ object Sinks {
   def writeJsonArrayFile(df: DataFrame, file: String,
       maxRows: Int = 1000000): Unit = {
     val cols = df.columns.sorted
-    val jsonRows = df.select(to_json(struct(cols.map(col): _*)).as("j"))
+    // keep null fields: json.dump writes "k": null, and dropping keys
+    // would change the canonical row shape consumers key on
+    val jsonRows = df.select(to_json(struct(cols.map(col): _*),
+        Map("ignoreNullFields" -> "false")).as("j"))
       .limit(maxRows + 1).collect().map(_.getString(0))
     require(jsonRows.length <= maxRows,
       s"payload exceeds $maxRows rows — use writeJson (line-delimited) " +

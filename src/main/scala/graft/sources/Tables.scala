@@ -37,6 +37,16 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** 64-bit sha-256 tag of a path string — the shared cache/memo key
+    * encoding for per-dir derived artifacts (bucketed tables, staged
+    * band keys). A 32-bit String.hashCode collision between two dirs
+    * would silently serve one scale factor's data for another.
+    */
+  def dirTag(d: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(8)
+      .map(b => f"${b & 0xff}%02x").mkString
+
   /** Bucketed view of a table: write-once into the session warehouse
     * (bucketBy + sortBy on `key`), then serve from the catalog. At
     * cluster scale the bucketed copy is the long-lived layout paid once
@@ -50,13 +60,8 @@ object Tables {
       buckets: Int): DataFrame = {
     // the memo key must cover EVERY layout-determining input — a name
     // that omitted `key` would silently serve a table bucketed on the
-    // wrong column to the second caller. The dir is encoded as 64 bits
-    // of its sha-256: a 32-bit String.hashCode collision between two
-    // dirs would silently serve one scale factor's data for another
-    val dirTag = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(d.getBytes("UTF-8")).take(8)
-      .map(b => f"${b & 0xff}%02x").mkString
-    val table = s"graft_b_${name}_${key}_${buckets}_$dirTag"
+    // wrong column to the second caller
+    val table = s"graft_b_${name}_${key}_${buckets}_${dirTag(d)}"
     if (!s.catalog.tableExists(table)) {
       // a previous JVM may have left the managed location behind (the
       // in-memory catalog dies with the session; its files do not)

@@ -115,6 +115,10 @@ object RestTransport {
     */
   def guarded(base: RestTransport, url: String,
       params: Map[String, String], conf: RestTransportConf): String = {
+    // a negative value would skip the loop entirely and NPE on the
+    // terminal throw; 0 = single attempt, no retry
+    require(conf.maxRetries >= 0,
+      s"maxRetries must be >= 0, got ${conf.maxRetries}")
     var attempt = 0
     var lastErr: Throwable = null
     while (attempt <= conf.maxRetries) {

@@ -109,9 +109,15 @@ class PlanSpec extends SparkSpec {
 
   test("shardByBudget plans no single-partition window (distributed prefix sum)") {
     // the round-2 form ran the whole corpus through one global
-    // Window.orderBy task; the oracled query must now take the
-    // two-pass path: every window in the plan is partitioned
-    val df = SparkEntry.queries("q_shard_by_budget")(spark, dir)
+    // Window.orderBy task; the two-pass path must plan only
+    // partitioned windows (materialize=false keeps the plan
+    // inspectable — the default checkpoints it away)
+    import graft.operators.{Sampling, TextOps}
+    val weighted = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val df = Sampling.shardByBudget(weighted, "doc_id", "n_tokens",
+      budget = 5000L, materialize = false)
     val windows = df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }

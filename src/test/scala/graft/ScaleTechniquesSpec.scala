@@ -69,6 +69,22 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("shardByBudget accepts decimal weights (no integral assumption)") {
+    import graft.operators.Sampling
+    val docs = spark.range(0, 100).select(
+      format_string("d%03d", $"id").as("doc_id"),
+      (($"id" % 7) + 1).cast("decimal(18,2)").as("w"))
+    val got = Sampling.shardByBudget(docs, "doc_id", "w", budget = 20L)
+      .select($"doc_id", $"shard").as[(String, Long)].collect().toMap
+    val rows = docs.select($"doc_id", $"w".cast("double"))
+      .as[(String, Double)].collect().sortBy(_._1)
+    var acc = 0.0
+    val want = rows.map { case (d, w) =>
+      val s = math.floor(acc / 20.0).toLong; acc += w; d -> s
+    }.toMap
+    assert(got == want)
+  }
+
   test("AQE splits the hot-key partition at join time (OptimizeSkewedJoin)") {
     // 90% of the sf0.1 events collapse onto one hot key — the
     // boilerplate-user shape. With broadcast off (the 100 TB regime for

@@ -42,6 +42,14 @@ class SinksSpec extends SparkSpec {
       Sinks.writeJsonArrayFile(big, tmp() + "/too_big.json", maxRows = 50)
     }
     assert(e.getMessage.contains("line-delimited"))
+    // null fields stay in the payload ("k": null), like json.dump —
+    // dropping keys would change the canonical row shape
+    val withNull = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("id", "v")
+    val f2 = tmp() + "/nulls.json"
+    Sinks.writeJsonArrayFile(withNull, f2)
+    val t2 = java.nio.file.Files.readString(java.nio.file.Paths.get(f2))
+    assert(t2.contains("\"v\":null"), t2)
   }
 
   test("K2 csv sink round-trip with header") {
