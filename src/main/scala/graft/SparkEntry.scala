@@ -380,6 +380,40 @@ object SparkEntry {
         .select(col("event_id"), col("window_id"))
     }),
 
+    // decile assignment within each event type — NTILE's equal-count
+    // buckets (vs q_histogram's equal-width). Tie-broken on event_id
+    // so the assignment is deterministic in both engines
+    "q_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          ntile(10).over(w).cast("long").as("decile"))
+    }),
+
+    // equal-width value histogram per event type: floor-bucket counts,
+    // exact integer arithmetic on both sides
+    "q_histogram" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          floor(col("value") / 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // per-label class centroids in long form — label-cluster statistics
+    // over the embedding corpus; decimal-exact means hash-match
+    "q_label_centroids" -> ((s, dir) => {
+      Similarity.labelCentroids(
+        Tables.embeddings(s, dir).filter(col("label").isNotNull),
+        "label", "embedding")
+        // 6 dp: the decimal sums are exact on both sides, but the
+        // decimal->double conversion can differ by an ulp between
+        // engines; an 8-dp round sat on that boundary for 31/640 rows
+        .select(col("label"), col("dim"), round(col("mean"), 6).as("mean"))
+    }),
+
     "q_cross_fanout" -> ((s, dir) => {
       Relational.fanOut(Tables.nation(s, dir).select("n_name"),
           graft.model.NagiosModel.services, "service_name")
@@ -1099,6 +1133,32 @@ object SparkEntry {
         | 'Disk Usage root','Disk Usage tmp','Disk Usage apps',
         | 'Disk Usage boot','Disk Usage opt','Disk Usage var',
         | 'Disk Usage home','CPU Usage']) AS s) t""".stripMargin,
+
+    "q_ntile" ->
+      """SELECT event_id, event_type,
+        | CAST(ntile(10) OVER (PARTITION BY event_type
+        |   ORDER BY value ASC, event_id ASC) AS BIGINT) AS decile
+        |FROM events
+        |WHERE value IS NOT NULL AND event_type IS NOT NULL""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+
+    // decimal-exact per-(label, dim) means; DuckDB explodes each
+    // vector to (dim, x) structs since it has no posexplode
+    "q_label_centroids" ->
+      """SELECT label, CAST(u.dim AS BIGINT) AS dim,
+        | round(CAST(sum(CAST(u.x AS DECIMAL(28,12))) AS DOUBLE)
+        |   / count(*), 6) AS mean
+        |FROM (
+        | SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+        |   i -> struct_pack(dim := i, x := embedding[i]))) AS u
+        | FROM embeddings WHERE label IS NOT NULL) t
+        |GROUP BY 1, 2""".stripMargin,
 
     // same 300 windows rebuilt relationally; the binning is an engine
     // detail, so the oracle is the plain containment join

@@ -107,6 +107,25 @@ object Similarity {
         .as("neighbors"))
   }
 
+  /** Per-label mean embedding (class centroids) in long form:
+    * (label, dim, mean), dim 1-based. The workhorse for label-cluster
+    * statistics, centroid-distance features, and drift monitoring over
+    * an embedding corpus.
+    *
+    * One hash aggregation over posexploded (label, dim) pairs —
+    * partial aggregation combines map-side, so the exchange carries
+    * labels × dim partial sums per task, never the vectors. Sums go
+    * through decimal (exact, order-independent), division to double —
+    * the result is bit-identical across engines and partitionings.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String)
+      : DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .groupBy(col("label"), (col("__pos") + 1).cast("long").as("dim"))
+      .agg((sum(col("__x").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("mean"))
+
   /** Sign-bit bucket key from `planes` random hyperplanes
     * (deterministic Rademacher directions). Same key ⇒ likely-similar
     * direction; recomputable on both sides of any join. Fused codegen
