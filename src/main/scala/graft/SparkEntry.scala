@@ -380,6 +380,26 @@ object SparkEntry {
         .select(col("event_id"), col("window_id"))
     }),
 
+    // gap-based sessionization: number each user's sessions by
+    // cumulative new-session flags (gap > 30 min starts a session) —
+    // the per-event session-id form that session_window's grouped
+    // aggregate can't give you. One exchange on user_id serves both
+    // window passes.
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val epoch = unix_timestamp(col("ts"))
+      val prev = lag(epoch, 1).over(w)
+      val newSession = when(prev.isNull || epoch - prev > 1800L, 1L)
+        .otherwise(0L)
+      Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          sum(newSession).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("session_no"))
+    }),
+
     // decile assignment within each event type — NTILE's equal-count
     // buckets (vs q_histogram's equal-width). Tie-broken on event_id
     // so the assignment is deterministic in both engines
@@ -1133,6 +1153,25 @@ object SparkEntry {
         | 'Disk Usage root','Disk Usage tmp','Disk Usage apps',
         | 'Disk Usage boot','Disk Usage opt','Disk Usage var',
         | 'Disk Usage home','CPU Usage']) AS s) t""".stripMargin,
+
+    "q_sessionize" ->
+      """SELECT event_id, user_id,
+        | CAST(sum(new_session) OVER (PARTITION BY user_id
+        |   ORDER BY ts ASC, event_id ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS session_no
+        |FROM (
+        | SELECT event_id, user_id, ts,
+        |  CASE WHEN lag(epoch_s) OVER w IS NULL
+        |    OR epoch_s - lag(epoch_s) OVER w > 1800 THEN 1 ELSE 0
+        |  END AS new_session
+        | FROM (
+        |  SELECT event_id, user_id, ts,
+        |   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL) t
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |) flagged""".stripMargin,
 
     "q_ntile" ->
       """SELECT event_id, event_type,
