@@ -145,6 +145,40 @@ object StreamingDedup {
       }(stateEnc, rowEnc)
   }
 
+  /** Stream-stream interval join (§2.9 engine surface): each fact row
+    * pairs with the dimension rows of the same key whose event time is
+    * at or before the fact's and at most `maxAge` older — the
+    * streaming form of "enrich with the dimension version that was
+    * current at fact time" (the batch as-of join's windowed
+    * approximation; true as-of needs per-key ordered state).
+    *
+    * BOTH sides are watermarked and the join condition is
+    * time-BOUNDED in both directions — that is what lets Spark drop
+    * buffered rows: a dim row older than watermark + maxAge can never
+    * match a future fact and is evicted, so state is bounded by
+    * (arrival rate × (horizon + maxAge)), not the stream's history.
+    * An unbounded condition would buffer both streams forever — the
+    * classic stream-join OOM.
+    *
+    * Column contract: `facts` carries (key, factTs, ...), `dims`
+    * carries (key, dimTs, ...) with otherwise disjoint column names;
+    * the dim key column is renamed internally for the non-equi
+    * condition.
+    */
+  def streamIntervalJoin(facts: DataFrame, dims: DataFrame, keyCol: String,
+      factTs: String, dimTs: String, horizon: String, maxAge: String)
+      : DataFrame = {
+    val dimKey = "__dim_key"
+    val f = facts.withWatermark(factTs, horizon)
+    val d = dims.withColumnRenamed(keyCol, dimKey)
+      .withWatermark(dimTs, horizon)
+    f.join(d,
+      col(keyCol) === col(dimKey) &&
+        col(dimTs) <= col(factTs) &&
+        col(factTs) <= col(dimTs) + expr(s"INTERVAL $maxAge"))
+      .drop(dimKey)
+  }
+
   /** Exactly-once sink contract (K4/K5 streaming form): idempotent
     * foreachBatch writer — each batch lands in its own
     * `__batch_id=<id>` partition under dynamic partition overwrite, so

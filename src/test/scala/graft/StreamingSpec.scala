@@ -10,6 +10,7 @@ import graft.streaming.StreamingDedup
   * drop late ("immature") data.
   */
 case class Point(host: String, ts: java.sql.Timestamp, value: Double)
+case class DimRow(host: String, dts: java.sql.Timestamp, attr: String)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -66,6 +67,31 @@ class StreamingSpec extends SparkSpec {
   private implicit class MapOps(a: Array[(String, Long, Double)]) {
     def toMap2: Map[String, (Long, Double)] =
       a.map { case (k, n, s) => k -> (n, s) }.toMap
+  }
+
+  test("stream-stream interval join: facts pair with in-window dim versions") {
+    implicit val sqlCtx = spark.sqlContext
+    def d(host: String, minute: Int, attr: String) = DimRow(host,
+      java.sql.Timestamp.valueOf(f"2024-08-11 10:$minute%02d:00"), attr)
+    val facts = MemoryStream[Point]
+    val dims = MemoryStream[DimRow]
+    val q = StreamingDedup.streamIntervalJoin(facts.toDF(), dims.toDF(),
+        "host", "ts", "dts", horizon = "10 minutes", maxAge = "20 minutes")
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+
+    // dim h1 has version A at 10:00 and B at 10:30
+    dims.addData(d("h1", 0, "A"), d("h1", 30, "B"))
+    // 10:05 sits in A's 20-min validity only; 10:35 and 10:45 in B's;
+    // h2 has no dim version at all
+    facts.addData(p("h1", 5, 1.0), p("h1", 35, 2.0), p("h1", 45, 3.0),
+      p("h2", 5, 9.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ssjoin").select($"value", $"attr")
+      .as[(Double, String)].collect().toSet
+    assert(got == Set((1.0, "A"), (2.0, "B"), (3.0, "B")))
   }
 
   test("latest-per-key over stream snapshot (url...py:60-64)") {
