@@ -131,6 +131,45 @@ class PropertySpec extends SparkSpec {
     assert(err < 0.06, s"HLL err $err (approx=$approxN exact=$exactN)")
   }
 
+  test("rangeJoin == naive containment join on generated intervals") {
+    import graft.operators.Relational
+    val pts = Gen.listOfN(200, Gen.chooseNum(0L, 2000L)).sample.get
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }
+    val ivs = Gen.listOfN(60, Gen.zip(Gen.chooseNum(0L, 2000L),
+        Gen.chooseNum(0L, 150L))).sample.get
+      .zipWithIndex.map { case ((s, len), i) => (i.toLong, s, s + len) }
+    val points = pts.toDF("pid", "pt")
+    val intervals = ivs.toDF("iid", "s", "e")
+    // binWidth deliberately NOT dividing interval lengths evenly
+    val got = Relational.rangeJoin(points, intervals, "pt", "s", "e", 37L)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (pid, pt) <- pts; (iid, s, e) <- ivs if pt >= s && pt <= e
+    } yield (pid, iid)).toSet
+    assert(got == want)
+  }
+
+  test("shardByBudget: shards are contiguous and within budget + one row") {
+    import graft.operators.Sampling
+    val weights = Gen.listOfN(300, Gen.chooseNum(1L, 400L)).sample.get
+    val rows = weights.zipWithIndex.map { case (w, i) => (f"id$i%04d", w) }
+    val df = rows.toDF("id", "w")
+    val got = Sampling.shardByBudget(df, "id", "w", budget = 1000L)
+      .select($"id", $"w", $"shard").as[(String, Long, Long)]
+      .collect().sortBy(_._1)
+    // shard ids never decrease in id order (contiguity)
+    assert(got.map(_._3).sliding(2).forall(p => p.head <= p.last))
+    // every shard's weight stays under budget + its last row's weight
+    // (the prefix-sum boundary invariant: a shard closes only once the
+    // running sum crosses the budget)
+    got.groupBy(_._3).values.foreach { shard =>
+      val total = shard.map(_._2).sum
+      val maxW = shard.map(_._2).max
+      assert(total <= 1000L + maxW,
+        s"shard ${shard.head._3} holds $total > budget + $maxW")
+    }
+  }
+
   test("F11: canonical row key invariant under column permutation") {
     val rows = Gen.listOfN(100,
       Gen.zip(Gen.alphaStr, Gen.chooseNum(0, 1000))).sample.get
