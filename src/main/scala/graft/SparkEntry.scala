@@ -762,6 +762,12 @@ object SparkEntry {
         Dedup.simhash64(col("text")).as("fingerprint"))
     }),
 
+    // the oracle-checkable simhash sibling: md5-based 60-bit voting,
+    // every step replayable by an independent engine
+    "q_simhash_md5" -> ((s, dir) => {
+      Dedup.simhash60Portable(Tables.documents(s, dir), "doc_id", "text")
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
         concat_ws(",", TextOps.fingerprint(col("text"), 3, 8)).as("fp"))
@@ -1075,6 +1081,31 @@ object SparkEntry {
          |   list_transform(${shingleSql(3)}, s -> md5(s)))), 1, 8), ',')
          |   AS fp
          |FROM (SELECT doc_id, $toks AS toks FROM documents) t""".stripMargin
+    },
+
+    // md5-based simhash replayed step by step: token explode, low-60-
+    // bit hash, per-bit ±1 multiset votes, strictly-positive majority
+    // packs the bit
+    "q_simhash_md5" -> {
+      val toks = """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
+      val voteCols = (0 until 60).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(",\n  ")
+      val packed = (0 until 60).map(b =>
+        s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (
+         | SELECT doc_id, unnest($toks) AS t FROM documents),
+         |h AS (
+         | SELECT doc_id,
+         |  CAST('0x' || substring(md5(t), 1, 15) AS UBIGINT) AS h
+         | FROM tok),
+         |v AS (
+         | SELECT doc_id,
+         |  $voteCols
+         | FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($packed AS BIGINT) AS fingerprint
+         |FROM v""".stripMargin
     },
 
     "q_sql_shipping_priority" ->

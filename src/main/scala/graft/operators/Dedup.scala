@@ -389,6 +389,39 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Engine-portable 60-bit SimHash: per-token hash = low 60 bits of
+    * md5, multiset ±1 bit voting, a strictly-positive vote sets the
+    * bit. Returns (id, fingerprint) — docs with zero tokens produce no
+    * row (no token multiset ⇒ no fingerprint, both engines agree).
+    *
+    * This is the oracle-checkable sibling of the fused [[simhash64]]
+    * expression (the scan-speed path, whose xxhash64 base no other
+    * engine reproduces): every step — tokenization, hashing, voting,
+    * sign rule, bit packing — is composable built-ins an independent
+    * engine can replay exactly, so the ALGORITHM gets a hash-matched
+    * row (`q_simhash_md5`), the same upgrade pattern as
+    * `q_knn_ivf_full` / `q_neardup_embedding_full`. One explode + one
+    * partially-aggregated groupBy; the exchange carries 60 vote
+    * partials per (task, doc).
+    */
+  def simhash60Portable(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val bits = 60 // 15 hex chars: unsigned value fits a signed long
+    val votes = (0 until bits).map(b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"__b$b"))
+    val fp = (0 until bits).map(b =>
+      when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    df.select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).as("__tok"))
+      .withColumn("__h",
+        conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long"))
+      .groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), fp.as("fingerprint"))
+  }
+
   /** SimHash near-dup pairs: block on rotations of the fingerprint's
     * 16-bit chunks (a ≤3-bit difference leaves at least one chunk
     * intact), verify Hamming ≤ maxHamming. Same bucket-join shape as

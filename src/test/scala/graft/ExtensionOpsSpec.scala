@@ -237,6 +237,15 @@ class ExtensionOpsSpec extends SparkSpec {
     val h = Seq((0x0FL, 0x00L)).toDF("a", "b")
       .select(Dedup.hamming64($"a", $"b")).as[Int].head()
     assert(h == 4)
+    // portable md5 variant: same determinism/distinctness contract,
+    // small hamming under a local edit, and empty docs emit no row
+    val pf = Dedup.simhash60Portable(
+        df.unionByName(Seq((4L, a + " extra"), (5L, "")).toDF("id", "text")),
+        "id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(pf(1L) == pf(2L) && pf(1L) != pf(3L))
+    assert(java.lang.Long.bitCount(pf(1L) ^ pf(4L)) <= 12)
+    assert(!pf.contains(5L))
     val pairs = Dedup.simhashNearDupPairs(df, "id", "text", maxHamming = 3)
     val got = pairs.select($"id_a", $"id_b", $"hamming").collect()
     val p12 = got.find(r => r.getLong(0) == 1 && r.getLong(1) == 2)
