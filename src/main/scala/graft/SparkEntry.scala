@@ -768,6 +768,13 @@ object SparkEntry {
       Dedup.simhash60Portable(Tables.documents(s, dir), "doc_id", "text")
     }),
 
+    // the oracle-checkable minhash-signature sibling: md5 base hash +
+    // affine permutations mod 2^31-1, minima per permutation
+    "q_minhash_sig_md5" -> ((s, dir) => {
+      Dedup.minhashSignaturePortable(Tables.documents(s, dir), "doc_id",
+        "text", shingleK = 5, numHashes = 32)
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
         concat_ws(",", TextOps.fingerprint(col("text"), 3, 8)).as("fp"))
@@ -1107,6 +1114,22 @@ object SparkEntry {
          |SELECT doc_id, CAST($packed AS BIGINT) AS fingerprint
          |FROM v""".stripMargin
     },
+
+    // shared shingle CTE (list_distinct is harmless: the minimum over
+    // a multiset equals the minimum over its support), md5-low-32 base
+    // hash, 32 affine permutations replayed per shingle
+    "q_minhash_sig_md5" ->
+      s"""WITH ${shingleCteSql(5, "documents")},
+         |t AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |hh AS (
+         | SELECT doc_id,
+         |  CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h
+         | FROM t)
+         |SELECT doc_id, CAST(p.i AS BIGINT) AS perm,
+         | min(((2 * p.i + 3) * h + (1000003 * p.i + 12345))
+         |   % 2147483647) AS min_hash
+         |FROM hh, (SELECT unnest(range(32)) AS i) p
+         |GROUP BY doc_id, p.i""".stripMargin,
 
     "q_sql_shipping_priority" ->
       """SELECT l.l_orderkey,

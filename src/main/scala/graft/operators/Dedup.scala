@@ -378,6 +378,39 @@ object Dedup {
       minhashNearDupPairs(df, idCol, textCol, shingleK, numHashes, bands,
         threshold))
 
+  /** Engine-portable minhash signature in long form: (id, perm,
+    * min_hash), perm 0-based. Base hash = low 32 bits of each
+    * shingle's md5; permutation i = (2i+3)·h + (1000003·i + 12345)
+    * mod (2³¹−1) — all arithmetic inside signed-64-bit range on every
+    * engine, so the whole signature computation (shingling, hashing,
+    * permutation family, minima) is replayable by an independent
+    * engine and oracle-checked end to end (`q_minhash_sig_md5`). The
+    * fused [[minhashSignature]] expression stays the scan-speed path
+    * (xxhash64 base + multiply-shift — not reproducible elsewhere).
+    * One explode + one partially-aggregated groupBy carrying
+    * `numHashes` min partials per (task, doc).
+    */
+  def minhashSignaturePortable(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 5, numHashes: Int = 32)
+      : DataFrame = {
+    require(numHashes >= 1)
+    val mod = 2147483647L // 2^31 - 1
+    val mins = (0 until numHashes).map(i =>
+      min((lit(2L * i + 3) * col("__h") + lit(1000003L * i + 12345L))
+        % mod).as(s"__m$i"))
+    df.select(col(idCol),
+        explode(TextOps.shingles(col(textCol), shingleK)).as("__sh"))
+      .withColumn("__h",
+        conv(substring(md5(col("__sh")), 1, 8), 16, 10).cast("long"))
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), posexplode(
+          array((0 until numHashes).map(i => col(s"__m$i")): _*))
+        .as(Seq("perm", "min_hash")))
+      .select(col(idCol), col("perm").cast("long").as("perm"),
+        col("min_hash"))
+  }
+
   /** 64-bit SimHash over the token multiset: per token hash, add ±1 to
     * each of 64 bit planes, sign gives the bit. Whole computation is
     * higher-order array expressions (aggregate + zip_with) — codegen'd,
