@@ -106,6 +106,24 @@ object SparkEntry {
 
   private val enStop = TextOps.langProfiles("en")
 
+  /** Exact cosine top-k ground truth (vec_id < 50 queries, k = 10,
+    * self excluded, score-desc id-asc tie-break) — shared by every ANN
+    * query whose configuration makes it exact.
+    */
+  private val knnExactTopKSql: String =
+    """SELECT query_id, rank, neighbor_id FROM (
+      | SELECT q.vec_id AS query_id,
+      |  CAST(row_number() OVER (PARTITION BY q.vec_id
+      |   ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |     CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC)
+      |   AS BIGINT) AS rank,
+      |  c.vec_id AS neighbor_id
+      | FROM embeddings c
+      | CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+      |   WHERE vec_id < 50) q
+      | WHERE c.vec_id <> q.vec_id) t
+      |WHERE rank <= 10""".stripMargin
+
   /** Staged minhash band keys for the history corpus, written ONCE per
     * source-data version and served from parquet on every later call —
     * the 100 TB operating mode, where re-ingest probes staged buckets
@@ -807,6 +825,21 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding"))
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
           "qid", k = 10)
+        .select(col("query_id"),
+          posexplode(col("neighbors")).as(Seq("pos", "nb")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("nb.id").as("neighbor_id"))
+    }),
+
+    // exact-mode LSH (planes = 0, lossless single bucket): the whole
+    // lshTopK pipeline — bucket join, post-score dedup, bounded top-k
+    // — at recall 1, pinned by the brute-force oracle
+    "q_knn_lsh_full" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", "qid",
+          k = 10, planes = 0)
         .select(col("query_id"),
           posexplode(col("neighbors")).as(Seq("pos", "nb")))
         .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
@@ -1613,19 +1646,11 @@ object SparkEntry {
     // exact brute-force cosine top-k: same double accumulation (DOUBLE[]
     // cast), same ordering (score desc, id asc), same self-exclusion —
     // upgrades the strongest ANN claim from rows-only to hash-matched
-    "q_knn_bruteforce" ->
-      """SELECT query_id, rank, neighbor_id FROM (
-        | SELECT q.vec_id AS query_id,
-        |  CAST(row_number() OVER (PARTITION BY q.vec_id
-        |   ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-        |     CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC)
-        |   AS BIGINT) AS rank,
-        |  c.vec_id AS neighbor_id
-        | FROM embeddings c
-        | CROSS JOIN (SELECT vec_id, embedding FROM embeddings
-        |   WHERE vec_id < 50) q
-        | WHERE c.vec_id <> q.vec_id) t
-        |WHERE rank <= 10""".stripMargin,
+    "q_knn_bruteforce" -> knnExactTopKSql,
+
+    // planes = 0 LSH degenerates to the same exact ground truth — the
+    // lossless configuration proves the LSH pipeline end to end
+    "q_knn_lsh_full" -> knnExactTopKSql,
 
     // survivors = corpus \ higher-id members of exact near-dup pairs
     "q_minhash_dedup" ->
@@ -1677,19 +1702,7 @@ object SparkEntry {
          |JOIN sh b ON b.doc_id = p.id_b""".stripMargin,
 
     // nprobe = nlist probes every list => exact; identical ground truth
-    "q_knn_ivf_full" ->
-      """SELECT query_id, rank, neighbor_id FROM (
-        | SELECT q.vec_id AS query_id,
-        |  CAST(row_number() OVER (PARTITION BY q.vec_id
-        |   ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-        |     CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC)
-        |   AS BIGINT) AS rank,
-        |  c.vec_id AS neighbor_id
-        | FROM embeddings c
-        | CROSS JOIN (SELECT vec_id, embedding FROM embeddings
-        |   WHERE vec_id < 50) q
-        | WHERE c.vec_id <> q.vec_id) t
-        |WHERE rank <= 10""".stripMargin,
+    "q_knn_ivf_full" -> knnExactTopKSql,
 
     // engine-portable checksum over the binary payload: DuckDB's
     // md5(VARCHAR) hashes the UTF-8 bytes, which is exactly Spark's

@@ -305,8 +305,15 @@ object Similarity {
       vecCol: String, qidCol: String, k: Int, planes: Int,
       excludeSelf: Boolean = true, tables: Int = 1): DataFrame = {
     require(tables >= 1, "tables must be >= 1")
+    require(planes >= 0, "planes must be >= 0 (0 = exact single-bucket)")
+    // planes = 0 is the lossless degenerate mode (one bucket, the
+    // bucket join IS the full pairing): the oracle-proof configuration
+    // exercising the whole LSH pipeline — bucket join, post-score
+    // dedup, bounded top-k — with recall 1
     def buckets(vec: Column): Column = posexplode(array(
-      (0 until tables).map(t => lshBucket(vec, planes, t * planes)): _*))
+      (0 until tables).map(t =>
+        if (planes == 0) lit(0L)
+        else lshBucket(vec, planes, t * planes)): _*))
     val ck = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cvec"),
       buckets(col(vecCol)).as(Seq("__tbl", "__bucket")))
     val qk = queries.select(col(qidCol).as("query_id"),
