@@ -430,8 +430,10 @@ object SparkEntry {
           ntile(10).over(w).cast("long").as("decile"))
     }),
 
-    // equal-width value histogram per event type: floor-bucket counts,
-    // exact integer arithmetic on both sides
+    // equal-width value histogram per event type: floor-bucket counts.
+    // Parity rests on floor(double / 10) being ONE correctly-rounded
+    // IEEE op computed identically by both engines — not on integer
+    // exactness (value is a double)
     "q_histogram" -> ((s, dir) => {
       Tables.events(s, dir)
         .filter(col("value").isNotNull && col("event_type").isNotNull)
@@ -1123,9 +1125,9 @@ object SparkEntry {
          |FROM (SELECT doc_id, $toks AS toks FROM documents) t""".stripMargin
     },
 
-    // md5-based simhash replayed step by step: token explode, low-60-
-    // bit hash, per-bit ±1 multiset votes, strictly-positive majority
-    // packs the bit
+    // md5-based simhash replayed step by step: token explode, leading-
+    // 60-bit hash (first 15 hex chars), per-bit ±1 multiset votes,
+    // strictly-positive majority packs the bit
     "q_simhash_md5" -> {
       val toks = """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
       val voteCols = (0 until 60).map(b =>
@@ -1149,8 +1151,8 @@ object SparkEntry {
     },
 
     // shared shingle CTE (list_distinct is harmless: the minimum over
-    // a multiset equals the minimum over its support), md5-low-32 base
-    // hash, 32 affine permutations replayed per shingle
+    // a multiset equals the minimum over its support), leading-32-bit
+    // md5 base hash, 32 affine permutations replayed per shingle
     "q_minhash_sig_md5" ->
       s"""WITH ${shingleCteSql(5, "documents")},
          |t AS (SELECT doc_id, unnest(sh) AS s FROM sh),
@@ -1279,7 +1281,7 @@ object SparkEntry {
     "q_label_centroids" ->
       """SELECT label, CAST(u.dim AS BIGINT) AS dim,
         | round(CAST(sum(CAST(u.x AS DECIMAL(28,12))) AS DOUBLE)
-        |   / count(*), 6) AS mean
+        |   / count(u.x), 6) AS mean
         |FROM (
         | SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
         |   i -> struct_pack(dim := i, x := embedding[i]))) AS u

@@ -379,8 +379,10 @@ object Dedup {
         threshold))
 
   /** Engine-portable minhash signature in long form: (id, perm,
-    * min_hash), perm 0-based. Base hash = low 32 bits of each
-    * shingle's md5; permutation i = (2i+3)·h + (1000003·i + 12345)
+    * min_hash), perm 0-based. Base hash = the LEADING 32 bits (first
+    * 8 hex chars) of each shingle's md5 — any fixed 32-bit slice of a
+    * uniform digest works, and the leading substring is what both
+    * engines spell identically; permutation i = (2i+3)·h + (1000003·i + 12345)
     * mod (2³¹−1) — all arithmetic inside signed-64-bit range on every
     * engine, so the whole signature computation (shingling, hashing,
     * permutation family, minima) is replayable by an independent
@@ -422,10 +424,11 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Engine-portable 60-bit SimHash: per-token hash = low 60 bits of
-    * md5, multiset ±1 bit voting, a strictly-positive vote sets the
-    * bit. Returns (id, fingerprint) — docs with zero tokens produce no
-    * row (no token multiset ⇒ no fingerprint, both engines agree).
+  /** Engine-portable 60-bit SimHash: per-token hash = the LEADING 60
+    * bits (first 15 hex chars) of md5, multiset ±1 bit voting, a
+    * strictly-positive vote sets the bit. Returns (id, fingerprint) —
+    * docs with zero tokens produce no row (no token multiset ⇒ no
+    * fingerprint, both engines agree).
     *
     * This is the oracle-checkable sibling of the fused [[simhash64]]
     * expression (the scan-speed path, whose xxhash64 base no other

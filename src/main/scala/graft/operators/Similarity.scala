@@ -123,8 +123,11 @@ object Similarity {
     df.select(col(labelCol).as("label"),
         posexplode(col(vecCol)).as(Seq("__pos", "__x")))
       .groupBy(col("label"), (col("__pos") + 1).cast("long").as("dim"))
+      // avg semantics: divide by the NON-NULL element count — a null
+      // component must lower the sample size, not deflate the mean
+      // toward zero
       .agg((sum(col("__x").cast("decimal(28,12)")).cast("double") /
-        count(lit(1))).as("mean"))
+        count(col("__x"))).as("mean"))
 
   /** Sign-bit bucket key from `planes` random hyperplanes
     * (deterministic Rademacher directions). Same key ⇒ likely-similar
@@ -309,9 +312,12 @@ object Similarity {
     // planes = 0 is the lossless degenerate mode (one bucket, the
     // bucket join IS the full pairing): the oracle-proof configuration
     // exercising the whole LSH pipeline — bucket join, post-score
-    // dedup, bounded top-k — with recall 1
+    // dedup, bounded top-k — with recall 1. Extra tables would only
+    // replicate the identical bucket (and re-score the full cross
+    // join per copy), so exact mode collapses to one table.
+    val effTables = if (planes == 0) 1 else tables
     def buckets(vec: Column): Column = posexplode(array(
-      (0 until tables).map(t =>
+      (0 until effTables).map(t =>
         if (planes == 0) lit(0L)
         else lshBucket(vec, planes, t * planes)): _*))
     val ck = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cvec"),
@@ -327,7 +333,7 @@ object Similarity {
         col("__cid"))
     // single table ⇒ at most one collision per (query, candidate):
     // skip the dedup exchange entirely
-    val deduped = if (tables == 1) scored else scored.distinct()
+    val deduped = if (effTables == 1) scored else scored.distinct()
     deduped
       .groupBy(col("query_id"))
       .agg(VectorExpressions.topKByScore(col("score"), col("__cid"), k)

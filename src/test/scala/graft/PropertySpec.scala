@@ -159,14 +159,14 @@ class PropertySpec extends SparkSpec {
       .collect().sortBy(_._1)
     // shard ids never decrease in id order (contiguity)
     assert(got.map(_._3).sliding(2).forall(p => p.head <= p.last))
-    // every shard's weight stays under budget + its last row's weight
-    // (the prefix-sum boundary invariant: a shard closes only once the
-    // running sum crosses the budget)
+    // prefix-sum boundary invariant: a shard closes as soon as the
+    // running sum crosses the budget, so its total can exceed the
+    // budget only by its LAST (closing) row's weight
     got.groupBy(_._3).values.foreach { shard =>
       val total = shard.map(_._2).sum
-      val maxW = shard.map(_._2).max
-      assert(total <= 1000L + maxW,
-        s"shard ${shard.head._3} holds $total > budget + $maxW")
+      val lastW = shard.maxBy(_._1)._2
+      assert(total <= 1000L + lastW,
+        s"shard ${shard.head._3} holds $total > budget + closing $lastW")
     }
   }
 

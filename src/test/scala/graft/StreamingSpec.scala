@@ -71,8 +71,13 @@ class StreamingSpec extends SparkSpec {
 
   test("stream-stream interval join: facts pair with in-window dim versions") {
     implicit val sqlCtx = spark.sqlContext
-    def d(host: String, minute: Int, attr: String) = DimRow(host,
-      java.sql.Timestamp.valueOf(f"2024-08-11 10:$minute%02d:00"), attr)
+    // minutes measured from 10:00, carrying into later hours
+    def ts(minute: Int) = java.sql.Timestamp.valueOf(
+      f"2024-08-11 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+    def d(host: String, minute: Int, attr: String) =
+      DimRow(host, ts(minute), attr)
+    def pm(host: String, minute: Int, v: Double) =
+      Point(host, ts(minute), v)
     val facts = MemoryStream[Point]
     val dims = MemoryStream[DimRow]
     val q = StreamingDedup.streamIntervalJoin(facts.toDF(), dims.toDF(),
@@ -87,11 +92,22 @@ class StreamingSpec extends SparkSpec {
     facts.addData(p("h1", 5, 1.0), p("h1", 35, 2.0), p("h1", 45, 3.0),
       p("h2", 5, 9.0))
     q.processAllAvailable()
+    // advance both watermarks far past A's validity (event time 12:00,
+    // watermark 11:50 > 10:00 + maxAge + horizon): A's buffered row is
+    // now evictable state. A fact timestamped inside A's old window
+    // arrives after that — it is late beyond the watermark and must
+    // NOT resurrect a match; this pins the bounded-state contract the
+    // two-sided time bound exists to provide.
+    dims.addData(d("h3", 120, "Z"))
+    facts.addData(pm("h3", 120, 8.0))
+    q.processAllAvailable()
+    facts.addData(pm("h1", 6, 4.0))
+    q.processAllAvailable()
     q.stop()
 
     val got = spark.table("ssjoin").select($"value", $"attr")
       .as[(Double, String)].collect().toSet
-    assert(got == Set((1.0, "A"), (2.0, "B"), (3.0, "B")))
+    assert(got == Set((1.0, "A"), (2.0, "B"), (3.0, "B"), (8.0, "Z")))
   }
 
   test("latest-per-key over stream snapshot (url...py:60-64)") {
