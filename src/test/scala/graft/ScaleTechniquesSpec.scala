@@ -135,6 +135,41 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // at 100 TB a selective dim predicate should cut the FACT side
+    // before its shuffle, not after the join: Spark's runtime bloom
+    // filter (InjectRuntimeFilter) builds a filter from the dim's join
+    // keys and applies might_contain on the fact scan. Demonstrated
+    // with test-scale thresholds; note the rule wants a plain
+    // filtered creation side — a distinct() there suppresses it.
+    val s = spark
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "1024")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ev = graft.sources.Tables.events(s, sf("sf0.001"))
+        .select($"event_id", $"user_id")
+      val dim = spark.read.parquet(s"${sf("sf0.001")}/lineitem.parquet")
+        .filter($"l_returnflag" === "A")
+        .select($"l_orderkey", $"l_quantity")
+      val joined = ev.join(dim, $"event_id" === $"l_orderkey")
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      // and the filter is transparent: same result as with it disabled
+      val n = joined.count()
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(n == ev.join(dim, $"event_id" === $"l_orderkey").count())
+    } finally {
+      s.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      s.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("bucketed tables join without any exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graftwh").toString
     val s = spark
