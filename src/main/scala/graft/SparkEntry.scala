@@ -269,6 +269,33 @@ object SparkEntry {
           lit("\u0001 z  "))).as("cleaned"))
     }),
 
+    // correlated EXISTS subquery: Catalyst's decorrelation rewrites it
+    // to a semi join — planner surface the DataFrame DSL never touches
+    "q_correlated_exists" -> ((s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("g_supplier")
+      Tables.lineitem(s, dir).createOrReplaceTempView("g_lineitem")
+      s.sql("""
+        SELECT s.s_suppkey, s.s_name FROM g_supplier s
+        WHERE EXISTS (SELECT 1 FROM g_lineitem l
+          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)""")
+    }),
+
+    // correlated SCALAR aggregate subquery (supplier above its
+    // nation's mean balance): decorrelated to an aggregate + join.
+    // Exact-decimal mean so the comparison is engine-portable; a
+    // single-supplier nation compares a value against exactly itself
+    // (sum/1 round-trips bit-identically through decimal(18,2) — the
+    // balances carry two decimals)
+    "q_scalar_subquery" -> ((s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("g_supplier")
+      s.sql("""
+        SELECT s.s_suppkey, s.s_name FROM g_supplier s
+        WHERE s.s_acctbal > (
+          SELECT CAST(sum(CAST(s2.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            / count(*)
+          FROM g_supplier s2 WHERE s2.s_nationkey = s.s_nationkey)""")
+    }),
+
     // the SQL frontend end-to-end: same engine, declared as SQL text
     // over registered views (TPC-H Q3 shape) — proves the full parser/
     // analyzer path, not just the DataFrame DSL
@@ -1165,6 +1192,18 @@ object SparkEntry {
          |   % 2147483647) AS min_hash
          |FROM hh, (SELECT unnest(range(32)) AS i) p
          |GROUP BY doc_id, p.i""".stripMargin,
+
+    "q_correlated_exists" ->
+      """SELECT s.s_suppkey, s.s_name FROM supplier s
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT s.s_suppkey, s.s_name FROM supplier s
+        |WHERE s.s_acctbal > (
+        |  SELECT CAST(sum(CAST(s2.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*)
+        |  FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey)""".stripMargin,
 
     "q_sql_shipping_priority" ->
       """SELECT l.l_orderkey,

@@ -138,6 +138,15 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("correlated EXISTS decorrelates to a semi join (no per-row subquery)") {
+    val df = SparkEntry.queries("q_correlated_exists")(spark, dir)
+    val plan = physical(df)
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS should decorrelate to a semi join:\n$plan")
+    assert(!plan.toLowerCase.contains("subquery"),
+      s"correlated subquery survived into the physical plan:\n$plan")
+  }
+
   test("range join plans a hash equi-join on the bin, never a nested loop") {
     val df = SparkEntry.queries("q_range_join")(spark, dir)
     val plan = physical(df)
