@@ -269,6 +269,28 @@ object SparkEntry {
           lit("\u0001 z  "))).as("cleaned"))
     }),
 
+    // statistical aggregates from exact decimal moments: Pearson
+    // correlation per group computed from Σx, Σy, Σxy, Σx², Σy², n —
+    // the built-in corr() accumulates doubles in partition order
+    // (non-deterministic across engines AND across shuffles); the
+    // moment form is order-independent and hash-matches
+    "q_corr_moments" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      def d(c: Column) = sum(c.cast("decimal(28,6)")).cast("double")
+      val g = li.groupBy(col("l_returnflag")).agg(
+        d(col("l_quantity")).as("sx"),
+        d(col("l_extendedprice")).as("sy"),
+        d(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+        d(col("l_quantity") * col("l_quantity")).as("sxx"),
+        d(col("l_extendedprice") * col("l_extendedprice")).as("syy"),
+        count(lit(1)).cast("double").as("n"))
+      g.select(col("l_returnflag"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))), 6)
+          .as("corr_qty_price"))
+    }),
+
     // correlated EXISTS subquery: Catalyst's decorrelation rewrites it
     // to a semi join — planner surface the DataFrame DSL never touches
     "q_correlated_exists" -> ((s, dir) => {
@@ -1192,6 +1214,24 @@ object SparkEntry {
          |   % 2147483647) AS min_hash
          |FROM hh, (SELECT unnest(range(32)) AS i) p
          |GROUP BY doc_id, p.i""".stripMargin,
+
+    "q_corr_moments" ->
+      """SELECT l_returnflag,
+        | round((n * sxy - sx * sy) /
+        |   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |   AS corr_qty_price
+        |FROM (
+        | SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))
+        |    AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+        |    AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_extendedprice * l_extendedprice
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+        |  CAST(count(*) AS DOUBLE) AS n
+        | FROM lineitem GROUP BY l_returnflag) t""".stripMargin,
 
     "q_correlated_exists" ->
       """SELECT s.s_suppkey, s.s_name FROM supplier s
