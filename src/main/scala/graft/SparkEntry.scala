@@ -302,20 +302,20 @@ object SparkEntry {
           WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)""")
     }),
 
-    // correlated SCALAR aggregate subquery (supplier above its
+    // correlated SCALAR aggregate subquery (customer above its
     // nation's mean balance): decorrelated to an aggregate + join.
     // Exact-decimal mean so the comparison is engine-portable; a
-    // single-supplier nation compares a value against exactly itself
+    // single-member nation compares a value against exactly itself
     // (sum/1 round-trips bit-identically through decimal(18,2) — the
     // balances carry two decimals)
     "q_scalar_subquery" -> ((s, dir) => {
-      Tables.supplier(s, dir).createOrReplaceTempView("g_supplier")
+      Tables.customer(s, dir).createOrReplaceTempView("g_customer")
       s.sql("""
-        SELECT s.s_suppkey, s.s_name FROM g_supplier s
-        WHERE s.s_acctbal > (
-          SELECT CAST(sum(CAST(s2.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        SELECT c.c_custkey, c.c_name FROM g_customer c
+        WHERE c.c_acctbal > (
+          SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
             / count(*)
-          FROM g_supplier s2 WHERE s2.s_nationkey = s.s_nationkey)""")
+          FROM g_customer c2 WHERE c2.c_nationkey = c.c_nationkey)""")
     }),
 
     // the SQL frontend end-to-end: same engine, declared as SQL text
@@ -1239,11 +1239,11 @@ object SparkEntry {
         |  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)""".stripMargin,
 
     "q_scalar_subquery" ->
-      """SELECT s.s_suppkey, s.s_name FROM supplier s
-        |WHERE s.s_acctbal > (
-        |  SELECT CAST(sum(CAST(s2.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      """SELECT c.c_custkey, c.c_name FROM customer c
+        |WHERE c.c_acctbal > (
+        |  SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
         |    / count(*)
-        |  FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey)""".stripMargin,
+        |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin,
 
     "q_sql_shipping_priority" ->
       """SELECT l.l_orderkey,
