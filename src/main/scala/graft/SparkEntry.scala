@@ -503,6 +503,109 @@ object SparkEntry {
         .select(col("label"), col("dim"), round(col("mean"), 6).as("mean"))
     }),
 
+    // conditional aggregation (FILTER-clause semantics): several
+    // differently-filtered aggregates from ONE scan + ONE exchange —
+    // the alternative (one query per predicate) re-reads the fact
+    // table per metric. sum(when(p, x)) is Spark's codegen'd FILTER.
+    "q_agg_filter" -> ((s, dir) => {
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
+        sum(when(col("l_discount") > 0.05,
+          col("l_quantity").cast("decimal(18,2)"))).cast("double")
+          .as("disc_qty"),
+        count(when(col("l_quantity") >= 30, lit(1))).as("big_n"),
+        sum(when(col("l_linestatus") === "F",
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)"))).cast("double").as("rev_f"),
+        count(lit(1)).as("n"))
+    }),
+
+    // time-RANGE window frame: per-user rolling 1h sum/count, framed
+    // by event-time VALUE (not row count) — peers at the same second
+    // share a frame. One exchange on user_id, one sort serves both
+    // aggregates; the frame is evaluated with a sliding accumulator,
+    // not a per-row rescan.
+    "q_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s"))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("epoch_s"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+            .as("roll_sum_1h"),
+          count(col("value")).over(w).as("roll_n_1h"))
+    }),
+
+    // LATERAL correlated subquery (top-2 customers per nation):
+    // Catalyst decorrelates the per-row ORDER BY/LIMIT subquery into a
+    // ranked window over ONE join — planner surface beyond the
+    // DataFrame DSL, and the rank-limit form AQE/WindowGroupLimit can
+    // push down
+    "q_lateral" -> ((s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("g_nation")
+      Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+      s.sql("""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM g_nation n
+        JOIN LATERAL (
+          SELECT c.c_custkey, c.c_acctbal FROM g_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c.c_acctbal DESC, c.c_custkey ASC
+          LIMIT 2) t""")
+    }),
+
+    // deterministic mode (most frequent value-bucket per event type):
+    // count-then-rank with an explicit tie-break — mode() builtins
+    // tie-break arbitrarily, which can never hash-match across engines
+    "q_mode" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          floor(col("value") / 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("bucket").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("bucket").as("mode_bucket"),
+          col("n"))
+    }),
+
+    // exact third-moment skewness per group from decimal power sums
+    // (the [[q_corr_moments]] pattern one moment higher): single scan,
+    // map-side partial aggregation; the double arithmetic after the
+    // exact sums is the identical IEEE op sequence on both engines
+    "q_skewness" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      def d(c: Column) = sum(c.cast("decimal(28,6)")).cast("double")
+      val q = col("l_quantity")
+      val g = li.groupBy(col("l_returnflag")).agg(
+        d(q).as("sx"), d(q * q).as("sxx"), d(q * q * q).as("sxxx"),
+        count(lit(1)).cast("double").as("n"))
+      val mean = col("sx") / col("n")
+      val m2 = col("sxx") / col("n") - mean * mean
+      val m3 = col("sxxx") / col("n") - lit(3) * mean * (col("sxx") / col("n")) +
+        lit(2) * mean * mean * mean
+      g.select(col("l_returnflag"),
+        round(m3 / pow(m2, 1.5), 6).as("skew_qty"))
+    }),
+
+    // rank-statistics window surface: percent_rank / cume_dist /
+    // dense_rank in one pass — tie groups share values, and the
+    // ratios are single IEEE divisions of exact small ints (bit-equal
+    // across engines, no rounding needed)
+    "q_rank_stats" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          dense_rank().over(w).cast("long").as("dr"))
+    }),
+
     "q_cross_fanout" -> ((s, dir) => {
       Relational.fanOut(Tables.nation(s, dir).select("n_name"),
           graft.model.NagiosModel.services, "service_name")
@@ -1366,6 +1469,75 @@ object SparkEntry {
         |   i -> struct_pack(dim := i, x := embedding[i]))) AS u
         | FROM embeddings WHERE label IS NOT NULL) t
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_agg_filter" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |   FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_qty,
+        | CAST(count(*) FILTER (WHERE l_quantity >= 30) AS BIGINT) AS big_n,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |   FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS rev_f,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_range_frame" ->
+      """SELECT event_id, user_id,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |   AS roll_sum_1h,
+        | CAST(count(value) OVER w AS BIGINT) AS roll_n_1h
+        |FROM (
+        | SELECT event_id, user_id, value,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL) t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+        | RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_lateral" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n
+        |JOIN LATERAL (
+        | SELECT c.c_custkey, c.c_acctbal FROM customer c
+        | WHERE c.c_nationkey = n.n_nationkey
+        | ORDER BY c.c_acctbal DESC, c.c_custkey ASC
+        | LIMIT 2) t ON true""".stripMargin,
+
+    "q_mode" ->
+      """SELECT event_type, bucket AS mode_bucket, n FROM (
+        | SELECT event_type, bucket, n,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n DESC, bucket ASC) AS rn
+        | FROM (
+        |  SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket,
+        |   CAST(count(*) AS BIGINT) AS n
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2) c) r
+        |WHERE rn = 1""".stripMargin,
+
+    "q_skewness" ->
+      """SELECT l_returnflag,
+        | round((sxxx / n - 3 * (sx / n) * (sxx / n)
+        |     + 2 * (sx / n) * (sx / n) * (sx / n))
+        |   / pow(sxx / n - (sx / n) * (sx / n), 1.5), 6) AS skew_qty
+        |FROM (
+        | SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+        |    AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_quantity * l_quantity * l_quantity
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS sxxx,
+        |  CAST(count(*) AS DOUBLE) AS n
+        | FROM lineitem GROUP BY l_returnflag) m""".stripMargin,
+
+    "q_rank_stats" ->
+      """SELECT event_id, event_type,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd,
+        | CAST(dense_rank() OVER w AS BIGINT) AS dr
+        |FROM events
+        |WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |WINDOW w AS (PARTITION BY event_type
+        | ORDER BY value ASC, event_id ASC)""".stripMargin,
 
     // same 300 windows rebuilt relationally; the binning is an engine
     // detail, so the oracle is the plain containment join
