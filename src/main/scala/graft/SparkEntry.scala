@@ -269,6 +269,44 @@ object SparkEntry {
           lit("\u0001 z  "))).as("cleaned"))
     }),
 
+    // PII redaction: deterministic PII spans injected from doc_id on
+    // both sides (the corpus is synthetic word salad with no natural
+    // PII), then the regexp chain + per-category counts are proven
+    // engine-portable by the oracle
+    "q_redact_pii" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact u"), col("doc_id"),
+            lit("@example.com at 10.0."), col("doc_id") % 200,
+            lit(".7 ssn 123-45-6789 tel 555-867-5309 ")).as("text"))
+        .select(col("doc_id"),
+          TextOps.redactPii(col("text")).as("redacted"),
+          TextOps.piiCounts(col("text")).as("pc"))
+        .select(col("doc_id"), col("redacted"),
+          col("pc.n_email").cast("long").as("n_email"),
+          col("pc.n_ip").cast("long").as("n_ip"),
+          col("pc.n_ssn").cast("long").as("n_ssn"),
+          col("pc.n_phone").cast("long").as("n_phone"))
+    }),
+
+    // Gopher-style repetition stats: boost every 7th doc with a
+    // repeated phrase, then duplicate-token fraction + top-2-gram
+    // coverage — all row-local array expressions
+    "q_repetition" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" buy now buy now buy now buy now")))
+            .otherwise(col("text")).as("text"))
+        .select(col("doc_id"),
+          TextOps.repetitionStats(col("text"), 2).as("r"))
+        .select(col("doc_id"),
+          col("r.n_tokens").as("n_tokens"),
+          col("r.dup_token_frac").as("dup_token_frac"),
+          col("r.top_ngram_count").as("top_ngram_count"),
+          col("r.top_ngram_frac").as("top_ngram_frac"))
+    }),
+
     // statistical aggregates from exact decimal moments: Pearson
     // correlation per group computed from Σx, Σy, Σxy, Σx², Σy², n —
     // the built-in corr() accumulates doubles in partition order
@@ -1264,6 +1302,55 @@ object SparkEntry {
         |   '  x' || chr(9) || chr(9) || 'y ' || text || chr(1) || ' z  ',
         |   '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned
         |FROM documents""".stripMargin,
+
+    // PII redaction oracle: the SAME regex strings as
+    // TextOps.piiPatterns (referenced directly — one definition), with
+    // counts taken on the progressively-redacted text exactly like
+    // piiCounts' fold
+    "q_redact_pii" -> {
+      val Seq((emailRe, emailTag), (ipRe, ipTag), (ssnRe, ssnTag),
+        (phoneRe, phoneTag)) = TextOps.piiPatterns
+      s"""WITH t0 AS (SELECT doc_id,
+         |  text || ' contact u' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com at 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+         |    || '.7 ssn 123-45-6789 tel 555-867-5309 ' AS text
+         |  FROM documents),
+         |r1 AS (SELECT doc_id, text,
+         |  regexp_replace(text, '$emailRe', '$emailTag', 'g') AS t1 FROM t0),
+         |r2 AS (SELECT *, regexp_replace(t1, '$ipRe', '$ipTag', 'g') AS t2 FROM r1),
+         |r3 AS (SELECT *, regexp_replace(t2, '$ssnRe', '$ssnTag', 'g') AS t3 FROM r2)
+         |SELECT doc_id,
+         | regexp_replace(t3, '$phoneRe', '$phoneTag', 'g') AS redacted,
+         | CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_email,
+         | CAST(len(regexp_extract_all(t1, '$ipRe')) AS BIGINT) AS n_ip,
+         | CAST(len(regexp_extract_all(t2, '$ssnRe')) AS BIGINT) AS n_ssn,
+         | CAST(len(regexp_extract_all(t3, '$phoneRe')) AS BIGINT) AS n_phone
+         |FROM r3""".stripMargin
+    },
+
+    // repetition stats oracle: shared shingle definition at k=2; the
+    // quadratic mode count is the same list_distinct x list_filter scan
+    "q_repetition" -> {
+      val toks = """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0
+         |    THEN text || ' buy now buy now buy now buy now'
+         |    ELSE text END AS text FROM documents),
+         |tt AS (SELECT doc_id, $toks AS toks FROM t),
+         |ng AS (SELECT doc_id, toks, ${shingleSql(2)} AS ng FROM tt),
+         |m AS (SELECT doc_id, len(toks) AS ntok,
+         |  len(list_distinct(toks)) AS ndist,
+         |  list_max(list_transform(list_distinct(ng),
+         |    g -> len(list_filter(ng, x -> x = g)))) AS topc FROM ng)
+         |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+         | round(CASE WHEN ntok = 0 THEN 0.0
+         |   ELSE 1.0 - CAST(ndist AS DOUBLE) / ntok END, 4) AS dup_token_frac,
+         | CAST(topc AS BIGINT) AS top_ngram_count,
+         | round(CASE WHEN ntok = 0 THEN 0.0
+         |   ELSE least(1.0, CAST(topc * 2 AS DOUBLE) / ntok) END, 4)
+         |   AS top_ngram_frac
+         |FROM m""".stripMargin
+    },
 
     // winnowing fingerprint: the shared shingle definition, md5 each,
     // distinct, sort, keep the 8 smallest — fixed-width lowercase hex

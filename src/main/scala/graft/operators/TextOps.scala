@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -134,6 +134,70 @@ object TextOps {
     */
   def shingles(text: Column, k: Int): Column =
     graft.functions.TextExpressions.shingles(text, k)
+
+  /** PII patterns used by [[redactPii]]/[[piiCounts]], applied in this
+    * order (email before phone/IP so the user\@host digits aren't
+    * re-matched). Each regex restricts itself to constructs with
+    * identical semantics in Java regex and RE2 (no lookaround, no
+    * backreferences), so redaction is engine-portable and
+    * oracle-checkable.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>")
+
+  /** PII redaction: emails, IPv4s, SSN-shaped and phone-shaped digit
+    * runs replaced by typed placeholder tags. A chain of codegen'd
+    * `regexp_replace` passes — map-side only, runs at scan throughput;
+    * the standard pre-training scrub step.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
+  /** Per-category PII hit counts (email, ip, ssn, phone) as a struct —
+    * the audit side of [[redactPii]]: corpus-level PII density reports
+    * aggregate these without materializing redacted text.
+    * Counted on the progressively-redacted text so categories don't
+    * double-count the same span (mirrors the replace chain exactly).
+    */
+  def piiCounts(text: Column): Column = {
+    val tags = Seq("email", "ip", "ssn", "phone")
+    val (cols, _) = piiPatterns.zip(tags).foldLeft(
+        (Seq.empty[Column], text)) {
+      case ((acc, cur), ((re, tag), name)) =>
+        (acc :+ regexp_count(cur, lit(re)).as(s"n_$name"),
+          regexp_replace(cur, re, tag))
+    }
+    struct(cols: _*)
+  }
+
+  /** Gopher-style repetition statistics over word n-grams: duplicate
+    * token fraction, the most frequent n-gram's occurrence count, and
+    * the fraction of tokens covered by repeats of that n-gram. All
+    * row-local array expressions (no shuffle); the quadratic
+    * distinct-vs-count scan is bounded by per-document token count, so
+    * at 100 TB it stays embarrassingly parallel map work.
+    */
+  def repetitionStats(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val ngrams = shingles(text, n)
+    val topCnt = array_max(transform(array_distinct(ngrams),
+      g => size(filter(ngrams, x => x === g))))
+    val dupFrac = when(size(toks) === 0, 0.0).otherwise(
+      lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+    struct(
+      size(toks).cast("long").as("n_tokens"),
+      round(dupFrac, 4).as("dup_token_frac"),
+      topCnt.cast("long").as("top_ngram_count"),
+      round(when(size(toks) === 0, 0.0).otherwise(
+        least(lit(1.0),
+          (topCnt * n).cast("double") / size(toks))), 4)
+        .as("top_ngram_frac"))
+  }
 
   /** Document fingerprint (winnowing-style): hash every k-shingle,
     * keep the `keep` smallest hashes as the document's signature.

@@ -103,6 +103,47 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(short == Seq("a b"))
   }
 
+  test("text: PII redaction replaces each category, counts once") {
+    val row = Seq(
+      ("mail bob.smith+x@corp.example.org or 10.1.2.3 ssn 123-45-6789 " +
+        "tel 555-867-5309 and 555.123.4567 plain 12345"))
+      .toDF("text")
+      .select(TextOps.redactPii($"text").as("red"),
+        TextOps.piiCounts($"text").as("pc"))
+      .select($"red", $"pc.n_email", $"pc.n_ip", $"pc.n_ssn", $"pc.n_phone")
+      .head()
+    val red = row.getString(0)
+    assert(red.contains("<EMAIL>") && red.contains("<IP>") &&
+      red.contains("<SSN>") && red.contains("<PHONE>"))
+    assert(!red.contains("@") && !red.contains("123-45-6789"))
+    assert(red.contains("plain 12345")) // non-PII digits untouched
+    assert((row.getInt(1), row.getInt(2), row.getInt(3), row.getInt(4))
+      == ((1, 1, 1, 2)))
+    // email host digits are not double-counted as IP/phone
+    val e = Seq("x@1.2.3.4mail.com t").toDF("text")
+      .select(TextOps.piiCounts($"text").as("pc"))
+      .select($"pc.n_email", $"pc.n_ip").head()
+    assert(e.getInt(0) == 1 && e.getInt(1) == 0)
+  }
+
+  test("text: repetition stats flag repeated phrases, clean text low") {
+    val df = Seq(
+      ("clean", "one two three four five six seven eight"),
+      ("spam", "buy now buy now buy now buy now"),
+      ("empty", ""))
+      .toDF("id", "text")
+      .select($"id", TextOps.repetitionStats($"text", 2).as("r"))
+      .select($"id", $"r.n_tokens", $"r.dup_token_frac",
+        $"r.top_ngram_count", $"r.top_ngram_frac")
+    val m = df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(m("clean") == ((8L, 0.0, 1L, 0.25)))
+    // "buy now" x4: 8 tokens, 2 distinct, top 2-gram "buy now" occurs 4x
+    assert(m("spam")._1 == 8L && m("spam")._2 == 0.75)
+    assert(m("spam")._3 == 4L && m("spam")._4 == 1.0)
+    assert(m("empty") == ((0L, 0.0, 1L, 0.0)))
+  }
+
   test("dedup: exact by content keeps min id; groups found") {
     val base = docs.select($"doc_id", $"text")
     val dup = base.filter($"doc_id" < 5)
