@@ -26,11 +26,15 @@ import graft.functions._
   * fails analysis, not execution.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         GraftExtensions.info(name, usage), builder))
     }
+    // whole-plan tier: the binned range-join rewrite (inert until
+    // spark.graft.rangeJoin.binWidth is set)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {

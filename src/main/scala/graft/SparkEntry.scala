@@ -485,6 +485,27 @@ object SparkEntry {
         .select(col("event_id"), col("window_id"))
     }),
 
+    // the SAME interval pairing written as a plain non-equi join, made
+    // scalable by the RangeJoinRewrite optimizer rule: the user keeps
+    // the natural BETWEEN query text and the rule plans the binned
+    // equi-join transparently (PlanSpec asserts no nested loop)
+    "q_range_join_rule" -> ((s, dir) => {
+      graft.plans.RangeJoinRewrite.install(s)
+      s.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "3600")
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .select(col("event_id"), unix_timestamp(col("ts")).as("pt"))
+      val wid = col("n_nationkey") * 12 + col("k")
+      val windows = Tables.nation(s, dir)
+        .select(col("n_nationkey"), explode(sequence(lit(0), lit(11))).as("k"))
+        .select(wid.cast("long").as("window_id"),
+          (lit(1704067200L) + wid * 7200L).as("w_start"))
+        .withColumn("w_end", col("w_start") + 1800L)
+      ev.join(windows,
+          ev("pt") >= windows("w_start") && ev("pt") <= windows("w_end"))
+        .select(col("event_id"), col("window_id"))
+    }),
+
     // gap-based sessionization: number each user's sessions by
     // cumulative new-session flags (gap > 30 min starts a session) —
     // the per-event session-id form that session_window's grouped
@@ -1629,6 +1650,20 @@ object SparkEntry {
     // same 300 windows rebuilt relationally; the binning is an engine
     // detail, so the oracle is the plain containment join
     "q_range_join" ->
+      """WITH w AS (
+        | SELECT CAST(n_nationkey * 12 + k AS BIGINT) AS window_id,
+        |  1704067200 + (n_nationkey * 12 + k) * 7200 AS w_start,
+        |  1704067200 + (n_nationkey * 12 + k) * 7200 + 1800 AS w_end
+        | FROM nation, (SELECT unnest(range(0, 12)) AS k) ks),
+        |e AS (
+        | SELECT event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS pt
+        | FROM events WHERE ts IS NOT NULL)
+        |SELECT e.event_id, w.window_id
+        |FROM e JOIN w ON e.pt >= w.w_start AND e.pt <= w.w_end""".stripMargin,
+
+    // identical semantics to q_range_join — the rule must not change
+    // results, only the plan
+    "q_range_join_rule" ->
       """WITH w AS (
         | SELECT CAST(n_nationkey * 12 + k AS BIGINT) AS window_id,
         |  1704067200 + (n_nationkey * 12 + k) * 7200 AS w_start,

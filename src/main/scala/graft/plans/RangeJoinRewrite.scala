@@ -1,0 +1,155 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: rewrite a point-in-interval non-equi inner join into
+  * a binned equi-join (SURVEY §2.4 / §4 — the whole-plan tier of the
+  * extension ladder: a `Rule[LogicalPlan]` where a library operator
+  * ([[graft.operators.Relational.rangeJoin]]) would force callers to
+  * restructure their query).
+  *
+  * Spark plans `pts JOIN ivs ON pt BETWEEN start AND end` as a
+  * broadcast nested loop — O(|pts|·|ivs|) comparisons, the classic
+  * 100 TB melt. With `spark.graft.rangeJoin.binWidth` set to a positive
+  * integer (same unit as the joined columns, ideally near the typical
+  * interval length), this rule transparently rewrites the SAME query
+  * text into the plan you'd write by hand:
+  *
+  *   - points project an extra `floor(pt / width)` bin column;
+  *   - intervals `Generate(Explode(Sequence(floor(start/w),
+  *     floor(end/w))))` — one row per overlapped bin;
+  *   - the join becomes an EQUI-join on the bin (hash-partitionable,
+  *     AQE/skew-split eligible) with the original predicate kept as the
+  *     residual filter, under a Project back to the original output.
+  *
+  * Correctness: a point in `[start, end]` lies in some bin `b` with
+  * `floor(start/w) <= b <= floor(end/w)`, so the bin equi-join yields a
+  * superset of the true pairs and the residual original condition
+  * removes the rest. Strict bounds (`<`, `>`) produce a subset of the
+  * inclusive candidates — still covered. Malformed intervals
+  * (end < start) generate a descending bin sequence whose pairs all
+  * fail the residual filter, matching the empty nested-loop result.
+  *
+  * Scope guards: inner joins only; the condition's conjuncts must
+  * contain a lower and an upper bound on one semantically-identical
+  * integral point expression from one side against integral bounds from
+  * the other; any cross-side equality conjunct means Spark already has
+  * an equi key, so the join is left alone (this also makes the rule a
+  * fixpoint — the rewritten join carries a bin equality).
+  *
+  * Ships via [[graft.GraftExtensions]] (`injectOptimizerRule`) for
+  * builder-configured sessions, or [[RangeJoinRewrite.install]] on a
+  * live session (`spark.experimental.extraOptimizations`).
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] {
+
+  val WidthConf = "spark.graft.rangeJoin.binWidth"
+
+  /** Register on a live session; inert until [[WidthConf]] is set. */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(this))
+      spark.experimental.extraOptimizations = cur :+ this
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val width =
+      try conf.getConfString(WidthConf, "0").toLong
+      catch { case _: NumberFormatException => 0L }
+    if (width <= 0) plan
+    else plan.transform {
+      case j @ Join(_, _, Inner, Some(_), _) =>
+        rewrite(j, width).getOrElse(j)
+    }
+  }
+
+  /** One candidate reading of a comparison conjunct: `pt >= bound`
+    * (lower) or `pt <= bound` (upper).
+    */
+  private case class BoundOn(pt: Expression, bound: Expression,
+      lower: Boolean)
+
+  /** Both orientations of a binary comparison (`a >= b` is also
+    * `b <= a`); the pair search resolves which operand is the point.
+    */
+  private def readings(e: Expression): Seq[BoundOn] = e match {
+    case GreaterThanOrEqual(a, b) =>
+      Seq(BoundOn(a, b, lower = true), BoundOn(b, a, lower = false))
+    case GreaterThan(a, b) =>
+      Seq(BoundOn(a, b, lower = true), BoundOn(b, a, lower = false))
+    case LessThanOrEqual(a, b) =>
+      Seq(BoundOn(a, b, lower = false), BoundOn(b, a, lower = true))
+    case LessThan(a, b) =>
+      Seq(BoundOn(a, b, lower = false), BoundOn(b, a, lower = true))
+    case _ => Seq.empty
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case x => Seq(x)
+  }
+
+  private def integral(e: Expression): Boolean = (e.dataType match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }) && e.deterministic
+
+  private def rewrite(j: Join, width: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjuncts(j.condition.get)
+
+    def fromOnly(side: LogicalPlan)(e: Expression): Boolean =
+      e.references.nonEmpty && e.references.subsetOf(side.outputSet)
+
+    // an existing cross-side equality = Spark already equi-joins
+    val hasEqui = conjuncts.exists {
+      case EqualTo(a, b) =>
+        (fromOnly(j.left)(a) && fromOnly(j.right)(b)) ||
+          (fromOnly(j.right)(a) && fromOnly(j.left)(b))
+      case _ => false
+    }
+    if (hasEqui) return None
+
+    val all = conjuncts.flatMap(readings)
+    // find (lower, upper) on the same pt expression, pt wholly from one
+    // side, both bounds wholly from the other, all integral
+    val pair = (for {
+      lo <- all if lo.lower && integral(lo.pt) && integral(lo.bound)
+      hi <- all if !hi.lower && integral(hi.bound)
+      if lo.pt.semanticEquals(hi.pt)
+      ptOnLeft <- Seq(true, false)
+      (ptSide, ivSide) =
+        if (ptOnLeft) (j.left, j.right) else (j.right, j.left)
+      if fromOnly(ptSide)(lo.pt) &&
+        fromOnly(ivSide)(lo.bound) && fromOnly(ivSide)(hi.bound)
+    } yield (lo.pt, lo.bound, hi.bound, ptOnLeft)).headOption
+
+    pair.map { case (pt, start, end, ptOnLeft) =>
+      val (ptsPlan, ivsPlan) =
+        if (ptOnLeft) (j.left, j.right) else (j.right, j.left)
+      val w = Literal(width.toDouble, DoubleType)
+      def binOf(e: Expression): Expression =
+        Floor(Divide(Cast(e, DoubleType), w))
+
+      val ptBin = Alias(binOf(pt), "__graft_pt_bin")()
+      val ptsProj = Project(ptsPlan.output :+ ptBin, ptsPlan)
+
+      val ivBin = AttributeReference("__graft_iv_bin", LongType,
+        nullable = false)()
+      // Sequence is TimeZoneAwareExpression: without an explicit zone it
+      // stays unresolved and the optimizer integrity check rejects the plan
+      val gen = Generate(Explode(Sequence(binOf(start), binOf(end), None,
+          Some(conf.sessionLocalTimeZone))),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(ivBin), child = ivsPlan)
+
+      val (nl, nr) = if (ptOnLeft) (ptsProj, gen) else (gen, ptsProj)
+      val newCond = And(EqualTo(ptBin.toAttribute, ivBin), j.condition.get)
+      Project(j.output, Join(nl, nr, Inner, Some(newCond), j.hint))
+    }
+  }
+}

@@ -155,6 +155,43 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashJoin"), s"expected a hash equi-join:\n$plan")
   }
 
+  test("RangeJoinRewrite: plain BETWEEN join rewrites to bin equi-join") {
+    import graft.plans.RangeJoinRewrite
+    import spark.implicits._
+    RangeJoinRewrite.install(spark)
+    val pts = Seq((1L, 5L), (2L, 17L), (3L, 120L)).toDF("id", "pt")
+    val ivs = Seq((10L, 0L, 10L), (20L, 15L, 40L), (30L, 16L, 18L))
+      .toDF("iv_id", "lo", "hi")
+    def q() = pts.join(ivs, pts("pt") >= ivs("lo") && pts("pt") <= ivs("hi"))
+      .select($"id", $"iv_id")
+    try {
+      // rule inert without the conf: nested loop as Spark planned it
+      spark.conf.unset(RangeJoinRewrite.WidthConf)
+      val naive = q()
+      assert(physical(naive).contains("NestedLoopJoin"), physical(naive))
+      val expected = naive.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(expected == Set((1L, 10L), (2L, 20L), (2L, 30L)))
+
+      spark.conf.set(RangeJoinRewrite.WidthConf, "8")
+      val rewritten = q()
+      val plan = physical(rewritten)
+      assert(!plan.contains("NestedLoopJoin"),
+        s"rule did not fire:\n$plan")
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        s"expected an equi-join on the bin:\n$plan")
+      assert(plan.contains("explode"), s"interval side not binned:\n$plan")
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(got == expected, s"rewrite changed results: $got")
+
+      // equality conjunct present -> left alone (already equi-joinable)
+      val eq = pts.withColumn("k", $"id" % 2)
+        .join(ivs.withColumn("k", $"iv_id" % 2), "k")
+      assert(!physical(eq).contains("__graft"), physical(eq))
+    } finally spark.conf.unset(RangeJoinRewrite.WidthConf)
+  }
+
   test("whole-stage codegen covers the scalar pipeline") {
     val df = SparkEntry.queries("q_doc_stats")(spark, dir)
     val plan = physical(df)
