@@ -1350,7 +1350,8 @@ object SparkEntry {
     },
 
     // repetition stats oracle: shared shingle definition at k=2; the
-    // quadratic mode count is the same list_distinct x list_filter scan
+    // mode count is definitional here (unnest + group + max) — the
+    // Spark side's sort/run-length fold must agree with it exactly
     "q_repetition" -> {
       val toks = """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
       s"""WITH t AS (SELECT doc_id,
@@ -1359,10 +1360,13 @@ object SparkEntry {
          |    ELSE text END AS text FROM documents),
          |tt AS (SELECT doc_id, $toks AS toks FROM t),
          |ng AS (SELECT doc_id, toks, ${shingleSql(2)} AS ng FROM tt),
-         |m AS (SELECT doc_id, len(toks) AS ntok,
-         |  len(list_distinct(toks)) AS ndist,
-         |  list_max(list_transform(list_distinct(ng),
-         |    g -> len(list_filter(ng, x -> x = g)))) AS topc FROM ng)
+         |topc AS (SELECT doc_id, max(c) AS topc FROM (
+         |  SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(ng) AS g FROM ng) e
+         |  GROUP BY doc_id, g) gc GROUP BY doc_id),
+         |m AS (SELECT ng.doc_id, len(toks) AS ntok,
+         |  len(list_distinct(toks)) AS ndist, topc
+         |  FROM ng JOIN topc ON ng.doc_id = topc.doc_id)
          |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
          | round(CASE WHEN ntok = 0 THEN 0.0
          |   ELSE 1.0 - CAST(ndist AS DOUBLE) / ntok END, 4) AS dup_token_frac,

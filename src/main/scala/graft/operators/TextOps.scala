@@ -178,15 +178,25 @@ object TextOps {
   /** Gopher-style repetition statistics over word n-grams: duplicate
     * token fraction, the most frequent n-gram's occurrence count, and
     * the fraction of tokens covered by repeats of that n-gram. All
-    * row-local array expressions (no shuffle); the quadratic
-    * distinct-vs-count scan is bounded by per-document token count, so
-    * at 100 TB it stays embarrassingly parallel map work.
+    * row-local array expressions (no shuffle, embarrassingly parallel
+    * map work at any scale). The mode count is a sort + longest-equal-
+    * run fold — O(n log n) per document; the obvious
+    * distinct×filter form is O(n²) in interpreted HOFs and was
+    * measurably the bench's hottest query before the rewrite.
     */
   def repetitionStats(text: Column, n: Int): Column = {
     val toks = tokens(text)
     val ngrams = shingles(text, n)
-    val topCnt = array_max(transform(array_distinct(ngrams),
-      g => size(filter(ngrams, x => x === g))))
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("best"))
+    val topCnt = aggregate(array_sort(ngrams), zero,
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(1L)
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     val dupFrac = when(size(toks) === 0, 0.0).otherwise(
       lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
     struct(
