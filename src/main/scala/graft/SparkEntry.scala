@@ -250,6 +250,28 @@ object SparkEntry {
           Seq("train" -> 90, "val" -> 5, "test" -> 5)).as("split"))
     }),
 
+    // deterministic stratified sampling: per-stratum keep rates (the
+    // data-mix knob) over the same stable id-hash bucketing as
+    // q_split_assign — membership reproducible across runs and engines
+    "q_stratified_sample" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(concat(col("l_orderkey"), lit("-"), col("l_linenumber"))
+            .as("li_id"),
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      operators.Sampling.stratifiedSample(li, "li_id", "l_returnflag",
+          Seq("A" -> 50, "N" -> 10, "R" -> 2))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+    }),
+
+    // benchmark decontamination: docs sharing any distinct 3-shingle
+    // with the eval subset (doc_id % 97 = 0) get flagged; eval shingle
+    // set broadcasts, corpus text never shuffles
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      Dedup.contaminationReport(docs, evalSet, "doc_id", "text", k = 3)
+    }),
+
     // token-budget sharding: pack docs into ~5000-token shards in id
     // order — training-shard sizing by content, not row count
     "q_shard_by_budget" -> ((s, dir) => {
@@ -1305,6 +1327,34 @@ object SparkEntry {
          |   WHEN ($bucket) < 95 THEN 'val'
          |   ELSE 'test' END AS split
          |FROM documents""".stripMargin
+    },
+
+    "q_stratified_sample" -> {
+      // one physical line: a continuation line starting with '||' would
+      // lose a pipe to the enclosing stripMargin
+      val bucket = "CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)" +
+        " || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+      s"""SELECT l_orderkey, l_linenumber, l_returnflag
+         |FROM lineitem
+         |WHERE ($bucket) < CASE l_returnflag
+         |  WHEN 'A' THEN 50 WHEN 'N' THEN 10 WHEN 'R' THEN 2
+         |  ELSE 0 END""".stripMargin
+    },
+
+    // decontamination oracle: shared shingle definition at k=3; hit
+    // count = distinct doc shingles present in the eval shingle set
+    "q_decontaminate" -> {
+      s"""WITH ${shingleCteSql(3, "documents")},
+         |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh
+         |  WHERE doc_id % 97 = 0),
+         |dg AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |hits AS (SELECT doc_id, count(*) AS n FROM dg
+         |  WHERE g IN (SELECT g FROM ev) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         | CAST(coalesce(h.n, 0) AS BIGINT) AS n_eval_hits,
+         | coalesce(h.n, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
+        .stripMargin
     },
 
     "q_shard_by_budget" -> {

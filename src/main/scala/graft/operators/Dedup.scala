@@ -510,6 +510,42 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
+  /** Benchmark decontamination report: per document, the number of
+    * distinct k-shingles it shares with an evaluation corpus, and a
+    * contamination flag — the standard pre-training scrub that keeps
+    * test benchmarks out of the training mix.
+    *
+    * Scale shape: eval sets are small by construction (benchmarks are
+    * thousands of documents, the corpus is billions), so the eval
+    * shingle set broadcasts and the overlap test is a map-side
+    * broadcast semi-join against the exploded doc shingles — the
+    * corpus never shuffles its text. The only exchanges carry
+    * (id, count) for documents with at least one hit, and the final
+    * enrich join's build side is that same small hit set (AQE
+    * broadcasts it). Set `broadcastEval = false` if the eval side ever
+    * outgrows the broadcast budget — the same plan runs as a shuffle
+    * semi-join.
+    */
+  def contaminationReport(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, k: Int = 5,
+      broadcastEval: Boolean = true): DataFrame = {
+    val docSh = docs.select(col(idCol),
+      explode(array_distinct(TextOps.shingles(col(textCol), k)))
+        .as("__sh"))
+    val evalSh = evalDocs.select(
+      explode(array_distinct(TextOps.shingles(col(textCol), k)))
+        .as("__sh")).distinct()
+    val evalSide = if (broadcastEval) broadcast(evalSh) else evalSh
+    // docSh is distinct per doc, so the semi-join survivor count IS
+    // the distinct overlapping-shingle count
+    val hits = docSh.join(evalSide, Seq("__sh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_eval_hits"))
+    docs.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        (coalesce(col("n_eval_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Embedding-cosine near-dup pairs above `threshold`, using the
     * random-hyperplane LSH bucketing from [[Similarity]] to avoid the
     * n² cross join; exact cosine verifies candidates.

@@ -41,6 +41,24 @@ object Sampling {
   def deterministicSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(splitBucket(col(idCol), 100) < pct)
 
+  /** Deterministic stratified sample: per-stratum keep percentages
+    * (the data-mix knob — e.g. keep 100% of a rare language, 5% of the
+    * dominant one). Same id-hash bucketing as [[deterministicSample]],
+    * so membership is stable under retry/re-partition/re-run AND
+    * consistent across the strata of one id-space; map-side only, the
+    * filter pushes to the scan. Strata absent from `rates` keep
+    * `defaultPct`%.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Seq[(String, Int)], defaultPct: Int = 0): DataFrame = {
+    require(rates.forall { case (_, p) => p >= 0 && p <= 100 },
+      "per-stratum percentages must be in [0, 100]")
+    val pct = rates.foldLeft(lit(defaultPct)) { case (e, (v, p)) =>
+      when(col(strataCol) === v, p).otherwise(e)
+    }
+    df.filter(splitBucket(col(idCol), 100) < pct)
+  }
+
   /** Pack rows into shards of ~`budget` units (token counts, bytes) in
     * `orderCol` order: shard = floor(running-sum-before-this-row /
     * budget) — the standard way a curation pipeline sizes training

@@ -144,6 +144,47 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(m("empty") == ((0L, 0.0, 1L, 0.0)))
   }
 
+  test("sampling: stratified rates honored, stable, consistent with flat") {
+    import operators.Sampling
+    val rows = (0 until 2000).map(i =>
+      (i.toString, if (i % 4 == 0) "rare" else "common")).toDF("id", "s")
+    val kept = Sampling.stratifiedSample(rows, "id", "s",
+      Seq("rare" -> 100, "common" -> 10))
+    val byStratum = kept.groupBy($"s").count().as[(String, Long)]
+      .collect().toMap
+    assert(byStratum("rare") == 500)            // 100% of the stratum
+    val c = byStratum("common")
+    assert(c > 100 && c < 200, s"~10% of 1500 expected, got $c")
+    // determinism: same call, same membership
+    val again = Sampling.stratifiedSample(rows, "id", "s",
+      Seq("rare" -> 100, "common" -> 10))
+    assert(kept.select($"id").except(again.select($"id")).count() == 0)
+    // consistency: a stratum at rate p keeps exactly the ids that
+    // deterministicSample(p) keeps — one id-space, one bucket function
+    val flat10 = Sampling.deterministicSample(
+      rows.filter($"s" === "common"), "id", 10)
+    assert(kept.filter($"s" === "common").select($"id")
+      .except(flat10.select($"id")).count() == 0)
+    // unknown stratum defaults to 0%
+    val none = Sampling.stratifiedSample(rows, "id", "s", Seq("rare" -> 100))
+    assert(none.filter($"s" === "common").count() == 0)
+  }
+
+  test("dedup: contamination report flags eval overlap only") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma delta something else entirely")) // overlaps 1
+      .toDF("doc_id", "text")
+    val evalSet = corpus.filter($"doc_id" === 1L)
+    val rep = Dedup.contaminationReport(corpus, evalSet, "doc_id", "text",
+        k = 3)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(rep(1L)._3 && rep(1L)._2 == 4)   // self: all 4 of its 3-shingles
+    assert(!rep(2L)._3 && rep(2L)._2 == 0)  // disjoint doc untouched
+    assert(rep(3L)._3 && rep(3L)._2 == 2)   // "alpha beta gamma", "beta gamma delta"
+  }
+
   test("dedup: exact by content keeps min id; groups found") {
     val base = docs.select($"doc_id", $"text")
     val dup = base.filter($"doc_id" < 5)

@@ -192,6 +192,13 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(RangeJoinRewrite.WidthConf)
   }
 
+  test("decontamination: eval shingles broadcast into a semi-join") {
+    val df = SparkEntry.queries("q_decontaminate")(spark, dir)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"eval overlap should be a broadcast semi-join:\n$plan")
+  }
+
   test("whole-stage codegen covers the scalar pipeline") {
     val df = SparkEntry.queries("q_doc_stats")(spark, dir)
     val plan = physical(df)
