@@ -192,6 +192,26 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(RangeJoinRewrite.WidthConf)
   }
 
+  test("family-partitioned layout: a family filter prunes at the scan") {
+    import spark.implicits._
+    // the K6 layout: one directory per metric_family (HostMetrics
+    // .writePartitioned); at 100 TB a single-family query must read
+    // one directory, not filter the whole lake
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    (0 until 400).map(i => (i.toLong, s"h$i", Seq("cpu", "swap", "mem",
+        "disk")(i % 4)))
+      .toDF("v", "host_name", "metric_family")
+      .write.mode("overwrite").partitionBy("metric_family").parquet(out)
+    val rd = spark.read.parquet(out)
+      .filter($"metric_family" === "cpu").select($"v")
+    val plan = physical(rd)
+    assert(plan.contains("PartitionFilters: [isnotnull(metric_family"),
+      s"family filter not applied as a partition filter:\n$plan")
+    assert(!plan.contains("PushedFilters: [IsNotNull(metric_family"),
+      s"family filter degraded to a data filter:\n$plan")
+    assert(rd.count() == 100)
+  }
+
   test("decontamination: eval shingles broadcast into a semi-join") {
     val df = SparkEntry.queries("q_decontaminate")(spark, dir)
     val plan = physical(df)
