@@ -272,6 +272,18 @@ object SparkEntry {
       Dedup.contaminationReport(docs, evalSet, "doc_id", "text", k = 3)
     }),
 
+    // corpus-level line dedup: injected boilerplate lines (every doc
+    // gets a header, every 3rd a footer) occur in >10 docs and are
+    // removed; each doc's own body line survives in place
+    "q_dedup_lines" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("subscribe to our newsletter\n"), col("text"),
+          when(col("doc_id") % 3 === 0, lit("\nthis site uses cookies"))
+            .otherwise(lit(""))).as("text"))
+      Dedup.dedupCorpusLines(corpus, "doc_id", "text",
+        maxOccurrences = 10L)
+    }),
+
     // token-budget sharding: pack docs into ~5000-token shards in id
     // order — training-shard sizing by content, not row count
     "q_shard_by_budget" -> ((s, dir) => {
@@ -1354,6 +1366,27 @@ object SparkEntry {
          | CAST(coalesce(h.n, 0) AS BIGINT) AS n_eval_hits,
          | coalesce(h.n, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
+        .stripMargin
+    },
+
+    // line-dedup oracle: zipped parallel unnests give (pos, line);
+    // occurrence count per md5(line), rebuild with ORDER BY pos
+    "q_dedup_lines" -> {
+      s"""WITH corpus AS (SELECT doc_id,
+         |  'subscribe to our newsletter' || chr(10) || text ||
+         |  CASE WHEN doc_id % 3 = 0
+         |    THEN chr(10) || 'this site uses cookies' ELSE '' END AS text
+         |  FROM documents),
+         |l AS (SELECT doc_id,
+         |  unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+         |  unnest(string_split(text, chr(10))) AS line FROM corpus),
+         |kill AS (SELECT md5(line) AS k FROM l
+         |  GROUP BY md5(line) HAVING count(DISTINCT doc_id) > 10),
+         |rebuilt AS (SELECT doc_id,
+         |  string_agg(line, chr(10) ORDER BY pos) AS text FROM l
+         |  WHERE md5(line) NOT IN (SELECT k FROM kill) GROUP BY doc_id)
+         |SELECT c.doc_id, coalesce(r.text, '') AS text
+         |FROM corpus c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id"""
         .stripMargin
     },
 

@@ -510,6 +510,41 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
+  /** Corpus-level line deduplication (RefinedWeb-style boilerplate
+    * removal): delete every line that occurs in more than
+    * `maxOccurrences` distinct documents (nav menus, cookie banners,
+    * boilerplate headers), preserving each document's remaining lines
+    * in order. Documents reduced to nothing survive with empty text.
+    *
+    * Scale shape: the occurrence count shuffles (md5(line), id) pairs
+    * with map-side partial aggregation — line BODIES never cross the
+    * exchange twice; the kill-list (only lines OVER the threshold)
+    * is typically tiny and joins back as a build side. The rebuild
+    * groups by document id — one exchange of surviving lines, which at
+    * 100 TB is the honest cost of reassembling documents. Line
+    * identity is md5 (engine-portable; collisions would merge two
+    * lines' counts — the standard trade, same as every hash-keyed
+    * dedup in this library).
+    */
+  def dedupCorpusLines(docs: DataFrame, idCol: String, textCol: String,
+      maxOccurrences: Long): DataFrame = {
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__k", md5(col("__line")))
+    val killList = lines.groupBy(col("__k"))
+      .agg(countDistinct(col(idCol)).as("__n"))
+      .filter(col("__n") > maxOccurrences)
+    val rebuilt = lines.join(killList, Seq("__k"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws("\n",
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line"))).as(textCol))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** Benchmark decontamination report: per document, the number of
     * distinct k-shingles it shares with an evaluation corpus, and a
     * contamination flag — the standard pre-training scrub that keeps

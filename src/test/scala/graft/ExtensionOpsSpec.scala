@@ -185,6 +185,24 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(rep(3L)._3 && rep(3L)._2 == 2)   // "alpha beta gamma", "beta gamma delta"
   }
 
+  test("dedup: corpus-level line dedup strips boilerplate, keeps order") {
+    val corpus = Seq(
+      (1L, "menu\nunique one\nfooter"),
+      (2L, "menu\nunique two\nfooter"),
+      (3L, "menu\nunique three\nfooter"),
+      (4L, "menu\nfooter"),              // nothing survives
+      (5L, "rare pair\nunique five"),
+      (6L, "rare pair\nunique six"))     // "rare pair" in 2 docs = max -> kept
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupCorpusLines(corpus, "doc_id", "text",
+        maxOccurrences = 2L)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "unique one")      // menu (3 docs) + footer (4) gone
+    assert(out(4L) == "")                // fully-boilerplate doc survives empty
+    assert(out(5L) == "rare pair\nunique five") // at-threshold line kept, in order
+    assert(out.size == 6)
+  }
+
   test("dedup: exact by content keeps min id; groups found") {
     val base = docs.select($"doc_id", $"text")
     val dup = base.filter($"doc_id" < 5)
