@@ -272,6 +272,21 @@ object SparkEntry {
       Dedup.contaminationReport(docs, evalSet, "doc_id", "text", k = 3)
     }),
 
+    // C4-style URL/domain filtering: two injected URLs per doc (host
+    // varies with doc_id), docs referencing a blocklisted host get
+    // flagged; hosts surfaced as a sorted joined string
+    "q_url_filter" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" see https://site"), col("doc_id") % 20,
+          lit(".example.com/p?x=1 and http://cdn"), col("doc_id") % 5,
+          lit(".example.net/a.js")).as("text"))
+      val blocklist = Seq("site3.example.com", "site7.example.com",
+        "cdn1.example.net")
+      corpus.select(col("doc_id"),
+        concat_ws(",", TextOps.hostsOf(col("text"))).as("hosts"),
+        TextOps.hasBlockedHost(col("text"), blocklist).as("blocked"))
+    }),
+
     // corpus-level line dedup: injected boilerplate lines (every doc
     // gets a header, every 3rd a footer) occur in >10 docs and are
     // removed; each doc's own body line survives in place
@@ -1367,6 +1382,27 @@ object SparkEntry {
          | coalesce(h.n, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
         .stripMargin
+    },
+
+    // URL-filter oracle: same RE2-safe patterns; hosts via
+    // list_transform + regexp_extract group 1
+    "q_url_filter" -> {
+      // single-assembled: a continuation line starting with '||' would
+      // lose a pipe to the enclosing stripMargin
+      val corpus = "SELECT doc_id, text || ' see https://site' || " +
+        "CAST(doc_id % 20 AS VARCHAR) || '.example.com/p?x=1 and http://cdn' " +
+        "|| CAST(doc_id % 5 AS VARCHAR) || '.example.net/a.js' AS text " +
+        "FROM documents"
+      s"""WITH corpus AS ($corpus),
+         |h AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+         |  regexp_extract_all(text, 'https?://[^\\s]+'),
+         |  u -> lower(regexp_extract(u, '^https?://([^/:?#\\s]+)', 1)))))
+         |  AS hosts FROM corpus)
+         |SELECT doc_id, array_to_string(hosts, ',') AS hosts,
+         | len(list_filter(hosts, x -> list_contains(
+         |  ['site3.example.com', 'site7.example.com', 'cdn1.example.net'],
+         |  x))) > 0 AS blocked
+         |FROM h""".stripMargin
     },
 
     // line-dedup oracle: zipped parallel unnests give (pos, line);

@@ -209,6 +209,28 @@ object TextOps {
         .as("top_ngram_frac"))
   }
 
+  /** All http(s) URLs in a text — RE2/Java-portable pattern, codegen'd
+    * regexp scan (C4-style URL surface for blocklist filtering).
+    */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0))
+
+  /** Lower-cased host of one URL ('' when the pattern misses). */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^https?://([^/:?#\\s]+)", 1))
+
+  /** Distinct lower-cased hosts referenced by a text, sorted. */
+  def hostsOf(text: Column): Column =
+    array_sort(array_distinct(transform(extractUrls(text), urlHost(_))))
+
+  /** True when any referenced host is on the blocklist — the C4-style
+    * domain filter; row-local, scan throughput, no shuffle.
+    */
+  def hasBlockedHost(text: Column, blocklist: Seq[String]): Column = {
+    val bl = array(blocklist.map(d => lit(d.toLowerCase)): _*)
+    exists(hostsOf(text), h => array_contains(bl, h))
+  }
+
   /** Document fingerprint (winnowing-style): hash every k-shingle,
     * keep the `keep` smallest hashes as the document's signature.
     * Robust to local edits; signature comparison is a set

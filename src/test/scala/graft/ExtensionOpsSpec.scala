@@ -185,6 +185,22 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(rep(3L)._3 && rep(3L)._2 == 2)   // "alpha beta gamma", "beta gamma delta"
   }
 
+  test("text: URL extraction, host normalization, blocklist flag") {
+    val r = Seq(
+      ("a", "pre https://Bad.Example.com/x?q=1 mid http://ok.org post"),
+      ("b", "no urls here"),
+      ("c", "https://ok.org/a https://ok.org/b")) // same host, deduped
+      .toDF("id", "text")
+      .select($"id",
+        concat_ws(",", TextOps.hostsOf($"text")).as("hosts"),
+        TextOps.hasBlockedHost($"text", Seq("bad.example.com")).as("blocked"))
+      .as[(String, String, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r("a") == (("bad.example.com,ok.org", true))) // lowercased, sorted
+    assert(r("b") == (("", false)))
+    assert(r("c") == (("ok.org", false)))
+  }
+
   test("dedup: corpus-level line dedup strips boilerplate, keeps order") {
     val corpus = Seq(
       (1L, "menu\nunique one\nfooter"),
