@@ -170,6 +170,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("redactPii is idempotent and digit-count monotone on random text") {
+    import graft.operators.TextOps
+    val frag = Gen.oneOf("word", "a@b.co", "10.1.2.3", "123-45-6789",
+      "555-123-4567", "42", "x_y", "@", ".", "-")
+    val texts = Gen.listOfN(200,
+      Gen.listOfN(8, frag).map(_.mkString(" "))).sample.get
+    val rows = texts.toDF("t")
+      .select(TextOps.redactPii($"t").as("once"))
+      .select($"once", TextOps.redactPii($"once").as("twice"))
+      .as[(String, String)].collect()
+    val emailRe = graft.operators.TextOps.piiPatterns.head._1.r
+    rows.foreach { case (once, twice) =>
+      assert(once == twice, s"not idempotent: $once")   // tags carry no PII shapes
+      // no email-shaped span survives (bare '@' tokens legitimately do)
+      assert(emailRe.findFirstIn(once).isEmpty, s"email survived: $once")
+    }
+  }
+
+  test("repetitionStats fractions bounded, count consistent (random docs)") {
+    import graft.operators.TextOps
+    val texts = Gen.listOfN(150, Gen.listOfN(12,
+      Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))).sample.get
+    val rows = texts.toDF("t")
+      .select(TextOps.repetitionStats($"t", 2).as("r"))
+      .select($"r.n_tokens", $"r.dup_token_frac",
+        $"r.top_ngram_count", $"r.top_ngram_frac")
+      .as[(Long, Double, Long, Double)].collect()
+    rows.foreach { case (n, df, tc, tf) =>
+      assert(n == 12)
+      assert(df >= 0.0 && df <= 1.0 && tf >= 0.0 && tf <= 1.0)
+      assert(tc >= 1 && tc <= 11)      // 11 2-grams exist; mode at least 1
+    }
+  }
+
+  test("dedupCorpusLines with an unreachable threshold is identity") {
+    import graft.operators.Dedup
+    val lineGen = Gen.oneOf("header", "alpha beta", "", "x y z", "footer")
+    val docs = Gen.listOfN(60, Gen.listOfN(4, lineGen)
+      .map(_.mkString("\n"))).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val out = Dedup.dedupCorpusLines(df, "doc_id", "text", 1000L)
+      .as[(Long, String)].collect().toMap
+    docs.foreach { case (id, t) =>
+      assert(out(id) == t, s"doc $id changed under no-op threshold")
+    }
+  }
+
   test("F11: canonical row key invariant under column permutation") {
     val rows = Gen.listOfN(100,
       Gen.zip(Gen.alphaStr, Gen.chooseNum(0, 1000))).sample.get
