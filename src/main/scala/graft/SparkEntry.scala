@@ -299,6 +299,38 @@ object SparkEntry {
         maxOccurrences = 10L)
     }),
 
+    // curation v2: the round-3 text ops composed in ONE plan —
+    // corpus-level line dedup (boilerplate header/footer) → domain
+    // blocklist drop (%11 docs carry a blocked tracker URL) →
+    // repetition gate (%13 docs carry 40x spam; top-2-gram coverage
+    // > 0.2 rejected) → PII redaction — output fingerprints the
+    // surviving redacted text
+    "q_curation_v2" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          lit("subscribe to our newsletter\n"), col("text"),
+          when(col("doc_id") % 13 === 0, repeat(lit(" buy now"), 40))
+            .otherwise(lit("")),
+          lit(" contact u"), col("doc_id"), lit("@example.com via "),
+          when(col("doc_id") % 11 === 0,
+            lit("https://site3.example.com/track"))
+            .otherwise(concat(lit("https://ok"), col("doc_id") % 7,
+              lit(".example.org/p"))),
+          when(col("doc_id") % 3 === 0, lit("\nthis site uses cookies"))
+            .otherwise(lit(""))).as("text"))
+      val cleaned = Dedup.dedupCorpusLines(corpus, "doc_id", "text",
+        maxOccurrences = 10L)
+      cleaned
+        .filter(!TextOps.hasBlockedHost(col("text"),
+          Seq("site3.example.com")))
+        .filter(TextOps.repetitionStats(col("text"), 2)
+          .getField("top_ngram_frac") <= 0.2)
+        .select(col("doc_id"),
+          md5(TextOps.redactPii(col("text"))).as("fp"),
+          length(TextOps.redactPii(col("text"))).cast("long")
+            .as("n_chars"))
+    }),
+
     // token-budget sharding: pack docs into ~5000-token shards in id
     // order — training-shard sizing by content, not row count
     "q_shard_by_budget" -> ((s, dir) => {
@@ -1424,6 +1456,65 @@ object SparkEntry {
          |SELECT c.doc_id, coalesce(r.text, '') AS text
          |FROM corpus c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id"""
         .stripMargin
+    },
+
+    // curation v2 oracle: the proven per-op CTEs chained — line-dedup
+    // rebuild, host blocklist, repetition gate (rounded like the Spark
+    // struct field), then the piiPatterns redaction chain
+    "q_curation_v2" -> {
+      val Seq((emailRe, emailTag), (ipRe, ipTag), (ssnRe, ssnTag),
+        (phoneRe, phoneTag)) = TextOps.piiPatterns
+      val corpus = "SELECT doc_id, 'subscribe to our newsletter' || " +
+        "chr(10) || text || CASE WHEN doc_id % 13 = 0 THEN " +
+        "repeat(' buy now', 40) ELSE '' END || ' contact u' || " +
+        "CAST(doc_id AS VARCHAR) || '@example.com via ' || " +
+        "CASE WHEN doc_id % 11 = 0 THEN 'https://site3.example.com/track' " +
+        "ELSE 'https://ok' || CAST(doc_id % 7 AS VARCHAR) || " +
+        "'.example.org/p' END || CASE WHEN doc_id % 3 = 0 THEN chr(10) " +
+        "|| 'this site uses cookies' ELSE '' END AS text FROM documents"
+      s"""WITH corpus AS ($corpus),
+         |l AS (SELECT doc_id,
+         |  unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+         |  unnest(string_split(text, chr(10))) AS line FROM corpus),
+         |kill AS (SELECT md5(line) AS k FROM l
+         |  GROUP BY md5(line) HAVING count(DISTINCT doc_id) > 10),
+         |rebuilt AS (SELECT doc_id,
+         |  string_agg(line, chr(10) ORDER BY pos) AS text FROM l
+         |  WHERE md5(line) NOT IN (SELECT k FROM kill) GROUP BY doc_id),
+         |cleaned AS (SELECT c.doc_id, coalesce(r.text, '') AS text
+         |  FROM corpus c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id),
+         |unblocked AS (SELECT doc_id, text FROM cleaned
+         |  WHERE len(list_filter(list_transform(
+         |    regexp_extract_all(text, 'https?://[^\\s]+'),
+         |    u -> lower(regexp_extract(u, '^https?://([^/:?#\\s]+)', 1))),
+         |    h -> h = 'site3.example.com')) = 0),
+         |tt AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)
+         |  AS toks FROM unblocked),
+         |ng AS (SELECT doc_id, toks, ${shingleSql(2)} AS ng FROM tt),
+         |topc AS (SELECT doc_id, max(c) AS topc FROM (
+         |  SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(ng) AS g FROM ng) e
+         |  GROUP BY doc_id, g) gc GROUP BY doc_id),
+         |rep AS (SELECT ng.doc_id, len(toks) AS ntok, topc
+         |  FROM ng JOIN topc ON ng.doc_id = topc.doc_id),
+         |kept AS (SELECT u.doc_id, u.text FROM unblocked u
+         |  JOIN rep ON u.doc_id = rep.doc_id
+         |  WHERE round(CASE WHEN ntok = 0 THEN 0.0
+         |    ELSE least(1.0, CAST(topc * 2 AS DOUBLE) / ntok) END, 4)
+         |    <= 0.2),
+         |r1 AS (SELECT doc_id,
+         |  regexp_replace(text, '$emailRe', '$emailTag', 'g') AS t1
+         |  FROM kept),
+         |r2 AS (SELECT doc_id,
+         |  regexp_replace(t1, '$ipRe', '$ipTag', 'g') AS t2 FROM r1),
+         |r3 AS (SELECT doc_id,
+         |  regexp_replace(t2, '$ssnRe', '$ssnTag', 'g') AS t3 FROM r2)
+         |SELECT doc_id,
+         | md5(regexp_replace(t3, '$phoneRe', '$phoneTag', 'g')) AS fp,
+         | CAST(len(regexp_replace(t3, '$phoneRe', '$phoneTag', 'g'))
+         |   AS BIGINT) AS n_chars
+         |FROM r3""".stripMargin
     },
 
     "q_shard_by_budget" -> {
