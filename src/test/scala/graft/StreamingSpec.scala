@@ -242,6 +242,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("h1", 7.0)))
   }
 
+  test("curation scrubs run unchanged on a stream (stateless map ops)") {
+    // the row-local §2.10 surface (PII redaction, URL blocklist,
+    // repetition stats, quality) is pure projection/filter — the SAME
+    // Columns drop into readStream → writeStream with no rewrite
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Point]
+    val scored = input.toDF()
+      .select($"host",
+        concat($"host", lit(" mail a@b.co at https://bad.example.com/x"))
+          .as("text"))
+      .select($"host",
+        TextOps.redactPii($"text").as("clean"),
+        TextOps.hasBlockedHost($"text", Seq("bad.example.com"))
+          .as("blocked"),
+        TextOps.repetitionStats($"text", 2)
+          .getField("top_ngram_frac").as("rep"))
+    val q = scored.writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").start()
+    input.addData(p("h1", 0, 1.0), p("h2", 1, 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("curation_stream")
+      .as[(String, String, Boolean, Double)].collect()
+    assert(got.length == 2)
+    got.foreach { case (_, clean, blocked, rep) =>
+      assert(clean.contains("<EMAIL>") && !clean.contains("a@b.co"))
+      assert(blocked)
+      assert(rep >= 0.0 && rep <= 1.0)
+    }
+  }
+
   test("foreachBatch idempotent parquet sink") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graftsink").toString
