@@ -320,11 +320,15 @@ object SparkEntry {
             .otherwise(lit(""))).as("text"))
       val cleaned = Dedup.dedupCorpusLines(corpus, "doc_id", "text",
         maxOccurrences = 10L)
+      // Gopher-style: the repetition gate applies only above a minimum
+      // length — min(1, n*topCnt/ntok) saturates on short docs and
+      // would reject pristine sub-20-token documents
+      val rep = TextOps.repetitionStats(col("text"), 2)
       cleaned
         .filter(!TextOps.hasBlockedHost(col("text"),
           Seq("site3.example.com")))
-        .filter(TextOps.repetitionStats(col("text"), 2)
-          .getField("top_ngram_frac") <= 0.2)
+        .filter(rep.getField("n_tokens") < 20 ||
+          rep.getField("top_ngram_frac") <= 0.2)
         .select(col("doc_id"),
           md5(TextOps.redactPii(col("text"))).as("fp"),
           length(TextOps.redactPii(col("text"))).cast("long")
@@ -572,19 +576,26 @@ object SparkEntry {
     // equi-join transparently (PlanSpec asserts no nested loop)
     "q_range_join_rule" -> ((s, dir) => {
       graft.plans.RangeJoinRewrite.install(s)
+      // conf-scoped: the rewrite must not leak into every later query
+      // on this shared session, and optimization happens lazily — so
+      // materialize eagerly under the conf, then restore it
       s.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "3600")
-      val ev = Tables.events(s, dir)
-        .filter(col("ts").isNotNull)
-        .select(col("event_id"), unix_timestamp(col("ts")).as("pt"))
-      val wid = col("n_nationkey") * 12 + col("k")
-      val windows = Tables.nation(s, dir)
-        .select(col("n_nationkey"), explode(sequence(lit(0), lit(11))).as("k"))
-        .select(wid.cast("long").as("window_id"),
-          (lit(1704067200L) + wid * 7200L).as("w_start"))
-        .withColumn("w_end", col("w_start") + 1800L)
-      ev.join(windows,
-          ev("pt") >= windows("w_start") && ev("pt") <= windows("w_end"))
-        .select(col("event_id"), col("window_id"))
+      try {
+        val ev = Tables.events(s, dir)
+          .filter(col("ts").isNotNull)
+          .select(col("event_id"), unix_timestamp(col("ts")).as("pt"))
+        val wid = col("n_nationkey") * 12 + col("k")
+        val windows = Tables.nation(s, dir)
+          .select(col("n_nationkey"),
+            explode(sequence(lit(0), lit(11))).as("k"))
+          .select(wid.cast("long").as("window_id"),
+            (lit(1704067200L) + wid * 7200L).as("w_start"))
+          .withColumn("w_end", col("w_start") + 1800L)
+        ev.join(windows,
+            ev("pt") >= windows("w_start") && ev("pt") <= windows("w_end"))
+          .select(col("event_id"), col("window_id"))
+          .localCheckpoint(eager = true)
+      } finally s.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
     }),
 
     // gap-based sessionization: number each user's sessions by
@@ -1448,7 +1459,7 @@ object SparkEntry {
          |l AS (SELECT doc_id,
          |  unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
          |  unnest(string_split(text, chr(10))) AS line FROM corpus),
-         |kill AS (SELECT md5(line) AS k FROM l
+         |kill AS (SELECT md5(line) AS k FROM l WHERE len(line) >= 1
          |  GROUP BY md5(line) HAVING count(DISTINCT doc_id) > 10),
          |rebuilt AS (SELECT doc_id,
          |  string_agg(line, chr(10) ORDER BY pos) AS text FROM l
@@ -1476,7 +1487,7 @@ object SparkEntry {
          |l AS (SELECT doc_id,
          |  unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
          |  unnest(string_split(text, chr(10))) AS line FROM corpus),
-         |kill AS (SELECT md5(line) AS k FROM l
+         |kill AS (SELECT md5(line) AS k FROM l WHERE len(line) >= 1
          |  GROUP BY md5(line) HAVING count(DISTINCT doc_id) > 10),
          |rebuilt AS (SELECT doc_id,
          |  string_agg(line, chr(10) ORDER BY pos) AS text FROM l
@@ -1500,7 +1511,7 @@ object SparkEntry {
          |  FROM ng JOIN topc ON ng.doc_id = topc.doc_id),
          |kept AS (SELECT u.doc_id, u.text FROM unblocked u
          |  JOIN rep ON u.doc_id = rep.doc_id
-         |  WHERE round(CASE WHEN ntok = 0 THEN 0.0
+         |  WHERE ntok < 20 OR round(CASE WHEN ntok = 0 THEN 0.0
          |    ELSE least(1.0, CAST(topc * 2 AS DOUBLE) / ntok) END, 4)
          |    <= 0.2),
          |r1 AS (SELECT doc_id,

@@ -515,6 +515,11 @@ object Dedup {
     * `maxOccurrences` distinct documents (nav menus, cookie banners,
     * boilerplate headers), preserving each document's remaining lines
     * in order. Documents reduced to nothing survive with empty text.
+    * Lines shorter than `minLineLength` characters are exempt from
+    * counting and removal — without this, the empty line between two
+    * paragraphs (identical across virtually every document) crosses
+    * the threshold and every paragraph break in the corpus silently
+    * collapses.
     *
     * Scale shape: the occurrence count shuffles (md5(line), id) pairs
     * with map-side partial aggregation — line BODIES never cross the
@@ -527,11 +532,13 @@ object Dedup {
     * dedup in this library).
     */
   def dedupCorpusLines(docs: DataFrame, idCol: String, textCol: String,
-      maxOccurrences: Long): DataFrame = {
+      maxOccurrences: Long, minLineLength: Int = 1): DataFrame = {
     val lines = docs.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .withColumn("__k", md5(col("__line")))
-    val killList = lines.groupBy(col("__k"))
+    val killList = lines
+      .filter(length(col("__line")) >= minLineLength)
+      .groupBy(col("__k"))
       .agg(countDistinct(col(idCol)).as("__n"))
       .filter(col("__n") > maxOccurrences)
     val rebuilt = lines.join(killList, Seq("__k"), "left_anti")

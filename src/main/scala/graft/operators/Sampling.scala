@@ -51,8 +51,8 @@ object Sampling {
     */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
       rates: Seq[(String, Int)], defaultPct: Int = 0): DataFrame = {
-    require(rates.forall { case (_, p) => p >= 0 && p <= 100 },
-      "per-stratum percentages must be in [0, 100]")
+    require((rates.map(_._2) :+ defaultPct).forall(p => p >= 0 && p <= 100),
+      "per-stratum (and default) percentages must be in [0, 100]")
     val pct = rates.foldLeft(lit(defaultPct)) { case (e, (v, p)) =>
       when(col(strataCol) === v, p).otherwise(e)
     }

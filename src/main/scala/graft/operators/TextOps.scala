@@ -183,6 +183,11 @@ object TextOps {
     * run fold — O(n log n) per document; the obvious
     * distinct×filter form is O(n²) in interpreted HOFs and was
     * measurably the bench's hottest query before the rewrite.
+    *
+    * NOTE for gating: `top_ngram_frac` saturates on short documents
+    * (a 1-token doc scores 1.0 by construction) — apply repetition
+    * thresholds only above a minimum `n_tokens`, the way Gopher's
+    * repetition rules carry length preconditions.
     */
   def repetitionStats(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -38,9 +38,15 @@ import org.apache.spark.sql.types._
   * Scope guards: inner joins only; the condition's conjuncts must
   * contain a lower and an upper bound on one semantically-identical
   * integral point expression from one side against integral bounds from
-  * the other; any cross-side equality conjunct means Spark already has
-  * an equi key, so the join is left alone (this also makes the rule a
-  * fixpoint — the rewritten join carries a bin equality).
+  * the other; any cross-side equality conjunct (`=` or `<=>`) means
+  * Spark already has an equi key, so the join is left alone. Intervals
+  * wider than `spark.graft.rangeJoin.maxBinsPerInterval` (default 256)
+  * bins are not exploded — they keep the original non-equi join in a
+  * unioned fallback branch, so one open-ended sentinel row cannot turn
+  * the rewrite into a too-long-sequence runtime failure. Fixpoint:
+  * both produced joins are recognizable (the binned one by its bin
+  * equality and `__graft`-prefixed outputs, the fallback by its
+  * marker column) and never reprocessed.
   *
   * Ships via [[graft.GraftExtensions]] (`injectOptimizerRule`) for
   * builder-configured sessions, or [[RangeJoinRewrite.install]] on a
@@ -49,6 +55,13 @@ import org.apache.spark.sql.types._
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   val WidthConf = "spark.graft.rangeJoin.binWidth"
+
+  /** Intervals spanning more than this many bins are NOT exploded —
+    * they run through an unchanged non-equi fallback join unioned with
+    * the binned plan. Guards against open-ended sentinel intervals
+    * (end = MAX) turning the bin sequence into a runtime error.
+    */
+  val MaxBinsConf = "spark.graft.rangeJoin.maxBinsPerInterval"
 
   /** Register on a live session; inert until [[WidthConf]] is set. */
   def install(spark: SparkSession): Unit = {
@@ -99,17 +112,25 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     case _ => false
   }) && e.deterministic
 
+  private def fromOnly(side: LogicalPlan)(e: Expression): Boolean =
+    e.references.nonEmpty && e.references.subsetOf(side.outputSet)
+
+  private def crossSide(j: Join, a: Expression, b: Expression): Boolean =
+    (fromOnly(j.left)(a) && fromOnly(j.right)(b)) ||
+      (fromOnly(j.right)(a) && fromOnly(j.left)(b))
+
   private def rewrite(j: Join, width: Long): Option[LogicalPlan] = {
     val conjuncts = splitConjuncts(j.condition.get)
 
-    def fromOnly(side: LogicalPlan)(e: Expression): Boolean =
-      e.references.nonEmpty && e.references.subsetOf(side.outputSet)
+    // our own artifacts below a join mean this IS a rewritten (or
+    // wide-fallback) join — never reprocess (fixpoint for the batch)
+    if ((j.left.output ++ j.right.output)
+        .exists(_.name.startsWith("__graft"))) return None
 
     // an existing cross-side equality = Spark already equi-joins
     val hasEqui = conjuncts.exists {
-      case EqualTo(a, b) =>
-        (fromOnly(j.left)(a) && fromOnly(j.right)(b)) ||
-          (fromOnly(j.right)(a) && fromOnly(j.left)(b))
+      case EqualTo(a, b) => crossSide(j, a, b)
+      case EqualNullSafe(a, b) => crossSide(j, a, b) // <=> is equi too
       case _ => false
     }
     if (hasEqui) return None
@@ -131,13 +152,20 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     pair.map { case (pt, start, end, ptOnLeft) =>
       val (ptsPlan, ivsPlan) =
         if (ptOnLeft) (j.left, j.right) else (j.right, j.left)
+      val maxBins =
+        try math.max(1L, conf.getConfString(MaxBinsConf, "256").toLong)
+        catch { case _: NumberFormatException => 256L }
       val w = Literal(width.toDouble, DoubleType)
       def binOf(e: Expression): Expression =
         Floor(Divide(Cast(e, DoubleType), w))
+      // bins an interval explodes to; NULL bounds make it NULL, which
+      // both branch filters reject — matching the original join, where
+      // a NULL bound can never satisfy the range predicate
+      val spanBins = Subtract(binOf(end), binOf(start))
 
+      // NARROW intervals (≤ maxBins bins): explode to bins, equi-join
       val ptBin = Alias(binOf(pt), "__graft_pt_bin")()
       val ptsProj = Project(ptsPlan.output :+ ptBin, ptsPlan)
-
       val ivBin = AttributeReference("__graft_iv_bin", LongType,
         nullable = false)()
       // Sequence is TimeZoneAwareExpression: without an explicit zone it
@@ -145,11 +173,27 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       val gen = Generate(Explode(Sequence(binOf(start), binOf(end), None,
           Some(conf.sessionLocalTimeZone))),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(ivBin), child = ivsPlan)
-
+        generatorOutput = Seq(ivBin),
+        child = Filter(LessThanOrEqual(spanBins, Literal(maxBins)),
+          ivsPlan))
       val (nl, nr) = if (ptOnLeft) (ptsProj, gen) else (gen, ptsProj)
       val newCond = And(EqualTo(ptBin.toAttribute, ivBin), j.condition.get)
-      Project(j.output, Join(nl, nr, Inner, Some(newCond), j.hint))
+      val narrow = Project(j.output, Join(nl, nr, Inner, Some(newCond),
+        j.hint))
+
+      // WIDE intervals (open-ended sentinels, malformed spans): exploding
+      // them could exceed Spark's sequence limit outright — keep the
+      // original non-equi join for just these rows (they are few by
+      // construction; a corpus of wide intervals has no bin width that
+      // helps). The marker column makes the fallback join skip-able
+      // above and is never part of the projected output.
+      val marker = Alias(Literal(true), "__graft_wide")()
+      val wideIvs = Project(ivsPlan.output :+ marker,
+        Filter(GreaterThan(spanBins, Literal(maxBins)), ivsPlan))
+      val (wl, wr) = if (ptOnLeft) (ptsPlan, wideIvs) else (wideIvs, ptsPlan)
+      val wide = Project(j.output, Join(wl, wr, Inner, j.condition, j.hint))
+
+      Union(Seq(narrow, wide))
     }
   }
 }

@@ -217,6 +217,13 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out(4L) == "")                // fully-boilerplate doc survives empty
     assert(out(5L) == "rare pair\nunique five") // at-threshold line kept, in order
     assert(out.size == 6)
+    // blank separator lines are exempt from the kill list: paragraph
+    // structure survives even when every doc has an empty line
+    val paras = (0L until 5L).map(i => (i, s"para a$i\n\npara b$i"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpusLines(paras, "doc_id", "text", 2L)
+      .as[(Long, String)].collect().toMap
+    assert(kept(0L) == "para a0\n\npara b0", kept(0L))
   }
 
   test("dedup: exact by content keeps min id; groups found") {

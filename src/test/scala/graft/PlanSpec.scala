@@ -176,11 +176,14 @@ class PlanSpec extends SparkSpec {
       spark.conf.set(RangeJoinRewrite.WidthConf, "8")
       val rewritten = q()
       val plan = physical(rewritten)
-      assert(!plan.contains("NestedLoopJoin"),
-        s"rule did not fire:\n$plan")
-      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      // narrow branch: hash equi-join on the bin; the unioned wide
+      // fallback keeps a (runtime-empty here) nested loop for
+      // over-wide intervals, so only the bin join's presence is asserted
+      assert(plan.contains("__graft_pt_bin") &&
+        (plan.contains("HashJoin") || plan.contains("SortMergeJoin")),
         s"expected an equi-join on the bin:\n$plan")
       assert(plan.contains("explode"), s"interval side not binned:\n$plan")
+      assert(plan.contains("Union"), s"no wide fallback branch:\n$plan")
       val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1)))
         .toSet
       assert(got == expected, s"rewrite changed results: $got")
@@ -189,6 +192,20 @@ class PlanSpec extends SparkSpec {
       val eq = pts.withColumn("k", $"id" % 2)
         .join(ivs.withColumn("k", $"iv_id" % 2), "k")
       assert(!physical(eq).contains("__graft"), physical(eq))
+
+      // wide-interval guard: an open-ended sentinel interval must not
+      // explode (Long.MaxValue span would be a runtime error); it runs
+      // through the unioned fallback join and still pairs correctly
+      val withSentinel = ivs.unionByName(
+        Seq((99L, 0L, Long.MaxValue - 1)).toDF("iv_id", "lo", "hi"))
+      val mixed = pts.join(withSentinel,
+          pts("pt") >= withSentinel("lo") && pts("pt") <= withSentinel("hi"))
+        .select($"id", $"iv_id")
+      val mixedPlan = physical(mixed)
+      assert(mixedPlan.contains("Union"), s"no fallback branch:\n$mixedPlan")
+      val got2 = mixed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got2 == expected ++ Set((1L, 99L), (2L, 99L), (3L, 99L)),
+        s"wide fallback changed results: $got2")
     } finally spark.conf.unset(RangeJoinRewrite.WidthConf)
   }
 
