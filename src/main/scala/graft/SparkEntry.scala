@@ -250,6 +250,14 @@ object SparkEntry {
           Seq("train" -> 90, "val" -> 5, "test" -> 5)).as("split"))
     }),
 
+    // per-key cap: at most 5 events per user, selected by stable
+    // event-id hash order — the per-domain cap of a data-mix pipeline
+    "q_cap_per_key" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"))
+      operators.Sampling.capPerKey(ev, "user_id", "event_id", 5)
+    }),
+
     // deterministic stratified sampling: per-stratum keep rates (the
     // data-mix knob) over the same stable id-hash bucketing as
     // q_split_assign — membership reproducible across runs and engines
@@ -1398,6 +1406,14 @@ object SparkEntry {
          |   ELSE 'test' END AS split
          |FROM documents""".stripMargin
     },
+
+    "q_cap_per_key" ->
+      """SELECT event_id, user_id FROM (
+        | SELECT event_id, user_id, row_number() OVER (
+        |   PARTITION BY user_id
+        |   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        | FROM events) t
+        |WHERE rn <= 5""".stripMargin,
 
     "q_stratified_sample" -> {
       // one physical line: a continuation line starting with '||' would

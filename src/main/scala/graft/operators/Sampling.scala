@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / splitting for training-data pipelines
@@ -57,6 +58,25 @@ object Sampling {
       when(col(strataCol) === v, p).otherwise(e)
     }
     df.filter(splitBucket(col(idCol), 100) < pct)
+  }
+
+  /** Deterministic per-key cap (RefinedWeb-style per-domain document
+    * cap): keep at most `n` rows per key, selected by stable id-hash
+    * order — so the kept subset is reproducible across runs and
+    * engines, and adding documents to a key never evicts previously
+    * kept ones ahead of them in hash order arbitrarily (the order is a
+    * pure function of ids, not arrival). One exchange on the key; the
+    * per-key sort is bounded by that key's row count — for skewed
+    * domains pair with [[graft.operators.Relational.latestPerKeySalted]]
+    * -style two-phase selection.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "cap must be positive")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
   }
 
   /** Pack rows into shards of ~`budget` units (token counts, bytes) in

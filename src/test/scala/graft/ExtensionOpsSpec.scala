@@ -170,6 +170,21 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(none.filter($"s" === "common").count() == 0)
   }
 
+  test("sampling: per-key cap bounded, deterministic, keeps small keys whole") {
+    import operators.Sampling
+    val rows = (0 until 300).map(i => (i.toLong, s"d${i % 10}")) ++
+      (1000 until 1003).map(i => (i.toLong, "tiny"))
+    val df = rows.toDF("id", "domain")
+    val capped = Sampling.capPerKey(df, "domain", "id", 7)
+    val counts = capped.groupBy($"domain").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ <= 7))
+    assert(counts("tiny") == 3)               // under-cap key untouched
+    assert(counts.filterKeys(_ != "tiny").values.forall(_ == 7))
+    val again = Sampling.capPerKey(df, "domain", "id", 7)
+    assert(capped.select($"id").except(again.select($"id")).count() == 0)
+  }
+
   test("dedup: contamination report flags eval overlap only") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
