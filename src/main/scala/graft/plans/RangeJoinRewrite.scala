@@ -186,7 +186,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       // original non-equi join for just these rows (they are few by
       // construction; a corpus of wide intervals has no bin width that
       // helps). The marker column makes the fallback join skip-able
-      // above and is never part of the projected output.
+      // above and is never part of the projected output. The fallback
+      // branch re-reads the point side, but in the common no-wide-rows
+      // case AQE's empty-relation propagation collapses the whole
+      // branch at runtime after the (tiny) interval-side stage
+      // materializes empty — PlanSpec asserts the final adaptive plan
+      // carries no nested loop then.
       val marker = Alias(Literal(true), "__graft_wide")()
       val wideIvs = Project(ivsPlan.output :+ marker,
         Filter(GreaterThan(spanBins, Literal(maxBins)), ivsPlan))

@@ -187,6 +187,13 @@ class PlanSpec extends SparkSpec {
       val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1)))
         .toSet
       assert(got == expected, s"rewrite changed results: $got")
+      // with no wide intervals, AQE's empty-relation propagation must
+      // eliminate the fallback branch at runtime — the points side is
+      // NOT scanned twice in the common case
+      val finalPlan = rewritten.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head   // adaptive render echoes both
+      assert(!finalPlan.contains("NestedLoopJoin"),
+        s"empty wide branch not pruned by AQE:\n$finalPlan")
 
       // equality conjunct present -> left alone (already equi-joinable)
       val eq = pts.withColumn("k", $"id" % 2)
