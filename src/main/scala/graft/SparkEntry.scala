@@ -587,6 +587,7 @@ object SparkEntry {
       // conf-scoped: the rewrite must not leak into every later query
       // on this shared session, and optimization happens lazily — so
       // materialize eagerly under the conf, then restore it
+      val prevWidth = s.conf.getOption(graft.plans.RangeJoinRewrite.WidthConf)
       s.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "3600")
       try {
         val ev = Tables.events(s, dir)
@@ -603,7 +604,12 @@ object SparkEntry {
             ev("pt") >= windows("w_start") && ev("pt") <= windows("w_end"))
           .select(col("event_id"), col("window_id"))
           .localCheckpoint(eager = true)
-      } finally s.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+      } finally prevWidth match {
+        case Some(v) =>
+          s.conf.set(graft.plans.RangeJoinRewrite.WidthConf, v)
+        case None =>
+          s.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+      }
     }),
 
     // gap-based sessionization: number each user's sessions by

@@ -73,10 +73,12 @@ object Sampling {
   def capPerKey(df: DataFrame, keyCol: String, idCol: String,
       n: Int): DataFrame = {
     require(n > 0, "cap must be positive")
+    val rn = "__graft_cap_rn"
+    require(!df.columns.contains(rn), s"input already has a $rn column")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n).drop("__rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= n).drop(rn)
   }
 
   /** Pack rows into shards of ~`budget` units (token counts, bytes) in

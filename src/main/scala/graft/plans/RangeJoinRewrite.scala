@@ -158,12 +158,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       val w = Literal(width.toDouble, DoubleType)
       def binOf(e: Expression): Expression =
         Floor(Divide(Cast(e, DoubleType), w))
-      // bins an interval explodes to; NULL bounds make it NULL, which
-      // both branch filters reject — matching the original join, where
-      // a NULL bound can never satisfy the range predicate
-      val spanBins = Subtract(binOf(end), binOf(start))
+      // bins an interval explodes to, computed in DOUBLE: a LongType
+      // subtraction would ANSI-overflow on a fully open sentinel
+      // (MinValue..MaxValue) — the very row the guard must shunt away.
+      // NULL bounds make it NULL, which both branch filters reject —
+      // matching the original join, where a NULL bound can never
+      // satisfy the range predicate.
+      val spanBins = Subtract(Cast(binOf(end), DoubleType),
+        Cast(binOf(start), DoubleType))
 
-      // NARROW intervals (≤ maxBins bins): explode to bins, equi-join
+      // NARROW intervals (0 ≤ span ≤ maxBins bins): explode to bins,
+      // equi-join. The span >= 0 arm matters: a REVERSED interval
+      // (end < start) would otherwise slip past `span <= maxBins` and
+      // default-step Sequence DOWNWARD |span| bins; the original join
+      // returns empty for reversed bounds, so such rows are simply
+      // dropped (they fail the wide filter too).
       val ptBin = Alias(binOf(pt), "__graft_pt_bin")()
       val ptsProj = Project(ptsPlan.output :+ ptBin, ptsPlan)
       val ivBin = AttributeReference("__graft_iv_bin", LongType,
@@ -174,7 +183,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
           Some(conf.sessionLocalTimeZone))),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(ivBin),
-        child = Filter(LessThanOrEqual(spanBins, Literal(maxBins)),
+        child = Filter(And(
+            GreaterThanOrEqual(spanBins, Literal(0.0)),
+            LessThanOrEqual(spanBins, Literal(maxBins.toDouble))),
           ivsPlan))
       val (nl, nr) = if (ptOnLeft) (ptsProj, gen) else (gen, ptsProj)
       val newCond = And(EqualTo(ptBin.toAttribute, ivBin), j.condition.get)
@@ -194,7 +205,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       // carries no nested loop then.
       val marker = Alias(Literal(true), "__graft_wide")()
       val wideIvs = Project(ivsPlan.output :+ marker,
-        Filter(GreaterThan(spanBins, Literal(maxBins)), ivsPlan))
+        Filter(GreaterThan(spanBins, Literal(maxBins.toDouble)), ivsPlan))
       val (wl, wr) = if (ptOnLeft) (ptsPlan, wideIvs) else (wideIvs, ptsPlan)
       val wide = Project(j.output, Join(wl, wr, Inner, j.condition, j.hint))
 

@@ -202,16 +202,25 @@ class PlanSpec extends SparkSpec {
 
       // wide-interval guard: an open-ended sentinel interval must not
       // explode (Long.MaxValue span would be a runtime error); it runs
-      // through the unioned fallback join and still pairs correctly
+      // through the unioned fallback join and still pairs correctly.
+      // A REVERSED sentinel (lo > hi, negative span) and a fully open
+      // one (MinValue..MaxValue, span would overflow a long) must not
+      // crash either: reversed drops (empty under the original join),
+      // fully-open falls back and pairs with everything
       val withSentinel = ivs.unionByName(
-        Seq((99L, 0L, Long.MaxValue - 1)).toDF("iv_id", "lo", "hi"))
+        Seq((99L, 0L, Long.MaxValue - 1),
+          (98L, Long.MaxValue - 1, 0L),
+          (97L, Long.MinValue + 1, Long.MaxValue - 1))
+          .toDF("iv_id", "lo", "hi"))
       val mixed = pts.join(withSentinel,
           pts("pt") >= withSentinel("lo") && pts("pt") <= withSentinel("hi"))
         .select($"id", $"iv_id")
       val mixedPlan = physical(mixed)
       assert(mixedPlan.contains("Union"), s"no fallback branch:\n$mixedPlan")
       val got2 = mixed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(got2 == expected ++ Set((1L, 99L), (2L, 99L), (3L, 99L)),
+      val wide = for (id <- Seq(1L, 2L, 3L); iv <- Seq(99L, 97L))
+        yield (id, iv) // 98 (reversed) matches nothing
+      assert(got2 == expected ++ wide,
         s"wide fallback changed results: $got2")
     } finally spark.conf.unset(RangeJoinRewrite.WidthConf)
   }
