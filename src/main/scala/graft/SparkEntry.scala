@@ -280,6 +280,47 @@ object SparkEntry {
       Dedup.contaminationReport(docs, evalSet, "doc_id", "text", k = 3)
     }),
 
+    // decontamination scale path: Bloom-sketch prefilter (codegen
+    // might_contain at scan speed) + exact semi-join verify of the
+    // sketch survivors — output identical to the broadcast-set form,
+    // proven by an exact oracle; the corpus side never broadcasts or
+    // shuffles more than the sketch hits
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val evalSet = docs.filter(col("doc_id") % 89 === 0)
+      Dedup.contaminationReportBloom(docs, evalSet, "doc_id", "text", k = 3)
+    }),
+
+    // corpus-wide heavy hitters: top word-3-grams by document
+    // frequency — partial+final agg, TakeOrderedAndProject top-N
+    "q_top_ngrams" -> ((s, dir) => {
+      operators.TextOps.topNgrams(
+        Tables.documents(s, dir), "text", k = 3, topN = 50)
+    }),
+
+    // RRD-style multi-resolution consolidation (the reference's own
+    // rrdexport payloads are consolidated AVERAGE rows —
+    // extract.py:135-146): 1h/6h/1d rollups per user in ONE exchange
+    // via map-side resolution fan-out
+    "q_consolidate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+      operators.TimeSeries.consolidate(ev, Seq("user_id"), "ts",
+        "value", "event_id",
+        Seq("1h" -> 3600L, "6h" -> 21600L, "1d" -> 86400L))
+    }),
+
+    // gaps-and-islands interval merge: each event opens a 10-minute
+    // activity window per user; overlapping/touching windows collapse
+    // to maximal islands (= the outage-window merge of a monitoring
+    // pipeline)
+    "q_merge_intervals" -> ((s, dir) => {
+      val sec = col("ts").cast("long")
+      val iv = Tables.events(s, dir).filter(col("ts").isNotNull)
+        .select(col("user_id"), sec.as("lo"), (sec + 600L).as("hi"))
+      operators.TimeSeries.mergeIntervals(iv, Seq("user_id"), "lo", "hi")
+    }),
+
     // C4-style URL/domain filtering: two injected URLs per doc (host
     // varies with doc_id), docs referencing a blocklisted host get
     // flagged; hosts surfaced as a sorted joined string
@@ -1448,6 +1489,69 @@ object SparkEntry {
          |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
         .stripMargin
     },
+
+    // the Bloom path is exact after its verify step, so the oracle is
+    // the same exact-overlap relation — false positives surviving to
+    // the output would hash-mismatch here
+    "q_decontaminate_bloom" -> {
+      s"""WITH ${shingleCteSql(3, "documents")},
+         |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh
+         |  WHERE doc_id % 89 = 0),
+         |dg AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |hits AS (SELECT doc_id, count(*) AS n FROM dg
+         |  WHERE g IN (SELECT g FROM ev) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         | CAST(coalesce(h.n, 0) AS BIGINT) AS n_eval_hits,
+         | coalesce(h.n, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
+        .stripMargin
+    },
+
+    "q_top_ngrams" -> {
+      s"""WITH ${shingleCteSql(3, "documents")},
+         |dg AS (SELECT doc_id, unnest(sh) AS gram FROM sh)
+         |SELECT gram, count(*) AS n_docs FROM dg GROUP BY gram
+         |ORDER BY n_docs DESC, gram ASC LIMIT 50""".stripMargin
+    },
+
+    // epoch() returns fractional seconds in DuckDB — date_trunc to
+    // second first mirrors Spark's truncating timestamp→long cast
+    "q_consolidate" ->
+      """WITH pts AS (
+        | SELECT user_id, event_id, value,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        | FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |fan AS (
+        | SELECT * FROM pts, (VALUES ('1h', 3600), ('6h', 21600),
+        |  ('1d', 86400)) AS r(resolution, step))
+        |SELECT user_id, resolution,
+        | (sec // step) * step AS bucket_start,
+        | count(*) AS n, min(value) AS v_min, max(value) AS v_max,
+        | CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE) AS v_avg,
+        | arg_max(value, event_id) AS v_last
+        |FROM fan GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_merge_intervals" ->
+      """WITH iv AS (
+        | SELECT user_id,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS lo,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 600 AS hi
+        | FROM events WHERE ts IS NOT NULL),
+        |m AS (
+        | SELECT user_id, lo, hi, max(hi) OVER (
+        |   PARTITION BY user_id ORDER BY lo, hi
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        | FROM iv),
+        |g AS (
+        | SELECT user_id, lo, hi, sum(
+        |   CASE WHEN pm IS NULL OR lo > pm THEN 1 ELSE 0 END) OVER (
+        |   PARTITION BY user_id ORDER BY lo, hi
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM m)
+        |SELECT user_id, min(lo) AS lo, max(hi) AS hi,
+        | count(*) AS n_merged
+        |FROM g GROUP BY user_id, island""".stripMargin,
 
     // URL-filter oracle: same RE2-safe patterns; hosts via
     // list_transform + regexp_extract group 1

@@ -588,6 +588,51 @@ object Dedup {
         (coalesce(col("n_eval_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** [[contaminationReport]]'s scale path for eval sets too large to
+    * broadcast as a raw shingle set: a Bloom-filter prefilter in front
+    * of an exact verify, with identical output.
+    *
+    * Two-stage shape:
+    * 1. Build a [[org.apache.spark.util.sketch.BloomFilter]] over the
+    *    distinct eval shingles (`stat.bloomFilter` — per-partition
+    *    sketches OR-merged treewise to the driver, so the driver holds
+    *    O(bits), never O(items); at 1% fpp that is ~1.2 bytes per
+    *    shingle vs tens of bytes for the broadcast set, and `fpp` is
+    *    the size knob beyond that).
+    * 2. Probe the corpus shingles map-side with the codegen'd
+    *    [[graft.functions.BloomExpression.mightContain]] — the 100 TB
+    *    side discards ~all clean shingles at scan speed with ZERO
+    *    exchange — then exact-verify only the sketch survivors with a
+    *    shuffle semi-join against the true eval set. False positives
+    *    die in the verify, so the report is exact, but the shuffle
+    *    carries only (hit-candidate shingle, id) rows: fpp × corpus +
+    *    true overlap, not the corpus.
+    *
+    * `expectedItems <= 0` sizes the sketch from a count of the eval
+    * side (one extra tiny job over eval only — never over the corpus).
+    */
+  def contaminationReportBloom(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, k: Int = 5,
+      expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
+    val evalSh = evalDocs.select(
+      explode(array_distinct(TextOps.shingles(col(textCol), k)))
+        .as("__sh")).distinct()
+    val n = if (expectedItems > 0) expectedItems
+      else math.max(evalSh.count(), 64L)
+    val bloom = evalSh.stat.bloomFilter("__sh", n, fpp)
+    val docSh = docs.select(col(idCol),
+      explode(array_distinct(TextOps.shingles(col(textCol), k)))
+        .as("__sh"))
+    val candidates = docSh.filter(
+      graft.functions.BloomExpression.mightContain(col("__sh"), bloom))
+    val hits = candidates.join(evalSh, Seq("__sh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_eval_hits"))
+    docs.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        (coalesce(col("n_eval_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Embedding-cosine near-dup pairs above `threshold`, using the
     * random-hyperplane LSH bucketing from [[Similarity]] to avoid the
     * n² cross join; exact cosine verifies candidates.

@@ -249,4 +249,26 @@ object TextOps {
   def fingerprint(text: Column, k: Int, keep: Int): Column =
     slice(array_sort(array_distinct(
       transform(shingles(text, k), s => md5(s)))), 1, keep)
+
+  /** Corpus-wide heavy hitters: the `topN` word k-grams by DOCUMENT
+    * frequency (distinct per doc, so a single spammy document can't
+    * promote its own boilerplate) — the survey step behind boilerplate
+    * line removal and stop-gram lists.
+    *
+    * Scale shape: explode is map-side; the count is a partial+final
+    * hash aggregate (the exchange carries one (gram, partial-count)
+    * row per distinct gram per partition, not per occurrence); the
+    * top-N is `TakeOrderedAndProject` — per-partition bounded heaps,
+    * N rows to the driver — never a global sort. Ties break gram-
+    * ascending, making the output a deterministic total order.
+    */
+  def topNgrams(docs: DataFrame, textCol: String, k: Int,
+      topN: Int): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    docs.select(explode(array_distinct(shingles(col(textCol), k)))
+        .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("gram").asc)
+      .limit(topN)
+  }
 }

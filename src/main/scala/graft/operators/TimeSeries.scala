@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series shaping operators for the monitoring domain the
+  * reference serves (SURVEY §3.1: the rrdexport payloads it extracts
+  * are themselves RRD consolidations — AVERAGE rows at a fixed step,
+  * `extract.py:135-146`). These close the loop: the engine can
+  * re-derive the multi-resolution rollups and outage windows a Nagios
+  * deployment reads off its RRDs, directly from the raw event stream.
+  */
+object TimeSeries {
+
+  /** RRD-style multi-resolution consolidation: for each key and each
+    * `(resolution name, step seconds)`, bucket `tsCol` into
+    * `floor(epoch / step) * step` windows and emit
+    * count / min / max / avg / last per bucket.
+    *
+    * One plan, one exchange: rows fan out ×R map-side (explode of an
+    * R-entry literal map), then a single partial+final hash aggregate
+    * on (keys, resolution, bucket) — the map-side combine collapses
+    * each partition to one partial row per populated bucket, so the
+    * shuffle carries O(keys × buckets × R), never O(rows × R). The
+    * alternative (one groupBy per resolution) would scan and shuffle
+    * the fact table R times.
+    *
+    * Determinism contract (oracle-matched): `v_avg` divides a
+    * DECIMAL(28,10)-exact sum by the count in double — double
+    * summation would be partition-order-dependent. `v_last` is
+    * `max_by(value, orderCol)` with `orderCol` a UNIQUE total order
+    * (an event id); ordering by a non-unique timestamp would make
+    * "last" tie-broken by partition layout.
+    */
+  def consolidate(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String, orderCol: String,
+      resolutions: Seq[(String, Long)]): DataFrame = {
+    require(resolutions.nonEmpty, "need at least one resolution")
+    require(resolutions.forall(_._2 > 0), "steps must be positive")
+    val resMap = map(resolutions.flatMap { case (name, step) =>
+      Seq(lit(name), lit(step)) }: _*)
+    val keys = keyCols.map(col)
+    df.select(keys ++ Seq(
+        col(tsCol).cast("long").as("__sec"),
+        col(valCol).as("__v"), col(orderCol).as("__ord"),
+        explode(resMap).as(Seq("resolution", "__step"))): _*)
+      .groupBy(keys ++ Seq(col("resolution"),
+        (floor(col("__sec") / col("__step")) * col("__step"))
+          .cast("long").as("bucket_start")): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("__v")).as("v_min"),
+        max(col("__v")).as("v_max"),
+        (sum(col("__v").cast("decimal(28,10)")).cast("double") /
+          count(lit(1)).cast("double")).as("v_avg"),
+        max_by(col("__v"), col("__ord")).as("v_last"))
+  }
+
+  /** Merge overlapping-or-touching `[lo, hi]` intervals per key into
+    * maximal islands (the gaps-and-islands canonical form): per host,
+    * collapse raw downtime/alert intervals into distinct outage
+    * windows with a count of merged members.
+    *
+    * Window form, one exchange: partition by key, order by (lo, hi);
+    * a new island starts where `lo` exceeds the running max of all
+    * PRIOR `hi` (strictly — touching endpoints merge); the island id
+    * is the running count of such starts; then one partial-combined
+    * aggregate per (key, island). Both window frames share the same
+    * partitioning and sort, so Spark plans a single shuffle + sort.
+    * Scale bound: per-KEY data must fit a task's sort spill budget —
+    * the standard window contract, fine for per-host monitoring data;
+    * there is no global single-partition window anywhere.
+    */
+  def mergeIntervals(df: DataFrame, keyCols: Seq[String], loCol: String,
+      hiCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val order = Seq(col(loCol).asc, col(hiCol).asc)
+    val prior = Window.partitionBy(keys: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upToHere = Window.partitionBy(keys: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val priorMax = max(col(hiCol)).over(prior)
+    // two columns, not one nested expression: window functions cannot
+    // nest, and materializing __start lets both ride one window stage
+    df.withColumn("__graft_iv_start",
+        when(priorMax.isNull || col(loCol) > priorMax, 1L).otherwise(0L))
+      .withColumn("__graft_iv_island", sum(col("__graft_iv_start")).over(upToHere))
+      .drop("__graft_iv_start")
+      .groupBy(keys :+ col("__graft_iv_island"): _*)
+      .agg(min(col(loCol)).as(loCol), max(col(hiCol)).as(hiCol),
+        count(lit(1)).as("n_merged"))
+      .drop("__graft_iv_island")
+  }
+}

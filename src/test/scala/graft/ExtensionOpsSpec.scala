@@ -200,6 +200,50 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(rep(3L)._3 && rep(3L)._2 == 2)   // "alpha beta gamma", "beta gamma delta"
   }
 
+  test("dedup: bloom-path contamination == broadcast-set contamination") {
+    val corpus = docs.select($"doc_id", $"text")
+    val evalSet = corpus.filter($"doc_id" % 53 === 0)
+    val exact = Dedup.contaminationReport(corpus, evalSet,
+      "doc_id", "text", k = 3)
+    val bloomed = Dedup.contaminationReportBloom(corpus, evalSet,
+      "doc_id", "text", k = 3)
+    // the sketch admits false positives but the verify kills them, so
+    // the two reports must be row-identical — both directions
+    assert(exact.except(bloomed).count() == 0)
+    assert(bloomed.except(exact).count() == 0)
+    assert(bloomed.filter($"contaminated").count() > 0) // non-vacuous
+  }
+
+  test("bloom expression: no false negatives, bounded false positives") {
+    val present = spark.range(1000)
+      .selectExpr("CAST(id AS STRING) AS s")
+    val bf = present.stat.bloomFilter("s", 1000, 0.01)
+    import graft.functions.BloomExpression.mightContain
+    // every inserted value must probe true — bloom filters cannot
+    // false-negative, and the expression must hash identically to the
+    // builder (UTF-8 bytes)
+    assert(present.filter(!mightContain($"s", bf)).count() == 0)
+    // absent values pass at ~fpp; 50× slack keeps the assert immune to
+    // an unlucky sketch while still catching an always-true probe
+    val absent = spark.range(10000, 20000)
+      .selectExpr("CAST(id AS STRING) AS s")
+    assert(absent.filter(mightContain($"s", bf)).count() < 5000)
+    // long probes hit the mightContainLong path
+    val bfL = spark.range(1000).stat.bloomFilter("id", 1000, 0.01)
+    assert(spark.range(1000).filter(!mightContain($"id", bfL))
+      .count() == 0)
+  }
+
+  test("text: topNgrams ranks by document frequency, ties gram-asc") {
+    val d = Seq(
+      (1L, "a b c d"), (2L, "a b c x"), (3L, "a b c"),
+      (4L, "z z z z")) // repeated in-doc shingle counts once
+      .toDF("doc_id", "text")
+    val got = TextOps.topNgrams(d, "text", k = 3, topN = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a b c", 3L), ("b c d", 1L)))
+  }
+
   test("text: URL extraction, host normalization, blocklist flag") {
     val r = Seq(
       ("a", "pre https://Bad.Example.com/x?q=1 mid http://ok.org post"),

@@ -107,6 +107,44 @@ class PlanSpec extends SparkSpec {
       s"dedup semi-join should broadcast:\n$plan")
   }
 
+  test("consolidate: multi-resolution rollup is one exchange, partial+final agg") {
+    val df = SparkEntry.queries("q_consolidate")(spark, dir)
+    val plan = physical(df)
+    // the resolution fan-out (explode of a literal map) happens
+    // map-side; the only shuffle carries (key, resolution, bucket)
+    // partials — R separate groupBys would scan and shuffle R times
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 exchange, got $shuffles:\n$plan")
+    assert(plan.contains("partial_"),
+      s"no map-side partial aggregation:\n$plan")
+  }
+
+  test("bloom decontamination probes map-side, before any exchange") {
+    val df = SparkEntry.queries("q_decontaminate_bloom")(spark, dir)
+    // AdaptiveSparkPlanExec is a LEAF node — collect() stops at it;
+    // unwrap to the current inner plan
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // the sketch probe must sit in the corpus scan's own stage: no
+    // shuffle below the probing Filter, so the 100 TB side ships only
+    // sketch survivors
+    val probes = exec.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("bloom_might_contain") => f
+    }
+    assert(probes.nonEmpty, s"no bloom probe in plan:\n$exec")
+    probes.foreach { f =>
+      val below = f.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(below.isEmpty,
+        s"bloom probe has a shuffle below it (probes post-exchange):\n$exec")
+    }
+  }
+
   test("shardByBudget plans no single-partition window (distributed prefix sum)") {
     // the round-2 form ran the whole corpus through one global
     // Window.orderBy task; the two-pass path must plan only

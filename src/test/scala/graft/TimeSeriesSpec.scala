@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries
+
+/** Time-series shaping: RRD-style multi-resolution consolidation and
+  * gaps-and-islands interval merging (fixtures with hand-computed
+  * expectations; the sf-scale paths are oracle-checked via
+  * `q_consolidate` / `q_merge_intervals`).
+  */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("consolidate: per-resolution buckets with exact stats") {
+    val pts = Seq(
+      ("a", 10L, 1.0, 1L), ("a", 70L, 3.0, 2L), ("a", 130L, 2.0, 3L),
+      ("b", 10L, 5.0, 4L))
+      .toDF("k", "sec", "v", "id")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val got = TimeSeries.consolidate(pts, Seq("k"), "ts", "v", "id",
+        Seq("1m" -> 60L, "2m" -> 120L))
+      .as[(String, String, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2, r._3) -> (r._4, r._5, r._6, r._7, r._8))
+      .toMap
+
+    // 1m: each point alone in its bucket
+    assert(got(("a", "1m", 0L)) == ((1L, 1.0, 1.0, 1.0, 1.0)))
+    assert(got(("a", "1m", 60L)) == ((1L, 3.0, 3.0, 3.0, 3.0)))
+    assert(got(("a", "1m", 120L)) == ((1L, 2.0, 2.0, 2.0, 2.0)))
+    // 2m: first two points share [0, 120); last = the max-id point
+    assert(got(("a", "2m", 0L)) == ((2L, 1.0, 3.0, 2.0, 3.0)))
+    assert(got(("a", "2m", 120L)) == ((1L, 2.0, 2.0, 2.0, 2.0)))
+    assert(got(("b", "1m", 0L)) == ((1L, 5.0, 5.0, 5.0, 5.0)))
+    assert(got(("b", "2m", 0L)) == ((1L, 5.0, 5.0, 5.0, 5.0)))
+    assert(got.size == 7)
+  }
+
+  test("mergeIntervals: chains, containment, touching, per-key isolation") {
+    val iv = Seq(
+      // chain with containment: cummax (not lag) must carry [0,100]'s
+      // end across the contained [10,20] and [30,40]
+      ("a", 0L, 100L), ("a", 10L, 20L), ("a", 30L, 40L), ("a", 90L, 150L),
+      ("a", 200L, 210L),          // separate island
+      ("b", 0L, 5L), ("b", 5L, 9L), // touching endpoints merge
+      ("b", 10L, 12L))             // gap of 1 splits
+      .toDF("k", "lo", "hi")
+    val got = TimeSeries.mergeIntervals(iv, Seq("k"), "lo", "hi")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 0L, 150L, 4L), ("a", 200L, 210L, 1L),
+      ("b", 0L, 9L, 2L), ("b", 10L, 12L, 1L)))
+  }
+
+  test("mergeIntervals: single interval and empty input") {
+    val one = Seq(("x", 1L, 2L)).toDF("k", "lo", "hi")
+    assert(TimeSeries.mergeIntervals(one, Seq("k"), "lo", "hi")
+      .as[(String, Long, Long, Long)].collect().toSeq ==
+      Seq(("x", 1L, 2L, 1L)))
+    val none = Seq.empty[(String, Long, Long)].toDF("k", "lo", "hi")
+    assert(TimeSeries.mergeIntervals(none, Seq("k"), "lo", "hi")
+      .count() == 0L)
+  }
+}
