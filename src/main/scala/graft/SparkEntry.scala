@@ -258,6 +258,16 @@ object SparkEntry {
       operators.Sampling.capPerKey(ev, "user_id", "event_id", 5)
     }),
 
+    // sequence packing: per-source documents in doc_id order packed
+    // into 512-token context windows by the codegen next-fit fold
+    "q_pack_sequences" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+        operators.TextOps.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      operators.Sampling.packByCapacity(d, Seq("source"), "doc_id",
+        "n_tokens", 512L)
+    }),
+
     // deterministic stratified sampling: per-stratum keep rates (the
     // data-mix knob) over the same stable id-hash bucketing as
     // q_split_assign — membership reproducible across runs and engines
@@ -1461,6 +1471,29 @@ object SparkEntry {
         |   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
         | FROM events) t
         |WHERE rn <= 5""".stripMargin,
+
+    // next-fit is a sequential fold — the oracle replays it exactly
+    // with a recursive CTE stepping one row per key per iteration
+    "q_pack_sequences" ->
+      """WITH RECURSIVE t AS (
+        | SELECT source, doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        | FROM documents),
+        |r AS (
+        | SELECT source, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS bin,
+        |  greatest(n_tokens, 1) AS fill
+        | FROM t WHERE rn = 1
+        | UNION ALL
+        | SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+        |  CASE WHEN r.fill + greatest(t.n_tokens, 1) > 512
+        |   THEN r.bin + 1 ELSE r.bin END,
+        |  CASE WHEN r.fill + greatest(t.n_tokens, 1) > 512
+        |   THEN greatest(t.n_tokens, 1)
+        |   ELSE r.fill + greatest(t.n_tokens, 1) END
+        | FROM t JOIN r ON t.source = r.source AND t.rn = r.rn + 1)
+        |SELECT source, doc_id, n_tokens, bin FROM r""".stripMargin,
 
     "q_stratified_sample" -> {
       // one physical line: a continuation line starting with '||' would

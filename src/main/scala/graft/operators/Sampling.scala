@@ -81,6 +81,46 @@ object Sampling {
       .filter(col(rn) <= n).drop(rn)
   }
 
+  /** Sequence packing: assign each key's rows, in `orderCol` order, to
+    * consecutive fixed-`capacity` bins by the NEXT-FIT rule — a bin
+    * closes the moment a row does not fit; an oversized row occupies a
+    * bin alone; null/non-positive weights count as 1. This is the step
+    * that turns a curated corpus into training context windows with a
+    * deterministic, engine-reproducible layout (next-fit depends only
+    * on the order, never on a bin-search heuristic's tie-breaks).
+    *
+    * Shape: one exchange on the key, then the whole fold runs in a
+    * single codegen'd [[graft.functions.NextFitPack]] pass over the
+    * key's ordered weight array — packing is inherently sequential
+    * WITHIN a key (bin boundaries depend on every prior row), so the
+    * key is the parallelism unit, exactly like a window. Per-key data
+    * must fit a task (the window contract); for corpus-global packing
+    * pass a deterministic spread key (e.g. [[splitBucket]] over 1000
+    * buckets) — packing within hash buckets is the standard
+    * shard-then-pack layout at 100 TB.
+    *
+    * Output: key columns + `orderCol` + `weightCol` + `bin` (0-based,
+    * per key, monotone in `orderCol`).
+    */
+  def packByCapacity(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      weightCol: String, capacity: Long): DataFrame = {
+    require(keyCols.nonEmpty, "packByCapacity needs at least one key")
+    val keys = keyCols.map(col)
+    df.groupBy(keys: _*)
+      .agg(array_sort(collect_list(
+        struct(col(orderCol), col(weightCol)))).as("__graft_pack_items"))
+      .withColumn("__graft_pack_bins",
+        graft.functions.PackExpression.nextFitPack(
+          transform(col("__graft_pack_items"),
+            it => it.getField(weightCol).cast("long")), capacity))
+      .select(keys :+ explode(arrays_zip(col("__graft_pack_items"),
+        col("__graft_pack_bins"))).as("__graft_pack_z"): _*)
+      .select(keys ++ Seq(
+        col(s"__graft_pack_z.__graft_pack_items.$orderCol").as(orderCol),
+        col(s"__graft_pack_z.__graft_pack_items.$weightCol").as(weightCol),
+        col("__graft_pack_z.__graft_pack_bins").as("bin")): _*)
+  }
+
   /** Pack rows into shards of ~`budget` units (token counts, bytes) in
     * `orderCol` order: shard = floor(running-sum-before-this-row /
     * budget) — the standard way a curation pipeline sizes training

@@ -185,6 +185,37 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(capped.select($"id").except(again.select($"id")).count() == 0)
   }
 
+  test("sampling: next-fit packing — capacity, oversized, key isolation") {
+    import graft.operators.Sampling
+    val rows = Seq(
+      // key a, capacity 10: [3,4] fit (7), 5 overflows -> bin 1 with 2
+      // (7), then 12 oversized -> bin 2 alone, 1 -> bin 3
+      ("a", 1L, 3L), ("a", 2L, 4L), ("a", 3L, 5L), ("a", 4L, 2L),
+      ("a", 5L, 12L), ("a", 6L, 1L),
+      // key b starts back at bin 0; null-ish weight (0) counts as 1
+      ("b", 1L, 0L), ("b", 2L, 10L))
+      .toDF("k", "ord", "w")
+    val got = Sampling.packByCapacity(rows, Seq("k"), "ord", "w", 10L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(got == Map(
+      ("a", 1L) -> 0L, ("a", 2L) -> 0L, ("a", 3L) -> 1L, ("a", 4L) -> 1L,
+      ("a", 5L) -> 2L, ("a", 6L) -> 3L,
+      ("b", 1L) -> 0L, ("b", 2L) -> 1L))
+    // invariant on real data: no bin over capacity unless it holds a
+    // single oversized row; bins are monotone in order
+    val docs2 = docs.select($"source", $"doc_id",
+      graft.operators.TextOps.tokenCount($"text").cast("long")
+        .as("n_tokens"))
+    val packed = Sampling.packByCapacity(docs2, Seq("source"), "doc_id",
+      "n_tokens", 256L)
+    val bad = packed.groupBy($"source", $"bin")
+      .agg(sum(greatest($"n_tokens", lit(1L))).as("fill"),
+        count(lit(1)).as("cnt"))
+      .filter($"fill" > 256L && $"cnt" > 1L)
+    assert(bad.count() == 0, "a multi-row bin exceeded capacity")
+  }
+
   test("dedup: contamination report flags eval overlap only") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
