@@ -57,6 +57,41 @@ object TimeSeries {
         max_by(col("__v"), col("__ord")).as("v_last"))
   }
 
+  /** [[consolidate]] for Structured Streaming: ONE resolution per
+    * query as a watermarked event-time `window()` aggregate, so the
+    * state store evicts closed buckets and append mode emits each
+    * bucket exactly once when the watermark passes it. Multi-resolution
+    * on a stream = one query per resolution off the same source (each
+    * resolution is its own sink in an RRD-style system anyway) — a
+    * single-query fan-out would pin every resolution to the coarsest
+    * watermark and multiply state.
+    *
+    * `window(ts, step)` aligns to the epoch, so `bucket_start` equals
+    * the batch form's `floor(epoch / step) * step` — the two paths are
+    * interchangeable (spec-asserted). Runs on a batch frame too
+    * (the watermark is a no-op there).
+    */
+  def consolidateStream(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String, orderCol: String, stepSeconds: Long,
+      watermarkDelay: String): DataFrame = {
+    require(stepSeconds > 0, "step must be positive")
+    val keys = keyCols.map(col)
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(keys :+ window(col(tsCol), s"$stepSeconds seconds")
+        .as("__graft_w"): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        min(col(valCol)).as("v_min"),
+        max(col(valCol)).as("v_max"),
+        (sum(col(valCol).cast("decimal(28,10)")).cast("double") /
+          count(lit(1)).cast("double")).as("v_avg"),
+        max_by(col(valCol), col(orderCol)).as("v_last"))
+      .select(keys ++ Seq(
+        col("__graft_w.start").cast("long").as("bucket_start"),
+        col("n"), col("v_min"), col("v_max"), col("v_avg"),
+        col("v_last")): _*)
+  }
+
   /** Merge overlapping-or-touching `[lo, hi]` intervals per key into
     * maximal islands (the gaps-and-islands canonical form): per host,
     * collapse raw downtime/alert intervals into distinct outage

@@ -274,6 +274,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("consolidation streams: windowed buckets emit once, late rows drop") {
+    import graft.operators.TimeSeries
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Point]
+    // value doubles as the unique order column in this fixture
+    val agg = TimeSeries.consolidateStream(input.toDF(), Seq("host"),
+      "ts", "value", "value", stepSeconds = 600L,
+      watermarkDelay = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("consolidate_stream")
+      .outputMode("append").start()
+
+    // bucket 10:00-10:10 for h1; watermark still before its end
+    input.addData(p("h1", 1, 1.0), p("h1", 9, 3.0))
+    q.processAllAvailable()
+    assert(spark.table("consolidate_stream").count() == 0)
+
+    // advance event time past 10:10 + 5 min delay -> first bucket closes
+    input.addData(p("h1", 16, 7.0))
+    q.processAllAvailable()
+    val closed = spark.table("consolidate_stream")
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect()
+    assert(closed.length == 1)
+    val (host, bucket, n, vmin, vmax, vavg, vlast) = closed.head
+    assert(host == "h1" && n == 2L && vmin == 1.0 && vmax == 3.0)
+    assert(vavg == 2.0 && vlast == 3.0)
+    assert(bucket % 600 == 0)
+
+    // a row behind the watermark never reopens the emitted bucket
+    input.addData(p("h1", 2, 99.0))
+    q.processAllAvailable()
+    assert(spark.table("consolidate_stream").count() == 1)
+    q.stop()
+  }
+
   test("foreachBatch idempotent parquet sink") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graftsink").toString

@@ -36,6 +36,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.size == 7)
   }
 
+  test("consolidateStream on a batch frame == consolidate at that resolution") {
+    val ev = Seq(
+      ("a", 10L, 1.0, 1L), ("a", 70L, 3.0, 2L), ("a", 130L, 2.0, 3L),
+      ("b", 10L, 5.0, 4L))
+      .toDF("k", "sec", "v", "id")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val streamed = TimeSeries.consolidateStream(ev, Seq("k"), "ts", "v",
+        "id", 120L, "0 seconds")
+      .select("k", "bucket_start", "n", "v_min", "v_max", "v_avg", "v_last")
+    val batch = TimeSeries.consolidate(ev, Seq("k"), "ts", "v", "id",
+        Seq("2m" -> 120L))
+      .select("k", "bucket_start", "n", "v_min", "v_max", "v_avg", "v_last")
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("mergeIntervals: chains, containment, touching, per-key isolation") {
     val iv = Seq(
       // chain with containment: cummax (not lag) must carry [0,100]'s
