@@ -320,6 +320,20 @@ object SparkEntry {
         Seq("1h" -> 3600L, "6h" -> 21600L, "1d" -> 86400L))
     }),
 
+    // gap-filled daily series: sparse per-user daily averages (errors
+    // only) densified to the full day grid with forward fill — the
+    // consolidate → fillGaps composition
+    "q_fill_gaps" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull &&
+          col("event_type") === "error")
+      val daily = operators.TimeSeries.consolidate(ev, Seq("user_id"),
+          "ts", "value", "event_id", Seq("1d" -> 86400L))
+        .select(col("user_id"), col("bucket_start"), col("v_avg"))
+      operators.TimeSeries.fillGaps(daily, Seq("user_id"),
+        "bucket_start", 86400L, "v_avg")
+    }),
+
     // gaps-and-islands interval merge: each event opens a 10-minute
     // activity window per user; overlapping/touching windows collapse
     // to maximal islands (= the outage-window merge of a monitoring
@@ -1564,6 +1578,36 @@ object SparkEntry {
         |   / CAST(count(*) AS DOUBLE) AS v_avg,
         | arg_max(value, event_id) AS v_last
         |FROM fan GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_fill_gaps" ->
+      """WITH pts AS (
+        | SELECT user_id, event_id, value,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        | FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  AND event_type = 'error'),
+        |agg AS (
+        | SELECT user_id, (sec // 86400) * 86400 AS bucket_start,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS v_avg
+        | FROM pts GROUP BY 1, 2),
+        |span AS (
+        | SELECT user_id, min(bucket_start) AS lo, max(bucket_start) AS hi
+        | FROM agg GROUP BY 1),
+        |grid AS (
+        | SELECT user_id,
+        |  unnest(generate_series(lo, hi, 86400)) AS bucket_start
+        | FROM span),
+        |j AS (
+        | SELECT g.user_id, g.bucket_start, a.v_avg,
+        |  a.bucket_start IS NOT NULL AS observed
+        | FROM grid g LEFT JOIN agg a
+        |  ON g.user_id = a.user_id AND g.bucket_start = a.bucket_start)
+        |SELECT user_id, bucket_start,
+        | last_value(v_avg IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY bucket_start
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_avg,
+        | observed
+        |FROM j""".stripMargin,
 
     "q_merge_intervals" ->
       """WITH iv AS (

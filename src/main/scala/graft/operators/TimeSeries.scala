@@ -92,6 +92,44 @@ object TimeSeries {
         col("v_last")): _*)
   }
 
+  /** Densify a step-aligned bucket series per key and forward-fill
+    * `valueCol` — the gap-filling half of RRD semantics (a consolidated
+    * series has a row per step even where no points landed; consumers
+    * read the last known value across the gap).
+    *
+    * Per key: explode `sequence(min, max, step)` into the full grid
+    * (bounded by the key's time range over step, never by row count),
+    * left-join the observed buckets back, and forward-fill with
+    * `last(value, ignoreNulls)` over a (key)-partitioned bucket order.
+    * Two key exchanges (span agg + join) and one windowed sort — all
+    * key-partitioned, no global stage anywhere. `bucketCol` must
+    * already be step-aligned (e.g. [[consolidate]]'s `bucket_start`);
+    * a misaligned row would simply never match the grid.
+    *
+    * Output: key columns + `bucketCol` + forward-filled `valueCol` +
+    * `observed` (false on synthesized gap rows). Leading gaps cannot
+    * exist (the grid starts at the key's first observation).
+    */
+  def fillGaps(df: DataFrame, keyCols: Seq[String], bucketCol: String,
+      step: Long, valueCol: String): DataFrame = {
+    require(step > 0, "step must be positive")
+    val keys = keyCols.map(col)
+    val grid = df.groupBy(keys: _*)
+      .agg(min(col(bucketCol)).as("__graft_lo"),
+        max(col(bucketCol)).as("__graft_hi"))
+      .select(keys :+ explode(sequence(col("__graft_lo"),
+        col("__graft_hi"), lit(step))).as(bucketCol): _*)
+    // presence marker, not value-null: a legitimately-null observed
+    // value must still read as observed
+    val marked = df.withColumn("__graft_obs", lit(true))
+    val w = Window.partitionBy(keys: _*).orderBy(col(bucketCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(marked, keyCols :+ bucketCol, "left")
+      .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+      .withColumn("observed", coalesce(col("__graft_obs"), lit(false)))
+      .drop("__graft_obs")
+  }
+
   /** Merge overlapping-or-touching `[lo, hi]` intervals per key into
     * maximal islands (the gaps-and-islands canonical form): per host,
     * collapse raw downtime/alert intervals into distinct outage

@@ -68,6 +68,19 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", 0L, 9L, 2L), ("b", 10L, 12L, 1L)))
   }
 
+  test("fillGaps: densifies the grid, forward-fills, flags synthesized rows") {
+    val sparse = Seq(
+      ("a", 0L, 1.0), ("a", 30L, 4.0),   // gaps at 10, 20
+      ("b", 10L, 9.0))                    // single bucket, no gaps
+      .toDF("k", "bucket", "v")
+    val got = TimeSeries.fillGaps(sparse, Seq("k"), "bucket", 10L, "v")
+      .as[(String, Long, Double, Boolean)].collect().toSet
+    assert(got == Set(
+      ("a", 0L, 1.0, true), ("a", 10L, 1.0, false),
+      ("a", 20L, 1.0, false), ("a", 30L, 4.0, true),
+      ("b", 10L, 9.0, true)))
+  }
+
   test("mergeIntervals: single interval and empty input") {
     val one = Seq(("x", 1L, 2L)).toDF("k", "lo", "hi")
     assert(TimeSeries.mergeIntervals(one, Seq("k"), "lo", "hi")
