@@ -182,6 +182,20 @@ object SparkEntry {
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     }),
 
+    // snapshot drift report: two synthetic "runs" of the orders
+    // extract (cur drops %17 keys, adds the %13 keys prev lacks, and
+    // bumps %5 prices) classified added/removed/changed by content
+    // hash — full outer join over (key, hash) only
+    "q_snapshot_diff" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val prev = base.filter(col("o_orderkey") % 13 =!= 0)
+      val cur = base.filter(col("o_orderkey") % 17 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") +
+          when(col("o_orderkey") % 5 === 0, 1.0).otherwise(0.0))
+      Relational.snapshotDiff(prev, cur, Seq("o_orderkey"))
+    }),
+
     "q_latest_per_key" -> ((s, dir) => {
       Relational.latestPerKey(Tables.events(s, dir), Seq("user_id"),
           "ts", "event_id")
@@ -1406,6 +1420,31 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10'
         |  AND ts >= TIMESTAMP '2024-01-15'""".stripMargin,
+
+    // classification-equivalent oracle: Spark classifies via 256-bit
+    // content hashes (the 40 B/row exchange form); for identical
+    // inputs hash equality == value-tuple equality, so DuckDB can
+    // classify by direct IS DISTINCT FROM comparison
+    "q_snapshot_diff" ->
+      """WITH base AS (
+        | SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |prev AS (SELECT * FROM base WHERE o_orderkey % 13 <> 0),
+        |cur AS (
+        | SELECT o_orderkey,
+        |  o_totalprice + CASE WHEN o_orderkey % 5 = 0
+        |    THEN 1.0 ELSE 0.0 END AS o_totalprice,
+        |  o_orderstatus
+        | FROM base WHERE o_orderkey % 17 <> 0)
+        |SELECT coalesce(p.o_orderkey, c.o_orderkey) AS o_orderkey,
+        | CASE WHEN p.o_orderkey IS NULL THEN 'added'
+        |      WHEN c.o_orderkey IS NULL THEN 'removed'
+        |      WHEN p.o_totalprice IS DISTINCT FROM c.o_totalprice
+        |        OR p.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+        |       THEN 'changed' END AS change
+        |FROM prev p FULL OUTER JOIN cur c ON p.o_orderkey = c.o_orderkey
+        |WHERE p.o_orderkey IS NULL OR c.o_orderkey IS NULL
+        |   OR p.o_totalprice IS DISTINCT FROM c.o_totalprice
+        |   OR p.o_orderstatus IS DISTINCT FROM c.o_orderstatus""".stripMargin,
 
     "q_latest_per_key" ->
       """SELECT user_id, event_id, ts, event_type, value FROM (

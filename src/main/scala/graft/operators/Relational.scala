@@ -273,6 +273,43 @@ object Relational {
     * Columns must be integral (epoch seconds/millis); point and bound
     * column names must not collide.
     */
+  /** Snapshot drift report: classify every key across two runs of the
+    * same extract as `added` / `removed` / `changed` (unchanged rows
+    * are dropped — at 100 TB the interesting output is the delta, not
+    * a copy of the corpus). The full generalization of the cross-run
+    * anti-join dedup (J3, reference `extract.py:115-132`): where
+    * [[dedupAgainst]] keeps only the new rows, this names what
+    * happened to every key — the inventory/config drift report of a
+    * monitoring deployment.
+    *
+    * Scale shape: both sides reduce map-side to (key, 256-bit content
+    * hash over the non-key columns in sorted-name order) — the full
+    * outer join exchanges ~40 B/row regardless of row width, and the
+    * hash comparison makes `changed` detection O(1) per key instead
+    * of a column-by-column comparison of wide rows. Collision risk at
+    * 256 bits is negligible by the standard birthday bound. Both
+    * frames must share the key + compared column set (asserted).
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key")
+    val valCols = cur.columns.filterNot(keyCols.contains).sorted
+    require(prev.columns.filterNot(keyCols.contains).sorted
+        .sameElements(valCols),
+      "prev and cur must share the compared column set")
+    def hashed(d: DataFrame, h: String) = d.select(
+      keyCols.map(col) :+ sha2(to_json(struct(valCols.map(col): _*),
+        Map("ignoreNullFields" -> "false")), 256).as(h): _*)
+    hashed(prev, "__graft_prev_h")
+      .join(hashed(cur, "__graft_cur_h"), keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__graft_prev_h").isNull, "added")
+          .when(col("__graft_cur_h").isNull, "removed")
+          .when(col("__graft_prev_h") =!= col("__graft_cur_h"), "changed"))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
   def rangeJoin(points: DataFrame, intervals: DataFrame, ptCol: String,
       startCol: String, endCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")

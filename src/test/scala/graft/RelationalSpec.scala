@@ -83,6 +83,28 @@ class RelationalSpec extends SparkSpec {
     assert(b == Set(1L, 2L))
   }
 
+  test("snapshotDiff: added/removed/changed classification, nulls compared") {
+    val prev = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, None: Option[String], 30.0), (4L, Some("d"), 40.0))
+      .toDF("k", "s", "v")
+    val cur = Seq(
+      (1L, Some("a"), 10.0),              // unchanged -> dropped
+      (2L, Some("B"), 20.0),              // changed string
+      (3L, Some("c"), 30.0),              // null -> value is a CHANGE
+      (5L, Some("e"), 50.0))              // added; 4 removed
+      .toDF("k", "s", "v")
+    val got = Relational.snapshotDiff(prev, cur, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+    // column order must not matter: hashes serialize sorted-name
+    val curReordered = cur.select($"k", $"v", $"s")
+    val got2 = Relational.snapshotDiff(prev, curReordered, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got2 == got)
+  }
+
   test("enrich applies defaults only to missing keys") {
     val fact = Seq((1L, "a"), (2L, "b")).toDF("k", "x")
     val dims = Seq((1L, "named")).toDF("k", "name")
