@@ -1384,6 +1384,68 @@ object SparkEntry {
           posexplode(col("neighbors")).as(Seq("pos", "nb")))
         .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
           col("nb.id").as("neighbor_id"))
+    }),
+
+    // ordered-step funnel signup→view→click→purchase: entities whose
+    // k-th step completes at-or-after their (k-1)-th — chained
+    // whole-partition window minima, ONE exchange on user_id, no sort
+    "q_funnel" -> ((s, dir) => {
+      operators.Behavior.funnelCounts(Tables.events(s, dir), "user_id",
+        "event_type", "ts", Seq("signup", "view", "click", "purchase"))
+    }),
+
+    // weekly cohort retention: cohort = week of first event, distinct
+    // actives per (cohort, week offset)
+    "q_cohort_retention" -> ((s, dir) => {
+      operators.Behavior.cohortRetention(Tables.events(s, dir),
+          "user_id", "ts", "week")
+        // `offset` is a reserved word in the oracle engine
+        .select(col("cohort"), col("offset").as("week_no"),
+          col("entities"))
+    }),
+
+    // first-order event-type transition matrix in sparse form: one lag
+    // window pass + a ≤|types|² aggregate
+    "q_transitions" -> ((s, dir) => {
+      operators.Behavior.transitions(Tables.events(s, dir), "user_id",
+        "event_type", "ts", "event_id")
+    }),
+
+    // snapshot changelog → SCD2 validity intervals: the status-stream
+    // history build (consecutive equal states merge; open interval has
+    // null valid_to)
+    "q_scd2" -> ((s, dir) => {
+      operators.Behavior.scd2History(Tables.events(s, dir), "user_id",
+          "event_type", "ts", "event_id")
+        .select(col("user_id"), col("state"), col("valid_from"),
+          col("valid_to"))
+    }),
+
+    // robust outliers: |value − median| > 3 · MAD per event type —
+    // the heavy-tail-safe sibling of q_zscore_outliers, exact
+    // interpolated percentiles on both sides
+    "q_mad_outliers" -> ((s, dir) => {
+      operators.Behavior.madOutliers(Tables.events(s, dir),
+          "event_type", "value", 3.0)
+        .select(col("event_id"), col("event_type"))
+    }),
+
+    // overlapping token-window chunking (size 50, stride 40): the
+    // long-document split step feeding q_pack_sequences' packer
+    "q_chunk_text" -> ((s, dir) => {
+      TextOps.chunkText(Tables.documents(s, dir), "doc_id", "text",
+          size = 50, stride = 40)
+        .select(col("doc_id"), col("chunk_no").cast("long"),
+          col("tok_start").cast("long"), col("chunk"))
+    }),
+
+    // temperature-2 domain mixture table: sqrt-flattened weights,
+    // decimal-exact total, ratios summing to 1
+    "q_mixture_weights" -> ((s, dir) => {
+      operators.Sampling.mixtureWeights(Tables.documents(s, dir),
+          "source")
+        .select(col("domain"), col("n_docs"),
+          col("weight").cast("double").as("weight"), col("mix_ratio"))
     })
   )
 
@@ -2587,6 +2649,136 @@ object SparkEntry {
          |   AS jaccard
          | FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
          |WHERE jaccard >= 0.5
-         |  AND (id_a >= 1000000 OR id_b >= 1000000)""".stripMargin
+         |  AND (id_a >= 1000000 OR id_b >= 1000000)""".stripMargin,
+
+    // chained whole-partition window minima replay the funnel: step k's
+    // earliest completion among events at-or-after step k-1's
+    "q_funnel" ->
+      """WITH e AS (
+        | SELECT user_id, event_type,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN ep END)
+        |  OVER (PARTITION BY user_id) AS t1 FROM e),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'view'
+        |    AND ep >= t1 THEN ep END)
+        |  OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'click'
+        |    AND ep >= t2 THEN ep END)
+        |  OVER (PARTITION BY user_id) AS t3 FROM s2),
+        |s4 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+        |    AND ep >= t3 THEN ep END)
+        |  OVER (PARTITION BY user_id) AS t4 FROM s3),
+        |u AS (SELECT DISTINCT user_id, t1, t2, t3, t4 FROM s4),
+        |agg AS (SELECT CAST(count(t1) AS BIGINT) AS c1,
+        |  CAST(count(t2) AS BIGINT) AS c2,
+        |  CAST(count(t3) AS BIGINT) AS c3,
+        |  CAST(count(t4) AS BIGINT) AS c4 FROM u)
+        |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
+        |  c1 AS entities FROM agg
+        |UNION ALL SELECT 2, 'view', c2 FROM agg
+        |UNION ALL SELECT 3, 'click', c3 FROM agg
+        |UNION ALL SELECT 4, 'purchase', c4 FROM agg""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH w AS (
+        | SELECT user_id,
+        |  CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id))
+        |    AS DATE) AS cohort,
+        |  CAST(date_trunc('week', ts) AS DATE) AS bucket
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT cohort,
+        | CAST(floor(date_diff('day', cohort, bucket) / 7) AS BIGINT)
+        |   AS week_no,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS entities
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "q_transitions" ->
+      """WITH seq AS (
+        | SELECT event_type AS to_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS from_type
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // gaps-and-islands → validity intervals; lead over collapsed
+    // islands supplies valid_to (null = open interval)
+    "q_scd2" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, event_type AS state, ts,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0
+        |  END AS chg
+        | FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |   AND event_type IS NOT NULL
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |islands AS (
+        | SELECT user_id, state, ts,
+        |  sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM flagged),
+        |intervals AS (
+        | SELECT user_id, island, min(state) AS state,
+        |  min(ts) AS valid_from
+        | FROM islands GROUP BY 1, 2)
+        |SELECT user_id, state, valid_from,
+        | lead(valid_from) OVER (PARTITION BY user_id
+        |   ORDER BY island ASC) AS valid_to
+        |FROM intervals""".stripMargin,
+
+    // exact interpolated medians on both sides (quantile_cont ==
+    // Spark's percentile); two stats joins, then the robust cut
+    "q_mad_outliers" ->
+      """WITH f AS (
+        | SELECT event_id, event_type, value FROM events
+        | WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+        | FROM f GROUP BY 1),
+        |mad AS (SELECT f.event_type, quantile_cont(abs(value - m), 0.5) AS d
+        | FROM f JOIN med USING (event_type) GROUP BY 1)
+        |SELECT event_id, f.event_type AS event_type
+        |FROM f JOIN med USING (event_type) JOIN mad USING (event_type)
+        |WHERE abs(value - m) > 3 * d""".stripMargin,
+
+    // chunk i covers tokens [i*40+1, i*40+50]; short non-empty docs are
+    // one chunk, empty docs none
+    "q_chunk_text" ->
+      """WITH t AS (
+        | SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |   x -> len(x) > 0) AS toks
+        | FROM documents),
+        |n AS (
+        | SELECT doc_id, toks,
+        |  CASE WHEN len(toks) = 0 THEN 0
+        |   ELSE greatest(CAST(ceil((len(toks) - 50.0) / 40) AS BIGINT),
+        |     0) + 1 END AS nc
+        | FROM t),
+        |x AS (
+        | SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM n)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+        | CAST(i * 40 + 1 AS BIGINT) AS tok_start,
+        | array_to_string(list_slice(toks, CAST(i * 40 + 1 AS BIGINT),
+        |   CAST(i * 40 + 50 AS BIGINT)), ' ') AS chunk
+        |FROM x""".stripMargin,
+
+    // sqrt is correctly-rounded IEEE (pow is not); the 9dp-rounded
+    // weight rides DECIMAL so the total is order-independent; the
+    // ratio is one double division of exactly-agreed inputs
+    "q_mixture_weights" ->
+      """WITH c AS (
+        | SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs
+        | FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |w AS (
+        | SELECT domain, n_docs,
+        |  CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 9) AS DECIMAL(28,9))
+        |    AS wt
+        | FROM c)
+        |SELECT domain, n_docs, CAST(wt AS DOUBLE) AS weight,
+        | round(CAST(wt AS DOUBLE) / CAST(sum(wt) OVER () AS DOUBLE), 9)
+        |   AS mix_ratio
+        |FROM w""".stripMargin
   )
 }

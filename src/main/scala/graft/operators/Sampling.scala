@@ -228,4 +228,34 @@ object Sampling {
       }
     }
   }
+
+  /** Temperature-flattened domain mixture weights: the data-mix table
+    * behind multi-source training corpora — raw per-domain counts are
+    * flattened by `count^(1/temperature)` so dominant sources stop
+    * drowning rare ones (temperature 1 = proportional, ∞ = uniform).
+    * Returns (domain, n_docs, weight, mix_ratio), ratios summing to 1.
+    *
+    * Numeric portability: the flattened weight is `sqrt` for
+    * temperature 2 (an IEEE correctly-rounded op — `pow` is NOT and
+    * may differ across libm builds), rounded to 9 dp and carried as
+    * DECIMAL so the total is an exact order-independent sum; the final
+    * ratio is one double division of two exactly-agreed inputs.
+    *
+    * Plan shape: one partial+final count aggregate (exchange carries
+    * one row per domain per partition), then a single-partition window
+    * for the total over |domains| rows — trivially small; at extreme
+    * domain cardinality swap the window for a broadcast scalar.
+    */
+  def mixtureWeights(df: DataFrame, domainCol: String): DataFrame = {
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = round(sqrt(col("n_docs").cast("double")), 9)
+      .cast("decimal(28,9)")
+    counts
+      .select(col("domain"), col("n_docs"), w.as("weight"))
+      .withColumn("mix_ratio",
+        round(col("weight").cast("double") /
+          sum(col("weight")).over(Window.partitionBy()).cast("double"), 9))
+  }
 }

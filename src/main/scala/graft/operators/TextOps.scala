@@ -271,4 +271,52 @@ object TextOps {
       .orderBy(col("n_docs").desc, col("gram").asc)
       .limit(topN)
   }
+
+  /** Overlapping token-window chunking — the training-data layout step
+    * that slices each document into fixed-size windows with stride
+    * overlap so no span longer than (size − stride) is lost at a chunk
+    * boundary. Returns one row per (doc, chunk_no) with the chunk's
+    * text and its token span.
+    *
+    * Chunk i covers tokens [i·stride, i·stride + size); the last chunk
+    * may be short; an empty document yields no chunks. Where
+    * [[Sampling.packByCapacity]] PACKS whole documents into context
+    * windows, this SPLITS over-long documents — the two compose into
+    * the standard long-doc → chunk → pack pipeline.
+    *
+    * Plan shape: tokenize once, `posexplode(sequence(...))` over the
+    * per-doc chunk count, `slice` + `concat_ws` per chunk — all
+    * map-side Generate + codegen'd array ops, no shuffle, no UDF. The
+    * fan-out multiplies rows by ≈ len/stride, which Spark sizes
+    * correctly because Generate output feeds the next stage without
+    * materializing.
+    */
+  def chunkText(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size")
+    val toks = tokens(col(textCol))
+    // ceil((len - size)/stride) + 1 extra windows past the first;
+    // clamp at 0 so a short (len <= size) non-empty doc is ONE chunk
+    val nChunks = when(size_(toks) === 0, 0L).otherwise(
+      greatest(ceil((size_(toks).cast("double") - size) / stride)
+        .cast("long"), lit(0L)) + 1L)
+    docs
+      .select(col(idCol), toks.as("_toks"), nChunks.as("_n"))
+      // guard the sequence: Spark's sequence(0, -1) auto-steps DOWN
+      // (yielding [0, -1]), so an empty doc must produce null (which
+      // posexplode drops), not a descending range
+      .select(col(idCol), col("_toks"),
+        posexplode(when(col("_n") > 0,
+          sequence(lit(0L), col("_n") - 1L))))
+      .select(col(idCol), col("pos").as("chunk_no"),
+        (col("pos") * stride + 1).as("tok_start"),
+        concat_ws(" ",
+          slice(col("_toks"), (col("pos") * stride + 1).cast("int"),
+            lit(size))).as("chunk"))
+  }
+
+  // `size` shadowed by chunkText's parameter; alias the function
+  private def size_(c: Column): Column =
+    org.apache.spark.sql.functions.size(c)
 }

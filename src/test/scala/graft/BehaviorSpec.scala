@@ -1,0 +1,157 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Behavior, Sampling, TextOps}
+
+/** Event-behavior analytics (funnel, cohort retention, transitions,
+  * SCD2 history, MAD outliers) + the chunking/mixture curation ops —
+  * semantics pinned on hand-built fixtures where ordering and edge
+  * cases are known exactly.
+  */
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // (event_id, user_id, type, ts) — user 1 completes the full funnel;
+  // user 2 views BEFORE signing up (its view must not count); user 3
+  // signs up only; user 4 has no signup at all.
+  private lazy val funnelEvents = Seq(
+    (1L, 1L, "signup", ts("2024-01-01 10:00:00")),
+    (2L, 1L, "view", ts("2024-01-01 10:05:00")),
+    (3L, 1L, "click", ts("2024-01-01 10:06:00")),
+    (4L, 1L, "purchase", ts("2024-01-01 10:30:00")),
+    (5L, 2L, "view", ts("2024-01-02 09:00:00")),
+    (6L, 2L, "signup", ts("2024-01-02 09:30:00")),
+    (7L, 2L, "click", ts("2024-01-02 09:45:00")),
+    (8L, 3L, "signup", ts("2024-01-03 08:00:00")),
+    (9L, 4L, "view", ts("2024-01-04 08:00:00"))
+  ).toDF("event_id", "user_id", "event_type", "ts")
+
+  test("funnel: steps only count at-or-after the previous step") {
+    val per = Behavior.funnel(funnelEvents, "user_id", "event_type",
+      "ts", Seq("signup", "view", "click", "purchase"))
+      .orderBy("user_id").collect()
+    assert(per.length == 4)
+    // user 1: all four steps
+    assert((1 to 4).forall(i => !per(0).isNullAt(i)))
+    // user 2: signup reached, but its only view PRECEDES signup → the
+    // funnel stops (click can't qualify without a qualifying view)
+    assert(!per(1).isNullAt(1) && per(1).isNullAt(2) && per(1).isNullAt(3))
+    // user 3: signup only; user 4: nothing
+    assert(!per(2).isNullAt(1) && per(2).isNullAt(2))
+    assert((1 to 4).forall(per(3).isNullAt))
+  }
+
+  test("funnel counts are monotonically non-increasing") {
+    val rows = Behavior.funnelCounts(funnelEvents, "user_id",
+      "event_type", "ts", Seq("signup", "view", "click", "purchase"))
+      .orderBy("step").collect()
+    val counts = rows.map(_.getAs[Long]("entities"))
+    assert(counts.toSeq == Seq(3L, 1L, 1L, 1L))
+    assert(rows.map(_.getAs[String]("step_name")).toSeq ==
+      Seq("signup", "view", "click", "purchase"))
+  }
+
+  test("cohort retention: offsets anchor to each user's first week") {
+    // user 1 first active Mon Jan 1 week, returns 2 weeks later;
+    // user 2 first active Jan 8 week only
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-02 10:00:00")),
+      (2L, 1L, ts("2024-01-16 10:00:00")),
+      (3L, 2L, ts("2024-01-09 10:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val got = Behavior.cohortRetention(ev, "user_id", "ts", "week")
+      .orderBy("cohort", "offset")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L)))
+  }
+
+  test("transitions: lag pairs per user, counted across the stream") {
+    val got = Behavior.transitions(funnelEvents, "user_id",
+      "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // user1: s→v→c→p; user2: v→s→c; user3/4: single events, no pairs
+    assert(got(("signup", "view")) == 1L)
+    assert(got(("view", "click")) == 1L)
+    assert(got(("click", "purchase")) == 1L)
+    assert(got(("view", "signup")) == 1L)
+    assert(got(("signup", "click")) == 1L)
+    assert(got.values.sum == 5L)
+  }
+
+  test("scd2: consecutive equal states merge; open interval null") {
+    val snaps = Seq(
+      (1L, 10L, "OK", ts("2024-01-01 00:00:00")),
+      (2L, 10L, "OK", ts("2024-01-02 00:00:00")), // same state → merge
+      (3L, 10L, "CRIT", ts("2024-01-03 00:00:00")),
+      (4L, 10L, "OK", ts("2024-01-04 00:00:00")) // state may recur
+    ).toDF("event_id", "host", "status", "ts")
+    val got = Behavior.scd2History(snaps, "host", "status", "ts",
+      "event_id").orderBy("valid_from").collect()
+    assert(got.length == 3)
+    assert(got.map(_.getAs[String]("state")).toSeq ==
+      Seq("OK", "CRIT", "OK"))
+    // each interval closes at the NEXT change, not the next snapshot
+    assert(got(0).getAs[Timestamp]("valid_to") ==
+      ts("2024-01-03 00:00:00"))
+    assert(got(1).getAs[Timestamp]("valid_to") ==
+      ts("2024-01-04 00:00:00"))
+    assert(got(2).isNullAt(3)) // current state: open interval
+  }
+
+  test("mad outliers: a masked extreme survives where z-score hides it") {
+    // 20 tight points + 2 extremes: the extremes inflate stddev enough
+    // that 3σ z-scoring misses them at small n, while the median/MAD
+    // pair is untouched by the contamination
+    val vals = (1 to 20).map(i => 100.0 + (i % 5)) ++ Seq(100000.0, -100000.0)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("event_id", "grp", "value")
+    val mad = Behavior.madOutliers(df, "grp", "value", 3.0)
+      .select("event_id").as[Long].collect().toSet
+    assert(mad == Set(20L, 21L))
+  }
+
+  test("chunkText: stride windows, short doc = one chunk, empty = none") {
+    val docs = Seq(
+      (1L, (1 to 12).map(i => s"w$i").mkString(" ")), // 12 toks
+      (2L, "only three tokens"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkText(docs, "doc_id", "text", size = 5,
+      stride = 3).orderBy("doc_id", "chunk_no").collect()
+    val d1 = got.filter(_.getLong(0) == 1L)
+    // ceil((12-5)/3)+1 = 4 chunks; last starts at token 10
+    assert(d1.length == 4)
+    assert(d1(0).getAs[String]("chunk") == "w1 w2 w3 w4 w5")
+    assert(d1(1).getAs[String]("chunk") == "w4 w5 w6 w7 w8")
+    assert(d1(3).getAs[String]("chunk") == "w10 w11 w12") // short tail
+    assert(got.count(_.getLong(0) == 2L) == 1)
+    assert(!got.exists(_.getLong(0) == 3L))
+    // adjacent chunks overlap by size - stride = 2 tokens
+    assert(d1(0).getAs[String]("chunk").split(" ").takeRight(2).toSeq ==
+      d1(1).getAs[String]("chunk").split(" ").take(2).toSeq)
+  }
+
+  test("mixtureWeights: sqrt flattening, ratios sum to 1") {
+    val df = (Seq.fill(81)("big") ++ Seq.fill(9)("small"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "src")
+    val rows = Sampling.mixtureWeights(df, "src")
+      .orderBy("domain").collect()
+    val big = rows(0); val small = rows(1)
+    assert(big.getAs[Long]("n_docs") == 81L)
+    // raw ratio 9:1 flattens to sqrt: 9:3 = 0.75 / 0.25
+    assert(math.abs(big.getAs[Double]("mix_ratio") - 0.75) < 1e-9)
+    assert(math.abs(small.getAs[Double]("mix_ratio") - 0.25) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("mix_ratio")).sum - 1.0) < 1e-9)
+  }
+}
