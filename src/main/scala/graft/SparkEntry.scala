@@ -1446,6 +1446,82 @@ object SparkEntry {
           "source")
         .select(col("domain"), col("n_docs"),
           col("weight").cast("double").as("weight"), col("mix_ratio"))
+    }),
+
+    // per-column profile in one scan: null counts, cardinalities,
+    // portable-rendered min/max — the declarative form of the
+    // reference's inline completeness/row-width checks
+    "q_profile" -> ((s, dir) => {
+      operators.Profiling.profile(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+          "l_shipdate"))
+    }),
+
+    // CDC merge: customer balances as the base snapshot, events as the
+    // changelog (error = tombstone, anything else upserts the event's
+    // value); latest change per key wins, deletes remove the key,
+    // changelog-only keys insert
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"),
+          col("c_acctbal").as("value"))
+      val changes = Tables.events(s, dir)
+        .select(col("user_id"), col("value"), col("ts"), col("event_id"),
+          when(col("event_type") === "error", "D").otherwise("U")
+            .as("op"))
+      Relational.applyChangelog(base, changes, Seq("user_id"),
+        "ts", "event_id", "op")
+    }),
+
+    // temporal validity lookup: SCD2 history built from the non-
+    // purchase state stream, then each purchase enriched with the
+    // state valid at its event time — the as-of join IS the validity-
+    // interval join because SCD2 intervals tile each key's timeline
+    "q_scd2_lookup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hist = operators.Behavior.scd2History(
+        ev.filter(col("event_type") =!= "purchase"),
+        "user_id", "event_type", "ts", "event_id")
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Relational.asOfJoin(probes,
+        hist.select(col("user_id"), col("valid_from").as("ts"),
+          col("state").as("as_of_state")),
+        Seq("user_id"), "ts")
+    }),
+
+    // GPT-2-shaped pre-tokenizer classes: letter runs / digit runs /
+    // symbol marks — the honest token-budget accounting pass
+    "q_pretokenize" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.preTokenize(col("text")).as("p"))
+        .select(col("doc_id"), col("p.n_tokens").as("n_tokens"),
+          col("p.n_word").as("n_word"), col("p.n_num").as("n_num"),
+          col("p.n_punct").as("n_punct"))
+    }),
+
+    // lexical diversity: type-token ratio + Simpson index from exact
+    // integer token counts (one IEEE division each — no libm variance)
+    "q_lexical_diversity" -> ((s, dir) => {
+      TextOps.lexicalDiversity(Tables.documents(s, dir), "doc_id",
+        "text")
+    }),
+
+    // KMV distinct sketch: bounded O(k) aggregation state per group,
+    // yet every step (md5, bottom-k, one division) replays exactly in
+    // an independent engine — an ORACLED approximate-distinct
+    "q_kmv_distinct" -> ((s, dir) => {
+      operators.Profiling.kmvDistinct(Tables.events(s, dir),
+        "event_type", "user_id", 64)
+    }),
+
+    // weight-proportional systematic sample over the distributed
+    // prefix sum: keep the docs straddling each 5000-char boundary of
+    // the running-weight axis — deterministic PPS sampling
+    "q_systematic_sample" -> ((s, dir) => {
+      operators.Sampling.systematicSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", 5000L)
     })
   )
 
@@ -2779,6 +2855,166 @@ object SparkEntry {
         |SELECT domain, n_docs, CAST(wt AS DOUBLE) AS weight,
         | round(CAST(wt AS DOUBLE) / CAST(sum(wt) OVER () AS DOUBLE), 9)
         |   AS mix_ratio
-        |FROM w""".stripMargin
+        |FROM w""".stripMargin,
+
+    // one UNION ALL branch per profiled column; min/max rendered
+    // through the same portable forms as the Spark side (ints/strings
+    // as-is, doubles via DECIMAL(28,6), timestamps via an explicit
+    // second-precision format)
+    "q_profile" -> {
+      def intCol(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_val,
+           | CAST(max($c) AS VARCHAR) AS max_val FROM lineitem""".stripMargin
+      def dblCol(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(CAST(round(min($c), 6) AS DECIMAL(28,6)) AS VARCHAR)
+           |   AS min_val,
+           | CAST(CAST(round(max($c), 6) AS DECIMAL(28,6)) AS VARCHAR)
+           |   AS max_val FROM lineitem""".stripMargin
+      def tsCol(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | strftime(min($c), '%Y-%m-%d %H:%M:%S') AS min_val,
+           | strftime(max($c), '%Y-%m-%d %H:%M:%S') AS max_val
+           |FROM lineitem""".stripMargin
+      Seq(intCol("l_orderkey"), intCol("l_linenumber"),
+        dblCol("l_quantity"), intCol("l_returnflag"),
+        tsCol("l_shipdate")).mkString("\nUNION ALL\n")
+    },
+
+    // latest change per key wins; 'D' tombstones remove the key even
+    // when the base row exists; an update's NULL value overwrites
+    // (whole-row semantics — the CASE picks the change side, never a
+    // per-column coalesce)
+    "q_merge_upsert" ->
+      """WITH latest AS (
+        | SELECT user_id, value, op FROM (
+        |  SELECT user_id, value,
+        |   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1),
+        |base AS (
+        | SELECT c_custkey AS user_id, c_acctbal AS value FROM customer)
+        |SELECT COALESCE(b.user_id, l.user_id) AS user_id,
+        | CASE WHEN l.user_id IS NOT NULL THEN l.value ELSE b.value END
+        |   AS value
+        |FROM base b FULL OUTER JOIN latest l ON b.user_id = l.user_id
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+
+    // SCD2 intervals rebuilt from the non-purchase stream (the q_scd2
+    // CTE), then DuckDB's native ASOF picks the state valid at each
+    // purchase's time — intervals tile the timeline, so as-of on
+    // valid_from IS the validity lookup
+    "q_scd2_lookup" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, event_type AS state, ts,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0
+        |  END AS chg
+        | FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |   AND event_type IS NOT NULL AND event_type <> 'purchase'
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |islands AS (
+        | SELECT user_id, state, ts,
+        |  sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM flagged),
+        |hist AS (
+        | SELECT user_id, min(state) AS state, min(ts) AS valid_from
+        | FROM islands GROUP BY user_id, island),
+        |probes AS (
+        | SELECT event_id, user_id, ts FROM events
+        | WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, h.state AS as_of_state
+        |FROM probes p ASOF LEFT JOIN hist h
+        |  ON p.user_id = h.user_id AND p.ts >= h.valid_from""".stripMargin,
+
+    // same anchored-class alternation on both engines (letter runs /
+    // digit runs / single symbols — no lookarounds, no unicode
+    // properties, so RE2 and java.util.regex agree)
+    "q_pretokenize" ->
+      """SELECT doc_id,
+        | CAST(len(toks) AS BIGINT) AS n_tokens,
+        | CAST(len(list_filter(toks,
+        |   t -> regexp_matches(t, '^[A-Za-z]'))) AS BIGINT) AS n_word,
+        | CAST(len(list_filter(toks,
+        |   t -> regexp_matches(t, '^[0-9]'))) AS BIGINT) AS n_num,
+        | CAST(len(toks)
+        |   - len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]')))
+        |   - len(list_filter(toks, t -> regexp_matches(t, '^[0-9]')))
+        |  AS BIGINT) AS n_punct
+        |FROM (
+        | SELECT doc_id,
+        |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')
+        |    AS toks
+        | FROM documents) t""".stripMargin,
+
+    // exact integer token counts; TTR and Simpson are each one IEEE
+    // division of exactly-agreed integers — engine-portable without
+    // any ln/pow
+    "q_lexical_diversity" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(list_filter(
+        |   string_split_regex(text, '\s+'), t -> t <> '')) AS tok
+        | FROM documents),
+        |cnt AS (
+        | SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |agg AS (
+        | SELECT doc_id, sum(c) AS n, count(*) AS d, sum(c * c) AS sq
+        | FROM cnt GROUP BY 1)
+        |SELECT d0.doc_id,
+        | CAST(COALESCE(n, 0) AS BIGINT) AS n_tokens,
+        | CAST(COALESCE(d, 0) AS BIGINT) AS n_distinct_tokens,
+        | round(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 9) AS ttr,
+        | round(1 - CAST(sq AS DOUBLE) / CAST(n * n AS DOUBLE), 9)
+        |   AS simpson
+        |FROM documents d0 LEFT JOIN agg ON d0.doc_id = agg.doc_id""".stripMargin,
+
+    // the sketch replayed exactly: 60-bit md5 hashes, bottom-64 per
+    // group, estimate = (k-1)/R with R = kth-min normalized by 2^60
+    // (63 * 2^60 is exactly representable in a double; the final
+    // division is the single rounded step on both engines)
+    "q_kmv_distinct" ->
+      """WITH d AS (
+        | SELECT DISTINCT event_type, user_id FROM events
+        | WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |h AS (
+        | SELECT event_type,
+        |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |    AS BIGINT) AS h
+        | FROM d),
+        |r AS (
+        | SELECT event_type, h, row_number() OVER (
+        |   PARTITION BY event_type ORDER BY h ASC) AS rn
+        | FROM h)
+        |SELECT event_type,
+        | CAST(count(*) AS BIGINT) AS n_kept,
+        | max(h) AS kth_hash,
+        | round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |   ELSE 63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+        |  END, 4) AS est_distinct
+        |FROM r WHERE rn <= 64 GROUP BY event_type""".stripMargin,
+
+    // running-weight axis in doc_id order; a row is kept iff it
+    // straddles a 5000-char boundary — weight-proportional systematic
+    // (PPS) sampling, fully deterministic
+    "q_systematic_sample" ->
+      """WITH r AS (
+        | SELECT doc_id, n_chars,
+        |  COALESCE(sum(n_chars) OVER (ORDER BY doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS run
+        | FROM documents)
+        |SELECT doc_id, n_chars FROM r
+        |WHERE floor(run / 5000.0) < floor((run + n_chars) / 5000.0)""".stripMargin
   )
 }

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data profiling / statistics operators for ingest-time quality
+  * control. The reference enforces correctness operationally — a
+  * completeness gate (`extract.py:95-99`), row-width warnings
+  * (`load_to_db.py:41-43`) and reconciliation counts
+  * (`url_service_status_InfluxDB_insert.py:136-137`) — this module is
+  * the declarative generalization: one pass over a table that yields
+  * the per-column facts (null counts, cardinalities, ranges) those
+  * hand-written checks sample, plus a bounded-sketch distinct
+  * estimator for the cardinalities that are too large to count
+  * exactly at 100 TB.
+  */
+object Profiling {
+
+  /** Render an aggregated scalar to an engine-portable string: the
+    * profile's min/max must hash-compare across engines, and raw
+    * float/timestamp casts do NOT render identically everywhere
+    * (Spark prints 1e-4 as `1.0E-4`, DuckDB as `0.0001`). Integers
+    * and strings are safe as-is; fractional numerics round through a
+    * fixed-scale decimal (both engines print a decimal padded to its
+    * scale); timestamps go through an explicit second-precision
+    * format.
+    */
+  private def render(c: Column, dt: DataType): Column = dt match {
+    case StringType => c
+    case ByteType | ShortType | IntegerType | LongType => c.cast("string")
+    case FloatType | DoubleType =>
+      round(c.cast("double"), 6).cast("decimal(28,6)").cast("string")
+    case _: DecimalType => c.cast("decimal(28,6)").cast("string")
+    case TimestampType | TimestampNTZType =>
+      date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case DateType => date_format(c, "yyyy-MM-dd")
+    case BooleanType => c.cast("string")
+    case other => throw new IllegalArgumentException(
+      s"profile: no portable rendering for ${other.simpleString}")
+  }
+
+  /** Per-column profile: (col_name, n_rows, n_nulls, n_distinct,
+    * min_val, max_val), one output row per requested column.
+    *
+    * Plan shape: ONE scan — all statistics are aggregates of a single
+    * `df.agg(...)`; the per-distinct expansion Spark plans for
+    * multiple `count(distinct)` columns multiplies rows map-side but
+    * every path partial-aggregates before the exchange, so the
+    * shuffle carries one row per (column, partition), never data
+    * rows. The single aggregated row is then unpivoted driver-free
+    * with an `explode` over column structs. min/max stay typed
+    * through the aggregation and render to strings only at the end
+    * (2 renders per column, not 2 per row).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { n =>
+      val dt = df.schema(n).dataType
+      Seq(
+        count(when(col(n).isNull, 1)).as(s"__nn_$n"),
+        countDistinct(col(n)).as(s"__nd_$n"),
+        render(min(col(n)), dt).as(s"__mn_$n"),
+        render(max(col(n)), dt).as(s"__mx_$n"))
+    } :+ count(lit(1)).as("__n")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { n =>
+        struct(
+          lit(n).as("col_name"),
+          col("__n").as("n_rows"),
+          col(s"__nn_$n").as("n_nulls"),
+          col(s"__nd_$n").as("n_distinct"),
+          col(s"__mn_$n").as("min_val"),
+          col(s"__mx_$n").as("max_val"))
+      }: _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+  }
+
+  /** Normalizing constant for [[kmvDistinct]] hashes: 15 hex digits of
+    * md5 = 60 bits, so hashes are uniform in [0, 2^60). Held as an
+    * exactly-representable double (2^60 needs one significand bit).
+    */
+  private val HashSpace: Double = 1152921504606846976.0 // 2^60
+
+  /** K-minimum-values distinct-count sketch, deterministic and
+    * engine-replayable: per group keep the k smallest 60-bit md5
+    * hashes of the values; with R = the k-th smallest hash normalized
+    * to [0,1), the standard KMV estimator is (k−1)/R. Groups with
+    * fewer than k distinct values report the exact count (every hash
+    * was kept).
+    *
+    * Unlike HLL-sketch built-ins (whose registers depend on an
+    * engine-private hash), every step here — md5, hex slice, bottom-k
+    * selection, the one IEEE division — is a pure function of the
+    * values that ANY engine reproduces bit-for-bit, so the estimate
+    * itself is oracle-checkable.
+    *
+    * Plan shape: dedup to distinct (group, value) pairs (one
+    * partial-aggregated exchange), then a single bounded aggregate —
+    * [[graft.functions.VectorExpressions.topKByScore]] with score = −hash
+    * keeps the k SMALLEST hashes in O(k) state per group, so the
+    * final exchange carries at most k rows per group per map task,
+    * never the distinct stream. (Monotonicity makes the long→double
+    * score rounding safe: round(h₁) ≤ round(h₂) whenever h₁ < h₂, and
+    * score ties break toward the smaller payload — which IS the
+    * smaller hash — so the kept set is the exact bottom-k.)
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "kmv needs k >= 2")
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val kept = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol))
+      .distinct()
+      .select(col(groupCol), h.as("__h"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.VectorExpressions.topKByScore(
+        -col("__h").cast("double"), col("__h"), k).as("__kept"))
+    kept.select(
+      col(groupCol),
+      size(col("__kept")).cast("long").as("n_kept"),
+      // kept array is sorted score-descending = hash ASCENDING; the
+      // last element is the k-th smallest hash
+      element_at(col("__kept"), size(col("__kept")))
+        .getField("id").as("kth_hash"),
+      round(
+        when(size(col("__kept")) < k,
+          size(col("__kept")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(HashSpace) /
+            element_at(col("__kept"), size(col("__kept")))
+              .getField("id").cast("double")), 4)
+        .as("est_distinct"))
+  }
+}

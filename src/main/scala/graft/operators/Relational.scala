@@ -310,6 +310,61 @@ object Relational {
       .select(keyCols.map(col) :+ col("change"): _*)
   }
 
+  /** CDC merge (upsert + tombstone apply): fold a changelog into a
+    * base snapshot, producing the post-merge state — the batch form
+    * of `MERGE INTO`. The reference's whole host-metric flow is an
+    * append-only approximation of this (anti-join dedup then blind
+    * INSERT, `extract.py:115-132` + `load_to_db.py:44-56`); real CDC
+    * needs updates and deletes too.
+    *
+    * `changes` must carry the base's columns plus `opCol` (and its
+    * own `ts`/`tieBreak` ordering columns among them); per key only
+    * the LATEST change matters: op == `deleteOp` removes the key,
+    * anything else replaces the base row wholesale (an update's null
+    * field overwrites with null — the change row is atomic, not a
+    * per-column patch). Keys present only in the changelog insert.
+    *
+    * Plan shape: the changelog reduces to one row per key via the
+    * skew-safe two-phase `max_by` ([[latestPerKeySalted]] — no
+    * window, no per-key sort), then ONE full-outer hash join against
+    * the base on the key. Both exchanges are partial-aggregated /
+    * key-hashed; nothing is ever collected. At 100 TB this is the
+    * standard snapshot-plus-delta compaction plan.
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame,
+      keys: Seq[String], ts: String, tieBreak: String, opCol: String,
+      deleteOp: String = "D"): DataFrame = {
+    require(keys.nonEmpty, "applyChangelog needs at least one key")
+    val dataCols = base.columns.toSeq
+    require(dataCols.forall(changes.columns.contains),
+      "changelog must carry every base column")
+    require(changes.columns.contains(opCol), s"changelog needs $opCol")
+    val payload = dataCols.filterNot(keys.contains)
+    val latest = latestPerKeySalted(
+      changes.select((dataCols :+ opCol).map(col) ++
+        Seq(ts, tieBreak).filterNot(c =>
+          dataCols.contains(c) || c == opCol).map(col): _*),
+      keys, ts, tieBreak)
+    val cSide = latest.select(keys.map(col) ++ Seq(
+      struct(payload.map(col): _*).as("__graft_cdc_c"),
+      col(opCol).as("__graft_cdc_op"),
+      lit(true).as("__graft_cdc_has")): _*)
+    val bSide = base.select(keys.map(col) :+
+      struct(payload.map(col): _*).as("__graft_cdc_b"): _*)
+    // atomic row pick keyed on the match marker (NOT per-column
+    // coalesce, which would stitch base values under an update's
+    // intentional nulls); a null op in the changelog counts as an
+    // upsert, only the exact deleteOp removes
+    val row = when(col("__graft_cdc_has"), col("__graft_cdc_c"))
+      .otherwise(col("__graft_cdc_b"))
+    bSide.join(cSide, keys, "full_outer")
+      .filter(col("__graft_cdc_op").isNull ||
+        col("__graft_cdc_op") =!= deleteOp)
+      .withColumn("__graft_cdc_row", row)
+      .select(keys.map(col) ++ payload.map(c =>
+        col(s"__graft_cdc_row.$c").as(c)): _*)
+  }
+
   def rangeJoin(points: DataFrame, intervals: DataFrame, ptCol: String,
       startCol: String, endCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")

@@ -161,8 +161,40 @@ object Sampling {
       df.withColumn("shard",
         floor(coalesce(sum(col(weightCol)).over(w), lit(0L)) / budget))
     } else {
-      val pid = "_graft_shard_pid"
       val run = "_graft_shard_run"
+      runningSum(df, orderCol, weightCol, run, materialize)
+        .withColumn("shard", floor(col(run) / budget))
+        .drop(run)
+    }
+  }
+
+  /** Distributed EXCLUSIVE prefix sum of `weightCol` in `orderCol`
+    * order, appended as `outCol` — the primitive under
+    * [[shardByBudget]] and [[systematicSample]]. Two-pass: (1)
+    * range-partition on the order key and sum each partition's weight
+    * — one tiny row per partition; (2) fold those partials into
+    * per-partition starting offsets on the driver (O(partitions), not
+    * O(rows)) and assign positions map-side as offset(partition) +
+    * running-sum-within-partition. No global single-task window
+    * anywhere, so the plan holds at 100 TB.
+    *
+    * The range-partitioned frame is persisted: the partial-sum pass
+    * and the final pass MUST see identical partition boundaries
+    * (range sampling re-draws per job otherwise). At cluster scale
+    * the equivalent barrier is a parquet staging write; persist is
+    * the local-mode stand-in. Project `df` to the columns you need
+    * before calling — the persist and the pid shuffle carry every
+    * column. Integral weights accumulate as exact longs; fractional
+    * ones as doubles.
+    */
+  def runningSum(df: DataFrame, orderCol: String, weightCol: String,
+      outCol: String, materialize: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains(outCol),
+      s"input already has a $outCol column")
+    locally {
+      val pid = "_graft_shard_pid"
+      val run = outCol
       val integral = df.schema(weightCol).dataType match {
         case org.apache.spark.sql.types.LongType |
              org.apache.spark.sql.types.IntegerType |
@@ -213,20 +245,48 @@ object Sampling {
       // global position = partition offset + local running sum
       val w = Window.partitionBy(col(pid)).orderBy(col(orderCol))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val sharded = ranged
-        .withColumn(run, coalesce(sum(col(weightCol)).over(w), lit(0L)))
-        .withColumn("shard", floor((offsetCol + col(run)) / budget))
-        .drop(pid, run)
-      if (!materialize) sharded // plan stays inspectable; cache retained
+      val summed = ranged
+        .withColumn(run,
+          offsetCol + coalesce(sum(col(weightCol)).over(w),
+            if (integral) lit(0L) else lit(0.0)))
+        .drop(pid)
+      if (!materialize) summed // plan stays inspectable; cache retained
       else {
-        // materialize the shard assignment, then release the big
+        // materialize the prefix sum, then release the big
         // range-partitioned cache — holding it for the session would
         // leak one full-corpus copy per call
-        val out = sharded.localCheckpoint(true)
+        val out = summed.localCheckpoint(true)
         ranged.unpersist(false)
         out
       }
     }
+  }
+
+  /** Weight-proportional SYSTEMATIC sample in `orderCol` order: keep
+    * exactly the rows that straddle a multiple of `step` in the
+    * running-weight axis — row i is kept iff
+    * `floor(before_i / step) < floor((before_i + w_i) / step)`. Every
+    * kept row represents ~`step` units of corpus weight, so the
+    * sample is importance-weighted by construction (a 10× longer
+    * document is 10× likelier to carry a boundary), deterministic,
+    * and engine-replayable — no `rand()`, no distribution-sensitive
+    * `pow`/`ln`. The standard PPS-without-replacement scheme for
+    * drawing eval/inspection subsets from a weighted corpus.
+    *
+    * Built on the same two-pass distributed prefix sum as
+    * [[shardByBudget]] ([[runningSum]]); the boundary filter is
+    * map-side on top of it.
+    */
+  def systematicSample(df: DataFrame, orderCol: String,
+      weightCol: String, step: Long,
+      materialize: Boolean = true): DataFrame = {
+    require(step > 0, "step must be positive")
+    val run = "_graft_sys_run"
+    require(!df.columns.contains(run), s"input already has a $run column")
+    runningSum(df, orderCol, weightCol, run, materialize)
+      .filter(floor(col(run) / step) <
+        floor((col(run) + col(weightCol)) / step))
+      .drop(run)
   }
 
   /** Temperature-flattened domain mixture weights: the data-mix table

@@ -316,6 +316,71 @@ object TextOps {
             lit(size))).as("chunk"))
   }
 
+  /** GPT-2-shaped pre-tokenization classes: letter runs, digit runs,
+    * and single other-symbol marks — the split a byte-pair tokenizer
+    * applies BEFORE merges, and the basis for honest token-budget
+    * accounting per content class (a digit-heavy table and a prose
+    * paragraph of equal length cost very different token budgets).
+    * Returns a struct (n_tokens, n_word, n_num, n_punct).
+    *
+    * One `regexp_extract_all` pass + two array filters, all row-local
+    * codegen — scan throughput. The alternation is anchored-class
+    * regex only (no lookarounds, no unicode properties), so any RE2/
+    * PCRE-family engine tokenizes identically.
+    */
+  def preTokenize(text: Column): Column = {
+    val toks = regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+    val nWord = size_(filter(toks, t => t.rlike("^[A-Za-z]")))
+    val nNum = size_(filter(toks, t => t.rlike("^[0-9]")))
+    struct(
+      size_(toks).cast("long").as("n_tokens"),
+      nWord.cast("long").as("n_word"),
+      nNum.cast("long").as("n_num"),
+      (size_(toks) - nWord - nNum).cast("long").as("n_punct"))
+  }
+
+  /** Per-document lexical diversity: type-token ratio and Simpson
+    * diversity (1 − Σ(cᵢ/n)²) over whitespace tokens — the repetition
+    * /templating quality signals that, unlike Shannon entropy, are
+    * PURE RATIONAL arithmetic: token counts are exact integers and
+    * each output is one IEEE division (correctly rounded everywhere),
+    * so the scores hash-compare across engines — no `ln`/`pow` libm
+    * variance.
+    *
+    * Returns (id, n_tokens, n_distinct_tokens, ttr, simpson); empty
+    * documents yield (0, 0, null, null).
+    *
+    * Plan shape: explode → (doc, token) partial+final count → one
+    * (doc) aggregate; both exchanges carry counts, not text. Left
+    * join back to the id spine keeps token-less documents. (The
+    * row-local HOF alternative is O(tokens²) per doc; this stays
+    * linear and the aggregates combine map-side.)
+    */
+  def lexicalDiversity(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val perToken = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
+      .groupBy(col(idCol), col("_tok"))
+      .agg(count(lit(1)).as("_c"))
+    val perDoc = perToken
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("_c")).as("_n"),
+        count(lit(1)).as("_d"),
+        sum(col("_c") * col("_c")).as("_sq"))
+      .select(col(idCol),
+        col("_n").as("n_tokens"),
+        col("_d").as("n_distinct_tokens"),
+        round(col("_d").cast("double") / col("_n").cast("double"), 9)
+          .as("ttr"),
+        round(lit(1.0) - col("_sq").cast("double") /
+          (col("_n") * col("_n")).cast("double"), 9).as("simpson"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tokens", "n_distinct_tokens"))
+  }
+
   // `size` shadowed by chunkText's parameter; alias the function
   private def size_(c: Column): Column =
     org.apache.spark.sql.functions.size(c)

@@ -670,4 +670,32 @@ class ExtensionOpsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(back, stride = 100)
     assert(frames.columns.toSeq == Seq("media_id", "frame_offsets"))
   }
+
+  test("preTokenize: letter runs, digit runs, single symbol marks") {
+    val got = Seq("ab12 cd, 3.4-x", "", "no digits here!")
+      .toDF("text")
+      .select(TextOps.preTokenize($"text").as("p"))
+      .select($"p.n_tokens", $"p.n_word", $"p.n_num", $"p.n_punct")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // "ab12 cd, 3.4-x" → ab,12,cd,',',3,'.',4,'-',x = 9 tokens:
+    // 3 word (ab,cd,x), 3 num (12,3,4), 3 punct (',','.','-')
+    assert(got(0) == ((9L, 3L, 3L, 3L)))
+    assert(got(1) == ((0L, 0L, 0L, 0L)))
+    assert(got(2) == ((4L, 3L, 0L, 1L)))
+  }
+
+  test("lexicalDiversity: exact TTR/Simpson; empty docs survive as 0") {
+    val df = Seq(
+      (1L, "a b a b a"), // n=5 d=2 sq=3²+2²=13
+      (2L, "x"),         // n=1 d=1 → ttr 1, simpson 0
+      (3L, "   ")        // tokenless → (0, 0, null, null)
+    ).toDF("doc_id", "text")
+    val got = TextOps.lexicalDiversity(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got(0) == ((1L, 5L, 2L, Some(0.4), Some(0.48))))
+    assert(got(1) == ((2L, 1L, 1L, Some(1.0), Some(0.0))))
+    assert(got(2) == ((3L, 0L, 0L, None, None)))
+  }
 }

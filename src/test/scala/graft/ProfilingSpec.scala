@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Profiling, Relational, Sampling}
+
+/** Profiling, KMV sketch, CDC merge, and systematic-sampling
+  * semantics (round-3 additions).
+  */
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // ------------------------------------------------------------ //
+  // Profiling.profile
+
+  test("profile: null counts, cardinalities, portable min/max") {
+    val df = Seq(
+      (Some(1L), Some("a"), Some(1.5)),
+      (Some(2L), Some("b"), Some(2.25)),
+      (Some(2L), None, Some(2.25)),
+      (None, Some("a"), None)
+    ).toDF("id", "tag", "score")
+    val got = Profiling.profile(df, Seq("id", "tag", "score"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("id", "tag", "score"))
+    val id = got("id")
+    assert(id.getLong(1) == 4L)   // n_rows
+    assert(id.getLong(2) == 1L)   // n_nulls
+    assert(id.getLong(3) == 2L)   // n_distinct (nulls excluded)
+    assert(id.getString(4) == "1" && id.getString(5) == "2")
+    val tag = got("tag")
+    assert(tag.getLong(2) == 1L && tag.getLong(3) == 2L)
+    assert(tag.getString(4) == "a" && tag.getString(5) == "b")
+    val sc = got("score")
+    // doubles render through DECIMAL(28,6): fixed scale, no E-notation
+    assert(sc.getString(4) == "1.500000" && sc.getString(5) == "2.250000")
+  }
+
+  test("profile: timestamps render second-precision") {
+    val df = Seq(
+      Tuple1(ts("2024-01-02 03:04:05")),
+      Tuple1(ts("2024-03-02 03:04:05"))
+    ).toDF("t")
+    val r = Profiling.profile(df, Seq("t")).head()
+    assert(r.getString(4) == "2024-01-02 03:04:05")
+    assert(r.getString(5) == "2024-03-02 03:04:05")
+  }
+
+  test("profile: one scan — a single aggregate feeds every row") {
+    val df = spark.range(1000).select(
+      col("id"), (col("id") % 10).as("m"))
+    val plan = Profiling.profile(df, Seq("id", "m"))
+      .queryExecution.executedPlan.toString
+    // exactly one scan of the input in the whole plan
+    assert("(?i)Range".r.findAllIn(plan).size <= 2, plan)
+  }
+
+  // ------------------------------------------------------------ //
+  // Profiling.kmvDistinct
+
+  test("kmvDistinct: exact when distinct < k, estimate close above k") {
+    val df = spark.range(2000).select(
+      when(col("id") % 2 === 0, "small").otherwise("big").as("g"),
+      // 'small' has 10 distinct values, 'big' has 1000
+      when(col("id") % 2 === 0, (col("id") / 2).cast("long") % 10)
+        .otherwise(col("id")).as("v"))
+    val got = Profiling.kmvDistinct(df, "g", "v", 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    val (smallKept, smallEst) = got("small")
+    assert(smallKept == 10L && smallEst == 10.0) // exact below k
+    val (bigKept, bigEst) = got("big")
+    assert(bigKept == 64L)
+    // KMV with k=64 has ~12.5% relative stddev; 1000 ± 40% is a
+    // deterministic fixture, not a statistical test
+    assert(bigEst > 600 && bigEst < 1400, s"est $bigEst")
+  }
+
+  test("kmvDistinct: insensitive to duplication and partitioning") {
+    val base = spark.range(500).select(lit("g").as("g"),
+      (col("id") % 200).as("v"))
+    val dup = base.union(base).repartition(13)
+    val a = Profiling.kmvDistinct(base, "g", "v", 32).head()
+    val b = Profiling.kmvDistinct(dup, "g", "v", 32).head()
+    assert(a.getLong(1) == b.getLong(1))
+    assert(a.getLong(2) == b.getLong(2))
+    assert(a.getDouble(3) == b.getDouble(3))
+  }
+
+  // ------------------------------------------------------------ //
+  // Relational.applyChangelog
+
+  private def changelogFixture = {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "v")
+    val changes = Seq(
+      // id 1: update then delete (latest wins → deleted)
+      (1L, "a2", ts("2024-01-01 10:00:00"), 1L, "U"),
+      (1L, "a3", ts("2024-01-01 11:00:00"), 2L, "D"),
+      // id 2: delete then re-insert (latest wins → v = b2)
+      (2L, "xx", ts("2024-01-01 10:00:00"), 3L, "D"),
+      (2L, "b2", ts("2024-01-01 11:00:00"), 4L, "U"),
+      // id 4: insert of a key absent from the base
+      (4L, "d", ts("2024-01-01 10:00:00"), 5L, "U")
+    ).toDF("id", "v", "ts", "seq", "op")
+    (base, changes)
+  }
+
+  test("applyChangelog: upsert, tombstone, insert, untouched") {
+    val (base, changes) = changelogFixture
+    val got = Relational.applyChangelog(base, changes, Seq("id"),
+        "ts", "seq", "op")
+      .as[(Long, String)].collect().toMap
+    // 1 deleted; 2 updated; 3 untouched; 4 inserted
+    assert(got == Map(2L -> "b2", 3L -> "c", 4L -> "d"))
+  }
+
+  test("applyChangelog: an update's null field overwrites (atomic row)") {
+    val base = Seq((1L, Some("a"), Some(10.0))).toDF("id", "v", "w")
+    val changes = Seq(
+      (1L, None: Option[String], Some(20.0),
+        ts("2024-01-01 10:00:00"), 1L, "U")
+    ).toDF("id", "v", "w", "ts", "seq", "op")
+    val got = Relational.applyChangelog(base, changes, Seq("id"),
+        "ts", "seq", "op")
+      .as[(Long, Option[String], Option[Double])].head()
+    assert(got == ((1L, None, Some(20.0))))
+  }
+
+  test("applyChangelog: ties broken by the tie-break column") {
+    val base = Seq.empty[(Long, String)].toDF("id", "v")
+    val t = ts("2024-01-01 10:00:00")
+    val changes = Seq(
+      (1L, "first", t, 1L, "U"),
+      (1L, "last", t, 2L, "U")
+    ).toDF("id", "v", "ts", "seq", "op")
+    val got = Relational.applyChangelog(base, changes, Seq("id"),
+      "ts", "seq", "op").as[(Long, String)].head()
+    assert(got == ((1L, "last")))
+  }
+
+  // ------------------------------------------------------------ //
+  // Sampling.systematicSample
+
+  test("systematicSample: exactly the boundary-straddling rows") {
+    val df = Seq(
+      (1L, 30L),  // [0,30)   — straddles nothing
+      (2L, 80L),  // [30,110) — straddles 100
+      (3L, 10L),  // [110,120)
+      (4L, 250L), // [120,370) — straddles 200 AND 300
+      (5L, 40L)   // [370,410) — straddles 400
+    ).toDF("id", "w")
+    val got = Sampling.systematicSample(df, "id", "w", 100L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L, 4L, 5L))
+  }
+
+  test("systematicSample: total weight / step bounds the sample size") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("n_chars"))
+    val total = docs.agg(sum("n_chars")).as[Long].head()
+    val step = 5000L
+    val n = Sampling.systematicSample(docs, "doc_id", "n_chars", step)
+      .count()
+    // selected rows = distinct rows covering the floor(total/step)
+    // boundaries: at most one per boundary, at least one if any exist
+    assert(n <= total / step, s"n=$n total=$total")
+    assert(total < step || n >= 1)
+  }
+
+  test("systematicSample == sequential scan replay") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("n_chars"))
+    val got = Sampling.systematicSample(docs, "doc_id", "n_chars", 3000L)
+      .select("doc_id").as[Long].collect().toSet
+    // driver-side sequential replay of the definition
+    var run = 0L
+    val want = docs.orderBy("doc_id").as[(Long, Long)].collect()
+      .flatMap { case (id, w) =>
+        val hit = run / 3000L < (run + w) / 3000L
+        run += w
+        if (hit) Some(id) else None
+      }.toSet
+    assert(got == want)
+  }
+}
