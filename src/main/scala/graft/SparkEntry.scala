@@ -1522,6 +1522,80 @@ object SparkEntry {
       operators.Sampling.systematicSample(
         Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars", 5000L)
+    }),
+
+    // adaptive quality gate: keep documents strictly above their own
+    // language's median token count — thresholds move with the data
+    // (per-language corpora differ wildly), unlike a fixed cutoff.
+    // Exact interpolated percentile keeps the cut engine-portable;
+    // the |langs|-row stats side stays unpinned (AQE broadcasts while
+    // it fits — same policy as q_zscore_outliers/q_mad_outliers)
+    "q_quality_gate_adaptive" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val cuts = scored.groupBy(col("lang"))
+        .agg(percentile(col("n_tokens"), lit(0.5)).as("cut"))
+      scored.join(cuts, "lang")
+        .filter(col("n_tokens") > col("cut"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+    }),
+
+    // null-safe join (<=>): enrichment keyed on a NULLABLE extracted
+    // attribute where null must MATCH null (a plain equi-join silently
+    // drops every null-keyed row — the classic dirty-dimension bug).
+    // Catalyst plans <=> as a hash join on a null-safe key, so this
+    // stays an equi-join, not a nested loop
+    "q_null_safe_join" -> ((s, dir) => {
+      def k5(df: DataFrame): DataFrame = df.select(
+        col("event_id"), col("event_type"),
+        when(get_json_object(col("props"), "$.k").cast("long") % 3 === 0,
+          lit(null).cast("long"))
+          .otherwise(get_json_object(col("props"), "$.k").cast("long")
+            % 5).as("k5"))
+      val fact = k5(Tables.events(s, dir))
+      val dim = k5(Tables.events(s, dir))
+        .filter(col("event_id") % 10 === 0)
+        .select(col("event_type"), col("k5")).distinct()
+        .withColumn("dim_tag",
+          concat_ws(":", col("event_type"),
+            coalesce(col("k5").cast("string"), lit("null"))))
+      fact.join(dim,
+          fact("event_type") === dim("event_type") &&
+            fact("k5") <=> dim("k5"))
+        .groupBy(fact("event_type").as("event_type"), fact("k5").as("k5"),
+          col("dim_tag"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // FORWARD as-of: the next non-purchase event at-or-after each
+    // purchase — "what happened next" (time-to-next-state), the
+    // mirror of q_asof_join/q_scd2_lookup's "what was in effect"
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val build = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_type").as("next_type"),
+          col("event_id").as("next_event_id"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Relational.asOfJoin(probes, build, Seq("user_id"), "ts",
+        forward = true)
+    }),
+
+    // null-aware anti join: NOT IN under three-valued logic — a NULL
+    // probe value never qualifies (NULL NOT IN list is never TRUE), so
+    // Catalyst must plan its dedicated null-aware anti join, not the
+    // plain LeftAnti that IS-NULL-blind EXCEPT/anti dedup uses
+    "q_not_in" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("g_customer_ni")
+      Tables.orders(s, dir).createOrReplaceTempView("g_orders_ni")
+      s.sql("""
+        SELECT c_custkey, c_name FROM g_customer_ni
+        WHERE CASE WHEN c_custkey % 7 = 0 THEN NULL
+                   ELSE c_custkey END NOT IN (
+          SELECT o_custkey FROM g_orders_ni
+          WHERE o_orderstatus = 'F')""")
     })
   )
 
@@ -3015,6 +3089,66 @@ object SparkEntry {
         |    AS run
         | FROM documents)
         |SELECT doc_id, n_chars FROM r
-        |WHERE floor(run / 5000.0) < floor((run + n_chars) / 5000.0)""".stripMargin
+        |WHERE floor(run / 5000.0) < floor((run + n_chars) / 5000.0)""".stripMargin,
+
+    // quantile_cont == Spark's exact interpolated percentile (parity
+    // proven by q_mad_outliers); strictly-above-median keep rule
+    "q_quality_gate_adaptive" ->
+      """WITH scored AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> t <> '')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |cuts AS (
+        | SELECT lang, quantile_cont(n_tokens, 0.5) AS cut
+        | FROM scored GROUP BY 1)
+        |SELECT doc_id, s.lang AS lang, n_tokens
+        |FROM scored s JOIN cuts c ON s.lang = c.lang
+        |WHERE n_tokens > cut""".stripMargin,
+
+    // IS NOT DISTINCT FROM == Spark's <=>; the null k5 group must
+    // survive the join with its dim row
+    "q_null_safe_join" ->
+      """WITH k AS (
+        | SELECT event_id, event_type,
+        |  CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    % 3 = 0 THEN NULL
+        |   ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
+        |  END AS k5
+        | FROM events),
+        |dim AS (
+        | SELECT DISTINCT event_type, k5,
+        |  event_type || ':' || COALESCE(CAST(k5 AS VARCHAR), 'null')
+        |    AS dim_tag
+        | FROM k WHERE event_id % 10 = 0)
+        |SELECT f.event_type AS event_type, f.k5 AS k5, dim_tag,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM k f JOIN dim d ON f.event_type = d.event_type
+        |  AND f.k5 IS NOT DISTINCT FROM d.k5
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // DuckDB ASOF with <= picks the EARLIEST build at-or-after each
+    // probe — the forward mirror of q_asof_join's >=
+    "q_asof_forward" ->
+      """WITH build AS (
+        | SELECT user_id, ts, event_type AS next_type,
+        |  event_id AS next_event_id
+        | FROM events WHERE event_type <> 'purchase'),
+        |probes AS (
+        | SELECT event_id, user_id, ts FROM events
+        | WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, b.next_type,
+        | b.next_event_id
+        |FROM probes p ASOF LEFT JOIN build b
+        |  ON p.user_id = b.user_id AND p.ts <= b.ts""".stripMargin,
+
+    // identical three-valued NOT IN semantics: nulled probe keys never
+    // qualify
+    "q_not_in" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |           ELSE c_custkey END NOT IN (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderstatus = 'F')""".stripMargin
   )
 }

@@ -206,22 +206,28 @@ object Relational {
       .format("parquet")
       .saveAsTable(table)
 
-  /** As-of join (SURVEY §2.4 extension): for each probe row, attach the
-    * most recent build row with `build.ts <= probe.ts` on the same
-    * keys; probe rows with no prior build row keep nulls (left-asof).
+  /** As-of join (SURVEY §2.4 extension): for each probe row, attach
+    * `forward = false` (default) the most recent build row with
+    * `build.ts <= probe.ts`, or `forward = true` the EARLIEST build
+    * row with `build.ts >= probe.ts`, on the same keys; unmatched
+    * probe rows keep nulls (left-asof). The forward form answers
+    * "what happened next" (next state change after an action, time to
+    * next failure) exactly as the backward form answers "what was in
+    * effect".
     *
     * Composed from built-ins — union the tagged sides, one window pass
-    * with `last(_, ignoreNulls)` carrying build payloads forward in
-    * event time. Exactly one hash shuffle on the keys + per-partition
-    * sort; no range explosion, no per-row lookups. Ties at equal ts
-    * resolve build-before-probe (inclusive <=), matching SQL ASOF
-    * semantics.
+    * with `last(_, ignoreNulls)` carrying build payloads through
+    * event time (reversed scan for the forward form). Exactly one
+    * hash shuffle on the keys + per-partition sort; no range
+    * explosion, no per-row lookups. Ties at equal ts resolve
+    * build-before-probe in scan order (inclusive bound both
+    * directions), matching SQL ASOF semantics.
     *
     * Build payload columns must not collide with probe columns (rename
     * beforehand).
     */
   def asOfJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
-      tsCol: String): DataFrame = {
+      tsCol: String, forward: Boolean = false): DataFrame = {
     val payload = build.columns.filterNot(c =>
       keys.contains(c) || c == tsCol).toSeq
     val probeCols = probe.columns.toSeq
@@ -243,8 +249,12 @@ object Relational {
         if (keys.contains(c) || c == tsCol) col(c)
         else lit(null).cast(probe.schema(c).dataType).as(c))
         :+ col("__is_probe")) :+ col("__payload"): _*)
+    // nulls-first both directions: a null-ts probe row must scan
+    // before every build row and keep a null payload
+    val tsOrder =
+      if (forward) col(tsCol).desc_nulls_first else col(tsCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__is_probe").asc)
+      .orderBy(tsOrder, col("__is_probe").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     pSide.unionByName(bSide)
       .withColumn("__payload",

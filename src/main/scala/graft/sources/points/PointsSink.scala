@@ -1,0 +1,326 @@
+package graft.sources.points
+
+import java.util
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 WRITE connector for tagged time-series points
+  * (SURVEY §2.2 K5): the engine-grade form of the reference's
+  * InfluxDB point write (`url_service_status_InfluxDB_insert.py:
+  * 110-123,141-159`) — rows rendered as line protocol
+  * (`measurement,tag=v,... field=v,... epoch_seconds`, the
+  * reference's `time_precision='s'`) with a REAL two-phase commit
+  * instead of fire-and-forget `foreachPartition`:
+  *
+  *   - every task attempt streams its partition to a UNIQUE staged
+  *     file under `$path/_staging/` (attempt identity in the name, so
+  *     a speculative or retried attempt can never clobber another);
+  *   - a successful attempt's [[PointsCommitMessage]] names its
+  *     staged file; Spark delivers messages only from the ONE winning
+  *     attempt per partition;
+  *   - `BatchWrite.commit` publishes exactly the named files into
+  *     `$path` by rename (atomic on HDFS-semantics filesystems) and
+  *     then drops the whole staging dir — orphaned losers vanish,
+  *     duplicates are structurally impossible;
+  *   - `BatchWrite.abort` / `DataWriter.abort` delete staged output,
+  *     so a failed job publishes NOTHING (the all-or-nothing contract
+  *     the reference approximates with its dated-backup replay path,
+  *     `load_to_db.py:60-62`).
+  *
+  * Usage:
+  * {{{
+  *   df.write.format("graft-points").mode("append")
+  *     .option("path", dir)
+  *     .option("measurement", "service_status")
+  *     .option("tagCols", "host_name,service_description")
+  *     .option("fieldCols", "state_numeric,crownjewel")
+  *     .option("timeCol", "ts")
+  *     .save()
+  * }}}
+  *
+  * At 100 TB: one staged file per partition, commit cost is
+  * O(partitions) driver-side renames (the same shape as Hadoop's
+  * FileOutputCommitter v1); no driver memory scales with data.
+  */
+class PointsDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-points"
+
+  // write-only source: the table schema is whatever the written
+  // DataFrame carries (supplied by Spark via getTable)
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType()
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PointsTable(schema, properties)
+}
+
+class PointsTable(tableSchema: StructType,
+    properties: util.Map[String, String]) extends SupportsWrite {
+
+  override def name(): String =
+    s"graft-points(${properties.get("path")})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // overwrite mode arrives as truncate(); publishing into a
+      // cleaned dir is the natural line-protocol overwrite
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new PointsBatchWrite(
+          PointsWriteConf(info.options, info.schema), truncateFirst)
+        override def toStreaming:
+            org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new PointsStreamingWrite(
+            PointsWriteConf(info.options, info.schema))
+      }
+    }
+}
+
+/** All executor-visible write configuration, resolved ONCE on the
+  * driver at plan time (field indices, not names, ship to tasks).
+  */
+case class PointsWriteConf(path: String, measurement: String,
+    tagIdx: Seq[(String, Int)], fieldIdx: Seq[(String, Int, DataType)],
+    timeIdx: Int, timeType: DataType) extends Serializable
+
+object PointsWriteConf {
+  def apply(options: CaseInsensitiveStringMap,
+      schema: StructType): PointsWriteConf = {
+    def cols(key: String): Seq[String] =
+      Option(options.get(key)).map(_.split(",").map(_.trim).toSeq
+        .filter(_.nonEmpty)).getOrElse(Seq.empty)
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-points needs a path"))
+    val timeCol = Option(options.get("timeCol")).getOrElse("ts")
+    def idx(c: String): Int = schema.fieldIndex(c)
+    PointsWriteConf(
+      path,
+      Option(options.get("measurement")).getOrElse("points"),
+      cols("tagCols").map(c => c -> idx(c)),
+      cols("fieldCols").map(c =>
+        (c, idx(c), schema(c).dataType)),
+      idx(timeCol), schema(timeCol).dataType)
+  }
+}
+
+class PointsBatchWrite(conf: PointsWriteConf, truncateFirst: Boolean)
+    extends BatchWrite {
+
+  private def fs(): (FileSystem, Path) = {
+    val p = new Path(conf.path)
+    (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+  }
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val (f, root) = fs()
+    f.mkdirs(new Path(root, "_staging"))
+    new PointsWriterFactory(conf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (f, root) = fs()
+    if (truncateFirst) {
+      // publish-into-clean-dir: remove previously published parts
+      // only now that every task has succeeded
+      Option(f.globStatus(new Path(root, "part-*.lp")))
+        .getOrElse(Array.empty).foreach(s => f.delete(s.getPath, false))
+    }
+    var total = 0L
+    messages.collect { case m: PointsCommitMessage => m }.foreach { m =>
+      val staged = new Path(m.stagedFile)
+      if (m.rows > 0L) {
+        val target = new Path(root,
+          f"part-${m.partitionId}%05d-${m.taskId}.lp")
+        if (!f.rename(staged, target))
+          throw new java.io.IOException(
+            s"commit failed renaming $staged -> $target")
+      } else f.delete(staged, false) // empty partition: publish nothing
+      total += m.rows
+    }
+    // manifest last: its presence == the commit happened; readers can
+    // reconcile counts against it (A3, `url...py:156-159`)
+    val out = f.create(new Path(root, "_SUCCESS"), true)
+    out.write(s"""{"rows":$total}""".getBytes("UTF-8"))
+    out.close()
+    f.delete(new Path(root, "_staging"), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val (f, root) = fs()
+    // staged-only state: dropping the staging dir removes everything
+    // any attempt (winner or loser) ever wrote; published parts from
+    // PRIOR successful jobs are untouched
+    f.delete(new Path(root, "_staging"), true)
+  }
+}
+
+class PointsWriterFactory(conf: PointsWriteConf)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new PointsDataWriter(conf, partitionId, taskId, stagingSub = "")
+}
+
+/** Streaming form of the commit protocol (§2.9 sink side): each epoch
+  * stages under its own `_staging/epoch-<id>/` and publishes
+  * atomically on `commit(epochId, _)`, writing an `_epoch-<id>`
+  * manifest LAST. The manifest doubles as the idempotence marker: a
+  * replayed epoch (checkpoint recovered after a commit the driver
+  * didn't get to record) sees it and publishes NOTHING — the
+  * exactly-once contract the reference approximates with its
+  * payload-snapshot dedup (`extract.py:14-17,115-132`), here enforced
+  * by the sink itself.
+  */
+class PointsStreamingWriterFactory(conf: PointsWriteConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new PointsDataWriter(conf, partitionId, taskId,
+      stagingSub = s"epoch-$epochId/")
+}
+
+class PointsStreamingWrite(conf: PointsWriteConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def fs(): (FileSystem, Path) = {
+    val p = new Path(conf.path)
+    (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+  }
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val (f, root) = fs()
+    f.mkdirs(new Path(root, "_staging"))
+    // named top-level factory: an anonymous class here would capture
+    // this (non-serializable) StreamingWrite as its $outer
+    new PointsStreamingWriterFactory(conf)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val (f, root) = fs()
+    val marker = new Path(root, s"_epoch-$epochId")
+    val staged = new Path(root, s"_staging/epoch-$epochId")
+    if (!f.exists(marker)) { // replayed epoch: already published
+      var total = 0L
+      messages.collect { case m: PointsCommitMessage => m }.foreach { m =>
+        val src = new Path(m.stagedFile)
+        if (m.rows > 0L) {
+          val target = new Path(root,
+            f"part-${m.partitionId}%05d-${m.taskId}-epoch$epochId.lp")
+          if (!f.rename(src, target))
+            throw new java.io.IOException(
+              s"epoch $epochId commit failed renaming $src -> $target")
+        } else f.delete(src, false)
+        total += m.rows
+      }
+      val out = f.create(marker, true)
+      out.write(s"""{"epoch":$epochId,"rows":$total}""".getBytes("UTF-8"))
+      out.close()
+    }
+    f.delete(staged, true)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val (f, root) = fs()
+    f.delete(new Path(root, s"_staging/epoch-$epochId"), true)
+  }
+}
+
+case class PointsCommitMessage(partitionId: Int, taskId: Long,
+    stagedFile: String, rows: Long) extends WriterCommitMessage
+
+class PointsDataWriter(conf: PointsWriteConf, partitionId: Int,
+    taskId: Long, stagingSub: String) extends DataWriter[InternalRow] {
+
+  // attempt identity in the name: retried/speculative attempts of the
+  // same partition write DIFFERENT files
+  private val staged = new Path(
+    s"${conf.path}/_staging/${stagingSub}part-$partitionId-$taskId.lp")
+  private val fsys = staged.getFileSystem(
+    new org.apache.hadoop.conf.Configuration())
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fsys.create(staged, true), "UTF-8"))
+  private var rows = 0L
+
+  /** Line-protocol escaping for tag values: `,`, ` ` and `=` are
+    * structural in the tag set.
+    */
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace(",", "\\,")
+      .replace(" ", "\\ ").replace("=", "\\=")
+
+  private def fieldValue(dt: DataType, v: Any): String = dt match {
+    case StringType => "\"" + v.toString.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    case LongType | IntegerType | ShortType | ByteType => s"${v}i"
+    case _ => v.toString
+  }
+
+  private def epochSeconds(v: Any): Long = conf.timeType match {
+    case TimestampType | TimestampNTZType =>
+      v.asInstanceOf[Long] / 1000000L // internal micros
+    case LongType => v.asInstanceOf[Long]
+    case IntegerType => v.asInstanceOf[Int].toLong
+    case other => throw new IllegalArgumentException(
+      s"unsupported time column type ${other.simpleString}")
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new StringBuilder(conf.measurement)
+    conf.tagIdx.foreach { case (name, i) =>
+      if (!row.isNullAt(i))
+        sb.append(',').append(name).append('=')
+          .append(esc(row.getString(i)))
+    }
+    sb.append(' ')
+    var first = true
+    conf.fieldIdx.foreach { case (name, i, dt) =>
+      if (!row.isNullAt(i)) {
+        if (!first) sb.append(',')
+        first = false
+        sb.append(name).append('=')
+          .append(fieldValue(dt, row.get(i, dt)))
+      }
+    }
+    if (first) sb.append("__rows=1i") // point with no non-null field
+    if (!row.isNullAt(conf.timeIdx))
+      sb.append(' ').append(epochSeconds(row.get(conf.timeIdx,
+        conf.timeType)))
+    out.write(sb.toString)
+    out.write('\n')
+    rows += 1L
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    PointsCommitMessage(partitionId, taskId, staged.toString, rows)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fsys.delete(staged, false) // this attempt's state, gone
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,191 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+/** DSv2 exactly-once point sink (K5 engine form): staged-file commit
+  * protocol, line-protocol rendering, abort-publishes-nothing.
+  */
+class PointsSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graftpoints").toString
+
+  private def points = Seq(
+    ("hostA", "CPU load", 0L, 0.42, ts("2024-01-01 00:00:00")),
+    ("host B", "Mem usage", 1L, 0.84, ts("2024-01-01 00:00:01")),
+    ("hostC", null.asInstanceOf[String], 2L, 0.11,
+      ts("2024-01-01 00:00:02"))
+  ).toDF("host_name", "service_description", "state_numeric", "value",
+    "event_ts")
+
+  private def write(df: org.apache.spark.sql.DataFrame, dir: String,
+      mode: String = "append"): Unit =
+    df.write.format("graft-points").mode(mode)
+      .option("path", dir)
+      .option("measurement", "service_status")
+      .option("tagCols", "host_name,service_description")
+      .option("fieldCols", "state_numeric,value")
+      .option("timeCol", "event_ts")
+      .save()
+
+  private def published(dir: String): Seq[String] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".lp"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .toSeq
+
+  test("round-trip: every row published once, staging cleaned, manifest") {
+    val dir = tmpDir()
+    write(points, dir)
+    val lines = published(dir)
+    assert(lines.size == 3)
+    // line protocol shape: tags escaped, int fields suffixed i,
+    // epoch-second time
+    val a = lines.find(_.contains("host_name=hostA")).get
+    assert(a == "service_status,host_name=hostA," +
+      "service_description=CPU\\ load state_numeric=0i,value=0.42 " +
+      "1704067200")
+    // escaping of the space in "host B"
+    assert(lines.exists(_.contains("host_name=host\\ B")))
+    // null tag simply omitted
+    val c = lines.find(_.contains("hostC")).get
+    assert(!c.contains("service_description="))
+    // staging gone, _SUCCESS manifest carries the count
+    assert(!Files.exists(Paths.get(dir, "_staging")))
+    val manifest = Files.readString(Paths.get(dir, "_SUCCESS"))
+    assert(manifest == """{"rows":3}""")
+  }
+
+  test("abort: a failing job publishes nothing") {
+    val dir = tmpDir()
+    val poisoned = points.withColumn("value",
+      when(col("state_numeric") === 2L,
+        udf((d: Double) => { throw new RuntimeException("boom"); d })
+          .apply(col("value")))
+        .otherwise(col("value")))
+    intercept[Exception] { write(poisoned, dir) }
+    // no part files, no manifest — all-or-nothing
+    assert(published(dir).isEmpty)
+    assert(!Files.exists(Paths.get(dir, "_SUCCESS")))
+  }
+
+  test("append accumulates; overwrite truncates previous parts") {
+    val dir = tmpDir()
+    write(points, dir)
+    write(points, dir)
+    assert(published(dir).size == 6)
+    write(points.limit(1), dir, mode = "overwrite")
+    assert(published(dir).size == 1)
+    assert(Files.readString(Paths.get(dir, "_SUCCESS")) ==
+      """{"rows":1}""")
+  }
+
+  test("empty partitions publish no files") {
+    val dir = tmpDir()
+    write(points.repartition(8), dir)
+    val parts = Files.list(Paths.get(dir)).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".lp"))
+    assert(parts <= 3) // only non-empty partitions publish
+    assert(published(dir).size == 3)
+  }
+
+  test("streaming write: per-epoch publish with epoch manifests") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir()
+    val ckpt = tmpDir()
+    val in = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val q = in.toDF()
+      .toDF("host_name", "state_numeric", "event_ts")
+      .writeStream.format("graft-points")
+      .option("path", dir)
+      .option("checkpointLocation", ckpt)
+      .option("measurement", "m")
+      .option("tagCols", "host_name")
+      .option("fieldCols", "state_numeric")
+      .option("timeCol", "event_ts")
+      .start()
+    try {
+      in.addData(("h1", 1L, ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      in.addData(("h2", 2L, ts("2024-01-01 00:00:01")),
+        ("h3", 3L, ts("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(published(dir).size == 3)
+    // per-epoch manifests exist; staging fully drained
+    val names = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(names.exists(_.startsWith("_epoch-")))
+    assert(!Files.exists(Paths.get(dir, "_staging")) ||
+      Files.list(Paths.get(dir, "_staging")).count() == 0)
+  }
+
+  test("streaming commit is idempotent per epoch (replay publishes nothing)") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = tmpDir()
+    val schema = points.schema
+    val opts = new CaseInsensitiveStringMap(Map(
+      "path" -> dir, "measurement" -> "m",
+      "tagCols" -> "host_name", "fieldCols" -> "state_numeric",
+      "timeCol" -> "event_ts").asJava)
+    val conf = graft.sources.points.PointsWriteConf(opts, schema)
+    val sw = new graft.sources.points.PointsStreamingWrite(conf)
+    // stage one file for epoch 7 and commit it twice (a replayed
+    // epoch after checkpoint recovery)
+    def stage(): graft.sources.points.PointsCommitMessage = {
+      Files.createDirectories(Paths.get(dir, "_staging", "epoch-7"))
+      val f = Paths.get(dir, "_staging", "epoch-7", "part-0-1.lp")
+      Files.writeString(f, "m,host_name=h1 state_numeric=1i 0\n")
+      graft.sources.points.PointsCommitMessage(0, 1L, f.toString, 1L)
+    }
+    sw.commit(7L, Array(stage()))
+    assert(published(dir).size == 1)
+    sw.commit(7L, Array(stage())) // replay: marker exists → no-op
+    assert(published(dir).size == 1)
+    assert(Files.readString(Paths.get(dir, "_epoch-7")) ==
+      """{"epoch":7,"rows":1}""")
+  }
+
+  test("streaming CDC: foreachBatch applyChangelog == batch apply") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    implicit val sq = spark.sqlContext
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val allChanges = Seq(
+      (1L, "a2", ts("2024-01-01 10:00:00"), 1L, "U"),
+      (2L, "xx", ts("2024-01-01 10:30:00"), 2L, "D"),
+      (3L, "c", ts("2024-01-01 11:00:00"), 3L, "U"))
+    // stream the changelog in two micro-batches, folding each into
+    // the running snapshot exactly as a compaction job would
+    var state: DataFrame = base
+    val in = MemoryStream[(Long, String, java.sql.Timestamp, Long, String)]
+    val q = in.toDF().toDF("id", "v", "ts", "seq", "op")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        state = graft.operators.Relational.applyChangelog(
+          state, batch, Seq("id"), "ts", "seq", "op")
+          .localCheckpoint(true)
+      }.start()
+    try {
+      in.addData(allChanges.take(2))
+      q.processAllAvailable()
+      in.addData(allChanges.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = state.as[(Long, String)].collect().toMap
+    val batch = graft.operators.Relational.applyChangelog(
+        base, allChanges.toDF("id", "v", "ts", "seq", "op"),
+        Seq("id"), "ts", "seq", "op")
+      .as[(Long, String)].collect().toMap
+    assert(streamed == batch)
+    assert(streamed == Map(1L -> "a2", 3L -> "c"))
+  }
+}

@@ -31,6 +31,25 @@ class RelationalSpec extends SparkSpec {
       4L -> Some(300.0), 5L -> None))
   }
 
+  test("asOfJoin forward: earliest build row at or after probe ts") {
+    val probe = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // between s1 and s2 → s2
+      (2L, 10L, ts("2024-01-01 12:00:00")), // after everything → null
+      (3L, 10L, ts("2024-01-01 09:00:00")), // exactly at s1 (inclusive)
+      (4L, 30L, ts("2024-01-01 11:00:00"))  // key with no build rows
+    ).toDF("event_id", "user_id", "ts")
+    val build = Seq(
+      (10L, ts("2024-01-01 09:00:00"), 100.0), // s1
+      (10L, ts("2024-01-01 11:00:00"), 200.0)  // s2
+    ).toDF("user_id", "ts", "next_value")
+    val got = Relational.asOfJoin(probe, build, Seq("user_id"), "ts",
+        forward = true)
+      .select($"event_id", $"next_value")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(
+      1L -> Some(200.0), 2L -> None, 3L -> Some(100.0), 4L -> None))
+  }
+
   test("asOfJoin carries build rows atomically (null fields don't mix rows)") {
     val probe = Seq((1L, 10L, ts("2024-01-01 12:00:00")))
       .toDF("event_id", "user_id", "ts")
