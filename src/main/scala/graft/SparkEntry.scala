@@ -1583,6 +1583,25 @@ object SparkEntry {
         forward = true)
     }),
 
+    // edit-distance similarity join (ED-Join prefix filtering over
+    // globally-ordered q-grams): parts fuzzy-matched against typo'd
+    // variants within 1 edit — candidate generation is a rare-gram
+    // hash equi-join, never a cross product; the oracle IS the cross
+    // product, proving the blocking lossless
+    "q_fuzzy_join" -> ((s, dir) => {
+      val parts = Tables.part(s, dir)
+        .select(col("p_partkey").as("part_id"), col("p_name"))
+      val variants = Tables.part(s, dir)
+        .filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey").as("variant_id"),
+          concat(substring(col("p_name"), 1, 2), lit("q"),
+            substring(col("p_name"), 4, 10000)).as("v_name"))
+      Dedup.editDistanceJoin(parts, variants, "part_id", "variant_id",
+          "p_name", "v_name", maxDist = 1, q = 3)
+        .select(col("part_id"), col("variant_id"),
+          col("dist").cast("long").as("dist"))
+    }),
+
     // null-aware anti join: NOT IN under three-valued logic — a NULL
     // probe value never qualifies (NULL NOT IN list is never TRUE), so
     // Catalyst must plan its dedicated null-aware anti join, not the
@@ -3141,6 +3160,19 @@ object SparkEntry {
         | b.next_event_id
         |FROM probes p ASOF LEFT JOIN build b
         |  ON p.user_id = b.user_id AND p.ts <= b.ts""".stripMargin,
+
+    // brute-force all-pairs levenshtein — the blocking-free ground
+    // truth the prefix-filtered join must reproduce exactly
+    "q_fuzzy_join" ->
+      """WITH v AS (
+        | SELECT p_partkey AS variant_id,
+        |  substr(p_name, 1, 2) || 'q' || substr(p_name, 4) AS v_name
+        | FROM part WHERE p_partkey % 10 = 0)
+        |SELECT p.p_partkey AS part_id, v.variant_id,
+        | CAST(levenshtein(p.p_name, v.v_name) AS BIGINT) AS dist
+        |FROM part p CROSS JOIN v
+        |WHERE abs(length(p.p_name) - length(v.v_name)) <= 1
+        |  AND levenshtein(p.p_name, v.v_name) <= 1""".stripMargin,
 
     // identical three-valued NOT IN semantics: nulled probe keys never
     // qualify

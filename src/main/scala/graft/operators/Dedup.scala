@@ -643,4 +643,98 @@ object Dedup {
     // per-bucket scored stream never crosses a shuffle at full width
     Similarity.lshCandidatePairs(df, idCol, vecCol, planes,
       minCosine = Some(threshold))
+
+  /** Distinct character q-grams of a string as an array (empty when
+    * the string is shorter than q).
+    */
+  private def qgrams(s: Column, q: Int): Column =
+    when(length(s) < q, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(s) - (q - 1)),
+        i => s.substr(i, lit(q)))))
+
+  /** Edit-distance similarity join (ED-Join-style): all (left, right)
+    * pairs with `levenshtein(leftStr, rightStr) <= maxDist`, WITHOUT
+    * the cross product — the fuzzy-match primitive behind entity
+    * resolution and typo-tolerant dedup.
+    *
+    * Candidate generation is PREFIX FILTERING over globally-ordered
+    * q-grams (Xiao et al., ED-Join): one edit changes at most q
+    * distinct grams, so strings within distance d share
+    * `>= max(|G(a)|,|G(b)|) - d·q` grams; ordering every string's
+    * grams by global document frequency (rare first) and keeping only
+    * the first `d·q + 1` makes "some kept gram collides" a LOSSLESS
+    * filter — and collides on RARE grams, so bucket sizes stay small
+    * where a naive any-gram join would explode on stopword grams.
+    * Strings with `|G| <= 2·d·q` (too short / too repetitive for the
+    * count bound) pair within one dedicated bucket instead; any
+    * within-distance pair involving a `|G| <= d·q` string lands
+    * there, because its partner can have at most `d·q` extra grams.
+    *
+    * Plan shape, all partial-aggregated equi-joins — no theta join
+    * anywhere: gram explode (map-side) → frequency count (one
+    * exchange of (gram, partial count)) → per-string rare-prefix pick
+    * (window over the string's own <= |G| grams) → gram equi-join →
+    * candidate `distinct` → length-difference prefilter → one
+    * `levenshtein` per surviving candidate. At 100 TB the verify cost
+    * is Σ per-gram bucket products over RARE grams only.
+    *
+    * Returns (leftId, rightId, dist), dist <= maxDist.
+    */
+  def editDistanceJoin(left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String, leftStr: String, rightStr: String,
+      maxDist: Int, q: Int = 3): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    require(q >= 2, "q-gram size must be >= 2")
+    val prefixLen = maxDist * q + 1
+    val shortG = 2 * maxDist * q // |G| at or below this → short bucket
+    val SHORT = " __graft_short__" // leading space: not a real gram shape
+    // a short/repetitive string emits the bucket token IN ADDITION to
+    // its grams: within distance d, a partner of a |G| <= d*q string
+    // has |G| <= 2*d*q (so both emit SHORT and collide there), while a
+    // |G| in (d*q, 2*d*q] string can still meet a normal partner
+    // through the gram path -- dropping its grams would lose pairs
+    def sideGrams(df: DataFrame, id: String, s: String) = {
+      val base = df.filter(col(s).isNotNull)
+        .select(col(id).as("__sid"), col(s).as("__sstr"),
+          qgrams(col(s), q).as("__gs"))
+      base.select(col("__sid"), col("__sstr"),
+          explode(col("__gs")).as("__g"))
+        .unionAll(base.filter(size(col("__gs")) <= shortG)
+          .select(col("__sid"), col("__sstr"), lit(SHORT).as("__g")))
+    }
+    val gl = sideGrams(left, leftId, leftStr)
+    val gr = sideGrams(right, rightId, rightStr)
+    // global gram rarity over BOTH sides; the short bucket is exempt
+    val freq = gl.select(col("__g")).unionAll(gr.select(col("__g")))
+      .filter(col("__g") =!= SHORT)
+      .groupBy(col("__g")).agg(count(lit(1)).as("__gf"))
+    def rarePrefix(grams: DataFrame) = {
+      // SHORT rows carry no freq -> sorted last (never consuming a
+      // prefix slot), passing the filter via the explicit bypass
+      val w = Window.partitionBy(col("__sid"))
+        .orderBy(coalesce(col("__gf"), lit(Long.MaxValue)).asc,
+          col("__g").asc)
+      grams.join(freq, Seq("__g"), "left")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__g") === SHORT || col("__rn") <= prefixLen)
+        .select(col("__sid"), col("__sstr"), col("__g"))
+    }
+    val candidates = rarePrefix(gl)
+      .withColumnsRenamed(Map("__sid" -> "__lid", "__sstr" -> "__lstr"))
+      .join(rarePrefix(gr)
+        .withColumnsRenamed(Map("__sid" -> "__rid", "__sstr" -> "__rstr")),
+        Seq("__g"))
+      .select(col("__lid"), col("__lstr"), col("__rid"), col("__rstr"))
+      .distinct()
+    candidates
+      // length prefilter: cheap, removes most candidates before the
+      // O(len²) levenshtein
+      .filter(abs(length(col("__lstr")) - length(col("__rstr")))
+        <= maxDist)
+      .withColumn("dist", levenshtein(col("__lstr"), col("__rstr")))
+      .filter(col("dist") <= maxDist)
+      .select(col("__lid").as(leftId), col("__rid").as(rightId),
+        col("dist"))
+  }
 }

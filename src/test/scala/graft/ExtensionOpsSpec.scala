@@ -671,6 +671,47 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(frames.columns.toSeq == Seq("media_id", "frame_offsets"))
   }
 
+  test("editDistanceJoin == brute-force levenshtein on part names") {
+    val parts = spark.read.parquet(sf("sf0.001") + "/part.parquet")
+      .select($"p_partkey".as("lid"), $"p_name".as("lname"))
+    val variants = spark.read.parquet(sf("sf0.001") + "/part.parquet")
+      .filter($"p_partkey" % 7 === 0)
+      .select($"p_partkey".as("rid"),
+        concat(substring($"p_name", 1, 2), lit("q"),
+          substring($"p_name", 4, 10000)).as("rname"))
+    for (d <- Seq(1, 2)) {
+      val got = Dedup.editDistanceJoin(parts, variants, "lid", "rid",
+          "lname", "rname", maxDist = d)
+        .as[(Long, Long, Int)].collect().toSet
+      val want = parts.crossJoin(variants)
+        .withColumn("dist", levenshtein($"lname", $"rname"))
+        .filter($"dist" <= d)
+        .select($"lid", $"rid", $"dist")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == want, s"maxDist=$d: blocked join must be lossless")
+      assert(want.nonEmpty)
+    }
+  }
+
+  test("editDistanceJoin: short and repetitive strings (bucket fallback)") {
+    val l = Seq((1L, "ab"), (2L, "abc"), (3L, "aaaaaaaaaa"),
+      (4L, "completely different words")).toDF("lid", "ls")
+    val r = Seq((10L, "b"), (20L, "abcd"), (30L, "aaaaaaaaab"),
+      (40L, "zq")).toDF("rid", "rs")
+    val got = Dedup.editDistanceJoin(l, r, "lid", "rid", "ls", "rs",
+        maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = l.crossJoin(r)
+      .withColumn("dist", levenshtein($"ls", $"rs"))
+      .filter($"dist" <= 1)
+      .select($"lid", $"rid", $"dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+    // the cases that need the short/repetitive bucket specifically
+    assert(got.contains((1L, 10L, 1)))  // "ab" ~ "b" (both < q grams)
+    assert(got.contains((3L, 30L, 1)))  // repetitive: 1 distinct gram
+  }
+
   test("preTokenize: letter runs, digit runs, single symbol marks") {
     val got = Seq("ab12 cd, 3.4-x", "", "no digits here!")
       .toDF("text")

@@ -176,6 +176,44 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("NOT IN plans the null-aware anti join, not plain LeftAnti") {
+    val df = SparkEntry.queries("q_not_in")(spark, dir)
+    val plan = physical(df)
+    // Catalyst's dedicated mode for three-valued NOT IN: a
+    // BroadcastHashJoin in LeftAnti with the isNullAwareAntiJoin flag
+    // (rendered as the trailing `true`)
+    assert("BroadcastHashJoin .*LeftAnti, BuildRight, true".r
+        .findFirstIn(plan).isDefined,
+      s"NOT IN should plan a null-aware anti join:\n$plan")
+  }
+
+  test("applyChangelog plans aggregates, never a per-key window sort") {
+    // the changelog reduction must be the two-phase salted max_by
+    // (partial-aggregated exchanges), not row_number over a window —
+    // a hot key would serialize through one reducer otherwise
+    val df = SparkEntry.queries("q_merge_upsert")(spark, dir)
+    val optimized = df.queryExecution.optimizedPlan
+    val windows = optimized.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty,
+      s"CDC merge should not plan a window:\n$optimized")
+    // max_by over a struct buffers a struct → SortAggregate (still
+    // partial+final, still map-side combined); the point is aggregate
+    // vs window, not the aggregate flavor
+    assert("(HashAggregate|ObjectHashAggregate|SortAggregate)".r
+        .findFirstIn(physical(df)).isDefined, physical(df))
+  }
+
+  test("editDistanceJoin: candidates via hash equi-join, no nested loop") {
+    val df = SparkEntry.queries("q_fuzzy_join")(spark, dir)
+    val plan = physical(df)
+    assert(!plan.contains("NestedLoop"),
+      s"fuzzy join degenerated to a nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"fuzzy join degenerated to a cross product:\n$plan")
+  }
+
   test("correlated EXISTS decorrelates to a semi join (no per-row subquery)") {
     val df = SparkEntry.queries("q_correlated_exists")(spark, dir)
     val plan = physical(df)
