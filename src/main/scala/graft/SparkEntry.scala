@@ -1583,6 +1583,51 @@ object SparkEntry {
         forward = true)
     }),
 
+    // Spark 4 VariantType ingestion: parse_json once into the binary
+    // variant encoding, typed paths via variant_get — the
+    // schema-on-read form of the reference's polymorphic JSON
+    // handling (F10, `url...py:87-95`), without a per-field regex
+    "q_variant" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"),
+          expr("variant_get(v, '$.k', 'string')").as("k_str"))
+    }),
+
+    // recursive CTE (Spark 4 WITH RECURSIVE): ancestor closure over
+    // the synthetic digit-shift hierarchy (parent = key DIV 10) — the
+    // SQL-frontend form of iterative closure; connectedComponents is
+    // the DataFrame-side iterate for the same class of problems
+    "q_recursive_cte" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("g_customer_rc")
+      s.sql("""
+        WITH RECURSIVE anc AS (
+          SELECT c_custkey AS node,
+                 CAST(floor(c_custkey / 10.0) AS BIGINT) AS anc,
+                 1 AS depth
+          FROM g_customer_rc WHERE c_custkey > 0
+          UNION ALL
+          SELECT node, CAST(floor(anc / 10.0) AS BIGINT), depth + 1
+          FROM anc WHERE anc > 0)
+        SELECT node, anc, CAST(depth AS BIGINT) AS depth FROM anc""")
+    }),
+
+    // per-group winsorization: clip values into the [p05, p95] exact
+    // percentile band — outlier taming that keeps rows (where
+    // q_zscore/q_mad DROP them); stats side unpinned as usual
+    "q_winsorize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+      val cuts = ev.groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.05)).as("p05"),
+          percentile(col("value"), lit(0.95)).as("p95"))
+      ev.join(cuts, "event_type")
+        .select(col("event_id"), col("event_type"),
+          least(greatest(col("value"), col("p05")), col("p95"))
+            .as("value_w"))
+    }),
+
     // edit-distance similarity join (ED-Join prefix filtering over
     // globally-ordered q-grams): parts fuzzy-matched against typo'd
     // variants within 1 edit — candidate generation is a rare-gram
@@ -3160,6 +3205,38 @@ object SparkEntry {
         | b.next_event_id
         |FROM probes p ASOF LEFT JOIN build b
         |  ON p.user_id = b.user_id AND p.ts <= b.ts""".stripMargin,
+
+    // the variant path extraction mirrored with DuckDB's JSON readers
+    "q_variant" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | json_extract_string(props, '$.k') AS k_str
+        |FROM events""".stripMargin,
+
+    // same fixpoint in DuckDB's WITH RECURSIVE
+    "q_recursive_cte" ->
+      """WITH RECURSIVE anc AS (
+        | SELECT c_custkey AS node,
+        |  CAST(floor(c_custkey / 10.0) AS BIGINT) AS anc,
+        |  1 AS depth
+        | FROM customer WHERE c_custkey > 0
+        | UNION ALL
+        | SELECT node, CAST(floor(anc / 10.0) AS BIGINT), depth + 1
+        | FROM anc WHERE anc > 0)
+        |SELECT node, anc, CAST(depth AS BIGINT) AS depth FROM anc""".stripMargin,
+
+    // quantile_cont == Spark percentile; LEAST/GREATEST clipping
+    "q_winsorize" ->
+      """WITH f AS (
+        | SELECT event_id, event_type, value FROM events
+        | WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |cuts AS (
+        | SELECT event_type, quantile_cont(value, 0.05) AS p05,
+        |  quantile_cont(value, 0.95) AS p95
+        | FROM f GROUP BY 1)
+        |SELECT event_id, f.event_type AS event_type,
+        | least(greatest(value, p05), p95) AS value_w
+        |FROM f JOIN cuts c ON f.event_type = c.event_type""".stripMargin,
 
     // brute-force all-pairs levenshtein — the blocking-free ground
     // truth the prefix-filtered join must reproduce exactly

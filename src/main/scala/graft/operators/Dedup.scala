@@ -672,12 +672,17 @@ object Dedup {
     * there, because its partner can have at most `d·q` extra grams.
     *
     * Plan shape, all partial-aggregated equi-joins — no theta join
-    * anywhere: gram explode (map-side) → frequency count (one
+    * anywhere. The ENTIRE gram/prefix/verify pipeline runs over
+    * DISTINCT strings (real corpora — and TPC-H-ish part names — are
+    * duplicate-heavy; id-level blocking would re-verify every
+    * duplicate pair): gram explode (map-side) → frequency count (one
     * exchange of (gram, partial count)) → per-string rare-prefix pick
     * (window over the string's own <= |G| grams) → gram equi-join →
     * candidate `distinct` → length-difference prefilter → one
-    * `levenshtein` per surviving candidate. At 100 TB the verify cost
-    * is Σ per-gram bucket products over RARE grams only.
+    * `levenshtein` per surviving DISTINCT-STRING pair → two hash
+    * joins expand matched string pairs back to ids. At 100 TB the
+    * verify cost is Σ per-gram bucket products over RARE grams of
+    * distinct strings only.
     *
     * Returns (leftId, rightId, dist), dist <= maxDist.
     */
@@ -686,6 +691,9 @@ object Dedup {
       maxDist: Int, q: Int = 3): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
     require(q >= 2, "q-gram size must be >= 2")
+    require(Set(leftId, leftStr, rightId, rightStr).size == 4,
+      "left/right id and string column names must be pairwise distinct " +
+        "(rename before joining)")
     val prefixLen = maxDist * q + 1
     val shortG = 2 * maxDist * q // |G| at or below this → short bucket
     val SHORT = " __graft_short__" // leading space: not a real gram shape
@@ -694,47 +702,50 @@ object Dedup {
     // has |G| <= 2*d*q (so both emit SHORT and collide there), while a
     // |G| in (d*q, 2*d*q] string can still meet a normal partner
     // through the gram path -- dropping its grams would lose pairs
-    def sideGrams(df: DataFrame, id: String, s: String) = {
+    def sideGrams(df: DataFrame, s: String, out: String) = {
       val base = df.filter(col(s).isNotNull)
-        .select(col(id).as("__sid"), col(s).as("__sstr"),
-          qgrams(col(s), q).as("__gs"))
-      base.select(col("__sid"), col("__sstr"),
-          explode(col("__gs")).as("__g"))
+        .select(col(s).as(out)).distinct()
+        .select(col(out), qgrams(col(out), q).as("__gs"))
+      base.select(col(out), explode(col("__gs")).as("__g"))
         .unionAll(base.filter(size(col("__gs")) <= shortG)
-          .select(col("__sid"), col("__sstr"), lit(SHORT).as("__g")))
+          .select(col(out), lit(SHORT).as("__g")))
     }
-    val gl = sideGrams(left, leftId, leftStr)
-    val gr = sideGrams(right, rightId, rightStr)
+    val gl = sideGrams(left, leftStr, "__lstr")
+    val gr = sideGrams(right, rightStr, "__rstr")
     // global gram rarity over BOTH sides; the short bucket is exempt
-    val freq = gl.select(col("__g")).unionAll(gr.select(col("__g")))
+    val freq = gl.select(col("__g"))
+      .unionAll(gr.select(col("__g")))
       .filter(col("__g") =!= SHORT)
       .groupBy(col("__g")).agg(count(lit(1)).as("__gf"))
-    def rarePrefix(grams: DataFrame) = {
+    def rarePrefix(grams: DataFrame, strCol: String) = {
       // SHORT rows carry no freq -> sorted last (never consuming a
       // prefix slot), passing the filter via the explicit bypass
-      val w = Window.partitionBy(col("__sid"))
+      val w = Window.partitionBy(col(strCol))
         .orderBy(coalesce(col("__gf"), lit(Long.MaxValue)).asc,
           col("__g").asc)
       grams.join(freq, Seq("__g"), "left")
         .withColumn("__rn", row_number().over(w))
         .filter(col("__g") === SHORT || col("__rn") <= prefixLen)
-        .select(col("__sid"), col("__sstr"), col("__g"))
+        .select(col(strCol), col("__g"))
     }
-    val candidates = rarePrefix(gl)
-      .withColumnsRenamed(Map("__sid" -> "__lid", "__sstr" -> "__lstr"))
-      .join(rarePrefix(gr)
-        .withColumnsRenamed(Map("__sid" -> "__rid", "__sstr" -> "__rstr")),
-        Seq("__g"))
-      .select(col("__lid"), col("__lstr"), col("__rid"), col("__rstr"))
+    val matched = rarePrefix(gl, "__lstr")
+      .join(rarePrefix(gr, "__rstr"), Seq("__g"))
+      .select(col("__lstr"), col("__rstr"))
       .distinct()
-    candidates
       // length prefilter: cheap, removes most candidates before the
       // O(len²) levenshtein
       .filter(abs(length(col("__lstr")) - length(col("__rstr")))
         <= maxDist)
       .withColumn("dist", levenshtein(col("__lstr"), col("__rstr")))
       .filter(col("dist") <= maxDist)
-      .select(col("__lid").as(leftId), col("__rid").as(rightId),
-        col("dist"))
+    // expand matched DISTINCT-string pairs back to ids: two hash
+    // equi-joins on the string value (the matched side is small —
+    // AQE broadcasts it while it fits)
+    matched
+      .join(left.select(col(leftId), col(leftStr)),
+        col("__lstr") === col(leftStr))
+      .join(right.select(col(rightId), col(rightStr)),
+        col("__rstr") === col(rightStr))
+      .select(col(leftId), col(rightId), col("dist"))
   }
 }
