@@ -1583,6 +1583,30 @@ object SparkEntry {
         forward = true)
     }),
 
+    // Morton (Z-order) key: the multi-dimensional clustering key
+    // behind writeClustered — statically-unrolled integer bit
+    // interleave, exactly replayable by any engine
+    "q_zorder" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"),
+          operators.Layout.zValue(
+            pmod(col("user_id"), lit(65536)).cast("int"),
+            pmod(floor(col("value") * 100).cast("long"), lit(65536))
+              .cast("int")).as("z"))
+    }),
+
+    // distribution drift between cohorts (view = baseline, click =
+    // current): per-bin shares + the ln-free triangular term — the
+    // data-health check run before a new crawl joins the corpus
+    "q_dist_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      operators.Profiling.distributionDrift(
+        ev.filter(col("event_type") === "view").select(col("value")),
+        ev.filter(col("event_type") === "click").select(col("value")),
+        "value", 10.0)
+    }),
+
     // Spark 4 VariantType ingestion: parse_json once into the binary
     // variant encoding, typed paths via variant_get — the
     // schema-on-read form of the reference's polymorphic JSON
@@ -3205,6 +3229,46 @@ object SparkEntry {
         | b.next_event_id
         |FROM probes p ASOF LEFT JOIN build b
         |  ON p.user_id = b.user_id AND p.ts <= b.ts""".stripMargin,
+
+    // the same 32 shift/mask terms, generated for DuckDB's >> and &
+    "q_zorder" -> {
+      val terms = (0 until 16).map { i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" + ")
+      s"""SELECT event_id, $terms AS z
+         |FROM (
+         | SELECT event_id,
+         |  user_id % 65536 AS x,
+         |  CAST(floor(value * 100) AS BIGINT) % 65536 AS y
+         | FROM events WHERE value IS NOT NULL) t""".stripMargin
+    },
+
+    // conditional counts per bin, window totals, one IEEE-op chain
+    // per output — ln-free drift term
+    "q_dist_drift" ->
+      """WITH tagged AS (
+        | SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, 0 AS side
+        | FROM events WHERE event_type = 'view' AND value IS NOT NULL
+        | UNION ALL
+        | SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, 1 AS side
+        | FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+        |counts AS (
+        | SELECT bin,
+        |  CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_base,
+        |  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cur
+        | FROM tagged GROUP BY 1)
+        |SELECT bin, n_base, n_cur,
+        | round(pb, 9) AS p_base, round(pc, 9) AS p_cur,
+        | round((pb - pc) * (pb - pc) / (pb + pc), 9) AS drift
+        |FROM (
+        | SELECT bin, n_base, n_cur,
+        |  CAST(n_base AS DOUBLE) / CAST(sum(n_base) OVER () AS DOUBLE)
+        |    AS pb,
+        |  CAST(n_cur AS DOUBLE) / CAST(sum(n_cur) OVER () AS DOUBLE)
+        |    AS pc
+        | FROM counts) t""".stripMargin,
 
     // the variant path extraction mirrored with DuckDB's JSON readers
     "q_variant" ->

@@ -75,6 +75,44 @@ object Profiling {
     }.reduce(_ unionByName _)
   }
 
+  /** Distribution-drift report between a baseline and a current value
+    * stream (training-data health check: did this week's crawl shift
+    * the length/score/value distribution?): fixed-width bins, per-bin
+    * shares, and the triangular-discrimination term
+    * `(p − q)² / (p + q)` — chi-square's symmetric, zero-safe sibling
+    * (a bin present on one side only contributes its own share, no
+    * division by zero) and, unlike PSI/KL, free of `ln`, so every
+    * output is a short chain of single IEEE ops — engine-portable.
+    * Consumers sum `drift` for a scalar statistic (the per-bin table
+    * is the actionable artifact: WHICH region moved).
+    *
+    * Plan shape: tag-union the two sides, ONE partial-aggregated
+    * (bin) exchange with conditional counts, then a window over the
+    * |bins|-row frame for totals (swap for broadcast scalars if bin
+    * cardinality ever explodes — same note as `mixtureWeights`).
+    */
+  def distributionDrift(base: DataFrame, cur: DataFrame,
+      valueCol: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    import org.apache.spark.sql.expressions.Window
+    def binned(df: DataFrame, tag: Int) = df
+      .filter(col(valueCol).isNotNull)
+      .select(floor(col(valueCol) / binWidth).cast("long").as("bin"),
+        lit(tag).as("__side"))
+    val counts = binned(base, 0).unionAll(binned(cur, 1))
+      .groupBy(col("bin")).agg(
+        sum(when(col("__side") === 0, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val w = Window.partitionBy() // |bins| rows — trivially small
+    val pb = col("n_base").cast("double") /
+      sum(col("n_base")).over(w).cast("double")
+    val pc = col("n_cur").cast("double") /
+      sum(col("n_cur")).over(w).cast("double")
+    counts.select(col("bin"), col("n_base"), col("n_cur"),
+      round(pb, 9).as("p_base"), round(pc, 9).as("p_cur"),
+      round((pb - pc) * (pb - pc) / (pb + pc), 9).as("drift"))
+  }
+
   /** Normalizing constant for [[kmvDistinct]] hashes: 15 hex digits of
     * md5 = 60 bits, so hashes are uniform in [0, 2^60). Held as an
     * exactly-representable double (2^60 needs one significand bit).
