@@ -1583,6 +1583,24 @@ object SparkEntry {
         forward = true)
     }),
 
+    // per-user EWMA smoothing (alpha 0.25): one codegen fold per key
+    // after a single exchange; bit-replayable (multiply, multiply,
+    // add per step — no pow, no closed form)
+    "q_ewma" -> ((s, dir) => {
+      operators.TimeSeries.ewma(
+        Tables.events(s, dir)
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("value")),
+        Seq("user_id"), Seq("ts", "event_id"), "value", alpha = 0.25)
+        // NO rounding: the fold is bit-identical across engines (fixed
+        // multiply/multiply/add sequence), and round() itself is NOT
+        // portable at the half-way boundary (Spark rounds the exact
+        // decimal expansion, DuckDB rounds a 1e6-scaled float —
+        // measured 3/10000 rows differing by 1 ulp of the 6th decimal)
+        .select(col("user_id"), col("event_id"), col("ewma"))
+    }),
+
     // Morton (Z-order) key: the multi-dimensional clustering key
     // behind writeClustered — statically-unrolled integer bit
     // interleave, exactly replayable by any engine
@@ -3229,6 +3247,22 @@ object SparkEntry {
         | b.next_event_id
         |FROM probes p ASOF LEFT JOIN build b
         |  ON p.user_id = b.user_id AND p.ts <= b.ts""".stripMargin,
+
+    // the recursive CTE replays the exact (multiply, multiply, add)
+    // step sequence — bit-identical smoothed values
+    "q_ewma" ->
+      """WITH RECURSIVE t AS (
+        | SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS rn
+        | FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |r AS (
+        | SELECT user_id, event_id, rn, value AS y FROM t WHERE rn = 1
+        | UNION ALL
+        | SELECT t.user_id, t.event_id, t.rn,
+        |  0.25 * t.value + 0.75 * r.y
+        | FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+        |SELECT user_id, event_id, y AS ewma FROM r""".stripMargin,
 
     // the same 32 shift/mask terms, generated for DuckDB's >> and &
     "q_zorder" -> {

@@ -130,6 +130,43 @@ object TimeSeries {
       .drop("__graft_obs")
   }
 
+  /** Per-key EWMA smoothing: y₁ = x₁, yᵢ = α·xᵢ + (1−α)·yᵢ₋₁ in
+    * `orderCols` order — the standard denoising pass for per-host
+    * metric streams (rrd consolidates its own archives this way).
+    *
+    * A recursive fold is sequential WITHIN a key, so the key is the
+    * parallelism unit (the window contract, same as [[mergeIntervals]]):
+    * one exchange on the key, `array_sort(collect_list(...))` for the
+    * ordered series, then one linear codegen'd
+    * [[graft.functions.EwmaFold]] pass — not an `aggregate()` HOF
+    * (interpreted per-element lambda, quadratic accumulator copying).
+    * Each step is the fixed (multiply, multiply, add) double sequence,
+    * so an engine replaying the same order reproduces the smoothed
+    * values bit-for-bit — EWMA without the `pow`/closed-form
+    * portability trap.
+    *
+    * Output: key columns + orderCols + `valueCol` + `ewma`. Null
+    * values hold the previous smoothed value; leading nulls stay null.
+    */
+  def ewma(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, alpha: Double): DataFrame = {
+    require(keyCols.nonEmpty, "ewma needs at least one key")
+    val keys = keyCols.map(col)
+    val itemCols = orderCols :+ valueCol
+    df.groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(itemCols.map(col): _*)))
+        .as("__graft_ewma_items"))
+      .withColumn("__graft_ewma_y",
+        graft.functions.EwmaExpression.ewmaFold(
+          transform(col("__graft_ewma_items"),
+            it => it.getField(valueCol).cast("double")), alpha))
+      .select(keys :+ explode(arrays_zip(col("__graft_ewma_items"),
+        col("__graft_ewma_y"))).as("__graft_ewma_z"): _*)
+      .select(keys ++ itemCols.map(c =>
+        col(s"__graft_ewma_z.__graft_ewma_items.$c").as(c)) :+
+        col("__graft_ewma_z.__graft_ewma_y").as("ewma"): _*)
+  }
+
   /** Merge overlapping-or-touching `[lo, hi]` intervals per key into
     * maximal islands (the gaps-and-islands canonical form): per host,
     * collapse raw downtime/alert intervals into distinct outage

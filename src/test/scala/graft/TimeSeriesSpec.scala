@@ -81,6 +81,44 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", 10L, 9.0, true)))
   }
 
+  test("ewma: exact fold, null-hold, leading nulls, key isolation") {
+    val df = Seq(
+      ("a", 1L, Some(8.0)),   // y = 8
+      ("a", 2L, Some(4.0)),   // y = 0.25*4 + 0.75*8 = 7
+      ("a", 3L, None),        // held: 7
+      ("a", 4L, Some(3.0)),   // y = 0.25*3 + 0.75*7 = 6
+      ("b", 1L, None),        // leading null: null
+      ("b", 2L, Some(2.0))    // y = 2 (first observation)
+    ).toDF("k", "seq", "v")
+    val got = TimeSeries.ewma(df, Seq("k"), Seq("seq"), "v", 0.25)
+      .select($"k", $"seq", $"ewma")
+      .as[(String, Long, Option[Double])].collect().toSet
+    assert(got == Set(
+      ("a", 1L, Some(8.0)), ("a", 2L, Some(7.0)), ("a", 3L, Some(7.0)),
+      ("a", 4L, Some(6.0)), ("b", 1L, None), ("b", 2L, Some(2.0))))
+  }
+
+  test("ewma: codegen and interpreted paths agree") {
+    val vals = (1 to 200).map(i => ((i % 7).toString, i.toLong,
+      Some(math.sin(i) * 100)))
+    val df = vals.toDF("k", "seq", "v")
+    val a = TimeSeries.ewma(df, Seq("k"), Seq("seq"), "v", 0.3)
+      .select($"k", $"seq", $"ewma")
+      .as[(String, Long, Double)].collect().toSet
+    // force the interpreted path by disabling whole-stage codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val b = TimeSeries.ewma(df, Seq("k"), Seq("seq"), "v", 0.3)
+        .select($"k", $"seq", $"ewma")
+        .as[(String, Long, Double)].collect().toSet
+      assert(a == b)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("mergeIntervals: single interval and empty input") {
     val one = Seq(("x", 1L, 2L)).toDF("k", "lo", "hi")
     assert(TimeSeries.mergeIntervals(one, Seq("k"), "lo", "hi")
