@@ -1583,6 +1583,32 @@ object SparkEntry {
         forward = true)
     }),
 
+    // exact Jaccard set-similarity join (AllPairs prefix filtering):
+    // documents vs an eval-like subset, word-SET overlap >= 0.5 — the
+    // deterministic-exact sibling of the minhash family; the oracle
+    // is the cross product, so losslessness is what hash-matches
+    "q_jaccard_join" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val probes = Tables.documents(s, dir)
+        .filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id").as("probe_id"),
+          TextOps.tokens(col("text")).as("probe_toks"))
+      Dedup.jaccardJoin(docs, probes, "doc_id", "probe_id",
+          "toks", "probe_toks", minJaccard = 0.5)
+        .filter(col("doc_id") =!= col("probe_id")) // self-pairs are trivial
+    }),
+
+    // ordered LISTAGG (Spark 4): deterministic within-group
+    // concatenation — the report-building aggregate
+    "q_listagg" -> ((s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("g_nation_la")
+      s.sql("""
+        SELECT n_regionkey,
+          listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+        FROM g_nation_la GROUP BY n_regionkey""")
+    }),
+
     // per-user EWMA smoothing (alpha 0.25): one codegen fold per key
     // after a single exchange; bit-replayable (multiply, multiply,
     // add per step — no pow, no closed form)
@@ -3247,6 +3273,31 @@ object SparkEntry {
         | b.next_event_id
         |FROM probes p ASOF LEFT JOIN build b
         |  ON p.user_id = b.user_id AND p.ts <= b.ts""".stripMargin,
+
+    // blocking-free all-pairs ground truth: distinct word sets,
+    // list_intersect overlap, single-division Jaccard
+    "q_jaccard_join" ->
+      """WITH d AS (
+        | SELECT doc_id, list_distinct(list_filter(
+        |   string_split_regex(text, '\s+'), t -> t <> '')) AS s
+        | FROM documents),
+        |p AS (SELECT doc_id AS probe_id, s AS ps FROM d
+        |  WHERE doc_id % 9 = 0)
+        |SELECT d.doc_id, p.probe_id,
+        | CAST(len(list_intersect(s, ps)) AS DOUBLE) /
+        |   CAST(len(s) + len(ps) - len(list_intersect(s, ps)) AS DOUBLE)
+        |   AS jaccard
+        |FROM d CROSS JOIN p
+        |WHERE len(s) > 0 AND len(ps) > 0 AND d.doc_id <> p.probe_id
+        |  AND CAST(len(list_intersect(s, ps)) AS DOUBLE) /
+        |   CAST(len(s) + len(ps) - len(list_intersect(s, ps)) AS DOUBLE)
+        |   >= 0.5""".stripMargin,
+
+    // DuckDB's ordered string_agg == WITHIN GROUP listagg
+    "q_listagg" ->
+      """SELECT n_regionkey,
+        | string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
 
     // the recursive CTE replays the exact (multiply, multiply, add)
     // step sequence — bit-identical smoothed values

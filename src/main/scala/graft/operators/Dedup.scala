@@ -644,6 +644,75 @@ object Dedup {
     Similarity.lshCandidatePairs(df, idCol, vecCol, planes,
       minCosine = Some(threshold))
 
+  /** Exact set-similarity join (AllPairs/PPJoin prefix filtering):
+    * all (left, right) id pairs whose DISTINCT-element sets have
+    * Jaccard >= `minJaccard`, without a cross product — the exact,
+    * deterministic sibling of [[minhashNearDupPairs]] (which trades
+    * exactness for a bounded signature at extreme scale).
+    *
+    * Losslessness: J(A,B) >= τ implies |A∩B| >= ceil(τ·max(|A|,|B|)),
+    * so ordering every set's elements by global frequency (rare
+    * first) and keeping each set's first |s| − ceil(τ·|s|) + 1 makes
+    * "some kept element collides" a complete candidate generator —
+    * and it collides on RARE elements, so bucket products stay small
+    * where an any-element join explodes on stopwords. A 1e-9 slack on
+    * the ceil keeps float rounding from ever SHORTENING a prefix
+    * (one extra candidate beats one lost pair). Size filter
+    * `τ·|A| <= |B| <= |A|/τ` prunes before the exact verify.
+    *
+    * Input sides carry (id, array-of-tokens) — callers tokenize
+    * ([[TextOps.tokens]] / [[TextOps.shingles]]); duplicates inside
+    * the array are collapsed (set semantics). Empty sets match
+    * nothing. Returns (leftId, rightId, jaccard).
+    */
+  def jaccardJoin(left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String, leftSet: String, rightSet: String,
+      minJaccard: Double): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    require(Set(leftId, leftSet, rightId, rightSet).size == 4,
+      "left/right id and set column names must be pairwise distinct")
+    def prefixLen(n: Column): Column =
+      n - ceil(lit(minJaccard) * n - lit(1e-9)).cast("long") + 1L
+    def side(df: DataFrame, id: String, s: String, n: String) = df
+      .select(col(id), array_distinct(col(s)).as("__set"))
+      .filter(size(col("__set")) > 0)
+      .withColumn(n, size(col("__set")).cast("long"))
+    val ls = side(left, leftId, leftSet, "__ln")
+    val rs = side(right, rightId, rightSet, "__rn")
+    // (id, size, element) only — the set array must not ride the
+    // prefix machinery's exchanges; verify joins it back by id
+    def elems(df: DataFrame, id: String, n: String) = df
+      .select(col(id), col(n), explode(col("__set")).as("__e"))
+    val freq = elems(ls, leftId, "__ln").select(col("__e"))
+      .unionAll(elems(rs, rightId, "__rn").select(col("__e")))
+      .groupBy(col("__e")).agg(count(lit(1)).as("__ef"))
+    def prefix(df: DataFrame, id: String, n: String) = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__ef").asc, col("__e").asc)
+      elems(df, id, n).join(freq, Seq("__e"))
+        .withColumn("__rn_p", row_number().over(w))
+        .filter(col("__rn_p") <= prefixLen(col(n)))
+        .select(col(id), col("__e"))
+    }
+    val candidates = prefix(ls, leftId, "__ln")
+      .join(prefix(rs, rightId, "__rn"), Seq("__e"))
+      .select(col(leftId), col(rightId)).distinct()
+    candidates
+      .join(ls.select(col(leftId), col("__set").as("__lset"),
+        col("__ln")), Seq(leftId))
+      .join(rs.select(col(rightId), col("__set").as("__rset"),
+        col("__rn")), Seq(rightId))
+      .filter(lit(minJaccard) * col("__ln") <= col("__rn") + lit(1e-9) &&
+        lit(minJaccard) * col("__rn") <= col("__ln") + lit(1e-9))
+      .withColumn("__inter",
+        size(array_intersect(col("__lset"), col("__rset"))).cast("long"))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (col("__ln") + col("__rn") - col("__inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col(leftId), col(rightId), col("jaccard"))
+  }
+
   /** Distinct character q-grams of a string as an array (empty when
     * the string is shorter than q).
     */

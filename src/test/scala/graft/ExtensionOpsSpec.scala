@@ -712,6 +712,39 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got.contains((3L, 30L, 1)))  // repetitive: 1 distinct gram
   }
 
+  test("jaccardJoin == brute-force set Jaccard on document tokens") {
+    val l = docs.select($"doc_id".as("lid"),
+      TextOps.tokens($"text").as("lset"))
+    val r = docs.filter($"doc_id" % 5 === 0)
+      .select($"doc_id".as("rid"), TextOps.tokens($"text").as("rset"))
+    for (tau <- Seq(0.4, 0.6)) {
+      val got = Dedup.jaccardJoin(l, r, "lid", "rid", "lset", "rset", tau)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      val want = l.crossJoin(r)
+        .withColumn("i",
+          size(array_intersect(array_distinct($"lset"),
+            array_distinct($"rset"))).cast("double"))
+        .withColumn("j", $"i" / (size(array_distinct($"lset")) +
+          size(array_distinct($"rset")) - $"i"))
+        .filter($"j" >= tau)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      assert(got == want, s"tau=$tau: prefix filter must be lossless")
+      assert(want.nonEmpty) // self-pairs guarantee non-triviality
+    }
+  }
+
+  test("jaccardJoin: duplicate tokens collapse; empty sets match nothing") {
+    val l = Seq((1L, Seq("a", "a", "b")), (2L, Seq[String]()),
+      (3L, Seq("x", "y", "z", "w"))).toDF("lid", "lset")
+    val r = Seq((10L, Seq("b", "a")), (20L, Seq("x", "y")))
+      .toDF("rid", "rset")
+    val got = Dedup.jaccardJoin(l, r, "lid", "rid", "lset", "rset", 0.5)
+      .select($"lid", $"rid", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // {a,b} vs {b,a}: J = 1.0; {x,y,z,w} vs {x,y}: J = 0.5
+    assert(got == Set((1L, 10L, 1.0), (3L, 20L, 0.5)))
+  }
+
   test("preTokenize: letter runs, digit runs, single symbol marks") {
     val got = Seq("ab12 cd, 3.4-x", "", "no digits here!")
       .toDF("text")
