@@ -1583,20 +1583,25 @@ object SparkEntry {
         forward = true)
     }),
 
-    // exact Jaccard set-similarity join (AllPairs prefix filtering):
-    // documents vs an eval-like subset, word-SET overlap >= 0.5 — the
-    // deterministic-exact sibling of the minhash family; the oracle
-    // is the cross product, so losslessness is what hash-matches
+    // exact Jaccard set-similarity join (AllPairs prefix filtering)
+    // over 3-SHINGLE sets: probes are appended-junk variants of every
+    // 9th document, so each matches (only) its source at J ≈ 0.97.
+    // Shingles, not tokens, are the honest workload: the shingle
+    // space is vast, so prefixes are genuinely rare and the blocking
+    // prunes (the word-salad corpus shares one small vocabulary —
+    // token-set similarity there is a quadratic OUTPUT, not a
+    // blocking failure). The oracle is the cross product, so
+    // losslessness is what hash-matches
     "q_jaccard_join" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("toks"))
       val probes = Tables.documents(s, dir)
         .filter(col("doc_id") % 9 === 0)
         .select(col("doc_id").as("probe_id"),
-          TextOps.tokens(col("text")).as("probe_toks"))
+          TextOps.shingles(concat(col("text"), lit(" zq xq vq")), 3)
+            .as("probe_toks"))
       Dedup.jaccardJoin(docs, probes, "doc_id", "probe_id",
-          "toks", "probe_toks", minJaccard = 0.5)
-        .filter(col("doc_id") =!= col("probe_id")) // self-pairs are trivial
+        "toks", "probe_toks", minJaccard = 0.6)
     }),
 
     // ordered LISTAGG (Spark 4): deterministic within-group
@@ -3274,24 +3279,28 @@ object SparkEntry {
         |FROM probes p ASOF LEFT JOIN build b
         |  ON p.user_id = b.user_id AND p.ts <= b.ts""".stripMargin,
 
-    // blocking-free all-pairs ground truth: distinct word sets,
-    // list_intersect overlap, single-division Jaccard
-    "q_jaccard_join" ->
-      """WITH d AS (
-        | SELECT doc_id, list_distinct(list_filter(
-        |   string_split_regex(text, '\s+'), t -> t <> '')) AS s
-        | FROM documents),
-        |p AS (SELECT doc_id AS probe_id, s AS ps FROM d
-        |  WHERE doc_id % 9 = 0)
-        |SELECT d.doc_id, p.probe_id,
-        | CAST(len(list_intersect(s, ps)) AS DOUBLE) /
-        |   CAST(len(s) + len(ps) - len(list_intersect(s, ps)) AS DOUBLE)
-        |   AS jaccard
-        |FROM d CROSS JOIN p
-        |WHERE len(s) > 0 AND len(ps) > 0 AND d.doc_id <> p.probe_id
-        |  AND CAST(len(list_intersect(s, ps)) AS DOUBLE) /
-        |   CAST(len(s) + len(ps) - len(list_intersect(s, ps)) AS DOUBLE)
-        |   >= 0.5""".stripMargin,
+    // blocking-free all-pairs ground truth over the shared 3-shingle
+    // definition; single-division Jaccard
+    "q_jaccard_join" -> {
+      s"""WITH ${shingleCteSql(3, "documents")},
+         |pt AS (
+         | SELECT doc_id AS probe_id, list_filter(
+         |   string_split_regex(text || ' zq xq vq', '\\s+'),
+         |   x -> len(x) > 0) AS toks
+         | FROM documents WHERE doc_id % 9 = 0),
+         |psh AS (
+         | SELECT probe_id, list_distinct(${shingleSql(3)}) AS ps
+         | FROM pt)
+         |SELECT doc_id, probe_id,
+         | CAST(len(list_intersect(sh, ps)) AS DOUBLE) /
+         |   CAST(len(sh) + len(ps) - len(list_intersect(sh, ps))
+         |     AS DOUBLE) AS jaccard
+         |FROM sh CROSS JOIN psh
+         |WHERE len(sh) > 0 AND len(ps) > 0
+         |  AND CAST(len(list_intersect(sh, ps)) AS DOUBLE) /
+         |   CAST(len(sh) + len(ps) - len(list_intersect(sh, ps))
+         |     AS DOUBLE) >= 0.6""".stripMargin
+    },
 
     // DuckDB's ordered string_agg == WITHIN GROUP listagg
     "q_listagg" ->
