@@ -138,10 +138,15 @@ class PointsBatchWrite(conf: PointsWriteConf, truncateFirst: Boolean)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val (f, root) = fs()
     if (truncateFirst) {
-      // publish-into-clean-dir: remove previously published parts
-      // only now that every task has succeeded
-      Option(f.globStatus(new Path(root, "part-*.lp")))
-        .getOrElse(Array.empty).foreach(s => f.delete(s.getPath, false))
+      // publish-into-clean-dir: remove previously published parts —
+      // and any per-epoch manifests, which are idempotence markers: a
+      // stale one would make a future streaming run into this dir
+      // silently skip its epoch — only now that every task succeeded
+      (Option(f.globStatus(new Path(root, "part-*.lp")))
+          .getOrElse(Array.empty) ++
+        Option(f.globStatus(new Path(root, "_epoch-*")))
+          .getOrElse(Array.empty))
+        .foreach(s => f.delete(s.getPath, false))
     }
     var total = 0L
     messages.collect { case m: PointsCommitMessage => m }.foreach { m =>

@@ -81,8 +81,12 @@ class PointsSinkSpec extends SparkSpec {
     write(points, dir)
     write(points, dir)
     assert(published(dir).size == 6)
+    // stale epoch markers from an earlier streaming run must go too —
+    // they are idempotence markers and would silence a future epoch
+    Files.writeString(Paths.get(dir, "_epoch-3"), """{"epoch":3}""")
     write(points.limit(1), dir, mode = "overwrite")
     assert(published(dir).size == 1)
+    assert(!Files.exists(Paths.get(dir, "_epoch-3")))
     assert(Files.readString(Paths.get(dir, "_SUCCESS")) ==
       """{"rows":1}""")
   }
