@@ -214,6 +214,15 @@ class PlanSpec extends SparkSpec {
       s"fuzzy join degenerated to a cross product:\n$plan")
   }
 
+  test("jaccardJoin: candidates via hash equi-join, no nested loop") {
+    val df = SparkEntry.queries("q_jaccard_join")(spark, dir)
+    val plan = physical(df)
+    assert(!plan.contains("NestedLoop"),
+      s"set-similarity join degenerated to a nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"set-similarity join degenerated to a cross product:\n$plan")
+  }
+
   test("correlated EXISTS decorrelates to a semi join (no per-row subquery)") {
     val df = SparkEntry.queries("q_correlated_exists")(spark, dir)
     val plan = physical(df)
