@@ -93,12 +93,23 @@ class PointsTable(tableSchema: StructType,
     }
 }
 
+/** Transport security + auth options for the sink endpoint, mirroring
+  * the reference's InfluxDB client surface (`url_service_status_
+  * InfluxDB_insert.py:142-149`: client cert + key paths, SSL verify).
+  * Validated at writer BUILD time — a typo'd cert path must fail the
+  * plan, not the 400th task of a 1000-executor job.
+  */
+case class PointsTlsConf(clientCertPath: Option[String],
+    clientKeyPath: Option[String], sslVerify: Boolean)
+    extends Serializable
+
 /** All executor-visible write configuration, resolved ONCE on the
   * driver at plan time (field indices, not names, ship to tasks).
   */
 case class PointsWriteConf(path: String, measurement: String,
     tagIdx: Seq[(String, Int)], fieldIdx: Seq[(String, Int, DataType)],
-    timeIdx: Int, timeType: DataType) extends Serializable
+    timeIdx: Int, timeType: DataType,
+    tls: PointsTlsConf) extends Serializable
 
 object PointsWriteConf {
   def apply(options: CaseInsensitiveStringMap,
@@ -110,18 +121,65 @@ object PointsWriteConf {
       throw new IllegalArgumentException("graft-points needs a path"))
     val timeCol = Option(options.get("timeCol")).getOrElse("ts")
     def idx(c: String): Int = schema.fieldIndex(c)
+    val tags = cols("tagCols").map { c =>
+      // tags render via row.getString — a non-string column would
+      // surface as a task-time ClassCastException (or garbage bytes
+      // from the UnsafeRow); reject it here, plan-time, like the time
+      // column's type check
+      if (schema(c).dataType != StringType)
+        throw new IllegalArgumentException(
+          s"tag column '$c' must be STRING, got " +
+            schema(c).dataType.simpleString +
+            " (cast it before writing)")
+      c -> idx(c)
+    }
     PointsWriteConf(
       path,
       Option(options.get("measurement")).getOrElse("points"),
-      cols("tagCols").map(c => c -> idx(c)),
+      tags,
       cols("fieldCols").map(c =>
         (c, idx(c), schema(c).dataType)),
-      idx(timeCol), schema(timeCol).dataType)
+      idx(timeCol), schema(timeCol).dataType,
+      tlsConf(options))
+  }
+
+  /** Build-time validation of the TLS/auth option surface: cert and
+    * key must come together (the reference passes them as a pair),
+    * named files must exist, and the verify flag must parse.
+    */
+  private def tlsConf(options: CaseInsensitiveStringMap): PointsTlsConf = {
+    val cert = Option(options.get("clientCertPath")).filter(_.nonEmpty)
+    val key = Option(options.get("clientKeyPath")).filter(_.nonEmpty)
+    (cert, key) match {
+      case (Some(_), None) | (None, Some(_)) =>
+        throw new IllegalArgumentException(
+          "clientCertPath and clientKeyPath must be set together")
+      case _ => ()
+    }
+    (cert.toSeq ++ key.toSeq).foreach { p =>
+      if (!new java.io.File(p).isFile)
+        throw new IllegalArgumentException(
+          s"TLS credential file does not exist: $p")
+    }
+    val verify = Option(options.get("sslVerify")) match {
+      case None => true
+      case Some(v) if v.equalsIgnoreCase("true") => true
+      case Some(v) if v.equalsIgnoreCase("false") => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"sslVerify must be true or false, got '$v'")
+    }
+    PointsTlsConf(cert, key, verify)
   }
 }
 
 class PointsBatchWrite(conf: PointsWriteConf, truncateFirst: Boolean)
     extends BatchWrite {
+
+  // published names carry a per-JOB id, not the winning attempt's
+  // taskId: a later application appending into the same dir can reuse
+  // (partitionId, taskId) pairs, and a taskId-named part would collide
+  // with (and clobber) a previously published file
+  private val jobId = java.util.UUID.randomUUID().toString.take(8)
 
   private def fs(): (FileSystem, Path) = {
     val p = new Path(conf.path)
@@ -153,7 +211,7 @@ class PointsBatchWrite(conf: PointsWriteConf, truncateFirst: Boolean)
       val staged = new Path(m.stagedFile)
       if (m.rows > 0L) {
         val target = new Path(root,
-          f"part-${m.partitionId}%05d-${m.taskId}.lp")
+          f"part-${m.partitionId}%05d-$jobId.lp")
         if (!f.rename(staged, target))
           throw new java.io.IOException(
             s"commit failed renaming $staged -> $target")
@@ -189,10 +247,14 @@ class PointsWriterFactory(conf: PointsWriteConf)
   * atomically on `commit(epochId, _)`, writing an `_epoch-<id>`
   * manifest LAST. The manifest doubles as the idempotence marker: a
   * replayed epoch (checkpoint recovered after a commit the driver
-  * didn't get to record) sees it and publishes NOTHING — the
-  * exactly-once contract the reference approximates with its
-  * payload-snapshot dedup (`extract.py:14-17,115-132`), here enforced
-  * by the sink itself.
+  * didn't get to record) sees it and publishes NOTHING. Inside the
+  * marker-less crash window — driver died mid-commit, after some
+  * renames — the replay is still safe because publish names are
+  * deterministic per (epoch, partition) and the rename skips existing
+  * targets, so each partition publishes exactly once no matter where
+  * the previous attempt stopped — the exactly-once contract the
+  * reference approximates with its payload-snapshot dedup
+  * (`extract.py:14-17,115-132`), here enforced by the sink itself.
   */
 class PointsStreamingWriterFactory(conf: PointsWriteConf)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
@@ -230,9 +292,16 @@ class PointsStreamingWrite(conf: PointsWriteConf)
       messages.collect { case m: PointsCommitMessage => m }.foreach { m =>
         val src = new Path(m.stagedFile)
         if (m.rows > 0L) {
+          // deterministic per (epoch, partition) — NO taskId: if the
+          // driver died after renaming some partitions but before the
+          // marker write, the replayed epoch regenerates the SAME
+          // target names, so already-published partitions are skipped
+          // instead of re-published under fresh attempt names (the
+          // duplicate-part window the taskId scheme had)
           val target = new Path(root,
-            f"part-${m.partitionId}%05d-${m.taskId}-epoch$epochId.lp")
-          if (!f.rename(src, target))
+            f"part-${m.partitionId}%05d-epoch$epochId.lp")
+          if (f.exists(target)) f.delete(src, false)
+          else if (!f.rename(src, target))
             throw new java.io.IOException(
               s"epoch $epochId commit failed renaming $src -> $target")
         } else f.delete(src, false)

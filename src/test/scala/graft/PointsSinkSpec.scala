@@ -158,6 +158,97 @@ class PointsSinkSpec extends SparkSpec {
       """{"epoch":7,"rows":1}""")
   }
 
+  test("mid-commit crash replay: deterministic names, no duplicate parts") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = tmpDir()
+    val opts = new CaseInsensitiveStringMap(Map(
+      "path" -> dir, "measurement" -> "m",
+      "tagCols" -> "host_name", "fieldCols" -> "state_numeric",
+      "timeCol" -> "event_ts").asJava)
+    val conf = graft.sources.points.PointsWriteConf(opts, points.schema)
+    val sw = new graft.sources.points.PointsStreamingWrite(conf)
+    def stage(part: Int, taskId: Long)
+        : graft.sources.points.PointsCommitMessage = {
+      Files.createDirectories(Paths.get(dir, "_staging", "epoch-9"))
+      val f = Paths.get(dir, "_staging", "epoch-9", s"part-$part-$taskId.lp")
+      Files.writeString(f, s"m,host_name=h$part state_numeric=${part}i 0\n")
+      graft.sources.points.PointsCommitMessage(part, taskId, f.toString, 1L)
+    }
+    // simulate the crash window: partition 0 was already renamed in a
+    // commit attempt that died BEFORE the _epoch marker was written
+    Files.writeString(Paths.get(dir, "part-00000-epoch9.lp"),
+      "m,host_name=h0 state_numeric=0i 0\n")
+    // the replay re-stages BOTH partitions with fresh taskIds
+    sw.commit(9L, Array(stage(0, 555L), stage(1, 556L)))
+    val parts = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".lp")).toSeq.sorted
+    // exactly one file per partition — the pre-crash publish of
+    // partition 0 was NOT duplicated under a fresh attempt name
+    assert(parts == Seq("part-00000-epoch9.lp", "part-00001-epoch9.lp"),
+      parts.toString)
+    assert(Files.exists(Paths.get(dir, "_epoch-9")))
+  }
+
+  test("batch publish names carry a job id: cross-application appends never collide") {
+    val dir = tmpDir()
+    write(points, dir)
+    write(points, dir) // second "application" appending to the same dir
+    val parts = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".lp")).toSeq
+    assert(parts.size == parts.distinct.size && published(dir).size == 6)
+  }
+
+  test("non-string tag column is a plan-time error, not a task crash") {
+    val dir = tmpDir()
+    val e = intercept[Exception] {
+      points.write.format("graft-points").mode("append")
+        .option("path", dir)
+        .option("tagCols", "state_numeric") // LongType
+        .option("fieldCols", "value")
+        .option("timeCol", "event_ts")
+        .save()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("state_numeric") &&
+      m.contains("must be STRING")), messages(e).mkString(" | "))
+  }
+
+  test("TLS options: validated at build time, carried into the conf") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    def conf(extra: Map[String, String]) =
+      graft.sources.points.PointsWriteConf(
+        new CaseInsensitiveStringMap((Map("path" -> tmpDir(),
+          "tagCols" -> "host_name", "fieldCols" -> "state_numeric",
+          "timeCol" -> "event_ts") ++ extra).asJava), points.schema)
+    // cert without key (and vice versa) rejected as a pair
+    val e1 = intercept[IllegalArgumentException] {
+      conf(Map("clientCertPath" -> "/tmp/whatever.pem"))
+    }
+    assert(e1.getMessage.contains("together"))
+    // missing credential file rejected at plan time
+    val e2 = intercept[IllegalArgumentException] {
+      conf(Map("clientCertPath" -> "/nonexistent/c.pem",
+        "clientKeyPath" -> "/nonexistent/k.pem"))
+    }
+    assert(e2.getMessage.contains("does not exist"))
+    // a malformed verify flag cannot silently default
+    val e3 = intercept[IllegalArgumentException] {
+      conf(Map("sslVerify" -> "maybe"))
+    }
+    assert(e3.getMessage.contains("sslVerify"))
+    // valid pair + verify=false round-trips into the executor conf
+    val cert = Files.createTempFile("graftcert", ".pem")
+    val key = Files.createTempFile("graftkey", ".pem")
+    val ok = conf(Map("clientCertPath" -> cert.toString,
+      "clientKeyPath" -> key.toString, "sslVerify" -> "false"))
+    assert(ok.tls == graft.sources.points.PointsTlsConf(
+      Some(cert.toString), Some(key.toString), sslVerify = false))
+    // defaults: no credentials, verify on (url...py:142-149's shape)
+    assert(conf(Map.empty).tls ==
+      graft.sources.points.PointsTlsConf(None, None, sslVerify = true))
+  }
+
   test("streaming CDC: foreachBatch applyChangelog == batch apply") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.DataFrame
