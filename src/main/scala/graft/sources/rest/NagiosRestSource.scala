@@ -37,12 +37,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference's request contract: per-attempt timeout
   * (`url...py:50`, timeout=30), `raise_for_status` (`url...py:51`) with
   * 4xx failing FAST (a client error cannot succeed on retry), and
-  * bounded exponential-backoff retry for 5xx/IO/timeout. The default
-  * [[FileTransport]] reads
-  * `$endpointDir/rrdexport__<host>__<service>.json` (the same document
-  * the HTTP GET would return — zero-egress environment); a production
-  * build swaps in a pooled-HTTP `RestTransport` and nothing else
-  * changes. Options: `transportClass`, `maxRetries` (default 3),
+  * bounded exponential-backoff retry for 5xx/IO/timeout. Two endpoint
+  * modes: `endpointDir` (default [[FileTransport]]) reads
+  * `$endpointDir/rrdexport__<host>__<service>.json` — the same
+  * document the HTTP GET would return — for zero-egress environments;
+  * `endpointUrl` + `hostServices` (default [[HttpTransport]]) GETs the
+  * live API once per (host, service) pair of the inventory-derived
+  * fetch list. Options: `transportClass`, `maxRetries` (default 3),
   * `timeoutMs` (default 30000), `backoffMs` (default 100).
   *
   * Output schema: (host_name, service_name, epoch long, values
@@ -62,13 +63,40 @@ class NagiosRestSource extends TableProvider
       properties: util.Map[String, String]): Table = {
     def opt(k: String): Option[String] =
       Option(properties.get(k)).orElse(Option(properties.get(k.toLowerCase)))
-    new RestTable(properties.get("endpointDir"), RestTransportConf(
-      opt("transportClass").getOrElse(classOf[FileTransport].getName),
+    val endpoints = RestEndpoints(
+      opt("endpointDir"), opt("endpointUrl"),
+      opt("hostServices").map(NagiosRestSource.parseHostServices)
+        .getOrElse(Seq.empty))
+    if (endpoints.url.isEmpty && endpoints.dir.isEmpty)
+      throw new IllegalArgumentException(
+        "nagios-rest needs endpointDir (file mode) or endpointUrl " +
+          "+ hostServices (HTTP mode)")
+    if (endpoints.url.isDefined && endpoints.hostServices.isEmpty)
+      throw new IllegalArgumentException(
+        "endpointUrl mode needs hostServices " +
+          "(\"host:service;host:service\" — the inventory-derived " +
+          "fetch list, extract.py:107-112)")
+    // transport default follows the endpoint mode; an explicit
+    // transportClass (e.g. a custom pooled client) still wins
+    val defaultTransport =
+      if (endpoints.url.isDefined) classOf[HttpTransport].getName
+      else classOf[FileTransport].getName
+    new RestTable(endpoints, RestTransportConf(
+      opt("transportClass").getOrElse(defaultTransport),
       opt("maxRetries").map(_.toInt).getOrElse(3),
       opt("timeoutMs").map(_.toLong).getOrElse(30000L),
       opt("backoffMs").map(_.toLong).getOrElse(100L)))
   }
 }
+
+/** Where fetch tasks come from: `dir` mode enumerates endpoint docs on
+  * disk (zero-egress default); `url` mode fetches a live base URL once
+  * per (host, service) in `hostServices` — the task list a production
+  * job derives from the inventory pipeline exactly as
+  * `extract.py:107-112` iterates the host table.
+  */
+case class RestEndpoints(dir: Option[String], url: Option[String],
+    hostServices: Seq[(String, String)])
 
 /** Per-request transport policy, shipped inside every input partition
   * (plain primitives — java-serializable to executors).
@@ -102,6 +130,52 @@ class FileTransport extends RestTransport {
   override def fetch(url: String, params: Map[String, String]): RestResponse =
     RestResponse(200, new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(url)), "UTF-8"))
+}
+
+/** Live HTTP transport over the JDK `java.net.http` client: one fetch
+  * = one GET of `url` with `params` URL-encoded into the query string
+  * — `requests.get(url, params=...)` (`extract.py:71-76`,
+  * `url...py:49-50`) re-expressed. Selected automatically in
+  * `endpointUrl` mode (or explicitly via `transportClass`).
+  *
+  * Policy split: retry/backoff/deadline live in
+  * [[RestTransport.guarded]] (the outer bound); this class only maps
+  * (url, params) → response. Its own connect/request timeouts mirror
+  * the reference's `timeout=30` so a black-holed connection fails the
+  * attempt from the inside too, instead of pinning the guard's
+  * deadline thread for the duration.
+  *
+  * The client is one JVM-wide instance (connection pooling across the
+  * executor's tasks — the fleet-fetch shape of `extract.py:150`'s
+  * thread pool); instances of this class are stateless shims around
+  * it, cheap to construct per task by class name.
+  */
+class HttpTransport extends RestTransport {
+  override def fetch(url: String, params: Map[String, String]): RestResponse = {
+    def enc(s: String): String =
+      java.net.URLEncoder.encode(s, "UTF-8")
+    // deterministic param order: a stable query string makes request
+    // logs/caches comparable across runs (Map order is not)
+    val query = params.toSeq.sortBy(_._1)
+      .map { case (k, v) => enc(k) + "=" + enc(v) }.mkString("&")
+    val full =
+      if (query.isEmpty) url
+      else url + (if (url.contains("?")) "&" else "?") + query
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(full))
+      .timeout(java.time.Duration.ofSeconds(30))
+      .GET().build()
+    val resp = HttpTransport.client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    RestResponse(resp.statusCode(), resp.body())
+  }
+}
+
+object HttpTransport {
+  private lazy val client: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(30))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
 }
 
 object RestTransport {
@@ -184,23 +258,38 @@ object NagiosRestSource {
   /** endpointDir file name for one fetch task. */
   def taskFile(host: String, service: String): String =
     s"rrdexport__${host}__${service}.json"
+
+  /** `"host:service;host:service"` → pairs. `:` splits once, so
+    * service names may contain spaces and further colons; `;` is the
+    * pair separator (service names in the reference contain spaces
+    * and commas — `extract.py:37-48` — but no semicolons).
+    */
+  def parseHostServices(s: String): Seq[(String, String)] =
+    s.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
+      p.split(":", 2) match {
+        case Array(h, svc) if h.nonEmpty && svc.nonEmpty => (h, svc)
+        case _ => throw new IllegalArgumentException(
+          s"hostServices entry '$p' is not host:service")
+      }
+    }
 }
 
-class RestTable(endpointDir: String, conf: RestTransportConf)
+class RestTable(endpoints: RestEndpoints, conf: RestTransportConf)
     extends Table with SupportsRead {
-  override def name(): String = s"nagios-rest($endpointDir)"
+  override def name(): String =
+    s"nagios-rest(${endpoints.url.orElse(endpoints.dir).getOrElse("")})"
   override def schema(): StructType = NagiosRestSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RestScanBuilder(endpointDir, conf)
+    new RestScanBuilder(endpoints, conf)
 }
 
 /** Pushdown: equality/IN on host_name & service_name prune fetch
   * tasks; `epoch >= ts` becomes the start parameter. Everything else
   * stays for Spark to evaluate (returned from pushFilters).
   */
-class RestScanBuilder(endpointDir: String, conf: RestTransportConf)
+class RestScanBuilder(endpoints: RestEndpoints, conf: RestTransportConf)
     extends ScanBuilder with SupportsPushDownFilters {
 
   private var hosts: Option[Set[String]] = None
@@ -242,10 +331,10 @@ class RestScanBuilder(endpointDir: String, conf: RestTransportConf)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new RestScan(endpointDir, hosts, services, startEpoch, pushed, conf)
+    new RestScan(endpoints, hosts, services, startEpoch, pushed, conf)
 }
 
-class RestScan(endpointDir: String, hosts: Option[Set[String]],
+class RestScan(endpoints: RestEndpoints, hosts: Option[Set[String]],
     services: Option[Set[String]], startEpoch: Option[Long],
     pushed: Array[Filter], conf: RestTransportConf)
     extends Scan with Batch {
@@ -255,24 +344,33 @@ class RestScan(endpointDir: String, hosts: Option[Set[String]],
   override def description(): String =
     s"NagiosRestScan PushedFilters: [${pushed.mkString(", ")}]"
 
-  /** Enumerate fetch tasks = the catalog of available endpoint docs,
-    * pruned by pushed host/service predicates. (Production: the task
-    * list comes from the inventory table, exactly like
-    * `extract.py:107-112`.)
+  /** Enumerate fetch tasks, pruned by pushed host/service predicates:
+    * URL mode iterates the supplied inventory-derived (host, service)
+    * list exactly as `extract.py:107-112` iterates the host table; dir
+    * mode enumerates the catalog of endpoint docs on disk.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(endpointDir)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("rrdexport__"))
-    files.flatMap { f =>
-      f.getName.stripSuffix(".json").split("__") match {
-        case Array(_, host, service)
-            if hosts.forall(_.contains(host)) &&
-               services.forall(_.contains(service)) =>
-          Some(RestInputPartition(host, service, f.getAbsolutePath,
-            startEpoch, conf): InputPartition)
-        case _ => None
-      }
+    def keep(host: String, service: String): Boolean =
+      hosts.forall(_.contains(host)) && services.forall(_.contains(service))
+    endpoints.url match {
+      case Some(base) =>
+        endpoints.hostServices.collect {
+          case (host, service) if keep(host, service) =>
+            RestInputPartition(host, service, base, startEpoch,
+              conf): InputPartition
+        }.toArray
+      case None =>
+        val dir = new java.io.File(endpoints.dir.get)
+        val files = Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("rrdexport__"))
+        files.flatMap { f =>
+          f.getName.stripSuffix(".json").split("__") match {
+            case Array(_, host, service) if keep(host, service) =>
+              Some(RestInputPartition(host, service, f.getAbsolutePath,
+                startEpoch, conf): InputPartition)
+            case _ => None
+          }
+        }
     }
   }
 

@@ -192,4 +192,119 @@ class RestSourceSpec extends SparkSpec {
     assert(rows.length == 3)
     assert(rows.head.getAs[Double]("percent_used") == 42.12)
   }
+
+  // ------------------------------------------------------------------ //
+  // Live-socket HTTP transport (VERDICT r3 gap #1): a local stub HTTP
+  // server — no egress — exercises the real java.net.http path.
+  // ------------------------------------------------------------------ //
+
+  /** Stub server on an ephemeral 127.0.0.1 port; the handler sees each
+    * request's decoded query params. Stopped before the test returns.
+    */
+  private def withServer(
+      handler: (String, Map[String, String]) => (Int, String))(
+      f: String => Unit): Unit = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val params = q.split("&").filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+      val (status, body) = handler(ex.getRequestURI.getPath, params)
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(status, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    // parallel partitions (local[*]) hit the server concurrently; the
+    // default same-thread executor would serialize behind a hung task
+    srv.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    srv.start()
+    try f(s"http://127.0.0.1:${srv.getAddress.getPort}")
+    finally srv.stop(0)
+  }
+
+  test("HttpTransport GETs the url with params URL-encoded (extract.py:71-76)") {
+    val seen = new java.util.concurrent.atomic.AtomicReference[Map[String, String]]
+    withServer({ (path, params) =>
+      seen.set(params)
+      if (path == "/rrdexport") (200, """{"data":{"row":[]}}""")
+      else (404, "wrong path")
+    }) { base =>
+      val resp = new graft.sources.rest.HttpTransport().fetch(
+        s"$base/rrdexport",
+        Map("host" -> "web 01", "service" -> "CPU Usage",
+          "start" -> "1723402800"))
+      assert(resp.status == 200 && resp.body.contains("row"))
+      // space and ordering survive the encode/decode round trip
+      assert(seen.get() == Map("host" -> "web 01",
+        "service" -> "CPU Usage", "start" -> "1723402800"))
+    }
+  }
+
+  test("endpointUrl mode end-to-end: live GETs, task pruning, guard retry") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val requested = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    withServer({ (_, params) =>
+      val host = params("host")
+      val service = params("service")
+      requested.add(s"$host/$service")
+      // first request 503s: the guard must retry it into success
+      if (hits.incrementAndGet() == 1) (503, "busy")
+      else if (host == "web01" && service == "CPU Usage")
+        (200, """{"data":{"row":[
+          |  {"t":"1723402800","v":"42.0"},
+          |  {"t":"1723406400","v":["1.5","2.5"]}
+          |]}}""".stripMargin)
+      else (200, """{"data":{"row":[{"t":"1723402800","v":"9.9"}]}}""")
+    }) { base =>
+      val df = spark.read.format("nagios-rest")
+        .option("endpointUrl", s"$base/rrdexport")
+        .option("hostServices",
+          "web01:CPU Usage;web01:Memory Usage;web02:CPU Usage")
+        .option("backoffMs", "1")
+        .load()
+      // pruned read: only web01 tasks may reach the server
+      requested.clear()
+      val got = df.filter($"host_name" === "web01")
+        .orderBy("service_name", "epoch").collect()
+      assert(got.length == 3) // 2 CPU rows + 1 Memory row
+      assert(got.map(_.getString(1)).toSet ==
+        Set("CPU Usage", "Memory Usage"))
+      assert(got.map(_.getSeq[String](3).toSeq).contains(Seq("1.5", "2.5")))
+      assert(requested.size == 2 &&
+        !requested.contains("web02/CPU Usage"), requested.toString)
+    }
+  }
+
+  test("endpointUrl mode: 404 from a real socket fails fast through the guard") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer({ (_, _) => hits.incrementAndGet(); (404, "no such rrd") }) {
+      base =>
+        val e = intercept[Exception] {
+          spark.read.format("nagios-rest")
+            .option("endpointUrl", s"$base/rrdexport")
+            .option("hostServices", "web01:CPU Usage")
+            .option("backoffMs", "1")
+            .load().collect()
+        }
+        def messages(t: Throwable): Seq[String] =
+          if (t == null) Nil else t.getMessage +: messages(t.getCause)
+        assert(messages(e).exists(_.contains("client error 404")),
+          messages(e).mkString(" | "))
+        assert(hits.get() == 1) // raise_for_status: no retry on 4xx
+    }
+  }
+
+  test("endpointUrl mode requires the inventory-derived task list") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("nagios-rest")
+        .option("endpointUrl", "http://example.invalid/rrdexport")
+        .load()
+    }
+    assert(e.getMessage.contains("hostServices"))
+  }
 }
