@@ -285,10 +285,20 @@ object Dedup {
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
-    val losers = minhashNearDupPairs(df, idCol, textCol, shingleK,
-      numHashes, bands, threshold)
-      .select(col("id_b").as(idCol)).distinct()
+      threshold: Double = 0.8): DataFrame =
+    dedupGreedyByPairs(df, idCol,
+      minhashNearDupPairs(df, idCol, textCol, shingleK, numHashes, bands,
+        threshold))
+
+  /** [[minhashDedup]]'s greedy survivor rule over a PRECOMPUTED verified
+    * pair set — the staged operating mode: at 100 TB the pair table is
+    * written once per corpus version and every survivor policy
+    * (greedy here, transitive closure in [[dedupByComponents]]) reads
+    * it instead of re-running sig→band→verify per policy.
+    */
+  def dedupGreedyByPairs(df: DataFrame, idCol: String, pairs: DataFrame)
+      : DataFrame = {
+    val losers = pairs.select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -307,6 +317,18 @@ object Dedup {
     * chains the alternating large-star/small-star formulation cuts
     * rounds to O(log d) at the price of edge-set rewrites per round —
     * the documented escalation path, not the default.
+    *
+    * Every round ends in an EAGER `localCheckpoint`: it materializes
+    * the round (the work the convergence count needs anyway) and —
+    * the part `persist` alone cannot do — truncates the LOGICAL plan
+    * to the checkpointed RDD. Without that cut each round's plan
+    * embeds the previous round's twice (neighbor-min join + changed
+    * join), an O(2^rounds) tree that stalls the driver in
+    * analysis/plan-string work long before any executor runs (a
+    * 25-node chain — 24 rounds — was enough to hang a test for
+    * minutes; the quasi-clique 2–3-round graphs never showed it).
+    * Superseded checkpoint blocks are reclaimed by the
+    * ContextCleaner once the previous round's frame is unreferenced.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIters: Int = 50): DataFrame = {
@@ -315,11 +337,10 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(lvl)
     sym.count() // materialize before per-round multi-branch reuse
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .persist(lvl)
-    labels.count()
     try {
+      var labels = sym.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id"))
+        .localCheckpoint(true)
       var it = 0
       var converged = false
       while (!converged && it < maxIters) {
@@ -333,21 +354,19 @@ object Dedup {
           .join(nbMin, Seq("id"), "left")
           .select(col("id"), least(col("component"),
             coalesce(col("__nbMin"), col("component"))).as("component"))
-          .persist(lvl)
+          .localCheckpoint(true)
         val changed = next.join(
             labels.select(col("id"), col("component").as("__old")), Seq("id"))
           .filter(col("component") =!= col("__old")).count()
-        labels.unpersist(false)
         labels = next
         converged = changed == 0
       }
       require(converged,
         s"connectedComponents did not converge in $maxIters rounds")
-      labels.localCheckpoint(true)
+      labels
     } finally {
       // a non-convergence throw (or any mid-loop failure) must not
-      // strand the edge list and the last label frame in the cache
-      labels.unpersist(false)
+      // strand the edge list in the cache
       sym.unpersist(false)
     }
   }

@@ -37,30 +37,36 @@ object Multimodal {
     StructField("media_id", LongType, nullable = false),
     StructField("format", StringType),
     StructField("n_bytes", IntegerType, nullable = false),
-    StructField("checksum", LongType, nullable = false),
+    StructField("checksum", StringType, nullable = false),
     StructField("features", ArrayType(FloatType), nullable = false)))
 
   /** Deterministic fake codec: "decodes" a payload into a fixed-length
     * feature vector derived from byte statistics. Replace with a real
     * decoder (JNI/FFM to libjpeg etc.) in production — the call site,
     * batching and schema stay identical.
+    *
+    * Both outputs are ENGINE-PORTABLE, so the whole mapPartitions codec
+    * path is oracle-checkable end to end (`q_media_features`), not just
+    * the column plumbing around it: the checksum is md5 hex (not a Java
+    * 31-hash, whose silent Long wraparound no SQL engine replays), and
+    * each feature slot is an exact integer byte sum — integer-valued
+    * floats are exact and order-independent below 2^24, and the largest
+    * possible slot sum (payload bytes × 255) stays far under that for
+    * any document in scope.
     */
   object StubCodec {
     def decode(payload: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
       var i = 0
       while (i < payload.length) {
-        out(i % dim) += (payload(i) & 0xFF) / 255.0f
+        out(i % dim) += (payload(i) & 0xFF)
         i += 1
       }
       out
     }
-    def checksum(payload: Array[Byte]): Long = {
-      var h = 1125899906842597L
-      var i = 0
-      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-      h
-    }
+    def checksum(payload: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(payload)
+        .map(b => f"${b & 0xff}%02x").mkString
   }
 
   /** Build a media table from any binary-able column — used by tests

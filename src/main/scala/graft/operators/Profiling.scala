@@ -87,14 +87,15 @@ object Profiling {
     * is the actionable artifact: WHICH region moved).
     *
     * Plan shape: tag-union the two sides, ONE partial-aggregated
-    * (bin) exchange with conditional counts, then a window over the
-    * |bins|-row frame for totals (swap for broadcast scalars if bin
-    * cardinality ever explodes — same note as `mixtureWeights`).
+    * (bin) exchange with conditional counts, then the two grand totals
+    * as a broadcast ONE-ROW aggregate joined map-side — not a
+    * single-partition window, which would serialize the frame into one
+    * task (and WARN on every run) while the broadcast stays safe at
+    * any bin cardinality (same note as `mixtureWeights`).
     */
   def distributionDrift(base: DataFrame, cur: DataFrame,
       valueCol: String, binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    import org.apache.spark.sql.expressions.Window
     def binned(df: DataFrame, tag: Int) = df
       .filter(col(valueCol).isNotNull)
       .select(floor(col(valueCol) / binWidth).cast("long").as("bin"),
@@ -103,14 +104,14 @@ object Profiling {
       .groupBy(col("bin")).agg(
         sum(when(col("__side") === 0, 1L).otherwise(0L)).as("n_base"),
         sum(when(col("__side") === 1, 1L).otherwise(0L)).as("n_cur"))
-    val w = Window.partitionBy() // |bins| rows — trivially small
-    val pb = col("n_base").cast("double") /
-      sum(col("n_base")).over(w).cast("double")
-    val pc = col("n_cur").cast("double") /
-      sum(col("n_cur")).over(w).cast("double")
-    counts.select(col("bin"), col("n_base"), col("n_cur"),
-      round(pb, 9).as("p_base"), round(pc, 9).as("p_cur"),
-      round((pb - pc) * (pb - pc) / (pb + pc), 9).as("drift"))
+    val totals = counts.agg(sum(col("n_base")).as("__t_base"),
+      sum(col("n_cur")).as("__t_cur"))
+    val pb = col("n_base").cast("double") / col("__t_base").cast("double")
+    val pc = col("n_cur").cast("double") / col("__t_cur").cast("double")
+    counts.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        round(pb, 9).as("p_base"), round(pc, 9).as("p_cur"),
+        round((pb - pc) * (pb - pc) / (pb + pc), 9).as("drift"))
   }
 
   /** Normalizing constant for [[kmvDistinct]] hashes: 15 hex digits of

@@ -242,7 +242,13 @@ object Relational {
     val pSide = probe
       .withColumn("__is_probe", lit(1))
       .withColumn("__payload", lit(null).cast(payloadType))
-    val bSide = build
+    // a null-ts build row can never satisfy `build.ts <= probe.ts` (or
+    // >=) — but unfiltered it would sort FIRST in both scan directions
+    // (asc defaults nulls-first; forward uses desc_nulls_first) and its
+    // non-null payload struct would be carried by last(ignoreNulls)
+    // into every probe row with no real match. Drop it here, exactly
+    // as SQL ASOF never matches a null timestamp.
+    val bSide = build.filter(col(tsCol).isNotNull)
       .withColumn("__is_probe", lit(0))
       .withColumn("__payload", payloadStruct)
       .select((probeCols.map(c =>
@@ -250,7 +256,7 @@ object Relational {
         else lit(null).cast(probe.schema(c).dataType).as(c))
         :+ col("__is_probe")) :+ col("__payload"): _*)
     // nulls-first both directions: a null-ts probe row must scan
-    // before every build row and keep a null payload
+    // before every (non-null-ts) build row and keep a null payload
     val tsOrder =
       if (forward) col(tsCol).desc_nulls_first else col(tsCol).asc
     val w = Window.partitionBy(keys.map(col): _*)

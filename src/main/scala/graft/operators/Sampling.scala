@@ -302,9 +302,11 @@ object Sampling {
     * ratio is one double division of two exactly-agreed inputs.
     *
     * Plan shape: one partial+final count aggregate (exchange carries
-    * one row per domain per partition), then a single-partition window
-    * for the total over |domains| rows — trivially small; at extreme
-    * domain cardinality swap the window for a broadcast scalar.
+    * one row per domain per partition), then the grand total as a
+    * broadcast ONE-ROW aggregate joined map-side — not a
+    * single-partition window, which would serialize the frame into one
+    * task (and WARN on every run) while the broadcast stays safe at
+    * any domain cardinality. Same exact decimal sum either way.
     */
   def mixtureWeights(df: DataFrame, domainCol: String): DataFrame = {
     val counts = df.filter(col(domainCol).isNotNull)
@@ -312,10 +314,13 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"))
     val w = round(sqrt(col("n_docs").cast("double")), 9)
       .cast("decimal(28,9)")
-    counts
+    val weighted = counts
       .select(col("domain"), col("n_docs"), w.as("weight"))
+    val total = weighted.agg(sum(col("weight")).as("__w_total"))
+    weighted.crossJoin(broadcast(total))
       .withColumn("mix_ratio",
         round(col("weight").cast("double") /
-          sum(col("weight")).over(Window.partitionBy()).cast("double"), 9))
+          col("__w_total").cast("double"), 9))
+      .drop("__w_total")
   }
 }

@@ -661,9 +661,21 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Seq[Float]]("features").size == 8))
     // deterministic: same payload -> same checksum/features
     val again = Multimodal.extractFeatures(back, dim = 8)
-      .select($"media_id", $"checksum").as[(Long, Long)].collect().toMap
+      .select($"media_id", $"checksum").as[(Long, String)].collect().toMap
     rows.foreach(r => assert(
-      again(r.getAs[Long]("media_id")) == r.getAs[Long]("checksum")))
+      again(r.getAs[Long]("media_id")) == r.getAs[String]("checksum")))
+    // codec outputs are engine-portable: md5 hex checksum, exact
+    // integer byte sums per mod-dim slot
+    val one = back.filter($"media_id" === back.select(min($"media_id"))
+      .as[Long].head()).select($"payload").as[Array[Byte]].head()
+    val row = rows.minBy(_.getAs[Long]("media_id"))
+    assert(row.getAs[String]("checksum") ==
+      java.security.MessageDigest.getInstance("MD5").digest(one)
+        .map(b => f"${b & 0xff}%02x").mkString)
+    val want = new Array[Int](8)
+    one.indices.foreach(i => want(i % 8) += one(i) & 0xFF)
+    assert(row.getSeq[Float](row.fieldIndex("features"))
+      .map(_.toInt).toSeq == want.toSeq)
 
     val resized = Multimodal.resizePayload(back, 16)
     assert(resized.select(max(length($"payload"))).as[Int].head() <= 16)

@@ -64,6 +64,33 @@ class RelationalSpec extends SparkSpec {
     assert(got == (None, 200L))
   }
 
+  test("asOfJoin: a null-ts build row never matches (both directions)") {
+    // a null build ts sorts FIRST in both scan directions; unfiltered,
+    // its payload would leak into every probe row with no real match
+    val probe = Seq(
+      (1L, 10L, Some(ts("2024-01-01 08:00:00"))), // before s1 → null
+      (2L, 10L, Some(ts("2024-01-01 10:00:00"))), // after s1 → s1
+      (3L, 20L, Some(ts("2024-01-01 10:00:00"))), // key with only null-ts build
+      (4L, 10L, None)                             // null probe ts → null
+    ).toDF("event_id", "user_id", "ts")
+    val build = Seq(
+      (10L, Some(ts("2024-01-01 09:00:00")), 100.0), // s1
+      (10L, None, 666.0),                            // must never match
+      (20L, None, 777.0)                             // must never match
+    ).toDF("user_id", "ts", "signup_value")
+    for (fwd <- Seq(false, true)) {
+      val got = Relational.asOfJoin(probe, build, Seq("user_id"), "ts",
+          forward = fwd)
+        .select($"event_id", $"signup_value")
+        .as[(Long, Option[Double])].collect().toMap
+      val s1 = Some(100.0)
+      val expected =
+        if (fwd) Map(1L -> s1, 2L -> None, 3L -> None, 4L -> None)
+        else Map(1L -> None, 2L -> s1, 3L -> None, 4L -> None)
+      assert(got == expected, s"forward=$fwd")
+    }
+  }
+
   test("asOfJoin preserves probe row count (left semantics)") {
     val probe = spark.range(100).select(
       col("id").as("event_id"), (col("id") % 7).as("user_id"),

@@ -135,6 +135,39 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: adversarial graph shapes at 1e5 edges") {
+    import graft.operators.Dedup
+    // star: 1e5 spokes on one hub — the boilerplate-matched-by-
+    // millions shape. One aggregate round must resolve it (diameter
+    // 2), and the hub's degree must cost an aggregate, not a giant
+    // neighbor array.
+    val star = spark.range(1, 100001).select(
+      lit(0L).as("id_a"), $"id".as("id_b"))
+    val starLabels = Dedup.connectedComponents(star)
+    assert(starLabels.count() == 100001)
+    assert(starLabels.filter($"component" =!= 0L).count() == 0)
+
+    // long chain: 0-1-2-...-24 — diameter stress. Min-label moves one
+    // hop per round, so this needs ~24 aggregate rounds: it exercises
+    // the iterated loop + per-round localCheckpoint lineage truncation
+    // well past the 2-3 rounds quasi-clique dedup graphs need, while
+    // staying far from the documented large-star/small-star escalation
+    // territory (a 1e5-diameter chain would need 1e5 rounds here — the
+    // shape that formulation exists for)
+    val chain = spark.range(24).select(
+      $"id".as("id_a"), ($"id" + 1).as("id_b"))
+    val chainLabels = Dedup.connectedComponents(chain)
+    assert(chainLabels.count() == 25)
+    assert(chainLabels.filter($"component" =!= 0L).count() == 0)
+
+    // the maxIters bound REFUSES instead of silently returning a
+    // half-converged labeling (a wrong dedup would drop real docs)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIters = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // at 100 TB a selective dim predicate should cut the FACT side
     // before its shuffle, not after the join: Spark's runtime bloom
