@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // the 120-query bench churns thousands of generated classes; the
+  // JDK default 240m JIT code cache flips to interpreter-only when
+  // full, which silently triples later bench passes
+  "-XX:ReservedCodeCacheSize=512m",
 )

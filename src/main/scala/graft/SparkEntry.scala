@@ -137,6 +137,26 @@ object SparkEntry {
     * a stale corpus — the exact failure the incremental drift guard
     * exists to prevent.
     */
+  /** Verified near-dup pairs of [[nearDupCorpus]] under the family's
+    * shared scheme (k=5 shingles, 64 hashes, 32 bands, τ=0.5), computed
+    * ONCE per (session, dir) and reused by `q_minhash_pairs` /
+    * `q_minhash_dedup` / `q_minhash_dedup_cc`. [[Dedup.minhashNearDupPairs]]
+    * materializes its result eagerly (localCheckpoint), so this memo is
+    * pure reuse, not deferred recompute — the in-session analogue of the
+    * production pattern where the verified pair table is staged to
+    * parquet once per corpus version and every survivor policy reads it
+    * (see [[Dedup.dedupGreedyByPairs]]); re-deriving identical pairs per
+    * policy would triple the dominant sig→band→verify cost for zero
+    * information.
+    */
+  private val nearDupPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def nearDupPairsShared(s: SparkSession, dir: String): DataFrame =
+    nearDupPairsMemo.computeIfAbsent((s, dir), { _ =>
+      Dedup.minhashNearDupPairs(nearDupCorpus(s, dir), "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5)
+    })
+
   private def stagedHistoryBands(s: SparkSession, dir: String): DataFrame = {
     val src = new java.io.File(s"$dir/documents.parquet")
     val tag = Tables.dirTag(
@@ -147,7 +167,9 @@ object SparkEntry {
       Dedup.stageBandKeys(
         Tables.documents(s, dir).select("doc_id", "text"),
         "doc_id", "text", path, shingleK = 5, numHashes = 64, bands = 32)
-    s.read.parquet(path)
+    // version-tagged path => immutable => memo-safe (no per-call
+    // footer/partition-discovery metadata jobs)
+    Tables.memoRead(s, path)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1162,30 +1184,26 @@ object SparkEntry {
         .filter(col("lang_pred") =!= "und" && col("n_docs") > 0)
     }),
 
-    // ============ §2.10 hash-based (rows-only checks) ============
+    // ============ §2.10 hash-based ============
     // Array-typed outputs are projected to canonical comma-joined
     // strings: the driver's pandas comparator cannot sort/hash ndarray
     // cells, and the string form is order-preserving and lossless.
-    "q_minhash_sig" -> ((s, dir) => {
-      Tables.documents(s, dir).select(col("doc_id"),
-        concat_ws(",",
-          Dedup.minhashSignature(TextOps.shingles(col("text"), 5), 64)
-            .cast("array<string>")).as("sig"))
-    }),
+    //
+    // The xxhash64-based fast signatures (Dedup.minhashSignature /
+    // simhash64 — the scan-speed defaults inside the pair pipelines)
+    // are intrinsically engine-private and are pinned by specs
+    // (ExtensionOpsSpec, SqlSurfaceSpec) instead of occupying
+    // rows-only oracle slots here; the md5-portable signature queries
+    // below carry the exact oracles for the same computation shapes.
 
-    "q_simhash" -> ((s, dir) => {
-      Tables.documents(s, dir).select(col("doc_id"),
-        Dedup.simhash64(col("text")).as("fingerprint"))
-    }),
-
-    // the oracle-checkable simhash sibling: md5-based 60-bit voting,
-    // every step replayable by an independent engine
+    // oracle-checkable simhash: md5-based 60-bit voting, every step
+    // replayable by an independent engine
     "q_simhash_md5" -> ((s, dir) => {
       Dedup.simhash60Portable(Tables.documents(s, dir), "doc_id", "text")
     }),
 
-    // the oracle-checkable minhash-signature sibling: md5 base hash +
-    // affine permutations mod 2^31-1, minima per permutation
+    // oracle-checkable minhash signature: md5 base hash + affine
+    // permutations mod 2^31-1, minima per permutation
     "q_minhash_sig_md5" -> ((s, dir) => {
       Dedup.minhashSignaturePortable(Tables.documents(s, dir), "doc_id",
         "text", shingleK = 5, numHashes = 32)
@@ -1208,8 +1226,7 @@ object SparkEntry {
       // probability at jaccard 0.5 is 1-(1-0.25)^32 ≈ 0.9999, so the
       // verified output equals the exact all-pairs oracle on this
       // corpus (exactness asserted by the DuckDB brute-force oracle).
-      Dedup.minhashNearDupPairs(nearDupCorpus(s, dir), "doc_id", "text",
-          numHashes = 64, bands = 32, threshold = 0.5)
+      nearDupPairsShared(s, dir)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
@@ -1295,11 +1312,18 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }),
 
+    // the full codec path — mapPartitions decode, feature vector and
+    // all — is hash-oracled: the stub codec's outputs are portable by
+    // design (md5 checksum; features = exact integer byte sums per
+    // mod-8 slot, emitted as ints), so DuckDB replays byte-for-byte
     "q_media_features" -> ((s, dir) => {
       val media = Multimodal.fromBinary(Tables.documents(s, dir),
         "doc_id", "text", "text/plain")
       Multimodal.extractFeatures(media, dim = 8)
-        .select("media_id", "n_bytes", "checksum")
+        .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("checksum"),
+          concat_ws(",", col("features").cast("array<int>")
+            .cast("array<string>")).as("features"))
     }),
 
     // oracle-backed slice of the multimodal surface: byte length and
@@ -1321,8 +1345,8 @@ object SparkEntry {
     // near-dup corpus as q_minhash_pairs, so the exact all-pairs
     // Jaccard oracle determines the surviving id set exactly.
     "q_minhash_dedup" -> ((s, dir) => {
-      Dedup.minhashDedup(nearDupCorpus(s, dir), "doc_id", "text",
-          numHashes = 64, bands = 32, threshold = 0.5)
+      Dedup.dedupGreedyByPairs(nearDupCorpus(s, dir), "doc_id",
+          nearDupPairsShared(s, dir))
         .select(col("doc_id"))
     }),
 
@@ -1351,8 +1375,8 @@ object SparkEntry {
     // members whose only neighbors were themselves dropped). Oracle =
     // DuckDB recursive CTE computing the same closure.
     "q_minhash_dedup_cc" -> ((s, dir) => {
-      Dedup.minhashDedupComponents(nearDupCorpus(s, dir), "doc_id", "text",
-          numHashes = 64, bands = 32, threshold = 0.5)
+      Dedup.dedupByComponents(nearDupCorpus(s, dir), "doc_id",
+          nearDupPairsShared(s, dir))
         .select(col("doc_id"))
     }),
 
@@ -2904,6 +2928,28 @@ object SparkEntry {
         | md5(text) AS checksum
         |FROM documents""".stripMargin,
 
+    // full stub-codec replay: features = per-(position mod 8) integer
+    // byte sums. ord(char) == byte value holds because the corpus is
+    // pure ASCII (verified across SFs; a multi-byte corpus would need
+    // blob byte access instead) — the empty-text guard keeps ord off
+    // the empty string
+    "q_media_features" ->
+      """WITH b AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN text = '' THEN CAST([] AS INTEGER[])
+        |   ELSE list_transform(string_split(text, ''), c -> ord(c)) END
+        |   AS bytes
+        | FROM documents)
+        |SELECT doc_id AS media_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS checksum,
+        | array_to_string(list_transform(range(0, 8), j ->
+        |   CAST(coalesce(list_sum(list_transform(
+        |     range(1, len(bytes) + 1),
+        |     i -> CASE WHEN (i - 1) % 8 = j THEN bytes[i] ELSE 0 END)),
+        |     0) AS VARCHAR)), ',') AS features
+        |FROM b""".stripMargin,
+
     // exact all-pairs 5-shingle Jaccard (brute force is feasible at the
     // verify SF): proves the LSH candidate generation misses nothing on
     // this corpus AND the verification step admits nothing below
@@ -3324,7 +3370,10 @@ object SparkEntry {
         | FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1)
         |SELECT user_id, event_id, y AS ewma FROM r""".stripMargin,
 
-    // the same 32 shift/mask terms, generated for DuckDB's >> and &
+    // the same 32 shift/mask terms, generated for DuckDB's >> and &;
+    // x/y mirror Spark's pmod — DuckDB % keeps the dividend's sign, so
+    // plain `user_id % 65536` would silently diverge on any negative
+    // input (and arithmetic >> on a negative y would compound it)
     "q_zorder" -> {
       val terms = (0 until 16).map { i =>
         s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
@@ -3332,8 +3381,9 @@ object SparkEntry {
       s"""SELECT event_id, $terms AS z
          |FROM (
          | SELECT event_id,
-         |  user_id % 65536 AS x,
-         |  CAST(floor(value * 100) AS BIGINT) % 65536 AS y
+         |  ((user_id % 65536) + 65536) % 65536 AS x,
+         |  ((CAST(floor(value * 100) AS BIGINT) % 65536) + 65536) % 65536
+         |    AS y
          | FROM events WHERE value IS NOT NULL) t""".stripMargin
     },
 
