@@ -86,6 +86,141 @@ object SparkEntry {
       |   text || ' near dup suffix' AS text
       | FROM documents WHERE doc_id < 20)""".stripMargin
 
+  /** Shared boilerplate tail appended to every 5th doc by the
+    * substring-dedup queries: 13 tokens, so its 8-token windows repeat
+    * corpus-wide. ONE definition on each side (Scala here, SQL in
+    * [[substrCorpusSql]]).
+    */
+  private val substrTail = " all rights reserved contact the legal" +
+    " department for licensing terms and conditions apply"
+
+  private def substrCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(substrTail)))
+        .otherwise(col("text")).as("text"))
+
+  private val substrCorpusSql: String =
+    s"""corpus AS (
+       | SELECT doc_id, CASE WHEN doc_id % 5 = 0
+       |   THEN text || '$substrTail' ELSE text END AS text
+       | FROM documents)""".stripMargin
+
+  /** The full §3.1 metrics ETL in one plan (the flagship pipeline
+    * query, `q_metrics_etl` at the reference's 25-host fan-out):
+    * events are reshaped into the REST response-document form the
+    * connector would deliver (one JSON body per (host, service) via a
+    * groupBy collect_list), then melt → parse-guard → anti-join dedup
+    * → family routing. Every melt/dedup branch re-derives points from
+    * the grouped responses, but the groupBy EXCHANGE is reused across
+    * branches, so each branch re-parses only the post-shuffle body
+    * rows (measured cheaper than caching the exploded point relation
+    * and re-scanning it per branch).
+    *
+    * `hosts` is the scale axis: a real deployment grows by monitoring
+    * MORE HOSTS (more, similarly-sized response documents), not by
+    * packing 10× the points into each document — response documents
+    * are bounded by the fetch window (25 h — `url...py:49`). ScaleProbe
+    * exercises both axes; the per-document axis degrades superlinearly
+    * by design of the document shape (a 10× collect_list row), which
+    * is exactly why the connector fans out per (host, service) instead
+    * of batching.
+    */
+  def metricsEtl(s: SparkSession, dir: String, hosts: Int): DataFrame = {
+    import graft.pipelines.HostMetrics
+    val ev = Tables.events(s, dir).select(
+      col("event_id"),
+      concat(lit("host"), (col("user_id") % hosts).cast("string"))
+        .as("host_name"),
+      unix_timestamp(col("ts")).as("epoch"))
+    def dd(m: Column): Column = format_string("%d.%02d",
+      floor(m / 100).cast("long"), (m % 100).cast("long"))
+    val cpuV = when(col("event_id") % 97 === 0, lit("NaN"))
+      .otherwise(dd((col("event_id") * 7) % 10000))
+    val swapV = array(
+      dd((col("event_id") * 3) % 5000),
+      when(col("event_id") % 89 === 0, lit("garbage"))
+        .otherwise(dd((col("event_id") * 11) % 9000)),
+      dd((col("event_id") * 13) % 7000))
+    def responses(svc: String, vCol: Column): DataFrame = ev
+      .select(col("host_name"),
+        struct(col("epoch").cast("string").as("t"), vCol.as("v")).as("p"))
+      .groupBy(col("host_name"))
+      .agg(collect_list(col("p")).as("row"))
+      .select(col("host_name"), lit(svc).as("service_name"),
+        to_json(struct(struct(col("row")).as("data"))).as("body"))
+    val points = HostMetrics.flattenResponses(
+      responses("CPU Usage", cpuV)
+        .unionByName(responses("Swap Usage", swapV)))
+    val payload = HostMetrics.longPayload(points,
+      Seq("CPU Usage", "Swap Usage"))
+    // previous run's payload = the three already-loaded hosts; the
+    // anti-join dedup must remove exactly their rows
+    val previous = payload.filter(
+      col("host_name").isin("host0", "host1", "host2"))
+    HostMetrics.routed(HostMetrics.dedupAgainst(payload, previous))
+  }
+
+  /** Shared CTE chain for the SemDeDup oracles: embeddings as
+    * DOUBLE[], the 8 lowest-id vectors as the centroid seed (cid =
+    * matrix row index), cosine of every (vector, centroid), the
+    * argmax assignment with [[graft.functions.CentroidTopIds]]'s
+    * tie-break (score desc, centroid index asc), and the
+    * within-cluster pair cosines.
+    */
+  private val semdedupAsgSql: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+      |    v AS cv
+      |  FROM e ORDER BY vec_id LIMIT 8),
+      |s AS (SELECT e.vec_id, c.cid,
+      |  CASE WHEN list_sum(list_transform(e.v, x -> x * x)) = 0
+      |      OR list_sum(list_transform(c.cv, x -> x * x)) = 0 THEN 0.0
+      |    ELSE list_sum(list_transform(range(1, len(e.v) + 1),
+      |        i -> e.v[i] * c.cv[i]))
+      |      / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+      |         * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) END
+      |    AS cos
+      |  FROM e CROSS JOIN c),
+      |asg AS (SELECT vec_id, cid FROM (
+      |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cos DESC, cid) AS rn FROM s) t WHERE rn = 1),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_sum(list_transform(range(1, len(ea.v) + 1),
+      |    i -> ea.v[i] * eb.v[i]))
+      |   / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
+      |      * sqrt(list_sum(list_transform(eb.v, x -> x * x)))) AS cosine
+      |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  JOIN e ea ON ea.vec_id = a.vec_id
+      |  JOIN e eb ON eb.vec_id = b.vec_id)""".stripMargin
+
+  /** Shared CTE chain for the substring-dedup oracles: tokenize,
+    * hash every 8-token window, keep occurrences of corpus-repeated
+    * windows minus each window's globally-first (min packed
+    * doc*2^21+pos) occurrence, and assign gaps-and-islands ids for
+    * the merge — mirrors [[Dedup.repeatedSpans]] step for step.
+    */
+  private val substrSpanSql: String =
+    """toks AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
+      |    AS l FROM corpus),
+      |wins AS (SELECT doc_id, pos,
+      |  md5(array_to_string(l[pos + 1 : pos + 8], ' ')) AS h
+      |  FROM (SELECT doc_id, l, unnest(range(0, len(l) - 7)) AS pos
+      |        FROM toks WHERE len(l) >= 8) t),
+      |rep AS (SELECT h, min(doc_id * 2097152 + pos) AS fk
+      |  FROM wins GROUP BY h HAVING count(*) > 1),
+      |occ AS (SELECT w.doc_id, w.pos FROM wins w JOIN rep r ON w.h = r.h
+      |  WHERE w.doc_id * 2097152 + w.pos <> r.fk),
+      |isl AS (SELECT doc_id, pos,
+      |  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |      IS NULL
+      |    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+      |    THEN 1 ELSE 0 END AS nw FROM occ),
+      |grp AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id
+      |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM isl)"""
+      .stripMargin
+
   /** DuckDB k-shingle expression over a `toks` list column; mirrors
     * `graft.functions.Shingles` exactly (whitespace tokens, k-grams
     * joined by ' ', <k tokens ⇒ one all-token shingle, empty ⇒ ['']).
@@ -407,6 +542,20 @@ object SparkEntry {
       Dedup.dedupCorpusLines(corpus, "doc_id", "text",
         maxOccurrences = 10L)
     }),
+
+    // corpus-wide exact substring dedup (Lee et al. 2022 suffix-array
+    // pass, relational form): every 5th doc carries a shared 13-token
+    // boilerplate tail, so its 8-token windows repeat corpus-wide;
+    // every occurrence except the globally first is masked, and
+    // overlapping masked windows merge into one maximal span per doc
+    "q_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(substrCorpus(s, dir), "doc_id", "text", k = 8)),
+
+    // the applied form: the same spans cut out of the text, remaining
+    // tokens rejoined — whole-corpus repeated boilerplate survives
+    // exactly once, in its min-(doc, pos) occurrence
+    "q_substring_dedup" -> ((s, dir) =>
+      Dedup.substringDedup(substrCorpus(s, dir), "doc_id", "text", k = 8)),
 
     // curation v2: the round-3 text ops composed in ONE plan —
     // corpus-level line dedup (boilerplate header/footer) → domain
@@ -1048,46 +1197,7 @@ object SparkEntry {
     // routing (P4). Values are exact 2-decimal strings derived from
     // event_id, so F1's rounding is engine-portable; the oracle rebuilds
     // the same relation directly (the JSON round-trip is identity).
-    "q_metrics_etl" -> ((s, dir) => {
-      import graft.pipelines.HostMetrics
-      val ev = Tables.events(s, dir).select(
-        col("event_id"),
-        concat(lit("host"), (col("user_id") % 25).cast("string"))
-          .as("host_name"),
-        unix_timestamp(col("ts")).as("epoch"))
-      def dd(m: Column): Column = format_string("%d.%02d",
-        floor(m / 100).cast("long"), (m % 100).cast("long"))
-      val cpuV = when(col("event_id") % 97 === 0, lit("NaN"))
-        .otherwise(dd((col("event_id") * 7) % 10000))
-      val swapV = array(
-        dd((col("event_id") * 3) % 5000),
-        when(col("event_id") % 89 === 0, lit("garbage"))
-          .otherwise(dd((col("event_id") * 11) % 9000)),
-        dd((col("event_id") * 13) % 7000))
-      def responses(svc: String, vCol: Column): DataFrame = ev
-        .select(col("host_name"),
-          struct(col("epoch").cast("string").as("t"), vCol.as("v")).as("p"))
-        .groupBy(col("host_name"))
-        .agg(collect_list(col("p")).as("row"))
-        .select(col("host_name"), lit(svc).as("service_name"),
-          to_json(struct(struct(col("row")).as("data"))).as("body"))
-      // one plan end to end: every melt/dedup branch re-derives points
-      // from the grouped responses, but the groupBy EXCHANGE is reused
-      // across branches, so each branch re-parses only the 50 post-
-      // shuffle body rows (measured cheaper than caching the exploded
-      // point relation and re-scanning it per branch). The melt is
-      // scoped to the two families this batch actually carries.
-      val points = HostMetrics.flattenResponses(
-        responses("CPU Usage", cpuV)
-          .unionByName(responses("Swap Usage", swapV)))
-      val payload = HostMetrics.longPayload(points,
-        Seq("CPU Usage", "Swap Usage"))
-      // previous run's payload = the three already-loaded hosts; the
-      // anti-join dedup must remove exactly their rows
-      val previous = payload.filter(
-        col("host_name").isin("host0", "host1", "host2"))
-      HostMetrics.routed(HostMetrics.dedupAgainst(payload, previous))
-    }),
+    "q_metrics_etl" -> ((s, dir) => metricsEtl(s, dir, hosts = 25)),
 
     // ================= §2.10 text analysis =================
     // Fused single-pass TextStats expression computes every counter in
@@ -1310,6 +1420,22 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id",
           "embedding", threshold = 0.2, planes = 0)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+    }),
+
+    // SemDeDup: cluster-scoped exact-cosine pairs (assignment to the
+    // deterministic 8-centroid seed is part of what the oracle
+    // replays — argmax cosine with ties to the lowest centroid index)
+    "q_semdedup_pairs" -> ((s, dir) => {
+      Dedup.semanticNearDupPairs(Tables.embeddings(s, dir), "vec_id",
+          "embedding", threshold = 0.2, nlist = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+    }),
+
+    // the curation step: survivors after greedy min-id semantic dedup
+    "q_semdedup" -> ((s, dir) => {
+      Dedup.semanticDedup(Tables.embeddings(s, dir), "vec_id",
+          "embedding", threshold = 0.2, nlist = 8)
+        .select(col("vec_id"))
     }),
 
     // the full codec path — mapPartitions decode, feature vector and
@@ -2084,6 +2210,34 @@ object SparkEntry {
         .stripMargin
     },
 
+    // substring-dedup oracle: 8-token windows hashed per position
+    // (1-based inclusive list slice), first occurrence = min packed
+    // (doc*2^21 + pos) key exactly as the operator computes it, then
+    // the same gaps-and-islands merge
+    "q_repeated_spans" ->
+      s"""WITH $substrCorpusSql,
+         |$substrSpanSql
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+         |FROM grp GROUP BY doc_id, island""".stripMargin,
+
+    // applied form: zipped parallel unnests give (i, token); tokens
+    // inside any merged span are dropped, the rest rejoin by ' '
+    "q_substring_dedup" ->
+      s"""WITH $substrCorpusSql,
+         |$substrSpanSql,
+         |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+         |  FROM grp GROUP BY doc_id, island),
+         |tok AS (SELECT doc_id,
+         |  unnest(range(0, len(l))) AS i, unnest(l) AS t FROM toks),
+         |kept AS (SELECT t.doc_id, t.i, t.t
+         |  FROM tok t LEFT JOIN spans s
+         |    ON t.doc_id = s.doc_id AND t.i >= s.s AND t.i < s.e
+         |  WHERE s.doc_id IS NULL)
+         |SELECT c.doc_id,
+         |  coalesce(string_agg(k.t, ' ' ORDER BY k.i), '') AS text
+         |FROM corpus c LEFT JOIN kept k ON c.doc_id = k.doc_id
+         |GROUP BY c.doc_id""".stripMargin,
+
     // curation v2 oracle: the proven per-op CTEs chained — line-dedup
     // rebuild, host blocklist, repetition gate (rounded like the Spark
     // struct field), then the piiPatterns redaction chain
@@ -2857,6 +3011,20 @@ object SparkEntry {
         | FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(dot / (na * nb), 4) AS cosine
         |FROM p WHERE dot / (na * nb) >= 0.2""".stripMargin,
+
+    // SemDeDup oracles: the centroid seed (8 lowest-id vectors), the
+    // argmax-cosine assignment (ties to the lowest centroid index —
+    // CentroidTopIds' strict-> scan), and the within-cluster exact
+    // pair cosines are all replayed in SQL
+    "q_semdedup_pairs" ->
+      s"""WITH $semdedupAsgSql
+         |SELECT id_a, id_b, round(cosine, 4) AS cosine
+         |FROM p WHERE cosine >= 0.2""".stripMargin,
+
+    "q_semdedup" ->
+      s"""WITH $semdedupAsgSql
+         |SELECT vec_id FROM embeddings WHERE vec_id NOT IN
+         |  (SELECT id_b FROM p WHERE cosine >= 0.2)""".stripMargin,
 
     // exact brute-force cosine top-k: same double accumulation (DOUBLE[]
     // cast), same ordering (score desc, id asc), same self-exclusion —

@@ -571,6 +571,100 @@ object Dedup {
         coalesce(col(textCol), lit("")).as(textCol))
   }
 
+  /** Occurrence order key for [[repeatedSpans]]: (doc, pos) packed
+    * into one long so the globally-first occurrence is a single
+    * `min()` in ANY engine (a lexicographic struct-min does the same
+    * job in Spark but has no portable SQL twin). Bound: nonnegative
+    * doc ids and < 2^21 tokens per document — generous for any
+    * pre-chunking corpus (2M tokens ≈ 10 MB of text in one row).
+    */
+  private val SpanPosCap = 1L << 21
+
+  /** Corpus-wide exact substring dedup — the suffix-array pass of Lee
+    * et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022), re-expressed relationally on bounded windows:
+    * every k-token window whose exact text occurs 2+ times corpus-wide
+    * is a repeated span, and every occurrence EXCEPT the globally
+    * first (minimum (doc, pos)) is marked for removal; overlapping and
+    * adjacent marked windows merge into maximal per-document spans.
+    * Returns (id, span_start, span_end) token-index ranges [start, end)
+    * over the document's whitespace tokens.
+    *
+    * Scale shape: the window explode is map-side and narrow (id, pos,
+    * hash — never the window text); the only exchanges are the hash
+    * count aggregate (partial+final) and the occurrence join back on
+    * the same hash key, which AQE co-plans with the aggregate and
+    * skew-splits if one span is repeated by millions of documents (the
+    * hot-boilerplate case — its fan-out IS the output). The per-doc
+    * island merge shuffles (id, pos) pairs only for repeated windows,
+    * a vanishing fraction of the corpus.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, "window width k must be >= 2")
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val n = size(col("__toks"))
+    val wins = docs
+      .select(col(idCol), toks.as("__toks"))
+      .filter(n >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), n - k), i =>
+          md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
+        .as(Seq("__pos", "__h")))
+    val packed = col(idCol) * SpanPosCap + col("__pos")
+    val firsts = wins
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"), min(packed).as("__first"))
+      .filter(col("__n") > 1)
+    val masked = wins.join(firsts, Seq("__h"))
+      .filter(packed =!= col("__first"))
+      .select(col(idCol), col("__pos"))
+    // merge overlapping/adjacent windows per doc: all windows are k
+    // tokens, so a new island starts exactly when the gap to the
+    // previous start exceeds k (gaps-and-islands; the running-max end
+    // is monotone because widths are equal)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    masked
+      .withColumn("__prev", lag(col("__pos"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__pos") > col("__prev") + k, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("__pos")).cast("long").as("span_start"),
+        (max(col("__pos")) + k).cast("long").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** [[repeatedSpans]] applied: documents with every repeated span
+    * (all-but-first occurrence) cut out, tokens rejoined by single
+    * spaces — compose after [[TextOps.cleanText]], which already
+    * normalizes whitespace, and the rejoin is lossless. Docs that lose
+    * nothing pass through verbatim (modulo that normalization); docs
+    * shorter than k tokens are untouched by construction.
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val spanArr = repeatedSpans(docs, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    docs.select(col(idCol), toks.as("__toks"))
+      .join(spanArr, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(
+          filter(
+            transform(col("__toks"), (t, i) =>
+              when(exists(coalesce(col("__spans"),
+                  array().cast("array<struct<s:long,e:long>>")),
+                sp => i >= sp.getField("s") && i < sp.getField("e")),
+                lit(null)).otherwise(t)),
+            t => t.isNotNull),
+          " ").as(textCol))
+  }
+
   /** Benchmark decontamination report: per document, the number of
     * distinct k-shingles it shares with an evaluation corpus, and a
     * contamination flag — the standard pre-training scrub that keeps
@@ -662,6 +756,56 @@ object Dedup {
     // per-bucket scored stream never crosses a shuffle at full width
     Similarity.lshCandidatePairs(df, idCol, vecCol, planes,
       minCosine = Some(threshold))
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): semantic near-dup
+    * pairs via cluster-scoped exact cosine. Every vector is assigned
+    * to its nearest centroid (argmax cosine, ties to the lowest
+    * centroid index — [[graft.functions.CentroidTopIds]]'s fused
+    * loop), and pairs are compared only WITHIN a cluster. Centroids
+    * here are the `nlist` lowest-id vectors — a deterministic,
+    * engine-replayable seed; production passes Lloyd-refined
+    * centroids from [[Similarity.refineCentroids]] and nothing else
+    * changes (assignment, join and policy are centroid-agnostic).
+    *
+    * Scale shape: assignment is map-side against a broadcast
+    * nlist×dim matrix; the only exchange keys on the cluster id. The
+    * per-cluster pairing is quadratic BY DESIGN — the paper's
+    * operating point scales nlist with the corpus (they run ~10^5
+    * clusters web-scale) so clusters stay ~n/nlist members, and AQE
+    * skew-splits any cluster the embedding space overloads.
+    */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 8): DataFrame = {
+    require(nlist > 0, "nlist must be positive")
+    val cents: Seq[Seq[Float]] = df.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(nlist)
+      .collect().map(_.getSeq[Float](1).toSeq).toSeq // nlist×dim driver rows
+    val assigned = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      element_at(graft.functions.VectorExpressions.centroidTopIds(
+        col(vecCol), cents, 1), 1).as("__c"))
+    val a = assigned.select(col("__c"), col("__id").as("id_a"),
+      col("__v").as("__va"))
+    val b = assigned.select(col("__c"), col("__id").as("id_b"),
+      col("__v").as("__vb"))
+    a.join(b, Seq("__c"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", graft.functions.VectorExpressions.cosine(
+        col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** [[semanticNearDupPairs]] with the greedy min-id survivor rule —
+    * one representative per semantic-duplicate pair group, the
+    * SemDeDup curation step (the paper keeps the member farthest from
+    * the centroid; the survivor rule is a pluggable one-liner and
+    * min-id is this library's convention across dedup families).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 8): DataFrame =
+    dedupGreedyByPairs(df, idCol,
+      semanticNearDupPairs(df, idCol, vecCol, threshold, nlist))
 
   /** Exact set-similarity join (AllPairs/PPJoin prefix filtering):
     * all (left, right) id pairs whose DISTINCT-element sets have

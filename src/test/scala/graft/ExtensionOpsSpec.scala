@@ -316,6 +316,58 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(kept(0L) == "para a0\n\npara b0", kept(0L))
   }
 
+  test("dedup: semantic dedup pairs within clusters only; greedy survivors") {
+    // centroid seed = the 2 lowest ids: [1,0] and [0,1]. 3,4 cluster
+    // with centroid 0; 5 with centroid 1; 6 sits at exactly 45° — the
+    // argmax tie must go to the LOWEST centroid index (cluster 0)
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(0.95f, 0.05f)),
+      (5L, Seq(0.1f, 0.9f)), (6L, Seq(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.95, nlist = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // within cluster 0: (1,3) (1,4) (3,4) clear 0.95; 6 pairs with
+    // nobody (cos ≈ 0.707-0.79). within cluster 1: (2,5). the
+    // cross-cluster near pair (3 vs 6 etc.) is never even scored
+    assert(pairs == Set((1L, 3L), (1L, 4L), (3L, 4L), (2L, 5L)),
+      pairs.toString)
+    val kept = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.95, nlist = 2)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 6L), kept.toString)
+  }
+
+  test("dedup: substring spans mask all-but-first repeated windows") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // the same 10-token run embedded at offset 1 — doc 1 owns the
+      // global first occurrence of each repeated window
+      (2L, "x alpha beta gamma delta epsilon zeta eta theta iota kappa y"),
+      (3L, "completely different words here nothing repeated at all ok fine"),
+      // self-repeat: the first 8 tokens recur at offset 8 — keep-first
+      // applies within one document too
+      (4L, "p1 p2 p3 p4 p5 p6 p7 p8 p1 p2 p3 p4 p5 p6 p7 p8"),
+      (5L, "tiny doc"))                  // < k tokens: untouched
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(corpus, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 2: windows at pos 1,2,3 repeat doc 1's pos 0,1,2 -> merged
+    // span [1, 11); doc 4: window at pos 8 repeats its own pos 0
+    assert(spans == Set((2L, 1L, 11L), (4L, 8L, 16L)), spans.toString)
+    val cleaned = Dedup.substringDedup(corpus, "doc_id", "text", k = 8)
+      .as[(Long, String)].collect().toMap
+    assert(cleaned(1L) ==
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    assert(cleaned(2L) == "x y")
+    assert(cleaned(3L) ==
+      "completely different words here nothing repeated at all ok fine")
+    assert(cleaned(4L) == "p1 p2 p3 p4 p5 p6 p7 p8")
+    assert(cleaned(5L) == "tiny doc")
+    assert(cleaned.size == 5)
+  }
+
   test("dedup: exact by content keeps min id; groups found") {
     val base = docs.select($"doc_id", $"text")
     val dup = base.filter($"doc_id" < 5)
