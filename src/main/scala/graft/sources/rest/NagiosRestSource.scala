@@ -85,7 +85,8 @@ class NagiosRestSource extends TableProvider
       opt("transportClass").getOrElse(defaultTransport),
       opt("maxRetries").map(_.toInt).getOrElse(3),
       opt("timeoutMs").map(_.toLong).getOrElse(30000L),
-      opt("backoffMs").map(_.toLong).getOrElse(100L)))
+      opt("backoffMs").map(_.toLong).getOrElse(100L),
+      opt("apiKey").filter(_.nonEmpty)))
   }
 }
 
@@ -99,10 +100,13 @@ case class RestEndpoints(dir: Option[String], url: Option[String],
     hostServices: Seq[(String, String)])
 
 /** Per-request transport policy, shipped inside every input partition
-  * (plain primitives — java-serializable to executors).
+  * (plain primitives — java-serializable to executors). `apiKey`, when
+  * set, rides every request as the `apikey` query param — the
+  * reference embeds it in each URL (`extract.py:33,71`); here it is a
+  * connector option so the task list and logs stay credential-free.
   */
 case class RestTransportConf(transportClass: String, maxRetries: Int,
-    timeoutMs: Long, backoffMs: Long)
+    timeoutMs: Long, backoffMs: Long, apiKey: Option[String] = None)
 
 /** One request attempt. Implementations must have a zero-arg
   * constructor (instantiated by class name on the executor) and should
@@ -397,8 +401,13 @@ class RestPartitionReader(part: RestInputPartition)
   protected def fetchBody(): String = {
     val transport = Class.forName(part.conf.transportClass)
       .getDeclaredConstructor().newInstance().asInstanceOf[RestTransport]
-    val params = Map("host" -> part.host, "service" -> part.service) ++
-      part.startEpoch.map(s => "start" -> s.toString)
+    // the reference API's parameter names, verbatim (`extract.py:71`:
+    // apikey, host_name, service_description, start) — a live Nagios
+    // XI endpoint routes on these exact keys
+    val params =
+      Map("host_name" -> part.host, "service_description" -> part.service) ++
+        part.startEpoch.map(s => "start" -> s.toString) ++
+        part.conf.apiKey.map("apikey" -> _)
     RestTransport.guarded(transport, part.path, params, part.conf)
   }
 

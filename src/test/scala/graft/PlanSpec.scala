@@ -223,6 +223,30 @@ class PlanSpec extends SparkSpec {
       s"set-similarity join degenerated to a cross product:\n$plan")
   }
 
+  test("repeatedSpans: occurrence join is hash-keyed, no nested loop") {
+    // direct call — the SparkEntry query serves the memoized checkpoint,
+    // whose plan is just a scan and would assert nothing
+    val docs = spark.read.parquet(dir + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val plan = physical(
+      graft.operators.Dedup.repeatedSpans(docs, "doc_id", "text", k = 8))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"substring-dedup occurrence join degenerated:\n$plan")
+  }
+
+  test("semanticNearDupPairs: map-side assignment, cluster-keyed join only") {
+    val vecs = spark.read.parquet(dir + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val plan = physical(graft.operators.Dedup.semanticNearDupPairs(
+      vecs, "vec_id", "embedding", threshold = 0.2, nlist = 8))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"semantic dedup degenerated to all-pairs:\n$plan")
+    // the centroid matrix rides inside the fused expression, not as a
+    // joined relation: exactly one join (the __c-keyed self-join)
+    assert(plan.split("Join").length - 1 <= 2,
+      s"unexpected extra joins in semantic dedup:\n$plan")
+  }
+
   test("correlated EXISTS decorrelates to a semi join (no per-row subquery)") {
     val df = SparkEntry.queries("q_correlated_exists")(spark, dir)
     val plan = physical(df)

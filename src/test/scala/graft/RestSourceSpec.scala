@@ -12,8 +12,9 @@ import graft.sources.rest.{FileTransport, RestResponse, RestTransport}
 class Flaky503Transport extends RestTransport {
   override def fetch(url: String, params: Map[String, String]): RestResponse = {
     val n = Flaky503Transport.attempts.incrementAndGet()
-    // the request carries the reference's query params
-    assert(params.contains("host") && params.contains("service"))
+    // the request carries the reference's query params (extract.py:71)
+    assert(params.contains("host_name") &&
+      params.contains("service_description"))
     if (n <= 2) RestResponse(503, "busy")
     else new FileTransport().fetch(url, params)
   }
@@ -248,9 +249,11 @@ class RestSourceSpec extends SparkSpec {
   test("endpointUrl mode end-to-end: live GETs, task pruning, guard retry") {
     val hits = new java.util.concurrent.atomic.AtomicInteger(0)
     val requested = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val keys = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     withServer({ (_, params) =>
-      val host = params("host")
-      val service = params("service")
+      val host = params("host_name")
+      val service = params("service_description")
+      params.get("apikey").foreach(keys.add)
       requested.add(s"$host/$service")
       // first request 503s: the guard must retry it into success
       if (hits.incrementAndGet() == 1) (503, "busy")
@@ -266,6 +269,7 @@ class RestSourceSpec extends SparkSpec {
         .option("hostServices",
           "web01:CPU Usage;web01:Memory Usage;web02:CPU Usage")
         .option("backoffMs", "1")
+        .option("apiKey", "sekrit")
         .load()
       // pruned read: only web01 tasks may reach the server
       requested.clear()
@@ -277,6 +281,9 @@ class RestSourceSpec extends SparkSpec {
       assert(got.map(_.getSeq[String](3).toSeq).contains(Seq("1.5", "2.5")))
       assert(requested.size == 2 &&
         !requested.contains("web02/CPU Usage"), requested.toString)
+      // the apiKey option rides every request as the reference's
+      // apikey query param (extract.py:33,71)
+      assert(keys.size == 1 && keys.contains("sekrit"), keys.toString)
     }
   }
 
