@@ -333,4 +333,54 @@ class StreamingSpec extends SparkSpec {
     StreamingDedup.foreachBatchParquetSink(dir)(replay.limit(1), 1L)
     assert(spark.read.parquet(dir).count() == 3)
   }
+
+  test("streaming near-dup curation: batches dedup against staged history") {
+    // the streaming composition of the incremental minhash path: the
+    // corpus version's band keys are staged ONCE; every micro-batch
+    // probes them (plus itself) without re-hashing history — the
+    // steady-state shape of a continuously-ingesting curation job.
+    // Cross-BATCH dups are out of scope by design: batches dedup
+    // against the staged corpus version, and restaging folds batches
+    // into the next version.
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val histDir = java.nio.file.Files
+      .createTempDirectory("graftbands").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graftcurated").toString
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "history keeps completely different second content"))
+      .toDF("doc_id", "text")
+    Dedup.stageBandKeys(hist, "doc_id", "text", histDir,
+      shingleK = 3, numHashes = 32, bands = 16)
+    val staged = spark.read.parquet(histDir)
+    def curate(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val corpus = hist.unionByName(batch)
+      val pairs = Dedup.minhashNearDupPairsIncremental(batch, corpus,
+        staged, "doc_id", "text", shingleK = 3, numHashes = 32,
+        bands = 16, threshold = 0.5)
+      Dedup.dedupGreedyByPairs(batch, "doc_id", pairs)
+        .write.mode("append").parquet(outDir)
+    }
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(curate _).outputMode("append").start()
+    input.addData(
+      // J vs hist doc 1 = 6/8 = 0.75: killed by history
+      (10L, "alpha beta gamma delta epsilon zeta eta theta near dup"),
+      (11L, "streaming novelty one arrives with fresh words"),
+      // 12/13 are intra-batch twins (J = 6/7): greedy keeps 12
+      (12L, "twin content sentence shared across the batch pair"),
+      (13L, "twin content sentence shared across the batch pair extra"))
+    q.processAllAvailable()
+    // a later batch still dedups against the same staged version
+    input.addData(
+      (20L, "history keeps completely different second content appended"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 12L), kept.toString)
+  }
 }
