@@ -101,6 +101,26 @@ object ScaleProbe {
       "minhash_pairs_full" -> ((s: SparkSession, dir: String) =>
         graft.operators.Dedup.minhashNearDupPairs(nearDupCorpus(s, dir),
           "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.5)),
+      // direct pipeline calls (the SparkEntry queries serve per-dir
+      // memos, which would let run 2 time a cache hit)
+      "substring_spans_full" -> ((s: SparkSession, dir: String) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(col("text"),
+              lit(" all rights reserved contact the legal department" +
+                " for licensing terms and conditions apply")))
+              .otherwise(col("text")).as("text"))
+        graft.operators.Dedup.repeatedSpans(docs, "doc_id", "text", k = 8)
+      }),
+      // SemDeDup's operating point scales nlist with the corpus (the
+      // paper runs ~1e5 clusters web-scale) so per-cluster pairing
+      // stays bounded — mirror that here, like metrics_etl_hosts
+      "semdedup_full" -> ((s: SparkSession, dir: String) => {
+        val f = if (dir.contains("scale")) factor else 1
+        graft.operators.Dedup.semanticDedup(
+          s.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding", threshold = 0.2, nlist = 8 * f)
+      }),
       "minhash_cc_full" -> ((s: SparkSession, dir: String) => {
         val corpus = nearDupCorpus(s, dir)
         graft.operators.Dedup.dedupByComponents(corpus, "doc_id",
