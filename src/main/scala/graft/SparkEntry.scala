@@ -1663,6 +1663,21 @@ object SparkEntry {
           "l_shipdate"))
     }),
 
+    // declarative data-quality suite over lineitem: completeness,
+    // ranges (l_tax's tight bound may FAIL — failing rows are the
+    // report's point), composite-key uniqueness, FK integrity
+    "q_constraints" -> ((s, dir) => {
+      import operators.Profiling.Constraint._
+      operators.Profiling.checkConstraints(Tables.lineitem(s, dir), Seq(
+        NotNull("l_orderkey"),
+        NotNull("l_returnflag"),
+        InRange("l_quantity", 1.0, 50.0),
+        InRange("l_discount", 0.0, 0.1),
+        InRange("l_tax", 0.0, 0.05),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        ForeignKey("l_orderkey", Tables.orders(s, dir), "o_orderkey")))
+    }),
+
     // CDC merge: customer balances as the base snapshot, events as the
     // changelog (error = tombstone, anything else upserts the event's
     // value); latest change per key wins, deletes remove the key,
@@ -3397,6 +3412,44 @@ object SparkEntry {
     // through the same portable forms as the Spark side (ints/strings
     // as-is, doubles via DECIMAL(28,6), timestamps via an explicit
     // second-precision format)
+    // constraint-suite oracle: one SELECT per constraint, unioned;
+    // "constraint" is quoted (SQL keyword); labels replicate the
+    // Scala-side Double rendering (1.0, 50.0)
+    "q_constraints" -> {
+      def notNull(c: String) =
+        s"""SELECT 'not_null($c)' AS "constraint",
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |   / count(*) AS observed,
+           | (CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |   / count(*)) <= 0.0 AS passed FROM lineitem""".stripMargin
+      def inRange(c: String, lo: String, hi: String) =
+        s"""SELECT 'in_range($c,$lo,$hi)' AS "constraint",
+           | CAST(sum(CASE WHEN $c IS NOT NULL AND ($c < $lo OR $c > $hi)
+           |   THEN 1 ELSE 0 END) AS DOUBLE) AS observed,
+           | CAST(sum(CASE WHEN $c IS NOT NULL AND ($c < $lo OR $c > $hi)
+           |   THEN 1 ELSE 0 END) AS DOUBLE) <= 0.0 AS passed
+           |FROM lineitem""".stripMargin
+      s"""${notNull("l_orderkey")}
+         |UNION ALL ${notNull("l_returnflag")}
+         |UNION ALL ${inRange("l_quantity", "1.0", "50.0")}
+         |UNION ALL ${inRange("l_discount", "0.0", "0.1")}
+         |UNION ALL ${inRange("l_tax", "0.0", "0.05")}
+         |UNION ALL SELECT 'unique(l_orderkey,l_linenumber)'
+         |  AS "constraint",
+         | CAST(coalesce(sum(n - 1), 0) AS DOUBLE) AS observed,
+         | CAST(coalesce(sum(n - 1), 0) AS DOUBLE) <= 0.0 AS passed
+         | FROM (SELECT count(*) AS n FROM lineitem
+         |   GROUP BY l_orderkey, l_linenumber) t
+         |UNION ALL SELECT 'foreign_key(l_orderkey)' AS "constraint",
+         | CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0
+         |   END), 0) AS DOUBLE) AS observed,
+         | CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0
+         |   END), 0) AS DOUBLE) <= 0.0 AS passed
+         | FROM (SELECT l.l_orderkey, o.o_orderkey FROM lineitem l
+         |   LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |   WHERE l.l_orderkey IS NOT NULL) j""".stripMargin
+    },
+
     "q_profile" -> {
       def intCol(c: String) =
         s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

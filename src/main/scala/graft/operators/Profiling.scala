@@ -93,6 +93,85 @@ object Profiling {
     * task (and WARN on every run) while the broadcast stays safe at
     * any bin cardinality (same note as `mixtureWeights`).
     */
+  /** Declarative data-quality constraints — the generalization of the
+    * reference's hand-rolled gates (completeness `extract.py:95-99`,
+    * row width `load_to_db.py:41-43`, reconciliation counts) into a
+    * Deequ-shaped suite: each constraint yields one report row
+    * `(constraint, observed, passed)` where `observed` is the
+    * violation measure (null fraction, out-of-range rows, duplicate
+    * surplus, orphan keys) and `passed` compares it to the
+    * constraint's tolerance.
+    *
+    * Scale shape: [[Constraint.NotNull]]/[[Constraint.InRange]] fold
+    * into ONE shared single-pass aggregate (map-side partials, no
+    * shuffle of data rows); each [[Constraint.Unique]] is its own
+    * two-level aggregate on the key (the same per-column plan
+    * `profile` uses — never an Expand); each [[Constraint.ForeignKey]]
+    * is a left-anti count against the (broadcastable) dimension. The
+    * report is |constraints| rows.
+    */
+  object Constraint {
+    sealed trait C { def label: String }
+    /** Null fraction of `col` must be <= `maxNullFraction`. */
+    case class NotNull(col: String, maxNullFraction: Double = 0.0)
+        extends C { val label = s"not_null($col)" }
+    /** Count of non-null values outside [lo, hi] must be 0. */
+    case class InRange(col: String, lo: Double, hi: Double)
+        extends C { val label = s"in_range($col,$lo,$hi)" }
+    /** No two rows may share this composite key. */
+    case class Unique(cols: Seq[String])
+        extends C { val label = s"unique(${cols.mkString(",")})" }
+    /** Every non-null `col` value must exist in `dim.dimCol`. */
+    case class ForeignKey(col: String, dim: DataFrame, dimCol: String)
+        extends C { val label = s"foreign_key($col)" }
+  }
+
+  def checkConstraints(df: DataFrame, constraints: Seq[Constraint.C])
+      : DataFrame = {
+    import Constraint._
+    require(constraints.nonEmpty, "empty constraint suite")
+    val scalar = constraints.collect {
+      // coalesce + greatest: an empty table must report observed 0 /
+      // passed true, not a null row
+      case c: NotNull => c.label ->
+        (coalesce(sum(when(col(c.col).isNull, 1L).otherwise(0L)), lit(0L))
+          .cast("double") / greatest(count(lit(1)), lit(1L)),
+          lit(c.maxNullFraction))
+      case c: InRange => c.label ->
+        (coalesce(sum(when(col(c.col).isNotNull &&
+            (col(c.col) < c.lo || col(c.col) > c.hi), 1L)
+          .otherwise(0L)), lit(0L)).cast("double"), lit(0.0))
+    }
+    val onePass: Option[DataFrame] =
+      if (scalar.isEmpty) None
+      else Some(df.agg(scalar.head._2._1.as("m0"),
+          scalar.tail.zipWithIndex.map { case ((_, (m, _)), i) =>
+            m.as(s"m${i + 1}") }: _*)
+        .select(scalar.zipWithIndex.map { case ((lbl, (_, tol)), i) =>
+          struct(lit(lbl).as("constraint"),
+            col(s"m$i").as("observed"),
+            (col(s"m$i") <= tol).as("passed")).as(s"c$i") }: _*)
+        .select(explode(array((0 until scalar.size)
+          .map(i => col(s"c$i")): _*)).as("r"))
+        .select(col("r.constraint"), col("r.observed"), col("r.passed")))
+    val keyed = constraints.collect {
+      case c: Unique =>
+        df.groupBy(c.cols.map(col): _*).agg(count(lit(1)).as("__n"))
+          .agg(coalesce(sum(col("__n") - 1L), lit(0L)).cast("double")
+            .as("observed"))
+          .select(lit(c.label).as("constraint"), col("observed"),
+            (col("observed") <= 0.0).as("passed"))
+      case c: ForeignKey =>
+        df.filter(col(c.col).isNotNull).select(col(c.col))
+          .join(c.dim.select(col(c.dimCol).as(c.col)), Seq(c.col),
+            "left_anti")
+          .agg(count(lit(1)).cast("double").as("observed"))
+          .select(lit(c.label).as("constraint"), col("observed"),
+            (col("observed") <= 0.0).as("passed"))
+    }
+    (onePass.toSeq ++ keyed).reduce(_ unionByName _)
+  }
+
   def distributionDrift(base: DataFrame, cur: DataFrame,
       valueCol: String, binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")

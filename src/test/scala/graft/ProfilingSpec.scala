@@ -62,6 +62,37 @@ class ProfilingSpec extends SparkSpec {
   // ------------------------------------------------------------ //
   // Profiling.kmvDistinct
 
+  test("checkConstraints: each violation measure exact; empty table passes") {
+    import Profiling.Constraint._
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val facts = Seq(
+      (Some(1L), 10.0, "a"), (Some(1L), 10.0, "b"), // dup key 1
+      (Some(2L), 99.0, "c"),                        // out of range
+      (None, 5.0, "d"),                             // null key
+      (Some(7L), 5.0, "e"))                         // orphan vs dim
+      .toDF("k", "v", "tag")
+    val report = Profiling.checkConstraints(facts, Seq(
+        NotNull("k", maxNullFraction = 0.25),
+        NotNull("tag"),
+        InRange("v", 0.0, 50.0),
+        Unique(Seq("k")),
+        ForeignKey("k", dim, "k")))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1),
+        r.getBoolean(2)))).toMap
+    assert(report("not_null(k)") == ((0.2, true)))    // 1/5 <= 0.25
+    assert(report("not_null(tag)") == ((0.0, true)))
+    assert(report("in_range(v,0.0,50.0)") == ((1.0, false)))
+    assert(report("unique(k)") == ((1.0, false)))     // one surplus row
+    assert(report("foreign_key(k)") == ((1.0, false))) // k=7 orphaned
+    assert(report.size == 5)
+    // an empty table trips nothing (the guards, not div-by-zero nulls)
+    val empty = Profiling.checkConstraints(
+        facts.filter(lit(false)), Seq(NotNull("k"), InRange("v", 0, 1),
+          Unique(Seq("k")), ForeignKey("k", dim, "k")))
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(empty.size == 4 && empty.values.forall(identity))
+  }
+
   test("kmvDistinct: exact when distinct < k, estimate close above k") {
     val df = spark.range(2000).select(
       when(col("id") % 2 === 0, "small").otherwise("big").as("g"),
