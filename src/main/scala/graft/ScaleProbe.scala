@@ -84,7 +84,7 @@ object ScaleProbe {
         concat(col("text"), lit(" near dup suffix")).as("text")))
   }
 
-  private def headline(factor: Int)
+  private def headline(factor: Int, scaleDir: String)
       : Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("q1_agg", "q_corr_moments", "q_window_funcs", "q_jaccard_join",
       "q_metrics_etl", "q_dedup_exact", "q_tfidf", "q_knn_ivf_full")
@@ -95,7 +95,7 @@ object ScaleProbe {
       // hosts and therefore grows each collect_list document 10x (the
       // axis the per-(host,service) connector fan-out exists to avoid)
       "metrics_etl_hosts" -> ((s: SparkSession, dir: String) => {
-        val f = if (dir.contains("scale")) factor else 1
+        val f = if (dir == scaleDir) factor else 1
         SparkEntry.metricsEtl(s, dir, hosts = 25 * f)
       }),
       "minhash_pairs_full" -> ((s: SparkSession, dir: String) =>
@@ -116,7 +116,7 @@ object ScaleProbe {
       // paper runs ~1e5 clusters web-scale) so per-cluster pairing
       // stays bounded — mirror that here, like metrics_etl_hosts
       "semdedup_full" -> ((s: SparkSession, dir: String) => {
-        val f = if (dir.contains("scale")) factor else 1
+        val f = if (dir == scaleDir) factor else 1
         graft.operators.Dedup.semanticDedup(
           s.read.parquet(s"$dir/embeddings.parquet"),
           "vec_id", "embedding", threshold = 0.2, nlist = 8 * f)
@@ -155,7 +155,7 @@ object ScaleProbe {
       (System.nanoTime() - t) / 1e9
     }
     // pass 1 warms codegen at the small scale; report min of 2 timed
-    val rows = headline(factor).map { case (q, fn) =>
+    val rows = headline(factor, outDir).map { case (q, fn) =>
       time(srcDir, fn)
       val small = math.min(time(srcDir, fn), time(srcDir, fn))
       val big = math.min(time(outDir, fn), time(outDir, fn))

@@ -115,11 +115,13 @@ object SparkEntry {
     */
   private val spanMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def repeatedSpansShared(s: SparkSession, dir: String): DataFrame =
+  private def repeatedSpansShared(s: SparkSession, dir: String): DataFrame = {
+    spanMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     spanMemo.computeIfAbsent((s, dir), { _ =>
       Dedup.repeatedSpans(substrCorpus(s, dir), "doc_id", "text", k = 8)
         .localCheckpoint(true)
     })
+  }
 
   /** The full §3.1 metrics ETL in one plan (the flagship pipeline
     * query, `q_metrics_etl` at the reference's 25-host fan-out):
@@ -174,6 +176,23 @@ object SparkEntry {
     val previous = payload.filter(
       col("host_name").isin("host0", "host1", "host2"))
     HostMetrics.routed(HostMetrics.dedupAgainst(payload, previous))
+  }
+
+  /** SemDeDup verified pairs per (session, dir), shared by
+    * `q_semdedup_pairs` / `q_semdedup` — the same staged-pair pattern
+    * as [[nearDupPairsShared]] / [[repeatedSpansShared]]: the
+    * centroid collect + assignment scan + cluster pair join is paid
+    * once and both the audit and the survivor queries read it.
+    */
+  private val semdedupPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def semdedupPairsShared(s: SparkSession, dir: String): DataFrame = {
+    semdedupPairsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    semdedupPairsMemo.computeIfAbsent((s, dir), { _ =>
+      Dedup.semanticNearDupPairs(Tables.embeddings(s, dir), "vec_id",
+          "embedding", threshold = 0.2, nlist = 8)
+        .localCheckpoint(true)
+    })
   }
 
   /** Shared CTE chain for the SemDeDup oracles: embeddings as
@@ -302,11 +321,13 @@ object SparkEntry {
     */
   private val nearDupPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def nearDupPairsShared(s: SparkSession, dir: String): DataFrame =
+  private def nearDupPairsShared(s: SparkSession, dir: String): DataFrame = {
+    nearDupPairsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     nearDupPairsMemo.computeIfAbsent((s, dir), { _ =>
       Dedup.minhashNearDupPairs(nearDupCorpus(s, dir), "doc_id", "text",
         numHashes = 64, bands = 32, threshold = 0.5)
     })
+  }
 
   private def stagedHistoryBands(s: SparkSession, dir: String): DataFrame = {
     val src = new java.io.File(s"$dir/documents.parquet")
@@ -1480,17 +1501,17 @@ object SparkEntry {
 
     // SemDeDup: cluster-scoped exact-cosine pairs (assignment to the
     // deterministic 8-centroid seed is part of what the oracle
-    // replays — argmax cosine with ties to the lowest centroid index)
+    // replays — argmax cosine with ties to the lowest centroid index).
+    // Both queries read the shared per-(session, dir) pair staging
     "q_semdedup_pairs" -> ((s, dir) => {
-      Dedup.semanticNearDupPairs(Tables.embeddings(s, dir), "vec_id",
-          "embedding", threshold = 0.2, nlist = 8)
+      semdedupPairsShared(s, dir)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }),
 
     // the curation step: survivors after greedy min-id semantic dedup
     "q_semdedup" -> ((s, dir) => {
-      Dedup.semanticDedup(Tables.embeddings(s, dir), "vec_id",
-          "embedding", threshold = 0.2, nlist = 8)
+      Dedup.dedupGreedyByPairs(Tables.embeddings(s, dir), "vec_id",
+          semdedupPairsShared(s, dir))
         .select(col("vec_id"))
     }),
 
@@ -2261,9 +2282,8 @@ object SparkEntry {
     },
 
     // URL-dedup oracle: the same injected URL variants and the same
-    // seven canonicalization regexp passes (RE2-safe; '\1' backref in
-    // the query-separator repair is in the REPLACEMENT, not the
-    // pattern), then min-doc_id per canonical form
+    // canonicalization regexp passes in the same order (RE2-safe,
+    // no group refs), then min-doc_id per canonical form
     "q_url_dedup" -> {
       val url = "(CASE WHEN doc_id % 3 = 0 THEN 'https://www.' " +
         "ELSE 'http://' END) || 'site' || CAST(doc_id % 7 AS VARCHAR) " +
@@ -2271,15 +2291,18 @@ object SparkEntry {
         "(CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_id=' || " +
         "CAST(doc_id AS VARCHAR) ELSE '' END) || " +
         "(CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)"
+      val track = "(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*"
       s"""WITH u AS (SELECT doc_id, $url AS url FROM documents),
          |c AS (SELECT doc_id,
          | regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |  regexp_replace(regexp_replace(regexp_replace(url,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |   url,
          |   '#.*', '', 'g'),
          |   '^[A-Za-z][A-Za-z0-9+.-]*://', '', 'g'),
          |   '^www\\.', '', 'g'),
-         |   '[?&](utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*', '', 'g'),
-         |   '^([^?]+)&', '\\1?', 'g'),
+         |   '&$track', '', 'g'),
+         |   '\\?$track&', '?', 'g'),
+         |   '\\?$track$$', '', 'g'),
          |   '[?&]+$$', '', 'g'),
          |   '/$$', '', 'g') AS canon_url FROM u)
          |SELECT min(doc_id) AS doc_id, canon_url

@@ -788,10 +788,14 @@ object Dedup {
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 8): DataFrame = {
     require(nlist > 0, "nlist must be positive")
-    val cents: Seq[Seq[Float]] = df.select(col(idCol), col(vecCol))
+    // a null embedding can neither seed a centroid (driver-side NPE)
+    // nor pair with anything — same contract as the text family's
+    // null-text handling: null rows simply never dedup
+    val clean = df.filter(col(vecCol).isNotNull)
+    val cents: Seq[Seq[Float]] = clean.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(nlist)
       .collect().map(_.getSeq[Float](1).toSeq).toSeq // nlist×dim driver rows
-    val assigned = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+    val assigned = clean.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       element_at(graft.functions.VectorExpressions.centroidTopIds(
         col(vecCol), cents, 1), 1).as("__c"))
     val a = assigned.select(col("__c"), col("__id").as("id_a"),

@@ -248,15 +248,21 @@ object TextOps {
     * crawler — lowercase the host upstream if yours do not).
     */
   def canonicalizeUrl(u: Column): Column = {
+    val track = "(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*"
     val noFrag = regexp_replace(u, "#.*", "")
     val noScheme = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     val noWww = regexp_replace(noScheme, "^www\\.", "")
-    val noTrack = regexp_replace(noWww,
-      "[?&](utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*", "")
-    // stripping "?utm_x=1" from "p?utm_x=1&id=2" leaves "p&id=2":
-    // promote the first '&' back to '?' when no '?' survives
-    val fixQ = regexp_replace(noTrack, "^([^?]+)&", "$1?")
-    val noTail = regexp_replace(fixQ, "[?&]+$", "")
+    // order matters: strip '&'-prefixed tracking params FIRST (the
+    // scan continues right at a following '&', so runs of them go in
+    // one pass), so at most ONE '?'-headed tracking param can remain —
+    // then drop it keeping the '?' when real params follow, or
+    // entirely when it ends the string. No repair pass rewrites
+    // separators, so a literal '&' in a PATH (RFC-3986-legal,
+    // "/a&b") is never promoted to '?'.
+    val noMid = regexp_replace(noWww, "&" + track, "")
+    val noHeadMore = regexp_replace(noMid, "\\?" + track + "&", "?")
+    val noHeadEnd = regexp_replace(noHeadMore, "\\?" + track + "$", "")
+    val noTail = regexp_replace(noHeadEnd, "[?&]+$", "")
     regexp_replace(noTail, "/$", "")
   }
 

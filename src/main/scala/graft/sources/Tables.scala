@@ -26,11 +26,15 @@ object Tables {
   /** Memoized immutable-path parquet read (see [[load]]'s rationale).
     * Only for paths whose content never changes within a session —
     * testdata tables and version-tagged staging dirs qualify; anything
-    * rewritten in place does not.
+    * rewritten in place does not. Entries of stopped sessions are
+    * evicted on access, so a long-lived JVM cycling sessions (test
+    * suites, repeated bench mains) cannot leak them through the memo.
     */
-  def memoRead(spark: SparkSession, path: String): DataFrame =
+  def memoRead(spark: SparkSession, path: String): DataFrame = {
+    loadMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     loadMemo.computeIfAbsent((spark, path),
       { case (s, p) => s.read.parquet(p) })
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     memoRead(spark, s"$sfDir/$name.parquet")

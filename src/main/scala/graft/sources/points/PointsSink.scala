@@ -288,20 +288,29 @@ class PointsStreamingWrite(conf: PointsWriteConf)
     val marker = new Path(root, s"_epoch-$epochId")
     val staged = new Path(root, s"_staging/epoch-$epochId")
     if (!f.exists(marker)) { // replayed epoch: already published
+      // markerless part files for THIS epoch are remnants of a commit
+      // attempt that died before its marker write. Remove them before
+      // publishing: the replayed epoch may legally partition the same
+      // rows differently (shuffle-partition or AQE change across the
+      // restart), so skipping name collisions would publish a MIX of
+      // old and new partitionings — duplicating some rows and losing
+      // others. Delete-then-publish makes the replay a clean,
+      // self-consistent publish no matter where the previous attempt
+      // stopped; files only count once the `_epoch-<id>` marker
+      // exists, and a crash inside THIS window just repeats the same
+      // cleanup on the next replay.
+      val stale = f.globStatus(new Path(root, s"part-*-epoch$epochId.lp"))
+      if (stale != null) stale.foreach(s => f.delete(s.getPath, false))
       var total = 0L
       messages.collect { case m: PointsCommitMessage => m }.foreach { m =>
         val src = new Path(m.stagedFile)
         if (m.rows > 0L) {
-          // deterministic per (epoch, partition) — NO taskId: if the
-          // driver died after renaming some partitions but before the
-          // marker write, the replayed epoch regenerates the SAME
-          // target names, so already-published partitions are skipped
-          // instead of re-published under fresh attempt names (the
-          // duplicate-part window the taskId scheme had)
+          // deterministic per (epoch, partition) — NO taskId, so a
+          // replay can identify (and above, reclaim) exactly its own
+          // epoch's files
           val target = new Path(root,
             f"part-${m.partitionId}%05d-epoch$epochId.lp")
-          if (f.exists(target)) f.delete(src, false)
-          else if (!f.rename(src, target))
+          if (!f.rename(src, target))
             throw new java.io.IOException(
               s"epoch $epochId commit failed renaming $src -> $target")
         } else f.delete(src, false)

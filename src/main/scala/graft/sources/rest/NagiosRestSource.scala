@@ -117,6 +117,15 @@ case class RestTransportConf(transportClass: String, maxRetries: Int,
   */
 trait RestTransport extends Serializable {
   def fetch(url: String, params: Map[String, String]): RestResponse
+
+  /** Deadline-aware variant the guard actually calls: transports that
+    * can enforce a timeout internally (HTTP connect/read) override
+    * this so the configured `timeoutMs` reaches the client instead of
+    * a hardcoded default; everything else inherits the plain fetch
+    * and relies on the guard's outer deadline thread alone.
+    */
+  def fetch(url: String, params: Map[String, String],
+      timeoutMs: Long): RestResponse = fetch(url, params)
 }
 
 final case class RestResponse(status: Int, body: String)
@@ -144,9 +153,11 @@ class FileTransport extends RestTransport {
   *
   * Policy split: retry/backoff/deadline live in
   * [[RestTransport.guarded]] (the outer bound); this class only maps
-  * (url, params) → response. Its own connect/request timeouts mirror
-  * the reference's `timeout=30` so a black-holed connection fails the
-  * attempt from the inside too, instead of pinning the guard's
+  * (url, params) → response. The guard's configured `timeoutMs`
+  * reaches the HTTP request timeout through the deadline-aware fetch
+  * overload — mirroring the reference's `timeout=30` shape but
+  * honoring the user's option — so a black-holed connection fails
+  * the attempt from the inside too, instead of pinning the guard's
   * deadline thread for the duration.
   *
   * The client is one JVM-wide instance (connection pooling across the
@@ -155,7 +166,11 @@ class FileTransport extends RestTransport {
   * it, cheap to construct per task by class name.
   */
 class HttpTransport extends RestTransport {
-  override def fetch(url: String, params: Map[String, String]): RestResponse = {
+  override def fetch(url: String, params: Map[String, String]): RestResponse =
+    fetch(url, params, 30000L)
+
+  override def fetch(url: String, params: Map[String, String],
+      timeoutMs: Long): RestResponse = {
     def enc(s: String): String =
       java.net.URLEncoder.encode(s, "UTF-8")
     // deterministic param order: a stable query string makes request
@@ -166,7 +181,7 @@ class HttpTransport extends RestTransport {
       if (query.isEmpty) url
       else url + (if (url.contains("?")) "&" else "?") + query
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(full))
-      .timeout(java.time.Duration.ofSeconds(30))
+      .timeout(java.time.Duration.ofMillis(math.max(1L, timeoutMs)))
       .GET().build()
     val resp = HttpTransport.client.send(req,
       java.net.http.HttpResponse.BodyHandlers.ofString())
@@ -234,7 +249,8 @@ object RestTransport {
       })
     try {
       val fut = ex.submit(new java.util.concurrent.Callable[RestResponse] {
-        override def call(): RestResponse = base.fetch(url, params)
+        override def call(): RestResponse =
+          base.fetch(url, params, timeoutMs)
       })
       try fut.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
       catch {

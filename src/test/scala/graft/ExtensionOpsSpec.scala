@@ -299,7 +299,9 @@ class ExtensionOpsSpec extends SparkSpec {
       "example.com/page/1",
       "https://www.example.com/Page/1",    // path case preserved
       "http://site.org/a?utm_id=1",        // only param stripped, '?' too
-      "http://site.org/a?fbclid=z&gclid=y")
+      "http://site.org/a?fbclid=z&gclid=y",
+      "http://example.com/a&b",            // literal path '&' untouched
+      "http://e.com/p?utm_a=1&utm_b=2&id=3") // tracking run collapses
       .toDF("url")
       .select($"url", TextOps.canonicalizeUrl($"url").as("c"))
       .as[(String, String)].collect().toMap
@@ -314,6 +316,9 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got("https://www.example.com/Page/1") == "example.com/Page/1")
     assert(got("http://site.org/a?utm_id=1") == "site.org/a")
     assert(got("http://site.org/a?fbclid=z&gclid=y") == "site.org/a")
+    // a PATH '&' (no query) must never be rewritten into a '?'
+    assert(got("http://example.com/a&b") == "example.com/a&b")
+    assert(got("http://e.com/p?utm_a=1&utm_b=2&id=3") == "e.com/p?id=3")
   }
 
   test("text: linear quality model score — exact features, sign gates keep") {

@@ -177,16 +177,43 @@ class PointsSinkSpec extends SparkSpec {
     // simulate the crash window: partition 0 was already renamed in a
     // commit attempt that died BEFORE the _epoch marker was written
     Files.writeString(Paths.get(dir, "part-00000-epoch9.lp"),
-      "m,host_name=h0 state_numeric=0i 0\n")
+      "m,host_name=hSTALE state_numeric=9i 0\n")
     // the replay re-stages BOTH partitions with fresh taskIds
     sw.commit(9L, Array(stage(0, 555L), stage(1, 556L)))
     val parts = Files.list(Paths.get(dir)).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".lp")).toSeq.sorted
     // exactly one file per partition — the pre-crash publish of
-    // partition 0 was NOT duplicated under a fresh attempt name
+    // partition 0 was reclaimed, not duplicated under a fresh name
     assert(parts == Seq("part-00000-epoch9.lp", "part-00001-epoch9.lp"),
       parts.toString)
+    // and its CONTENT is the replay's, not the dead attempt's — the
+    // replay may partition the same rows differently, so survivors of
+    // the old attempt must never mix with the new publish
+    assert(Files.readString(Paths.get(dir, "part-00000-epoch9.lp"))
+      .contains("host_name=h0"))
     assert(Files.exists(Paths.get(dir, "_epoch-9")))
+
+    // repartitioned replay: the dead attempt published TWO parts of
+    // epoch 10; the replay arrives with ONE partition (shuffle config
+    // changed across restart). The stale second part must not survive
+    // — skipping on name collision would have kept it (rows counted
+    // twice) while dropping the new partition 0 (rows lost)
+    Files.writeString(Paths.get(dir, "part-00000-epoch10.lp"),
+      "m,host_name=hSTALE state_numeric=1i 0\n")
+    Files.writeString(Paths.get(dir, "part-00001-epoch10.lp"),
+      "m,host_name=hSTALE state_numeric=2i 0\n")
+    def stage10(part: Int): graft.sources.points.PointsCommitMessage = {
+      Files.createDirectories(Paths.get(dir, "_staging", "epoch-10"))
+      val fp = Paths.get(dir, "_staging", "epoch-10", s"part-$part-777.lp")
+      Files.writeString(fp, s"m,host_name=h$part state_numeric=${part}i 0\n")
+      graft.sources.points.PointsCommitMessage(part, 777L, fp.toString, 1L)
+    }
+    sw.commit(10L, Array(stage10(0)))
+    val parts10 = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.contains("epoch10")).toSeq.sorted
+    assert(parts10 == Seq("part-00000-epoch10.lp"), parts10.toString)
+    assert(!Files.readString(Paths.get(dir, "part-00000-epoch10.lp"))
+      .contains("hSTALE"))
   }
 
   test("batch publish names carry a job id: cross-application appends never collide") {
