@@ -1583,6 +1583,16 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // curation audit: the dup-CLUSTER size histogram over the verified
+    // near-dup graph — how much duplicate mass sits in big boilerplate
+    // components vs simple pairs; composed from the shared pair
+    // staging + the CC closure
+    "q_dup_clusters" -> ((s, dir) => {
+      Dedup.connectedComponents(nearDupPairsShared(s, dir))
+        .groupBy(col("component")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // the exact pairwise verifier standalone: explicit (consecutive-id)
     // pair list, 3-shingle set Jaccard — fully ANSI-expressible, so the
     // verification arithmetic shared by the whole near-dup family gets
@@ -3219,6 +3229,27 @@ object SparkEntry {
          |SELECT d.doc_id FROM docs d
          |WHERE NOT EXISTS (SELECT 1 FROM comp c
          |  WHERE c.id = d.doc_id AND c.component <> d.doc_id)""".stripMargin,
+
+    // cluster-size histogram over the same exact closure
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $nearDupCorpusSql,
+         |${shingleCteSql(5, "docs")},
+         |pairs AS (
+         | SELECT a.doc_id AS u, b.doc_id AS v
+         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |   >= 0.5),
+         |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+         |reach(id, r) AS (
+         | SELECT DISTINCT u, u FROM edges
+         | UNION
+         | SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |sizes AS (SELECT component, count(*) AS size FROM comp
+         |  GROUP BY component)
+         |SELECT size, count(*) AS n_clusters FROM sizes
+         |GROUP BY size""".stripMargin,
 
     // 3-shingle set Jaccard over explicit consecutive-id pairs; shingle
     // semantics mirror graft.functions.Shingles (see q_minhash_pairs)
