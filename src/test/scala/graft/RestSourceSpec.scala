@@ -246,6 +246,25 @@ class RestSourceSpec extends SparkSpec {
     }
   }
 
+  test("HttpTransport threads timeoutMs into the request (not a fixed 30s)") {
+    withServer({ (_, _) =>
+      Thread.sleep(1500); (200, """{"data":{"row":[]}}""")
+    }) { base =>
+      val t0 = System.nanoTime()
+      val e = intercept[Exception] {
+        new graft.sources.rest.HttpTransport()
+          .fetch(s"$base/rrdexport", Map("host_name" -> "h"), 300L)
+      }
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      // the INNER client timeout fired (well before the server's
+      // 1.5s response), proving the configured value reached it
+      assert(e.isInstanceOf[java.net.http.HttpTimeoutException] ||
+        e.getCause.isInstanceOf[java.net.http.HttpTimeoutException],
+        e.toString)
+      assert(elapsedMs < 1400, s"$elapsedMs ms — inner timeout ignored")
+    }
+  }
+
   test("endpointUrl mode end-to-end: live GETs, task pruning, guard retry") {
     val hits = new java.util.concurrent.atomic.AtomicInteger(0)
     val requested = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
