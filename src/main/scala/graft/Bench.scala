@@ -43,7 +43,7 @@ object Bench {
     val tables = Seq("lineitem", "orders", "customer", "supplier", "part",
       "nation", "region", "events", "documents", "embeddings")
     val cachedTables = tables.map { t =>
-      val df = graft.sources.Tables.load(spark, sfDir, t)
+      val df = graft.sources.Tables.loadImmutable(spark, sfDir, t)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
@@ -79,6 +79,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness captures only the TAIL of stdout; with 126 queries the
+    // full per-query line above overflows that window, so the
+    // machine-readable totals were lost (BENCH_r04 `parsed: null`). Emit
+    // a compact self-describing summary as the LAST line — total, query
+    // count, and the 10 heaviest queries — guaranteed to fit the tail.
+    val top = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir","top":$top}""")
     spark.stop()
   }
 }

@@ -788,13 +788,31 @@ object Dedup {
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 8): DataFrame = {
     require(nlist > 0, "nlist must be positive")
+    // Fail at plan time with a named-column error, not a runtime
+    // ClassCastException deep in a collect: the downstream expressions
+    // (CentroidTopIds, CosineSimilarity) accept float AND double
+    // vectors, so this entry point must too.
+    df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType |
+        org.apache.spark.sql.types.DoubleType, _) => ()
+      case t => throw new IllegalArgumentException(
+        s"$vecCol must be array<float|double>, got ${t.catalogString}")
+    }
     // a null embedding can neither seed a centroid (driver-side NPE)
     // nor pair with anything — same contract as the text family's
     // null-text handling: null rows simply never dedup
     val clean = df.filter(col(vecCol).isNotNull)
     val cents: Seq[Seq[Float]] = clean.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(nlist)
-      .collect().map(_.getSeq[Float](1).toSeq).toSeq // nlist×dim driver rows
+      .collect().map(_.getSeq[Number](1).map(_.floatValue()).toSeq)
+      .toSeq // nlist×dim driver rows; Number covers float and double
+    // fewer than one non-null vector: no centroids, no clusters, no
+    // pairs — return the (empty) result instead of tripping
+    // CentroidTopIds' n <= matrix.length precondition
+    if (cents.isEmpty)
+      return clean.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0).as("cosine")).limit(0)
     val assigned = clean.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       element_at(graft.functions.VectorExpressions.centroidTopIds(
         col(vecCol), cents, 1), 1).as("__c"))

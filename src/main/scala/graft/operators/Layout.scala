@@ -20,19 +20,28 @@ object Layout {
 
   /** Morton (Z-order) key: interleave the low `bits` bits of two
     * non-negative int columns — x in the even bit positions, y in the
-    * odd. Statically unrolled shift/mask terms (2·bits adds), fully
-    * whole-stage-codegen; no HOF, no UDF, and every step is integer
-    * arithmetic an independent engine reproduces exactly.
+    * odd. A native codegen expression ([[graft.functions.MortonInterleave]]):
+    * the Column-algebra formulations (per-bit unrolled sum, then the
+    * magic-numbers ladder) both exploded under consumers — the ladder's
+    * tree doubles per rung and `CollapseProject` inlines it into every
+    * downstream leaf reference, producing a 15k-line generated method
+    * that overflowed Janino and silently fell back to interpreted
+    * execution. The native expression generates one static call bound
+    * to a Java local, constant-size wherever the key is consumed, and
+    * its integer arithmetic is pinned bit-for-bit to the oracle's
+    * shifted-bit-sum SQL.
     */
-  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    val xs = x.cast("long")
-    val ys = y.cast("long")
-    (0 until bits).map { i =>
-      shiftleft(shiftrightunsigned(xs, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftrightunsigned(ys, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
-  }
+  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+    graft.functions.ZOrderExpressions.mortonInterleave(
+      x.cast("long"), y.cast("long"), bits)
+
+  /** Inverse of [[zValue]]: recover one coordinate from a Morton key —
+    * `lane = 0` returns x (even bit positions), `lane = 1` returns y
+    * (odd). Useful for debugging a clustered layout and for re-deriving
+    * coordinates when only the sort key was persisted.
+    */
+  def zExtract(z: Column, lane: Int): Column =
+    graft.functions.ZOrderExpressions.mortonExtract(z, lane)
 
   /** Write `df` parquet clustered on the Z-order of (xCol, yCol):
     * range-partition on the z key (files own disjoint z intervals)

@@ -23,7 +23,7 @@ object Tables {
   private val loadMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** Memoized immutable-path parquet read (see [[load]]'s rationale).
+  /** Memoized immutable-path parquet read (see [[loadImmutable]]'s rationale).
     * Only for paths whose content never changes within a session —
     * testdata tables and version-tagged staging dirs qualify; anything
     * rewritten in place does not. Entries of stopped sessions are
@@ -31,21 +31,35 @@ object Tables {
     * suites, repeated bench mains) cannot leak them through the memo.
     */
   def memoRead(spark: SparkSession, path: String): DataFrame = {
+    val key = (spark, path)
+    val hit = loadMemo.get(key)
+    if (hit != null) return hit
+    // Miss path only: evict dead-session entries and build the
+    // DataFrame OUTSIDE any map lock — computeIfAbsent would hold the
+    // bin lock across a whole parquet footer read, serializing
+    // unrelated keys that share the bin. Two racing builders cost one
+    // duplicate read; putIfAbsent keeps the memo single-valued.
     loadMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    loadMemo.computeIfAbsent((spark, path),
-      { case (s, p) => s.read.parquet(p) })
+    val built = spark.read.parquet(path)
+    val prev = loadMemo.putIfAbsent(key, built)
+    if (prev != null) prev else built
   }
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** Memoized read of a table whose directory is NEVER rewritten in
+    * place during the session — the name is the contract. A caller
+    * with a mutable path must use `spark.read` directly, or it gets
+    * the stale memoized relation with no error.
+    */
+  def loadImmutable(spark: SparkSession, sfDir: String, name: String): DataFrame =
     memoRead(spark, s"$sfDir/$name.parquet")
 
-  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
-  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
-  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
-  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
-  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
-  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def lineitem(s: SparkSession, d: String): DataFrame = loadImmutable(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = loadImmutable(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = loadImmutable(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = loadImmutable(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = loadImmutable(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = loadImmutable(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = loadImmutable(s, d, "region")
   /** The events parquet stores `ts` as INT64 TIMESTAMP(NANOS), which
     * Spark's vectorized reader rejects. Read nanos as long and convert
     * to a microsecond timestamp with integer `div` (not `/`, which goes
@@ -55,13 +69,13 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    loadImmutable(s, d, "events")
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame = loadImmutable(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = loadImmutable(s, d, "embeddings")
 
   /** 64-bit sha-256 tag of a path string — the shared cache/memo key
     * encoding for per-dir derived artifacts (bucketed tables, staged
@@ -96,7 +110,7 @@ object Tables {
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
       graft.operators.Relational.writeBucketed(
-        load(s, d, name), table, Seq(key), buckets)
+        loadImmutable(s, d, name), table, Seq(key), buckets)
     }
     s.table(table)
   }

@@ -391,6 +391,32 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 6L), kept.toString)
   }
 
+  test("dedup: semantic dedup accepts double vectors, empty input, rejects non-vector") {
+    // array<double> input must behave identically to array<float>
+    val dbl = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.9, 0.1)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticNearDupPairs(dbl, "vec_id", "embedding",
+        threshold = 0.95, nlist = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L)), pairs.toString)
+    // all-null vectors: no centroids can seed — empty pair set, not a
+    // CentroidTopIds precondition failure
+    val empty = Seq((1L, null: Seq[Float]), (2L, null: Seq[Float]))
+      .toDF("vec_id", "embedding")
+    val none = Dedup.semanticNearDupPairs(empty, "vec_id", "embedding",
+      threshold = 0.9, nlist = 2)
+    assert(none.columns.toSeq == Seq("id_a", "id_b", "cosine"))
+    assert(none.count() == 0)
+    // a non-vector column fails at plan time with a named-column error
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.semanticNearDupPairs(
+        Seq((1L, "oops")).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.9, nlist = 2)
+    }
+    assert(bad.getMessage.contains("embedding"), bad.getMessage)
+  }
+
   test("dedup: substring spans mask all-but-first repeated windows") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

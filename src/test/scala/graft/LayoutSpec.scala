@@ -20,21 +20,30 @@ class LayoutSpec extends SparkSpec {
       0x11111111L, 0x22222222L))
   }
 
+  test("zValue codegens under a global aggregate (no Janino fallback)") {
+    // spark.sql.codegen.fallback=false (SparkSpec) turns any codegen
+    // compile failure into a hard error, so this pins the exact shape
+    // that used to overflow Janino's method limit and silently fall
+    // back: hashAgg_doAggregateWithoutKey over the Morton expression.
+    val agg = spark.range(100000).select(
+      (col("id") % 65536).cast("int").as("x"),
+      ((col("id") * 7) % 65536).cast("int").as("y"))
+      .select(Layout.zValue(col("x"), col("y")).as("z"))
+      .agg(sum("z").as("s"), max("z").as("m"))
+      .head()
+    assert(agg.getLong(0) > 0 && agg.getLong(1) > 0)
+  }
+
   test("zValue: recovering even/odd bits returns x and y") {
     val df = spark.range(500).select(
       (col("id") * 2654435761L % 65536).cast("int").as("x"),
       (col("id") * 40503 % 65536).cast("int").as("y"))
     val z = Layout.zValue(col("x"), col("y"))
     val bad = df.select(col("x"), col("y"), z.as("z"))
-      .filter({
-        val xBack = (0 until 16).map(i =>
-          shiftleft(shiftrightunsigned(col("z"), 2 * i)
-            .bitwiseAND(lit(1L)), i)).reduce(_ + _)
-        val yBack = (0 until 16).map(i =>
-          shiftleft(shiftrightunsigned(col("z"), 2 * i + 1)
-            .bitwiseAND(lit(1L)), i)).reduce(_ + _)
-        xBack =!= col("x").cast("long") || yBack =!= col("y").cast("long")
-      }).count()
+      .filter(
+        Layout.zExtract(col("z"), 0) =!= col("x").cast("long") ||
+          Layout.zExtract(col("z"), 1) =!= col("y").cast("long"))
+      .count()
     assert(bad == 0)
   }
 

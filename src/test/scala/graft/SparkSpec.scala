@@ -19,6 +19,12 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // A Janino compile failure normally falls back to interpreted
+      // execution with only a log line — a silent throughput cliff at
+      // scale. Failing hard here means any expression that outgrows
+      // whole-stage codegen breaks the suite instead of limping through
+      // (this caught the 32-term unrolled Morton interleave).
+      .config("spark.sql.codegen.fallback", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
