@@ -70,7 +70,8 @@ class PointsTable(tableSchema: StructType,
     properties: util.Map[String, String]) extends SupportsWrite {
 
   override def name(): String =
-    s"graft-points(${properties.get("path")})"
+    s"graft-points(${Option(properties.get("path"))
+      .orElse(Option(properties.get("endpointUrl"))).getOrElse("?")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE,
@@ -83,12 +84,23 @@ class PointsTable(tableSchema: StructType,
       private var truncateFirst = false
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new PointsBatchWrite(
-          PointsWriteConf(info.options, info.schema), truncateFirst)
+        private val conf = PointsWriteConf(info.options, info.schema)
+        override def toBatch: BatchWrite = conf.endpoint match {
+          case Some(_) =>
+            // a remote endpoint has no "previous parts" to clean; an
+            // overwrite request is a semantic mismatch, not a no-op
+            if (truncateFirst) throw new IllegalArgumentException(
+              "overwrite is not supported in endpointUrl mode " +
+                "(a live endpoint cannot be truncated by this sink)")
+            new PointsEndpointBatchWrite(conf)
+          case None => new PointsBatchWrite(conf, truncateFirst)
+        }
         override def toStreaming:
             org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new PointsStreamingWrite(
-            PointsWriteConf(info.options, info.schema))
+          conf.endpoint match {
+            case Some(_) => new PointsEndpointStreamingWrite(conf)
+            case None => new PointsStreamingWrite(conf)
+          }
       }
     }
 }
@@ -103,13 +115,29 @@ case class PointsTlsConf(clientCertPath: Option[String],
     clientKeyPath: Option[String], sslVerify: Boolean)
     extends Serializable
 
+/** Live-endpoint delivery policy (set ⇔ `endpointUrl` given):
+  * batches of `batchRows` lines per POST (the batch shape of the
+  * reference client's `write_points(batch_size=...)`), with the
+  * retry/backoff/timeout bound enforced by [[PointsTransport.guarded]].
+  */
+case class PointsEndpointConf(url: String, transportClass: String,
+    batchRows: Int, maxRetries: Int, backoffMs: Long, timeoutMs: Long)
+    extends Serializable
+
 /** All executor-visible write configuration, resolved ONCE on the
   * driver at plan time (field indices, not names, ship to tasks).
+  * Exactly one of `path` (staged-file 2PC mode) and `endpoint`
+  * (live HTTP mode) is set.
   */
-case class PointsWriteConf(path: String, measurement: String,
+case class PointsWriteConf(path: Option[String], measurement: String,
     tagIdx: Seq[(String, Int)], fieldIdx: Seq[(String, Int, DataType)],
     timeIdx: Int, timeType: DataType,
-    tls: PointsTlsConf) extends Serializable
+    tls: PointsTlsConf,
+    endpoint: Option[PointsEndpointConf] = None) extends Serializable {
+  /** File-mode root; only file-mode code paths may call this. */
+  def dir: String = path.getOrElse(throw new IllegalStateException(
+    "points sink is in endpoint mode — no file path"))
+}
 
 object PointsWriteConf {
   def apply(options: CaseInsensitiveStringMap,
@@ -117,8 +145,26 @@ object PointsWriteConf {
     def cols(key: String): Seq[String] =
       Option(options.get(key)).map(_.split(",").map(_.trim).toSeq
         .filter(_.nonEmpty)).getOrElse(Seq.empty)
-    val path = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("graft-points needs a path"))
+    val path = Option(options.get("path")).filter(_.nonEmpty)
+    val endpointUrl = Option(options.get("endpointUrl")).filter(_.nonEmpty)
+    val endpoint = endpointUrl.map { url =>
+      def num(key: String, default: Long): Long =
+        Option(options.get(key)).map(_.toLong).getOrElse(default)
+      PointsEndpointConf(url,
+        Option(options.get("transportClass"))
+          .getOrElse(classOf[PointsHttpTransport].getName),
+        batchRows = num("batchRows", 5000L).toInt,
+        maxRetries = num("maxRetries", 3L).toInt,
+        backoffMs = num("backoffMs", 500L),
+        timeoutMs = num("timeoutMs", 30000L))
+    }
+    (path, endpointUrl) match {
+      case (None, None) => throw new IllegalArgumentException(
+        "graft-points needs a path (file mode) or endpointUrl (HTTP mode)")
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "graft-points takes path OR endpointUrl, not both")
+      case _ => ()
+    }
     val timeCol = Option(options.get("timeCol")).getOrElse("ts")
     def idx(c: String): Int = schema.fieldIndex(c)
     val tags = cols("tagCols").map { c =>
@@ -140,7 +186,7 @@ object PointsWriteConf {
       cols("fieldCols").map(c =>
         (c, idx(c), schema(c).dataType)),
       idx(timeCol), schema(timeCol).dataType,
-      tlsConf(options))
+      tlsConf(options), endpoint)
   }
 
   /** Build-time validation of the TLS/auth option surface: cert and
@@ -182,7 +228,7 @@ class PointsBatchWrite(conf: PointsWriteConf, truncateFirst: Boolean)
   private val jobId = java.util.UUID.randomUUID().toString.take(8)
 
   private def fs(): (FileSystem, Path) = {
-    val p = new Path(conf.path)
+    val p = new Path(conf.dir)
     (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
   }
 
@@ -269,7 +315,7 @@ class PointsStreamingWrite(conf: PointsWriteConf)
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
   private def fs(): (FileSystem, Path) = {
-    val p = new Path(conf.path)
+    val p = new Path(conf.dir)
     (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
   }
 
@@ -339,7 +385,7 @@ class PointsDataWriter(conf: PointsWriteConf, partitionId: Int,
   // attempt identity in the name: retried/speculative attempts of the
   // same partition write DIFFERENT files
   private val staged = new Path(
-    s"${conf.path}/_staging/${stagingSub}part-$partitionId-$taskId.lp")
+    s"${conf.dir}/_staging/${stagingSub}part-$partitionId-$taskId.lp")
   private val fsys = staged.getFileSystem(
     new org.apache.hadoop.conf.Configuration())
   private val out = new java.io.BufferedWriter(
