@@ -1448,30 +1448,6 @@ object SparkEntry {
           col("nb.id").as("neighbor_id"))
     }),
 
-    "q_knn_lsh" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val queries = emb.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("qid"), col("embedding"))
-      Similarity.lshTopK(emb, queries, "vec_id", "embedding", "qid",
-          k = 10, planes = 4)
-        .select(col("query_id"),
-          posexplode(col("neighbors")).as(Seq("pos", "nb")))
-        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-          col("nb.id").as("neighbor_id"))
-    }),
-
-    "q_knn_ivf" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val queries = emb.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("qid"), col("embedding"))
-      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "qid",
-          k = 10, nlist = 16, nprobe = 4)
-        .select(col("query_id"),
-          posexplode(col("neighbors")).as(Seq("pos", "nb")))
-        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-          col("nb.id").as("neighbor_id"))
-    }),
-
     // int8 scalar quantization of the embedding column: per-vector
     // scale + codes, bit-portable arithmetic (floor(x*scale+0.5)) so
     // the codes hash-match the oracle; codes projected to a string
@@ -1480,12 +1456,6 @@ object SparkEntry {
       Similarity.withQuantizedInt8(Tables.embeddings(s, dir), "embedding")
         .select(col("vec_id"), round(col("q_scale"), 6).as("q_scale"),
           concat_ws(",", col("q_codes").cast("array<string>")).as("codes"))
-    }),
-
-    "q_neardup_embedding" -> ((s, dir) => {
-      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id",
-          "embedding", threshold = 0.2, planes = 4)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }),
 
     // exact variant (q_knn_ivf_full pattern): planes = 0 degenerates
@@ -1985,6 +1955,49 @@ object SparkEntry {
                    ELSE c_custkey END NOT IN (
           SELECT o_custkey FROM g_orders_ni
           WHERE o_orderstatus = 'F')""")
+    })
+  )
+
+  /** Bench-only queries: the partial-probe ANN configurations — the
+    * actual 100 TB scale paths (bucketed candidates, bounded probes)
+    * whose outputs are approximate BY DESIGN and therefore have no
+    * exact SQL oracle. Their semantics are pinned twice over: each has
+    * an exactly-oracled degenerate sibling in [[queries]]
+    * (`q_knn_ivf_full`, `q_knn_lsh_full`, `q_neardup_embedding_full` —
+    * same pipeline at recall 1) and a recall/monotonicity spec
+    * (ExtensionOpsSpec). Kept out of [[queries]] so the correctness
+    * artifact carries zero unverifiable rows; kept in the bench so the
+    * scale path stays measured.
+    */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", "qid",
+          k = 10, planes = 4)
+        .select(col("query_id"),
+          posexplode(col("neighbors")).as(Seq("pos", "nb")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("nb.id").as("neighbor_id"))
+    }),
+
+    "q_knn_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "qid",
+          k = 10, nlist = 16, nprobe = 4)
+        .select(col("query_id"),
+          posexplode(col("neighbors")).as(Seq("pos", "nb")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("nb.id").as("neighbor_id"))
+    }),
+
+    "q_neardup_embedding" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id",
+          "embedding", threshold = 0.2, planes = 4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     })
   )
 

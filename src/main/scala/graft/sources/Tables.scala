@@ -60,19 +60,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = loadImmutable(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = loadImmutable(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = loadImmutable(s, d, "region")
-  /** The events parquet stores `ts` as INT64 TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects. Read nanos as long and convert
-    * to a microsecond timestamp with integer `div` (not `/`, which goes
-    * through double and loses precision above 2^53 ns). Truncation
-    * matches DuckDB's TIMESTAMP_NS → TIMESTAMP conversion, so oracle
-    * comparisons agree.
+  /** Normalize `events.ts` to session-zoned TimestampType whatever the
+    * generator wrote, so every downstream operator (and the DuckDB
+    * oracle, which reads the same file as a naive timestamp under a
+    * UTC session) sees identical values:
+    *   - INT64 TIMESTAMP(NANOS) (early harness data): vectorized
+    *     reader rejects it — read nanos as long (`nanosAsLong`) and
+    *     integer-`div` down to micros (`/` goes through double and
+    *     loses precision above 2^53 ns, and truncation matches
+    *     DuckDB's TIMESTAMP_NS → TIMESTAMP);
+    *   - plain `timestamp[us]` without UTC adjustment (current data):
+    *     Spark reads TIMESTAMP_NTZ; cast to TIMESTAMP, which under the
+    *     UTC session timezone is value-identical to DuckDB's naive
+    *     read.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    loadImmutable(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = loadImmutable(s, d, "events")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = loadImmutable(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = loadImmutable(s, d, "embeddings")

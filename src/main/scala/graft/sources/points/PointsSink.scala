@@ -379,18 +379,13 @@ class PointsStreamingWrite(conf: PointsWriteConf)
 case class PointsCommitMessage(partitionId: Int, taskId: Long,
     stagedFile: String, rows: Long) extends WriterCommitMessage
 
-class PointsDataWriter(conf: PointsWriteConf, partitionId: Int,
-    taskId: Long, stagingSub: String) extends DataWriter[InternalRow] {
-
-  // attempt identity in the name: retried/speculative attempts of the
-  // same partition write DIFFERENT files
-  private val staged = new Path(
-    s"${conf.dir}/_staging/${stagingSub}part-$partitionId-$taskId.lp")
-  private val fsys = staged.getFileSystem(
-    new org.apache.hadoop.conf.Configuration())
-  private val out = new java.io.BufferedWriter(
-    new java.io.OutputStreamWriter(fsys.create(staged, true), "UTF-8"))
-  private var rows = 0L
+/** Row → InfluxDB line protocol (`measurement,tag=v,... field=v,...
+  * epoch_seconds`, the reference's `time_precision='s'` wire form) —
+  * shared by the staged-file writer and the live-endpoint writer so
+  * both modes emit byte-identical lines.
+  */
+private[points] final class PointsLineRenderer(conf: PointsWriteConf)
+    extends Serializable {
 
   /** Line-protocol escaping for tag values: `,`, ` ` and `=` are
     * structural in the tag set.
@@ -415,7 +410,7 @@ class PointsDataWriter(conf: PointsWriteConf, partitionId: Int,
       s"unsupported time column type ${other.simpleString}")
   }
 
-  override def write(row: InternalRow): Unit = {
+  def render(row: InternalRow): String = {
     val sb = new StringBuilder(conf.measurement)
     conf.tagIdx.foreach { case (name, i) =>
       if (!row.isNullAt(i))
@@ -436,7 +431,26 @@ class PointsDataWriter(conf: PointsWriteConf, partitionId: Int,
     if (!row.isNullAt(conf.timeIdx))
       sb.append(' ').append(epochSeconds(row.get(conf.timeIdx,
         conf.timeType)))
-    out.write(sb.toString)
+    sb.toString
+  }
+}
+
+class PointsDataWriter(conf: PointsWriteConf, partitionId: Int,
+    taskId: Long, stagingSub: String) extends DataWriter[InternalRow] {
+
+  // attempt identity in the name: retried/speculative attempts of the
+  // same partition write DIFFERENT files
+  private val staged = new Path(
+    s"${conf.dir}/_staging/${stagingSub}part-$partitionId-$taskId.lp")
+  private val fsys = staged.getFileSystem(
+    new org.apache.hadoop.conf.Configuration())
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fsys.create(staged, true), "UTF-8"))
+  private var rows = 0L
+  private val renderer = new PointsLineRenderer(conf)
+
+  override def write(row: InternalRow): Unit = {
+    out.write(renderer.render(row))
     out.write('\n')
     rows += 1L
   }

@@ -16,10 +16,19 @@ class EntrySpec extends SparkSpec {
   }
 
   test("all queries return rows on sf0.001") {
-    val empty = SparkEntry.queries.flatMap { case (name, fn) =>
-      val n = fn(spark, sf("sf0.001")).count()
-      if (n == 0) Some(name) else None
-    }
+    val empty = (SparkEntry.queries ++ SparkEntry.benchOnly)
+      .flatMap { case (name, fn) =>
+        val n = fn(spark, sf("sf0.001")).count()
+        if (n == 0) Some(name) else None
+      }
     assert(empty.isEmpty, s"empty results: $empty")
+  }
+
+  test("benchOnly is disjoint from queries and never oracled") {
+    // benchOnly exists precisely because these configurations are
+    // approximate by design: an entry drifting into queries/oracleSql
+    // would reintroduce an unverifiable correctness row
+    assert((SparkEntry.benchOnly.keySet & SparkEntry.queries.keySet).isEmpty)
+    assert((SparkEntry.benchOnly.keySet & SparkEntry.oracleSql.keySet).isEmpty)
   }
 }

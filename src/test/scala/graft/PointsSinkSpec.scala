@@ -310,4 +310,230 @@ class PointsSinkSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed == Map(1L -> "a2", 3L -> "c"))
   }
+
+  // ------------------------------------------------------------------ //
+  // Live-endpoint (HTTP) mode — the reference's InfluxDB write path
+  // (`url_service_status_InfluxDB_insert.py:141-159`) over a local
+  // stub server: real sockets, no egress.
+  // ------------------------------------------------------------------ //
+
+  /** Stub HTTP POST server on an ephemeral 127.0.0.1 port; the handler
+    * sees (path, contentType, body) per request. Stopped before return.
+    */
+  private def withPostServer(
+      handler: (String, String, String) => (Int, String))(
+      f: String => Unit): Unit = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", postHandler(handler))
+    srv.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    srv.start()
+    try f(s"http://127.0.0.1:${srv.getAddress.getPort}")
+    finally srv.stop(0)
+  }
+
+  private def postHandler(
+      handler: (String, String, String) => (Int, String)) =
+    new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+          .getOrElse("")
+        val (status, resp) = handler(ex.getRequestURI.getPath, ctype, body)
+        val bytes = resp.getBytes("UTF-8")
+        // 204 (InfluxDB's /write success) must carry no body
+        ex.sendResponseHeaders(status, if (status == 204) -1 else
+          math.max(bytes.length.toLong, if (bytes.isEmpty) -1L else 0L))
+        if (status != 204 && bytes.nonEmpty) ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    }
+
+  private def writeEndpoint(df: org.apache.spark.sql.DataFrame,
+      url: String, extra: Map[String, String] = Map.empty,
+      mode: String = "append"): Unit = {
+    val w = df.write.format("graft-points").mode(mode)
+      .option("endpointUrl", url)
+      .option("measurement", "service_status")
+      .option("tagCols", "host_name,service_description")
+      .option("fieldCols", "state_numeric,value")
+      .option("timeCol", "event_ts")
+      .option("backoffMs", "10")
+    extra.foreach { case (k, v) => w.option(k, v) }
+    w.save()
+  }
+
+  test("endpoint mode: POSTs line protocol over a live socket, " +
+      "batched by batchRows, 204 accepted") {
+    val posts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lines = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val ctypes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    withPostServer({ (path, ctype, body) =>
+      assert(path == "/write")
+      posts.incrementAndGet()
+      ctypes.add(ctype)
+      body.linesIterator.foreach(lines.add)
+      (204, "") // InfluxDB /write success
+    }) { base =>
+      // 5 rows, 1 partition, batchRows=2 → exactly 3 POSTs
+      val five = points.union(points.limit(2)).coalesce(1)
+      writeEndpoint(five, s"$base/write", Map("batchRows" -> "2"))
+      assert(posts.get() == 3)
+      assert(ctypes.asScala.forall(_.startsWith("text/plain")))
+      // byte-identical rendering to file mode (shared renderer)
+      assert(lines.asScala.exists(_ ==
+        "service_status,host_name=hostA," +
+          "service_description=CPU\\ load state_numeric=0i,value=0.42 " +
+          "1704067200"))
+      assert(lines.asScala.size == 3) // 5 rows, 3 distinct lines
+    }
+  }
+
+  test("endpoint mode: 5xx retries into success; 4xx fails fast") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    withPostServer({ (_, _, body) =>
+      // first request 503s: the guard must retry the SAME batch
+      if (hits.incrementAndGet() == 1) (503, "busy")
+      else { body.linesIterator.foreach(got.add); (204, "") }
+    }) { base =>
+      writeEndpoint(points.coalesce(1), s"$base/write")
+      assert(hits.get() >= 2)
+      assert(got.asScala.size == 3) // nothing lost across the retry
+    }
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    withPostServer({ (_, _, _) =>
+      attempts.incrementAndGet(); (400, "bad line")
+    }) { base =>
+      val e = intercept[Exception] {
+        writeEndpoint(points.coalesce(1), s"$base/write",
+          Map("maxRetries" -> "3"))
+      }
+      // a malformed write cannot improve on retry: exactly one POST
+      assert(attempts.get() == 1, s"4xx was retried ${attempts.get()}x")
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(
+        _.getMessage.toLowerCase.contains("rejected write")), e.toString)
+    }
+  }
+
+  test("endpoint mode: overwrite rejected, path XOR endpointUrl") {
+    val e1 = intercept[Exception] {
+      writeEndpoint(points, "http://127.0.0.1:1/write",
+        mode = "overwrite")
+    }
+    assert(e1.getMessage.contains("overwrite"))
+    val e2 = intercept[IllegalArgumentException] {
+      writeEndpoint(points, "http://127.0.0.1:1/write",
+        Map("path" -> tmpDir()))
+    }
+    assert(e2.getMessage.contains("not both"))
+  }
+
+  test("endpoint mode: mutual TLS — client cert presented, " +
+      "self-signed server accepted with sslVerify=false") {
+    import java.security.KeyStore
+    import javax.net.ssl.{KeyManagerFactory, SSLContext, TrustManagerFactory}
+    def store(resource: String): KeyStore = {
+      val ks = KeyStore.getInstance("PKCS12")
+      val in = getClass.getResourceAsStream(resource)
+      try ks.load(in, "changeit".toCharArray) finally in.close()
+      ks
+    }
+    val kmf = KeyManagerFactory.getInstance(
+      KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(store("/tls/server.p12"), "changeit".toCharArray)
+    val tmf = TrustManagerFactory.getInstance(
+      TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(store("/tls/clienttrust.p12")) // trusts ONLY client.crt
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, tmf.getTrustManagers, null)
+    val srv = com.sun.net.httpserver.HttpsServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.setHttpsConfigurator(
+      new com.sun.net.httpserver.HttpsConfigurator(ctx) {
+        override def configure(
+            p: com.sun.net.httpserver.HttpsParameters): Unit = {
+          // mTLS: reject certless clients. Must go through
+          // setSSLParameters — com.sun HttpsServer ignores the
+          // individual setNeedClientAuth field (verified empirically:
+          // a certless client handshakes fine with it)
+          val sp = ctx.getDefaultSSLParameters
+          sp.setNeedClientAuth(true)
+          p.setSSLParameters(sp)
+        }
+      })
+    val lines = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    srv.createContext("/", postHandler({ (_, _, body) =>
+      body.linesIterator.foreach(lines.add); (204, "")
+    }))
+    srv.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    srv.start()
+    val url = s"https://127.0.0.1:${srv.getAddress.getPort}/write"
+    def resPath(r: String): String =
+      java.nio.file.Paths.get(getClass.getResource(r).toURI).toString
+    try {
+      // the reference's client surface: cert=(cert, key), verify=False
+      // against a self-signed endpoint (url...py:142-149)
+      writeEndpoint(points.coalesce(1), url, Map(
+        "clientCertPath" -> resPath("/tls/client.crt"),
+        "clientKeyPath" -> resPath("/tls/client.key"),
+        "sslVerify" -> "false"))
+      assert(lines.asScala.size == 3)
+      // no client cert → the mTLS handshake must reject the write
+      val e = intercept[Exception] {
+        writeEndpoint(points.coalesce(1), url, Map(
+          "sslVerify" -> "false", "maxRetries" -> "0"))
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(t =>
+        t.isInstanceOf[javax.net.ssl.SSLException] ||
+          t.getMessage != null &&
+          t.getMessage.contains("write failed")), e.toString)
+      // verification ON against a self-signed server must also fail
+      val e2 = intercept[Exception] {
+        writeEndpoint(points.coalesce(1), url, Map(
+          "clientCertPath" -> resPath("/tls/client.crt"),
+          "clientKeyPath" -> resPath("/tls/client.key"),
+          "maxRetries" -> "0"))
+      }
+      assert(chain(e2).exists(t =>
+        t.isInstanceOf[javax.net.ssl.SSLException] ||
+          t.getMessage != null &&
+          t.getMessage.contains("write failed")), e2.toString)
+    } finally srv.stop(0)
+  }
+
+  test("endpoint mode: streaming writeStream POSTs each epoch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val lines = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    withPostServer({ (_, _, body) =>
+      body.linesIterator.foreach(lines.add); (204, "")
+    }) { base =>
+      val ckpt = tmpDir()
+      val in = MemoryStream[(String, Long, java.sql.Timestamp)]
+      val q = in.toDF().toDF("host_name", "state_numeric", "event_ts")
+        .writeStream.format("graft-points")
+        .option("endpointUrl", s"$base/write")
+        .option("checkpointLocation", ckpt)
+        .option("measurement", "m")
+        .option("tagCols", "host_name")
+        .option("fieldCols", "state_numeric")
+        .option("timeCol", "event_ts")
+        .option("backoffMs", "10")
+        .start()
+      try {
+        in.addData(("h1", 1L, ts("2024-01-01 00:00:00")))
+        q.processAllAvailable()
+        in.addData(("h2", 2L, ts("2024-01-01 00:00:01")))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(lines.asScala ==
+        Set("m,host_name=h1 state_numeric=1i 1704067200",
+          "m,host_name=h2 state_numeric=2i 1704067201"))
+    }
+  }
 }
