@@ -506,6 +506,132 @@ class PointsSinkSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("§3.2 topology live over sockets: HTTP doc fetch → enrichment " +
+      "→ HTTP points sink, re-poll idempotent (url...py end to end)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types.{MapType, StringType}
+    implicit val sq = spark.sqlContext
+    // the three API documents of url_service_status_InfluxDB_insert.py
+    // (servicegroup membership, current status, service details)
+    val membersDoc =
+      """{"data":{"servicegroup":{"members":[
+        |{"host_name":"h1","service_description":"CPU Usage"},
+        |{"host_name":"h2","service_description":"Mem"}]}}}""".stripMargin
+    val statusDoc =
+      """{"data":{"servicelist":[
+        |{"host_name":"h1","service_description":"CPU Usage",
+        | "current_state":"0","last_check":"2024-01-01 00:00:00"},
+        |{"host_name":"h2","service_description":"Mem",
+        | "current_state":"2","last_check":"2024-01-01 00:00:05"},
+        |{"host_name":"stray","service_description":"Disk",
+        | "current_state":"1","last_check":"2024-01-01 00:00:06"}]}}"""
+        .stripMargin
+    val detailsDoc =
+      """{"data":{"servicelist":[
+        |{"host_name":"h1","service_description":"CPU Usage",
+        | "display_name":"CPU",
+        | "customvars":{"FRIENDLYNAME":"cpu1","CROWNJEWEL":"yes"}},
+        |{"host_name":"h2","service_description":"Mem",
+        | "display_name":"Memory","customvars":{}}]}}""".stripMargin
+    val gets = new java.util.concurrent.atomic.AtomicInteger(0)
+    // keyed store mimicking InfluxDB: a point is an upsert on
+    // (measurement+tag set, timestamp) — re-POSTing is a no-op
+    val store = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", { (ex: com.sun.net.httpserver.HttpExchange) =>
+      val (status, resp) = (ex.getRequestMethod,
+          ex.getRequestURI.getPath) match {
+        case ("GET", "/members") => gets.incrementAndGet(); (200, membersDoc)
+        case ("GET", "/status") => gets.incrementAndGet(); (200, statusDoc)
+        case ("GET", "/details") => gets.incrementAndGet(); (200, detailsDoc)
+        case ("POST", "/write") =>
+          val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          body.linesIterator.filter(_.nonEmpty).foreach { line =>
+            // meas,tags fields ts — split on unescaped spaces
+            val parts = line.split("(?<!\\\\) ")
+            store.put(s"${parts(0)} ${parts(2)}", parts(1))
+          }
+          (204, "")
+        case _ => (404, "nope")
+      }
+      val bytes = resp.getBytes("UTF-8")
+      ex.sendResponseHeaders(status, if (status == 204) -1 else bytes.length)
+      if (status != 204) ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    srv.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    srv.start()
+    val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+    try {
+      // each micro-batch = one poll cycle of the reference's cron job:
+      // fetch the trio live, enrich (§3.2), POST points live
+      val in = MemoryStream[Int]
+      val q = in.toDF().writeStream.outputMode("append")
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          val t = new graft.sources.rest.HttpTransport()
+          def doc(path: String): String = {
+            val r = t.fetch(s"$base$path", Map("apikey" -> "k"))
+            assert(r.status == 200, s"$path -> ${r.status}")
+            r.body
+          }
+          def parsed(path: String) =
+            spark.read.json(Seq(doc(path)).toDS)
+          val members = parsed("/members")
+            .select(explode(col("data.servicegroup.members")).as("m"))
+            .select(col("m.host_name"), col("m.service_description"))
+          val status = parsed("/status")
+            .select(explode(col("data.servicelist")).as("s"))
+            .select(col("s.host_name"), col("s.service_description"),
+              col("s.current_state"), col("s.last_check"))
+          val details = parsed("/details")
+            .select(explode(col("data.servicelist")).as("d"))
+            .select(col("d.host_name"), col("d.service_description"),
+              col("d.display_name"),
+              from_json(to_json(col("d.customvars")),
+                MapType(StringType, StringType)).as("customvars_map"),
+              lit(null).cast(graft.pipelines.StatusPoints
+                .customvarsListType).as("customvars_list"))
+          graft.pipelines.StatusPoints
+            .points(status, members, details, "service_status")
+            .write.format("graft-points").mode("append")
+            .option("endpointUrl", s"$base/write")
+            .option("measurement", "service_status")
+            .option("tagCols",
+              "host_name,service_description,friendlyname,crownjewel")
+            .option("fieldCols", "service_status_numeric,display_name")
+            .option("timeCol", "time")
+            .option("backoffMs", "10")
+            .save()
+        }.start()
+      try {
+        in.addData(1) // poll 1
+        q.processAllAvailable()
+        val afterFirst = store.asScala.toMap
+        in.addData(2) // poll 2: same upstream state re-fetched
+        q.processAllAvailable()
+        assert(gets.get() >= 6) // trio fetched live on each cycle
+        // the re-poll re-POSTed every point; the keyed store is
+        // unchanged — the idempotent-upsert contract the reference's
+        // fire-and-forget write_points relies on
+        assert(store.asScala.toMap == afterFirst)
+        // membership semi-join dropped "stray"; enrichment + defaults
+        assert(store.size == 2)
+        val h1 = store.asScala.find(_._1.contains("host_name=h1")).get
+        assert(h1._1 == "service_status,host_name=h1," +
+          "service_description=CPU\\ Usage,friendlyname=cpu1," +
+          "crownjewel=yes 1704067200")
+        assert(h1._2 == "service_status_numeric=0i," +
+          "display_name=\"CPU\"")
+        val h2 = store.asScala.find(_._1.contains("host_name=h2")).get
+        // defaults: FRIENDLYNAME → unknown, CROWNJEWEL → no
+        assert(h2._1.contains("friendlyname=unknown") &&
+          h2._1.contains("crownjewel=no") && h2._1.endsWith("1704067205"))
+        assert(h2._2.contains("service_status_numeric=2i"))
+      } finally q.stop()
+    } finally srv.stop(0)
+  }
+
   test("endpoint mode: streaming writeStream POSTs each epoch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
