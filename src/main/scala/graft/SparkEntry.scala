@@ -105,6 +105,120 @@ object SparkEntry {
        |   THEN text || '$substrTail' ELSE text END AS text
        | FROM documents)""".stripMargin
 
+  /** Curation v2 (shared by `q_curation_v2` and as the structural
+    * stage of `q_curation_v3`): corpus-level line dedup → domain
+    * blocklist → Gopher repetition gate → PII redaction, output
+    * fingerprinting the surviving redacted text.
+    */
+  private def curationV2(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(s, dir).select(col("doc_id"),
+      concat(
+        lit("subscribe to our newsletter\n"), col("text"),
+        when(col("doc_id") % 13 === 0, repeat(lit(" buy now"), 40))
+          .otherwise(lit("")),
+        lit(" contact u"), col("doc_id"), lit("@example.com via "),
+        when(col("doc_id") % 11 === 0,
+          lit("https://site3.example.com/track"))
+          .otherwise(concat(lit("https://ok"), col("doc_id") % 7,
+            lit(".example.org/p"))),
+        when(col("doc_id") % 3 === 0, lit("\nthis site uses cookies"))
+          .otherwise(lit(""))).as("text"))
+    val cleaned = Dedup.dedupCorpusLines(corpus, "doc_id", "text",
+      maxOccurrences = 10L)
+    // Gopher-style: the repetition gate applies only above a minimum
+    // length — min(1, n*topCnt/ntok) saturates on short docs and
+    // would reject pristine sub-20-token documents
+    val rep = TextOps.repetitionStats(col("text"), 2)
+    cleaned
+      .filter(!TextOps.hasBlockedHost(col("text"),
+        Seq("site3.example.com")))
+      .filter(rep.getField("n_tokens") < 20 ||
+        rep.getField("top_ngram_frac") <= 0.2)
+      .select(col("doc_id"),
+        md5(TextOps.redactPii(col("text"))).as("fp"),
+        length(TextOps.redactPii(col("text"))).cast("long")
+          .as("n_chars"))
+  }
+
+  /** Unigram-LM surprisal oracle (the TextOps.surprisal contract in
+    * DuckDB): same tokenizer as q_tfidf, counts exact, ln/round on
+    * both sides. Also the quality CTE of `q_curation_v3`.
+    */
+  private val surprisalSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(list_filter(
+      |  string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+      |  GROUP BY doc_id, token),
+      |ct AS (SELECT token, sum(tf) AS c FROM tf GROUP BY token),
+      |n AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM tf)
+      |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+      | round(ln(n.n) - sum(tf.tf * ln(CAST(ct.c AS DOUBLE)))
+      |   / CAST(sum(tf.tf) AS DOUBLE), 6) AS surprisal
+      |FROM tf JOIN ct USING (token) CROSS JOIN n
+      |GROUP BY tf.doc_id, n.n""".stripMargin
+
+  /** Curation v2 oracle (also the structural CTE of `q_curation_v3`):
+    * the proven per-op CTEs chained — line-dedup rebuild, host
+    * blocklist, repetition gate (rounded like the Spark struct field),
+    * then the piiPatterns redaction chain.
+    */
+  private lazy val curationV2Sql: String = {
+    val Seq((emailRe, emailTag), (ipRe, ipTag), (ssnRe, ssnTag),
+      (phoneRe, phoneTag)) = TextOps.piiPatterns
+    val corpus = "SELECT doc_id, 'subscribe to our newsletter' || " +
+      "chr(10) || text || CASE WHEN doc_id % 13 = 0 THEN " +
+      "repeat(' buy now', 40) ELSE '' END || ' contact u' || " +
+      "CAST(doc_id AS VARCHAR) || '@example.com via ' || " +
+      "CASE WHEN doc_id % 11 = 0 THEN 'https://site3.example.com/track' " +
+      "ELSE 'https://ok' || CAST(doc_id % 7 AS VARCHAR) || " +
+      "'.example.org/p' END || CASE WHEN doc_id % 3 = 0 THEN chr(10) " +
+      "|| 'this site uses cookies' ELSE '' END AS text FROM documents"
+    s"""WITH corpus AS ($corpus),
+       |l AS (SELECT doc_id,
+       |  unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+       |  unnest(string_split(text, chr(10))) AS line FROM corpus),
+       |kill AS (SELECT md5(line) AS k FROM l WHERE len(line) >= 1
+       |  GROUP BY md5(line) HAVING count(DISTINCT doc_id) > 10),
+       |rebuilt AS (SELECT doc_id,
+       |  string_agg(line, chr(10) ORDER BY pos) AS text FROM l
+       |  WHERE md5(line) NOT IN (SELECT k FROM kill) GROUP BY doc_id),
+       |cleaned AS (SELECT c.doc_id, coalesce(r.text, '') AS text
+       |  FROM corpus c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id),
+       |unblocked AS (SELECT doc_id, text FROM cleaned
+       |  WHERE len(list_filter(list_transform(
+       |    regexp_extract_all(text, 'https?://[^\\s]+'),
+       |    u -> lower(regexp_extract(u, '^https?://([^/:?#\\s]+)', 1))),
+       |    h -> h = 'site3.example.com')) = 0),
+       |tt AS (SELECT doc_id,
+       |  list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)
+       |  AS toks FROM unblocked),
+       |ng AS (SELECT doc_id, toks, ${shingleSql(2)} AS ng FROM tt),
+       |topc AS (SELECT doc_id, max(c) AS topc FROM (
+       |  SELECT doc_id, g, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(ng) AS g FROM ng) e
+       |  GROUP BY doc_id, g) gc GROUP BY doc_id),
+       |rep AS (SELECT ng.doc_id, len(toks) AS ntok, topc
+       |  FROM ng JOIN topc ON ng.doc_id = topc.doc_id),
+       |kept AS (SELECT u.doc_id, u.text FROM unblocked u
+       |  JOIN rep ON u.doc_id = rep.doc_id
+       |  WHERE ntok < 20 OR round(CASE WHEN ntok = 0 THEN 0.0
+       |    ELSE least(1.0, CAST(topc * 2 AS DOUBLE) / ntok) END, 4)
+       |    <= 0.2),
+       |r1 AS (SELECT doc_id,
+       |  regexp_replace(text, '$emailRe', '$emailTag', 'g') AS t1
+       |  FROM kept),
+       |r2 AS (SELECT doc_id,
+       |  regexp_replace(t1, '$ipRe', '$ipTag', 'g') AS t2 FROM r1),
+       |r3 AS (SELECT doc_id,
+       |  regexp_replace(t2, '$ssnRe', '$ssnTag', 'g') AS t3 FROM r2)
+       |SELECT doc_id,
+       | md5(regexp_replace(t3, '$phoneRe', '$phoneTag', 'g')) AS fp,
+       | CAST(len(regexp_replace(t3, '$phoneRe', '$phoneTag', 'g'))
+       |   AS BIGINT) AS n_chars
+       |FROM r3""".stripMargin
+  }
+
   /** Repeated-span table of [[substrCorpus]], computed ONCE per
     * (session, dir) and shared by `q_repeated_spans` /
     * `q_substring_dedup` — the corpus-wide window pass is the
@@ -624,34 +738,24 @@ object SparkEntry {
     // repetition gate (%13 docs carry 40x spam; top-2-gram coverage
     // > 0.2 rejected) → PII redaction — output fingerprints the
     // surviving redacted text
-    "q_curation_v2" -> ((s, dir) => {
-      val corpus = Tables.documents(s, dir).select(col("doc_id"),
-        concat(
-          lit("subscribe to our newsletter\n"), col("text"),
-          when(col("doc_id") % 13 === 0, repeat(lit(" buy now"), 40))
-            .otherwise(lit("")),
-          lit(" contact u"), col("doc_id"), lit("@example.com via "),
-          when(col("doc_id") % 11 === 0,
-            lit("https://site3.example.com/track"))
-            .otherwise(concat(lit("https://ok"), col("doc_id") % 7,
-              lit(".example.org/p"))),
-          when(col("doc_id") % 3 === 0, lit("\nthis site uses cookies"))
-            .otherwise(lit(""))).as("text"))
-      val cleaned = Dedup.dedupCorpusLines(corpus, "doc_id", "text",
-        maxOccurrences = 10L)
-      // Gopher-style: the repetition gate applies only above a minimum
-      // length — min(1, n*topCnt/ntok) saturates on short docs and
-      // would reject pristine sub-20-token documents
-      val rep = TextOps.repetitionStats(col("text"), 2)
-      cleaned
-        .filter(!TextOps.hasBlockedHost(col("text"),
-          Seq("site3.example.com")))
-        .filter(rep.getField("n_tokens") < 20 ||
-          rep.getField("top_ngram_frac") <= 0.2)
-        .select(col("doc_id"),
-          md5(TextOps.redactPii(col("text"))).as("fp"),
-          length(TextOps.redactPii(col("text"))).cast("long")
-            .as("n_chars"))
+    "q_curation_v2" -> ((s, dir) => curationV2(s, dir)),
+
+    // unigram-LM surprisal (CCNet's quality signal): mean −ln p(token)
+    // per document under the corpus's own unigram model
+    "q_surprisal" -> ((s, dir) =>
+      TextOps.surprisal(Tables.documents(s, dir), "doc_id", "text")),
+
+    // curation v3 = v2's structural gates ∩ a CCNet-style surprisal
+    // band on the raw text: drops both tails (very low = boilerplate,
+    // very high = gibberish/rare-token soup); band constants picked
+    // from the corpus distribution (p10 ≈ 3.396, p90 ≈ 3.410)
+    "q_curation_v3" -> ((s, dir) => {
+      val quality = TextOps
+        .surprisal(Tables.documents(s, dir), "doc_id", "text")
+        .filter(col("surprisal").between(3.39, 3.41))
+        .select(col("doc_id"), col("surprisal"))
+      curationV2(s, dir).join(quality, "doc_id")
+        .select(col("doc_id"), col("fp"), col("surprisal"))
     }),
 
     // token-budget sharding: pack docs into ~5000-token shards in id
@@ -2413,61 +2517,16 @@ object SparkEntry {
     // curation v2 oracle: the proven per-op CTEs chained — line-dedup
     // rebuild, host blocklist, repetition gate (rounded like the Spark
     // struct field), then the piiPatterns redaction chain
-    "q_curation_v2" -> {
-      val Seq((emailRe, emailTag), (ipRe, ipTag), (ssnRe, ssnTag),
-        (phoneRe, phoneTag)) = TextOps.piiPatterns
-      val corpus = "SELECT doc_id, 'subscribe to our newsletter' || " +
-        "chr(10) || text || CASE WHEN doc_id % 13 = 0 THEN " +
-        "repeat(' buy now', 40) ELSE '' END || ' contact u' || " +
-        "CAST(doc_id AS VARCHAR) || '@example.com via ' || " +
-        "CASE WHEN doc_id % 11 = 0 THEN 'https://site3.example.com/track' " +
-        "ELSE 'https://ok' || CAST(doc_id % 7 AS VARCHAR) || " +
-        "'.example.org/p' END || CASE WHEN doc_id % 3 = 0 THEN chr(10) " +
-        "|| 'this site uses cookies' ELSE '' END AS text FROM documents"
-      s"""WITH corpus AS ($corpus),
-         |l AS (SELECT doc_id,
-         |  unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
-         |  unnest(string_split(text, chr(10))) AS line FROM corpus),
-         |kill AS (SELECT md5(line) AS k FROM l WHERE len(line) >= 1
-         |  GROUP BY md5(line) HAVING count(DISTINCT doc_id) > 10),
-         |rebuilt AS (SELECT doc_id,
-         |  string_agg(line, chr(10) ORDER BY pos) AS text FROM l
-         |  WHERE md5(line) NOT IN (SELECT k FROM kill) GROUP BY doc_id),
-         |cleaned AS (SELECT c.doc_id, coalesce(r.text, '') AS text
-         |  FROM corpus c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id),
-         |unblocked AS (SELECT doc_id, text FROM cleaned
-         |  WHERE len(list_filter(list_transform(
-         |    regexp_extract_all(text, 'https?://[^\\s]+'),
-         |    u -> lower(regexp_extract(u, '^https?://([^/:?#\\s]+)', 1))),
-         |    h -> h = 'site3.example.com')) = 0),
-         |tt AS (SELECT doc_id,
-         |  list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)
-         |  AS toks FROM unblocked),
-         |ng AS (SELECT doc_id, toks, ${shingleSql(2)} AS ng FROM tt),
-         |topc AS (SELECT doc_id, max(c) AS topc FROM (
-         |  SELECT doc_id, g, count(*) AS c
-         |  FROM (SELECT doc_id, unnest(ng) AS g FROM ng) e
-         |  GROUP BY doc_id, g) gc GROUP BY doc_id),
-         |rep AS (SELECT ng.doc_id, len(toks) AS ntok, topc
-         |  FROM ng JOIN topc ON ng.doc_id = topc.doc_id),
-         |kept AS (SELECT u.doc_id, u.text FROM unblocked u
-         |  JOIN rep ON u.doc_id = rep.doc_id
-         |  WHERE ntok < 20 OR round(CASE WHEN ntok = 0 THEN 0.0
-         |    ELSE least(1.0, CAST(topc * 2 AS DOUBLE) / ntok) END, 4)
-         |    <= 0.2),
-         |r1 AS (SELECT doc_id,
-         |  regexp_replace(text, '$emailRe', '$emailTag', 'g') AS t1
-         |  FROM kept),
-         |r2 AS (SELECT doc_id,
-         |  regexp_replace(t1, '$ipRe', '$ipTag', 'g') AS t2 FROM r1),
-         |r3 AS (SELECT doc_id,
-         |  regexp_replace(t2, '$ssnRe', '$ssnTag', 'g') AS t3 FROM r2)
-         |SELECT doc_id,
-         | md5(regexp_replace(t3, '$phoneRe', '$phoneTag', 'g')) AS fp,
-         | CAST(len(regexp_replace(t3, '$phoneRe', '$phoneTag', 'g'))
-         |   AS BIGINT) AS n_chars
-         |FROM r3""".stripMargin
-    },
+    "q_curation_v2" -> curationV2Sql,
+
+    "q_surprisal" -> surprisalSql,
+
+    "q_curation_v3" ->
+      s"""WITH v2 AS ($curationV2Sql),
+         |surp AS ($surprisalSql)
+         |SELECT v2.doc_id, v2.fp, surp.surprisal
+         |FROM v2 JOIN surp ON v2.doc_id = surp.doc_id
+         |WHERE surp.surprisal BETWEEN 3.39 AND 3.41""".stripMargin,
 
     "q_shard_by_budget" -> {
       val toks = """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""

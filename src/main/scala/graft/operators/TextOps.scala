@@ -436,6 +436,49 @@ object TextOps {
       .na.fill(0L, Seq("n_tokens", "n_distinct_tokens"))
   }
 
+  /** CCNet-style unigram-LM surprisal per document: the mean negative
+    * log-probability of a document's tokens under the corpus's own
+    * unigram model — the standard LLM-curation quality scorer
+    * (low = ordinary prose; very high = gibberish/rare-token soup;
+    * very low = boilerplate). With p(t) = c_t / N over corpus token
+    * counts,
+    *
+    *   surprisal(doc) = −(1/n) Σ_i ln p(t_i)
+    *                  = ln N − Σ_t tf_t·ln c_t / n
+    *
+    * No smoothing needed: scoring the corpus against itself means
+    * every scored token has c_t ≥ 1.
+    *
+    * Plan shape (the q_tfidf shape, judged scale-safe): explode →
+    * (doc, token) partial+final count, window-sum on token for c_t
+    * (hot-token skew handled by AQE), one (doc) aggregate; N folds in
+    * as a 1-row broadcast. Only (id, token-hash, count) ever shuffles
+    * — never text. Output: (idCol, n_tokens, surprisal), rounded to
+    * 6dp so the score is portable across engines (a per-doc Σ of
+    * doubles is summation-order-sensitive in the last ulps; 6dp is the
+    * EWMA/quality-model precedent).
+    */
+  def surprisal(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
+      .groupBy(col(idCol), col("_tok"))
+      .agg(count(lit(1)).as("_tf"))
+    val withC = tf.withColumn("_c",
+      sum(col("_tf")).over(Window.partitionBy(col("_tok"))))
+    val n = docs.agg(
+      sum(tokenCount(col(textCol))).cast("double").as("__n"))
+    withC.groupBy(col(idCol))
+      .agg(sum(col("_tf")).as("n_tokens"),
+        sum(col("_tf").cast("double") * log(col("_c").cast("double")))
+          .as("_s"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("n_tokens"),
+        round(log(col("__n")) - col("_s") / col("n_tokens").cast("double"),
+          6).as("surprisal"))
+  }
+
   // `size` shadowed by chunkText's parameter; alias the function
   private def size_(c: Column): Column =
     org.apache.spark.sql.functions.size(c)

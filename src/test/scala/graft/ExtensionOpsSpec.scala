@@ -914,4 +914,26 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got(1) == ((2L, 1L, 1L, Some(1.0), Some(0.0))))
     assert(got(2) == ((3L, 0L, 0L, None, None)))
   }
+
+  test("surprisal: exact unigram-LM math; rare tokens score higher") {
+    // corpus: "the"×7, "cat"×2, "qq"×1, "zz"×1 → N=11
+    val df = Seq(
+      (1L, "the the the cat"),   // common-token doc
+      (2L, "qq zz the"),         // rare-token doc
+      (3L, "the the the cat"),   // duplicate of 1 (same score)
+      (4L, "   ")                // tokenless → absent
+    ).toDF("doc_id", "text")
+    val got = TextOps.surprisal(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L)) // no row for the empty doc
+    // doc1: ln11 − (3·ln7 + 1·ln2)/4
+    val d1 = math.rint((math.log(11) -
+      (3 * math.log(7) + math.log(2)) / 4) * 1e6) / 1e6
+    // doc2: ln11 − (ln1 + ln1 + ln7)/3
+    val d2 = math.rint((math.log(11) - math.log(7) / 3) * 1e6) / 1e6
+    assert(got(0) == ((1L, 4L, d1)))
+    assert(got(1) == ((2L, 3L, d2)))
+    assert(got(2)._3 == d1) // identical doc, identical score
+    assert(d2 > d1, "rare-token doc must be more surprising")
+  }
 }
