@@ -2,6 +2,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // official scale mode (VERDICT r4 task 5): SPARK_GRAFT_SCALE=10x
+    // replicates the SF dir and emits per-query 1x/Nx ratios instead
+    // of the flat suite timing
+    sys.env.get("SPARK_GRAFT_SCALE") match {
+      case Some(s) =>
+        ScaleProbe.run(s.stripSuffix("x").trim.toInt)
+        return
+      case None => ()
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Protocol v3 (round 4+): pass 1 doubles as the warmup (codegen/JIT

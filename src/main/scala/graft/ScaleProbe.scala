@@ -128,9 +128,19 @@ object ScaleProbe {
             "text", numHashes = 64, bands = 32, threshold = 0.5))
       }))
 
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    run(sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt)
+
+  /** Also the implementation of Bench's official scale mode
+    * (`SPARK_GRAFT_SCALE=10x`): replicate the SF dir `factor`× with
+    * id-shifted/token-mangled copies (so dedup/join cardinalities
+    * scale honestly, not as `factor` exact clones), then time the
+    * headline operators at 1× and `factor`× and emit the per-query
+    * ratio — the machine-readable backing for SCALE.md's sublinearity
+    * claims.
+    */
+  def run(factor: Int): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       s"/root/repo/tmp/scale${factor}x")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -165,9 +175,11 @@ object ScaleProbe {
       (q, small, big)
     }
     val js = rows.map { case (q, s, b) =>
-      f"""\"$q\":{\"x1\":$s%.3f,\"x$factor\":$b%.3f}"""
+      f"""\"$q\":{\"x1\":$s%.3f,\"x$factor\":$b%.3f,\"ratio\":${b / s}%.2f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scaleprobe","factor":$factor,"queries":$js}""")
+    val worst = rows.map { case (_, s, b) => b / s }.max
+    println(s"""{"metric":"scaleprobe","factor":$factor,"n":${rows.size},""" +
+      f""""worst_ratio":$worst%.2f,"queries":$js}""")
     spark.stop()
   }
 }
