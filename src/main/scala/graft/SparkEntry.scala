@@ -1880,17 +1880,21 @@ object SparkEntry {
           .otherwise(get_json_object(col("props"), "$.k").cast("long")
             % 5).as("k5"))
       val fact = k5(Tables.events(s, dir))
+      // both sides derive from the SAME memoized events frame: rename
+      // the dim keys instead of writing fact("c") === dim("c"), which
+      // constructs a self-equality Column (correct only via Spark's
+      // dataset-id disambiguation, and WARN-logged as trivially true)
       val dim = k5(Tables.events(s, dir))
         .filter(col("event_id") % 10 === 0)
-        .select(col("event_type"), col("k5")).distinct()
+        .select(col("event_type").as("d_event_type"),
+          col("k5").as("d_k5")).distinct()
         .withColumn("dim_tag",
-          concat_ws(":", col("event_type"),
-            coalesce(col("k5").cast("string"), lit("null"))))
+          concat_ws(":", col("d_event_type"),
+            coalesce(col("d_k5").cast("string"), lit("null"))))
       fact.join(dim,
-          fact("event_type") === dim("event_type") &&
-            fact("k5") <=> dim("k5"))
-        .groupBy(fact("event_type").as("event_type"), fact("k5").as("k5"),
-          col("dim_tag"))
+          col("event_type") === col("d_event_type") &&
+            col("k5") <=> col("d_k5"))
+        .groupBy(col("event_type"), col("k5"), col("dim_tag"))
         .agg(count(lit(1)).as("n"))
     }),
 
