@@ -108,8 +108,19 @@ object SparkEntry {
   /** Curation v2 (shared by `q_curation_v2` and as the structural
     * stage of `q_curation_v3`): corpus-level line dedup → domain
     * blocklist → Gopher repetition gate → PII redaction, output
-    * fingerprinting the surviving redacted text.
+    * fingerprinting the surviving redacted text. Staged once per
+    * (session, dir) like the span/pair stagings — production
+    * materializes each curation stage per corpus version, and v3
+    * refining v2's survivors must not re-run the whole v2 plan.
     */
+  private val curationV2Memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def curationV2Shared(s: SparkSession, dir: String): DataFrame = {
+    curationV2Memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    curationV2Memo.computeIfAbsent((s, dir),
+      _ => curationV2(s, dir).localCheckpoint(true))
+  }
+
   private def curationV2(s: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.documents(s, dir).select(col("doc_id"),
       concat(
@@ -738,7 +749,7 @@ object SparkEntry {
     // repetition gate (%13 docs carry 40x spam; top-2-gram coverage
     // > 0.2 rejected) → PII redaction — output fingerprints the
     // surviving redacted text
-    "q_curation_v2" -> ((s, dir) => curationV2(s, dir)),
+    "q_curation_v2" -> ((s, dir) => curationV2Shared(s, dir)),
 
     // unigram-LM surprisal (CCNet's quality signal): mean −ln p(token)
     // per document under the corpus's own unigram model
@@ -754,7 +765,7 @@ object SparkEntry {
         .surprisal(Tables.documents(s, dir), "doc_id", "text")
         .filter(col("surprisal").between(3.39, 3.41))
         .select(col("doc_id"), col("surprisal"))
-      curationV2(s, dir).join(quality, "doc_id")
+      curationV2Shared(s, dir).join(quality, "doc_id")
         .select(col("doc_id"), col("fp"), col("surprisal"))
     }),
 
