@@ -145,6 +145,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("surprisal: no exchange ever carries text; N joins as broadcast") {
+    val df = graft.operators.TextOps.surprisal(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val shuffles = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.nonEmpty) // (doc, token) count + token window + doc agg
+    // the scale contract: only ids, tokens and counts shuffle — the
+    // document text stays inside the scan's own stage
+    shuffles.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"text column crossed an exchange:\n$exec")
+    }
+    // the corpus total N is a 1-row broadcast, never a shuffled join
+    assert(exec.toString.contains("BroadcastNestedLoopJoin") ||
+      exec.toString.contains("BroadcastExchange"), exec.toString)
+  }
+
   test("shardByBudget plans no single-partition window (distributed prefix sum)") {
     // the round-2 form ran the whole corpus through one global
     // Window.orderBy task; the two-pass path must plan only

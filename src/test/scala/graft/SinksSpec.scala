@@ -123,4 +123,41 @@ class SinksSpec extends SparkSpec {
       assert(listener.rows == 1L)
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("Tables.events normalizes every harness ts representation") {
+    // the generator has already changed this column's physical type
+    // once across rounds (INT64 nanos → plain timestamp[us], which
+    // Spark reads as TIMESTAMP_NTZ) and silently broke every
+    // events-based query; pin all three representations to the same
+    // session-zoned TimestampType values so the next change is a spec
+    // failure, not a correctness-gate wipeout
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val epoch = 1704067200L // 2024-01-01 00:00:00 UTC
+    def load(dir: String): (DataType, Long) = {
+      val df = graft.sources.Tables.events(spark, dir)
+      (df.schema("ts").dataType,
+        df.select(unix_timestamp(col("ts"))).head().getLong(0))
+    }
+    // (a) nanos-as-long (the early harness form under nanosAsLong)
+    val dA = tmp()
+    Seq((1L, epoch * 1000000000L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dA/events.parquet")
+    // (b) TIMESTAMP_NTZ (plain timestamp[us], the round-6 form)
+    val dB = tmp()
+    Seq(Tuple1(1L)).toDF("event_id")
+      .withColumn("ts", timestamp_seconds(lit(epoch))
+        .cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(s"$dB/events.parquet")
+    // (c) session-zoned TIMESTAMP (passthrough)
+    val dC = tmp()
+    Seq(Tuple1(1L)).toDF("event_id")
+      .withColumn("ts", timestamp_seconds(lit(epoch)))
+      .write.mode("overwrite").parquet(s"$dC/events.parquet")
+    Seq(dA, dB, dC).foreach { d =>
+      val (dt, v) = load(d)
+      assert(dt == TimestampType, s"$d -> $dt")
+      assert(v == epoch, s"$d -> $v")
+    }
+  }
 }
