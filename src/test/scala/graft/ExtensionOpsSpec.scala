@@ -772,6 +772,27 @@ class ExtensionOpsSpec extends SparkSpec {
       k = 3, nlist = 8, nprobe = 8).count() == 0)
   }
 
+  test("neardup embedding: bucketed pairs ⊆ exact pairs, identical cosines") {
+    // the benchOnly contract for the retired-from-oracle q_neardup_
+    // embedding configuration: LSH bucketing only PRUNES candidates —
+    // every pair it emits must appear in the lossless planes=0 run
+    // with the exact same verified cosine
+    import graft.operators.Dedup
+    def pairs(planes: Int): Map[(Long, Long), Double] =
+      Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.2, planes = planes)
+        .select($"id_a", $"id_b", $"cosine")
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, c) => (a, b) -> c }.toMap
+    val exact = pairs(planes = 0)
+    val bucketed = pairs(planes = 4)
+    assert(bucketed.nonEmpty, "bucketed run found no pairs at all")
+    bucketed.foreach { case (k, c) =>
+      assert(exact.contains(k), s"pair $k not in the exact set")
+      assert(exact(k) == c, s"pair $k cosine $c != exact ${exact(k)}")
+    }
+  }
+
   test("multimodal: binary payload round-trip + stub feature extract") {
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f =>
@@ -935,5 +956,24 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got(1) == ((2L, 3L, d2)))
     assert(got(2)._3 == d1) // identical doc, identical score
     assert(d2 > d1, "rare-token doc must be more surprising")
+  }
+
+  test("surprisal: invariant under corpus duplication") {
+    // p(t) = c_t/N is scale-free: replicating every document k times
+    // multiplies both c_t and N by k, so every doc's score is
+    // unchanged — the property that makes the signal comparable
+    // across corpus sizes (and shards)
+    val base = Seq((1L, "the cat sat"), (2L, "qq the zz"),
+      (3L, "the the cat")).toDF("doc_id", "text")
+    val doubled = base.union(base.select(($"doc_id" + 100).as("doc_id"),
+      $"text"))
+    val s1 = TextOps.surprisal(base, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val s2 = TextOps.surprisal(doubled, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    s1.foreach { case (id, v) =>
+      assert(s2(id) == v, s"doc $id: $v -> ${s2(id)} after duplication")
+      assert(s2(id + 100) == v) // the copy scores identically
+    }
   }
 }
