@@ -169,6 +169,36 @@ object SparkEntry {
       |FROM tf JOIN ct USING (token) CROSS JOIN n
       |GROUP BY tf.doc_id, n.n""".stripMargin
 
+  /** DSIR oracle: the hashed-unigram importance weights replayed —
+    * same md5 leading-32-bit bucket hash as the minhash family, add-1
+    * smoothing, ln/round parity.
+    */
+  private val dsirWeightsSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(list_filter(
+      |  string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id,
+      |  CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) % 1024 AS b,
+      |  count(*) AS tf FROM toks GROUP BY doc_id, b),
+      |rawc AS (SELECT b, sum(tf) AS c FROM tf GROUP BY b),
+      |nr AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM tf),
+      |ttoks AS (SELECT unnest(list_filter(
+      |  string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+      |  FROM documents WHERE lang = 'en'),
+      |tgtc AS (SELECT
+      |  CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) % 1024 AS b,
+      |  count(*) AS c FROM ttoks GROUP BY 1),
+      |nt AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM tgtc),
+      |ratio AS (SELECT rawc.b,
+      |  ln((COALESCE(tgtc.c, 0) + 1.0) / (nt.n + 1024)) -
+      |    ln((rawc.c + 1.0) / (nr.n + 1024)) AS lr
+      |  FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b
+      |  CROSS JOIN nr CROSS JOIN nt)
+      |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+      | round(sum(tf.tf * ratio.lr), 6) AS dsir_logw
+      |FROM tf JOIN ratio ON tf.b = ratio.b
+      |GROUP BY tf.doc_id""".stripMargin
+
   /** Curation v2 oracle (also the structural CTE of `q_curation_v3`):
     * the proven per-op CTEs chained — line-dedup rebuild, host
     * blocklist, repetition gate (rounded like the Spark struct field),
@@ -755,6 +785,24 @@ object SparkEntry {
     // per document under the corpus's own unigram model
     "q_surprisal" -> ((s, dir) =>
       TextOps.surprisal(Tables.documents(s, dir), "doc_id", "text")),
+
+    // DSIR importance log-weights: every raw doc scored toward the
+    // English-target hashed-unigram distribution
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+    }),
+
+    // the resampling step: the 100 most target-like raw documents,
+    // deterministic on the rounded weight with doc_id tie-break
+    // (plans TakeOrderedAndProject — no full sort-shuffle)
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text")
+        .orderBy(desc("dsir_logw"), asc("doc_id")).limit(100)
+    }),
 
     // curation v3 = v2's structural gates ∩ a CCNet-style surprisal
     // band on the raw text: drops both tails (very low = boilerplate,
@@ -2535,6 +2583,13 @@ object SparkEntry {
     "q_curation_v2" -> curationV2Sql,
 
     "q_surprisal" -> surprisalSql,
+
+    "q_dsir_weights" -> dsirWeightsSql,
+
+    "q_dsir_select" ->
+      s"""WITH w AS ($dsirWeightsSql)
+         |SELECT * FROM w
+         |ORDER BY dsir_logw DESC, doc_id LIMIT 100""".stripMargin,
 
     "q_curation_v3" ->
       s"""WITH v2 AS ($curationV2Sql),

@@ -479,6 +479,65 @@ object TextOps {
           6).as("surprisal"))
   }
 
+  /** DSIR-style importance log-weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every RAW document by how target-like its hashed-unigram profile
+    * is,
+    *
+    *   logw(doc) = Σ_b tf_b · (ln p̂_target(b) − ln p̂_raw(b)),
+    *
+    * where b is a hashed feature bucket (leading-32-bit md5 of the
+    * token mod `buckets` — the engine's established portable hash) and
+    * p̂ are add-1–smoothed bucket distributions (smoothing is load-
+    * bearing: a raw-only bucket has zero target mass). Selecting the
+    * top-weight documents approximates sampling the raw pool toward
+    * the target distribution — the standard pretraining-data selection
+    * method between "keep everything" and training a quality model.
+    *
+    * Plan shape: raw explode → (doc, bucket) count [one exchange];
+    * the per-bucket log-ratio table is ≤ `buckets` rows (raw + target
+    * bucket aggregates crossed with their 1-row totals) and BROADCASTs
+    * onto the tf stream; one final (doc) aggregate. Text never
+    * shuffles; driver holds nothing. At 100 TB the bucket table is
+    * still `buckets` rows — the hashing is what makes the method
+    * scale-free. Output: (idCol, n_tokens, dsir_logw), 6dp-rounded
+    * for cross-engine portability like surprisal.
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def bucketed(df: DataFrame): DataFrame = df
+      .select(explode(tokens(col(textCol))).as("_tok"))
+      .select((conv(substring(md5(col("_tok")), 1, 8), 16, 10)
+        .cast("long") % buckets).as("_b"))
+      .groupBy("_b").agg(count(lit(1)).as("_c"))
+    val rawB = bucketed(raw)
+    val tgtB = bucketed(target)
+    val nRaw = rawB.agg(sum(col("_c")).cast("double").as("_nr"))
+    val nTgt = tgtB.agg(sum(col("_c")).cast("double").as("_nt"))
+    // log-ratio per bucket over RAW's support (tf keys ⊆ raw buckets);
+    // target-absent buckets get the smoothed floor
+    val ratio = rawB
+      .join(tgtB.withColumnRenamed("_c", "_ct"), Seq("_b"), "left")
+      .crossJoin(broadcast(nRaw)).crossJoin(broadcast(nTgt))
+      .select(col("_b"),
+        (log((coalesce(col("_ct"), lit(0L)).cast("double") + 1.0) /
+            (col("_nt") + buckets)) -
+          log((col("_c").cast("double") + 1.0) /
+            (col("_nr") + buckets))).as("_lr"))
+    val tf = raw
+      .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
+      .select(col(idCol),
+        (conv(substring(md5(col("_tok")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("_b"))
+      .groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_tf"))
+    tf.join(broadcast(ratio), Seq("_b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_tf")).as("n_tokens"),
+        round(sum(col("_tf").cast("double") * col("_lr")), 6)
+          .as("dsir_logw"))
+  }
+
   // `size` shadowed by chunkText's parameter; alias the function
   private def size_(c: Column): Column =
     org.apache.spark.sql.functions.size(c)

@@ -976,4 +976,26 @@ class ExtensionOpsSpec extends SparkSpec {
       assert(s2(id + 100) == v) // the copy scores identically
     }
   }
+
+  test("dsirLogWeights: target-like docs outrank target-unlike docs") {
+    // target vocabulary {alpha, beta}; the raw pool mixes target-like,
+    // mixed and disjoint-vocabulary documents
+    val raw = Seq(
+      (1L, "alpha beta alpha beta"), // pure target vocabulary
+      (2L, "alpha xx beta yy"),      // half
+      (3L, "xx yy zz ww"),           // disjoint
+      (4L, "")                       // tokenless → absent
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (100L, "alpha beta alpha"), (101L, "beta alpha beta")
+    ).toDF("doc_id", "text")
+    val w = TextOps.dsirLogWeights(raw, target, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(w.keySet == Set(1L, 2L, 3L))
+    assert(w(1L) > w(2L), s"pure ${w(1L)} !> mixed ${w(2L)}")
+    assert(w(2L) > w(3L), s"mixed ${w(2L)} !> disjoint ${w(3L)}")
+    assert(w(1L) > 0 && w(3L) < 0,
+      s"signs: pure ${w(1L)}, disjoint ${w(3L)}")
+  }
 }
