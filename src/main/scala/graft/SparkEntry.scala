@@ -786,6 +786,11 @@ object SparkEntry {
     "q_surprisal" -> ((s, dir) =>
       TextOps.surprisal(Tables.documents(s, dir), "doc_id", "text")),
 
+    // bigram conditional surprisal: the word-order-aware sibling
+    // (add-1 smoothed p(cur|prev) under the corpus's own bigram model)
+    "q_surprisal_bigram" -> ((s, dir) =>
+      TextOps.surprisalBigram(Tables.documents(s, dir), "doc_id", "text")),
+
     // DSIR importance log-weights: every raw doc scored toward the
     // English-target hashed-unigram distribution
     "q_dsir_weights" -> ((s, dir) => {
@@ -2583,6 +2588,28 @@ object SparkEntry {
     "q_curation_v2" -> curationV2Sql,
 
     "q_surprisal" -> surprisalSql,
+
+    "q_surprisal_bigram" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |  string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  unnest(toks[1:len(toks)-1]) AS prev,
+        |  unnest(toks[2:len(toks)]) AS cur
+        |  FROM t WHERE len(toks) >= 2),
+        |tf AS (SELECT doc_id, prev, cur, count(*) AS tf FROM p
+        |  GROUP BY doc_id, prev, cur),
+        |cp AS (SELECT prev, cur, sum(tf) AS cpair FROM tf
+        |  GROUP BY prev, cur),
+        |cx AS (SELECT prev, sum(tf) AS cprev FROM tf GROUP BY prev),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+        |  FROM (SELECT unnest(toks) AS tok FROM t))
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+        | round(sum(tf.tf * (ln(cx.cprev + v.v) - ln(cp.cpair + 1.0)))
+        |   / CAST(sum(tf.tf) AS DOUBLE), 6) AS surprisal2
+        |FROM tf JOIN cp USING (prev, cur) JOIN cx USING (prev)
+        |CROSS JOIN v
+        |GROUP BY tf.doc_id""".stripMargin,
 
     "q_dsir_weights" -> dsirWeightsSql,
 

@@ -479,6 +479,58 @@ object TextOps {
           6).as("surprisal"))
   }
 
+  /** Bigram conditional surprisal: mean −ln p̂(cur | prev) over a
+    * document's adjacent token pairs under the corpus's own bigram
+    * model with add-1 smoothing over the corpus vocabulary,
+    *
+    *   p̂(cur | prev) = (c(prev,cur) + 1) / (c(prev,·) + V).
+    *
+    * The word-ORDER-aware quality signal [[surprisal]] cannot see: a
+    * bag-of-common-words document in scrambled order scores ordinary
+    * under the unigram model but highly surprising here — the KenLM
+    * direction real curation pipelines take past unigram scoring.
+    * Documents with fewer than 2 tokens produce no row.
+    *
+    * Plan shape: row-local zip into (prev, cur) pairs → one
+    * (doc, prev, cur) count exchange; corpus pair and context counts
+    * come from two windows over the same frame (pair-keyed and
+    * prev-keyed — the tf→df pattern twice); V is a 1-row broadcast.
+    * Only ids, token pairs and counts shuffle. 6dp-rounded like its
+    * unigram sibling.
+    */
+  def surprisalBigram(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    val pairs = when(size_(toks) >= 2,
+      zip_with(slice(toks, lit(1), size_(toks) - 1),
+        slice(toks, lit(2), size_(toks) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur"))))
+    val tf = docs
+      .select(col(idCol), explode(pairs).as("_p"))
+      .select(col(idCol), col("_p.prev").as("_prev"),
+        col("_p.cur").as("_cur"))
+      .groupBy(col(idCol), col("_prev"), col("_cur"))
+      .agg(count(lit(1)).as("_tf"))
+    val withC = tf
+      .withColumn("_cpair",
+        sum(col("_tf")).over(Window.partitionBy(col("_prev"), col("_cur"))))
+      .withColumn("_cprev",
+        sum(col("_tf")).over(Window.partitionBy(col("_prev"))))
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("_tok"))
+      .agg(count_distinct(col("_tok")).cast("double").as("__v"))
+    withC.crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(sum(col("_tf")).as("n_bigrams"),
+        sum(col("_tf").cast("double") *
+          (log(col("_cprev").cast("double") + col("__v")) -
+            log(col("_cpair").cast("double") + 1.0))).as("_s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("_s") / col("n_bigrams").cast("double"), 6)
+          .as("surprisal2"))
+  }
+
   /** DSIR-style importance log-weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
     * every RAW document by how target-like its hashed-unigram profile

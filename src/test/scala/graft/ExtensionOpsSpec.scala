@@ -977,6 +977,25 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("surprisalBigram: sees word order the unigram model cannot") {
+    // both docs have the IDENTICAL unigram profile (3×a, 3×b) but
+    // doc 1 alternates predictably while doc 2 scrambles — only the
+    // bigram model separates them
+    val df = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a a b b b a"),
+      (3L, "x")            // single token: no bigrams → absent
+    ).toDF("doc_id", "text")
+    val uni = TextOps.surprisal(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(uni(1L) == uni(2L), "unigram model must NOT separate them")
+    val bi = TextOps.surprisalBigram(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(bi.keySet == Set(1L, 2L)) // no row for the 1-token doc
+    assert(bi(2L) > bi(1L),
+      s"scrambled ${bi(2L)} !> predictable ${bi(1L)}")
+  }
+
   test("dsirLogWeights: target-like docs outrank target-unlike docs") {
     // target vocabulary {alpha, beta}; the raw pool mixes target-like,
     // mixed and disjoint-vocabulary documents
