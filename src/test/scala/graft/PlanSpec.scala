@@ -168,6 +168,26 @@ class PlanSpec extends SparkSpec {
       exec.toString.contains("BroadcastExchange"), exec.toString)
   }
 
+  test("dsir: log-ratio table broadcasts; no exchange carries text") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.operators.TextOps.dsirLogWeights(docs,
+      docs.filter(col("lang") === "en"), "doc_id", "text")
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"text column crossed an exchange:\n$exec")
+    }
+    // the ≤buckets-row ratio table must reach the tf stream as a
+    // broadcast hash join, not a shuffled join
+    assert(exec.toString.contains("BroadcastHashJoin"), exec.toString)
+  }
+
   test("shardByBudget plans no single-partition window (distributed prefix sum)") {
     // the round-2 form ran the whole corpus through one global
     // Window.orderBy task; the two-pass path must plan only
