@@ -5,9 +5,12 @@ object Bench {
     // official scale mode (VERDICT r4 task 5): SPARK_GRAFT_SCALE=10x
     // replicates the SF dir and emits per-query 1x/Nx ratios instead
     // of the flat suite timing
-    sys.env.get("SPARK_GRAFT_SCALE") match {
+    sys.env.get("SPARK_GRAFT_SCALE").map(_.trim).filter(_.nonEmpty) match {
       case Some(s) =>
-        ScaleProbe.run(s.stripSuffix("x").trim.toInt)
+        val factor = s.stripSuffix("x").stripSuffix("X").toIntOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"SPARK_GRAFT_SCALE must look like '10x', got '$s'"))
+        ScaleProbe.run(factor)
         return
       case None => ()
     }

@@ -179,7 +179,7 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val worst = rows.map { case (_, s, b) => b / s }.max
     println(s"""{"metric":"scaleprobe","factor":$factor,"n":${rows.size},""" +
-      f""""worst_ratio":$worst%.2f,"queries":$js}""")
+      s""""sf":"$srcDir",""" + f""""worst_ratio":$worst%.2f,"queries":$js}""")
     spark.stop()
   }
 }

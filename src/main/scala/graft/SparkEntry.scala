@@ -115,10 +115,27 @@ object SparkEntry {
     */
   private val curationV2Memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def curationV2Shared(s: SparkSession, dir: String): DataFrame = {
-    curationV2Memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    curationV2Memo.computeIfAbsent((s, dir),
-      _ => curationV2(s, dir).localCheckpoint(true))
+  private def curationV2Shared(s: SparkSession, dir: String): DataFrame =
+    memoized(curationV2Memo, s, dir)(curationV2(s, dir))
+
+  /** Shared memo shape for staged per-(session, dir) artifacts:
+    * build + eager localCheckpoint OUTSIDE any map lock (the
+    * Tables.memoRead convention — computeIfAbsent would hold the CHM
+    * bin lock across a whole Spark job, serializing unrelated keys
+    * that share the bin; two racing builders cost one duplicate job,
+    * putIfAbsent keeps the memo single-valued), with dead-session
+    * eviction on the miss path only.
+    */
+  private def memoized(
+      memo: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
+      s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    val key = (s, dir)
+    val hit = memo.get(key)
+    if (hit != null) return hit
+    memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val built = build.localCheckpoint(true)
+    val prev = memo.putIfAbsent(key, built)
+    if (prev != null) prev else built
   }
 
   private def curationV2(s: SparkSession, dir: String): DataFrame = {
@@ -270,13 +287,9 @@ object SparkEntry {
     */
   private val spanMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def repeatedSpansShared(s: SparkSession, dir: String): DataFrame = {
-    spanMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    spanMemo.computeIfAbsent((s, dir), { _ =>
-      Dedup.repeatedSpans(substrCorpus(s, dir), "doc_id", "text", k = 8)
-        .localCheckpoint(true)
-    })
-  }
+  private def repeatedSpansShared(s: SparkSession, dir: String): DataFrame =
+    memoized(spanMemo, s, dir)(
+      Dedup.repeatedSpans(substrCorpus(s, dir), "doc_id", "text", k = 8))
 
   /** The full §3.1 metrics ETL in one plan (the flagship pipeline
     * query, `q_metrics_etl` at the reference's 25-host fan-out):
@@ -341,14 +354,10 @@ object SparkEntry {
     */
   private val semdedupPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def semdedupPairsShared(s: SparkSession, dir: String): DataFrame = {
-    semdedupPairsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    semdedupPairsMemo.computeIfAbsent((s, dir), { _ =>
+  private def semdedupPairsShared(s: SparkSession, dir: String): DataFrame =
+    memoized(semdedupPairsMemo, s, dir)(
       Dedup.semanticNearDupPairs(Tables.embeddings(s, dir), "vec_id",
-          "embedding", threshold = 0.2, nlist = 8)
-        .localCheckpoint(true)
-    })
-  }
+        "embedding", threshold = 0.2, nlist = 8))
 
   /** Shared CTE chain for the SemDeDup oracles: embeddings as
     * DOUBLE[], the 8 lowest-id vectors as the centroid seed (cid =

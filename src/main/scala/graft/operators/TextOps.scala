@@ -558,13 +558,22 @@ object TextOps {
   def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 1024): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    def bucketed(df: DataFrame): DataFrame = df
+    val tf = raw
+      .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
+      .select(col(idCol),
+        (conv(substring(md5(col("_tok")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("_b"))
+      .groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_tf"))
+    // raw bucket counts derive from tf (NOT a second tokenize pass
+    // over the dominant input): the tf subtree appears twice in the
+    // final plan with an identical exchange, which ReuseExchange
+    // collapses to one shuffle
+    val rawB = tf.groupBy("_b").agg(sum(col("_tf")).as("_c"))
+    val tgtB = target
       .select(explode(tokens(col(textCol))).as("_tok"))
       .select((conv(substring(md5(col("_tok")), 1, 8), 16, 10)
         .cast("long") % buckets).as("_b"))
       .groupBy("_b").agg(count(lit(1)).as("_c"))
-    val rawB = bucketed(raw)
-    val tgtB = bucketed(target)
     val nRaw = rawB.agg(sum(col("_c")).cast("double").as("_nr"))
     val nTgt = tgtB.agg(sum(col("_c")).cast("double").as("_nt"))
     // log-ratio per bucket over RAW's support (tf keys ⊆ raw buckets);
@@ -577,12 +586,6 @@ object TextOps {
             (col("_nt") + buckets)) -
           log((col("_c").cast("double") + 1.0) /
             (col("_nr") + buckets))).as("_lr"))
-    val tf = raw
-      .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
-      .select(col(idCol),
-        (conv(substring(md5(col("_tok")), 1, 8), 16, 10)
-          .cast("long") % buckets).as("_b"))
-      .groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_tf"))
     tf.join(broadcast(ratio), Seq("_b"))
       .groupBy(col(idCol))
       .agg(sum(col("_tf")).as("n_tokens"),
