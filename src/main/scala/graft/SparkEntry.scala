@@ -128,12 +128,13 @@ object SparkEntry {
     */
   private def memoized(
       memo: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
-      s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+      s: SparkSession, dir: String, checkpoint: Boolean = true)(
+      build: => DataFrame): DataFrame = {
     val key = (s, dir)
     val hit = memo.get(key)
     if (hit != null) return hit
     memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val built = build.localCheckpoint(true)
+    val built = if (checkpoint) build.localCheckpoint(true) else build
     val prev = memo.putIfAbsent(key, built)
     if (prev != null) prev else built
   }
@@ -485,13 +486,13 @@ object SparkEntry {
     */
   private val nearDupPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def nearDupPairsShared(s: SparkSession, dir: String): DataFrame = {
-    nearDupPairsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    nearDupPairsMemo.computeIfAbsent((s, dir), { _ =>
+  // checkpoint = false: this memo deliberately holds a PLAN (each
+  // consumer re-executes it), not materialized data — see the memo
+  // docstring above for why the pair table stays lazy here
+  private def nearDupPairsShared(s: SparkSession, dir: String): DataFrame =
+    memoized(nearDupPairsMemo, s, dir, checkpoint = false)(
       Dedup.minhashNearDupPairs(nearDupCorpus(s, dir), "doc_id", "text",
-        numHashes = 64, bands = 32, threshold = 0.5)
-    })
-  }
+        numHashes = 64, bands = 32, threshold = 0.5))
 
   private def stagedHistoryBands(s: SparkSession, dir: String): DataFrame = {
     val src = new java.io.File(s"$dir/documents.parquet")
