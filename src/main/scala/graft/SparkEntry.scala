@@ -801,6 +801,14 @@ object SparkEntry {
     "q_surprisal_bigram" -> ((s, dir) =>
       TextOps.surprisalBigram(Tables.documents(s, dir), "doc_id", "text")),
 
+    // frozen-reference-model surprisal: every doc scored against the
+    // English-subcorpus unigram LM (OOV smoothed to the 1/(N+V) floor)
+    "q_surprisal_ref" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.surprisalAgainst(docs, "doc_id", "text",
+        TextOps.unigramModel(docs.filter(col("lang") === "en"), "text"))
+    }),
+
     // DSIR importance log-weights: every raw doc scored toward the
     // English-target hashed-unigram distribution
     "q_dsir_weights" -> ((s, dir) => {
@@ -2619,6 +2627,26 @@ object SparkEntry {
         |   / CAST(sum(tf.tf) AS DOUBLE), 6) AS surprisal2
         |FROM tf JOIN cp USING (prev, cur) JOIN cx USING (prev)
         |CROSS JOIN v
+        |GROUP BY tf.doc_id""".stripMargin,
+
+    "q_surprisal_ref" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(
+        |  string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |m AS (SELECT token, count(*) AS c
+        |  FROM (SELECT unnest(list_filter(
+        |    string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        |    FROM documents WHERE lang = 'en')
+        |  GROUP BY token),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
+        |  CAST(count(*) AS DOUBLE) AS v FROM m),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |  GROUP BY doc_id, token)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        | round(-sum(tf.tf * ln((COALESCE(m.c, 0) + 1.0) /
+        |   (tot.n + tot.v))) / CAST(sum(tf.tf) AS DOUBLE), 6)
+        |   AS surprisal_ref
+        |FROM tf LEFT JOIN m USING (token) CROSS JOIN tot
         |GROUP BY tf.doc_id""".stripMargin,
 
     "q_dsir_weights" -> dsirWeightsSql,

@@ -531,6 +531,48 @@ object TextOps {
           .as("surprisal2"))
   }
 
+  /** Unigram counts of a corpus — the FROZEN reference model for
+    * [[surprisalAgainst]]: (token, c) rows, buildable once offline
+    * per reference-corpus version and reused across scoring runs.
+    */
+  def unigramModel(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+
+  /** Surprisal of documents against a FROZEN unigram model — the
+    * production CCNet shape ([[surprisal]] scores a corpus against
+    * itself; real pipelines train the LM on a reference corpus once
+    * and score every new crawl/stream against it). Add-1 smoothing
+    * over the model vocabulary gives out-of-vocabulary tokens the
+    * floor probability 1/(N+V) instead of −∞:
+    *
+    *   surprisal_ref(doc) = −(1/n) Σ ln ((c_model(t) + 1) / (N + V)).
+    *
+    * The model joins as a BROADCAST (a reference LM is a head-vocab
+    * table, small by construction); totals fold in as a 1-row
+    * broadcast. Works identically in a foreachBatch micro-batch —
+    * the frozen model makes streaming scores equal batch scores by
+    * definition (spec-pinned).
+    */
+  def surprisalAgainst(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val totals = model.agg(sum(col("c")).cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__v"))
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("_tf"))
+    tf.join(broadcast(model), Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(sum(col("_tf")).as("n_tokens"),
+        sum(col("_tf").cast("double") *
+          log((coalesce(col("c"), lit(0L)).cast("double") + 1.0) /
+            (col("__n") + col("__v")))).as("_s"))
+      .select(col(idCol), col("n_tokens"),
+        round(-col("_s") / col("n_tokens").cast("double"), 6)
+          .as("surprisal_ref"))
+  }
+
   /** DSIR-style importance log-weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
     * every RAW document by how target-like its hashed-unigram profile

@@ -383,4 +383,38 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(11L, 12L), kept.toString)
   }
+
+  test("frozen-LM surprisal: streaming scores == batch scores") {
+    // the production CCNet shape: the unigram model trains ONCE on a
+    // reference corpus; every micro-batch scores against that frozen
+    // table, so streaming and batch scoring agree by construction
+    import graft.operators.TextOps
+    implicit val sq = spark.sqlContext
+    val ref = Seq((100L, "the cat sat on the mat"), (101L, "the dog sat"))
+      .toDF("doc_id", "text")
+    val model = TextOps.unigramModel(ref, "text").localCheckpoint(true)
+    val all = Seq((1L, "the cat"), (2L, "qq zz the"), (3L, "dog mat sat"))
+    val scored = scala.collection.concurrent.TrieMap[Long, Double]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextOps.surprisalAgainst(b, "doc_id", "text", model)
+          .as[(Long, Long, Double)].collect()
+          .foreach(r => scored(r._1) = r._3)
+      }.start()
+    try {
+      in.addData(all.head)
+      q.processAllAvailable()
+      in.addData(all.tail: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = TextOps.surprisalAgainst(all.toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(scored.toMap == batch)
+    // the OOV-heavy doc must score above the fully in-vocabulary one
+    assert(scored(2L) > scored(1L),
+      s"OOV ${scored(2L)} !> in-vocab ${scored(1L)}")
+  }
 }
