@@ -87,7 +87,11 @@ object ScaleProbe {
   private def headline(factor: Int, scaleDir: String)
       : Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("q1_agg", "q_corr_moments", "q_window_funcs", "q_jaccard_join",
-      "q_metrics_etl", "q_dedup_exact", "q_tfidf", "q_knn_ivf_full")
+      "q_metrics_etl", "q_dedup_exact", "q_tfidf", "q_knn_ivf_full",
+      // round-6 text/curation operators: the LM-scoring family's
+      // shuffle volume is (id, token/pair/bucket, count) only — the
+      // ratios certify that claim
+      "q_surprisal", "q_surprisal_bigram", "q_dsir_weights")
       .map(q => q -> SparkEntry.queries(q)) ++ Seq(
       // the ETL's REAL scale axis: document COUNT grows with the
       // corpus (hosts scale with the events), each document stays
