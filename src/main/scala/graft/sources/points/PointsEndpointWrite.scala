@@ -27,6 +27,11 @@ import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactor
   * endpoint in bounded batches — no driver involvement, no state that
   * scales with data; the endpoint's ingest capacity is the only
   * ceiling, tunable via `batchRows` and partition count.
+  *
+  * Timestamps render as epoch SECONDS (the reference's
+  * `time_precision='s'`): against a real InfluxDB `/write` endpoint,
+  * encode that in the URL — `endpointUrl = "https://host:8086/write?
+  * db=...&precision=s"`; query strings pass through untouched.
   */
 class PointsEndpointBatchWrite(conf: PointsWriteConf) extends BatchWrite {
 
