@@ -91,4 +91,52 @@ class EndToEndSpec extends SparkSpec {
     assert(fetched.select("host_name", "service_name").distinct()
       .count() == 4)
   }
+
+  test("LLM curation end-to-end: score -> select -> pack -> write") {
+    // the training-data pipeline composed from the public ops, each
+    // individually oracled: quality-band the corpus (surprisal), pick
+    // the most target-like survivors (DSIR), pack them into
+    // token-budget shards, land parquet — then prove determinism by
+    // running it twice
+    import graft.operators.{Sampling, TextOps}
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    def pipeline() = {
+      val quality = TextOps.surprisal(docs, "doc_id", "text")
+        .filter(col("surprisal") <= 3.45).select("doc_id")
+      val picked = TextOps.dsirLogWeights(docs,
+          docs.filter(col("lang") === "en"), "doc_id", "text")
+        .join(quality, "doc_id")
+        .orderBy(desc("dsir_logw"), asc("doc_id")).limit(100)
+      Sampling.shardByBudget(picked, "doc_id", "n_tokens",
+        budget = 2000L)
+    }
+    val out = java.nio.file.Files
+      .createTempDirectory("graftcurated").toString
+    pipeline().write.mode("overwrite").parquet(out)
+    val shards = spark.read.parquet(out)
+    assert(shards.count() == 100)
+    // survivors come from the corpus, with their true token counts
+    val bad = shards.join(docs, "doc_id")
+      .filter(TextOps.tokenCount(col("text")).cast("long") =!=
+        col("n_tokens")).count()
+    assert(bad == 0)
+    // budget honored: a shard exceeds 2000 only via a single oversize
+    // doc (first-fit semantics: the straddling doc closes the shard)
+    import spark.implicits._
+    val over = shards.groupBy("shard")
+      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("n"))
+      .filter(col("tok") > 2000L && col("n") > 1L)
+      .join(shards.filter(col("n_tokens") > 2000L)
+        .select(col("shard")).distinct(), Seq("shard"), "left_anti")
+    // multi-doc shards may straddle the boundary by at most the last
+    // doc; none may exceed budget by a whole extra document's worth
+    over.as[(Long, Long, Long)].collect().foreach { case (s, tok, _) =>
+      assert(tok <= 2000L * 2, s"shard $s packed to $tok")
+    }
+    // deterministic: the same pipeline lands the same rows
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("n_tokens"), col("shard"))
+        .as[(Long, Long, Long)].collect().toSet
+    assert(rows(pipeline()) == rows(shards))
+  }
 }
