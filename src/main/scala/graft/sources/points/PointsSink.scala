@@ -388,15 +388,22 @@ private[points] final class PointsLineRenderer(conf: PointsWriteConf)
     extends Serializable {
 
   /** Line-protocol escaping for tag values: `,`, ` ` and `=` are
-    * structural in the tag set.
+    * structural in the tag set — and NEWLINE is structural in the
+    * stream itself (one line = one point), so a raw `\n`/`\r` in a
+    * value would inject a bogus record into the batch (and corrupt
+    * the endpoint's line count). The protocol has no newline support
+    * in values at all; render them as the literal 2-char sequences
+    * `\n`/`\r` — framing stays intact, the value stays recoverable.
     */
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace(",", "\\,")
       .replace(" ", "\\ ").replace("=", "\\=")
+      .replace("\n", "\\n").replace("\r", "\\r")
 
   private def fieldValue(dt: DataType, v: Any): String = dt match {
     case StringType => "\"" + v.toString.replace("\\", "\\\\")
-      .replace("\"", "\\\"") + "\""
+      .replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r") + "\""
     case LongType | IntegerType | ShortType | ByteType => s"${v}i"
     case _ => v.toString
   }

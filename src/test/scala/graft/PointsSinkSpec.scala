@@ -63,6 +63,32 @@ class PointsSinkSpec extends SparkSpec {
     assert(manifest == """{"rows":3}""")
   }
 
+  test("newlines in values cannot break line framing (one point = one line)") {
+    val dir = tmpDir()
+    val tricky = Seq(
+      ("host\nA", "multi\r\nline desc", 0L, 1.5,
+        ts("2024-01-01 00:00:00")),
+      ("hostB", "ok", 1L, 2.5, ts("2024-01-01 00:00:01"))
+    ).toDF("host_name", "service_description", "state_numeric", "value",
+      "event_ts")
+      // a STRING field value with embedded newlines, too
+      .withColumn("note", concat(lit("a\nb"), col("host_name")))
+    tricky.write.format("graft-points").mode("append")
+      .option("path", dir)
+      .option("measurement", "m")
+      .option("tagCols", "host_name,service_description")
+      .option("fieldCols", "state_numeric,note")
+      .option("timeCol", "event_ts")
+      .save()
+    val lines = published(dir)
+    // 2 rows -> exactly 2 lines; the embedded newlines rendered as
+    // literal \n / \r sequences instead of injecting bogus records
+    assert(lines.size == 2, lines.mkString("|"))
+    val a = lines.find(_.contains("host\\nA")).get
+    assert(a.contains("service_description=multi\\r\\nline\\ desc"))
+    assert(a.contains("note=\"a\\nbhost\\nA\""))
+  }
+
   test("abort: a failing job publishes nothing") {
     val dir = tmpDir()
     val poisoned = points.withColumn("value",
