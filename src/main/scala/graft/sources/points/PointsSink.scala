@@ -417,6 +417,20 @@ private[points] final class PointsLineRenderer(conf: PointsWriteConf)
       s"unsupported time column type ${other.simpleString}")
   }
 
+  /** Line protocol has NO representation for non-finite floats — a
+    * rendered `f=NaN` is a guaranteed 400 from a real endpoint (and an
+    * unreadable token for any reader). Treat NaN/±Inf like SQL null:
+    * the field is absent from that point — the same semantics the
+    * reference reaches by dropping NaN upstream (`extract.py`'s
+    * parse-or-NaN → dropna).
+    */
+  private def finite(dt: DataType, row: InternalRow, i: Int): Boolean =
+    dt match {
+      case DoubleType => java.lang.Double.isFinite(row.getDouble(i))
+      case FloatType => java.lang.Float.isFinite(row.getFloat(i))
+      case _ => true
+    }
+
   def render(row: InternalRow): String = {
     val sb = new StringBuilder(conf.measurement)
     conf.tagIdx.foreach { case (name, i) =>
@@ -427,7 +441,7 @@ private[points] final class PointsLineRenderer(conf: PointsWriteConf)
     sb.append(' ')
     var first = true
     conf.fieldIdx.foreach { case (name, i, dt) =>
-      if (!row.isNullAt(i)) {
+      if (!row.isNullAt(i) && finite(dt, row, i)) {
         if (!first) sb.append(',')
         first = false
         sb.append(name).append('=')

@@ -89,6 +89,29 @@ class PointsSinkSpec extends SparkSpec {
     assert(a.contains("note=\"a\\nbhost\\nA\""))
   }
 
+  test("non-finite doubles render as absent fields, never f=NaN") {
+    val dir = tmpDir()
+    Seq(
+      ("h1", 0L, Double.NaN, ts("2024-01-01 00:00:00")),
+      ("h2", 1L, Double.PositiveInfinity, ts("2024-01-01 00:00:01")),
+      ("h3", 2L, 0.5, ts("2024-01-01 00:00:02"))
+    ).toDF("host_name", "state_numeric", "value", "event_ts")
+      .write.format("graft-points").mode("append")
+      .option("path", dir)
+      .option("measurement", "m")
+      .option("tagCols", "host_name")
+      .option("fieldCols", "state_numeric,value")
+      .option("timeCol", "event_ts")
+      .save()
+    val lines = published(dir)
+    assert(lines.size == 3)
+    // the protocol-invalid tokens never appear; the int field survives
+    assert(!lines.exists(l => l.contains("NaN") || l.contains("Inf")))
+    assert(lines.find(_.contains("h1")).get.contains("state_numeric=0i"))
+    assert(!lines.find(_.contains("h1")).get.contains("value="))
+    assert(lines.find(_.contains("h3")).get.contains("value=0.5"))
+  }
+
   test("abort: a failing job publishes nothing") {
     val dir = tmpDir()
     val poisoned = points.withColumn("value",
