@@ -801,6 +801,21 @@ object SparkEntry {
     "q_surprisal_bigram" -> ((s, dir) =>
       TextOps.surprisalBigram(Tables.documents(s, dir), "doc_id", "text")),
 
+    // the surprisal head-vocab FLOOR path under test: a deliberately
+    // tiny head (64 tokens) so most of the corpus scores through the
+    // long-tail floor — the approximation that makes the operator
+    // scale-free at 100 TB, oracled exactly (DuckDB replays the same
+    // top-64 + floor semantics)
+    "q_surprisal_head" -> ((s, dir) =>
+      TextOps.surprisal(Tables.documents(s, dir), "doc_id", "text",
+        headVocab = 64)),
+
+    // bigram head/floor path: top-64 pair and context tables, tail
+    // pairs priced by the add-1 floor alone
+    "q_surprisal_bigram_head" -> ((s, dir) =>
+      TextOps.surprisalBigram(Tables.documents(s, dir), "doc_id", "text",
+        headVocab = 64)),
+
     // frozen-reference-model surprisal: every doc scored against the
     // English-subcorpus unigram LM (OOV smoothed to the 1/(N+V) floor)
     "q_surprisal_ref" -> ((s, dir) => {
@@ -2606,6 +2621,52 @@ object SparkEntry {
     "q_curation_v2" -> curationV2Sql,
 
     "q_surprisal" -> surprisalSql,
+
+    // head-vocab floor path: DuckDB replays the exact top-64-by-count
+    // head (ties broken by token — same deterministic order as the
+    // Spark TakeOrdered) with the ln(1)=0 tail floor
+    "q_surprisal_head" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(
+        |  string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |  GROUP BY doc_id, token),
+        |ct AS (SELECT token, sum(tf) AS c FROM tf GROUP BY token),
+        |head AS (SELECT token, c FROM ct
+        |  ORDER BY c DESC, token LIMIT 64),
+        |n AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM tf)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        | round(ln(n.n) - sum(tf.tf * ln(CAST(COALESCE(head.c, 1) AS DOUBLE)))
+        |   / CAST(sum(tf.tf) AS DOUBLE), 6) AS surprisal
+        |FROM tf LEFT JOIN head USING (token) CROSS JOIN n
+        |GROUP BY tf.doc_id, n.n""".stripMargin,
+
+    "q_surprisal_bigram_head" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |  string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  unnest(toks[1:len(toks)-1]) AS prev,
+        |  unnest(toks[2:len(toks)]) AS cur
+        |  FROM t WHERE len(toks) >= 2),
+        |tf AS (SELECT doc_id, prev, cur, count(*) AS tf FROM p
+        |  GROUP BY doc_id, prev, cur),
+        |cp AS (SELECT prev, cur, sum(tf) AS cpair FROM tf
+        |  GROUP BY prev, cur),
+        |cph AS (SELECT prev, cur, cpair FROM cp
+        |  ORDER BY cpair DESC, prev, cur LIMIT 64),
+        |cx AS (SELECT prev, sum(cpair) AS cprev FROM cp GROUP BY prev),
+        |cxh AS (SELECT prev, cprev FROM cx
+        |  ORDER BY cprev DESC, prev LIMIT 64),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+        |  FROM (SELECT unnest(toks) AS tok FROM t))
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+        | round(sum(tf.tf * (ln(COALESCE(cxh.cprev, 0) + v.v)
+        |     - ln(COALESCE(cph.cpair, 0) + 1.0)))
+        |   / CAST(sum(tf.tf) AS DOUBLE), 6) AS surprisal2
+        |FROM tf LEFT JOIN cph USING (prev, cur) LEFT JOIN cxh USING (prev)
+        |CROSS JOIN v
+        |GROUP BY tf.doc_id""".stripMargin,
 
     "q_surprisal_bigram" ->
       """WITH t AS (SELECT doc_id, list_filter(

@@ -449,30 +449,44 @@ object TextOps {
     * No smoothing needed: scoring the corpus against itself means
     * every scored token has c_t ≥ 1.
     *
-    * Plan shape (the q_tfidf shape, judged scale-safe): explode →
-    * (doc, token) partial+final count, window-sum on token for c_t
-    * (hot-token skew handled by AQE), one (doc) aggregate; N folds in
-    * as a 1-row broadcast. Only (id, token-hash, count) ever shuffles
-    * — never text. Output: (idCol, n_tokens, surprisal), rounded to
-    * 6dp so the score is portable across engines (a per-doc Σ of
-    * doubles is summation-order-sensitive in the last ulps; 6dp is the
-    * EWMA/quality-model precedent).
+    * Plan shape — the CCNet head-vocab shape, NOT a token-keyed
+    * window: explode → (doc, token) partial+final count; corpus
+    * counts c_t come from a SECOND two-level aggregate over the tf
+    * rows (map-side combine caps the hot token's shuffle volume at
+    * one partial row per task — a window partition keyed on the
+    * token could not be split, so at web scale "the" would land on
+    * ONE task; AQE skew handling applies to joins, not window
+    * exchanges); the top-`headVocab` counts (ties broken by token,
+    * deterministic) BROADCAST back onto the tf stream as the head
+    * vocabulary, and tokens outside the head — the Zipf long tail,
+    * overwhelmingly hapax at web scale — take the floor count 1
+    * (ln 1 = 0). With `headVocab` ≥ |vocab| the floor never fires
+    * and the score is exact, which is how the sf-scale oracle pins
+    * it; at 100 TB the head table stays `headVocab` rows forever,
+    * the same scale-free trick as [[dsirLogWeights]]'s bucket table.
+    * N folds in as a 1-row broadcast. Only (id, token, count) ever
+    * shuffles — never text. Output: (idCol, n_tokens, surprisal),
+    * rounded to 6dp so the score is portable across engines (a
+    * per-doc Σ of doubles is summation-order-sensitive in the last
+    * ulps; 6dp is the EWMA/quality-model precedent).
     */
-  def surprisal(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def surprisal(docs: DataFrame, idCol: String, textCol: String,
+      headVocab: Int = DefaultHeadVocab): DataFrame = {
+    require(headVocab > 0, "headVocab must be positive")
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
       .groupBy(col(idCol), col("_tok"))
       .agg(count(lit(1)).as("_tf"))
-    val withC = tf.withColumn("_c",
-      sum(col("_tf")).over(Window.partitionBy(col("_tok"))))
+    val head = tf.groupBy(col("_tok")).agg(sum(col("_tf")).as("_c"))
+      .orderBy(col("_c").desc, col("_tok").asc)
+      .limit(headVocab)
     val n = docs.agg(
       sum(tokenCount(col(textCol))).cast("double").as("__n"))
-    withC.groupBy(col(idCol))
+    tf.join(broadcast(head), Seq("_tok"), "left")
+      .groupBy(col(idCol))
       .agg(sum(col("_tf")).as("n_tokens"),
-        sum(col("_tf").cast("double") * log(col("_c").cast("double")))
-          .as("_s"))
+        sum(col("_tf").cast("double") *
+          log(coalesce(col("_c"), lit(1L)).cast("double"))).as("_s"))
       .crossJoin(broadcast(n))
       .select(col(idCol), col("n_tokens"),
         round(log(col("__n")) - col("_s") / col("n_tokens").cast("double"),
@@ -492,15 +506,21 @@ object TextOps {
     * Documents with fewer than 2 tokens produce no row.
     *
     * Plan shape: row-local zip into (prev, cur) pairs → one
-    * (doc, prev, cur) count exchange; corpus pair and context counts
-    * come from two windows over the same frame (pair-keyed and
-    * prev-keyed — the tf→df pattern twice); V is a 1-row broadcast.
-    * Only ids, token pairs and counts shuffle. 6dp-rounded like its
-    * unigram sibling.
+    * (doc, prev, cur) count exchange; corpus pair counts come from a
+    * second two-level aggregate over the tf rows and context counts
+    * from a third over THOSE (each bounded, map-side-combined — no
+    * window keyed on a skewed token, same rationale as
+    * [[surprisal]]); the top-`headVocab` pairs and contexts BROADCAST
+    * back as head tables with tail floors c_pair→0, c_prev→0 (add-1
+    * smoothing already prices the unseen pair at 1/(c_prev+V), so the
+    * floor composes with the estimator instead of fighting it; exact
+    * whenever the heads cover the corpus, which is how the oracle
+    * pins it). V is a 1-row broadcast. Only ids, token pairs and
+    * counts shuffle. 6dp-rounded like its unigram sibling.
     */
-  def surprisalBigram(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def surprisalBigram(docs: DataFrame, idCol: String, textCol: String,
+      headVocab: Int = DefaultHeadVocab): DataFrame = {
+    require(headVocab > 0, "headVocab must be positive")
     val toks = tokens(col(textCol))
     val pairs = when(size_(toks) >= 2,
       zip_with(slice(toks, lit(1), size_(toks) - 1),
@@ -512,20 +532,29 @@ object TextOps {
         col("_p.cur").as("_cur"))
       .groupBy(col(idCol), col("_prev"), col("_cur"))
       .agg(count(lit(1)).as("_tf"))
-    val withC = tf
-      .withColumn("_cpair",
-        sum(col("_tf")).over(Window.partitionBy(col("_prev"), col("_cur"))))
-      .withColumn("_cprev",
-        sum(col("_tf")).over(Window.partitionBy(col("_prev"))))
+    val pairCounts = tf.groupBy(col("_prev"), col("_cur"))
+      .agg(sum(col("_tf")).as("_cpair"))
+    val pairHead = pairCounts
+      .orderBy(col("_cpair").desc, col("_prev").asc, col("_cur").asc)
+      .limit(headVocab)
+    // context counts derive from the already-bounded pair counts, not
+    // a third pass over the corpus
+    val prevHead = pairCounts.groupBy(col("_prev"))
+      .agg(sum(col("_cpair")).as("_cprev"))
+      .orderBy(col("_cprev").desc, col("_prev").asc)
+      .limit(headVocab)
     val vocab = docs
       .select(explode(tokens(col(textCol))).as("_tok"))
       .agg(count_distinct(col("_tok")).cast("double").as("__v"))
-    withC.crossJoin(broadcast(vocab))
+    tf.join(broadcast(pairHead), Seq("_prev", "_cur"), "left")
+      .join(broadcast(prevHead), Seq("_prev"), "left")
+      .crossJoin(broadcast(vocab))
       .groupBy(col(idCol))
       .agg(sum(col("_tf")).as("n_bigrams"),
         sum(col("_tf").cast("double") *
-          (log(col("_cprev").cast("double") + col("__v")) -
-            log(col("_cpair").cast("double") + 1.0))).as("_s"))
+          (log(coalesce(col("_cprev"), lit(0L)).cast("double") + col("__v")) -
+            log(coalesce(col("_cpair"), lit(0L)).cast("double") + 1.0)))
+          .as("_s"))
       .select(col(idCol), col("n_bigrams"),
         round(col("_s") / col("n_bigrams").cast("double"), 6)
           .as("surprisal2"))
@@ -634,6 +663,14 @@ object TextOps {
         round(sum(col("_tf").cast("double") * col("_lr")), 6)
           .as("dsir_logw"))
   }
+
+  /** Default head-vocabulary budget for the surprisal family: 2^20
+    * entries ≈ tens of MB broadcast — far past CCNet's shipped LMs,
+    * so the tail floor only ever fires on hapax-class tokens, while
+    * the broadcast stays executor-friendly at any corpus size. Every
+    * sf-scale vocabulary fits entirely, making the oracle exact.
+    */
+  val DefaultHeadVocab: Int = 1 << 20
 
   // `size` shadowed by chunkText's parameter; alias the function
   private def size_(c: Column): Column =

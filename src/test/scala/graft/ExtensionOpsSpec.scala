@@ -958,6 +958,30 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(d2 > d1, "rare-token doc must be more surprising")
   }
 
+  test("surprisal: head-vocab floor prices tail tokens at count 1") {
+    // corpus counts: the=7, cat=2, qq=1, zz=1, N=11. headVocab=2
+    // keeps {the, cat} (count-1 ties broken by token: cat first);
+    // qq/zz fall to the floor ln(1)=0 — which equals their true
+    // count, so the top-2 score matches exact, while a top-1 head
+    // flattens cat (true count 2) onto the floor and shifts doc 1
+    val df = Seq(
+      (1L, "the the the cat"),
+      (2L, "qq zz the"),
+      (3L, "the the the cat")
+    ).toDF("doc_id", "text")
+    val exact = TextOps.surprisal(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val top2 = TextOps.surprisal(df, "doc_id", "text", headVocab = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(top2 == exact, "hapax tail floor must be exact here")
+    val top1 = TextOps.surprisal(df, "doc_id", "text", headVocab = 1)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // doc1 under top-1: ln11 − (3·ln7 + 1·ln1)/4
+    val d1 = math.rint((math.log(11) - 3 * math.log(7) / 4) * 1e6) / 1e6
+    assert(top1(1L) == d1, s"${top1(1L)} != $d1")
+    assert(top1(1L) > exact(1L), "floored cat must raise the score")
+  }
+
   test("surprisal: invariant under corpus duplication") {
     // p(t) = c_t/N is scale-free: replicating every document k times
     // multiplies both c_t and N by k, so every doc's score is

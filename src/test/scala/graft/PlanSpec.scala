@@ -156,7 +156,7 @@ class PlanSpec extends SparkSpec {
     val shuffles = exec.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    assert(shuffles.nonEmpty) // (doc, token) count + token window + doc agg
+    assert(shuffles.nonEmpty) // (doc, token) count + head-vocab agg + doc agg
     // the scale contract: only ids, tokens and counts shuffle — the
     // document text stays inside the scan's own stage
     shuffles.foreach { e =>
@@ -166,6 +166,33 @@ class PlanSpec extends SparkSpec {
     // the corpus total N is a 1-row broadcast, never a shuffled join
     assert(exec.toString.contains("BroadcastNestedLoopJoin") ||
       exec.toString.contains("BroadcastExchange"), exec.toString)
+  }
+
+  test("surprisal family: no window keyed on a token column (Zipf-skew contract)") {
+    // the round-6 shape put corpus counts in sum() OVER
+    // (PARTITION BY token): a window partition cannot be split, so
+    // the head token of a web corpus — present in essentially every
+    // document — would land on ONE task. The rewrite aggregates to a
+    // bounded table and broadcasts a top-k head vocabulary back; the
+    // physical plan must carry NO WindowExec at all, and the head
+    // tables must arrive as broadcast joins.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for (df <- Seq(
+        graft.operators.TextOps.surprisal(docs, "doc_id", "text"),
+        graft.operators.TextOps.surprisalBigram(docs, "doc_id", "text"))) {
+      val exec = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val windows = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty,
+        s"window exchange in the surprisal plan (unsplittable on a skewed token key):\n$exec")
+      assert(exec.toString.contains("BroadcastHashJoin"),
+        s"head-vocab table did not broadcast:\n$exec")
+    }
   }
 
   test("dsir: log-ratio table broadcasts; no exchange carries text") {
