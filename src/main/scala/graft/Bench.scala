@@ -8,8 +8,9 @@ object Bench {
     sys.env.get("SPARK_GRAFT_SCALE").map(_.trim).filter(_.nonEmpty) match {
       case Some(s) =>
         val factor = s.stripSuffix("x").stripSuffix("X").toIntOption
+          .filter(_ >= 2)
           .getOrElse(throw new IllegalArgumentException(
-            s"SPARK_GRAFT_SCALE must look like '10x', got '$s'"))
+            s"SPARK_GRAFT_SCALE must look like '10x' (factor >= 2), got '$s'"))
         ScaleProbe.run(factor)
         return
       case None => ()
@@ -101,7 +102,18 @@ object Bench {
     // count, and the 10 heaviest queries — guaranteed to fit the tail.
     val top = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir","top":$top}""")
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir","top":$top}"""
+    println(summary)
+    // stdout tail parsing is fragile — sbt prints `[success] Total
+    // time...` AFTER the summary line, so the driver's last-line parse
+    // has come up `parsed: null` every round. Also write the summary
+    // to a fixed side file (documented in BASELINE.md) so the totals
+    // are machine-readable without tail archaeology.
+    val side = java.nio.file.Paths.get("target/bench_summary.json")
+    java.nio.file.Files.createDirectories(side.getParent)
+    java.nio.file.Files.write(side,
+      (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

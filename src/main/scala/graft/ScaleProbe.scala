@@ -76,6 +76,27 @@ object ScaleProbe {
     * staging memo, which is correct engine behavior but would let the
     * second timed run measure a memo hit instead of the pipeline.
     */
+  /** Deterministic Zipf(s≈1) synthetic corpus: token ranks drawn by
+    * inverse CDF r = ⌊V^u⌋ with u uniform in [0,1) from a Murmur3
+    * hash of (doc, position) — p(rank) ∝ 1/rank, so the head token
+    * ("t1") lands in essentially every document. This is the
+    * adversarial frequency profile the replicated-documents axis
+    * cannot produce: replication suffixes every token per copy, so
+    * frequencies stay roughly uniform and a token-keyed straggler
+    * would never show. The surprisal family's corpus-count aggregates
+    * are probed here under real hot-key pressure; a plan with a
+    * token-partitioned window would go superlinear on this axis.
+    */
+  private def zipfCorpus(s: SparkSession, nDocs: Long, docLen: Int,
+      vocab: Int): DataFrame =
+    s.range(nDocs).select(col("id").as("doc_id"),
+      array_join(transform(sequence(lit(1), lit(docLen)),
+        i => concat(lit("t"),
+          floor(pow(lit(vocab.toDouble),
+            pmod(hash(col("id"), i), lit(1 << 20)).cast("double")
+              / (1 << 20))).cast("long").cast("string"))),
+        " ").as("text"))
+
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
@@ -130,6 +151,30 @@ object ScaleProbe {
         graft.operators.Dedup.dedupByComponents(corpus, "doc_id",
           graft.operators.Dedup.minhashNearDupPairs(corpus, "doc_id",
             "text", numHashes = 64, bands = 32, threshold = 0.5))
+      }),
+      // skew-adversarial axis (round-6 verdict task 3): Zipf token
+      // frequencies, document count scaling with the factor — the
+      // head token appears in ~every doc, so any plan holding a
+      // token-keyed unsplittable partition (the round-6 window shape)
+      // goes superlinear here while the broadcast-head rewrite stays
+      // ~linear. Corpus is generated, not read: the probe measures
+      // the aggregate/join topology, not parquet IO.
+      "surprisal_zipf" -> ((s: SparkSession, dir: String) => {
+        val f = if (dir == scaleDir) factor else 1
+        graft.operators.TextOps.surprisal(
+          zipfCorpus(s, 10000L * f, 200, 50000), "doc_id", "text")
+      }),
+      "surprisal_bigram_zipf" -> ((s: SparkSession, dir: String) => {
+        val f = if (dir == scaleDir) factor else 1
+        graft.operators.TextOps.surprisalBigram(
+          zipfCorpus(s, 10000L * f, 200, 50000), "doc_id", "text")
+      }),
+      // the tfidf family shares the (doc, token) aggregate shape —
+      // probe it under the same hot-token pressure
+      "tfidf_zipf" -> ((s: SparkSession, dir: String) => {
+        val f = if (dir == scaleDir) factor else 1
+        graft.operators.TextOps.tfidf(
+          zipfCorpus(s, 10000L * f, 200, 50000), "doc_id", "text")
       }))
 
   def main(args: Array[String]): Unit =
@@ -168,6 +213,10 @@ object ScaleProbe {
       fn(spark, dir).write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t) / 1e9
     }
+    // a sub-millisecond 1x timing would emit Infinity/NaN ratios —
+    // not valid JSON — so clamp the denominator to the timer's
+    // meaningful resolution
+    def ratio(b: Double, s: Double): Double = b / math.max(s, 1e-3)
     // pass 1 warms codegen at the small scale; report min of 2 timed
     val rows = headline(factor, outDir).map { case (q, fn) =>
       time(srcDir, fn)
@@ -175,13 +224,13 @@ object ScaleProbe {
       val big = math.min(time(outDir, fn), time(outDir, fn))
       System.err.println(
         f"[scale] $q%-22s 1x=$small%6.2f s  ${factor}x=$big%6.2f s  " +
-          f"ratio=${big / small}%5.2f")
+          f"ratio=${ratio(big, small)}%5.2f")
       (q, small, big)
     }
     val js = rows.map { case (q, s, b) =>
-      f"""\"$q\":{\"x1\":$s%.3f,\"x$factor\":$b%.3f,\"ratio\":${b / s}%.2f}"""
+      f"""\"$q\":{\"x1\":$s%.3f,\"x$factor\":$b%.3f,\"ratio\":${ratio(b, s)}%.2f}"""
     }.mkString("{", ",", "}")
-    val worst = rows.map { case (_, s, b) => b / s }.max
+    val worst = rows.map { case (_, s, b) => ratio(b, s) }.max
     println(s"""{"metric":"scaleprobe","factor":$factor,"n":${rows.size},""" +
       s""""sf":"$srcDir",""" + f""""worst_ratio":$worst%.2f,"queries":$js}""")
     spark.stop()

@@ -136,7 +136,12 @@ object SparkEntry {
     memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val built = if (checkpoint) build.localCheckpoint(true) else build
     val prev = memo.putIfAbsent(key, built)
-    if (prev != null) prev else built
+    if (prev != null) {
+      // the loser's checkpointed blocks would otherwise linger for the
+      // session's lifetime — release them, the winner's copy serves
+      if (checkpoint) built.rdd.unpersist(false)
+      prev
+    } else built
   }
 
   private def curationV2(s: SparkSession, dir: String): DataFrame = {
@@ -842,6 +847,18 @@ object SparkEntry {
         .orderBy(desc("dsir_logw"), asc("doc_id")).limit(100)
     }),
 
+    // frozen-model DSIR: the log-ratio table built ONCE from a 10%
+    // raw sample + the English target, every doc scored against it —
+    // the streaming-ready split (model rebuilt per corpus version,
+    // not per scoring run); sample-absent buckets exercise the
+    // complete-table floor
+    "q_dsir_score_ref" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = TextOps.dsirModel(docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("lang") === "en"), "text")
+      TextOps.dsirScoreAgainst(docs, "doc_id", "text", model)
+    }),
+
     // curation v3 = v2's structural gates ∩ a CCNet-style surprisal
     // band on the raw text: drops both tails (very low = boilerplate,
     // very high = gibberish/rare-token soup); band constants picked
@@ -1370,20 +1387,10 @@ object SparkEntry {
     // ONCE and tf→df needs one exchange on token, not a groupBy + join
     // (two exchanges + a re-executed upstream). N folds in via a 1-row
     // broadcast aggregate instead of a separate driver-side count job.
-    "q_tfidf" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val n = docs.agg(count(lit(1)).cast("double").as("__n"))
-      val tf = docs.select(col("doc_id"),
-          explode(TextOps.tokens(col("text"))).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val wDf = Window.partitionBy(col("token"))
-      tf.withColumn("df", count(lit(1)).over(wDf))
-        .filter(col("tf") >= 3)
-        .crossJoin(broadcast(n))
-        .select(col("doc_id"), col("token"), col("tf"), col("df"),
-          round(col("tf") * log(col("__n") / col("df")), 6)
-            .as("tfidf"))
-    }),
+    // df via aggregate+join, not a token-keyed window — the same
+    // Zipf-straggler reasoning as the surprisal family (TextOps.tfidf)
+    "q_tfidf" -> ((s, dir) =>
+      TextOps.tfidf(Tables.documents(s, dir), "doc_id", "text")),
 
     "q_topk_orders" -> ((s, dir) => {
       Relational.topK(Tables.orders(s, dir), 10,
@@ -2716,6 +2723,43 @@ object SparkEntry {
       s"""WITH w AS ($dsirWeightsSql)
          |SELECT * FROM w
          |ORDER BY dsir_logw DESC, doc_id LIMIT 100""".stripMargin,
+
+    // frozen DSIR model: complete 1024-bucket log-ratio table from the
+    // 10% raw sample + en target (generate_series materializes the
+    // bucket domain — unseen buckets carry the doubly-smoothed floor),
+    // then every doc scored via an inner join on its hashed buckets
+    "q_dsir_score_ref" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(
+        |  string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id,
+        |  CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) % 1024 AS b,
+        |  count(*) AS tf FROM toks GROUP BY doc_id, b),
+        |rawc AS (SELECT
+        |  CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) % 1024 AS b,
+        |  count(*) AS c
+        |  FROM (SELECT unnest(list_filter(
+        |    string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        |    FROM documents WHERE doc_id % 10 = 0) GROUP BY 1),
+        |tgtc AS (SELECT
+        |  CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) % 1024 AS b,
+        |  count(*) AS c
+        |  FROM (SELECT unnest(list_filter(
+        |    string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        |    FROM documents WHERE lang = 'en') GROUP BY 1),
+        |nr AS (SELECT CAST(COALESCE(sum(c), 0) AS DOUBLE) AS n FROM rawc),
+        |nt AS (SELECT CAST(COALESCE(sum(c), 0) AS DOUBLE) AS n FROM tgtc),
+        |model AS (SELECT g.b,
+        |  ln((COALESCE(tgtc.c, 0) + 1.0) / (nt.n + 1024))
+        |    - ln((COALESCE(rawc.c, 0) + 1.0) / (nr.n + 1024)) AS lr
+        |  FROM generate_series(0, 1023) AS g(b)
+        |  LEFT JOIN rawc ON g.b = rawc.b
+        |  LEFT JOIN tgtc ON g.b = tgtc.b
+        |  CROSS JOIN nr CROSS JOIN nt)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        | round(sum(tf.tf * model.lr), 6) AS dsir_logw
+        |FROM tf JOIN model ON tf.b = model.b
+        |GROUP BY tf.doc_id""".stripMargin,
 
     "q_curation_v3" ->
       s"""WITH v2 AS ($curationV2Sql),

@@ -626,14 +626,18 @@ object TextOps {
     * scale-free. Output: (idCol, n_tokens, dsir_logw), 6dp-rounded
     * for cross-engine portability like surprisal.
     */
+  /** Leading-32-bit md5 of the token mod `buckets` — the engine's
+    * portable feature hash, shared by the DSIR family.
+    */
+  private def tokenBucket(tok: Column, buckets: Int): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % buckets
+
   def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 1024): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val tf = raw
       .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
-      .select(col(idCol),
-        (conv(substring(md5(col("_tok")), 1, 8), 16, 10)
-          .cast("long") % buckets).as("_b"))
+      .select(col(idCol), tokenBucket(col("_tok"), buckets).as("_b"))
       .groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_tf"))
     // raw bucket counts derive from tf (NOT a second tokenize pass
     // over the dominant input): the tf subtree appears twice in the
@@ -642,8 +646,7 @@ object TextOps {
     val rawB = tf.groupBy("_b").agg(sum(col("_tf")).as("_c"))
     val tgtB = target
       .select(explode(tokens(col(textCol))).as("_tok"))
-      .select((conv(substring(md5(col("_tok")), 1, 8), 16, 10)
-        .cast("long") % buckets).as("_b"))
+      .select(tokenBucket(col("_tok"), buckets).as("_b"))
       .groupBy("_b").agg(count(lit(1)).as("_c"))
     val nRaw = rawB.agg(sum(col("_c")).cast("double").as("_nr"))
     val nTgt = tgtB.agg(sum(col("_c")).cast("double").as("_nt"))
@@ -662,6 +665,95 @@ object TextOps {
       .agg(sum(col("_tf")).as("n_tokens"),
         round(sum(col("_tf").cast("double") * col("_lr")), 6)
           .as("dsir_logw"))
+  }
+
+  /** FROZEN DSIR artifact — the [[unigramModel]]/[[surprisalAgainst]]
+    * split applied to importance resampling: build the per-bucket
+    * log-ratio table ONCE from a raw-pool sample and the target
+    * corpus, then score any corpus or stream against it with
+    * [[dsirScoreAgainst]] (batch == streaming by construction, the
+    * same argument as the frozen surprisal model). The table is
+    * COMPLETE over all `buckets` rows (buckets unseen in either
+    * corpus carry the doubly-smoothed floor ratio), so score-time
+    * needs no out-of-model fallback — an inner broadcast join covers
+    * every scored token. Always exactly `buckets` rows: broadcastable
+    * at any corpus size, the property that makes DSIR scale-free.
+    */
+  def dsirModel(rawSample: DataFrame, target: DataFrame,
+      textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def bucketCounts(src: DataFrame, as: String): DataFrame = src
+      .select(explode(tokens(col(textCol))).as("_tok"))
+      .select(tokenBucket(col("_tok"), buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(as))
+    val rawB = bucketCounts(rawSample, "_cr")
+    val tgtB = bucketCounts(target, "_ct")
+    // coalesce(sum, 0): an empty corpus aggregates to one null row,
+    // which must read as zero mass, not null-poison every ratio
+    val nRaw = rawB.agg(coalesce(sum(col("_cr")), lit(0L))
+      .cast("double").as("_nr"))
+    val nTgt = tgtB.agg(coalesce(sum(col("_ct")), lit(0L))
+      .cast("double").as("_nt"))
+    rawSample.sparkSession.range(buckets)
+      .select(col("id").as("bucket"))
+      .join(rawB, Seq("bucket"), "left")
+      .join(tgtB, Seq("bucket"), "left")
+      .crossJoin(broadcast(nRaw)).crossJoin(broadcast(nTgt))
+      .select(col("bucket"),
+        (log((coalesce(col("_ct"), lit(0L)).cast("double") + 1.0) /
+            (col("_nt") + buckets)) -
+          log((coalesce(col("_cr"), lit(0L)).cast("double") + 1.0) /
+            (col("_nr") + buckets))).as("log_ratio"))
+  }
+
+  /** Score documents against a FROZEN [[dsirModel]]. `buckets` must
+    * match the model's (the hash domain is part of the artifact).
+    * Output schema matches [[dsirLogWeights]]; when the model was
+    * built from (raw, target) and the same `raw` is scored, the
+    * weights are identical — spec-pinned. The model joins as a
+    * BROADCAST; one (id, bucket, count) exchange; text never
+    * shuffles. Works identically inside a foreachBatch micro-batch —
+    * the frozen table makes streaming == batch by definition.
+    */
+  def dsirScoreAgainst(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
+      .select(col(idCol), tokenBucket(col("_tok"), buckets).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("_tf"))
+    tf.join(broadcast(model), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_tf")).as("n_tokens"),
+        round(sum(col("_tf").cast("double") * col("log_ratio")), 6)
+          .as("dsir_logw"))
+  }
+
+  /** TF-IDF over (doc, token) pairs, `tfidf = tf · ln(N/df)`, rows
+    * with `tf < minTf` dropped (the reference-style noise floor).
+    *
+    * Document frequency comes from a second two-level aggregate over
+    * the tf rows JOINED back on the token — not a token-partitioned
+    * window: a window partition cannot be split, so the head token of
+    * a web corpus would straggle on one task, while a join is
+    * AQE-skew-splittable and the aggregate itself map-side-combines.
+    * df must be exact in the output (it's a reported column), so no
+    * head-vocab floor here — the join stays a shuffle on (token, id,
+    * counts) rows only; text never crosses an exchange. N is a 1-row
+    * broadcast. 6dp rounding as everywhere.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String,
+      minTf: Int = 3): DataFrame = {
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.filter(col("tf") >= minTf)
+      .join(dfTab, "token")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(col("__n") / col("df")), 6).as("tfidf"))
   }
 
   /** Default head-vocabulary budget for the surprisal family: 2^20

@@ -28,10 +28,16 @@ import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactor
   * scales with data; the endpoint's ingest capacity is the only
   * ceiling, tunable via `batchRows` and partition count.
   *
-  * Timestamps render as epoch SECONDS (the reference's
-  * `time_precision='s'`): against a real InfluxDB `/write` endpoint,
-  * encode that in the URL — `endpointUrl = "https://host:8086/write?
-  * db=...&precision=s"`; query strings pass through untouched.
+  * Timestamps render in the `timePrecision` unit (s|ms|u|ns, default
+  * s — the reference's `time_precision='s'`), and the SAME option
+  * appends `precision=` to the write URL, so the rendered unit and
+  * the server's interpretation cannot skew; a `precision=` already
+  * present in `endpointUrl` wins (a conflicting option is a
+  * plan-time error). A `requireDb=<name>` option arms the
+  * reference's fail-fast-if-database-missing precondition
+  * ([[PointsEndpointPrecondition]], `url...py:151-152`). Value
+  * fidelity caveat for newlines/backslashes in tag and field values:
+  * see [[PointsLineRenderer]].
   */
 class PointsEndpointBatchWrite(conf: PointsWriteConf) extends BatchWrite {
 
@@ -48,6 +54,53 @@ class PointsEndpointBatchWrite(conf: PointsWriteConf) extends BatchWrite {
   // buffer (task-side); earlier acknowledged batches remain — the
   // at-least-once contract documented above
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Typed fail-fast for a misconfigured endpoint target — the sink's
+  * analogue of `StatusPoints.SinkPreconditionException` (reference:
+  * exits before writing when the target DB is absent,
+  * `url_service_status_InfluxDB_insert.py:151-152`).
+  */
+class PointsPreconditionException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
+
+/** Driver-side DB-exists precondition for endpoint mode: ONE
+  * `SHOW DATABASES` probe through the SAME transport + TLS the write
+  * itself will use (so the probe exercises cert/verify wiring too),
+  * before any executor renders a line. The reference's file mode
+  * equivalent lives in `StatusPoints.sinkPoints(points, database,
+  * listDatabases)`; endpoint mode previously leaned on the server's
+  * 4xx at the first batch — thousands of task failures for one
+  * driver-detectable misconfiguration.
+  */
+object PointsEndpointPrecondition {
+  def ensureDbExists(conf: PointsWriteConf): Unit =
+    for (ep <- conf.endpoint; db <- ep.requireDb) {
+      val uri = java.net.URI.create(ep.url)
+      val probeUrl = s"${uri.getScheme}://${uri.getRawAuthority}" +
+        "/query?q=" + java.net.URLEncoder.encode("SHOW DATABASES", "UTF-8")
+      val transport = Class.forName(ep.transportClass)
+        .getDeclaredConstructor().newInstance().asInstanceOf[PointsTransport]
+      val resp =
+        try transport.post(probeUrl, "", conf.tls, ep.timeoutMs)
+        catch { case e: Exception =>
+          throw new PointsPreconditionException(
+            s"DB-exists probe failed against $probeUrl: ${e.getMessage}", e)
+        }
+      if (resp.status < 200 || resp.status >= 300)
+        throw new PointsPreconditionException(
+          s"DB-exists probe $probeUrl returned ${resp.status} " +
+            resp.body.take(200))
+      // InfluxDB's SHOW DATABASES body lists names as JSON strings;
+      // the quoted exact-match check needs no JSON parser and cannot
+      // prefix-match (db "foo" never matches "foobar")
+      if (!resp.body.contains("\"" + db + "\""))
+        throw new PointsPreconditionException(
+          s"target database '$db' does not exist at " +
+            s"${uri.getScheme}://${uri.getRawAuthority} " +
+            s"(SHOW DATABASES: ${resp.body.take(200)}); " +
+            "create it before writing")
+    }
 }
 
 class PointsEndpointWriterFactory(conf: PointsWriteConf)

@@ -92,13 +92,16 @@ class PointsTable(tableSchema: StructType,
             if (truncateFirst) throw new IllegalArgumentException(
               "overwrite is not supported in endpointUrl mode " +
                 "(a live endpoint cannot be truncated by this sink)")
+            PointsEndpointPrecondition.ensureDbExists(conf)
             new PointsEndpointBatchWrite(conf)
           case None => new PointsBatchWrite(conf, truncateFirst)
         }
         override def toStreaming:
             org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           conf.endpoint match {
-            case Some(_) => new PointsEndpointStreamingWrite(conf)
+            case Some(_) =>
+              PointsEndpointPrecondition.ensureDbExists(conf)
+              new PointsEndpointStreamingWrite(conf)
             case None => new PointsStreamingWrite(conf)
           }
       }
@@ -119,21 +122,29 @@ case class PointsTlsConf(clientCertPath: Option[String],
   * batches of `batchRows` lines per POST (the batch shape of the
   * reference client's `write_points(batch_size=...)`), with the
   * retry/backoff/timeout bound enforced by [[PointsTransport.guarded]].
+  * `url` is FINAL — it already carries the resolved `precision=`
+  * parameter. `requireDb` arms the driver-side DB-exists precondition
+  * ([[PointsEndpointPrecondition]]).
   */
 case class PointsEndpointConf(url: String, transportClass: String,
-    batchRows: Int, maxRetries: Int, backoffMs: Long, timeoutMs: Long)
+    batchRows: Int, maxRetries: Int, backoffMs: Long, timeoutMs: Long,
+    requireDb: Option[String] = None)
     extends Serializable
 
 /** All executor-visible write configuration, resolved ONCE on the
   * driver at plan time (field indices, not names, ship to tasks).
   * Exactly one of `path` (staged-file 2PC mode) and `endpoint`
-  * (live HTTP mode) is set.
+  * (live HTTP mode) is set. `timePrecision` (s|ms|u|ns, default s —
+  * the reference's `time_precision='s'`) fixes the unit of the
+  * rendered timestamp AND, in endpoint mode, the URL's `precision=`
+  * parameter — one option, both surfaces, impossible to skew.
   */
 case class PointsWriteConf(path: Option[String], measurement: String,
     tagIdx: Seq[(String, Int)], fieldIdx: Seq[(String, Int, DataType)],
     timeIdx: Int, timeType: DataType,
     tls: PointsTlsConf,
-    endpoint: Option[PointsEndpointConf] = None) extends Serializable {
+    endpoint: Option[PointsEndpointConf] = None,
+    timePrecision: String = "s") extends Serializable {
   /** File-mode root; only file-mode code paths may call this. */
   def dir: String = path.getOrElse(throw new IllegalStateException(
     "points sink is in endpoint mode — no file path"))
@@ -147,16 +158,47 @@ object PointsWriteConf {
         .filter(_.nonEmpty)).getOrElse(Seq.empty)
     val path = Option(options.get("path")).filter(_.nonEmpty)
     val endpointUrl = Option(options.get("endpointUrl")).filter(_.nonEmpty)
+    // one precision, two surfaces: the rendered timestamp unit and the
+    // endpoint URL's precision= parameter must agree or the server
+    // misreads every point by orders of magnitude. Resolution order:
+    // an explicit precision= already in the URL wins (and conflicts
+    // with the option are an error), else the timePrecision option,
+    // else the reference's 's'.
+    val urlPrecision = endpointUrl.flatMap(u =>
+      "[?&]precision=([^&]*)".r.findFirstMatchIn(u).map(_.group(1)))
+    val precisionOption =
+      Option(options.get("timePrecision")).filter(_.nonEmpty)
+    val timePrecision = (urlPrecision, precisionOption) match {
+      case (Some(a), Some(b)) if a != b => throw new IllegalArgumentException(
+        s"endpointUrl carries precision=$a but timePrecision=$b — " +
+          "set one, not two disagreeing")
+      case (Some(a), _) => a
+      case (None, Some(b)) => b
+      case (None, None) => "s"
+    }
+    if (!Set("s", "ms", "u", "ns").contains(timePrecision))
+      throw new IllegalArgumentException(
+        s"timePrecision must be one of s|ms|u|ns, got '$timePrecision'")
+    val requireDb = Option(options.get("requireDb")).filter(_.nonEmpty)
+    if (requireDb.isDefined && endpointUrl.isEmpty)
+      throw new IllegalArgumentException(
+        "requireDb applies to endpointUrl mode only (file mode has " +
+          "the StatusPoints.sinkPoints precondition overload)")
     val endpoint = endpointUrl.map { url =>
       def num(key: String, default: Long): Long =
         Option(options.get(key)).map(_.toLong).getOrElse(default)
-      PointsEndpointConf(url,
+      val finalUrl =
+        if (urlPrecision.isDefined) url
+        else url + (if (url.contains("?")) "&" else "?") +
+          s"precision=$timePrecision"
+      PointsEndpointConf(finalUrl,
         Option(options.get("transportClass"))
           .getOrElse(classOf[PointsHttpTransport].getName),
         batchRows = num("batchRows", 5000L).toInt,
         maxRetries = num("maxRetries", 3L).toInt,
         backoffMs = num("backoffMs", 500L),
-        timeoutMs = num("timeoutMs", 30000L))
+        timeoutMs = num("timeoutMs", 30000L),
+        requireDb = requireDb)
     }
     (path, endpointUrl) match {
       case (None, None) => throw new IllegalArgumentException(
@@ -186,7 +228,7 @@ object PointsWriteConf {
       cols("fieldCols").map(c =>
         (c, idx(c), schema(c).dataType)),
       idx(timeCol), schema(timeCol).dataType,
-      tlsConf(options), endpoint)
+      tlsConf(options), endpoint, timePrecision)
   }
 
   /** Build-time validation of the TLS/auth option surface: cert and
@@ -394,6 +436,15 @@ private[points] final class PointsLineRenderer(conf: PointsWriteConf)
     * the endpoint's line count). The protocol has no newline support
     * in values at all; render them as the literal 2-char sequences
     * `\n`/`\r` — framing stays intact, the value stays recoverable.
+    *
+    * Value-fidelity caveat: real InfluxDB defines NO `\n` escape (its
+    * parser treats backslash as an escape only before `,`, `=`, ` `),
+    * so a genuine endpoint stores these as the literal two characters
+    * — values containing newlines or backslashes round-trip ALTERED.
+    * That is the deliberate trade: framing safety (no injected
+    * points, stable line counts) over byte-exact recovery of
+    * characters the wire format cannot carry; influxdb-python offers
+    * no newline handling at all and corrupts the stream instead.
     */
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace(",", "\\,")
@@ -408,13 +459,26 @@ private[points] final class PointsLineRenderer(conf: PointsWriteConf)
     case _ => v.toString
   }
 
-  private def epochSeconds(v: Any): Long = conf.timeType match {
-    case TimestampType | TimestampNTZType =>
-      v.asInstanceOf[Long] / 1000000L // internal micros
-    case LongType => v.asInstanceOf[Long]
-    case IntegerType => v.asInstanceOf[Int].toLong
-    case other => throw new IllegalArgumentException(
-      s"unsupported time column type ${other.simpleString}")
+  /** Timestamp in the conf's precision unit. Timestamp columns carry
+    * internal MICROS; raw Long/Int columns keep their reference
+    * semantics of epoch SECONDS and convert up/down from there.
+    */
+  private def renderTime(v: Any): Long = {
+    val micros = conf.timeType match {
+      case TimestampType | TimestampNTZType => v.asInstanceOf[Long]
+      case LongType => v.asInstanceOf[Long] * 1000000L
+      case IntegerType => v.asInstanceOf[Int].toLong * 1000000L
+      case other => throw new IllegalArgumentException(
+        s"unsupported time column type ${other.simpleString}")
+    }
+    conf.timePrecision match {
+      case "s" => micros / 1000000L
+      case "ms" => micros / 1000L
+      case "u" => micros
+      case "ns" => micros * 1000L
+      case other => throw new IllegalArgumentException(
+        s"unsupported timePrecision '$other'") // unreachable: validated
+    }
   }
 
   /** Line protocol has NO representation for non-finite floats — a
@@ -450,7 +514,7 @@ private[points] final class PointsLineRenderer(conf: PointsWriteConf)
     }
     if (first) sb.append("__rows=1i") // point with no non-null field
     if (!row.isNullAt(conf.timeIdx))
-      sb.append(' ').append(epochSeconds(row.get(conf.timeIdx,
+      sb.append(' ').append(renderTime(row.get(conf.timeIdx,
         conf.timeType)))
     sb.toString
   }

@@ -1041,4 +1041,33 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(w(1L) > 0 && w(3L) < 0,
       s"signs: pure ${w(1L)}, disjoint ${w(3L)}")
   }
+
+  test("frozen dsirModel + dsirScoreAgainst == dsirLogWeights; " +
+      "complete table scores sample-absent buckets") {
+    val raw = Seq(
+      (1L, "alpha beta alpha beta"),
+      (2L, "alpha xx beta yy"),
+      (3L, "xx yy zz ww")
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (100L, "alpha beta alpha"), (101L, "beta alpha beta")
+    ).toDF("doc_id", "text")
+    // model frozen from the SAME raw pool → scoring it back must
+    // reproduce the self-referential weights exactly
+    val model = TextOps.dsirModel(raw, target, "text")
+    assert(model.count() == 1024) // complete bucket domain, always
+    val frozen = TextOps.dsirScoreAgainst(raw, "doc_id", "text", model)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val self = TextOps.dsirLogWeights(raw, target, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(frozen == self, s"$frozen != $self")
+    // a doc whose vocabulary the model NEVER saw (neither raw nor
+    // target) still scores — through the doubly-smoothed floor
+    // buckets — instead of dropping rows or nulling
+    val unseen = Seq((9L, "qqq www eee")).toDF("doc_id", "text")
+    val got = TextOps.dsirScoreAgainst(unseen, "doc_id", "text", model)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 1 && got.head._2 == 3L)
+    assert(!got.head._3.isNaN)
+  }
 }

@@ -177,9 +177,13 @@ class PlanSpec extends SparkSpec {
     // physical plan must carry NO WindowExec at all, and the head
     // tables must arrive as broadcast joins.
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    for (df <- Seq(
-        graft.operators.TextOps.surprisal(docs, "doc_id", "text"),
-        graft.operators.TextOps.surprisalBigram(docs, "doc_id", "text"))) {
+    for ((df, wantsBroadcast) <- Seq(
+        graft.operators.TextOps.surprisal(docs, "doc_id", "text") -> true,
+        graft.operators.TextOps.surprisalBigram(docs, "doc_id", "text") -> true,
+        // tfidf reports exact df so its count table joins (AQE-skew-
+        // splittable) rather than broadcasting a floored head — the
+        // no-window contract is the same
+        graft.operators.TextOps.tfidf(docs, "doc_id", "text") -> false)) {
       val exec = df.queryExecution.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           a.executedPlan
@@ -189,9 +193,10 @@ class PlanSpec extends SparkSpec {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
       assert(windows.isEmpty,
-        s"window exchange in the surprisal plan (unsplittable on a skewed token key):\n$exec")
-      assert(exec.toString.contains("BroadcastHashJoin"),
-        s"head-vocab table did not broadcast:\n$exec")
+        s"window exchange in the plan (unsplittable on a skewed token key):\n$exec")
+      if (wantsBroadcast)
+        assert(exec.toString.contains("BroadcastHashJoin"),
+          s"head-vocab table did not broadcast:\n$exec")
     }
   }
 

@@ -467,6 +467,118 @@ class PointsSinkSpec extends SparkSpec {
     }
   }
 
+  /** Like [[withPostServer]] but the handler sees the FULL request
+    * URI (path + query) — for asserting on `precision=`/probe URLs;
+    * separate so withPostServer's path-only contract stays untouched.
+    */
+  private def withFullUriServer(
+      handler: (String, String) => (Int, String))(
+      f: String => Unit): Unit = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val (status, resp) = handler(ex.getRequestURI.toString, body)
+        val bytes = resp.getBytes("UTF-8")
+        ex.sendResponseHeaders(status, if (status == 204) -1 else
+          math.max(bytes.length.toLong, if (bytes.isEmpty) -1L else 0L))
+        if (status != 204 && bytes.nonEmpty) ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    srv.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    srv.start()
+    try f(s"http://127.0.0.1:${srv.getAddress.getPort}")
+    finally srv.stop(0)
+  }
+
+  test("endpoint mode: timePrecision drives both the rendered unit " +
+      "and the URL's precision= parameter") {
+    val uris = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val lines = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    withFullUriServer({ (uri, body) =>
+      uris.add(uri); body.linesIterator.foreach(lines.add); (204, "")
+    }) { base =>
+      // default: the reference's seconds, URL gains precision=s
+      writeEndpoint(points.coalesce(1), s"$base/write")
+      assert(uris.asScala.forall(_.endsWith("/write?precision=s")))
+      assert(lines.asScala.exists(_.endsWith(" 1704067200")))
+      uris.clear(); lines.clear()
+      // explicit ms: unit scales, query-string URL appends with &
+      writeEndpoint(points.coalesce(1), s"$base/write?db=metrics",
+        Map("timePrecision" -> "ms"))
+      assert(uris.asScala.forall(
+        _.endsWith("/write?db=metrics&precision=ms")))
+      assert(lines.asScala.exists(_.endsWith(" 1704067200000")))
+      uris.clear(); lines.clear()
+      // precision already in the URL wins, is not duplicated, and
+      // still drives the rendered unit
+      writeEndpoint(points.coalesce(1), s"$base/write?precision=u")
+      assert(uris.asScala.forall(_.endsWith("/write?precision=u")))
+      assert(lines.asScala.exists(_.endsWith(" 1704067200000000")))
+    }
+    // URL and option disagreeing is a plan-time error
+    val e = intercept[IllegalArgumentException] {
+      writeEndpoint(points, "http://127.0.0.1:1/write?precision=s",
+        Map("timePrecision" -> "ms"))
+    }
+    assert(e.getMessage.contains("precision"))
+    // and so is an unknown unit
+    val e2 = intercept[IllegalArgumentException] {
+      writeEndpoint(points, "http://127.0.0.1:1/write",
+        Map("timePrecision" -> "m"))
+    }
+    assert(e2.getMessage.contains("s|ms|u|ns"))
+  }
+
+  test("endpoint mode: requireDb precondition probes SHOW DATABASES " +
+      "before any write POST") {
+    val influxBody =
+      """{"results":[{"series":[{"name":"databases",""" +
+        """"values":[["_internal"],["metrics"]]}]}]}"""
+    val writes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val probes = new java.util.concurrent.atomic.AtomicInteger(0)
+    withFullUriServer({ (uri, _) =>
+      if (uri.startsWith("/query")) {
+        probes.incrementAndGet()
+        assert(uri.contains("q=SHOW"), uri)
+        (200, influxBody)
+      } else { writes.incrementAndGet(); (204, "") }
+    }) { base =>
+      // present DB: probe once, then writes flow
+      writeEndpoint(points.coalesce(1), s"$base/write?db=metrics",
+        Map("requireDb" -> "metrics"))
+      assert(probes.get() == 1)
+      assert(writes.get() >= 1)
+      // absent DB: typed failure, ZERO write POSTs
+      writes.set(0); probes.set(0)
+      val e = intercept[
+          graft.sources.points.PointsPreconditionException] {
+        writeEndpoint(points.coalesce(1), s"$base/write?db=nope",
+          Map("requireDb" -> "nope"))
+      }
+      assert(e.getMessage.contains("'nope' does not exist"))
+      assert(writes.get() == 0, "no write may precede the precondition")
+      // exact-name check: 'metric' must not prefix-match 'metrics'
+      val e2 = intercept[
+          graft.sources.points.PointsPreconditionException] {
+        writeEndpoint(points.coalesce(1), s"$base/write?db=metric",
+          Map("requireDb" -> "metric"))
+      }
+      assert(e2.getMessage.contains("'metric' does not exist"))
+    }
+    // requireDb is endpoint-mode-only
+    val e3 = intercept[IllegalArgumentException] {
+      write(points, tmpDir(), mode = "append") // file mode baseline OK
+      points.write.format("graft-points").mode("append")
+        .option("path", tmpDir())
+        .option("measurement", "m").option("timeCol", "event_ts")
+        .option("requireDb", "metrics").save()
+    }
+    assert(e3.getMessage.contains("endpointUrl mode only"))
+  }
+
   test("endpoint mode: overwrite rejected, path XOR endpointUrl") {
     val e1 = intercept[Exception] {
       writeEndpoint(points, "http://127.0.0.1:1/write",

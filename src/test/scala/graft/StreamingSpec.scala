@@ -417,4 +417,56 @@ class StreamingSpec extends SparkSpec {
     assert(scored(2L) > scored(1L),
       s"OOV ${scored(2L)} !> in-vocab ${scored(1L)}")
   }
+
+  test("frozen DSIR + frozen-LM curation: streaming selection == batch") {
+    // the full streaming curation composition (round-6 verdict task
+    // 6): BOTH scoring artifacts — the DSIR log-ratio table and the
+    // reference unigram LM — freeze once per corpus version; each
+    // micro-batch scores against them and gates on (target-likeness,
+    // surprisal). Frozen models make stream == batch by construction;
+    // this pins the composition, not just each operator.
+    import graft.operators.TextOps
+    implicit val sq = spark.sqlContext
+    val target = Seq(
+      (100L, "the cat sat on the mat"), (101L, "the dog sat")
+    ).toDF("doc_id", "text")
+    val rawSample = Seq(
+      (200L, "the cat runs"), (201L, "qq zz qq zz market data")
+    ).toDF("doc_id", "text")
+    val dsir = TextOps.dsirModel(rawSample, target, "text")
+      .localCheckpoint(true)
+    val lm = TextOps.unigramModel(target, "text").localCheckpoint(true)
+    val all = Seq(
+      (1L, "the cat sat"),          // target-like, in-vocab
+      (2L, "qq zz qq zz"),          // raw-pool-like, OOV-heavy
+      (3L, "the dog sat on the mat"),
+      (4L, "market data feed qq")
+    )
+    def select(b: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      TextOps.dsirScoreAgainst(b, "doc_id", "text", dsir)
+        .join(TextOps.surprisalAgainst(b, "doc_id", "text", lm), "doc_id")
+        .filter(col("dsir_logw") > 0 && col("surprisal_ref") < 3.0)
+        .select("doc_id", "dsir_logw", "surprisal_ref")
+    val kept = scala.collection.concurrent.TrieMap[Long, (Double, Double)]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        select(b).as[(Long, Double, Double)].collect()
+          .foreach(r => kept(r._1) = (r._2, r._3))
+      }.start()
+    try {
+      in.addData(all.take(2): _*)
+      q.processAllAvailable()
+      in.addData(all.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = select(all.toDF("doc_id", "text"))
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(kept.toMap == batch, s"${kept.toMap} != $batch")
+    // the gate did real work: something kept, something dropped
+    assert(batch.nonEmpty && batch.size < all.size, batch.toString)
+  }
 }
