@@ -450,6 +450,34 @@ object SparkEntry {
     * self excluded, score-desc id-asc tie-break) — shared by every ANN
     * query whose configuration makes it exact.
     */
+  /** Shared PQ replay CTEs (q_pq_encode / q_pq_search): seed ranks,
+    * per-position subvector elements, decimal-exact squared-L2, and
+    * the per-(vector, subspace) argmin as `codes`.
+    */
+  private val pqCtesSql: String =
+    """seeds AS (SELECT vec_id, embedding,
+      |    row_number() OVER (ORDER BY vec_id) - 1 AS code
+      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+      |cb AS (SELECT code, j.j AS j, i.i AS i,
+      |    CAST(embedding[j.j * 8 + i.i] AS DOUBLE) AS cv
+      |  FROM seeds, generate_series(0, 7) j(j),
+      |    generate_series(1, 8) i(i)),
+      |sub AS (SELECT vec_id, j.j AS j, i.i AS i,
+      |    CAST(embedding[j.j * 8 + i.i] AS DOUBLE) AS v
+      |  FROM embeddings, generate_series(0, 7) j(j),
+      |    generate_series(1, 8) i(i)),
+      |d AS (SELECT sub.vec_id, sub.j, cb.code,
+      |    sum(CAST(round((sub.v - cb.cv) * (sub.v - cb.cv), 12)
+      |      AS DECIMAL(28,12))) AS dist
+      |  FROM sub JOIN cb ON sub.j = cb.j AND sub.i = cb.i
+      |  GROUP BY sub.vec_id, sub.j, cb.code),
+      |mn AS (SELECT vec_id, j, min(dist) AS md FROM d
+      |  GROUP BY vec_id, j),
+      |codes AS (SELECT d.vec_id, d.j, CAST(min(d.code) AS INT) AS code
+      |  FROM d JOIN mn ON d.vec_id = mn.vec_id AND d.j = mn.j
+      |    AND d.dist = mn.md
+      |  GROUP BY d.vec_id, d.j)""".stripMargin
+
   private val knnExactTopKSql: String =
     """SELECT query_id, rank, neighbor_id FROM (
       | SELECT q.vec_id AS query_id,
@@ -1863,6 +1891,36 @@ object SparkEntry {
           col("weight").cast("double").as("weight"), col("mix_ratio"))
     }),
 
+    // sqrt-temperature language rebalancing (the multilingual α=0.5
+    // downsampling point): head languages flattened to shares ∝
+    // sqrt(count), smallest language kept whole, membership the
+    // engine-portable id-hash bucket
+    "q_rebalance_lang" -> ((s, dir) =>
+      operators.Sampling.temperatureRebalance(Tables.documents(s, dir),
+        "doc_id", "lang")),
+
+    // product-quantization encode: 64-dim embeddings → 8 codes from a
+    // deterministic 16-entry seed codebook; decimal-exact distances
+    // make the argmin portable across engines
+    "q_pq_encode" -> ((s, dir) =>
+      Similarity.pqEncode(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = 64, subspaces = 8, codebookSize = 16)),
+
+    // ADC top-10 over the PQ codes (the IVF-PQ search arm): corpus
+    // touched only as (id, subspace, code); approximate metric,
+    // deterministic computation — exactly replayed by the oracle
+    "q_pq_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.pqSearchTopK(emb, queries, "vec_id", "embedding",
+          "qid", dim = 64, subspaces = 8, codebookSize = 16, k = 10)
+        .select(col("query_id"),
+          posexplode(col("neighbors")).as(Seq("pos", "nb")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("nb.id").as("neighbor_id"))
+    }),
+
     // per-column profile in one scan: null counts, cardinalities,
     // portable-rendered min/max — the declarative form of the
     // reference's inline completeness/row-width checks
@@ -2716,6 +2774,60 @@ object SparkEntry {
         |   AS surprisal_ref
         |FROM tf LEFT JOIN m USING (token) CROSS JOIN tot
         |GROUP BY tf.doc_id""".stripMargin,
+
+    // sqrt-temperature rebalance: p = round(sqrt(c_min/c), 6) — one
+    // IEEE-correctly-rounded sqrt of an exact count ratio, so the
+    // probabilities are bit-identical; membership is the established
+    // portable md5 bucket at 10^6 granularity (p*10^6 integer-valued
+    // after the round, no float boundary)
+    "q_rebalance_lang" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang),
+        |m AS (SELECT min(c) AS mc FROM c),
+        |p AS (SELECT lang,
+        |  round(sqrt(CAST(mc AS DOUBLE) / CAST(c AS DOUBLE)), 6)
+        |    AS keep_prob
+        |  FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.lang, p.keep_prob,
+        | (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 1000000) < p.keep_prob * 1000000 AS kept
+        |FROM documents d JOIN p USING (lang)""".stripMargin,
+
+    // PQ encode: 16 seed codebook entries (smallest vec_ids, 0-based
+    // codes in id order), per-(vector, subspace) squared-L2 argmin;
+    // each squared diff is a bit-exact double both engines round()
+    // identically to 12dp and carry as DECIMAL(28,12), so the
+    // distance sum is exact/order-independent and the argmin (ties →
+    // smaller code) replays without float boundaries
+    "q_pq_encode" ->
+      s"""WITH $pqCtesSql
+         |SELECT vec_id, CAST(j AS INT) AS subspace, code
+         |FROM codes""".stripMargin,
+
+    // ADC search over the PQ codes: per-query lookup table of
+    // subspace distances (same decimal-exact trick), summed along
+    // each vector's codes; neighbor order = double-cast distance asc,
+    // ties id asc — the engine's TopKByScore contract replayed
+    "q_pq_search" ->
+      s"""WITH $pqCtesSql,
+         |qsub AS (SELECT vec_id AS qid, j, i, v FROM sub
+         |  WHERE vec_id < 20),
+         |lut AS (SELECT q.qid, cb.j, cb.code,
+         |    sum(CAST(round((q.v - cb.cv) * (q.v - cb.cv), 12)
+         |      AS DECIMAL(28,12))) AS d
+         |  FROM qsub q JOIN cb ON q.j = cb.j AND q.i = cb.i
+         |  GROUP BY q.qid, cb.j, cb.code),
+         |ad AS (SELECT l.qid, c.vec_id, sum(l.d) AS adist
+         |  FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.code
+         |  GROUP BY l.qid, c.vec_id)
+         |SELECT query_id, rank, neighbor_id FROM (
+         | SELECT qid AS query_id,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |   ORDER BY CAST(adist AS DOUBLE) ASC, vec_id ASC)
+         |   AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id
+         | FROM ad WHERE vec_id <> qid) t
+         |WHERE rank <= 10""".stripMargin,
 
     "q_dsir_weights" -> dsirWeightsSql,
 

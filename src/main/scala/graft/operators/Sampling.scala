@@ -308,6 +308,54 @@ object Sampling {
     * task (and WARN on every run) while the broadcast stays safe at
     * any domain cardinality. Same exact decimal sum either way.
     */
+  /** Square-root temperature rebalancing — the multilingual-corpus
+    * downsampling strategy (the α=0.5 point of the exponent-smoothed
+    * family mT5/XLM-R sample with): per-stratum keep probability
+    *
+    *   p_s = sqrt(c_min / c_s)
+    *
+    * i.e. target shares ∝ sqrt(c_s), scaled so the SMALLEST stratum
+    * keeps everything (downsample-only — no stratum is upsampled,
+    * duplication is a different operator). The head language is
+    * flattened by the square root instead of capped to the tail
+    * (α=0: [[stratifiedSample]] with rate c_min/c_s), preserving more
+    * total data at the same balance direction.
+    *
+    * α is FIXED at 0.5 deliberately: p_s is then one IEEE
+    * correctly-rounded `sqrt` of an exact count ratio — bit-identical
+    * on any engine — where general `pow` differs across libm builds
+    * (the [[mixtureWeights]] precedent). Membership is the id-hash
+    * bucket of [[splitBucket]] at `buckets` granularity, compared
+    * against `keep_prob` rounded to 6dp (whose product with the
+    * default 10^6 buckets is integer-valued, so the comparison has no
+    * float boundary) — deterministic per id across runs AND engines.
+    *
+    * Null strata are dropped (their share is undefined), like
+    * [[mixtureWeights]]. Output: (idCol, strataCol, keep_prob, kept)
+    * for every non-null-stratum row — emitting the flag rather than
+    * filtering keeps the rejected complement addressable (audit,
+    * rejection sampling).
+    *
+    * Plan shape: one partial+final count per stratum (bounded), its
+    * 1-row min, both BROADCAST back onto the stream — text never
+    * shuffles, nothing driver-side, the stratum cardinality is the
+    * only table that must fit a broadcast (languages/domains: always).
+    */
+  def temperatureRebalance(df: DataFrame, idCol: String,
+      strataCol: String, buckets: Int = 1000000): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("_c"))
+    val minC = counts.agg(min(col("_c")).as("_mc"))
+    val p = round(sqrt(col("_mc").cast("double") / col("_c").cast("double")), 6)
+    df.filter(col(strataCol).isNotNull)
+      .join(broadcast(counts), strataCol)
+      .crossJoin(broadcast(minC))
+      .select(col(idCol), col(strataCol),
+        p.as("keep_prob"),
+        (splitBucket(col(idCol), buckets) < p * buckets).as("kept"))
+  }
+
   def mixtureWeights(df: DataFrame, domainCol: String): DataFrame = {
     val counts = df.filter(col(domainCol).isNotNull)
       .groupBy(col(domainCol).as("domain"))

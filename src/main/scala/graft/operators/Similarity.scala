@@ -72,6 +72,155 @@ object Similarity {
     when(scale === 0, transform(codes, _ => lit(0.0d)))
       .otherwise(transform(codes, q => q.cast("double") / scale))
 
+  /** Product-quantization encode (Jégou et al. 2011, the IVF-PQ
+    * compression arm): split each `dim`-vector into `subspaces`
+    * contiguous subvectors and replace each with the code of its
+    * nearest codebook entry (squared L2) — `subspaces` small codes
+    * instead of `dim` floats, the memory trick that makes
+    * billion-vector ANN fit a cluster.
+    *
+    * The codebook here is SEED-BASED and deterministic: the
+    * `codebookSize` vectors with the smallest ids, codes assigned in
+    * id order (0-based) — the k-means++-free variant an independent
+    * engine can replay exactly, which is what makes the operator
+    * oracle-checkable; Lloyd refinement of the same seeds is what
+    * [[ivfTopK]]'s trainer adds when recall matters more than
+    * replayability (spec-pinned there, same assignment step).
+    *
+    * Numeric portability: each per-position squared difference is
+    * bit-identical in double on any engine (float subtraction is
+    * exact in double; one IEEE multiply rounds identically), is
+    * round()ed to 12 dp — both engines half-up the same double — and
+    * carried as DECIMAL(28,12), so the distance sum is EXACT and
+    * order-independent (the [[mixtureWeights]] round-then-decimal
+    * precedent) and the argmin (ties → smaller code) has no float
+    * boundary at all.
+    *
+    * Output: one row per (idCol, subspace, code) — the flat form the
+    * oracle hashes; pack to an array column downstream if a struct
+    * per vector is wanted.
+    *
+    * At 100 TB: the codebook is `codebookSize`×`subspaces` subvector
+    * rows — broadcast forever (the driver holds `codebookSize` seed
+    * rows, the bounded-collect contract [[ivfTopK]]'s centroids
+    * already use); the corpus explodes ×`subspaces` within its own
+    * stage, the only exchange carries (id, subspace, code) — never
+    * vectors.
+    */
+  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, subspaces: Int, codebookSize: Int): DataFrame = {
+    require(dim > 0 && subspaces > 0 && dim % subspaces == 0,
+      s"dim $dim must be a positive multiple of subspaces $subspaces")
+    require(codebookSize > 0, "codebookSize must be positive")
+    val sd = dim / subspaces
+    pqEncodeWith(vecs, idCol, vecCol, subspaces, sd,
+      pqCodebookSubs(vecs, idCol, vecCol, subspaces, sd, codebookSize))
+  }
+
+  private def pqEncodeWith(vecs: DataFrame, idCol: String,
+      vecCol: String, subspaces: Int, sd: Int,
+      cb: DataFrame): DataFrame = {
+    val sub = pqToSubs(vecs, col(idCol), "_id", col(vecCol), "_sub",
+      subspaces, sd)
+    sub.join(broadcast(cb), Seq("_j"))
+      .select(col("_id"), col("_j"), col("_c"),
+        pqSqDist(col("_sub"), col("_cs")).as("_d"))
+      .groupBy(col("_id"), col("_j"))
+      .agg(min(struct(col("_d"), col("_c"))).getField("_c").as("code"))
+      .select(col("_id").as(idCol), col("_j").as("subspace"), col("code"))
+  }
+
+  /** ADC (asymmetric distance) top-k over PQ codes — the search arm
+    * of IVF-PQ: the corpus lives as `subspaces` small codes per
+    * vector ([[pqEncode]]), the QUERY stays exact, and the distance
+    * is the sum of per-subspace lookup-table entries
+    * d(q_j, centroid(code_j)) — one table scan of the code rows, no
+    * corpus vector ever touched at query time. Approximate by
+    * construction (quantization error), but the COMPUTATION is
+    * deterministic and exactly replayable: the LUT distances use the
+    * same round(·,12)→DECIMAL(28,12) trick as the encoder, so ranks
+    * have no float boundary (neighbor order = double-cast score desc,
+    * ties id asc — the [[bruteForceTopK]] output contract).
+    *
+    * At 100 TB: the LUT is queries × subspaces × codebookSize rows —
+    * BROADCAST; the codes table is the only data-sized input and it
+    * carries (id, subspace, code) — the whole point of PQ; the
+    * per-query aggregate is a bounded [[VectorExpressions.topKByScore]]
+    * partial, never a per-query window.
+    */
+  def pqSearchTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, dim: Int, subspaces: Int,
+      codebookSize: Int, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(dim > 0 && subspaces > 0 && dim % subspaces == 0,
+      s"dim $dim must be a positive multiple of subspaces $subspaces")
+    val sd = dim / subspaces
+    // one seed collect serves both the encode and the query LUT
+    val cb = pqCodebookSubs(corpus, idCol, vecCol, subspaces, sd,
+      codebookSize)
+    val codes = pqEncodeWith(corpus, idCol, vecCol, subspaces, sd, cb)
+    val qsub = pqToSubs(queries, col(qidCol), "_qid", col(vecCol),
+      "_qs", subspaces, sd)
+    val lut = qsub.join(broadcast(cb), Seq("_j"))
+      .select(col("_qid"), col("_j"), col("_c"),
+        pqSqDist(col("_qs"), col("_cs")).as("_d"))
+    codes.join(broadcast(lut),
+        codes("subspace") === lut("_j") && codes("code") === lut("_c"))
+      .groupBy(col("_qid"), col(idCol))
+      .agg(sum(col("_d")).as("_adist"))
+      .filter(if (excludeSelf) col("_qid") =!= col(idCol) else lit(true))
+      .groupBy(col("_qid"))
+      .agg(VectorExpressions.topKByScore(
+        -col("_adist").cast("double"), col(idCol), k).as("neighbors"))
+      .select(col("_qid").as("query_id"), col("neighbors"))
+  }
+
+  /** Seed codebook exploded to (code, subspace, subvector) — bounded
+    * driver collect (≤ codebookSize rows, the IVF-centroid contract);
+    * codes are 0-based ranks in id order.
+    */
+  private def pqCodebookSubs(vecs: DataFrame, idCol: String,
+      vecCol: String, subspaces: Int, sd: Int,
+      codebookSize: Int): DataFrame = {
+    val seedRows = vecs.orderBy(col(idCol)).limit(codebookSize)
+      .select(col(vecCol)).collect()
+    val sess = vecs.sparkSession
+    val codebook = sess.createDataFrame(
+      sess.sparkContext.parallelize(
+        seedRows.zipWithIndex.toSeq.map { case (r, i) =>
+          org.apache.spark.sql.Row(i, r.getSeq[Float](0))
+        }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_code",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("_cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType), nullable = false))))
+    pqToSubs(codebook, col("_code"), "_c", col("_cv"), "_cs",
+      subspaces, sd)
+  }
+
+  private def pqToSubs(df: DataFrame, keep: Column, as: String,
+      vec: Column, out: String, subspaces: Int, sd: Int): DataFrame = df
+    .select(keep.as(as),
+      explode(sequence(lit(0), lit(subspaces - 1))).as("_j"), vec.as("_w"))
+    .select(col(as), col("_j"),
+      slice(col("_w"), col("_j") * sd + 1, lit(sd)).as(out))
+
+  /** Exact, engine-portable squared L2 between two float subvectors:
+    * each squared diff is a bit-identical double (float subtraction
+    * exact in double, one IEEE multiply), round()ed to 12 dp — both
+    * engines half-up the same value — and summed as DECIMAL(28,12)
+    * (exact, order-independent; the decimal `+` re-cast keeps the
+    * fold type fixed where plain promotion would drift to (29,12)).
+    */
+  private def pqSqDist(a: Column, b: Column): Column = {
+    val dec = "decimal(28,12)"
+    val term = zip_with(a, b, (x, y) =>
+      round((x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double")), 12).cast(dec))
+    aggregate(term, lit(0).cast(dec), (acc, v) => (acc + v).cast(dec))
+  }
+
   /** Reference-implementation cosine via built-ins (zip_with +
     * aggregate). Interpreted lambdas — correct everywhere, used as the
     * differential check for the codegen'd expression.

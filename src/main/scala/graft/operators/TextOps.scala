@@ -756,13 +756,18 @@ object TextOps {
         round(col("tf") * log(col("__n") / col("df")), 6).as("tfidf"))
   }
 
-  /** Default head-vocabulary budget for the surprisal family: 2^20
-    * entries ≈ tens of MB broadcast — far past CCNet's shipped LMs,
-    * so the tail floor only ever fires on hapax-class tokens, while
-    * the broadcast stays executor-friendly at any corpus size. Every
-    * sf-scale vocabulary fits entirely, making the oracle exact.
+  /** Default head-vocabulary budget for the surprisal family: 2^18
+    * entries ≈ a few MB broadcast — still far past CCNet's shipped
+    * LMs (and past any pruned bigram table), so the tail floor only
+    * ever fires on hapax-class tokens/pairs, while BUILDING the head
+    * (distributed top-k over the count table, then a driver collect
+    * for the broadcast) stays cheap even when the pair vocabulary
+    * runs to millions: the Zipf probe showed a 2^20 bigram head
+    * spending its time sorting and shipping two 1M-row broadcasts.
+    * Every sf-scale vocabulary fits entirely, keeping the oracles
+    * exact.
     */
-  val DefaultHeadVocab: Int = 1 << 20
+  val DefaultHeadVocab: Int = 1 << 18
 
   // `size` shadowed by chunkText's parameter; alias the function
   private def size_(c: Column): Column =

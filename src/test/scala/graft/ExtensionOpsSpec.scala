@@ -1042,6 +1042,50 @@ class ExtensionOpsSpec extends SparkSpec {
       s"signs: pure ${w(1L)}, disjoint ${w(3L)}")
   }
 
+  test("temperatureRebalance: sqrt shares, smallest stratum kept whole") {
+    import graft.operators.Sampling
+    // strata: a×8, b×2, null×1 → p(a)=sqrt(2/8)=0.5, p(b)=1.0
+    val df = ((1L to 8L).map(i => (i, "a")) ++
+      Seq((20L, "b"), (21L, "b"), (30L, null.asInstanceOf[String])))
+      .toDF("id", "lang")
+    val got = Sampling.temperatureRebalance(df, "id", "lang")
+      .as[(Long, String, Double, Boolean)].collect()
+    assert(got.length == 10) // null stratum dropped, nothing filtered
+    val p = got.map(r => r._2 -> r._3).toMap
+    assert(p == Map("a" -> 0.5, "b" -> 1.0), p.toString)
+    // membership is the deterministic id-hash bucket, not chance
+    got.foreach { case (id, _, prob, kept) =>
+      val bucket = df.sparkSession.range(1)
+        .select(Sampling.splitBucket(lit(id), 1000000)).as[Long].head()
+      assert(kept == (bucket < prob * 1000000), s"id $id")
+    }
+    // every b row survives; kept set reproducible across runs
+    assert(got.filter(_._2 == "b").forall(_._4))
+    val again = Sampling.temperatureRebalance(df, "id", "lang")
+      .as[(Long, String, Double, Boolean)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("pqEncode: nearest seed subvector per subspace, ties to lower code") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (0L, Seq(0f, 0f)),     // seed → code 0
+      (1L, Seq(1f, 1f)),     // seed → code 1
+      (10L, Seq(0.1f, 0.9f)), // j0 near seed0, j1 near seed1
+      (11L, Seq(0.5f, 0.5f))  // equidistant → lower code wins
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(vecs, "vec_id", "embedding",
+        dim = 2, subspaces = 2, codebookSize = 2)
+      .as[(Long, Int, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      (0L, 0) -> 0, (0L, 1) -> 0,   // seeds encode to themselves
+      (1L, 0) -> 1, (1L, 1) -> 1,
+      (10L, 0) -> 0, (10L, 1) -> 1, // nearest per subspace
+      (11L, 0) -> 0, (11L, 1) -> 0  // exact tie → smaller code
+    ), got.toString)
+  }
+
   test("frozen dsirModel + dsirScoreAgainst == dsirLogWeights; " +
       "complete table scores sample-absent buckets") {
     val raw = Seq(

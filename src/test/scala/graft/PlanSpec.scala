@@ -200,6 +200,52 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pq search: vectors never cross an exchange; codebook and LUT broadcast") {
+    // the whole point of PQ at scale: after the in-stage encode, the
+    // corpus moves only as (id, subspace, code) — any exchange
+    // shipping an array column would mean vectors leaked into the
+    // shuffle
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val df = graft.operators.Similarity.pqSearchTopK(emb, queries,
+      "vec_id", "embedding", "qid", dim = 64, subspaces = 8,
+      codebookSize = 16, k = 10)
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      val arrays = e.output.filter(_.dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty,
+        s"vector/array column crossed an exchange (${arrays.map(_.name)}):\n$exec")
+    }
+    assert(exec.toString.contains("BroadcastHashJoin"), exec.toString)
+  }
+
+  test("temperatureRebalance: stratum stats broadcast; text never shuffles") {
+    val df = graft.operators.Sampling.temperatureRebalance(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "lang")
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"text column crossed an exchange:\n$exec")
+    }
+    // counts + min arrive at the stream as broadcasts, so the main
+    // document stream itself is never re-partitioned
+    assert(exec.toString.contains("BroadcastHashJoin"), exec.toString)
+  }
+
   test("dsir: log-ratio table broadcasts; no exchange carries text") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val df = graft.operators.TextOps.dsirLogWeights(docs,
