@@ -82,6 +82,11 @@ object GraftExtensions {
         case n => throw new IllegalArgumentException(
           s"graft_lsh_bucket expects 2 or 3 arguments, got $n")
       }),
+    ("graft_pq_sq_dist",
+      "exact decimal(28,12) squared L2 of two float/double arrays " +
+        "(the PQ distance kernel)",
+      (args: Seq[Expression]) => { expect(args, 2, "graft_pq_sq_dist")
+        PqSqDist(args(0), args(1)) }),
     ("graft_text_stats",
       "single-pass text statistics struct (english stopword profile)",
       (args: Seq[Expression]) => { expect(args, 1, "graft_text_stats")

@@ -1899,6 +1899,15 @@ object SparkEntry {
       operators.Sampling.temperatureRebalance(Tables.documents(s, dir),
         "doc_id", "lang")),
 
+    // Efraimidis-Spirakis weighted sample: 50 docs drawn without
+    // replacement, token count as the weight — longer documents
+    // proportionally likelier, selection deterministic per id
+    "q_weighted_sample" -> ((s, dir) =>
+      operators.Sampling.weightedSample(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("weight")),
+        "doc_id", "weight", k = 50)),
+
     // product-quantization encode: 64-dim embeddings → 8 codes from a
     // deterministic 16-entry seed codebook; decimal-exact distances
     // make the argmin portable across engines
@@ -2792,6 +2801,22 @@ object SparkEntry {
         | (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
         |    AS BIGINT) % 1000000) < p.keep_prob * 1000000 AS kept
         |FROM documents d JOIN p USING (lang)""".stripMargin,
+
+    // A-ES weighted sampling replayed: same id-hash uniform, same
+    // ln(u)/w key at 9dp, same (key desc, id) order
+    "q_weighted_sample" -> {
+      val toks =
+        """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
+      s"""WITH w AS (SELECT doc_id,
+         |  CAST(len($toks) AS BIGINT) AS weight FROM documents),
+         |keyed AS (SELECT doc_id, weight,
+         |  round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |      1, 8)) AS BIGINT) % 1000000 + 0.5) / 1000000.0)
+         |    / CAST(weight AS DOUBLE), 9) AS samp_key
+         |  FROM w WHERE weight > 0)
+         |SELECT doc_id, weight, samp_key FROM keyed
+         |ORDER BY samp_key DESC, doc_id LIMIT 50""".stripMargin
+    },
 
     // PQ encode: 16 seed codebook entries (smallest vec_ids, 0-based
     // codes in id order), per-(vector, subspace) squared-L2 argmin;

@@ -49,6 +49,19 @@ object VectorExpressions {
       ExpressionUtils.expression(vec),
       centroids.map(_.toArray).toArray, n))
 
+  /** Exact squared L2 between two float/double arrays as
+    * DECIMAL(28,12) — the PQ distance kernel. Semantics are
+    * bit-identical to the built-in formulation
+    * `aggregate(zip_with(a, b, (x,y) => round((x-y)*(x-y), 12)
+    * .cast(dec)), 0, (acc,v) => (acc+v).cast(dec))` (differential
+    * spec-pinned), but as ONE fused codegen loop accumulating the
+    * unscaled long — no per-element lambda interpretation, no Decimal
+    * allocation per term.
+    */
+  def pqSqDist(a: Column, b: Column): Column =
+    ExpressionUtils.column(PqSqDist(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Bounded top-k aggregate: `topKByScore(score, payload, k)` keeps
     * only k (score, payload) pairs per aggregation state, so the
     * map-side partial aggregation ships at most k rows per partition
@@ -139,6 +152,106 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `pq_sq_dist(array<float|double>, array<float|double>) ->
+  * decimal(28,12)`: Σ round((x−y)², 12), each term rounded with
+  * Spark's own double-round semantics (BigDecimal.valueOf — the
+  * shortest-decimal path `round()` and the double→decimal cast both
+  * take), accumulated as the exact unscaled long. Null on length
+  * mismatch or null element (matching the zip_with padding
+  * behavior) and on overflow (matching decimal overflow → null).
+  */
+case class PqSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DecimalType(28, 12)
+
+  private def elemType: DataType = left.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
+           (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"pq_sq_dist requires two arrays of float or two arrays of " +
+        s"double, got ${left.dataType.catalogString} and " +
+        s"${right.dataType.catalogString}")
+    }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[ArrayData]
+    val b = bv.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val float = elemType == FloatType
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (float) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (float) b.getFloat(i).toDouble else b.getDouble(i)
+      try {
+        sum = Math.addExact(sum, PqSqDist.termUnscaled(x, y))
+      } catch { case _: ArithmeticException => return null }
+      i += 1
+    }
+    Decimal(sum, 28, 12)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemType == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum"); val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |long $sum = 0L; boolean $bad = ($n != $b.numElements());
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |  try {
+         |    $sum = java.lang.Math.addExact($sum,
+         |      graft.functions.PqSqDist.termUnscaled(
+         |        (double) $a.$get($i), (double) $b.$get($i)));
+         |  } catch (ArithmeticException e) { $bad = true; }
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.sql.types.Decimal.apply($sum, 28, 12); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqSqDist {
+  /** round((x−y)², 12) exactly as Spark's Round-then-cast-to-decimal
+    * does it (BigDecimal.valueOf twice — shortest decimal repr), as
+    * the unscaled long at scale 12. Throws ArithmeticException on
+    * values that would overflow the long/decimal — the caller maps
+    * that to NULL like a decimal overflow.
+    */
+  def termUnscaled(x: Double, y: Double): Long = {
+    val d = x - y
+    val t = d * d
+    // Round(double, 12): BigDecimal.valueOf(t).setScale(12, HALF_UP)
+    // back to double, then the double→decimal(28,12) cast re-rounds
+    // the (now ≤12-decimal) shortest representation — both steps
+    // replayed verbatim so the fused kernel equals the built-ins
+    val rd = java.math.BigDecimal.valueOf(t)
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    java.math.BigDecimal.valueOf(rd)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+  }
 }
 
 /** `array<float|double> -> long`: packed sign bits of `planes`

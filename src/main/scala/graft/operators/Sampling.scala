@@ -356,6 +356,37 @@ object Sampling {
         (splitBucket(col(idCol), buckets) < p * buckets).as("kept"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    * & Spirakis 2006, algorithm A-ES): with u_i a per-id uniform, the
+    * k LARGEST keys u_i^(1/w_i) — equivalently ln(u_i)/w_i — are a
+    * weighted random sample without replacement; a document with
+    * twice the weight is (in the proper sense) twice as likely to be
+    * drawn. The LLM-curation use: quality- or length-weighted subset
+    * selection in ONE distributed pass, reproducible across runs and
+    * engines, no resampling loop.
+    *
+    * Determinism/portability: u_i = (idBucket + 0.5)/10^6 from the
+    * engine's md5 id-hash (never exactly 0, so ln stays finite); the
+    * key is ln(u)/w rounded to 9dp — `ln` is only ~1-ulp accurate
+    * across libms, and 9dp absorbs that; residual ties break by id.
+    * Rows with null/zero/negative weights are excluded (selection
+    * probability 0). Top-k via orderBy+limit — TakeOrdered partials
+    * for any sane k, never a global sort.
+    *
+    * Output: (idCol, weightCol, samp_key), the k selected rows.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (splitBucket(col(idCol), 1000000).cast("double") + 0.5) /
+      1000000.0
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol), col(weightCol),
+        round(log(u) / col(weightCol).cast("double"), 9).as("samp_key"))
+      .orderBy(col("samp_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   def mixtureWeights(df: DataFrame, domainCol: String): DataFrame = {
     val counts = df.filter(col(domainCol).isNotNull)
       .groupBy(col(domainCol).as("domain"))

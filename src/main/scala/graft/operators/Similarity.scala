@@ -202,18 +202,39 @@ object Similarity {
   private def pqToSubs(df: DataFrame, keep: Column, as: String,
       vec: Column, out: String, subspaces: Int, sd: Int): DataFrame = df
     .select(keep.as(as),
-      explode(sequence(lit(0), lit(subspaces - 1))).as("_j"), vec.as("_w"))
+      explode(sequence(lit(0), lit(subspaces - 1))).as("_j"),
+      pqCheckDim(vec, subspaces * sd).as("_w"))
     .select(col(as), col("_j"),
       slice(col("_w"), col("_j") * sd + 1, lit(sd)).as(out))
 
-  /** Exact, engine-portable squared L2 between two float subvectors:
-    * each squared diff is a bit-identical double (float subtraction
-    * exact in double, one IEEE multiply), round()ed to 12 dp — both
-    * engines half-up the same value — and summed as DECIMAL(28,12)
-    * (exact, order-independent; the decimal `+` re-cast keeps the
-    * fold type fixed where plain promotion would drift to (29,12)).
+  /** A wrong-dim vector would silently slice short and zip_with-pad
+    * nulls — a WRONG code, not an error. Fail the row loudly instead
+    * (the SemDeDup element-type-validation precedent).
     */
-  private def pqSqDist(a: Column, b: Column): Column = {
+  private def pqCheckDim(vec: Column, dim: Int): Column = {
+    val sz = org.apache.spark.sql.functions.size(vec)
+    when(sz === dim, vec).otherwise(raise_error(concat(
+      lit("pq: vector of dim "), sz.cast("string"),
+      lit(s", expected $dim"))))
+  }
+
+  /** Exact, engine-portable squared L2 between two float subvectors
+    * as DECIMAL(28,12): the fused codegen kernel
+    * ([[graft.functions.VectorExpressions.pqSqDist]] — per-term
+    * round(·,12) with Spark's own double-round semantics, unscaled
+    * longs accumulated exactly).
+    */
+  private def pqSqDist(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.pqSqDist(a, b)
+
+  /** Reference formulation of [[pqSqDist]] via built-in HOFs
+    * (interpreted lambdas) — the differential check for the codegen
+    * kernel, the [[cosineBuiltin]] precedent: each squared diff is a
+    * bit-identical double, round()ed to 12 dp, summed as
+    * DECIMAL(28,12) (the decimal `+` re-cast keeps the fold type
+    * fixed where plain promotion would drift to (29,12)).
+    */
+  def pqSqDistBuiltin(a: Column, b: Column): Column = {
     val dec = "decimal(28,12)"
     val term = zip_with(a, b, (x, y) =>
       round((x.cast("double") - y.cast("double")) *

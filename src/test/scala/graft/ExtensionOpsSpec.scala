@@ -1086,6 +1086,74 @@ class ExtensionOpsSpec extends SparkSpec {
     ), got.toString)
   }
 
+  test("weightedSample: A-ES selection — deterministic, scale-invariant, " +
+      "weight-gated") {
+    import graft.operators.Sampling
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "w") // weight = id
+      .union(Seq((200L, 0L), (201L, -5L)).toDF("id", "w"))
+    val got = Sampling.weightedSample(df, "id", "w", k = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 10)
+    // zero/negative weights can never be drawn
+    assert(!got.exists(r => r._1 == 200L || r._1 == 201L))
+    // the selection IS the top-10 of the recomputed keys
+    val keys = (1L to 100L).map { i =>
+      val b = spark.range(1)
+        .select(Sampling.splitBucket(lit(i), 1000000)).as[Long].head()
+      val key = math.rint(math.log((b + 0.5) / 1000000.0) / i * 1e9) / 1e9
+      i -> key
+    }
+    val expect = keys.sortBy { case (i, k) => (-k, i) }.take(10)
+      .map(_._1).toSet
+    assert(got.map(_._1).toSet == expect)
+    // A-ES invariance: scaling every weight by a constant divides
+    // every key by it — the selected SET cannot change
+    val scaled = Sampling.weightedSample(
+        df.select(col("id"), (col("w") * 7).as("w")), "id", "w", 10)
+      .as[(Long, Long, Double)].collect().map(_._1).toSet
+    assert(scaled == got.map(_._1).toSet)
+    // k beyond the population returns everyone with positive weight
+    assert(Sampling.weightedSample(df, "id", "w", 1000).count() == 100)
+  }
+
+  test("PqSqDist codegen kernel == built-in round/decimal formulation") {
+    import graft.operators.Similarity
+    import graft.functions.VectorExpressions
+    // real embedding subvectors: every (vec, other) pair at dim 8 —
+    // the exact shapes the PQ pipeline evaluates
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select(col("vec_id"), slice(col("embedding"), 1, 8).as("v"))
+    val pairs = emb.crossJoin(
+      emb.select(col("vec_id").as("vid2"), col("v").as("w"))
+        .filter(col("vid2") < 20))
+    val diff = pairs.select(
+        VectorExpressions.pqSqDist(col("v"), col("w")).as("fused"),
+        Similarity.pqSqDistBuiltin(col("v"), col("w")).as("ref"))
+      .filter(!(col("fused") <=> col("ref")))
+    assert(diff.count() == 0, diff.limit(5).collect().mkString(","))
+    // null-element and length-mismatch both null out, like zip_with
+    val edge = Seq(
+      (Seq(Some(1f), None), Seq(Some(1f), Some(2f))),
+      (Seq(Some(1f)), Seq(Some(1f), Some(2f)))
+    ).toDF("a", "b")
+    assert(edge.select(VectorExpressions.pqSqDist(col("a"), col("b")))
+      .collect().forall(_.isNullAt(0)))
+  }
+
+  test("pqEncode: wrong-dim vector fails loudly, not with a wrong code") {
+    import graft.operators.Similarity
+    val bad = Seq((0L, Seq(0f, 0f)), (1L, Seq(1f, 1f, 9f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.pqEncode(bad, "vec_id", "embedding",
+        dim = 2, subspaces = 2, codebookSize = 1).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(x => x.getMessage != null &&
+      x.getMessage.contains("expected 2")), e.toString)
+  }
+
   test("frozen dsirModel + dsirScoreAgainst == dsirLogWeights; " +
       "complete table scores sample-absent buckets") {
     val raw = Seq(

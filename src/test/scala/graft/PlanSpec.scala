@@ -227,6 +227,30 @@ class PlanSpec extends SparkSpec {
     assert(exec.toString.contains("BroadcastHashJoin"), exec.toString)
   }
 
+  test("weightedSample plans a TakeOrdered partial top-k, not a global sort") {
+    // orderBy+limit at sane k must become TakeOrderedAndProject
+    // (per-partition heaps, k rows to the driver) — a global
+    // range-sort of the whole corpus for a 50-row sample would be the
+    // anti-pattern
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.TextOps.tokenCount(col("text")).cast("long")
+          .as("weight"))
+    val df = graft.operators.Sampling.weightedSample(
+      docs, "doc_id", "weight", k = 50)
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(exec.toString.contains("TakeOrderedAndProject"),
+      s"no TakeOrderedAndProject in:\n$exec")
+    val sorts = exec.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(sorts.isEmpty, s"global sort for a top-k sample:\n$exec")
+  }
+
   test("temperatureRebalance: stratum stats broadcast; text never shuffles") {
     val df = graft.operators.Sampling.temperatureRebalance(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "lang")

@@ -35,6 +35,25 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.exists(r => r._3 != r._4))
   }
 
+  test("graft_pq_sq_dist from SQL == Column API, decimal-exact") {
+    spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .limit(20).createOrReplaceTempView("emb_pq_sql")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, b.vec_id,
+        | CAST(graft_pq_sq_dist(a.embedding, b.embedding) AS STRING) AS d
+        |FROM emb_pq_sql a JOIN emb_pq_sql b ON a.vec_id < b.vec_id""".stripMargin)
+      .as[(Long, Long, String)].collect().toSet
+    val e1 = spark.table("emb_pq_sql")
+      .select($"vec_id".as("ida"), $"embedding".as("va"))
+    val e2 = spark.table("emb_pq_sql")
+      .select($"vec_id".as("idb"), $"embedding".as("vb"))
+    val viaCol = e1.join(e2, $"ida" < $"idb")
+      .select($"ida", $"idb",
+        VectorExpressions.pqSqDist($"va", $"vb").cast("string").as("d"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(viaSql == viaCol)
+  }
+
   test("graft_shingles / graft_minhash / graft_simhash64 / text fns from SQL") {
     docs.limit(20).createOrReplaceTempView("docs_sql")
     val viaSql = spark.sql(
