@@ -1908,6 +1908,24 @@ object SparkEntry {
           TextOps.tokenCount(col("text")).cast("long").as("weight")),
         "doc_id", "weight", k = 50)),
 
+    // curation v4 = the sampling-side composition: exact dedup →
+    // sqrt-temperature language rebalance → token-weighted A-ES draw
+    // of the final 100 — the "balance then sample" half of a training
+    // mix, deterministic end to end
+    "q_curation_v4" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val reps = docs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val kept = operators.Sampling
+        .temperatureRebalance(docs.join(reps, "doc_id"), "doc_id", "lang")
+        .filter(col("kept")).select("doc_id")
+      operators.Sampling.weightedSample(
+        docs.join(kept, "doc_id")
+          .select(col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("weight")),
+        "doc_id", "weight", k = 100)
+    }),
+
     // product-quantization encode: 64-dim embeddings → 8 codes from a
     // deterministic 16-entry seed codebook; decimal-exact distances
     // make the argmin portable across engines
@@ -2801,6 +2819,34 @@ object SparkEntry {
         | (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
         |    AS BIGINT) % 1000000) < p.keep_prob * 1000000 AS kept
         |FROM documents d JOIN p USING (lang)""".stripMargin,
+
+    // curation v4: the three oracled stages chained — min-id text
+    // dedup, sqrt-temperature keep set, A-ES token-weighted draw
+    "q_curation_v4" -> {
+      val toks =
+        """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
+      s"""WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY text),
+         |dd AS (SELECT d.* FROM documents d JOIN reps USING (doc_id)),
+         |c AS (SELECT lang, count(*) AS c FROM dd
+         |  WHERE lang IS NOT NULL GROUP BY lang),
+         |m AS (SELECT min(c) AS mc FROM c),
+         |p AS (SELECT lang,
+         |  round(sqrt(CAST(mc AS DOUBLE) / CAST(c AS DOUBLE)), 6) AS kp
+         |  FROM c CROSS JOIN m),
+         |kept AS (SELECT dd.doc_id FROM dd JOIN p USING (lang)
+         |  WHERE (CAST(('0x' || substr(md5(CAST(dd.doc_id AS VARCHAR)),
+         |      1, 8)) AS BIGINT) % 1000000) < p.kp * 1000000),
+         |w AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS weight
+         |  FROM documents JOIN kept USING (doc_id)),
+         |keyed AS (SELECT doc_id, weight,
+         |  round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |      1, 8)) AS BIGINT) % 1000000 + 0.5) / 1000000.0)
+         |    / CAST(weight AS DOUBLE), 9) AS samp_key
+         |  FROM w WHERE weight > 0)
+         |SELECT doc_id, weight, samp_key FROM keyed
+         |ORDER BY samp_key DESC, doc_id LIMIT 100""".stripMargin
+    },
 
     // A-ES weighted sampling replayed: same id-hash uniform, same
     // ln(u)/w key at 9dp, same (key desc, id) order

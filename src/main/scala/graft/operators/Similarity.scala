@@ -117,6 +117,51 @@ object Similarity {
       pqCodebookSubs(vecs, idCol, vecCol, subspaces, sd, codebookSize))
   }
 
+  /** FROZEN PQ codebook — the train-once split ([[pqEncode]] derives
+    * it internally; production trains per corpus version and reuses):
+    * (code, vector) rows, `codebookSize` of them, buildable offline
+    * and broadcast at every later encode. The deterministic seed rule
+    * (smallest ids, 0-based codes in id order) makes two builds from
+    * the same corpus identical.
+    */
+  def pqCodebook(vecs: DataFrame, idCol: String, vecCol: String,
+      codebookSize: Int): DataFrame = {
+    require(codebookSize > 0, "codebookSize must be positive")
+    // a null vector among the smallest ids would NPE the build — a
+    // null can't seed a centroid
+    val seedRows = vecs.filter(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(codebookSize)
+      .select(col(vecCol)).collect()
+    val sess = vecs.sparkSession
+    sess.createDataFrame(
+      sess.sparkContext.parallelize(
+        seedRows.zipWithIndex.toSeq.map { case (r, i) =>
+          org.apache.spark.sql.Row(i, r.getSeq[Float](0))
+        }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("vector",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType), nullable = false))))
+  }
+
+  /** Encode against a FROZEN [[pqCodebook]] — works identically in a
+    * foreachBatch micro-batch (the frozen codebook makes streaming
+    * codes equal batch codes by definition, spec-pinned like the
+    * frozen LM/DSIR artifacts). `dim` must match the codebook's
+    * vectors; `subspaces` is part of the artifact's identity.
+    */
+  def pqEncodeAgainst(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, subspaces: Int, codebook: DataFrame): DataFrame = {
+    require(dim > 0 && subspaces > 0 && dim % subspaces == 0,
+      s"dim $dim must be a positive multiple of subspaces $subspaces")
+    val sd = dim / subspaces
+    val cb = pqToSubs(codebook, col("code"), "_c", col("vector"), "_cs",
+      subspaces, sd)
+    pqEncodeWith(vecs, idCol, vecCol, subspaces, sd, cb)
+  }
+
   private def pqEncodeWith(vecs: DataFrame, idCol: String,
       vecCol: String, subspaces: Int, sd: Int,
       cb: DataFrame): DataFrame = {
@@ -175,29 +220,13 @@ object Similarity {
   }
 
   /** Seed codebook exploded to (code, subspace, subvector) — bounded
-    * driver collect (≤ codebookSize rows, the IVF-centroid contract);
-    * codes are 0-based ranks in id order.
+    * driver collect (≤ codebookSize rows, the IVF-centroid contract).
     */
   private def pqCodebookSubs(vecs: DataFrame, idCol: String,
       vecCol: String, subspaces: Int, sd: Int,
-      codebookSize: Int): DataFrame = {
-    val seedRows = vecs.orderBy(col(idCol)).limit(codebookSize)
-      .select(col(vecCol)).collect()
-    val sess = vecs.sparkSession
-    val codebook = sess.createDataFrame(
-      sess.sparkContext.parallelize(
-        seedRows.zipWithIndex.toSeq.map { case (r, i) =>
-          org.apache.spark.sql.Row(i, r.getSeq[Float](0))
-        }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("_code",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("_cv",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType), nullable = false))))
-    pqToSubs(codebook, col("_code"), "_c", col("_cv"), "_cs",
-      subspaces, sd)
-  }
+      codebookSize: Int): DataFrame =
+    pqToSubs(pqCodebook(vecs, idCol, vecCol, codebookSize),
+      col("code"), "_c", col("vector"), "_cs", subspaces, sd)
 
   private def pqToSubs(df: DataFrame, keep: Column, as: String,
       vec: Column, out: String, subspaces: Int, sd: Int): DataFrame = df
@@ -382,28 +411,59 @@ object Similarity {
       vecCol: String, qidCol: String, k: Int, nlist: Int,
       nprobe: Int, excludeSelf: Boolean = true,
       refineIters: Int = 2): DataFrame = {
-    val init: Seq[Seq[Float]] = corpus
-      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nlist)
-      .collect().map(_.getSeq[Float](1).toSeq).toSeq
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist, refineIters)
     // corpus smaller than nlist ⇒ fewer centroids than asked: probing
     // every collected list is then a full scan — degrade to the exact
     // brute-force path instead of failing plan construction (the
     // slice-based probe this replaced degraded the same way)
-    if (init.length <= 1)
+    if (cents.length <= 1)
       return bruteForceTopK(corpus, queries, idCol, vecCol, qidCol, k,
         excludeSelf)
-    val cents = refineCentroids(corpus, vecCol, init, refineIters)
-    val probeN = math.min(nprobe, cents.length)
+    ivfTopKAgainst(corpus, queries, idCol, vecCol, qidCol, k, cents,
+      nprobe, excludeSelf)
+  }
+
+  /** FROZEN IVF coarse quantizer — the train-once split (the
+    * [[pqCodebook]]/[[unigramModel]] pattern applied to the inverted
+    * index): deterministic smallest-id seed init + `refineIters`
+    * Lloyd passes, as the nlist×dim driver matrix [[ivfTopKAgainst]]
+    * and streaming micro-batches reuse. Deterministic given the
+    * corpus, so two builds agree.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, refineIters: Int = 2): Seq[Seq[Float]] = {
+    val init: Seq[Seq[Float]] = corpus
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nlist)
+      .collect().map(_.getSeq[Float](1).toSeq).toSeq
+    if (init.length <= 1) init
+    else refineCentroids(corpus, vecCol, init, refineIters)
+  }
+
+  /** IVF probe against a FROZEN centroid matrix: assignment and
+    * probing are pure map-side codegen'd expressions; the only
+    * exchange is the (bucket) equi-join, then the bounded top-k
+    * aggregate. Works identically inside foreachBatch — a frozen
+    * index serves every micro-batch of queries (spec-pinned
+    * streaming == batch).
+    */
+  def ivfTopKAgainst(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int,
+      centroids: Seq[Seq[Float]], nprobe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(centroids.length > 1,
+      s"need at least 2 centroids, got ${centroids.length}")
+    val probeN = math.min(nprobe, centroids.length)
 
     val corpusAssigned = corpus.select(col(idCol).as("__cid"),
       col(vecCol).as("__cvec"),
       element_at(
-        VectorExpressions.centroidTopIds(col(vecCol), cents, 1), 1)
+        VectorExpressions.centroidTopIds(col(vecCol), centroids, 1), 1)
         .as("__bucket"))
 
     val probes = queries.select(col(qidCol).as("query_id"),
         col(vecCol).as("__qvec"),
-        explode(VectorExpressions.centroidTopIds(col(vecCol), cents, probeN))
+        explode(
+          VectorExpressions.centroidTopIds(col(vecCol), centroids, probeN))
           .as("__bucket"))
 
     corpusAssigned.join(probes, Seq("__bucket"))

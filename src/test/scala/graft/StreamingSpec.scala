@@ -469,4 +469,91 @@ class StreamingSpec extends SparkSpec {
     // the gate did real work: something kept, something dropped
     assert(batch.nonEmpty && batch.size < all.size, batch.toString)
   }
+
+  test("frozen PQ codebook: streaming encode == batch encode") {
+    // the PQ artifact freezes per corpus version like the LM/DSIR
+    // models; every micro-batch of new vectors encodes against it —
+    // identical codes to a batch encode by construction
+    import graft.operators.Similarity
+    implicit val sq = spark.sqlContext
+    val corpus = spark.read
+      .parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val cb = Similarity.pqCodebook(corpus, "vec_id", "embedding", 8)
+      .localCheckpoint(true)
+    val incoming = corpus.filter(col("vec_id").between(100, 139))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+      .map { case (id, v) => (id, v.toSeq) }
+    val streamed = scala.collection.concurrent.TrieMap[(Long, Int), Int]()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.pqEncodeAgainst(
+            b.select(col("vec_id"), col("embedding").cast("array<float>")),
+            "vec_id", "embedding", dim = 64, subspaces = 8, cb)
+          .as[(Long, Int, Int)].collect()
+          .foreach(r => streamed((r._1, r._2)) = r._3)
+      }.start()
+    try {
+      in.addData(incoming.take(15): _*)
+      q.processAllAvailable()
+      in.addData(incoming.drop(15): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = Similarity.pqEncodeAgainst(
+        corpus.filter(col("vec_id").between(100, 139)),
+        "vec_id", "embedding", dim = 64, subspaces = 8, cb)
+      .as[(Long, Int, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(streamed.toMap == batch)
+    assert(batch.size == 40 * 8) // every (vector, subspace) coded
+  }
+
+  test("frozen IVF index: streaming query batches == batch search") {
+    // the serving shape: centroids train once on the corpus version,
+    // query micro-batches probe the frozen index
+    import graft.operators.Similarity
+    implicit val sq = spark.sqlContext
+    val corpus = spark.read
+      .parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .localCheckpoint(true)
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding",
+      nlist = 8)
+    val queryRows = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+      .map { case (id, v) => (id, v.toSeq) }
+    val streamed =
+      scala.collection.concurrent.TrieMap[Long, Seq[(Double, Long)]]()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = in.toDF().toDF("qid", "qvec")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.ivfTopKAgainst(corpus,
+            b.select(col("qid"),
+              col("qvec").cast("array<float>").as("embedding")),
+            "vec_id", "embedding", "qid", k = 5, cents, nprobe = 8)
+          .select(col("query_id"),
+            col("neighbors").cast("array<struct<score:double,id:bigint>>"))
+          .as[(Long, Seq[(Double, Long)])].collect()
+          .foreach(r => streamed(r._1) = r._2)
+      }.start()
+    try {
+      in.addData(queryRows.take(7): _*)
+      q.processAllAvailable()
+      in.addData(queryRows.drop(7): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = Similarity.ivfTopKAgainst(corpus,
+        corpus.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        "vec_id", "embedding", "qid", k = 5, cents, nprobe = 8)
+      .select(col("query_id"),
+        col("neighbors").cast("array<struct<score:double,id:bigint>>"))
+      .as[(Long, Seq[(Double, Long)])].collect().map(r => r._1 -> r._2)
+      .toMap
+    assert(streamed.toMap == batch)
+    assert(batch.size == 20 && batch.values.forall(_.size == 5))
+  }
 }
