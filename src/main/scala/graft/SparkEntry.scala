@@ -1933,6 +1933,13 @@ object SparkEntry {
       Similarity.pqEncode(Tables.embeddings(s, dir), "vec_id",
         "embedding", dim = 64, subspaces = 8, codebookSize = 16)),
 
+    // per-label centroid-distance outliers: the embedding
+    // contamination/drift detector — squared L2 to the class mean,
+    // z-scored within the label at 4dp, flagged at z > 2
+    "q_embedding_outliers" -> ((s, dir) =>
+      Similarity.centroidOutliers(Tables.embeddings(s, dir),
+        "vec_id", "label", "embedding")),
+
     // ADC top-10 over the PQ codes (the IVF-PQ search arm): corpus
     // touched only as (id, subspace, code); approximate metric,
     // deterministic computation — exactly replayed by the oracle
@@ -2863,6 +2870,45 @@ object SparkEntry {
          |SELECT doc_id, weight, samp_key FROM keyed
          |ORDER BY samp_key DESC, doc_id LIMIT 50""".stripMargin
     },
+
+    // centroid outliers replayed: 6dp decimal centroid means → float,
+    // pqSqDist per-position round(·,12)→decimal distances → 6dp,
+    // label moments via DECIMAL(28,6) sums with every derived moment
+    // rounded to 6dp before use, z at 4dp, flag on the rounded z
+    "q_embedding_outliers" ->
+      """WITH cent AS (SELECT label, CAST(u.dim AS BIGINT) AS dim,
+        |    CAST(round(CAST(sum(CAST(u.x AS DECIMAL(28,12))) AS DOUBLE)
+        |      / count(u.x), 6) AS FLOAT) AS m
+        |  FROM (SELECT label,
+        |      unnest(list_transform(range(1, len(embedding) + 1),
+        |        i -> struct_pack(dim := i, x := embedding[i]))) AS u
+        |    FROM embeddings WHERE label IS NOT NULL) t
+        |  GROUP BY 1, 2),
+        |cvec AS (SELECT label, list(m ORDER BY dim) AS cv
+        |  FROM cent GROUP BY label),
+        |d AS (SELECT e.vec_id, e.label,
+        |    round(CAST(sum(CAST(round(
+        |        (CAST(e.embedding[i.i] AS DOUBLE) - CAST(cv[i.i] AS DOUBLE))
+        |        * (CAST(e.embedding[i.i] AS DOUBLE) - CAST(cv[i.i] AS DOUBLE)),
+        |        12) AS DECIMAL(28,12))) AS DOUBLE), 6) AS dist
+        |  FROM embeddings e JOIN cvec USING (label),
+        |    generate_series(1, 64) i(i)
+        |  WHERE e.label IS NOT NULL
+        |  GROUP BY e.vec_id, e.label),
+        |mo AS (SELECT label, count(*) AS n,
+        |    round(CAST(sum(CAST(dist AS DECIMAL(28,6))) AS DOUBLE)
+        |      / count(*), 6) AS mu,
+        |    round(CAST(sum(CAST(round(dist * dist, 6) AS DECIMAL(28,6)))
+        |      AS DOUBLE) / count(*), 6) AS ex2
+        |  FROM d GROUP BY label)
+        |SELECT vec_id, label, dist, z, z > 2.0 AS is_outlier FROM (
+        | SELECT d.vec_id, d.label, d.dist,
+        |  round(CASE WHEN mo.n > 1
+        |      AND round(mo.ex2 - mo.mu * mo.mu, 6) > 0
+        |    THEN (d.dist - mo.mu)
+        |      / sqrt(round(mo.ex2 - mo.mu * mo.mu, 6))
+        |    ELSE 0.0 END, 4) AS z
+        | FROM d JOIN mo USING (label)) t""".stripMargin,
 
     // PQ encode: 16 seed codebook entries (smallest vec_ids, 0-based
     // codes in id order), per-(vector, subspace) squared-L2 argmin;

@@ -328,6 +328,63 @@ object Similarity {
       .agg((sum(col("__x").cast("decimal(28,12)")).cast("double") /
         count(col("__x"))).as("mean"))
 
+  /** Per-label centroid-distance outliers — the embedding-corpus
+    * contamination/drift detector: squared L2 of every vector to its
+    * label's mean embedding, z-scored within the label, flagged at
+    * `zThreshold`. A mislabeled or corrupted vector sits far from its
+    * class centroid; a drifting class shows a fattening tail.
+    *
+    * Every numeric step is an established engine-portable pattern,
+    * so the whole operator oracles exactly: centroid means via
+    * decimal sums rounded to 6dp ([[labelCentroids]] precedent),
+    * cast to FLOAT and packed per label (bounded rows, broadcast);
+    * distances via the decimal-exact [[VectorExpressions.pqSqDist]]
+    * kernel, rounded to 6dp doubles; label moments via exact
+    * DECIMAL(28,6) sums (the corr-moments pattern — order-independent,
+    * so mu/sigma are bit-identical); z rounded to 4dp and the flag
+    * compared on the ROUNDED value (no float boundary). Degenerate
+    * labels (σ = 0 or a single vector) z-score to 0 — never outliers.
+    *
+    * Plan shape: one (label, dim) aggregate (bounded), one (label)
+    * moment aggregate (bounded), both BROADCAST back; the vectors
+    * themselves never shuffle. Null labels are dropped (no class, no
+    * centroid).
+    */
+  def centroidOutliers(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, zThreshold: Double = 2.0): DataFrame = {
+    val cents = labelCentroids(df.filter(col(labelCol).isNotNull),
+      labelCol, vecCol)
+    val centArr = cents.groupBy(col("label").as("__clabel"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mean")))),
+        s => round(s.getField("mean"), 6).cast("float")).as("__cvec"))
+    val withD = df.filter(col(labelCol).isNotNull)
+      .join(broadcast(centArr), col(labelCol) === col("__clabel"))
+      .select(col(idCol), col(labelCol),
+        round(VectorExpressions.pqSqDist(col(vecCol), col("__cvec"))
+          .cast("double"), 6).as("dist"))
+    val moments = withD.groupBy(col(labelCol).as("__l"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("dist").cast("decimal(28,6)")).as("__s"),
+        sum(round(col("dist") * col("dist"), 6).cast("decimal(28,6)"))
+          .as("__s2"))
+    withD.join(broadcast(moments), col(labelCol) === col("__l"))
+      .select(col(idCol), col(labelCol), col("dist"), {
+        // decimal→double casts can differ by an ulp across engines
+        // (the labelCentroids 8dp lesson): round each derived moment
+        // to 6dp immediately so everything downstream starts from
+        // bit-agreed values
+        val n = col("__n").cast("double")
+        val mu = round(col("__s").cast("double") / n, 6)
+        val ex2 = round(col("__s2").cast("double") / n, 6)
+        val variance = round(ex2 - mu * mu, 6)
+        round(when(col("__n") > 1 && variance > 0,
+          (col("dist") - mu) / sqrt(variance)).otherwise(0.0), 4)
+          .as("z")
+      })
+      .withColumn("is_outlier", col("z") > zThreshold)
+  }
+
   /** Sign-bit bucket key from `planes` random hyperplanes
     * (deterministic Rademacher directions). Same key ⇒ likely-similar
     * direction; recomputable on both sides of any join. Fused codegen

@@ -1116,6 +1116,26 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(Sampling.weightedSample(df, "id", "w", 1000).count() == 100)
   }
 
+  test("centroidOutliers: exact z-scores; singleton labels never flag") {
+    import graft.operators.Similarity
+    // label a: 9×(0,0) + one (10,10). centroid (1,1); d_in = 2,
+    // d_out = 162; μ = 18, E[x²] = 2628, σ² = 2304, σ = 48 →
+    // z_out = (162−18)/48 = 3.0 exactly, z_in = −1/3
+    val rows = (1L to 9L).map(i => (i, "a", Seq(0f, 0f))) ++
+      Seq((10L, "a", Seq(10f, 10f)),
+        (20L, "b", Seq(5f, 5f)),      // singleton label: z = 0
+        (30L, null.asInstanceOf[String], Seq(1f, 1f))) // dropped
+    val got = Similarity.centroidOutliers(
+        rows.toDF("vec_id", "label", "embedding"),
+        "vec_id", "label", "embedding")
+      .as[(Long, String, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 11) // the null-label row is gone
+    assert(got(10L) == ((10L, "a", 162.0, 3.0, true)))
+    assert(got(1L) == ((1L, "a", 2.0, -0.3333, false)))
+    assert(got(20L) == ((20L, "b", 0.0, 0.0, false)))
+  }
+
   test("PqSqDist codegen kernel == built-in round/decimal formulation") {
     import graft.operators.Similarity
     import graft.functions.VectorExpressions
