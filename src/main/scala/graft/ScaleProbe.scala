@@ -263,8 +263,17 @@ object ScaleProbe {
       f"""\"$q\":{\"x1\":$s%.3f,\"x$factor\":$b%.3f,\"ratio\":${ratio(b, s)}%.2f}"""
     }.mkString("{", ",", "}")
     val worst = rows.map { case (_, s, b) => ratio(b, s) }.max
-    println(s"""{"metric":"scaleprobe","factor":$factor,"n":${rows.size},""" +
-      s""""sf":"$srcDir",""" + f""""worst_ratio":$worst%.2f,"queries":$js}""")
+    val summary =
+      s"""{"metric":"scaleprobe","factor":$factor,"n":${rows.size},""" +
+        s""""sf":"$srcDir",""" + f""""worst_ratio":$worst%.2f,"queries":$js}"""
+    println(summary)
+    // same stdout-tail hazard as the flat bench (sbt's [success] line
+    // follows the JSON): the machine-readable copy goes to a fixed
+    // side file (BASELINE.md protocol v4)
+    val side = java.nio.file.Paths.get("target/scale_summary.json")
+    java.nio.file.Files.createDirectories(side.getParent)
+    java.nio.file.Files.write(side,
+      (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -138,8 +138,13 @@ object SparkEntry {
     val prev = memo.putIfAbsent(key, built)
     if (prev != null) {
       // the loser's checkpointed blocks would otherwise linger for the
-      // session's lifetime — release them, the winner's copy serves
-      if (checkpoint) built.rdd.unpersist(false)
+      // session's lifetime — release them, the winner's copy serves.
+      // NOT `built.rdd.unpersist`: Dataset.rdd derives a NEW wrapper
+      // RDD (never persisted); the blocks live on the LogicalRDD the
+      // checkpointed Dataset wraps
+      if (checkpoint) built.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(false))
       prev
     } else built
   }
@@ -457,7 +462,8 @@ object SparkEntry {
   private val pqCtesSql: String =
     """seeds AS (SELECT vec_id, embedding,
       |    row_number() OVER (ORDER BY vec_id) - 1 AS code
-      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+      |  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+      |    ORDER BY vec_id LIMIT 16)),
       |cb AS (SELECT code, j.j AS j, i.i AS i,
       |    CAST(embedding[j.j * 8 + i.i] AS DOUBLE) AS cv
       |  FROM seeds, generate_series(0, 7) j(j),
@@ -2760,7 +2766,8 @@ object SparkEntry {
         |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
         |  FROM (SELECT unnest(toks) AS tok FROM t))
         |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
-        | round(sum(tf.tf * (ln(COALESCE(cxh.cprev, 0) + v.v)
+        | round(sum(tf.tf * (ln(greatest(COALESCE(cxh.cprev, 0),
+        |       COALESCE(cph.cpair, 0)) + v.v)
         |     - ln(COALESCE(cph.cpair, 0) + 1.0)))
         |   / CAST(sum(tf.tf) AS DOUBLE), 6) AS surprisal2
         |FROM tf LEFT JOIN cph USING (prev, cur) LEFT JOIN cxh USING (prev)

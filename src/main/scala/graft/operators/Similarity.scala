@@ -127,6 +127,16 @@ object Similarity {
   def pqCodebook(vecs: DataFrame, idCol: String, vecCol: String,
       codebookSize: Int): DataFrame = {
     require(codebookSize > 0, "codebookSize must be positive")
+    // the collect below reads Seq[Float]; an array<double> corpus
+    // would ClassCastException deep inside createDataFrame — name the
+    // problem at plan time instead
+    vecs.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"pq codebook requires $vecCol: array<float>, got " +
+          other.simpleString + " (cast the vectors before encoding)")
+    }
     // a null vector among the smallest ids would NPE the build — a
     // null can't seed a centroid
     val seedRows = vecs.filter(col(vecCol).isNotNull)
@@ -237,14 +247,20 @@ object Similarity {
       slice(col("_w"), col("_j") * sd + 1, lit(sd)).as(out))
 
   /** A wrong-dim vector would silently slice short and zip_with-pad
-    * nulls — a WRONG code, not an error. Fail the row loudly instead
-    * (the SemDeDup element-type-validation precedent).
+    * nulls, and a NULL ELEMENT would null every candidate distance —
+    * whereupon min(struct(null, code)) resolves by null-first struct
+    * ordering to code 0: a WRONG code, not an error. Fail the row
+    * loudly on either (the SemDeDup element-type-validation
+    * precedent).
     */
   private def pqCheckDim(vec: Column, dim: Int): Column = {
     val sz = org.apache.spark.sql.functions.size(vec)
-    when(sz === dim, vec).otherwise(raise_error(concat(
-      lit("pq: vector of dim "), sz.cast("string"),
-      lit(s", expected $dim"))))
+    when(sz =!= dim, raise_error(concat(
+        lit("pq: vector of dim "), sz.cast("string"),
+        lit(s", expected $dim"))))
+      .when(exists(vec, x => x.isNull), raise_error(
+        lit("pq: vector contains null elements")))
+      .otherwise(vec)
   }
 
   /** Exact, engine-portable squared L2 between two float subvectors
@@ -358,11 +374,17 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("mean")))),
         s => round(s.getField("mean"), 6).cast("float")).as("__cvec"))
+    // rows whose vector cannot be scored (null vector, null element,
+    // length ≠ the label's centroid dim → pqSqDist null) are DROPPED
+    // before the moments: a null dist must not deflate μ/σ for the
+    // rest of its label (count would include it, the decimal sums
+    // would not)
     val withD = df.filter(col(labelCol).isNotNull)
       .join(broadcast(centArr), col(labelCol) === col("__clabel"))
       .select(col(idCol), col(labelCol),
         round(VectorExpressions.pqSqDist(col(vecCol), col("__cvec"))
           .cast("double"), 6).as("dist"))
+      .filter(col("dist").isNotNull)
     val moments = withD.groupBy(col(labelCol).as("__l"))
       .agg(count(lit(1)).as("__n"),
         sum(col("dist").cast("decimal(28,6)")).as("__s"),

@@ -511,12 +511,15 @@ object TextOps {
     * from a third over THOSE (each bounded, map-side-combined — no
     * window keyed on a skewed token, same rationale as
     * [[surprisal]]); the top-`headVocab` pairs and contexts BROADCAST
-    * back as head tables with tail floors c_pair→0, c_prev→0 (add-1
-    * smoothing already prices the unseen pair at 1/(c_prev+V), so the
-    * floor composes with the estimator instead of fighting it; exact
-    * whenever the heads cover the corpus, which is how the oracle
-    * pins it). V is a 1-row broadcast. Only ids, token pairs and
-    * counts shuffle. 6dp-rounded like its unigram sibling.
+    * back as head tables with tail floors c_pair→0 and
+    * c_prev→max(0, c_pair) — the context floor is raised to any KNOWN
+    * pair count because c_prev ≥ c_pair always holds in the true
+    * counts, keeping p̂ = (c_pair+1)/(c_prev+V) a probability even
+    * when a head pair's diffuse context misses the context head
+    * (add-1 smoothing then prices fully-unseen pairs at 1/(c_prev+V);
+    * exact whenever the heads cover the corpus, which is how the
+    * oracle pins it). V is a 1-row broadcast. Only ids, token pairs
+    * and counts shuffle. 6dp-rounded like its unigram sibling.
     */
   def surprisalBigram(docs: DataFrame, idCol: String, textCol: String,
       headVocab: Int = DefaultHeadVocab): DataFrame = {
@@ -546,14 +549,24 @@ object TextOps {
     val vocab = docs
       .select(explode(tokens(col(textCol))).as("_tok"))
       .agg(count_distinct(col("_tok")).cast("double").as("__v"))
+    // floor coherence: a pair can sit in pairHead while its context
+    // misses prevHead (many diffuse contexts can all outrank a
+    // concentrated one). Flooring cprev to 0 under a REAL cpair
+    // would price p̂ = (cpair+1)/V — possibly > 1, i.e. negative
+    // surprisal. cprev ≥ cpair always holds in the true counts, so
+    // the floored context is raised to the known pair count: the
+    // estimator stays a probability and the exact case is unchanged
+    // (heads covering the corpus ⇒ greatest(cprev, cpair) = cprev).
+    val cpair = coalesce(col("_cpair"), lit(0L))
+    val cprev = greatest(coalesce(col("_cprev"), lit(0L)), cpair)
     tf.join(broadcast(pairHead), Seq("_prev", "_cur"), "left")
       .join(broadcast(prevHead), Seq("_prev"), "left")
       .crossJoin(broadcast(vocab))
       .groupBy(col(idCol))
       .agg(sum(col("_tf")).as("n_bigrams"),
         sum(col("_tf").cast("double") *
-          (log(coalesce(col("_cprev"), lit(0L)).cast("double") + col("__v")) -
-            log(coalesce(col("_cpair"), lit(0L)).cast("double") + 1.0)))
+          (log(cprev.cast("double") + col("__v")) -
+            log(cpair.cast("double") + 1.0)))
           .as("_s"))
       .select(col(idCol), col("n_bigrams"),
         round(col("_s") / col("n_bigrams").cast("double"), 6)

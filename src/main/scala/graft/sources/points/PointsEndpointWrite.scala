@@ -81,16 +81,16 @@ object PointsEndpointPrecondition {
         "/query?q=" + java.net.URLEncoder.encode("SHOW DATABASES", "UTF-8")
       val transport = Class.forName(ep.transportClass)
         .getDeclaredConstructor().newInstance().asInstanceOf[PointsTransport]
+      // the probe rides the SAME retry/backoff/fast-fail policy as
+      // the writes it guards — a transient 503 at plan time must not
+      // fail a job whose first write POST would have retried through
       val resp =
-        try transport.post(probeUrl, "", conf.tls, ep.timeoutMs)
+        try PointsTransport.guardedFetch(transport, probeUrl, "",
+          conf.tls, ep.maxRetries, ep.backoffMs, ep.timeoutMs)
         catch { case e: Exception =>
           throw new PointsPreconditionException(
             s"DB-exists probe failed against $probeUrl: ${e.getMessage}", e)
         }
-      if (resp.status < 200 || resp.status >= 300)
-        throw new PointsPreconditionException(
-          s"DB-exists probe $probeUrl returned ${resp.status} " +
-            resp.body.take(200))
       // InfluxDB's SHOW DATABASES body lists names as JSON strings;
       // the quoted exact-match check needs no JSON parser and cannot
       // prefix-match (db "foo" never matches "foobar")

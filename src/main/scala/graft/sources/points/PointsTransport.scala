@@ -157,6 +157,18 @@ object PointsTransport {
   def guarded(base: PointsTransport, url: String, body: String,
       tls: PointsTlsConf, maxRetries: Int, backoffMs: Long,
       timeoutMs: Long): Unit = {
+    guardedFetch(base, url, body, tls, maxRetries, backoffMs, timeoutMs)
+    ()
+  }
+
+  /** [[guarded]] returning the successful 2xx response — for callers
+    * that need the BODY (the DB-exists precondition probe reads SHOW
+    * DATABASES output) with the same retry/fast-fail policy as the
+    * writes themselves.
+    */
+  def guardedFetch(base: PointsTransport, url: String, body: String,
+      tls: PointsTlsConf, maxRetries: Int, backoffMs: Long,
+      timeoutMs: Long): PointsResponse = {
     require(maxRetries >= 0, s"maxRetries must be >= 0, got $maxRetries")
     var attempt = 0
     var lastErr: Throwable = null
@@ -165,7 +177,7 @@ object PointsTransport {
         Thread.sleep(backoffMs * (1L << math.min(attempt - 1, 6)))
       try {
         val resp = base.post(url, body, tls, timeoutMs)
-        if (resp.status >= 200 && resp.status < 300) return
+        if (resp.status >= 200 && resp.status < 300) return resp
         else if (resp.status >= 400 && resp.status < 500)
           throw new PointsWriteException(
             s"$url rejected write: ${resp.status} ${resp.body.take(200)}",

@@ -1020,6 +1020,27 @@ class ExtensionOpsSpec extends SparkSpec {
       s"scrambled ${bi(2L)} !> predictable ${bi(1L)}")
   }
 
+  test("surprisalBigram head floor: pair-in-head/context-out stays a " +
+      "probability (no negative surprisal)") {
+    // pair (a,b)×12 tops the pair head at headVocab=1, but context c
+    // (18 pair occurrences across the fillers) outranks context a
+    // (12) for the single context-head slot. A 0-floored cprev would
+    // price p̂(b|a) = (12+1)/(0+V) = 13/5 > 1 → NEGATIVE surprisal;
+    // the floor must raise cprev to the known cpair instead
+    val docs = ((1L to 12L).map(i => (i, "a b")) ++
+      (100L to 102L).map(i => (i, "c x c y c x c y c x c y c")))
+      .toDF("doc_id", "text")
+    val got = TextOps.surprisalBigram(docs, "doc_id", "text",
+        headVocab = 1)
+      .as[(Long, Long, Double)].collect()
+    got.foreach { case (id, _, s2) =>
+      assert(s2 >= 0, s"doc $id: negative bigram surprisal $s2")
+    }
+    // the (a,b) docs specifically: ln((12+5)/(12+1)) = ln(17/13)
+    val expect = math.rint(math.log(17.0 / 13.0) * 1e6) / 1e6
+    assert(got.find(_._1 == 1L).get._3 == expect)
+  }
+
   test("dsirLogWeights: target-like docs outrank target-unlike docs") {
     // target vocabulary {alpha, beta}; the raw pool mixes target-like,
     // mixed and disjoint-vocabulary documents

@@ -227,4 +227,46 @@ class PropertySpec extends SparkSpec {
       .select(ScalarOps.canonicalRowKey(Seq("n", "s"))).as[String].collect()
     assert(k1.toSeq == k2.toSeq)
   }
+
+  test("PqSqDist: symmetric, zero on self, matches plain double L2 " +
+      "within rounding slack (random float vectors)") {
+    import graft.functions.VectorExpressions
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-10f, 10f))
+    val pairs = Gen.listOfN(150, Gen.zip(vecGen, vecGen)).sample.get
+    val got = pairs.toDF("a", "b").select(
+        VectorExpressions.pqSqDist($"a", $"b").cast("double").as("ab"),
+        VectorExpressions.pqSqDist($"b", $"a").cast("double").as("ba"),
+        VectorExpressions.pqSqDist($"a", $"a").cast("double").as("aa"))
+      .as[(Double, Double, Double)].collect()
+    got.zip(pairs).foreach { case ((ab, ba, aa), (a, b)) =>
+      assert(ab == ba, "squared L2 must be symmetric")
+      assert(aa == 0.0, "self-distance must be exactly zero")
+      val plain = a.zip(b)
+        .map { case (x, y) => (x.toDouble - y.toDouble) *
+          (x.toDouble - y.toDouble) }.sum
+      // each of the 8 terms is rounded at 1e-12 before the exact sum
+      assert(math.abs(ab - plain) <= 8 * 5e-13 + 1e-9, s"$ab vs $plain")
+    }
+  }
+
+  test("temperatureRebalance: probabilities in (0, 1], ordered " +
+      "opposite to counts, smallest stratum whole (random strata)") {
+    import graft.operators.Sampling
+    val strata = Gen.listOfN(400,
+      Gen.oneOf("a", "b", "c", "d")).sample.get.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val df = strata.toDF("id", "s")
+    val got = Sampling.temperatureRebalance(df, "id", "s")
+      .as[(Long, String, Double, Boolean)].collect()
+    val counts = strata.groupBy(_._2).view.mapValues(_.size).toMap
+    val p = got.map(r => r._2 -> r._3).toMap
+    p.foreach { case (_, prob) => assert(prob > 0 && prob <= 1.0) }
+    val minStratum = counts.minBy(_._2)._1
+    assert(p(minStratum) == 1.0, "smallest stratum must keep all")
+    // bigger stratum → smaller (or equal) keep probability
+    for (x <- p.keys; y <- p.keys if counts(x) < counts(y))
+      assert(p(x) >= p(y), s"$x(${counts(x)}) vs $y(${counts(y)})")
+    // every smallest-stratum row actually kept
+    assert(got.filter(_._2 == minStratum).forall(_._4))
+  }
 }
