@@ -82,6 +82,9 @@ object GraftExtensions {
         case n => throw new IllegalArgumentException(
           s"graft_lsh_bucket expects 2 or 3 arguments, got $n")
       }),
+    ("graft_nfc_normalize", "Unicode NFC canonical normalization",
+      (args: Seq[Expression]) => { expect(args, 1, "graft_nfc_normalize")
+        NfcNormalize(args(0)) }),
     ("graft_pq_sq_dist",
       "exact decimal(28,12) squared L2 of two float/double arrays " +
         "(the PQ distance kernel)",

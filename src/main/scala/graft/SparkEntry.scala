@@ -1939,6 +1939,21 @@ object SparkEntry {
       Similarity.pqEncode(Tables.embeddings(s, dir), "vec_id",
         "embedding", dim = 64, subspaces = 8, codebookSize = 16)),
 
+    // Unicode NFC normalization over the corpus with a decomposed
+    // 'café' injected per doc (the testdata is ASCII — the injection
+    // makes the composition path observable): every row must change,
+    // and the normalized text must be the composed form
+    "q_normalize_text" -> ((s, dir) => {
+      // DECOMPOSED e + U+0301 combining acute (written as escapes —
+      // a raw combining char in source survives poorly): NFC
+      // composes it to the single codepoint \u00e9
+      val injected = concat(col("text"),
+        lit(" caf" + "\u0065" + "\u0301"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextOps.normalizeNfc(injected).as("norm_text"),
+        (TextOps.normalizeNfc(injected) =!= injected).as("changed"))
+    }),
+
     // per-label centroid-distance outliers: the embedding
     // contamination/drift detector — squared L2 to the class mean,
     // z-scored within the label at 4dp, flagged at z > 2
@@ -2877,6 +2892,17 @@ object SparkEntry {
          |SELECT doc_id, weight, samp_key FROM keyed
          |ORDER BY samp_key DESC, doc_id LIMIT 50""".stripMargin
     },
+
+    // NFC replay: DuckDB's utf8proc and the JDK implement the same
+    // Unicode conformance clause; chr(101)||chr(769) is the
+    // decomposed e + combining acute the Spark side injects
+    "q_normalize_text" ->
+      """SELECT doc_id,
+        | nfc_normalize(text || ' caf' || chr(101) || chr(769))
+        |   AS norm_text,
+        | nfc_normalize(text || ' caf' || chr(101) || chr(769))
+        |   <> (text || ' caf' || chr(101) || chr(769)) AS changed
+        |FROM documents""".stripMargin,
 
     // centroid outliers replayed: 6dp decimal centroid means → float,
     // pqSqDist per-position round(·,12)→decimal distances → 6dp,

@@ -33,6 +33,54 @@ object TextExpressions {
   /** `shingles(text, k)`: word k-grams in one fused pass. */
   def shingles(text: Column, k: Int): Column =
     ColumnBridge.column(Shingles(ColumnBridge.expression(text), k))
+
+  /** `nfc_normalize(text)`: Unicode NFC canonical composition. */
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+}
+
+/** `string -> string`: Unicode NFC canonical normalization (composed
+  * forms — 'e' + COMBINING ACUTE → 'é'). The curation prerequisite
+  * for any text dedup/fingerprint: visually identical strings with
+  * different codepoint sequences must hash identically, or a crawl
+  * mixing composed and decomposed producers defeats exact dedup. Both
+  * the JDK (`java.text.Normalizer`) and DuckDB (`nfc_normalize`)
+  * implement the same Unicode conformance clause, so the operator
+  * oracles exactly. Skips the (cheap, allocation-free) fast path when
+  * the string is already NFC — the overwhelmingly common case for
+  * web text.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      NfcNormalize.nfc(v.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.NfcNormalize.nfc($str.toString()));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object NfcNormalize {
+  def nfc(s: String): String =
+    if (java.text.Normalizer.isNormalized(s,
+        java.text.Normalizer.Form.NFC)) s
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
 }
 
 /** `string -> array<string>`: whitespace-tokenize and emit k-token

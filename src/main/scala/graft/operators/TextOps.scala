@@ -127,6 +127,15 @@ object TextOps {
     trim(regexp_replace(
       regexp_replace(text, "[\\p{Cntrl}]", " "), "\\s+", " "))
 
+  /** Unicode NFC canonical normalization — the dedup prerequisite for
+    * crawls mixing composed and decomposed producers (visually equal
+    * strings must hash equal). Fused codegen expression with an
+    * already-normalized fast path; Unicode-conformant on both engines
+    * so it oracles exactly ([[graft.functions.NfcNormalize]]).
+    */
+  def normalizeNfc(text: Column): Column =
+    graft.functions.TextExpressions.nfcNormalize(text)
+
   /** k-shingles (word n-grams): the standard unit for near-dup
     * detection. Fused single-pass codegen expression
     * ([[graft.functions.Shingles]]) — the composable

@@ -1020,6 +1020,25 @@ class ExtensionOpsSpec extends SparkSpec {
       s"scrambled ${bi(2L)} !> predictable ${bi(1L)}")
   }
 
+  test("normalizeNfc: composes decomposed forms, idempotent, ASCII identity") {
+    val composed = "caf" + "\u00e9"       // one codepoint
+    val decomposed = "caf" + "\u0065" + "\u0301" // e + combining
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"))
+      .toDF("id", "t")
+    val got = df.select($"id", TextOps.normalizeNfc($"t").as("n"),
+        TextOps.normalizeNfc(TextOps.normalizeNfc($"t")).as("nn"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == composed, "decomposed must compose")
+    assert(got(2L)._2 == composed, "already-NFC passes through")
+    assert(got(3L)._2 == "plain ascii")
+    got.values.foreach(r => assert(r._2 == r._3, "must be idempotent"))
+    // the curation consequence: the two spellings now dedup together
+    val deduped = df.filter($"id" <= 2)
+      .groupBy(TextOps.normalizeNfc($"t")).count()
+      .as[(String, Long)].collect()
+    assert(deduped.toSeq == Seq((composed, 2L)))
+  }
+
   test("surprisalBigram head floor: pair-in-head/context-out stays a " +
       "probability (no negative surprisal)") {
     // pair (a,b)×12 tops the pair head at headVocab=1, but context c

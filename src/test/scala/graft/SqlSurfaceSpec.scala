@@ -54,6 +54,16 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("graft_nfc_normalize from SQL == Column API") {
+    val decomposed = "caf" + "\u0065" + "\u0301"
+    Seq((1L, decomposed)).toDF("id", "t").createOrReplaceTempView("nfc_sql")
+    val viaSql = spark.sql(
+      "SELECT graft_nfc_normalize(t) FROM nfc_sql").as[String].head()
+    val viaCol = spark.table("nfc_sql")
+      .select(TextOps.normalizeNfc($"t")).as[String].head()
+    assert(viaSql == viaCol && viaSql == "caf" + "\u00e9")
+  }
+
   test("graft_shingles / graft_minhash / graft_simhash64 / text fns from SQL") {
     docs.limit(20).createOrReplaceTempView("docs_sql")
     val viaSql = spark.sql(
