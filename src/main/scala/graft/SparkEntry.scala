@@ -1976,6 +1976,25 @@ object SparkEntry {
           col("nb.id").as("neighbor_id"))
     }),
 
+    // composed IVF-PQ with a PARTIAL probe (nprobe 2 of nlist 8) that
+    // is still fully oracled: the coarse quantizer is a 1-subspace PQ
+    // codebook, so assignment and probe order are decimal-exact and
+    // the probe FILTER itself replays in the oracle — the first
+    // partial-probe ANN configuration inside the correctness artifact
+    // (the float-path partials stay benchOnly)
+    "q_ivfpq_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.ivfPqSearchTopK(emb, queries, "vec_id", "embedding",
+          "qid", dim = 64, subspaces = 8, codebookSize = 16, nlist = 8,
+          nprobe = 2, k = 10)
+        .select(col("query_id"),
+          posexplode(col("neighbors")).as(Seq("pos", "nb")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("nb.id").as("neighbor_id"))
+    }),
+
     // per-column profile in one scan: null counts, cardinalities,
     // portable-rendered min/max — the declarative form of the
     // reference's inline completeness/row-width checks
@@ -2970,6 +2989,58 @@ object SparkEntry {
          |ad AS (SELECT l.qid, c.vec_id, sum(l.d) AS adist
          |  FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.code
          |  GROUP BY l.qid, c.vec_id)
+         |SELECT query_id, rank, neighbor_id FROM (
+         | SELECT qid AS query_id,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |   ORDER BY CAST(adist AS DOUBLE) ASC, vec_id ASC)
+         |   AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id
+         | FROM ad WHERE vec_id <> qid) t
+         |WHERE rank <= 10""".stripMargin,
+
+    // composed IVF-PQ, partial probe REPLAYED: the coarse quantizer is
+    // a 1-subspace PQ codebook (8 smallest-id seeds), so corpus
+    // assignment is the decimal argmin (ties → smaller list id), each
+    // query probes its 2 nearest lists by double-cast decimal distance
+    // (ties → smaller list id — the TopKByScore contract), and the ADC
+    // runs only over candidates whose bucket is probed
+    "q_ivfpq_search" ->
+      s"""WITH $pqCtesSql,
+         |cseeds AS (SELECT vec_id, embedding,
+         |    row_number() OVER (ORDER BY vec_id) - 1 AS lcode
+         |  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL
+         |    ORDER BY vec_id LIMIT 8)),
+         |cfull AS (SELECT lcode, j.j AS j, i.i AS i,
+         |    CAST(embedding[j.j * 8 + i.i] AS DOUBLE) AS cv
+         |  FROM cseeds, generate_series(0, 7) j(j),
+         |    generate_series(1, 8) i(i)),
+         |cd AS (SELECT s.vec_id, c.lcode,
+         |    sum(CAST(round((s.v - c.cv) * (s.v - c.cv), 12)
+         |      AS DECIMAL(28,12))) AS dist
+         |  FROM sub s JOIN cfull c ON s.j = c.j AND s.i = c.i
+         |  GROUP BY s.vec_id, c.lcode),
+         |assign AS (SELECT vec_id, lcode AS bucket FROM (
+         |    SELECT vec_id, lcode, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist ASC, lcode ASC) AS rn FROM cd) t
+         |  WHERE rn = 1),
+         |qprobe AS (SELECT vec_id AS qid, lcode AS bucket FROM (
+         |    SELECT vec_id, lcode, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY CAST(dist AS DOUBLE) ASC, lcode ASC) AS rn
+         |    FROM cd WHERE vec_id < 20) t
+         |  WHERE rn <= 2),
+         |qsub AS (SELECT vec_id AS qid, j, i, v FROM sub
+         |  WHERE vec_id < 20),
+         |lut AS (SELECT q.qid, cb.j, cb.code,
+         |    sum(CAST(round((q.v - cb.cv) * (q.v - cb.cv), 12)
+         |      AS DECIMAL(28,12))) AS d
+         |  FROM qsub q JOIN cb ON q.j = cb.j AND q.i = cb.i
+         |  GROUP BY q.qid, cb.j, cb.code),
+         |cand AS (SELECT p.qid, a.vec_id
+         |  FROM assign a JOIN qprobe p ON a.bucket = p.bucket),
+         |ad AS (SELECT n.qid, c.vec_id, sum(l.d) AS adist
+         |  FROM cand n JOIN codes c ON n.vec_id = c.vec_id
+         |  JOIN lut l ON l.qid = n.qid AND c.j = l.j AND c.code = l.code
+         |  GROUP BY n.qid, c.vec_id)
          |SELECT query_id, rank, neighbor_id FROM (
          | SELECT qid AS query_id,
          |  CAST(row_number() OVER (PARTITION BY qid

@@ -601,6 +601,144 @@ object Similarity {
     cents
   }
 
+  /** Composed IVF-PQ search — the production ANN shape at corpus
+    * scale (Jégou et al. 2011): a coarse quantizer partitions the
+    * corpus into `nlist` inverted lists, each query probes its
+    * `nprobe` nearest lists, and within the probed lists distance is
+    * ADC over the PQ codes ([[pqSearchTopK]]'s arm) — the corpus is
+    * touched only as (id, bucket, subspace, code), never as vectors.
+    *
+    * Unlike the float-path IVF ([[ivfTopK]], whose partial-probe
+    * configs are benchOnly), EVERY arithmetic step here is the
+    * decimal-exact [[VectorExpressions.pqSqDist]] kernel, so the
+    * partial-probe result itself replays exactly in another engine:
+    * the coarse quantizer is literally a PQ codebook with ONE
+    * subspace spanning the full vector ([[pqEncodeAgainst]] with
+    * `subspaces = 1` — argmin by exact decimal distance, ties to the
+    * smaller list id), and probe order is double-cast decimal
+    * distance asc, list id asc (the [[bruteForceTopK]] neighbor
+    * contract). Approximate METRIC, deterministic COMPUTATION.
+    *
+    * At 100 TB: the coarse codebook is `nlist` rows and the PQ
+    * codebook `codebookSize` rows — both broadcast forever; probes
+    * and the per-query LUT (queries × subspaces × codebookSize) are
+    * query-sized broadcasts; the corpus-sized tables carry only ids,
+    * buckets and codes. The probe filter runs BEFORE the code join,
+    * so the ADC aggregate sees only candidates from probed lists —
+    * candidate volume scales with nprobe/nlist of the corpus, the
+    * IVF contract. Exchanges: the two encode argmins (map-side
+    * combined to one row per (id, subspace) per task) and the
+    * id-keyed candidate⋈codes join (AQE-splittable).
+    */
+  def ivfPqSearchTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, dim: Int,
+      subspaces: Int, codebookSize: Int, nlist: Int, nprobe: Int,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(nlist > 0, "nlist must be positive")
+    require(nprobe > 0, "nprobe must be positive")
+    val coarse = pqCodebook(corpus, idCol, vecCol, nlist)
+    ivfPqSearchAgainst(corpus, queries, idCol, vecCol, qidCol, dim,
+      subspaces, nprobe, k, coarse,
+      pqCodebook(corpus, idCol, vecCol, codebookSize), excludeSelf)
+  }
+
+  /** IVF-PQ search against FROZEN artifacts — the train-once split:
+    * `coarse` and `codebook` are [[pqCodebook]]-shaped (code, vector)
+    * tables built offline per corpus version; every later batch or
+    * foreachBatch micro-batch of queries reuses them, making
+    * streaming results equal batch results by definition.
+    */
+  def ivfPqSearchAgainst(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, dim: Int,
+      subspaces: Int, nprobe: Int, k: Int, coarse: DataFrame,
+      codebook: DataFrame, excludeSelf: Boolean = true): DataFrame = {
+    require(dim > 0 && subspaces > 0 && dim % subspaces == 0,
+      s"dim $dim must be a positive multiple of subspaces $subspaces")
+    val nlist = coarse.count()
+    // a degenerate quantizer (≤1 list) cannot filter anything: the
+    // probe join would be a rename of the full ADC — run the plain
+    // PQ search instead (the ivfTopK degrade precedent)
+    if (nlist <= 1)
+      return pqSearchAgainst(corpus, queries, idCol, vecCol, qidCol,
+        dim, subspaces, codebook, k, excludeSelf)
+    val probeN = math.min(nprobe, nlist.toInt)
+    val sd = dim / subspaces
+
+    // corpus → one bucket per id: exact-decimal argmin against the
+    // coarse codebook (= PQ encode with a single full-width subspace)
+    val buckets = pqEncodeAgainst(corpus, idCol, vecCol, dim, 1, coarse)
+      .select(col(idCol), col("code").cast("long").as("__bucket"))
+
+    // query → nprobe buckets, ordered by double-cast decimal distance
+    // asc then list id asc (TopKByScore's contract on negated score)
+    val coarseSubs = pqToSubs(coarse, col("code"), "_c", col("vector"),
+      "_cs", 1, dim)
+    val probes = pqToSubs(queries, col(qidCol), "_qid", col(vecCol),
+        "_qs", 1, dim)
+      .join(broadcast(coarseSubs), Seq("_j"))
+      .select(col("_qid"), col("_c"),
+        pqSqDist(col("_qs"), col("_cs")).as("_d"))
+      .groupBy(col("_qid"))
+      .agg(VectorExpressions.topKByScore(-col("_d").cast("double"),
+        col("_c").cast("long"), probeN).as("_pb"))
+      .select(col("_qid"), explode(col("_pb")).as("_p"))
+      .select(col("_qid"), col("_p").getField("id").as("__bucket"))
+
+    // candidate pairs FIRST (probe filter before any code math), then
+    // the candidates pick up their codes and LUT entries
+    val pairs = buckets.join(broadcast(probes), Seq("__bucket"))
+      .select(col(idCol), col("_qid"))
+    val cbSubs = pqToSubs(codebook, col("code"), "_c", col("vector"),
+      "_cs", subspaces, sd)
+    val codes = pqEncodeWith(corpus, idCol, vecCol, subspaces, sd, cbSubs)
+    val lut = pqToSubs(queries, col(qidCol), "_qid", col(vecCol),
+        "_qs", subspaces, sd)
+      .join(broadcast(cbSubs), Seq("_j"))
+      .select(col("_qid"), col("_j"), col("_c"),
+        pqSqDist(col("_qs"), col("_cs")).as("_d"))
+    pairs.join(codes, Seq(idCol))
+      .join(broadcast(lut),
+        col("subspace") === lut("_j") && col("code") === lut("_c") &&
+          pairs("_qid") === lut("_qid"))
+      .groupBy(pairs("_qid"), col(idCol))
+      .agg(sum(col("_d")).as("_adist"))
+      .filter(if (excludeSelf) pairs("_qid") =!= col(idCol) else lit(true))
+      .groupBy(pairs("_qid"))
+      .agg(VectorExpressions.topKByScore(
+        -col("_adist").cast("double"), col(idCol), k).as("neighbors"))
+      .select(pairs("_qid").as("query_id"), col("neighbors"))
+  }
+
+  /** [[pqSearchTopK]] against a FROZEN [[pqCodebook]] (the Against
+    * split of the ADC search; also [[ivfPqSearchAgainst]]'s degenerate
+    * single-list fallback).
+    */
+  def pqSearchAgainst(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, dim: Int,
+      subspaces: Int, codebook: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(dim > 0 && subspaces > 0 && dim % subspaces == 0,
+      s"dim $dim must be a positive multiple of subspaces $subspaces")
+    val sd = dim / subspaces
+    val cb = pqToSubs(codebook, col("code"), "_c", col("vector"), "_cs",
+      subspaces, sd)
+    val codes = pqEncodeWith(corpus, idCol, vecCol, subspaces, sd, cb)
+    val qsub = pqToSubs(queries, col(qidCol), "_qid", col(vecCol),
+      "_qs", subspaces, sd)
+    val lut = qsub.join(broadcast(cb), Seq("_j"))
+      .select(col("_qid"), col("_j"), col("_c"),
+        pqSqDist(col("_qs"), col("_cs")).as("_d"))
+    codes.join(broadcast(lut),
+        codes("subspace") === lut("_j") && codes("code") === lut("_c"))
+      .groupBy(col("_qid"), col(idCol))
+      .agg(sum(col("_d")).as("_adist"))
+      .filter(if (excludeSelf) col("_qid") =!= col(idCol) else lit(true))
+      .groupBy(col("_qid"))
+      .agg(VectorExpressions.topKByScore(
+        -col("_adist").cast("double"), col(idCol), k).as("neighbors"))
+      .select(col("_qid").as("query_id"), col("neighbors"))
+  }
+
   /** Bucketed ANN top-k: like [[bruteForceTopK]] but each query only
     * scores corpus vectors sharing an LSH bucket — the IVF-style probe
     * path. Exactness traded for a Σ|bucket|² candidate set.

@@ -1214,6 +1214,59 @@ class ExtensionOpsSpec extends SparkSpec {
       x.getMessage.contains("expected 2")), e.toString)
   }
 
+  test("ivfPqSearchTopK: exhaustive probe == plain ADC; partial probe " +
+      "honors the probed lists; frozen artifacts reproduce the inline build") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    def explodeNb(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), posexplode(col("neighbors"))
+        .as(Seq("pos", "nb")))
+      .select(col("query_id"), col("pos"), col("nb.id").as("nid"))
+      .as[(Long, Int, Long)].collect().toSet
+    // nprobe = nlist probes every list: the bucket filter passes
+    // everything through, so the composed search IS the ADC search
+    val full = explodeNb(Similarity.ivfPqSearchTopK(emb, queries,
+      "vec_id", "embedding", "qid", dim = 64, subspaces = 8,
+      codebookSize = 16, nlist = 8, nprobe = 8, k = 5))
+    val adc = explodeNb(Similarity.pqSearchTopK(emb, queries,
+      "vec_id", "embedding", "qid", dim = 64, subspaces = 8,
+      codebookSize = 16, k = 5))
+    assert(full == adc)
+    // partial probe: every surviving neighbor's bucket must be one of
+    // its query's nprobe probed buckets (recomputed via the same
+    // 1-subspace coarse encode the operator uses)
+    val coarse = Similarity.pqCodebook(emb, "vec_id", "embedding", 8)
+    val partial = explodeNb(Similarity.ivfPqSearchAgainst(emb, queries,
+      "vec_id", "embedding", "qid", dim = 64, subspaces = 8, nprobe = 2,
+      k = 5, coarse,
+      Similarity.pqCodebook(emb, "vec_id", "embedding", 16)))
+    val bucketOf = Similarity.pqEncodeAgainst(emb, "vec_id", "embedding",
+        64, 1, coarse)
+      .select(col("vec_id"), col("code")).as[(Long, Int)].collect().toMap
+    // probed lists per query = the 2 nearest coarse codes; derive them
+    // from the exhaustive ADC of the coarse codebook itself (k = 2 over
+    // the 8 "documents" = centroid vectors, self-matches allowed)
+    val probed = Similarity.pqSearchAgainst(
+        coarse.select(col("code").cast("long").as("vec_id"),
+          col("vector").as("embedding")),
+        queries, "vec_id", "embedding", "qid", dim = 64, subspaces = 1,
+        coarse, k = 2, excludeSelf = false)
+      .select(col("query_id"), col("neighbors.id"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(partial.nonEmpty)
+    partial.foreach { case (q, _, nid) =>
+      assert(probed(q).contains(bucketOf(nid).toLong),
+        s"query $q neighbor $nid bucket ${bucketOf(nid)} not probed")
+    }
+    // frozen split == inline build (same deterministic artifacts)
+    val inline2 = explodeNb(Similarity.ivfPqSearchTopK(emb, queries,
+      "vec_id", "embedding", "qid", dim = 64, subspaces = 8,
+      codebookSize = 16, nlist = 8, nprobe = 2, k = 5))
+    assert(partial == inline2)
+  }
+
   test("frozen dsirModel + dsirScoreAgainst == dsirLogWeights; " +
       "complete table scores sample-absent buckets") {
     val raw = Seq(

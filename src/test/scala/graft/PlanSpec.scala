@@ -227,6 +227,34 @@ class PlanSpec extends SparkSpec {
     assert(exec.toString.contains("BroadcastHashJoin"), exec.toString)
   }
 
+  test("ivfPq search: vectors never cross an exchange; probes and LUT " +
+      "broadcast") {
+    // the composed IVF-PQ inherits both contracts: PQ's (corpus moves
+    // only as ids/buckets/codes after the in-stage encodes) and IVF's
+    // (the probe filter is a broadcast join, never a shuffle of the
+    // corpus against query state)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val df = graft.operators.Similarity.ivfPqSearchTopK(emb, queries,
+      "vec_id", "embedding", "qid", dim = 64, subspaces = 8,
+      codebookSize = 16, nlist = 8, nprobe = 2, k = 10)
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      val arrays = e.output.filter(_.dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty,
+        s"vector/array column crossed an exchange (${arrays.map(_.name)}):\n$exec")
+    }
+    assert(exec.toString.contains("BroadcastHashJoin"), exec.toString)
+  }
+
   test("weightedSample plans a TakeOrdered partial top-k, not a global sort") {
     // orderBy+limit at sane k must become TakeOrderedAndProject
     // (per-partition heaps, k rows to the driver) — a global
