@@ -1754,6 +1754,21 @@ object SparkEntry {
         md5(col("payload")).as("checksum"))
     }),
 
+    // frame extraction as rows (stride 32, frame length 16): the
+    // video-pipeline shape — one row per sampled frame carrying its
+    // byte slice, entirely row-local; frames rendered as length + md5
+    // (the corpus is pure ASCII, so the oracle can slice text where
+    // Spark slices the UTF-8 payload bytes)
+    "q_media_frames" -> ((s, dir) => {
+      val media = Multimodal.fromBinary(Tables.documents(s, dir),
+        "doc_id", "text", "text/plain")
+      Multimodal.explodeFrames(media, stride = 32, frameLen = 16)
+        .select(col("media_id"), col("frame_no").cast("long"),
+          col("frame_offset").cast("long"),
+          length(col("frame")).cast("long").as("frame_len"),
+          md5(col("frame")).as("frame_md5"))
+    }),
+
     // end-to-end near-dup REMOVAL (the corpus-level generalization of
     // the reference's dedup-by-content): survivors = corpus minus
     // higher-id members of verified near-dup pairs. Same injected
@@ -1954,6 +1969,18 @@ object SparkEntry {
         (TextOps.normalizeNfc(injected) =!= injected).as("changed"))
     }),
 
+    // Johnson-Lindenstrauss random projection 64 → 16 dims: the
+    // deterministic md5 sign matrix needs no storage or seed, and the
+    // decimal-exact accumulation makes every projected value replay
+    // at 6dp; long form for the oracle
+    "q_random_project" -> ((s, dir) => {
+      Similarity.randomProject(Tables.embeddings(s, dir), "vec_id",
+          "embedding", dimIn = 64, dimOut = 16)
+        .select(col("vec_id"),
+          posexplode(col("projected")).as(Seq("k", "y")))
+        .select(col("vec_id"), col("k").cast("long").as("k"), col("y"))
+    }),
+
     // per-label centroid-distance outliers: the embedding
     // contamination/drift detector — squared L2 to the class mean,
     // z-scored within the label at 4dp, flagged at z > 2
@@ -2075,6 +2102,24 @@ object SparkEntry {
     "q_kmv_distinct" -> ((s, dir) => {
       operators.Profiling.kmvDistinct(Tables.events(s, dir),
         "event_type", "user_id", 64)
+    }),
+
+    // count-min sketch over the corpus token stream (depth 4 × width
+    // 512), point-estimated for the exact top-50 tokens: est ≥ exact
+    // always (collisions only add), and both the sketch cells and the
+    // min-over-rows estimate replay exactly from the md5 hash family
+    "q_cms_tokens" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val sketch = operators.Profiling.countMinSketch(toks, "token",
+        depth = 4, width = 512)
+      val top = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token").asc)
+        .limit(50)
+      top.join(operators.Profiling.cmsEstimate(sketch, top, "token",
+          depth = 4, width = 512), Seq("token"))
+        .select(col("token"), col("exact_cnt"), col("cms_est"))
     }),
 
     // weight-proportional systematic sample over the distributed
@@ -3921,6 +3966,25 @@ object SparkEntry {
         | md5(text) AS checksum
         |FROM documents""".stripMargin,
 
+    // frame rows replayed on the text (ASCII corpus: char offsets ==
+    // byte offsets — the q_media_features precedent): offsets 1,
+    // 1+32, ... <= n, frame = 16-char slice, short tail kept
+    "q_media_frames" ->
+      """WITH o AS (SELECT doc_id, text,
+        |  octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, text,
+        |  unnest(range(0, CAST(floor((n - 1) / 32.0) AS BIGINT) + 1))
+        |    AS g
+        | FROM o WHERE n > 0)
+        |SELECT doc_id AS media_id,
+        | CAST(g AS BIGINT) AS frame_no,
+        | CAST(1 + g * 32 AS BIGINT) AS frame_offset,
+        | CAST(length(substring(text, CAST(1 + g * 32 AS INTEGER), 16))
+        |   AS BIGINT) AS frame_len,
+        | md5(substring(text, CAST(1 + g * 32 AS INTEGER), 16))
+        |   AS frame_md5
+        |FROM f""".stripMargin,
+
     // full stub-codec replay: features = per-(position mod 8) integer
     // byte sums. ord(char) == byte value holds because the corpus is
     // pure ASCII (verified across SFs; a multi-byte corpus would need
@@ -4291,6 +4355,49 @@ object SparkEntry {
         |   ELSE 63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
         |  END, 4) AS est_distinct
         |FROM r WHERE rn <= 64 GROUP BY event_type""".stripMargin,
+
+    // CMS cells rebuilt from the same salted md5 family (leading 32
+    // bits of md5(d || ':' || token) mod 512 per depth row d), top-50
+    // tokens by exact count (ties token asc), estimate = min over the
+    // token's 4 cells with absent cells as 0
+    "q_cms_tokens" ->
+      """WITH toks AS (SELECT unnest(list_filter(
+        |  string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |cells AS (SELECT d.d AS d,
+        |    CAST('0x' || substring(md5(CAST(d.d AS VARCHAR) || ':'
+        |      || token), 1, 8) AS BIGINT) % 512 AS w,
+        |    count(*) AS cnt
+        |  FROM toks, generate_series(0, 3) d(d) GROUP BY 1, 2),
+        |top AS (SELECT token, count(*) AS exact_cnt FROM toks
+        |  GROUP BY token ORDER BY exact_cnt DESC, token ASC LIMIT 50),
+        |est AS (SELECT t.token, min(COALESCE(c.cnt, 0)) AS cms_est
+        |  FROM top t CROSS JOIN generate_series(0, 3) d(d)
+        |  LEFT JOIN cells c ON c.d = d.d
+        |    AND c.w = CAST('0x' || substring(md5(CAST(d.d AS VARCHAR)
+        |      || ':' || t.token), 1, 8) AS BIGINT) % 512
+        |  GROUP BY t.token)
+        |SELECT top.token, top.exact_cnt, est.cms_est
+        |FROM top JOIN est ON top.token = est.token""".stripMargin,
+
+    // JL projection replayed: sign(k,j) = +1 iff the leading 32 md5
+    // bits of "k:j" are even; per-term round(.,12) decimal sums are
+    // order-independent, so y = round(sum/sqrt(16), 6) cast to float
+    // is bit-identical across engines
+    "q_random_project" ->
+      """WITH v AS (SELECT vec_id, j.j AS j,
+        |    CAST(embedding[j.j + 1] AS DOUBLE) AS x
+        |  FROM embeddings, generate_series(0, 63) j(j)),
+        |s AS (SELECT k.k AS k, j.j AS j,
+        |    CASE WHEN CAST('0x' || substring(md5(CAST(k.k AS VARCHAR)
+        |      || ':' || CAST(j.j AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END AS sgn
+        |  FROM generate_series(0, 15) k(k), generate_series(0, 63) j(j))
+        |SELECT v.vec_id, CAST(s.k AS BIGINT) AS k,
+        |  CAST(round(CAST(sum(CAST(round(s.sgn * v.x, 12)
+        |    AS DECIMAL(28,12))) AS DOUBLE) / sqrt(16.0), 6) AS FLOAT) AS y
+        |FROM v JOIN s ON v.j = s.j
+        |GROUP BY v.vec_id, s.k""".stripMargin,
 
     // running-weight axis in doc_id order; a row is kept iff it
     // straddles a 5000-char boundary — weight-proportional systematic

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -111,18 +111,46 @@ object Multimodal {
       substring(col("payload"), 1, n))
       .withColumn("meta", col("meta").withField("width", lit(n)))
 
+  /** 1-based byte offsets 1, 1+stride, … ≤ |payload|; empty/null
+    * payload → empty (sequence(1,0) would count DOWN and fabricate
+    * offsets).
+    */
+  private def frameOffsets(payload: Column, stride: Int): Column =
+    when(length(payload) === 0 || payload.isNull,
+        array().cast("array<int>"))
+      .otherwise(filter(
+        transform(sequence(lit(1), length(payload)),
+          i => when(pmod(i - 1, lit(stride)) === 0, i)
+            .otherwise(lit(null))),
+        x => x.isNotNull))
+
   /** Frame-sample stub for video-like payloads: every `stride`-th byte
     * as a "frame" — the partition/batch shape of real frame sampling.
     */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame =
     media.select(col("media_id"),
-      // empty payload => no frames (sequence(1,0) would count DOWN and
-      // fabricate offsets)
-      when(length(col("payload")) === 0 || col("payload").isNull,
-          array().cast("array<int>"))
-        .otherwise(filter(
-          transform(sequence(lit(1), length(col("payload"))),
-            i => when(pmod(i - 1, lit(stride)) === 0, i)
-              .otherwise(lit(null))),
-          x => x.isNotNull)).as("frame_offsets"))
+      frameOffsets(col("payload"), stride).as("frame_offsets"))
+
+  /** Frame extraction as ROWS — the shape a real video pipeline needs
+    * downstream (one row per sampled frame, carrying its bytes for
+    * the decode/feature stage): (media_id, frame_no 0-based,
+    * frame_offset 1-based, frame binary of ≤ `frameLen` bytes from
+    * the payload at the offset). The stub slice stands in for a codec
+    * frame-grab; the PLUMBING — per-frame row explosion, byte
+    * slicing, schema — is the real contract, and it is entirely
+    * row-local: posexplode + substr, no exchange, no codec state on
+    * the driver. A short tail frame (payload end inside the slice) is
+    * emitted short, mirroring real last-frame behavior.
+    */
+  def explodeFrames(media: DataFrame, stride: Int, frameLen: Int)
+      : DataFrame = {
+    require(stride > 0, "stride must be positive")
+    require(frameLen > 0, "frameLen must be positive")
+    media.select(col("media_id"), col("payload"),
+        posexplode(frameOffsets(col("payload"), stride))
+          .as(Seq("frame_no", "frame_offset")))
+      .select(col("media_id"), col("frame_no"), col("frame_offset"),
+        col("payload").substr(col("frame_offset"), lit(frameLen))
+          .as("frame"))
+  }
 }

@@ -250,4 +250,72 @@ object Profiling {
               .getField("id").cast("double")), 4)
         .as("est_distinct"))
   }
+
+  /** Leading-32-bit md5 of `d || ':' || value`, mod `width` — the
+    * CMS row hash family: one independent portable hash per depth row
+    * (the DSIR `tokenBucket` convention, salted by the row index).
+    */
+  private def cmsBucket(value: Column, d: Column, width: Int): Column =
+    conv(substring(md5(concat(d.cast("string"), lit(":"),
+      value.cast("string"))), 1, 8), 16, 10).cast("long") % width
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over a value
+    * stream (one input row = one occurrence): `depth` × `width`
+    * counters where cell (d, w) = how many occurrences hash to bucket
+    * w under row d's hash. Point estimate = min over the value's
+    * `depth` cells — NEVER an undercount (every occurrence of v lands
+    * in all of v's cells; collisions only ADD), overcount bounded by
+    * εN with ε = e/width at failure probability e^-depth. The
+    * bounded-memory answer to "how often does this token/URL/n-gram
+    * occur in the corpus" when the vocabulary is too large to count
+    * exactly — the frequency sibling of [[kmvDistinct]].
+    *
+    * The sketch is an ARTIFACT: ≤ depth×width rows forever (the
+    * dsirModel shape), broadcastable onto any later stream, and
+    * MERGEABLE — CMS(A ⊎ B) is the cell-wise sum of CMS(A) and
+    * CMS(B) (counts are linear), so per-shard sketches combine with
+    * one bounded aggregate instead of re-reading the shards
+    * (spec-pinned). Build cost: one hash aggregate over the
+    * ×`depth`-exploded stream; partial aggregation caps the exchange
+    * at depth×width rows per map task regardless of input size, and
+    * the values themselves never shuffle. Deterministic md5 hashes —
+    * two builds over the same stream are identical, and another
+    * engine replays the sketch cell-for-cell (oracled).
+    */
+  def countMinSketch(df: DataFrame, valueCol: String, depth: Int,
+      width: Int): DataFrame = {
+    require(depth > 0, "depth must be positive")
+    require(width > 0, "width must be positive")
+    df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("_v"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .groupBy(col("d"), cmsBucket(col("_v"), col("d"), width).as("w"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate lookup against a FROZEN [[countMinSketch]]: for
+    * each distinct value of `items.valueCol`, min over its `depth`
+    * cells (absent cell = 0). The sketch BROADCASTs (≤ depth×width
+    * rows); the items stream never shuffles beyond its own distinct.
+    * `depth`/`width` must match the sketch's build parameters — they
+    * are part of the artifact's identity, like a PQ codebook's
+    * subspaces.
+    */
+  def cmsEstimate(sketch: DataFrame, items: DataFrame, valueCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth > 0, "depth must be positive")
+    require(width > 0, "width must be positive")
+    val sk = sketch.select(col("d").as("_sd"), col("w").as("_sw"),
+      col("cnt").as("_cnt"))
+    items.filter(col(valueCol).isNotNull)
+      .select(col(valueCol)).distinct()
+      .select(col(valueCol),
+        explode(sequence(lit(0), lit(depth - 1))).as("_d"))
+      .select(col(valueCol), col("_d"),
+        cmsBucket(col(valueCol), col("_d"), width).as("_w"))
+      .join(broadcast(sk),
+        col("_d") === col("_sd") && col("_w") === col("_sw"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("_cnt"), lit(0L))).as("cms_est"))
+  }
 }

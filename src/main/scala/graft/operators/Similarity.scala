@@ -739,6 +739,53 @@ object Similarity {
       .select(col("_qid").as("query_id"), col("neighbors"))
   }
 
+  /** Seeded random-projection (Johnson–Lindenstrauss / Achlioptas
+    * 2003) embedding compression: project `dimIn`-dim vectors to
+    * `dimOut` dims with a deterministic ±1 sign matrix,
+    *
+    *   y_k = round( (Σ_j sign(k,j) · x_j) / √dimOut , 6 ),
+    *
+    * sign(k,j) = +1 iff the leading 32 bits of md5(k ‖ ':' ‖ j) are
+    * even — the engine's portable hash family, so the matrix needs no
+    * storage, no broadcast, and no seed handshake: any engine (and
+    * the oracle) regenerates it bit-identically. The standard
+    * dimensionality-reduction step before ANN indexing/clustering
+    * when the raw embedding width dominates memory: distances are
+    * preserved within (1±ε) w.h.p. for dimOut = O(ln n / ε²).
+    *
+    * Entirely ROW-LOCAL — a map over the corpus with no exchange, no
+    * driver state, nothing collected: the scale-optimal shape (the
+    * sign matrix is recomputed per row from md5, dimOut×dimIn hashes;
+    * at production widths amortize with a codegen kernel the way
+    * [[VectorExpressions.pqSqDist]] replaced the HOF formulation).
+    * Per-term round(·,12)→DECIMAL(28,12) accumulation makes the sum
+    * exact and order-independent (the PQ trick), so the projected
+    * values are engine-portable at 6dp. Output: (idCol, projected
+    * array<float>). Wrong-width vectors fail loudly ([[pqEncode]]'s
+    * guard precedent).
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      dimIn: Int, dimOut: Int): DataFrame = {
+    require(dimIn > 0, "dimIn must be positive")
+    require(dimOut > 0, "dimOut must be positive")
+    val dec = "decimal(28,12)"
+    def signAt(k: Column, j: Column): Column =
+      when(conv(substring(md5(concat(k.cast("string"), lit(":"),
+        j.cast("string"))), 1, 8), 16, 10).cast("long") % 2 === 0,
+        lit(1.0d)).otherwise(lit(-1.0d))
+    val checked = pqCheckDim(col(vecCol), dimIn)
+    val proj = transform(sequence(lit(0), lit(dimOut - 1)), k =>
+      round(
+        aggregate(sequence(lit(0), lit(dimIn - 1)),
+          lit(0).cast(dec),
+          (acc, j) => (acc + round(signAt(k, j) *
+            element_at(checked, j + 1).cast("double"), 12).cast(dec))
+            .cast(dec))
+          .cast("double") / math.sqrt(dimOut.toDouble), 6)
+        .cast("float"))
+    df.select(col(idCol), proj.as("projected"))
+  }
+
   /** Bucketed ANN top-k: like [[bruteForceTopK]] but each query only
     * scores corpus vectors sharing an LSH bucket — the IVF-style probe
     * path. Exactness traded for a Σ|bucket|² candidate set.

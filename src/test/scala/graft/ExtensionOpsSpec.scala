@@ -834,6 +834,23 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(frames.columns.toSeq == Seq("media_id", "frame_offsets"))
   }
 
+  test("explodeFrames: per-frame byte slices, short tail, empty payload") {
+    val media = Seq(
+      (1L, "abcdefghij".getBytes("UTF-8")),   // 10 bytes
+      (2L, Array.empty[Byte]),                // no frames
+      (3L, "xyz".getBytes("UTF-8"))           // single short frame
+    ).toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        lit(null).cast("string").as("meta"))
+    val got = Multimodal.explodeFrames(media, stride = 4, frameLen = 4)
+      .select(col("media_id"), col("frame_no"), col("frame_offset"),
+        col("frame").cast("string"))
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(got == Set(
+      (1L, 0, 1, "abcd"), (1L, 1, 5, "efgh"), (1L, 2, 9, "ij"),
+      (3L, 0, 1, "xyz")))
+  }
+
   test("editDistanceJoin == brute-force levenshtein on part names") {
     val parts = spark.read.parquet(sf("sf0.001") + "/part.parquet")
       .select($"p_partkey".as("lid"), $"p_name".as("lname"))
@@ -1265,6 +1282,52 @@ class ExtensionOpsSpec extends SparkSpec {
       "vec_id", "embedding", "qid", dim = 64, subspaces = 8,
       codebookSize = 16, nlist = 8, nprobe = 2, k = 5))
     assert(partial == inline2)
+  }
+
+  test("randomProject: md5 sign matrix replayed by hand; norms " +
+      "preserved in the mean; wrong width fails loudly") {
+    import graft.operators.Similarity
+    // hand-replay the sign convention for a 2x2 projection of the
+    // basis vectors: y_k of e_j is sign(k,j)/sqrt(2)
+    def sign(k: Int, j: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$k:$j".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+    val basis = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(basis, "vec_id", "embedding", 2, 2)
+      .as[(Long, Seq[Float])].collect().toMap
+    (0 until 2).foreach { j =>
+      (0 until 2).foreach { k =>
+        val want = math.rint(sign(k, j) / math.sqrt(2.0) * 1e6) / 1e6
+        assert(got(j.toLong)(k) == want.toFloat, s"e_$j component $k")
+      }
+    }
+    // E[|y|^2] = |x|^2 under random signs: the corpus-mean ratio must
+    // sit near 1 (dimOut 16 concentrates well at n=100)
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val proj = Similarity.randomProject(emb, "vec_id", "embedding", 64, 16)
+    def meanSq(df: org.apache.spark.sql.DataFrame, c: String) = df
+      .select(aggregate(col(c), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double")).as("n2"))
+      .agg(avg(col("n2"))).as[Double].head()
+    val ratio = meanSq(proj, "projected") / meanSq(emb, "embedding")
+    assert(ratio > 0.5 && ratio < 2.0, s"norm ratio $ratio")
+    // determinism: the sign matrix is pure md5 — re-run is identical
+    val again = Similarity.randomProject(emb, "vec_id", "embedding", 64, 16)
+    assert(proj.as[(Long, Seq[Float])].collect().toMap ==
+      again.as[(Long, Seq[Float])].collect().toMap)
+    // wrong-width vector raises, never projects garbage
+    val e = intercept[Exception] {
+      Similarity.randomProject(basis, "vec_id", "embedding", 3, 2)
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(x => x.getMessage != null &&
+      x.getMessage.contains("expected 3")), e.toString)
   }
 
   test("frozen dsirModel + dsirScoreAgainst == dsirLogWeights; " +

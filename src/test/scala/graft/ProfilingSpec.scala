@@ -218,4 +218,60 @@ class ProfilingSpec extends SparkSpec {
       }.toSet
     assert(got == want)
   }
+
+  // ------------------------------------------------------------ //
+  // Profiling.countMinSketch / cmsEstimate
+
+  test("countMinSketch: estimate never undercounts; exact when " +
+      "collision-free; absent values stay bounded") {
+    // 5 values with known multiplicities
+    val occurrences = Seq.fill(7)("a") ++ Seq.fill(3)("b") ++
+      Seq.fill(5)("c") ++ Seq("d") ++ Seq.fill(2)("e")
+    val df = occurrences.toDF("v")
+    val exact = occurrences.groupBy(identity).view.mapValues(_.size).toMap
+    // width 2 forces collisions: every estimate must still be >= exact
+    val tiny = Profiling.countMinSketch(df, "v", depth = 3, width = 2)
+    val estTiny = Profiling.cmsEstimate(tiny,
+        exact.keys.toSeq.toDF("v"), "v", depth = 3, width = 2)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (v, n) =>
+      assert(estTiny(v) >= n, s"$v: est ${estTiny(v)} < exact $n")
+    }
+    // the sketch never exceeds depth x width cells, and each depth
+    // row's cells sum to the full stream
+    val cells = tiny.as[(Int, Long, Long)].collect()
+    assert(cells.length <= 3 * 2)
+    (0 until 3).foreach { d =>
+      assert(cells.filter(_._1 == d).map(_._3).sum == occurrences.size)
+    }
+    // wide sketch: verify collision-freeness directly, then est == exact
+    val wide = Profiling.countMinSketch(df, "v", depth = 4, width = 4096)
+    val estWide = Profiling.cmsEstimate(wide,
+        exact.keys.toSeq.toDF("v"), "v", depth = 4, width = 4096)
+      .as[(String, Long)].collect().toMap
+    val collisionFree = wide.as[(Int, Long, Long)].collect()
+      .length == 4 * exact.size
+    if (collisionFree) exact.foreach { case (v, n) =>
+      assert(estWide(v) == n, s"$v: est ${estWide(v)} != exact $n")
+    }
+    // a value never inserted can only pick up collision mass — its
+    // estimate is >= 0 and 0 in the collision-free sketch
+    val absent = Profiling.cmsEstimate(wide, Seq("zzz").toDF("v"), "v",
+      depth = 4, width = 4096).as[(String, Long)].collect().head._2
+    assert(absent >= 0)
+    if (collisionFree) assert(absent == 0)
+  }
+
+  test("countMinSketch merges: CMS(A ++ B) == cell-wise sum of parts") {
+    val a = Seq("x", "x", "y", "z").toDF("v")
+    val b = Seq("y", "w", "w", "w").toDF("v")
+    val merged = Profiling.countMinSketch(a.union(b), "v",
+        depth = 3, width = 8)
+      .as[(Int, Long, Long)].collect().toSet
+    val summed = Profiling.countMinSketch(a, "v", depth = 3, width = 8)
+      .union(Profiling.countMinSketch(b, "v", depth = 3, width = 8))
+      .groupBy(col("d"), col("w")).agg(sum(col("cnt")).as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == summed)
+  }
 }
