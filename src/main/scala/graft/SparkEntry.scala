@@ -2104,6 +2104,35 @@ object SparkEntry {
         "event_type", "user_id", 64)
     }),
 
+    // content-defined chunking (window 8, divisor 16): boundaries
+    // where the md5 of the 8-char context hits 0 mod 16, so shared
+    // regions chunk identically across documents regardless of
+    // offset shifts — chunk hashes are the cross-snapshot shared-
+    // region join key
+    "q_cdc_chunks" -> ((s, dir) => {
+      operators.Dedup.cdcChunks(Tables.documents(s, dir), "doc_id",
+          "text", window = 8, divisor = 16)
+        .select(col("doc_id"), col("chunk_no").cast("long"),
+          col("start").cast("long"), col("chunk_len").cast("long"),
+          col("chunk_md5"))
+    }),
+
+    // rare-token novelty ratio against a CMS frozen from the ENGLISH
+    // half of the corpus: per document, the share of token
+    // occurrences whose reference-frequency estimate is < 50 — the
+    // bounded-memory "is this text ordinary for the reference
+    // corpus" gate (the frozen sketch is the artifact a streaming
+    // crawl would score against)
+    "q_rare_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val refToks = docs.filter(col("lang") === "en")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val sketch = operators.Profiling.countMinSketch(refToks, "token",
+        depth = 4, width = 512)
+      TextOps.rareTokenRatio(docs, "doc_id", "text", sketch,
+        depth = 4, width = 512, rareBelow = 50L)
+    }),
+
     // count-min sketch over the corpus token stream (depth 4 × width
     // 512), point-estimated for the exact top-50 tokens: est ≥ exact
     // always (collisions only add), and both the sketch cells and the
@@ -4355,6 +4384,61 @@ object SparkEntry {
         |   ELSE 63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
         |  END, 4) AS est_distinct
         |FROM r WHERE rn <= 64 GROUP BY event_type""".stripMargin,
+
+    // CDC boundaries replayed: candidate positions 2..n-7, boundary
+    // iff leading-32-md5-bits of the 8-char window ≡ 0 mod 16; chunk
+    // k runs from starts[k] to the next start (or n); md5 per chunk
+    "q_cdc_chunks" ->
+      """WITH o AS (SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |b AS (SELECT doc_id, text, n,
+        |  list_prepend(CAST(1 AS BIGINT), CASE WHEN n - 8 + 1 >= 2 THEN
+        |    list_filter(range(2, n - 8 + 2), i ->
+        |      CAST('0x' || substring(md5(substring(text,
+        |        CAST(i AS INTEGER), 8)), 1, 8) AS BIGINT) % 16 = 0)
+        |    ELSE CAST([] AS BIGINT[]) END) AS starts
+        |  FROM o),
+        |c AS (SELECT doc_id, text, n,
+        |  unnest(list_transform(range(1, len(starts) + 1), k ->
+        |    {'cn': k - 1, 'st': starts[CAST(k AS INTEGER)],
+        |     'ln': COALESCE(starts[CAST(k + 1 AS INTEGER)], n + 1)
+        |       - starts[CAST(k AS INTEGER)]})) AS ch
+        |  FROM b)
+        |SELECT doc_id, CAST(ch.cn AS BIGINT) AS chunk_no,
+        | CAST(ch.st AS BIGINT) AS start,
+        | CAST(ch.ln AS BIGINT) AS chunk_len,
+        | md5(substring(text, CAST(ch.st AS INTEGER),
+        |   CAST(ch.ln AS INTEGER))) AS chunk_md5
+        |FROM c""".stripMargin,
+
+    // the frozen-CMS novelty gate replayed: en-only sketch cells,
+    // per-distinct-token min-over-rows estimates, then each doc's
+    // occurrence-weighted share of sub-50-estimate tokens
+    "q_rare_tokens" ->
+      """WITH rtoks AS (SELECT unnest(list_filter(
+        |  string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents WHERE lang = 'en'),
+        |cells AS (SELECT d.d AS d,
+        |    CAST('0x' || substring(md5(CAST(d.d AS VARCHAR) || ':'
+        |      || token), 1, 8) AS BIGINT) % 512 AS w,
+        |    count(*) AS cnt
+        |  FROM rtoks, generate_series(0, 3) d(d) GROUP BY 1, 2),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents) t GROUP BY doc_id, token),
+        |vocab AS (SELECT DISTINCT token FROM tf),
+        |est AS (SELECT v.token, min(COALESCE(c.cnt, 0)) AS cms_est
+        |  FROM vocab v CROSS JOIN generate_series(0, 3) d(d)
+        |  LEFT JOIN cells c ON c.d = d.d
+        |    AND c.w = CAST('0x' || substring(md5(CAST(d.d AS VARCHAR)
+        |      || ':' || v.token), 1, 8) AS BIGINT) % 512
+        |  GROUP BY v.token)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        | round(CAST(sum(CASE WHEN est.cms_est < 50 THEN tf.tf ELSE 0 END)
+        |     AS DOUBLE) / CAST(sum(tf.tf) AS DOUBLE), 6) AS rare_ratio
+        |FROM tf JOIN est ON tf.token = est.token
+        |GROUP BY tf.doc_id""".stripMargin,
 
     // CMS cells rebuilt from the same salted md5 family (leading 32
     // bits of md5(d || ':' || token) mod 512 per depth row d), top-50

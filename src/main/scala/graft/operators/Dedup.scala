@@ -1012,4 +1012,55 @@ object Dedup {
         col("__rstr") === col(rightStr))
       .select(col(leftId), col(rightId), col("dist"))
   }
+
+  /** Content-defined chunking (the FastCDC/rsync family): split each
+    * document at positions where the hash of the `window`-char
+    * context is ≡ 0 mod `divisor` — boundaries are decided by the
+    * CONTENT, not by offsets, so a shared region chunks identically
+    * in two documents even when an insertion shifts it (fixed-size
+    * chunking would misalign every block after the edit). The
+    * chunk-hash join is then the cross-crawl/cross-snapshot
+    * shared-region detector fixed-stride shingling cannot be:
+    * expected chunk length ≈ `divisor` chars, tunable independently
+    * of the window.
+    *
+    * Boundary hash = leading 32 md5 bits of the window (the engine's
+    * portable hash family); a boundary at position i starts a new
+    * chunk AT i (i ∈ [2, n−window+1]; position 1 always starts chunk
+    * 0). Output: (idCol, chunk_no 0-based, start 1-based, chunk_len,
+    * chunk_md5) — one row per chunk; empty/null documents produce no
+    * rows. Entirely ROW-LOCAL (HOF transform + explode — no exchange,
+    * no state), so it scales embarrassingly; the md5-per-position
+    * cost is the [[graft.operators.Similarity.randomProject]]
+    * trade — replayable everywhere now, a rolling-hash codegen
+    * kernel when profiles demand it.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Int = 16): DataFrame = {
+    require(window > 0, "window must be positive")
+    require(divisor > 0, "divisor must be positive")
+    val text = col(textCol)
+    val n = length(text)
+    def boundary(i: Column): Column =
+      conv(substring(md5(text.substr(i, lit(window))), 1, 8), 16, 10)
+        .cast("long") % divisor === 0
+    val lastCand = n - window + 1
+    val bounds = when(lastCand >= 2,
+        filter(transform(sequence(lit(2), lastCand),
+          i => when(boundary(i), i).otherwise(lit(null))),
+          x => x.isNotNull))
+      .otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(1)), bounds)
+    // next chunk's start bounds this one; the last chunk runs to n.
+    // get() (0-based, null out of range) keeps the lookup ANSI-safe
+    val chunks = transform(starts, (s, idx) => struct(
+      idx.as("chunk_no"), s.as("start"),
+      (coalesce(get(starts, idx + 1), n + 1) - s).as("chunk_len")))
+    docs.filter(n > 0)
+      .select(col(idCol), text.as("_t"), explode(chunks).as("_c"))
+      .select(col(idCol),
+        col("_c.chunk_no"), col("_c.start"), col("_c.chunk_len"),
+        md5(col("_t").substr(col("_c.start"), col("_c.chunk_len")))
+          .as("chunk_md5"))
+  }
 }

@@ -751,6 +751,45 @@ object TextOps {
           .as("dsir_logw"))
   }
 
+  /** Rare-token ratio against a FROZEN [[Profiling.countMinSketch]] —
+    * the bounded-memory novelty/rarity scorer: the fraction of a
+    * document's token occurrences whose estimated frequency in the
+    * REFERENCE corpus (the sketch's build corpus) falls below
+    * `rareBelow`. High ratio = the document leans on vocabulary the
+    * reference rarely saw — gibberish, a new domain, or contamination
+    * — without ever materializing the reference vocabulary: the
+    * sketch is depth×width counters forever, where the exact
+    * alternative ([[unigramModel]]) grows with the vocabulary. CMS
+    * estimates never undercount, so a token flagged rare here is
+    * GENUINELY rare in the reference (the one-sided error points the
+    * safe way for a rarity gate).
+    *
+    * Plan shape: one (id, token, tf) aggregate; estimates are
+    * computed once per DISTINCT token ([[Profiling.cmsEstimate]],
+    * sketch broadcast) and join back on the token — an AQE-splittable
+    * equi-join, never a token-keyed window (the [[tfidf]] rationale).
+    * Documents with no tokens produce no row. Output: (idCol,
+    * n_tokens, rare_ratio) at 6dp. Works identically in a
+    * foreachBatch micro-batch — the frozen sketch makes streaming
+    * scores equal batch scores (spec-pinned).
+    */
+  def rareTokenRatio(docs: DataFrame, idCol: String, textCol: String,
+      sketch: DataFrame, depth: Int, width: Int,
+      rareBelow: Long): DataFrame = {
+    require(rareBelow > 0, "rareBelow must be positive")
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
+      .groupBy(col(idCol), col("_tok")).agg(count(lit(1)).as("_tf"))
+    val est = graft.operators.Profiling.cmsEstimate(sketch,
+      tf.select(col("_tok")), "_tok", depth, width)
+    tf.join(est, Seq("_tok"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_tf")).as("n_tokens"),
+        round(sum(when(col("cms_est") < rareBelow, col("_tf"))
+            .otherwise(lit(0L))).cast("double") /
+          sum(col("_tf")).cast("double"), 6).as("rare_ratio"))
+  }
+
   /** TF-IDF over (doc, token) pairs, `tfidf = tf · ln(N/df)`, rows
     * with `tf < minTf` dropped (the reference-style noise floor).
     *

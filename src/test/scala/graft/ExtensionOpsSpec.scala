@@ -834,6 +834,41 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(frames.columns.toSeq == Seq("media_id", "frame_offsets"))
   }
 
+  test("cdcChunks: chunks tile the document; boundaries are " +
+      "shift-invariant; empty docs vanish") {
+    // deterministic "random-ish" content so boundaries actually occur
+    val payload = (1 to 60).map(i => s"w${i * 7 % 97}").mkString(" ")
+    val docs = Seq(
+      (1L, payload),
+      (2L, "PREFIX-INSERTED! " + payload),  // same content, shifted
+      (3L, "")                               // no chunks
+    ).toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(docs, "doc_id", "text",
+        window = 4, divisor = 8)
+      .as[(Long, Int, Int, Int, String)].collect()
+    assert(!got.exists(_._1 == 3L))
+    // chunks tile each doc exactly: starts contiguous, lengths sum to n
+    Seq(1L -> payload.length, 2L -> (payload.length + 17)).foreach {
+      case (id, n) =>
+        val cs = got.filter(_._1 == id).sortBy(_._2)
+        assert(cs.head._3 == 1)
+        assert(cs.map(_._4).sum == n, s"doc $id tiles")
+        cs.sliding(2).foreach { case Array(a, b) =>
+          assert(b._3 == a._3 + a._4, s"doc $id contiguous")
+        case _ => ()
+        }
+    }
+    // SHIFT INVARIANCE — the reason CDC exists: after the first
+    // content-defined boundary, doc 2's chunks realign with doc 1's
+    // despite the 17-char prefix (fixed-stride chunking would
+    // misalign every block). Every doc-1 chunk except the first must
+    // reappear verbatim in doc 2.
+    val h1 = got.filter(_._1 == 1L).sortBy(_._2).map(_._5)
+    val h2 = got.filter(_._1 == 2L).map(_._5).toSet
+    assert(h1.length >= 3, s"need real boundaries, got ${h1.length} chunks")
+    assert(h1.tail.forall(h2.contains), "shifted shared region realigns")
+  }
+
   test("explodeFrames: per-frame byte slices, short tail, empty payload") {
     val media = Seq(
       (1L, "abcdefghij".getBytes("UTF-8")),   // 10 bytes

@@ -556,4 +556,97 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toMap == batch)
     assert(batch.size == 20 && batch.values.forall(_.size == 5))
   }
+
+  test("frozen CMS: streaming rare-token ratios == batch") {
+    // the rarity gate's serving shape: the count-min sketch freezes
+    // once per reference-corpus version (bounded depth x width rows);
+    // every micro-batch scores its token stream against it
+    import graft.operators.{Profiling, TextOps}
+    implicit val sq = spark.sqlContext
+    val ref = Seq((100L, "the cat sat on the mat the cat"),
+      (101L, "the dog sat on the cat")).toDF("doc_id", "text")
+    val sketch = Profiling.countMinSketch(
+        ref.select(explode(TextOps.tokens(col("text"))).as("t")), "t",
+        depth = 3, width = 64)
+      .localCheckpoint(true)
+    val all = Seq((1L, "the cat sat"), (2L, "qq zz the"),
+      (3L, "dog mat unseen"))
+    val scored = scala.collection.concurrent.TrieMap[Long, (Long, Double)]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextOps.rareTokenRatio(b, "doc_id", "text", sketch,
+            depth = 3, width = 64, rareBelow = 2L)
+          .as[(Long, Long, Double)].collect()
+          .foreach(r => scored(r._1) = (r._2, r._3))
+      }.start()
+    try {
+      in.addData(all.head)
+      q.processAllAvailable()
+      in.addData(all.tail: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = TextOps.rareTokenRatio(all.toDF("doc_id", "text"),
+        "doc_id", "text", sketch, depth = 3, width = 64, rareBelow = 2L)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(scored.toMap == batch)
+    // the gate discriminates: reference-vocab doc ordinary, OOV-heavy
+    // doc mostly rare
+    assert(batch(1L)._2 < batch(2L)._2,
+      s"in-vocab ${batch(1L)} !< OOV ${batch(2L)}")
+  }
+
+  test("frozen IVF-PQ artifacts: streaming query batches == batch search") {
+    // the composed index's serving shape: coarse quantizer and PQ
+    // codebook both freeze per corpus version; query micro-batches
+    // probe nprobe lists and ADC-score against the frozen codes
+    import graft.operators.Similarity
+    implicit val sq = spark.sqlContext
+    val corpus = spark.read
+      .parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .localCheckpoint(true)
+    val coarse = Similarity.pqCodebook(corpus, "vec_id", "embedding", 8)
+      .localCheckpoint(true)
+    val cb = Similarity.pqCodebook(corpus, "vec_id", "embedding", 16)
+      .localCheckpoint(true)
+    val queryRows = corpus.filter(col("vec_id") < 12)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+      .map { case (id, v) => (id, v.toSeq) }
+    val streamed =
+      scala.collection.concurrent.TrieMap[Long, Seq[(Double, Long)]]()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = in.toDF().toDF("qid", "qvec")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.ivfPqSearchAgainst(corpus,
+            b.select(col("qid"),
+              col("qvec").cast("array<float>").as("embedding")),
+            "vec_id", "embedding", "qid", dim = 64, subspaces = 8,
+            nprobe = 2, k = 5, coarse, cb)
+          .select(col("query_id"),
+            col("neighbors").cast("array<struct<score:double,id:bigint>>"))
+          .as[(Long, Seq[(Double, Long)])].collect()
+          .foreach(r => streamed(r._1) = r._2)
+      }.start()
+    try {
+      in.addData(queryRows.take(5): _*)
+      q.processAllAvailable()
+      in.addData(queryRows.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = Similarity.ivfPqSearchAgainst(corpus,
+        corpus.filter(col("vec_id") < 12)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        "vec_id", "embedding", "qid", dim = 64, subspaces = 8,
+        nprobe = 2, k = 5, coarse, cb)
+      .select(col("query_id"),
+        col("neighbors").cast("array<struct<score:double,id:bigint>>"))
+      .as[(Long, Seq[(Double, Long)])].collect().map(r => r._1 -> r._2)
+      .toMap
+    assert(streamed.toMap == batch)
+    assert(batch.size == 12)
+  }
 }
