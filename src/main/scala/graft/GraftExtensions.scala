@@ -97,6 +97,16 @@ object GraftExtensions {
     ("graft_lang_id", "language-ID over the built-in profiles",
       (args: Seq[Expression]) => { expect(args, 1, "graft_lang_id")
         LangIdExpression.expr(args(0),
-          graft.operators.TextOps.langProfiles) })
+          graft.operators.TextOps.langProfiles) }),
+    ("graft_cdc_starts",
+      "content-defined chunk start positions: (text, window, divisor)",
+      (args: Seq[Expression]) => { expect(args, 3, "graft_cdc_starts")
+        CdcStarts(args(0), intLit(args(1), "window"),
+          intLit(args(2), "divisor")) }),
+    ("graft_random_projection",
+      "JL +-1 projection to array<float>: (vector, dimIn, dimOut)",
+      (args: Seq[Expression]) => { expect(args, 3, "graft_random_projection")
+        RandomProjection(args(0), intLit(args(1), "dimIn"),
+          intLit(args(2), "dimOut")) })
   )
 }

@@ -199,7 +199,40 @@ object ScaleProbe {
           s.read.parquet(s"$scaleDir/zipf_documents_1x.parquet"), "text")
         graft.operators.TextOps.surprisalAgainst(
           zipfTable(s, dir, scaleDir), "doc_id", "text", model)
-      }))
+      }),
+      // round-7 additions. IVF-PQ: candidate volume is the contract —
+      // ∝ corpus × nprobe/nlist — so the ratio certifies the probe
+      // filter keeps working as the corpus grows
+      "ivfpq_search" -> ((s: SparkSession, dir: String) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        graft.operators.Similarity.ivfPqSearchTopK(emb,
+          emb.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          "vec_id", "embedding", "qid", dim = 64, subspaces = 8,
+          codebookSize = 16, nlist = 8, nprobe = 2, k = 10)
+      }),
+      // frozen-CMS novelty: sketch build is a bounded aggregate, the
+      // estimate join is vocab-sized — both should track the corpus
+      // linearly with no skewed single-task stage
+      "rare_tokens_cms" -> ((s: SparkSession, dir: String) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val sketch = graft.operators.Profiling.countMinSketch(
+          docs.filter(col("lang") === "en")
+            .select(explode(graft.operators.TextOps.tokens(col("text")))
+              .as("t")), "t", depth = 4, width = 512)
+        graft.operators.TextOps.rareTokenRatio(docs, "doc_id", "text",
+          sketch, depth = 4, width = 512, rareBelow = 50L)
+      }),
+      // row-local family (CDC chunking, JL projection): no exchange
+      // at all — the ratio certifies nothing serializes on the driver
+      "cdc_chunks" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Dedup.cdcChunks(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          window = 8, divisor = 16)),
+      "random_project" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Similarity.randomProject(
+          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
+          "embedding", dimIn = 64, dimOut = 16)))
 
   /** Both Zipf corpora live in the scale dir (the 1x twin under a
     * `_1x` name — srcDir is the harness's read-only testdata).

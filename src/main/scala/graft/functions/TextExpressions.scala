@@ -37,6 +37,25 @@ object TextExpressions {
   /** `nfc_normalize(text)`: Unicode NFC canonical composition. */
   def nfcNormalize(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+
+  /** `cdc_starts(text, window, divisor)`: content-defined chunk start
+    * positions (1-based, leading 1 included) in one fused pass — md5
+    * per window position in a tight loop with a reused digest, where
+    * the built-in formulation pays an interpreted
+    * conv(substring(md5(substr)))-chain per (row, position) (measured
+    * 56 s for the sf0.1 corpus; the kernel is bounded by raw md5
+    * throughput).
+    */
+  def cdcStarts(text: Column, window: Int, divisor: Int): Column =
+    ColumnBridge.column(CdcStarts(ColumnBridge.expression(text),
+      window, divisor))
+
+  /** `cdc_chunk_rows(text, window, divisor)`: the fully fused chunk
+    * table — boundary scan + per-chunk md5 in one pass.
+    */
+  def cdcChunkRows(text: Column, window: Int, divisor: Int): Column =
+    ColumnBridge.column(CdcChunkRows(ColumnBridge.expression(text),
+      window, divisor))
 }
 
 /** `string -> string`: Unicode NFC canonical normalization (composed
@@ -81,6 +100,168 @@ object NfcNormalize {
     if (java.text.Normalizer.isNormalized(s,
         java.text.Normalizer.Form.NFC)) s
     else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+}
+
+/** `string -> array<int>`: content-defined chunk starts — 1, plus
+  * every character position i ∈ [2, n−window+1] where the leading 32
+  * md5 bits of the window's UTF-8 bytes are ≡ 0 mod `divisor`.
+  * Bit-identical to the built-in
+  * `conv(substring(md5(text.substr(i, window)), 1, 8), 16, 10) %
+  * divisor === 0` scan (differential spec-pinned): positions count
+  * CHARACTERS (the `substr` contract), hashing covers the
+  * corresponding UTF-8 byte span, computed here over one char-offset
+  * table and a reused digest instead of an interpreted
+  * expression-chain per position.
+  */
+case class CdcStarts(child: Expression, window: Int, divisor: Int)
+    extends UnaryExpression {
+
+  require(window > 0, "window must be positive")
+  require(divisor > 0, "divisor must be positive")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cdc_starts requires string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CdcStarts.starts(v.asInstanceOf[UTF8String], window, divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      s"""
+         |${ev.value} = graft.functions.CdcStarts.starts(
+         |  $str, $window, $divisor);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object CdcStarts {
+  /** Char-start byte offsets (index c → byte offset of char c; the
+    * n-th entry is the total byte length), so multi-byte text hashes
+    * the same byte spans substr() would produce.
+    */
+  private def charOffsets(bytes: Array[Byte], n: Int): Array[Int] = {
+    val offs = new Array[Int](n + 1)
+    var b = 0; var c = 0
+    while (c < n) {
+      offs(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    offs(n) = bytes.length
+    offs
+  }
+
+  private def startPositions(bytes: Array[Byte], offs: Array[Int],
+      n: Int, window: Int, divisor: Int): Array[Int] = {
+    val last = n - window + 1
+    if (last < 2) return Array(1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new scala.collection.mutable.ArrayBuffer[Int](16)
+    out += 1
+    var i = 2
+    while (i <= last) {
+      val from = offs(i - 1)
+      md.update(bytes, from, offs(i - 1 + window) - from)
+      val d = md.digest()
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      if (v % divisor == 0) out += i
+      i += 1
+    }
+    out.toArray
+  }
+
+  def starts(s: UTF8String, window: Int, divisor: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = s.numChars()
+    new GenericArrayData(
+      startPositions(bytes, charOffsets(bytes, n), n, window, divisor))
+  }
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** The whole chunk table for one document: (chunk_no, start,
+    * chunk_len, chunk_md5) rows — boundary scan AND per-chunk md5 in
+    * the same pass over the same offset table (one digest reused).
+    */
+  def chunks(s: UTF8String, window: Int, divisor: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = s.numChars()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val offs = charOffsets(bytes, n)
+    val st = startPositions(bytes, offs, n, window, divisor)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = new Array[Any](st.length)
+    var k = 0
+    while (k < st.length) {
+      val start = st(k)
+      val end = if (k + 1 < st.length) st(k + 1) else n + 1
+      val fromB = offs(start - 1)
+      md.update(bytes, fromB, offs(end - 1) - fromB)
+      val d = md.digest()
+      val hex = new Array[Char](32)
+      var h = 0
+      while (h < 16) {
+        hex(2 * h) = HEX((d(h) >> 4) & 0xf)
+        hex(2 * h + 1) = HEX(d(h) & 0xf)
+        h += 1
+      }
+      rows(k) = org.apache.spark.sql.catalyst.InternalRow(
+        k, start, end - start, UTF8String.fromString(new String(hex)))
+      k += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+/** `string -> array<struct<chunk_no:int, start:int, chunk_len:int,
+  * chunk_md5:string>>`: the fully fused CDC chunk table —
+  * [[CdcStarts]]'s boundary scan plus the per-chunk md5 in one pass
+  * (the composed starts+substr+md5 formulation re-evaluates the
+  * boundary scan wherever the starts array is referenced and pays an
+  * interpreted md5/substr per chunk; differential spec pins
+  * bit-equality). Empty string → empty array.
+  */
+case class CdcChunkRows(child: Expression, window: Int, divisor: Int)
+    extends UnaryExpression {
+
+  require(window > 0, "window must be positive")
+  require(divisor > 0, "divisor must be positive")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_no", IntegerType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("chunk_len", IntegerType, nullable = false),
+    StructField("chunk_md5", StringType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks requires string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CdcStarts.chunks(v.asInstanceOf[UTF8String], window, divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      s"""
+         |${ev.value} = graft.functions.CdcStarts.chunks(
+         |  $str, $window, $divisor);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** `string -> array<string>`: whitespace-tokenize and emit k-token

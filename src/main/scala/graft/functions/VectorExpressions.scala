@@ -73,6 +73,21 @@ object VectorExpressions {
     ExpressionUtils.column(TopKByScore(
       ExpressionUtils.expression(score),
       ExpressionUtils.expression(payload), k).toAggregateExpression())
+
+  /** Johnson–Lindenstrauss ±1 projection as ONE fused codegen loop:
+    * the md5 sign matrix is computed ONCE at plan construction and
+    * carried as a reference object (the [[centroidTopIds]] policy),
+    * where the HOF formulation re-derives every sign per ROW — a
+    * conv(md5(...)) expression chain per (row, k, j) that dominated
+    * the operator's cost (measured 11.6 s for 5k×64→16 at sf0.1;
+    * the kernel is pure float arithmetic per element). Semantics are
+    * bit-identical to the built-in formulation (differential
+    * spec-pinned): per-term round(·,12) unscaled-long accumulation,
+    * decimal→double, /√dimOut, round(·,6), float cast.
+    */
+  def randomProjection(vec: Column, dimIn: Int, dimOut: Int): Column =
+    ExpressionUtils.column(RandomProjection(
+      ExpressionUtils.expression(vec), dimIn, dimOut))
 }
 
 /** `cosine(array<float|double>, array<float|double>) -> double`.
@@ -247,6 +262,122 @@ object PqSqDist {
     // the (now ≤12-decimal) shortest representation — both steps
     // replayed verbatim so the fused kernel equals the built-ins
     val rd = java.math.BigDecimal.valueOf(t)
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    java.math.BigDecimal.valueOf(rd)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+  }
+}
+
+/** `array<float|double> -> array<float>`: JL ±1 projection with the
+  * md5-derived sign matrix precomputed at construction. NULL on
+  * wrong-width input or null elements (callers guard with
+  * raise_error first — the pqCheckDim convention).
+  */
+case class RandomProjection(child: Expression, dimIn: Int, dimOut: Int)
+    extends UnaryExpression {
+
+  require(dimIn > 0, "dimIn must be positive")
+  require(dimOut > 0, "dimOut must be positive")
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"random_projection requires array<float|double>, got ${t.catalogString}")
+    }
+
+  // sign(k,j) = +1 iff the leading 32 md5 bits of "k:j" are even —
+  // computed ONCE here, identical to the per-row HOF derivation
+  private lazy val signs: Array[Boolean] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dimOut * dimIn) { i =>
+      val k = i / dimIn; val j = i % dimIn
+      val d = md.digest(s"$k:$j".getBytes("UTF-8"))
+      // leading 4 bytes as unsigned int == first 8 hex digits; parity
+      // is bit 0 of the 4th byte
+      (d(3) & 1) == 0
+    }
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    RandomProjection.project(v.asInstanceOf[ArrayData], signs,
+      dimIn, dimOut, elemType == FloatType)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("rpSigns", signs, "boolean[]")
+    val isFloat = if (elemType == FloatType) "true" else "false"
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = graft.functions.RandomProjection.project(
+         |  $arr, $s, $dimIn, $dimOut, $isFloat);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object RandomProjection {
+  /** The full projection for one vector; null on width mismatch, null
+    * elements, or accumulator overflow — mirroring the built-in
+    * formulation's null propagation. Every numeric step replays the
+    * built-ins exactly: [[PqSqDist.termUnscaled]]'s two-step
+    * round-to-12dp per term, exact long accumulation,
+    * Decimal(28,12)→double, division by √dimOut, Round(·,6), float
+    * cast.
+    */
+  def project(arr: ArrayData, signs: Array[Boolean], dimIn: Int,
+      dimOut: Int, isFloat: Boolean): ArrayData = {
+    if (arr.numElements() != dimIn) return null
+    val x = new Array[Double](dimIn)
+    var j = 0
+    while (j < dimIn) {
+      if (arr.isNullAt(j)) return null
+      x(j) = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+      j += 1
+    }
+    val sqrtOut = math.sqrt(dimOut.toDouble)
+    val out = new Array[Float](dimOut)
+    var k = 0
+    while (k < dimOut) {
+      var sum = 0L
+      var i = k * dimIn
+      j = 0
+      while (j < dimIn) {
+        val v = if (signs(i)) x(j) else -x(j)
+        try sum = Math.addExact(sum, termUnscaled(v))
+        catch { case _: ArithmeticException => return null }
+        i += 1; j += 1
+      }
+      val s = new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(sum), 12).doubleValue()
+      out(k) = java.math.BigDecimal.valueOf(s / sqrtOut)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue().toFloat
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** round(v, 12) → decimal(28,12) unscaled long, the
+    * [[PqSqDist.termUnscaled]] two-step replayed for a single value.
+    */
+  def termUnscaled(v: Double): Long = {
+    val rd = java.math.BigDecimal.valueOf(v)
       .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
     java.math.BigDecimal.valueOf(rd)
       .setScale(12, java.math.RoundingMode.HALF_UP)

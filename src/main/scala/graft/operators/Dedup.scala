@@ -1039,18 +1039,27 @@ object Dedup {
       window: Int = 8, divisor: Int = 16): DataFrame = {
     require(window > 0, "window must be positive")
     require(divisor > 0, "divisor must be positive")
+    // one fused kernel per document: boundary scan + per-chunk md5
+    // over a single char-offset table ([[cdcChunksBuiltin]] is the
+    // bit-identical composed reference)
+    docs.filter(length(col(textCol)) > 0)
+      .select(col(idCol),
+        explode(graft.functions.TextExpressions.cdcChunkRows(
+          col(textCol), window, divisor)).as("_c"))
+      .select(col(idCol),
+        col("_c.chunk_no"), col("_c.start"), col("_c.chunk_len"),
+        col("_c.chunk_md5"))
+  }
+
+  /** Composed built-in formulation of [[cdcChunks]] (starts kernel +
+    * get/substr/md5 expressions) — the differential reference for the
+    * fully fused [[graft.functions.CdcChunkRows]] kernel.
+    */
+  def cdcChunksBuiltin(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Int = 16): DataFrame = {
     val text = col(textCol)
     val n = length(text)
-    def boundary(i: Column): Column =
-      conv(substring(md5(text.substr(i, lit(window))), 1, 8), 16, 10)
-        .cast("long") % divisor === 0
-    val lastCand = n - window + 1
-    val bounds = when(lastCand >= 2,
-        filter(transform(sequence(lit(2), lastCand),
-          i => when(boundary(i), i).otherwise(lit(null))),
-          x => x.isNotNull))
-      .otherwise(array().cast("array<int>"))
-    val starts = concat(array(lit(1)), bounds)
+    val starts = cdcStartsBuiltin(text, window, divisor)
     // next chunk's start bounds this one; the last chunk runs to n.
     // get() (0-based, null out of range) keeps the lookup ANSI-safe
     val chunks = transform(starts, (s, idx) => struct(
@@ -1062,5 +1071,26 @@ object Dedup {
         col("_c.chunk_no"), col("_c.start"), col("_c.chunk_len"),
         md5(col("_t").substr(col("_c.start"), col("_c.chunk_len")))
           .as("chunk_md5"))
+  }
+
+  /** Reference formulation of [[cdcChunks]]'s boundary scan via
+    * built-in expressions — the differential check for the fused
+    * [[graft.functions.CdcStarts]] kernel (the `pqSqDistBuiltin`
+    * precedent): same starts array (leading 1 included), each
+    * boundary decided by conv(substring(md5(substr(i, window))))
+    * mod `divisor`.
+    */
+  def cdcStartsBuiltin(text: Column, window: Int, divisor: Int): Column = {
+    val n = length(text)
+    def boundary(i: Column): Column =
+      conv(substring(md5(text.substr(i, lit(window))), 1, 8), 16, 10)
+        .cast("long") % divisor === 0
+    val lastCand = n - window + 1
+    val bounds = when(lastCand >= 2,
+        filter(transform(sequence(lit(2), lastCand),
+          i => when(boundary(i), i).otherwise(lit(null))),
+          x => x.isNotNull))
+      .otherwise(array().cast("array<int>"))
+    concat(array(lit(1)), bounds)
   }
 }

@@ -768,6 +768,21 @@ object Similarity {
       dimIn: Int, dimOut: Int): DataFrame = {
     require(dimIn > 0, "dimIn must be positive")
     require(dimOut > 0, "dimOut must be positive")
+    df.select(col(idCol),
+      VectorExpressions.randomProjection(pqCheckDim(col(vecCol), dimIn),
+        dimIn, dimOut).as("projected"))
+  }
+
+  /** Reference formulation of [[randomProject]]'s kernel via built-in
+    * HOFs — the differential check for the fused codegen expression
+    * (the [[pqSqDistBuiltin]] precedent): the sign matrix re-derived
+    * per row from conv(md5(k:j)), per-term round(·,12) decimal
+    * accumulation, decimal→double, /√dimOut, round(·,6), float cast.
+    */
+  def randomProjectBuiltin(df: DataFrame, idCol: String, vecCol: String,
+      dimIn: Int, dimOut: Int): DataFrame = {
+    require(dimIn > 0, "dimIn must be positive")
+    require(dimOut > 0, "dimOut must be positive")
     val dec = "decimal(28,12)"
     def signAt(k: Column, j: Column): Column =
       when(conv(substring(md5(concat(k.cast("string"), lit(":"),

@@ -869,6 +869,36 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(h1.tail.forall(h2.contains), "shifted shared region realigns")
   }
 
+  test("CdcStarts codegen kernel == built-in conv/md5 formulation, " +
+      "incl. multi-byte text") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      // inject a multi-byte char so the byte-offset table is exercised
+      .select(col("doc_id"),
+        concat(lit("café "), col("text")).as("text"))
+    val diff = docs.select(
+        graft.functions.TextExpressions.cdcStarts(col("text"), 8, 16)
+          .as("fused"),
+        Dedup.cdcStartsBuiltin(col("text"), 8, 16).as("ref"))
+      .filter(!(col("fused") <=> col("ref")))
+    assert(diff.count() == 0, diff.limit(3).collect().mkString(","))
+    // the fully fused chunk table (boundary scan + per-chunk md5 in
+    // one pass) == the composed starts/substr/md5 formulation
+    val fusedChunks = Dedup.cdcChunks(docs, "doc_id", "text", 8, 16)
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    val refChunks = Dedup.cdcChunksBuiltin(docs, "doc_id", "text", 8, 16)
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    assert(fusedChunks == refChunks)
+  }
+
+  test("RandomProjection codegen kernel == built-in HOF formulation") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val fused = Similarity.randomProject(emb, "vec_id", "embedding",
+      64, 16).as[(Long, Seq[Float])].collect().toMap
+    val ref = Similarity.randomProjectBuiltin(emb, "vec_id", "embedding",
+      64, 16).as[(Long, Seq[Float])].collect().toMap
+    assert(fused == ref)
+  }
+
   test("explodeFrames: per-frame byte slices, short tail, empty payload") {
     val media = Seq(
       (1L, "abcdefghij".getBytes("UTF-8")),   // 10 bytes

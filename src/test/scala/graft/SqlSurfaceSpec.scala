@@ -64,6 +64,27 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql == viaCol && viaSql == "caf" + "\u00e9")
   }
 
+  test("graft_cdc_starts / graft_random_projection from SQL == Column API") {
+    Seq((1L, "the quick brown fox jumps over the lazy dog repeatedly"))
+      .toDF("id", "t").createOrReplaceTempView("cdc_sql")
+    val viaSql = spark.sql(
+      "SELECT graft_cdc_starts(t, 4, 4) FROM cdc_sql")
+      .as[Seq[Int]].head()
+    val viaCol = spark.table("cdc_sql")
+      .select(graft.functions.TextExpressions.cdcStarts($"t", 4, 4))
+      .as[Seq[Int]].head()
+    assert(viaSql == viaCol && viaSql.head == 1)
+    Seq((1L, Seq.fill(8)(0.5f))).toDF("id", "v")
+      .createOrReplaceTempView("rp_sql")
+    val pSql = spark.sql(
+      "SELECT graft_random_projection(v, 8, 4) FROM rp_sql")
+      .as[Seq[Float]].head()
+    val pCol = spark.table("rp_sql")
+      .select(graft.functions.VectorExpressions
+        .randomProjection($"v", 8, 4)).as[Seq[Float]].head()
+    assert(pSql == pCol && pSql.length == 4)
+  }
+
   test("graft_shingles / graft_minhash / graft_simhash64 / text fns from SQL") {
     docs.limit(20).createOrReplaceTempView("docs_sql")
     val viaSql = spark.sql(
