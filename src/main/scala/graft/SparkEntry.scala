@@ -548,6 +548,22 @@ object SparkEntry {
     Tables.memoRead(s, path)
   }
 
+  /** FROZEN BPE merges — the tokenizer artifact (production
+    * tokenizers ship exactly this: an ordered merges file, not the
+    * trainer). Learned once with [[TextOps.bpeLearn]] on the sf0.01
+    * corpus (deterministic: count desc, pair lexicographic ties,
+    * self-pairs excluded) and frozen here so the query and its oracle
+    * replay the same artifact — the [[TextOps.bpeEncode]] /
+    * `q_bpe_encode` input.
+    */
+  private[graft] val bpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+    ("a", "</w>"), ("g", "</w>"), ("y", "</w>"), ("a", "r"),
+    ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ================= core relational surface =================
     "q1_agg" -> ((s, dir) => {
@@ -2104,6 +2120,18 @@ object SparkEntry {
         "event_type", "user_id", 64)
     }),
 
+    // BPE subword encoding against the frozen merges artifact: one
+    // row per (doc, word position), encode computed once per DISTINCT
+    // word (the tokenizer word-cache) and broadcast back — the real
+    // token-count accounting a budget-packed pretraining mix needs
+    "q_bpe_encode" -> ((s, dir) => {
+      TextOps.bpeEncode(Tables.documents(s, dir), "doc_id", "text",
+          bpeMerges)
+        .select(col("doc_id"), col("word_pos").cast("long"),
+          col("word"), concat_ws(" ", col("bpe_tokens")).as("bpe"),
+          size(col("bpe_tokens")).cast("long").as("n_bpe"))
+    }),
+
     // content-defined chunking (window 8, divisor 16): boundaries
     // where the md5 of the 8-char context hits 0 mod 16, so shared
     // regions chunk identically across documents regardless of
@@ -2115,6 +2143,16 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_no").cast("long"),
           col("start").cast("long"), col("chunk_len").cast("long"),
           col("chunk_md5"))
+    }),
+
+    // CDC shared-region pairs over the injected near-dup corpus: the
+    // original and its suffixed copy share every chunk before the
+    // suffix despite the edit — the shift-invariant near-dup signal;
+    // min 5 shared chunks of >= 4 chars
+    "q_cdc_shared" -> ((s, dir) => {
+      operators.Dedup.cdcSharedRegions(nearDupCorpus(s, dir), "doc_id",
+        "text", window = 8, divisor = 16, minShared = 5,
+        minChunkLen = 4)
     }),
 
     // rare-token novelty ratio against a CMS frozen from the ENGLISH
@@ -4385,6 +4423,36 @@ object SparkEntry {
         |  END, 4) AS est_distinct
         |FROM r WHERE rn <= 64 GROUP BY event_type""".stripMargin,
 
+    // BPE replayed from the SAME frozen merges list (single source of
+    // truth: the SQL below is GENERATED from bpeMerges): distinct
+    // words start as codepoint symbols + </w>; each merge is an
+    // index-LOCAL list rewrite (fuse at i if (s[i],s[i+1])=(a,b);
+    // drop i if (s[i-1],s[i])=(a,b)) — exact because self-merges are
+    // excluded, so no overlap chain exists; then join back to the
+    // positioned word stream
+    "q_bpe_encode" -> {
+      val stages = bpeMerges.zipWithIndex.map { case ((a, b), i) =>
+        s"""v${i + 1} AS (SELECT word, list_filter(list_transform(s,
+           |  (x, ii) -> CASE WHEN x = '$a' AND s[ii+1] = '$b'
+           |      THEN '$a$b'
+           |    WHEN ii > 1 AND s[ii-1] = '$a' AND x = '$b' THEN NULL
+           |    ELSE x END), y -> y IS NOT NULL) AS s FROM v$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (SELECT doc_id, unnest(toks) AS word,
+         |  unnest(range(0, len(toks))) AS word_pos
+         | FROM (SELECT doc_id, list_filter(
+         |   string_split_regex(text, '\\s+'), t -> len(t) > 0) AS toks
+         |  FROM documents) t),
+         |v0 AS (SELECT word, list_append(string_split(word, ''), '</w>')
+         |   AS s
+         | FROM (SELECT DISTINCT word FROM w) d),
+         |$stages
+         |SELECT w.doc_id, CAST(w.word_pos AS BIGINT) AS word_pos,
+         | w.word, array_to_string(v.s, ' ') AS bpe,
+         | CAST(len(v.s) AS BIGINT) AS n_bpe
+         |FROM w JOIN v${bpeMerges.length} v USING (word)""".stripMargin
+    },
+
     // CDC boundaries replayed: candidate positions 2..n-7, boundary
     // iff leading-32-md5-bits of the 8-char window ≡ 0 mod 16; chunk
     // k runs from starts[k] to the next start (or n); md5 per chunk
@@ -4410,6 +4478,36 @@ object SparkEntry {
         | md5(substring(text, CAST(ch.st AS INTEGER),
         |   CAST(ch.ln AS INTEGER))) AS chunk_md5
         |FROM c""".stripMargin,
+
+    // CDC shared regions replayed: the q_cdc_chunks CTEs over the
+    // injected near-dup corpus, distinct (doc, hash), hash self-join,
+    // pair counts gated at 5 shared chunks of >= 4 chars
+    "q_cdc_shared" ->
+      s"""WITH $nearDupCorpusSql,
+         |o AS (SELECT doc_id, text, length(text) AS n
+         |  FROM docs WHERE length(text) > 0),
+         |b AS (SELECT doc_id, text, n,
+         |  list_prepend(CAST(1 AS BIGINT), CASE WHEN n - 8 + 1 >= 2 THEN
+         |    list_filter(range(2, n - 8 + 2), i ->
+         |      CAST('0x' || substring(md5(substring(text,
+         |        CAST(i AS INTEGER), 8)), 1, 8) AS BIGINT) % 16 = 0)
+         |    ELSE CAST([] AS BIGINT[]) END) AS starts
+         |  FROM o),
+         |c AS (SELECT doc_id, text, n,
+         |  unnest(list_transform(range(1, len(starts) + 1), k ->
+         |    {'st': starts[CAST(k AS INTEGER)],
+         |     'ln': COALESCE(starts[CAST(k + 1 AS INTEGER)], n + 1)
+         |       - starts[CAST(k AS INTEGER)]})) AS ch
+         |  FROM b),
+         |h AS (SELECT DISTINCT doc_id,
+         |  md5(substring(text, CAST(ch.st AS INTEGER),
+         |    CAST(ch.ln AS INTEGER))) AS chunk_md5
+         | FROM c WHERE ch.ln >= 4)
+         |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+         | CAST(count(*) AS BIGINT) AS n_shared
+         |FROM h a JOIN h b2 ON a.chunk_md5 = b2.chunk_md5
+         |  AND a.doc_id < b2.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
 
     // the frozen-CMS novelty gate replayed: en-only sketch cells,
     // per-distinct-token min-over-rows estimates, then each doc's

@@ -56,6 +56,14 @@ object TextExpressions {
   def cdcChunkRows(text: Column, window: Int, divisor: Int): Column =
     ColumnBridge.column(CdcChunkRows(ColumnBridge.expression(text),
       window, divisor))
+
+  /** `bpe_encode(word)` against a frozen merges list: BPE subword
+    * tokens of one word, greedy left-to-right per merge in rank
+    * order.
+    */
+  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(word),
+      merges.toArray))
 }
 
 /** `string -> string`: Unicode NFC canonical normalization (composed
@@ -262,6 +270,89 @@ case class CdcChunkRows(child: Expression, window: Int, divisor: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** `string -> array<string>`: BPE-encode one WORD against a frozen
+  * merges list (rank order = list order): symbols start as the word's
+  * codepoints plus the `</w>` end marker; each merge (a, b) rewrites
+  * all leftmost-non-overlapping adjacent (a, b) occurrences to the
+  * fused symbol `ab` — the canonical greedy fold every reference BPE
+  * implementation uses. Merges with a == b are rejected at
+  * construction: excluding self-pairs makes one merge's application
+  * ORDER-FREE across the word (no overlap chains), which is what lets
+  * the oracle replay each merge as an index-local list rewrite. The
+  * merges array is a reference object (one copy per plan, the
+  * [[CentroidTopIds]] policy); the per-word fold is a tight JVM loop
+  * where the equivalent HOF chain would nest 3 self-references per
+  * stage (differential spec pins the equivalence on the corpus
+  * vocabulary).
+  */
+case class BpeEncode(child: Expression, merges: Array[(String, String)])
+    extends UnaryExpression {
+
+  require(merges.nonEmpty, "merges must be non-empty")
+  require(merges.forall { case (a, b) => a != b },
+    "self-merges (a == b) are not supported (order-free application)")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode requires string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    BpeEncode.encode(v.asInstanceOf[UTF8String].toString, merges)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("bpeMerges", merges,
+      "scala.Tuple2[]")
+    nullSafeCodeGen(ctx, ev, str => {
+      s"""
+         |${ev.value} = graft.functions.BpeEncode.encode(
+         |  $str.toString(), (scala.Tuple2[]) $m);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BpeEncode {
+  val EndMarker = "</w>"
+
+  def encode(word: String, merges: Array[(String, String)]): ArrayData = {
+    // codepoint symbols + end marker
+    var syms = new java.util.ArrayList[String](word.length + 1)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      syms.add(new String(Character.toChars(cp)))
+      i += Character.charCount(cp)
+    }
+    syms.add(EndMarker)
+    var mi = 0
+    while (mi < merges.length && syms.size > 1) {
+      val a = merges(mi)._1; val b = merges(mi)._2; val ab = a + b
+      val next = new java.util.ArrayList[String](syms.size)
+      var j = 0
+      while (j < syms.size) {
+        if (j + 1 < syms.size && syms.get(j) == a && syms.get(j + 1) == b) {
+          next.add(ab); j += 2
+        } else { next.add(syms.get(j)); j += 1 }
+      }
+      syms = next
+      mi += 1
+    }
+    val out = new Array[Any](syms.size)
+    var k = 0
+    while (k < syms.size) {
+      out(k) = UTF8String.fromString(syms.get(k)); k += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `string -> array<string>`: whitespace-tokenize and emit k-token

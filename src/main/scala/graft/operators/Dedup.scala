@@ -1051,6 +1051,36 @@ object Dedup {
         col("_c.chunk_md5"))
   }
 
+  /** Shared-region detection over [[cdcChunks]] — what the chunking
+    * exists FOR: document pairs sharing ≥ `minShared` distinct chunk
+    * hashes, i.e. pairs with substantial verbatim regions in common
+    * even when insertions shifted them (the cross-crawl / cross-
+    * snapshot near-dup signal fixed-stride shingling misses).
+    * `minChunkLen` drops sub-window slivers whose collisions are
+    * noise, and — like every bucket join in this module — the
+    * equi-join on the chunk hash costs Σ|bucket|²: a chunk shared by
+    * b documents contributes b² candidate pairs, so corpus-wide
+    * boilerplate chunks are the hazard; at scale apply the
+    * [[minhashNearDupPairs]] `maxBucket` guard (drop chunks shared by
+    * more documents than any real duplicate cluster — they are
+    * boilerplate by definition, exactly the C4 line-dedup argument).
+    * Output: (id_a, id_b, n_shared), id_a < id_b.
+    */
+  def cdcSharedRegions(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Int = 16, minShared: Int = 2,
+      minChunkLen: Int = 1): DataFrame = {
+    val chunks = cdcChunks(docs, idCol, textCol, window, divisor)
+      .filter(col("chunk_len") >= minChunkLen)
+      .select(col(idCol), col("chunk_md5")).distinct()
+    val a = chunks.select(col(idCol).as("id_a"), col("chunk_md5"))
+    val b = chunks.select(col(idCol).as("id_b"), col("chunk_md5"))
+    a.join(b, Seq("chunk_md5"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Composed built-in formulation of [[cdcChunks]] (starts kernel +
     * get/substr/md5 expressions) — the differential reference for the
     * fully fused [[graft.functions.CdcChunkRows]] kernel.

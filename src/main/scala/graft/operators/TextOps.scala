@@ -790,6 +790,98 @@ object TextOps {
           sum(col("_tf")).cast("double"), 6).as("rare_ratio"))
   }
 
+  /** One BPE merge (a, b) → `ab` applied to a symbol-array column —
+    * the built-in-HOF reference for [[graft.functions.BpeEncode]]'s
+    * fold (differential spec-pinned). Valid ONLY for a ≠ b, where
+    * leftmost-non-overlapping merging is an index-LOCAL rewrite:
+    * position i fuses iff (toks[i], toks[i+1]) = (a, b); position i
+    * is consumed iff (toks[i−1], toks[i]) = (a, b); no overlap chain
+    * can involve three positions without a = b. (That locality is
+    * also what makes the oracle's list_transform replay exact.)
+    */
+  def applyBpeMerge(toks: Column, a: String, b: String): Column = {
+    require(a != b, "self-merges are not order-free")
+    filter(transform(toks, (x, i) =>
+      when(x === a && get(toks, i + 1) === b, lit(a + b))
+        .when(i > 0 && get(toks, i - 1) === a && x === b,
+          lit(null).cast("string"))
+        .otherwise(x)), y => y.isNotNull)
+  }
+
+  /** BPE merge TRAINING (Sennrich et al. 2016) — the tokenizer-build
+    * half: start from codepoint symbols (+ `</w>`), repeatedly take
+    * the corpus-most-frequent adjacent symbol pair (ties: count desc,
+    * pair lexicographic — deterministic) and fuse it everywhere.
+    * Returns the ordered merges list — the FROZEN ARTIFACT
+    * [[bpeEncode]] and any other engine consume (production
+    * tokenizers ship exactly this: a merges file, not the trainer).
+    *
+    * Distributed like Lloyd refinement: the state is the WORD-COUNT
+    * table (word-vocabulary-sized — bounded by Heaps' law at web
+    * scale, and what reference BPE trainers hold in memory), each
+    * iteration is one pair-count aggregate plus a 1-row argmax
+    * collect; the table is eagerly localCheckpoint'ed per iteration
+    * so the per-merge HOF rewrite never stacks into a nested plan.
+    * Self-pairs (a = b) are skipped — see [[applyBpeMerge]]; the
+    * practical impact is confined to long single-char runs.
+    */
+  def bpeLearn(docs: DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String)] = {
+    require(numMerges > 0, "numMerges must be positive")
+    var words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(concat(split(col("w"), ""),
+        array(lit(graft.functions.BpeEncode.EndMarker))).as("s"), col("c"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val top = words
+        .select(col("c"), explode(zip_with(
+          slice(col("s"), lit(1), greatest(size(col("s")) - 1, lit(0))),
+          slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .filter(col("p.a") =!= col("p.b"))
+        .groupBy(col("p")).agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("p.a").asc, col("p.b").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(1) < 2) done = true
+      else {
+        val p = top(0).getStruct(0)
+        val (a, b) = (p.getString(0), p.getString(1))
+        merges += ((a, b))
+        words = words
+          .select(applyBpeMerge(col("s"), a, b).as("s"), col("c"))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** BPE-encode a corpus against FROZEN `merges` — the serving half:
+    * one row per (document, word position) with the word's subword
+    * tokens. The encode itself runs ONCE PER DISTINCT WORD (the
+    * word-cache trick every real tokenizer uses) via the fused
+    * [[graft.functions.BpeEncode]] fold, and the vocab-sized result
+    * BROADCASTs back onto the exploded token stream — the corpus
+    * text never shuffles, and per-row work is one hash probe. Frozen
+    * merges make streaming encodes equal batch encodes by
+    * construction.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("word_pos", "word")))
+    val vocab = words.select("word").distinct()
+      .select(col("word"),
+        graft.functions.TextExpressions.bpeEncode(col("word"), merges)
+          .as("bpe_tokens"))
+    words.join(broadcast(vocab), Seq("word"))
+      .select(col(idCol), col("word_pos"), col("word"),
+        col("bpe_tokens"))
+  }
+
   /** TF-IDF over (doc, token) pairs, `tfidf = tf · ln(N/df)`, rows
     * with `tf < minTf` dropped (the reference-style noise floor).
     *

@@ -867,6 +867,51 @@ class ExtensionOpsSpec extends SparkSpec {
     val h2 = got.filter(_._1 == 2L).map(_._5).toSet
     assert(h1.length >= 3, s"need real boundaries, got ${h1.length} chunks")
     assert(h1.tail.forall(h2.contains), "shifted shared region realigns")
+    // ...and the shared-region join surfaces exactly that pair
+    val pairs = Dedup.cdcSharedRegions(docs, "doc_id", "text",
+        window = 4, divisor = 8, minShared = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // n_shared counts DISTINCT shared hashes: at least the realigned
+    // tail minus within-doc hash repeats
+    assert(pairs.head._3 >= h1.tail.distinct.size - 2)
+  }
+
+  test("bpeLearn: hand-checked merges, deterministic ties, " +
+      "sub-2-count stop; encode fold == HOF merge chain") {
+    // "ab ab ab": (a,b) and (b,</w>) both count 3 — lexicographic tie
+    // goes to (a,b); after fusing, (ab,</w>) is the only pair left
+    val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    assert(TextOps.bpeLearn(tiny, "text", 2) ==
+      Seq(("a", "b"), ("ab", "</w>")))
+    // a pair seen once never merges (the <2 stop)
+    assert(TextOps.bpeLearn(Seq((1L, "xy")).toDF("doc_id", "text"),
+      "text", 5).isEmpty)
+    // differential: the fused BpeEncode fold == the HOF merge chain
+    // (per-stage localCheckpoint keeps the 3-self-reference lambda
+    // from nesting) over the real corpus vocabulary
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val vocab = docs
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .distinct()
+    var ref = vocab.select(col("word"),
+        concat(split(col("word"), ""),
+          array(lit("</w>"))).as("s"))
+      .localCheckpoint(true)
+    SparkEntry.bpeMerges.foreach { case (a, b) =>
+      ref = ref.select(col("word"),
+        TextOps.applyBpeMerge(col("s"), a, b).as("s")).localCheckpoint(true)
+    }
+    val refMap = ref.as[(String, Seq[String])].collect().toMap
+    val fused = vocab.select(col("word"),
+        graft.functions.TextExpressions.bpeEncode(col("word"),
+          SparkEntry.bpeMerges).as("s"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(fused == refMap)
+    // the learned merges COMPRESS: common corpus words encode to
+    // fewer symbols than their raw codepoints+marker
+    assert(fused("hash") == Seq("hash</w>"))
+    assert(fused.forall { case (w, t) => t.size <= w.length + 1 })
   }
 
   test("CdcStarts codegen kernel == built-in conv/md5 formulation, " +
