@@ -2411,7 +2411,55 @@ object SparkEntry {
                    ELSE c_custkey END NOT IN (
           SELECT o_custkey FROM g_orders_ni
           WHERE o_orderstatus = 'F')""")
-    })
+    }),
+
+    // gap-based sessionization: per-user event stream split at >30 min
+    // silences — one entity-keyed exchange, two window passes sharing
+    // its sort, exchange-free final aggregate. Epoch-seconds output
+    // (the funnel convention) keeps the hash engine-portable
+    "q_sessionize" -> ((s, dir) => {
+      operators.Behavior.sessionize(Tables.events(s, dir),
+          "user_id", "ts", gapSeconds = 1800L)
+        .select(col("user_id"), col("session_no"),
+          unix_timestamp(col("session_start")).as("start_ep"),
+          unix_timestamp(col("session_end")).as("end_ep"),
+          col("n_events"))
+    }),
+
+    // PageRank by power iteration over the undirected order–supplier
+    // graph from lineitem (both directions of each distinct pair).
+    // 5 fixed rounds; contributions sum as DECIMAL(38,12) so the
+    // result is reduce-order-independent and replayable by the
+    // oracle's unrolled-CTE chain
+    "q_pagerank" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select(concat(lit("O"), col("l_orderkey")).as("o"),
+          concat(lit("S"), col("l_suppkey")).as("p"))
+        .distinct()
+      val edges = pairs.select(col("o").as("src"), col("p").as("dst"))
+        .union(pairs.select(col("p").as("src"), col("o").as("dst")))
+      operators.Behavior.pageRank(edges, "src", "dst",
+        iters = 5, damping = 0.85)
+    }),
+
+    // blocked inverted index: token -> sorted doc-id postings split
+    // over doc_id%8 blocks (the salted-aggregate trick — the head
+    // token's list never lands on one reducer or in one row); df >= 5
+    // drops the hapax tail. Postings render comma-joined (the hosts-
+    // column convention) for engine-portable hashing
+    "q_inverted_index" -> ((s, dir) => {
+      operators.TextOps.invertedIndex(Tables.documents(s, dir),
+          "doc_id", "text", nBlocks = 8, minDf = 5L)
+        .select(col("token"), col("block"), col("df"), col("n_docs"),
+          array_join(col("postings"), ",").as("postings"))
+    }),
+
+    // exact global quantiles by distributed rank selection: range-
+    // partitioned single-column sort + O(partitions) driver offset
+    // fold — never a one-reducer percentile aggregate
+    "q_rank_select" -> ((s, dir) =>
+      operators.Profiling.rankSelect(Tables.lineitem(s, dir),
+        "l_extendedprice", Seq(0.25, 0.5, 0.9, 0.99)))
   )
 
   /** Bench-only queries: the partial-probe ANN configurations — the
@@ -4786,6 +4834,86 @@ object SparkEntry {
         |WHERE CASE WHEN c_custkey % 7 = 0 THEN NULL
         |           ELSE c_custkey END NOT IN (
         |  SELECT o_custkey FROM orders
-        |  WHERE o_orderstatus = 'F')""".stripMargin
+        |  WHERE o_orderstatus = 'F')""".stripMargin,
+
+    // same second-resolution gap rule (funnel's epoch convention);
+    // ROWS vs RANGE framing is immaterial because a tie-group's break
+    // flag can only sit on its first row
+    "q_sessionize" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |   AS ep
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT user_id, ep,
+        |  CASE WHEN lag(ep) OVER w IS NULL
+        |      OR ep - lag(ep) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep)),
+        |g AS (SELECT user_id, ep, CAST(sum(brk) OVER (
+        |   PARTITION BY user_id ORDER BY ep
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        | FROM f)
+        |SELECT user_id, session_no, min(ep) AS start_ep,
+        | max(ep) AS end_ep, count(*) AS n_events
+        |FROM g GROUP BY 1, 2""".stripMargin,
+
+    // the power iteration unrolled: 5 chained CTEs, each the same
+    // round/decimal-sum/round contribution chain the Spark operator
+    // uses, so every intermediate is bit-identical
+    "q_pagerank" -> {
+      val d = 0.85
+      val teleport = 1.0 - d // interpolated so both engines parse the
+                             // exact double (0.15000000000000002)
+      val iters = (1 to 5).map { i =>
+        s"""pr$i AS (SELECT n.node,
+           | round(CAST($teleport AS DOUBLE) + CAST($d AS DOUBLE) *
+           |   COALESCE(CAST(c.m AS DOUBLE), 0.0), 12) AS pr
+           | FROM nodes n LEFT JOIN (
+           |  SELECT e.dst AS node,
+           |    sum(CAST(round(p.pr / g.deg, 12) AS DECIMAL(38,12))) AS m
+           |  FROM e JOIN pr${i - 1} p ON e.src = p.node
+           |   JOIN deg g ON e.src = g.src
+           |  GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT DISTINCT
+         |  'O' || CAST(l_orderkey AS VARCHAR) AS o,
+         |  'S' || CAST(l_suppkey AS VARCHAR) AS p FROM lineitem),
+         |e AS (SELECT o AS src, p AS dst FROM pairs
+         |  UNION ALL SELECT p, o FROM pairs),
+         |nodes AS (SELECT src AS node FROM e
+         |  UNION SELECT dst FROM e),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
+         |$iters
+         |SELECT node, round(pr, 6) AS pagerank FROM pr5""".stripMargin
+    },
+
+    "q_inverted_index" ->
+      """WITH tk AS (SELECT doc_id, unnest(list_filter(
+        |  string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        | FROM documents),
+        |toks AS (SELECT DISTINCT doc_id, token FROM tk),
+        |p AS (SELECT token, doc_id % 8 AS block,
+        |  count(*) AS n_docs,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+        | FROM toks GROUP BY 1, 2),
+        |d AS (SELECT token, CAST(sum(n_docs) AS BIGINT) AS df FROM p
+        | GROUP BY 1)
+        |SELECT p.token, p.block, d.df, p.n_docs, p.postings
+        |FROM p JOIN d USING (token) WHERE d.df >= 5""".stripMargin,
+
+    // rank semantics: value at 1-based rank ceil(q*n) of the ascending
+    // sort; row_number ties are harmless (equal values at equal ranks)
+    "q_rank_select" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS value
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM v),
+        |r AS (SELECT value,
+        |  row_number() OVER (ORDER BY value) AS "rank" FROM v),
+        |q AS (SELECT CAST(q AS DOUBLE) AS q
+        |  FROM (VALUES (0.25), (0.5), (0.9), (0.99)) t(q))
+        |SELECT q.q, r."rank", r.value
+        |FROM q CROSS JOIN n JOIN r
+        | ON r."rank" = GREATEST(1, CAST(ceil(q.q * n.n) AS BIGINT))"""
+        .stripMargin
   )
 }

@@ -202,4 +202,109 @@ object Behavior {
     withMed.join(mad, groupCol)
       .filter(abs(col(valueCol) - col("_med")) > lit(cutoff) * col("_mad"))
   }
+
+  /** Gap-based sessionization: split each entity's event stream into
+    * sessions wherever the inter-event gap exceeds `gapSeconds`
+    * (classic web-analytics session semantics — the batch twin of
+    * Structured Streaming's `session_window`, whose merging state
+    * machine [[graft.streaming.StreamingDedup]] specs pin to agree
+    * with this on session starts and event counts).
+    *
+    * Output: one row per (entity, session) —
+    * (keyCol, session_no ordinal from 1, session_start, session_end
+    * = last EVENT time, not +gap, n_events) ordered nowhere (sort at
+    * the sink if needed).
+    *
+    * Plan shape: ONE hash exchange on the entity key; the gap flag
+    * (`lag`) and the running session ordinal (`sum` of flags) are two
+    * window passes over the SAME (key, ts) partitioning+sort, so
+    * Catalyst plans one exchange and one sort; the final
+    * (key, session_no) aggregate reuses the partitioning
+    * exchange-free. Window partitions are per-entity — entity count
+    * grows with the data and per-entity volume is bounded by the
+    * entity's own activity, so unlike a token-keyed window there is
+    * no Zipf-head straggler; cap hyper-active keys upstream with
+    * [[Sampling.capPerKey]] if key cardinality is adversarial.
+    */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val epoch = unix_timestamp(col(tsCol))
+    val newSession = when(
+      lag(epoch, 1).over(w).isNull ||
+        epoch - lag(epoch, 1).over(w) > gapSeconds, 1L).otherwise(0L)
+    events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("_sess", sum(newSession).over(w))
+      .groupBy(col(keyCol), col("_sess").as("session_no"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** PageRank by power iteration over an edge list — graph centrality
+    * for entity-importance ranking (which hub supplier/order/document
+    * matters most; pick dup-cluster representatives by centrality
+    * instead of min-id). Standard damped formulation on the directed
+    * graph, uniform 1.0 prior, dangling mass NOT redistributed (nodes
+    * with no out-edges leak — the common simplified variant):
+    *
+    *   pr_{t+1}(v) = (1 − d) + d · Σ_{(u→v)∈E} pr_t(u) / outdeg(u)
+    *
+    * run a FIXED `iters` rounds (deterministic, oracle-replayable —
+    * no convergence test, which would be data-dependent).
+    *
+    * Exactness: each contribution pr(u)/outdeg(u) is rounded to 12dp
+    * and summed as DECIMAL(38,12) — decimal addition is exact and
+    * ORDER-INDEPENDENT, so the result is bit-identical regardless of
+    * partitioning (a double sum would drift in the last ulps with the
+    * reduce order and break cross-engine hashing; same trick as the
+    * correlation/moments and centroid oracles). Output:
+    * (node, pagerank DOUBLE rounded 6dp).
+    *
+    * Plan shape per iteration: one hash exchange of (dst, contrib)
+    * for the incoming-mass aggregate, one join of ranks onto edges
+    * (edges re-shuffle on src once; the rank side is |nodes| rows).
+    * Lineage is truncated with an eager `localCheckpoint` every
+    * iteration — without it the plan doubles per round and Catalyst
+    * analysis goes quadratic (same blowup the connected-components
+    * closure guards against, [[Dedup]]). At 100 TB edge scale each
+    * iteration is the canonical pair of exchanges; skewed in-degree
+    * (every web graph) is an AGGREGATE on dst — map-side partial
+    * combine caps the hot node's shuffle volume at one row per task,
+    * unlike a window. Out-degree is precomputed once and joined, not
+    * windowed, for the same reason.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(damping > 0 && damping < 1, "damping must be in (0,1)")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
+      .localCheckpoint(true)
+    var pr = nodes.withColumn("pr", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(pr, e("src") === pr("node"))
+        .join(outDeg, "src")
+        .select(col("dst").as("node"),
+          round(col("pr") / col("_deg"), 12)
+            .cast("decimal(38,12)").as("_c"))
+        .groupBy(col("node"))
+        .agg(sum(col("_c")).as("_in"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(1.0 - damping) +
+            lit(damping) * coalesce(col("_in").cast("double"), lit(0.0)),
+            12).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("node"), round(col("pr"), 6).as("pagerank"))
+  }
 }

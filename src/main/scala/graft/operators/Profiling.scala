@@ -318,4 +318,53 @@ object Profiling {
       .groupBy(col(valueCol))
       .agg(min(coalesce(col("_cnt"), lit(0L))).as("cms_est"))
   }
+
+  /** Exact global quantiles by distributed rank selection — the
+    * 100-TB-safe way to take an EXACT corpus-wide median/p99 of one
+    * column (per-GROUP exact percentiles are fine as aggregates,
+    * `q_percentile`; a GLOBAL `percentile()` funnels every value into
+    * one reducer's OpenHashMap, which at corpus scale is the
+    * single-task straggler this module exists to avoid, and
+    * `approx_percentile` trades exactness away).
+    *
+    * For each q in `qs`, returns the value at 1-based rank
+    * ⌈q·n⌉ (clamped to ≥1) of the ascending sort — classic discrete
+    * ("lower") quantile semantics. Ties need no tiebreak: ranks
+    * within a run of equal values are assigned arbitrarily, but every
+    * rank inside the run maps to the SAME value, so the output is
+    * deterministic.
+    *
+    * Plan shape: project the single value column → `repartitionByRange`
+    * total sort (the TeraSort shape — balanced by range sampling, no
+    * single-reducer sort) → per-partition counts fold on the driver
+    * (O(partitions) rows) into exclusive offsets → global rank =
+    * offset + local row position ([[Sampling.runningSum]] machinery)
+    * → filter to the |qs| target ranks against a broadcast literal
+    * map. Two passes over the sorted cache, nothing wide after the
+    * range exchange.
+    *
+    * Output: (q DOUBLE, rank BIGINT, value DOUBLE), one row per
+    * requested quantile (duplicate target ranks yield one row per q).
+    */
+  def rankSelect(df: DataFrame, valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "qs must be non-empty")
+    require(qs.forall(q => q > 0 && q <= 1), "each q must be in (0,1]")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("value"))
+      .withColumn("_one", lit(1L))
+    val ranked = Sampling.runningSum(vals, "value", "_one", "_pos")
+      .select(col("value"), (col("_pos") + 1L).as("rank"))
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    // |qs|-row target-rank table derived from n, broadcast onto the
+    // ranked stream — each corpus row probes a tiny hash table; never
+    // explode q per row (that would |qs|× the corpus pre-filter)
+    val qArr = array(qs.distinct.map(q => lit(q).cast("double")): _*)
+    val targets = n.select(explode(qArr).as("q"), col("__n"))
+      .select(col("q"),
+        greatest(lit(1L), ceil(col("q") * col("__n")).cast("long"))
+          .as("rank"))
+    ranked.join(broadcast(targets), "rank")
+      .select(col("q"), col("rank"), col("value"))
+  }
 }

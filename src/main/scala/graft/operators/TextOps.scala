@@ -909,6 +909,53 @@ object TextOps {
         round(col("tf") * log(col("__n") / col("df")), 6).as("tfidf"))
   }
 
+  /** Blocked inverted index: token → sorted posting lists of doc ids,
+    * the IR workhorse behind decontamination lookups and corpus
+    * search. Postings for a token are BLOCKED — split across
+    * `nBlocks` output rows by `doc_id mod nBlocks` — because at web
+    * scale the head token's posting list ("the" ≈ every document) is
+    * itself 100s-of-GB: a single (token) group would funnel one
+    * reducer AND materialize an unbounded array in one row. Blocking
+    * turns the hot token into `nBlocks` bounded groups (the salted-
+    * aggregate trick, [[Relational]]), each emitting a
+    * |postings|/nBlocks-sized array; readers union the blocks of a
+    * token (order-free: membership probes don't need global order,
+    * and a merge of per-block sorted runs restores it when they do).
+    *
+    * `df` (document frequency) rides along per row from a second
+    * token-keyed aggregate over the (token, block) partials — bounded
+    * input (≤ |vocab|·nBlocks rows), map-side combined, so no
+    * Zipf-head straggler (aggregates combine; windows don't — same
+    * rationale as [[surprisal]]).
+    *
+    * Output: (token, block, df, n_docs block size, postings ASC
+    * array) — deterministic: block assignment is modulo, arrays are
+    * `array_sort`ed. Tokens with df < `minDf` are dropped (hapax
+    * noise; the Zipf tail would otherwise dominate the row count).
+    *
+    * Plan shape: explode → (token, block, id-set partial) hash
+    * aggregate (one exchange of (token, block, id) — never text) →
+    * |vocab|-bounded df aggregate joined back (AQE broadcasts while
+    * it fits).
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      nBlocks: Int = 64, minDf: Long = 2L): DataFrame = {
+    require(nBlocks > 0, "nBlocks must be positive")
+    val posting = docs
+      .select(col(idCol).cast("long").as("_id"),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy(col("token"), pmod(col("_id"), lit(nBlocks.toLong))
+        .as("block"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_sort(collect_list(col("_id"))).as("postings"))
+    val dfTab = posting.groupBy(col("token"))
+      .agg(sum(col("n_docs")).as("df"))
+      .filter(col("df") >= minDf)
+    posting.join(dfTab, "token")
+      .select(col("token"), col("block"), col("df"), col("n_docs"),
+        col("postings"))
+  }
+
   /** Default head-vocabulary budget for the surprisal family: 2^18
     * entries ≈ a few MB broadcast — still far past CCNet's shipped
     * LMs (and past any pruned bigram table), so the tail floor only

@@ -141,6 +141,54 @@ class BehaviorSpec extends SparkSpec {
       d1(1).getAs[String]("chunk").split(" ").take(2).toSeq)
   }
 
+  test("sessionize: splits at gap > threshold, second resolution") {
+    // user 1: three events 10 min apart (one session), then a 31-min
+    // silence starts session 2; user 2: single event = its own session
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (2L, 1L, ts("2024-01-01 10:10:00")),
+      (3L, 1L, ts("2024-01-01 10:20:00")),
+      (4L, 1L, ts("2024-01-01 10:51:00")),
+      (5L, 1L, ts("2024-01-01 10:52:00")),
+      (6L, 2L, ts("2024-01-01 09:00:00")),
+      (7L, 3L, null)
+    ).toDF("event_id", "user_id", "ts")
+    val got = Behavior.sessionize(ev, "user_id", "ts", 1800L)
+      .orderBy("user_id", "session_no").collect()
+    assert(got.length == 3) // null ts row dropped
+    val s11 = got(0); val s12 = got(1); val s2 = got(2)
+    assert(s11.getAs[Long]("session_no") == 1L &&
+      s11.getAs[Long]("n_events") == 3L &&
+      s11.getAs[Timestamp]("session_end") == ts("2024-01-01 10:20:00"))
+    assert(s12.getAs[Long]("session_no") == 2L &&
+      s12.getAs[Long]("n_events") == 2L &&
+      s12.getAs[Timestamp]("session_start") == ts("2024-01-01 10:51:00"))
+    assert(s2.getAs[Long]("user_id") == 2L &&
+      s2.getAs[Long]("n_events") == 1L)
+    // boundary: a gap of EXACTLY the threshold does not split
+    val edge = Seq((1L, 9L, ts("2024-01-01 00:00:00")),
+      (2L, 9L, ts("2024-01-01 00:30:00"))).toDF("event_id", "user_id", "ts")
+    assert(Behavior.sessionize(edge, "user_id", "ts", 1800L).count() == 1L)
+  }
+
+  test("pageRank: sums to node count on a regular graph; hub ranks higher") {
+    // 3-cycle is 1-regular both ways: stationary pr = 1.0 everywhere
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val prC = Behavior.pageRank(cyc, "src", "dst", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(prC.values.forall(v => math.abs(v - 1.0) < 1e-9))
+    // star: every leaf points at the hub — hub outranks leaves, and
+    // leaves (in-degree 0, teleport only) sit at exactly 1 - d
+    val star = Seq(("l1", "h"), ("l2", "h"), ("l3", "h"), ("h", "l1"))
+      .toDF("src", "dst")
+    val prS = Behavior.pageRank(star, "src", "dst", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(prS("h") > prS("l1"))
+    assert(math.abs(prS("l2") - 0.15) < 1e-9) // no in-edges
+    assert(prS("l1") > prS("l2")) // fed by the hub
+  }
+
   test("mixtureWeights: sqrt flattening, ratios sum to 1") {
     val df = (Seq.fill(81)("big") ++ Seq.fill(9)("small"))
       .zipWithIndex.map { case (s, i) => (i.toLong, s) }

@@ -1468,4 +1468,26 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got.length == 1 && got.head._2 == 3L)
     assert(!got.head._3.isNaN)
   }
+
+  test("invertedIndex: blocked postings, df rides along, minDf drops tail") {
+    val corpus = Seq(
+      (0L, "the cat"), (1L, "the dog"), (2L, "the the cat"),
+      (3L, "rare")
+    ).toDF("doc_id", "text")
+    val idx = TextOps.invertedIndex(corpus, "doc_id", "text",
+        nBlocks = 2, minDf = 2L)
+      .as[(String, Long, Long, Long, Seq[Long])].collect()
+    // "rare" (df 1) dropped; "the" df 3 split across blocks 0/1
+    assert(!idx.exists(_._1 == "rare"))
+    val the = idx.filter(_._1 == "the").sortBy(_._2)
+    assert(the.map(_._2).toSeq == Seq(0L, 1L))
+    assert(the.forall(_._3 == 3L)) // df on every block row
+    assert(the(0)._5 == Seq(0L, 2L) && the(1)._5 == Seq(1L))
+    // within-doc repeats ("the the") do not inflate df or postings
+    assert(the.map(_._4).sum == 3L)
+    val cat = idx.filter(_._1 == "cat")
+    assert(cat.map(_._5.size).sum == 2 && cat.forall(_._3 == 2L))
+    // blocks union to the token's full posting set, postings sorted
+    assert(idx.forall(r => r._5 == r._5.sorted))
+  }
 }

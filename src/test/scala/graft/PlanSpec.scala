@@ -552,4 +552,55 @@ class PlanSpec extends SparkSpec {
     val v = df.limit(3).collect().map(_.getDouble(0))
     assert(v.forall(x => math.abs(x - 1.0) < 1e-9))
   }
+
+  test("sessionize: one entity-keyed exchange, one sort, shared by both " +
+      "window passes and the final aggregate") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val df = graft.operators.Behavior.sessionize(ev, "user_id", "ts", 1800L)
+    val plan = physical(df)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected exactly 1 exchange:\n$plan")
+    val sorts = "\\bSort \\[".r.findAllIn(plan).size
+    assert(sorts <= 1, s"window passes must share one sort:\n$plan")
+  }
+
+  test("invertedIndex: no exchange carries text; block key salts the " +
+      "posting aggregate") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.operators.TextOps.invertedIndex(docs, "doc_id", "text",
+      nBlocks = 8, minDf = 2L)
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"text column crossed an exchange:\n$exec")
+    }
+    // the posting aggregate groups on (token, block) — the hot token
+    // spreads over nBlocks reducers instead of one
+    assert(exec.toString.contains("keys=[token"), exec.toString)
+    assert(exec.toString.contains("block"), exec.toString)
+  }
+
+  test("pageRank iteration: incoming mass is an AGGREGATE on dst " +
+      "(map-side combined), never a window") {
+    // one un-checkpointed iteration, hand-assembled exactly like the
+    // operator's loop body, so the plan stays inspectable
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("src", "dst")
+    val pr = Seq(("a", 1.0), ("b", 1.0), ("c", 1.0)).toDF("node", "pr")
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
+    val contrib = e.join(pr, e("src") === pr("node")).join(deg, "src")
+      .select(col("dst").as("node"),
+        round(col("pr") / col("_deg"), 12).cast("decimal(38,12)").as("_c"))
+      .groupBy(col("node")).agg(sum(col("_c")).as("_in"))
+    val plan = physical(contrib)
+    assert(!plan.contains("Window"), s"window in pageRank iteration:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      s"expected partial aggregation:\n$plan")
+  }
 }

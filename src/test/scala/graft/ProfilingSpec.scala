@@ -274,4 +274,24 @@ class ProfilingSpec extends SparkSpec {
       .as[(Int, Long, Long)].collect().toSet
     assert(merged == summed)
   }
+
+  test("rankSelect: exact discrete quantiles, ties and edges") {
+    val df = (1 to 100).map(i => i.toDouble).toDF("x")
+    val got = Profiling.rankSelect(df, "x", Seq(0.01, 0.5, 1.0))
+      .as[(Double, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0.01) == ((1L, 1.0)))   // ceil(0.01*100)=1
+    assert(got(0.5) == ((50L, 50.0)))  // ceil(50)=50
+    assert(got(1.0) == ((100L, 100.0)))
+    // duplicates: every rank inside a tie run maps to the same value
+    val dup = Seq(1.0, 2.0, 2.0, 2.0, 9.0).toDF("x")
+    val med = Profiling.rankSelect(dup, "x", Seq(0.5))
+      .as[(Double, Long, Double)].collect().head
+    assert(med == ((0.5, 3L, 2.0)))
+    // q smaller than 1/n clamps to rank 1, and nulls are ignored
+    val tiny = Seq(Some(5.0), None, Some(3.0)).toDF("x")
+    val lo = Profiling.rankSelect(tiny, "x", Seq(0.001))
+      .as[(Double, Long, Double)].collect().head
+    assert(lo == ((0.001, 1L, 3.0)))
+  }
 }
