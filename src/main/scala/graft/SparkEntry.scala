@@ -2413,11 +2413,13 @@ object SparkEntry {
           WHERE o_orderstatus = 'F')""")
     }),
 
-    // gap-based sessionization: per-user event stream split at >30 min
-    // silences — one entity-keyed exchange, two window passes sharing
-    // its sort, exchange-free final aggregate. Epoch-seconds output
-    // (the funnel convention) keeps the hash engine-portable
-    "q_sessionize" -> ((s, dir) => {
+    // session-LEVEL rollup of the gap rule (q_sessionize gives the
+    // per-event session-id form): one row per (user, session) with
+    // bounds and event count — one entity-keyed exchange, two window
+    // passes sharing its sort, exchange-free final aggregate.
+    // Epoch-seconds output (the funnel convention) keeps the hash
+    // engine-portable
+    "q_sessions" -> ((s, dir) => {
       operators.Behavior.sessionize(Tables.events(s, dir),
           "user_id", "ts", gapSeconds = 1800L)
         .select(col("user_id"), col("session_no"),
@@ -4839,7 +4841,7 @@ object SparkEntry {
     // same second-resolution gap rule (funnel's epoch convention);
     // ROWS vs RANGE framing is immaterial because a tie-group's break
     // flag can only sit on its first row
-    "q_sessionize" ->
+    "q_sessions" ->
       """WITH e AS (
         | SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT)
         |   AS ep

@@ -206,9 +206,11 @@ object Behavior {
   /** Gap-based sessionization: split each entity's event stream into
     * sessions wherever the inter-event gap exceeds `gapSeconds`
     * (classic web-analytics session semantics — the batch twin of
-    * Structured Streaming's `session_window`, whose merging state
-    * machine [[graft.streaming.StreamingDedup]] specs pin to agree
-    * with this on session starts and event counts).
+    * Structured Streaming's `session_window`; a StreamingSpec parity
+    * test pins the two to agree on session starts and event counts,
+    * the fields whose contracts overlap — ends differ by design, and
+    * at a gap of EXACTLY the threshold this merges where
+    * `session_window`'s half-open window splits).
     *
     * Output: one row per (entity, session) —
     * (keyCol, session_no ordinal from 1, session_start, session_end

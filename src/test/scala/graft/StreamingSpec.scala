@@ -649,4 +649,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toMap == batch)
     assert(batch.size == 12)
   }
+
+  test("session_window stream == batch sessionize on starts and counts") {
+    // the batch gap rule and Structured Streaming's merging session
+    // windows must agree where their contracts overlap: session START
+    // (first event) and event COUNT. (Ends differ by design: batch
+    // reports the last EVENT time, session_window end = last + gap.)
+    import graft.operators.Behavior
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Point]
+    val q = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("host"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("host"), col("session_window.start").as("session_start"),
+        col("n_events"))
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    // h1: two sessions split by a 31-min gap (delivered out of order
+    // within a batch — the merging state machine must still fuse
+    // overlapping windows); h2: one singleton session
+    input.addData(p("h1", 10, 2.0), p("h1", 0, 1.0), p("h1", 51, 3.0),
+      p("h2", 5, 9.0))
+    q.processAllAvailable()
+    // close the open sessions: advance the watermark far past them
+    input.addData(Point("h9",
+      java.sql.Timestamp.valueOf("2024-08-11 13:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_stream")
+      .filter(col("host") =!= "h9")
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+    val batch = Behavior.sessionize(
+        Seq(p("h1", 0, 1.0), p("h1", 10, 2.0), p("h1", 51, 3.0),
+          p("h2", 5, 9.0)).toDF(), "host", "ts", gapSeconds = 1800L)
+      .select(col("host"), col("session_start"), col("n_events"))
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+    assert(streamed == batch, s"$streamed != $batch")
+    assert(batch.size == 3)
+  }
 }
