@@ -232,7 +232,47 @@ object ScaleProbe {
       "random_project" -> ((s: SparkSession, dir: String) =>
         graft.operators.Similarity.randomProject(
           s.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
-          "embedding", dimIn = 64, dimOut = 16)))
+          "embedding", dimIn = 64, dimOut = 16)),
+      // blocked inverted index under the Zipf axis: the head token's
+      // postings are ~every doc — the blocked (token, doc_id mod N)
+      // aggregate must spread it; an unblocked (token) group would
+      // serialize the head token on one reducer here
+      "inverted_index_zipf" -> ((s: SparkSession, dir: String) =>
+        graft.operators.TextOps.invertedIndex(
+          zipfTable(s, dir, scaleDir), "doc_id", "text",
+          nBlocks = 64, minDf = 2L)),
+      // PageRank: edges grow with the replicated lineitem; 5 fixed
+      // iterations, each one (dst, contrib) aggregate + rank join —
+      // the ratio certifies linear-in-edges rounds (hot in-degree is
+      // map-side combined, never a window)
+      "pagerank_edges" -> ((s: SparkSession, dir: String) => {
+        val pairs = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(concat(lit("O"), col("l_orderkey")).as("o"),
+            concat(lit("S"), col("l_suppkey")).as("p"))
+          .distinct()
+        graft.operators.Behavior.pageRank(
+          pairs.select(col("o").as("src"), col("p").as("dst"))
+            .union(pairs.select(col("p").as("src"), col("o").as("dst"))),
+          "src", "dst", iters = 5)
+      }),
+      // sessionization on the HONEST axis: users scale with the data
+      // (copy index from the event-id stride re-keys each copy's
+      // users), so window partitions stay per-user-bounded — the
+      // metrics_etl_hosts rationale applied to the session rollup
+      "sessions_users_scale" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Behavior.sessionize(
+          s.read.parquet(s"$dir/events.parquet")
+            .withColumn("user_id", col("user_id") +
+              floor(col("event_id") / 1000000000L).cast("long")
+                * 10000000L),
+          "user_id", "ts", gapSeconds = 1800L)),
+      // exact global quantiles: one range-partitioned single-column
+      // sort + O(partitions) driver fold — the ratio certifies the
+      // sort stays balanced and nothing funnels one reducer
+      "rank_select" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Profiling.rankSelect(
+          s.read.parquet(s"$dir/lineitem.parquet"), "l_extendedprice",
+          Seq(0.25, 0.5, 0.9, 0.99))))
 
   /** Both Zipf corpora live in the scale dir (the 1x twin under a
     * `_1x` name — srcDir is the harness's read-only testdata).

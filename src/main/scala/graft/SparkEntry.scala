@@ -2461,7 +2461,39 @@ object SparkEntry {
     // fold — never a one-reducer percentile aggregate
     "q_rank_select" -> ((s, dir) =>
       operators.Profiling.rankSelect(Tables.lineitem(s, dir),
-        "l_extendedprice", Seq(0.25, 0.5, 0.9, 0.99)))
+        "l_extendedprice", Seq(0.25, 0.5, 0.9, 0.99))),
+
+    // equi-depth binning: the global ntile WITHOUT a global ordered
+    // window — rank-selected boundaries broadcast as one array row,
+    // assignment row-local, ties stable (8 = power of two keeps the
+    // boundary ranks engine-exact)
+    "q_equidepth" -> ((s, dir) =>
+      operators.Profiling.equiDepthBins(Tables.lineitem(s, dir),
+        "l_extendedprice", nBins = 8)),
+
+    // centrality-based dup-cluster representatives: the survivor
+    // policy between greedy min-id and full closure — keep each
+    // component's most CENTRAL member (the best-connected, least
+    // fringe duplicate; Lee et al. keep-first is arbitrary under
+    // crawl reordering, centrality is not). Composes the shared
+    // verified pair table → 3-round decimal PageRank on the dup graph
+    // → CC labels → per-component argmax (pr desc, id asc)
+    "q_dup_representatives" -> ((s, dir) => {
+      val pairs = nearDupPairsShared(s, dir).select("id_a", "id_b")
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val pr = operators.Behavior.pageRank(edges, "src", "dst", iters = 3)
+        .select(col("node").cast("long").as("doc_id"),
+          col("pagerank"))
+      val comp = Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+      comp.join(pr, "doc_id")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("doc_id"),
+            struct(col("pagerank"), -col("doc_id"))).as("representative"),
+          max(col("pagerank")).as("pagerank"))
+    })
   )
 
   /** Bench-only queries: the partial-probe ANN configurations — the
@@ -4916,6 +4948,77 @@ object SparkEntry {
         |SELECT q.q, r."rank", r.value
         |FROM q CROSS JOIN n JOIN r
         | ON r."rank" = GREATEST(1, CAST(ceil(q.q * n.n) AS BIGINT))"""
-        .stripMargin
+        .stripMargin,
+
+    // boundary i = value at rank ceil((i/8)*n); bin = 1 + #boundaries
+    // strictly below the value (ties stable by construction)
+    "q_equidepth" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS value
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM v),
+        |r AS (SELECT value, row_number() OVER (ORDER BY value) AS rk
+        |  FROM v),
+        |b AS (SELECT r.value AS bv
+        |  FROM r CROSS JOIN n JOIN generate_series(1, 7) s(i)
+        |   ON r.rk = GREATEST(1,
+        |     CAST(ceil(CAST(s.i AS DOUBLE) / 8 * n.n) AS BIGINT))),
+        |bs AS (SELECT list(bv ORDER BY bv) AS bl FROM b),
+        |a AS (SELECT value,
+        |  1 + len(list_filter(bs.bl, x -> value > x)) AS bin
+        | FROM v CROSS JOIN bs)
+        |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+        | min(value) AS vmin, max(value) AS vmax
+        |FROM a GROUP BY 1""".stripMargin,
+
+    // the CC-closure oracle's pair CTEs + a 3-round unrolled decimal
+    // PageRank + per-component argmax (pr desc, id asc)
+    "q_dup_representatives" -> {
+      val d = 0.85
+      val teleport = 1.0 - d
+      val iters = (1 to 3).map { i =>
+        s"""pr$i AS (SELECT n.node,
+           | round(CAST($teleport AS DOUBLE) + CAST($d AS DOUBLE) *
+           |   COALESCE(CAST(c.m AS DOUBLE), 0.0), 12) AS pr
+           | FROM nodes n LEFT JOIN (
+           |  SELECT e.dst AS node,
+           |    sum(CAST(round(p.pr / g.deg, 12) AS DECIMAL(38,12))) AS m
+           |  FROM edges e JOIN pr${i - 1} p ON e.src = p.node
+           |   JOIN deg g ON e.src = g.src
+           |  GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE $nearDupCorpusSql,
+         |${shingleCteSql(5, "docs")},
+         |pairs AS (
+         | SELECT a.doc_id AS u, b.doc_id AS v
+         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |   >= 0.5),
+         |edges AS (SELECT u AS src, v AS dst FROM pairs
+         |  UNION ALL SELECT v, u FROM pairs),
+         |-- DISTINCT subquery, not a bare UNION: under WITH RECURSIVE
+         |-- the engine leaves this UNION undeduplicated, and duplicate
+         |-- node rows would multiply PageRank mass every iteration
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM edges
+         |  UNION ALL SELECT dst FROM edges) t),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
+         |$iters,
+         |reach(id, r) AS (
+         | SELECT DISTINCT src, src FROM edges
+         | UNION
+         | SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |j AS (SELECT c.component, c.id AS doc_id,
+         |  round(p.pr, 6) AS pagerank
+         | FROM comp c JOIN pr3 p ON p.node = CAST(c.id AS VARCHAR))
+         |SELECT component, n_members, representative, pagerank FROM (
+         | SELECT component, doc_id AS representative, pagerank,
+         |  count(*) OVER (PARTITION BY component) AS n_members,
+         |  row_number() OVER (PARTITION BY component
+         |   ORDER BY pagerank DESC, doc_id ASC) AS rn
+         | FROM j) t WHERE rn = 1""".stripMargin
+    }
   )
 }

@@ -367,4 +367,45 @@ object Profiling {
     ranked.join(broadcast(targets), "rank")
       .select(col("q"), col("rank"), col("value"))
   }
+
+  /** Equi-depth (equal-count) binning of a column WITHOUT a global
+    * window — the scale-safe global `ntile`: a corpus-wide
+    * `ntile(n) OVER (ORDER BY value)` funnels every row through one
+    * ordered partition, the straggler [[rankSelect]] exists to avoid.
+    * Here the nBins−1 boundary values come from rank selection
+    * (boundary i = value at rank ⌈i·n/nBins⌉), fold into ONE array
+    * row, broadcast, and each row's bin is a row-local scan of that
+    * ≤nBins array: bin = 1 + |{i : value > b_i}| — so unlike
+    * `ntile`, TIES ARE STABLE (equal values always land in the same
+    * bin; ntile splits a tie run across buckets by arbitrary row
+    * order, which is why `q_ntile` needs an id tiebreak and this
+    * needs none). Bin populations are equal up to tie runs.
+    *
+    * `nBins` SHOULD be a power of two: boundary quantiles i/nBins are
+    * then exact binary fractions, so ⌈q·n⌉ is one correctly-rounded
+    * double product away from exact — engine-portable (an irrational
+    * 1/3-style q could land either side of an integer rank in the
+    * last ulp).
+    *
+    * Output: one row per bin — (bin, n, vmin, vmax). Plan: the
+    * [[rankSelect]] passes + a 1-row boundary-array broadcast + one
+    * (bin) aggregate over the stream; nothing wide beyond
+    * rankSelect's range exchange.
+    */
+  def equiDepthBins(df: DataFrame, valueCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val bounds = rankSelect(df, valueCol, qs)
+      .agg(array_sort(collect_list(col("value"))).as("_bs"))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_v"))
+      .crossJoin(broadcast(bounds))
+      .select(col("_v"),
+        (lit(1) + size(filter(col("_bs"), b => col("_v") > b)))
+          .cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("_v")).as("vmin"),
+        max(col("_v")).as("vmax"))
+  }
 }

@@ -1490,4 +1490,27 @@ class ExtensionOpsSpec extends SparkSpec {
     // blocks union to the token's full posting set, postings sorted
     assert(idx.forall(r => r._5 == r._5.sorted))
   }
+
+  test("invertedIndex is mergeable: index(A ++ B) == blockwise merge " +
+      "of per-shard indexes (incremental maintenance)") {
+    // the incremental-update story: index new docs separately, merge
+    // per (token, block) by concat+sort, recompute df, re-gate minDf
+    val a = Seq((0L, "x y"), (1L, "x z")).toDF("doc_id", "text")
+    val b = Seq((2L, "x y"), (3L, "w")).toDF("doc_id", "text")
+    def idx(df: org.apache.spark.sql.DataFrame) =
+      TextOps.invertedIndex(df, "doc_id", "text", nBlocks = 2, minDf = 1L)
+    val full = idx(a.union(b))
+      .as[(String, Long, Long, Long, Seq[Long])].collect().toSet
+    val merged = idx(a).union(idx(b))
+      .groupBy(col("token"), col("block"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        array_sort(flatten(collect_list(col("postings")))).as("postings"))
+    val dfTab = merged.groupBy(col("token"))
+      .agg(sum(col("n_docs")).as("df"))
+    val got = merged.join(dfTab, "token")
+      .select(col("token"), col("block"), col("df"), col("n_docs"),
+        col("postings"))
+      .as[(String, Long, Long, Long, Seq[Long])].collect().toSet
+    assert(got == full, s"$got != $full")
+  }
 }

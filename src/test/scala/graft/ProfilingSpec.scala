@@ -294,4 +294,21 @@ class ProfilingSpec extends SparkSpec {
       .as[(Double, Long, Double)].collect().head
     assert(lo == ((0.001, 1L, 3.0)))
   }
+
+  test("equiDepthBins: equal counts on distinct values; ties stay together") {
+    val df = (1 to 64).map(_.toDouble).toDF("x")
+    val bins = Profiling.equiDepthBins(df, "x", 4)
+      .orderBy("bin").as[(Long, Long, Double, Double)].collect()
+    assert(bins.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(bins.forall(_._2 == 16L)) // 64/4 exactly
+    // bins tile the range: next vmin follows prev vmax
+    assert(bins.sliding(2).forall {
+      case Array(a, b) => b._3 == a._4 + 1.0; case _ => true })
+    // a dominant tie run lands in ONE bin (ntile would split it)
+    val ties = (Seq.fill(30)(5.0) ++ Seq(1.0, 9.0)).toDF("x")
+    val tb = Profiling.equiDepthBins(ties, "x", 4)
+      .as[(Long, Long, Double, Double)].collect()
+    val five = tb.filter(r => r._3 <= 5.0 && 5.0 <= r._4)
+    assert(five.length == 1 && five.head._2 >= 30L)
+  }
 }

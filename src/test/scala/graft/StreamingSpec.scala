@@ -650,6 +650,49 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size == 12)
   }
 
+  test("inverted index maintains incrementally: per-batch shards " +
+      "merge-on-read to the full-corpus index") {
+    // the production shape for a growing corpus: each crawl/batch
+    // indexes its OWN documents (docs partition cleanly — a doc's
+    // postings live in one shard), shards land via the idempotent
+    // batch sink, and readers merge per (token, block) — proven
+    // equivalent to a full rebuild by the ExtensionOpsSpec
+    // mergeability law, exercised here over the streaming path
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamingDedup.foreachBatchParquetSink(dir)(
+          TextOps.invertedIndex(batch, "doc_id", "text",
+            nBlocks = 2, minDf = 1L), id)
+      }
+      .outputMode("append").start()
+    input.addData((0L, "x y"), (1L, "x z"))
+    q.processAllAvailable()
+    input.addData((2L, "x y"), (3L, "w"))
+    q.processAllAvailable()
+    q.stop()
+    val merged = spark.read.parquet(dir)
+      .groupBy(col("token"), col("block"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        array_sort(flatten(collect_list(col("postings")))).as("postings"))
+    val dfTab = merged.groupBy(col("token"))
+      .agg(sum(col("n_docs")).as("df"))
+    val got = merged.join(dfTab, "token")
+      .select(col("token"), col("block"), col("df"), col("n_docs"),
+        col("postings"))
+      .as[(String, Long, Long, Long, Seq[Long])].collect().toSet
+    val full = TextOps.invertedIndex(
+        Seq((0L, "x y"), (1L, "x z"), (2L, "x y"), (3L, "w"))
+          .toDF("doc_id", "text"), "doc_id", "text",
+        nBlocks = 2, minDf = 1L)
+      .as[(String, Long, Long, Long, Seq[Long])].collect().toSet
+    assert(got == full, s"$got != $full")
+  }
+
   test("session_window stream == batch sessionize on starts and counts") {
     // the batch gap rule and Structured Streaming's merging session
     // windows must agree where their contracts overlap: session START
