@@ -47,7 +47,9 @@ object GraftExtensions {
     }
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft.functions", null, name, usage, "")
+    // the full 11-arg constructor — the 5-arg shorthand is deprecated
+    new ExpressionInfo("graft.functions", null, name, usage,
+      "", "", "", null, null, null, "built-in")
 
   private def expect(args: Seq[Expression], n: Int, name: String): Unit =
     require(args.length == n,

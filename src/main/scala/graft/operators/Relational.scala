@@ -309,7 +309,7 @@ object Relational {
   def snapshotDiff(prev: DataFrame, cur: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "snapshotDiff needs at least one key")
-    val valCols = cur.columns.filterNot(keyCols.contains).sorted
+    val valCols = cur.columns.filterNot(keyCols.contains).sorted.toIndexedSeq
     require(prev.columns.filterNot(keyCols.contains).sorted
         .sameElements(valCols),
       "prev and cur must share the compared column set")

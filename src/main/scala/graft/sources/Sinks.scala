@@ -29,7 +29,7 @@ object Sinks {
     */
   def writeJsonArrayFile(df: DataFrame, file: String,
       maxRows: Int = 1000000): Unit = {
-    val cols = df.columns.sorted
+    val cols = df.columns.sorted.toIndexedSeq
     // keep null fields: json.dump writes "k": null, and dropping keys
     // would change the canonical row shape consumers key on
     val jsonRows = df.select(to_json(struct(cols.map(col): _*),

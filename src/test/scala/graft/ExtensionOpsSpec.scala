@@ -180,7 +180,7 @@ class ExtensionOpsSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(counts.values.forall(_ <= 7))
     assert(counts("tiny") == 3)               // under-cap key untouched
-    assert(counts.filterKeys(_ != "tiny").values.forall(_ == 7))
+    assert(counts.view.filterKeys(_ != "tiny").values.forall(_ == 7))
     val again = Sampling.capPerKey(df, "domain", "id", 7)
     assert(capped.select($"id").except(again.select($"id")).count() == 0)
   }

@@ -737,7 +737,7 @@ class PointsSinkSpec extends SparkSpec {
             r.body
           }
           def parsed(path: String) =
-            spark.read.json(Seq(doc(path)).toDS)
+            spark.read.json(Seq(doc(path)).toDS())
           val members = parsed("/members")
             .select(explode(col("data.servicegroup.members")).as("m"))
             .select(col("m.host_name"), col("m.service_description"))
