@@ -49,7 +49,7 @@ object GraftExtensions {
   private def info(name: String, usage: String): ExpressionInfo =
     // the full 11-arg constructor — the 5-arg shorthand is deprecated
     new ExpressionInfo("graft.functions", null, name, usage,
-      "", "", "", null, null, null, "built-in")
+      "", "", "", "", "", "", "built-in")
 
   private def expect(args: Seq[Expression], n: Int, name: String): Unit =
     require(args.length == n,
