@@ -2430,9 +2430,11 @@ object SparkEntry {
 
     // PageRank by power iteration over the undirected order–supplier
     // graph from lineitem (both directions of each distinct pair).
-    // 5 fixed rounds; contributions sum as DECIMAL(38,12) so the
-    // result is reduce-order-independent and replayable by the
-    // oracle's unrolled-CTE chain
+    // 3 fixed rounds here (each round is a full exchange pair — the
+    // oracle replays exactly these; deeper chains are pinned by
+    // BehaviorSpec's 5-round fixtures); contributions sum as
+    // DECIMAL(38,12) so the result is reduce-order-independent and
+    // replayable by the oracle's unrolled-CTE chain
     "q_pagerank" -> ((s, dir) => {
       val pairs = Tables.lineitem(s, dir)
         .select(concat(lit("O"), col("l_orderkey")).as("o"),
@@ -2441,7 +2443,7 @@ object SparkEntry {
       val edges = pairs.select(col("o").as("src"), col("p").as("dst"))
         .union(pairs.select(col("p").as("src"), col("o").as("dst")))
       operators.Behavior.pageRank(edges, "src", "dst",
-        iters = 5, damping = 0.85)
+        iters = 3, damping = 0.85)
     }),
 
     // blocked inverted index: token -> sorted doc-id postings split
@@ -4890,14 +4892,14 @@ object SparkEntry {
         | max(ep) AS end_ep, count(*) AS n_events
         |FROM g GROUP BY 1, 2""".stripMargin,
 
-    // the power iteration unrolled: 5 chained CTEs, each the same
+    // the power iteration unrolled: 3 chained CTEs, each the same
     // round/decimal-sum/round contribution chain the Spark operator
     // uses, so every intermediate is bit-identical
     "q_pagerank" -> {
       val d = 0.85
       val teleport = 1.0 - d // interpolated so both engines parse the
                              // exact double (0.15000000000000002)
-      val iters = (1 to 5).map { i =>
+      val iters = (1 to 3).map { i =>
         s"""pr$i AS (SELECT n.node,
            | round(CAST($teleport AS DOUBLE) + CAST($d AS DOUBLE) *
            |   COALESCE(CAST(c.m AS DOUBLE), 0.0), 12) AS pr
@@ -4918,7 +4920,7 @@ object SparkEntry {
          |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
          |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
          |$iters
-         |SELECT node, round(pr, 6) AS pagerank FROM pr5""".stripMargin
+         |SELECT node, round(pr, 6) AS pagerank FROM pr3""".stripMargin
     },
 
     "q_inverted_index" ->

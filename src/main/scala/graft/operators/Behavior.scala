@@ -282,9 +282,14 @@ object Behavior {
       iters: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0,1)")
+    // pre-partition by src ONCE: localCheckpoint preserves the hash
+    // partitioning in its LogicalRDD, so every iteration's rank join
+    // reuses it and only the |nodes|-row rank side shuffles per round
+    // (without this, the full edge set re-exchanges every iteration)
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("src"))
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
