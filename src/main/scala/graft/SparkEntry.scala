@@ -2495,6 +2495,22 @@ object SparkEntry {
           max_by(col("doc_id"),
             struct(col("pagerank"), -col("doc_id"))).as("representative"),
           max(col("pagerank")).as("pagerank"))
+    }),
+
+    // distributed GD training of a linear lang-prior gate: 3 full-
+    // batch steps, each ONE decimal gradient aggregate + an
+    // O(features) driver update re-broadcast as literals — the
+    // parameter-server shape; weights replayed step-for-step by the
+    // oracle's unrolled CTEs
+    "q_linear_fit" -> ((s, dir) => {
+      val feats = Tables.documents(s, dir).select(
+        round(least(TextOps.tokenCount(col("text")).cast("double"),
+          lit(200.0)) / lit(200.0), 6).as("x_tokens"),
+        round(least(col("n_chars").cast("double"), lit(2000.0))
+          / lit(2000.0), 6).as("x_chars"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      operators.Profiling.linearFitGD(feats, Seq("x_tokens", "x_chars"),
+        "y", steps = 3, lr = 0.1)
     })
   )
 
@@ -5021,6 +5037,48 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY component
          |   ORDER BY pagerank DESC, doc_id ASC) AS rn
          | FROM j) t WHERE rn = 1""".stripMargin
+    },
+
+    // the GD fit unrolled: per step, one decimal gradient sum per
+    // weight, then the same round(w - lr*round(sum/n,12), 12) driver
+    // arithmetic — weights bit-identical at every step
+    "q_linear_fit" -> {
+      val steps = (1 to 3).map { i =>
+        val p = s"round(w.wb * 1.0 + w.w1 * f.x1 + w.w2 * f.x2, 12)"
+        s"""g$i AS (SELECT
+           |  sum(CAST(round(($p - f.y) * 1.0, 12)
+           |    AS DECIMAL(38,12))) AS sb,
+           |  sum(CAST(round(($p - f.y) * f.x1, 12)
+           |    AS DECIMAL(38,12))) AS s1,
+           |  sum(CAST(round(($p - f.y) * f.x2, 12)
+           |    AS DECIMAL(38,12))) AS s2
+           | FROM f2 f CROSS JOIN w${i - 1} w),
+           |w$i AS (SELECT
+           |  round(w.wb - CAST(0.1 AS DOUBLE)
+           |    * round(CAST(g.sb AS DOUBLE) / n.n, 12), 12) AS wb,
+           |  round(w.w1 - CAST(0.1 AS DOUBLE)
+           |    * round(CAST(g.s1 AS DOUBLE) / n.n, 12), 12) AS w1,
+           |  round(w.w2 - CAST(0.1 AS DOUBLE)
+           |    * round(CAST(g.s2 AS DOUBLE) / n.n, 12), 12) AS w2
+           | FROM w${i - 1} w CROSS JOIN g$i g CROSS JOIN n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH feat AS (SELECT
+         |  round(LEAST(CAST(len(list_filter(string_split_regex(text,
+         |      '\\s+'), t -> len(t) > 0)) AS DOUBLE),
+         |    CAST(200 AS DOUBLE)) / CAST(200 AS DOUBLE), 6) AS x_tokens,
+         |  round(LEAST(CAST(n_chars AS DOUBLE), CAST(2000 AS DOUBLE))
+         |    / CAST(2000 AS DOUBLE), 6) AS x_chars,
+         |  CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
+         |    ELSE CAST(0 AS DOUBLE) END AS y FROM documents),
+         |f2 AS (SELECT x_tokens AS x1, x_chars AS x2, y FROM feat),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feat),
+         |w0 AS (SELECT CAST(0 AS DOUBLE) AS wb, CAST(0 AS DOUBLE) AS w1,
+         |  CAST(0 AS DOUBLE) AS w2),
+         |$steps
+         |SELECT * FROM (
+         | SELECT 'bias' AS feature, wb AS weight FROM w3
+         | UNION ALL SELECT 'x_tokens', w1 FROM w3
+         | UNION ALL SELECT 'x_chars', w2 FROM w3) t""".stripMargin
     }
   )
 }

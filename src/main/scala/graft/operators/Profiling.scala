@@ -368,6 +368,72 @@ object Profiling {
       .select(col("q"), col("rank"), col("value"))
   }
 
+  /** Distributed linear-model training by full-batch gradient descent
+    * — the quality-classifier TRAINING arm the fixed-weight scorer
+    * (`q_quality_model`) consumes: learn the weights from labels
+    * instead of hand-tuning them. Least-squares objective, `steps`
+    * fixed full-batch GD rounds:
+    *
+    *   w_{t+1} = round( w_t − lr · (1/n) Σ_i (pred_i − y_i)·x_i , 12)
+    *   pred_i  = round( w_t · x_i , 12)
+    *
+    * Plan shape per step — the parameter-server pattern in miniature:
+    * ONE aggregate producing |features|+1 decimal gradient sums
+    * (map-side combined, O(features) rows cross the wire), an
+    * O(features) DRIVER update (this is the legitimate driver-state
+    * class: model weights, like IVF's centroids), and the new weights
+    * re-enter the next step as literals — broadcast by value, nothing
+    * re-partitioned, the corpus never moves. At 100 TB each step is
+    * one scan + one tiny exchange; `steps` is fixed so the whole fit
+    * is `steps` scans.
+    *
+    * Exactness discipline (the PageRank/moments chain): features and
+    * labels must arrive PRE-ROUNDED portable doubles; per-row
+    * error×feature products round to 12dp and sum as DECIMAL(38,12)
+    * (order-independent); the driver update replays Spark's
+    * HALF_UP round semantics via BigDecimal, so the learned weights
+    * are bit-identical to an engine replaying the same unrolled
+    * arithmetic. Deterministic init w=0.
+    *
+    * Output: (feature, weight) rows — "bias" first, then
+    * `featureCols` in order; a bounded artifact to freeze/broadcast
+    * like the DSIR and CMS models.
+    */
+  def linearFitGD(df: DataFrame, featureCols: Seq[String],
+      labelCol: String, steps: Int = 3, lr: Double = 0.1): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature")
+    require(steps >= 1, "steps must be >= 1")
+    val spark = df.sparkSession
+    val xs = lit(1.0) +: featureCols.map(c => col(c).cast("double"))
+    val y = col(labelCol).cast("double")
+    val data = df.select((xs :+ y).zipWithIndex.map {
+      case (c, i) => c.as(s"_c$i") }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = data.count().toDouble
+      require(n > 0, "cannot fit on an empty frame")
+      def round12(v: Double): Double =
+        new java.math.BigDecimal(v)
+          .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue
+      var w = Array.fill(xs.size)(0.0)
+      for (_ <- 1 to steps) {
+        val pred = round(w.indices.map(j =>
+          col(s"_c$j") * lit(w(j))).reduce(_ + _), 12)
+        val err = pred - col(s"_c${xs.size}")
+        val grads = data.select(w.indices.map(j =>
+          sum(round(err * col(s"_c$j"), 12).cast("decimal(38,12)"))
+            .as(s"g$j")): _*).head()
+        w = w.indices.map { j =>
+          val g = if (grads.isNullAt(j)) 0.0
+            else round12(grads.getDecimal(j).doubleValue / n)
+          round12(w(j) - lr * g)
+        }.toArray
+      }
+      import spark.implicits._
+      ("bias" +: featureCols).zip(w.toSeq).toDF("feature", "weight")
+    } finally data.unpersist(false)
+  }
+
   /** Equi-depth (equal-count) binning of a column WITHOUT a global
     * window — the scale-safe global `ntile`: a corpus-wide
     * `ntile(n) OVER (ORDER BY value)` funnels every row through one

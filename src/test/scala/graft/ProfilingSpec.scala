@@ -295,6 +295,30 @@ class ProfilingSpec extends SparkSpec {
     assert(lo == ((0.001, 1L, 3.0)))
   }
 
+  test("linearFitGD: loss decreases, partitioning-invariant, guards") {
+    // y = 2x exactly: each GD step must cut the squared error
+    val df = (1 to 50).map(i => (i / 50.0, 2.0 * i / 50.0))
+      .toDF("x", "y")
+    def weights(d: org.apache.spark.sql.DataFrame, steps: Int) =
+      Profiling.linearFitGD(d, Seq("x"), "y", steps = steps, lr = 0.5)
+        .as[(String, Double)].collect().toMap
+    def loss(w: Map[String, Double]) =
+      (1 to 50).map { i =>
+        val x = i / 50.0
+        val p = w("bias") + w("x") * x
+        val e = p - 2.0 * x; e * e
+      }.sum
+    val l1 = loss(weights(df, 1)); val l3 = loss(weights(df, 3))
+    assert(l3 < l1, s"loss did not decrease: $l1 -> $l3")
+    assert(weights(df, 3)("x") > 0.0) // moving toward the true slope 2
+    // decimal gradient sums make the fit reduce-order-independent
+    assert(weights(df, 3) == weights(df.repartition(7), 3))
+    // empty input refuses instead of dividing by zero
+    intercept[IllegalArgumentException] {
+      Profiling.linearFitGD(df.filter(col("x") > 99), Seq("x"), "y")
+    }
+  }
+
   test("equiDepthBins: equal counts on distinct values; ties stay together") {
     val df = (1 to 64).map(_.toDouble).toDF("x")
     val bins = Profiling.equiDepthBins(df, "x", 4)
