@@ -2511,6 +2511,34 @@ object SparkEntry {
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
       operators.Profiling.linearFitGD(feats, Seq("x_tokens", "x_chars"),
         "y", steps = 3, lr = 0.1)
+    }),
+
+    // train-then-serve: fit the gate's weights (same 3-step GD), then
+    // score every document with them as literals and keep the docs
+    // scoring STRICTLY ABOVE THE CORPUS MEAN — a scale-free cut (an
+    // absolute threshold is meaningless when the learned weight scale
+    // moves with the corpus); mean over exact 6dp-decimal scores, so
+    // the cut itself is engine-portable
+    "q_trained_gate" -> ((s, dir) => {
+      val feats = Tables.documents(s, dir).select(col("doc_id"),
+        round(least(TextOps.tokenCount(col("text")).cast("double"),
+          lit(200.0)) / lit(200.0), 6).as("x_tokens"),
+        round(least(col("n_chars").cast("double"), lit(2000.0))
+          / lit(2000.0), 6).as("x_chars"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val w = operators.Profiling.linearFitGD(feats,
+          Seq("x_tokens", "x_chars"), "y", steps = 3, lr = 0.1)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val score = round(lit(w("bias")) +
+        lit(w("x_tokens")) * col("x_tokens") +
+        lit(w("x_chars")) * col("x_chars"), 6)
+      val scored = feats.select(col("doc_id"), score.as("score"))
+      val m = scored.agg(
+        round(sum(col("score").cast("decimal(38,6)")).cast("double")
+          / count(lit(1)), 6).as("__m"))
+      scored.crossJoin(broadcast(m))
+        .filter(col("score") > col("__m"))
+        .select(col("doc_id"), col("score"))
     })
   )
 
@@ -5042,43 +5070,64 @@ object SparkEntry {
     // the GD fit unrolled: per step, one decimal gradient sum per
     // weight, then the same round(w - lr*round(sum/n,12), 12) driver
     // arithmetic — weights bit-identical at every step
-    "q_linear_fit" -> {
-      val steps = (1 to 3).map { i =>
-        val p = s"round(w.wb * 1.0 + w.w1 * f.x1 + w.w2 * f.x2, 12)"
-        s"""g$i AS (SELECT
-           |  sum(CAST(round(($p - f.y) * 1.0, 12)
-           |    AS DECIMAL(38,12))) AS sb,
-           |  sum(CAST(round(($p - f.y) * f.x1, 12)
-           |    AS DECIMAL(38,12))) AS s1,
-           |  sum(CAST(round(($p - f.y) * f.x2, 12)
-           |    AS DECIMAL(38,12))) AS s2
-           | FROM f2 f CROSS JOIN w${i - 1} w),
-           |w$i AS (SELECT
-           |  round(w.wb - CAST(0.1 AS DOUBLE)
-           |    * round(CAST(g.sb AS DOUBLE) / n.n, 12), 12) AS wb,
-           |  round(w.w1 - CAST(0.1 AS DOUBLE)
-           |    * round(CAST(g.s1 AS DOUBLE) / n.n, 12), 12) AS w1,
-           |  round(w.w2 - CAST(0.1 AS DOUBLE)
-           |    * round(CAST(g.s2 AS DOUBLE) / n.n, 12), 12) AS w2
-           | FROM w${i - 1} w CROSS JOIN g$i g CROSS JOIN n)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH feat AS (SELECT
-         |  round(LEAST(CAST(len(list_filter(string_split_regex(text,
-         |      '\\s+'), t -> len(t) > 0)) AS DOUBLE),
-         |    CAST(200 AS DOUBLE)) / CAST(200 AS DOUBLE), 6) AS x_tokens,
-         |  round(LEAST(CAST(n_chars AS DOUBLE), CAST(2000 AS DOUBLE))
-         |    / CAST(2000 AS DOUBLE), 6) AS x_chars,
-         |  CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
-         |    ELSE CAST(0 AS DOUBLE) END AS y FROM documents),
-         |f2 AS (SELECT x_tokens AS x1, x_chars AS x2, y FROM feat),
-         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feat),
-         |w0 AS (SELECT CAST(0 AS DOUBLE) AS wb, CAST(0 AS DOUBLE) AS w1,
-         |  CAST(0 AS DOUBLE) AS w2),
-         |$steps
+    "q_linear_fit" ->
+      s"""WITH $linearFitCtes
          |SELECT * FROM (
          | SELECT 'bias' AS feature, wb AS weight FROM w3
          | UNION ALL SELECT 'x_tokens', w1 FROM w3
-         | UNION ALL SELECT 'x_chars', w2 FROM w3) t""".stripMargin
-    }
+         | UNION ALL SELECT 'x_chars', w2 FROM w3) t""".stripMargin,
+
+    // score with the TRAINED weights (bit-identical to the fit
+    // oracle's w3 row) and keep the docs above the corpus-mean score
+    // — train-then-serve in one statement
+    "q_trained_gate" ->
+      s"""WITH $linearFitCtes,
+         |sc AS (SELECT f.doc_id,
+         |  round(w.wb + w.w1 * f.x1 + w.w2 * f.x2, 6) AS score
+         | FROM f2 f CROSS JOIN w3 w),
+         |m AS (SELECT round(CAST(sum(CAST(score AS DECIMAL(38,6)))
+         |    AS DOUBLE) / count(*), 6) AS m FROM sc)
+         |SELECT sc.doc_id, sc.score FROM sc CROSS JOIN m
+         |WHERE sc.score > m.m""".stripMargin
   )
+
+  /** Shared CTE body for the GD-fit oracles: features (pre-rounded
+    * portable doubles + en label), n, and the 3 unrolled
+    * gradient/update steps w0 → w3 — kept in ONE place so the fit
+    * query and the trained-gate query replay the SAME weights.
+    */
+  private lazy val linearFitCtes: String = {
+    val steps = (1 to 3).map { i =>
+      val p = s"round(w.wb * 1.0 + w.w1 * f.x1 + w.w2 * f.x2, 12)"
+      s"""g$i AS (SELECT
+         |  sum(CAST(round(($p - f.y) * 1.0, 12)
+         |    AS DECIMAL(38,12))) AS sb,
+         |  sum(CAST(round(($p - f.y) * f.x1, 12)
+         |    AS DECIMAL(38,12))) AS s1,
+         |  sum(CAST(round(($p - f.y) * f.x2, 12)
+         |    AS DECIMAL(38,12))) AS s2
+         | FROM f2 f CROSS JOIN w${i - 1} w),
+         |w$i AS (SELECT
+         |  round(w.wb - CAST(0.1 AS DOUBLE)
+         |    * round(CAST(g.sb AS DOUBLE) / n.n, 12), 12) AS wb,
+         |  round(w.w1 - CAST(0.1 AS DOUBLE)
+         |    * round(CAST(g.s1 AS DOUBLE) / n.n, 12), 12) AS w1,
+         |  round(w.w2 - CAST(0.1 AS DOUBLE)
+         |    * round(CAST(g.s2 AS DOUBLE) / n.n, 12), 12) AS w2
+         | FROM w${i - 1} w CROSS JOIN g$i g CROSS JOIN n)""".stripMargin
+    }.mkString(",\n")
+    s"""feat AS (SELECT doc_id,
+       |  round(LEAST(CAST(len(list_filter(string_split_regex(text,
+       |      '\\s+'), t -> len(t) > 0)) AS DOUBLE),
+       |    CAST(200 AS DOUBLE)) / CAST(200 AS DOUBLE), 6) AS x_tokens,
+       |  round(LEAST(CAST(n_chars AS DOUBLE), CAST(2000 AS DOUBLE))
+       |    / CAST(2000 AS DOUBLE), 6) AS x_chars,
+       |  CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
+       |    ELSE CAST(0 AS DOUBLE) END AS y FROM documents),
+       |f2 AS (SELECT doc_id, x_tokens AS x1, x_chars AS x2, y FROM feat),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feat),
+       |w0 AS (SELECT CAST(0 AS DOUBLE) AS wb, CAST(0 AS DOUBLE) AS w1,
+       |  CAST(0 AS DOUBLE) AS w2),
+       |$steps""".stripMargin
+  }
 }
