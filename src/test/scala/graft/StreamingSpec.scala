@@ -650,6 +650,35 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size == 12)
   }
 
+  test("frozen GD weights: streaming scores == batch scores") {
+    // the linear gate's serving path is pure literal arithmetic, so a
+    // frozen fit scores a stream identically to a batch — the same
+    // frozen-artifact contract as the LM/DSIR/PQ/CMS families
+    import graft.operators.Profiling
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((0.2, 0.0), (0.4, 1.0), (0.9, 1.0), (0.1, 0.0))
+      .toDF("x", "y")
+    val w = Profiling.linearFitGD(train, Seq("x"), "y", steps = 3,
+        lr = 0.5).as[(String, Double)].collect().toMap
+    def score(c: org.apache.spark.sql.Column) =
+      round(lit(w("bias")) + lit(w("x")) * c, 6)
+    val input = MemoryStream[(Long, Double)]
+    val q = input.toDF().toDF("id", "x")
+      .select(col("id"), score(col("x")).as("s"))
+      .writeStream.format("memory").queryName("gd_stream")
+      .outputMode("append").start()
+    input.addData((1L, 0.3), (2L, 0.8))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("gd_stream")
+      .as[(Long, Double)].collect().toMap
+    val batch = Seq((1L, 0.3), (2L, 0.8)).toDF("id", "x")
+      .select(col("id"), score(col("x")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(streamed == batch && batch.size == 2)
+    assert(batch(2L) > batch(1L)) // higher x scores higher
+  }
+
   test("inverted index maintains incrementally: per-batch shards " +
       "merge-on-read to the full-corpus index") {
     // the production shape for a growing corpus: each crawl/batch
