@@ -586,6 +586,40 @@ class PlanSpec extends SparkSpec {
     assert(exec.toString.contains("block"), exec.toString)
   }
 
+  test("equiDepthBins: no window anywhere; boundaries broadcast") {
+    // the whole point vs global ntile: no ordered window over the
+    // corpus — the only wide ops are rankSelect's range exchange
+    // (checkpointed away inside runningSum) and the bin aggregate
+    import spark.implicits._
+    val df = (1 to 500).map(_.toDouble).toDF("x")
+    val exec = graft.operators.Profiling.equiDepthBins(df, "x", 4)
+      .queryExecution.executedPlan
+    assert(!exec.toString.contains("Window"),
+      s"window in equiDepthBins plan:\n$exec")
+    assert(exec.toString.contains("BroadcastExchange") ||
+      exec.toString.contains("BroadcastHashJoin") ||
+      exec.toString.contains("BroadcastNestedLoopJoin"),
+      s"boundary array not broadcast:\n$exec")
+  }
+
+  test("linearFitGD step: one partial-combined aggregate, corpus " +
+      "never re-partitioned") {
+    // hand-assemble one gradient aggregate exactly like the loop body
+    import spark.implicits._
+    val data = (1 to 100).map(i => (i / 100.0, 2.0 * i / 100.0))
+      .toDF("_c1", "_c2").withColumn("_c0", lit(1.0))
+    val pred = round(col("_c0") * lit(0.1) + col("_c1") * lit(0.2), 12)
+    val err = pred - col("_c2")
+    val grads = data.select(
+      sum(round(err * col("_c0"), 12).cast("decimal(38,12)")).as("g0"),
+      sum(round(err * col("_c1"), 12).cast("decimal(38,12)")).as("g1"))
+    val plan = grads.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"),
+      s"no map-side combine in gradient aggregate:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus re-partitioned for a global aggregate:\n$plan")
+  }
+
   test("pageRank iteration: incoming mass is an AGGREGATE on dst " +
       "(map-side combined), never a window") {
     // one un-checkpointed iteration, hand-assembled exactly like the
