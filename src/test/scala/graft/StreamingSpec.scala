@@ -650,6 +650,50 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size == 12)
   }
 
+  test("streaming CDC merge: per-batch applyChangelog over a staged " +
+      "base == one batch merge of all changes") {
+    // the production table-maintenance loop: each micro-batch of
+    // change rows merges into the staged base via the same
+    // applyChangelog the batch path uses, and the final table equals
+    // a single batch merge of the full changelog — upsert idempotence
+    // makes replay safe, and per-batch application commutes because
+    // latest-per-key picks the same winners
+    import graft.operators.Relational
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graftcdc").toString
+    Seq((1L, "a", 1L), (2L, "b", 1L))
+      .toDF("k", "v", "ts").write.parquet(s"$dir/base")
+    // (k, v, ts, op): updates to k=1 across batches, delete of k=2,
+    // insert of k=3
+    val input = MemoryStream[(Long, String, Long, String)]
+    val q = input.toDF().toDF("k", "v", "ts", "op")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val base = spark.read.parquet(s"$dir/base").localCheckpoint(true)
+        Relational.applyChangelog(base, batch.localCheckpoint(true),
+            Seq("k"), "ts", "ts", "op")
+          .localCheckpoint(true)
+          .write.mode("overwrite").parquet(s"$dir/base")
+      }
+      .outputMode("append").start()
+    input.addData((1L, "a2", 2L, "U"), (3L, "c", 2L, "U"))
+    q.processAllAvailable()
+    input.addData((1L, "a3", 3L, "U"), (2L, "b", 3L, "D"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$dir/base")
+      .as[(Long, String, Long)].collect().toSet
+    val batchMerged = Relational.applyChangelog(
+        Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ts"),
+        Seq((1L, "a2", 2L, "U"), (3L, "c", 2L, "U"),
+          (1L, "a3", 3L, "U"), (2L, "b", 3L, "D"))
+          .toDF("k", "v", "ts", "op"),
+        Seq("k"), "ts", "ts", "op")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batchMerged, s"$streamed != $batchMerged")
+    assert(streamed == Set((1L, "a3", 3L), (3L, "c", 2L)))
+  }
+
   test("frozen GD weights: streaming scores == batch scores") {
     // the linear gate's serving path is pure literal arithmetic, so a
     // frozen fit scores a stream identically to a batch — the same
