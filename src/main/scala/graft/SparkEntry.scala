@@ -2539,7 +2539,16 @@ object SparkEntry {
       scored.crossJoin(broadcast(m))
         .filter(col("score") > col("__m"))
         .select(col("doc_id"), col("score"))
-    })
+    }),
+
+    // feature hashing: every doc becomes a fixed 16-dim L2-normalized
+    // hashed tf-idf vector with no trained model — the bridge from
+    // the text family into the embedding family (cosine/k-means/ANN
+    // on text-only corpora); exploded rows per the random_project
+    // convention
+    "q_hashed_embedding" -> ((s, dir) =>
+      operators.TextOps.hashedTfidfEmbedding(
+        Tables.documents(s, dir), "doc_id", "text", dim = 16))
   )
 
   /** Bench-only queries: the partial-probe ANN configurations — the
@@ -5088,7 +5097,40 @@ object SparkEntry {
          |m AS (SELECT round(CAST(sum(CAST(score AS DECIMAL(38,6)))
          |    AS DOUBLE) / count(*), 6) AS m FROM sc)
          |SELECT sc.doc_id, sc.score FROM sc CROSS JOIN m
-         |WHERE sc.score > m.m""".stripMargin
+         |WHERE sc.score > m.m""".stripMargin,
+
+    // the hashing trick replayed: md5 bucket, decimal tf-idf sums,
+    // one sqrt, 6dp components
+    "q_hashed_embedding" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(list_filter(
+        |   string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        | FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |  GROUP BY doc_id, token),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf
+        |  GROUP BY token),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |g AS (SELECT tf.doc_id,
+        |  CAST('0x' || substring(md5(tf.token), 1, 8) AS BIGINT) % 16
+        |    AS b,
+        |  CAST(sum(CAST(round(tf.tf * ln(n.n / df.df), 6)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS v
+        | FROM tf JOIN df USING (token) CROSS JOIN n
+        | GROUP BY 1, 2),
+        |ks AS (SELECT d.doc_id, CAST(s.k AS BIGINT) AS k
+        | FROM (SELECT DISTINCT doc_id FROM tf) d
+        |  CROSS JOIN generate_series(0, 15) s(k)),
+        |vec AS (SELECT ks.doc_id, ks.k, COALESCE(g.v, 0.0) AS v
+        | FROM ks LEFT JOIN g ON g.doc_id = ks.doc_id AND g.b = ks.k),
+        |nrm AS (SELECT doc_id,
+        |  round(sqrt(CAST(sum(CAST(round(v * v, 12) AS DECIMAL(38,12)))
+        |    AS DOUBLE)), 6) AS nrm
+        | FROM vec GROUP BY doc_id)
+        |SELECT vec.doc_id, vec.k,
+        | CASE WHEN nrm.nrm > 0 THEN round(vec.v / nrm.nrm, 6)
+        |  ELSE 0.0 END AS v
+        |FROM vec JOIN nrm USING (doc_id)""".stripMargin
   )
 
   /** Shared CTE body for the GD-fit oracles: features (pre-rounded

@@ -956,6 +956,69 @@ object TextOps {
         col("postings"))
   }
 
+  /** Hashed tf-idf document embeddings (the feature-hashing trick,
+    * Weinberger et al. 2009): every document becomes a fixed `dim`-
+    * dimensional L2-normalized vector WITHOUT any trained model —
+    * token → bucket by the portable leading-32-md5-bit hash, bucket
+    * value = Σ tf·idf of its tokens — so the text family plugs
+    * straight into the embedding family (cosine near-dup, k-means,
+    * SemDeDup, ANN) on corpora that ship no embeddings. Collisions
+    * fold rare tokens together; that is the hashing trick's accepted
+    * trade (bounded dim, no vocabulary dictionary to build, ship, or
+    * grow — the property that matters at 100 TB).
+    *
+    * Plan shape: the [[tfidf]] aggregates (all bounded or
+    * (id, token)-keyed, map-side combined — text never shuffles) →
+    * one (id, bucket) decimal-sum aggregate → per-doc array assembly
+    * (`dim` entries) and an array-local norm. Docs with zero tokens
+    * produce no row.
+    *
+    * Exactness: 6dp-rounded tf-idf weights sum as DECIMAL(38,6)
+    * (order-free); the norm is one correctly-rounded sqrt of a
+    * 12dp-decimal sum of squares; components round to 6dp after the
+    * divide. Output EXPLODED as (idCol, k, v) rows — the
+    * `q_random_project` convention for engine-portable numeric-array
+    * comparison.
+    */
+  def hashedTfidfEmbedding(docs: DataFrame, idCol: String,
+      textCol: String, dim: Int = 64): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("_tf"))
+    val dfTab = tf.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+    val bucket = conv(substring(md5(col("token")), 1, 8), 16, 10)
+      .cast("long") % dim
+    val summed = tf.join(dfTab, "token")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), bucket.as("_b"),
+        round(col("_tf") * log(col("__n") / col("_df")), 6)
+          .cast("decimal(38,6)").as("_w"))
+      .groupBy(col(idCol), col("_b"))
+      .agg(sum(col("_w")).cast("double").as("_v"))
+    val assembled = summed.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(
+        struct(col("_b"), col("_v")))).as("_m"))
+      .select(col(idCol),
+        transform(sequence(lit(0L), lit((dim - 1).toLong)),
+          b => coalesce(try_element_at(col("_m"), b), lit(0.0)))
+          .as("_vec"))
+    val norm = round(sqrt(aggregate(col("_vec"),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,12)"),
+      // re-cast per step: Spark types decimal+decimal as (38,11)
+      (acc, v) => (acc + round(v * v, 12).cast("decimal(38,12)"))
+        .cast("decimal(38,12)"))
+      .cast("double")), 6)
+    assembled
+      .select(col(idCol), col("_vec"), norm.as("_n"))
+      .select(col(idCol), posexplode(col("_vec")).as(Seq("k", "_raw")),
+        col("_n"))
+      .select(col(idCol), col("k").cast("long").as("k"),
+        when(col("_n") > 0, round(col("_raw") / col("_n"), 6))
+          .otherwise(0.0).as("v"))
+  }
+
   /** Default head-vocabulary budget for the surprisal family: 2^18
     * entries ≈ a few MB broadcast — still far past CCNet's shipped
     * LMs (and past any pruned bigram table), so the tail floor only

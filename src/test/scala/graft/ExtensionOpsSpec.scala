@@ -1491,6 +1491,32 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(idx.forall(r => r._5 == r._5.sorted))
   }
 
+  test("hashedTfidfEmbedding: unit norm, identical texts identical, " +
+      "composes with cosine") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma"), (1L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta eta"), (3L, "")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.hashedTfidfEmbedding(corpus, "doc_id", "text",
+        dim = 8)
+      .as[(Long, Long, Double)].collect()
+    val vecs = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(!vecs.contains(3L)) // empty doc emits nothing
+    assert(vecs(0L).length == 8)
+    // shared-token docs hash identically -> identical vectors
+    assert(vecs(0L) == vecs(1L))
+    // unit L2 norm (within the 6dp component rounding)
+    val n0 = math.sqrt(vecs(0L).map(v => v * v).sum)
+    assert(math.abs(n0 - 1.0) < 1e-4, s"norm $n0")
+    // disjoint-vocab docs are (near-)orthogonal unless buckets
+    // collide, and never identical
+    assert(vecs(0L) != vecs(2L))
+    // composes with the embedding family's cosine
+    val cos = vecs(0L).zip(vecs(2L)).map { case (a, b) => a * b }.sum
+    assert(cos < 0.99)
+  }
+
   test("invertedIndex is mergeable: index(A ++ B) == blockwise merge " +
       "of per-shard indexes (incremental maintenance)") {
     // the incremental-update story: index new docs separately, merge
