@@ -2548,7 +2548,29 @@ object SparkEntry {
     // convention
     "q_hashed_embedding" -> ((s, dir) =>
       operators.TextOps.hashedTfidfEmbedding(
-        Tables.documents(s, dir), "doc_id", "text", dim = 16))
+        Tables.documents(s, dir), "doc_id", "text", dim = 16)),
+
+    // the bridge end to end: TEMPLATE/BOILERPLATE pairs from TEXT
+    // ONLY via hashed embeddings — exact pairwise cosine (decimal dot
+    // products) over the 16-dim vectors, keep ≥ 0.95: near-identical
+    // and same-template documents, the curation signal tf-idf cosine
+    // actually carries (a short doc with a high-idf suffix scores
+    // ~0.6-0.8 — suffix-dup recovery is the minhash family's job; the
+    // quadratic join is the exactness-oracle class, the production
+    // path being the bucketed/ANN family over these same vectors)
+    "q_hashed_neardup" -> ((s, dir) => {
+      val vecs = operators.TextOps.hashedTfidfEmbedding(
+        nearDupCorpus(s, dir), "doc_id", "text", dim = 16)
+      val a = vecs.select(col("doc_id").as("id_a"), col("k"),
+        col("v").as("va"))
+      val b = vecs.select(col("doc_id").as("id_b"), col("k"),
+        col("v").as("vb"))
+      a.join(b, Seq("k")).filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(round(sum(round(col("va") * col("vb"), 12)
+          .cast("decimal(38,12)")).cast("double"), 6).as("cosine"))
+        .filter(col("cosine") >= 0.95)
+    })
   )
 
   /** Bench-only queries: the partial-probe ANN configurations — the
@@ -5130,7 +5152,49 @@ object SparkEntry {
         |SELECT vec.doc_id, vec.k,
         | CASE WHEN nrm.nrm > 0 THEN round(vec.v / nrm.nrm, 6)
         |  ELSE 0.0 END AS v
-        |FROM vec JOIN nrm USING (doc_id)""".stripMargin
+        |FROM vec JOIN nrm USING (doc_id)""".stripMargin,
+
+    // hashed-embedding near-dup replayed: same chain over the
+    // injected corpus, then exact pairwise decimal dot products
+    "q_hashed_neardup" ->
+      s"""WITH $nearDupCorpusSql,
+         |toks AS (
+         | SELECT doc_id, unnest(list_filter(
+         |   string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS token
+         | FROM docs),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+         |  GROUP BY doc_id, token),
+         |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf
+         |  GROUP BY token),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+         |g AS (SELECT tf.doc_id,
+         |  CAST('0x' || substring(md5(tf.token), 1, 8) AS BIGINT) % 16
+         |    AS b,
+         |  CAST(sum(CAST(round(tf.tf * ln(n.n / df.df), 6)
+         |    AS DECIMAL(38,6))) AS DOUBLE) AS v
+         | FROM tf JOIN df USING (token) CROSS JOIN n
+         | GROUP BY 1, 2),
+         |ks AS (SELECT d.doc_id, CAST(s.k AS BIGINT) AS k
+         | FROM (SELECT DISTINCT doc_id FROM tf) d
+         |  CROSS JOIN generate_series(0, 15) s(k)),
+         |vec AS (SELECT ks.doc_id, ks.k, COALESCE(g.v, 0.0) AS v
+         | FROM ks LEFT JOIN g ON g.doc_id = ks.doc_id AND g.b = ks.k),
+         |nrm AS (SELECT doc_id,
+         |  round(sqrt(CAST(sum(CAST(round(v * v, 12) AS DECIMAL(38,12)))
+         |    AS DOUBLE)), 6) AS nrm
+         | FROM vec GROUP BY doc_id),
+         |unit AS (SELECT vec.doc_id, vec.k,
+         |  CASE WHEN nrm.nrm > 0 THEN round(vec.v / nrm.nrm, 6)
+         |   ELSE 0.0 END AS v
+         | FROM vec JOIN nrm USING (doc_id))
+         |SELECT id_a, id_b, cosine FROM (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(sum(CAST(round(a.v * b.v, 12) AS DECIMAL(38,12)))
+         |    AS DOUBLE), 6) AS cosine
+         | FROM unit a JOIN unit b
+         |  ON a.k = b.k AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2) t
+         |WHERE cosine >= 0.95""".stripMargin
   )
 
   /** Shared CTE body for the GD-fit oracles: features (pre-rounded
