@@ -2559,8 +2559,14 @@ object SparkEntry {
     // quadratic join is the exactness-oracle class, the production
     // path being the bucketed/ANN family over these same vectors)
     "q_hashed_neardup" -> ((s, dir) => {
+      // fixed probe set (600 smallest ids + the injected copies), the
+      // q_knn_* exactness-oracle convention: the pairwise join stays
+      // the same size as the corpus grows; scanning the full corpus
+      // belongs to the bucketed/ANN production path
       val vecs = operators.TextOps.hashedTfidfEmbedding(
-        nearDupCorpus(s, dir), "doc_id", "text", dim = 16)
+        nearDupCorpus(s, dir)
+          .filter(col("doc_id") < 600 || col("doc_id") >= 1000000),
+        "doc_id", "text", dim = 16)
       val a = vecs.select(col("doc_id").as("id_a"), col("k"),
         col("v").as("va"))
       val b = vecs.select(col("doc_id").as("id_b"), col("k"),
@@ -5158,15 +5164,17 @@ object SparkEntry {
     // injected corpus, then exact pairwise decimal dot products
     "q_hashed_neardup" ->
       s"""WITH $nearDupCorpusSql,
+         |sub AS (SELECT * FROM docs
+         | WHERE doc_id < 600 OR doc_id >= 1000000),
          |toks AS (
          | SELECT doc_id, unnest(list_filter(
          |   string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS token
-         | FROM docs),
+         | FROM sub),
          |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
          |  GROUP BY doc_id, token),
          |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf
          |  GROUP BY token),
-         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sub),
          |g AS (SELECT tf.doc_id,
          |  CAST('0x' || substring(md5(tf.token), 1, 8) AS BIGINT) % 16
          |    AS b,
