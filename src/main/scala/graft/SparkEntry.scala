@@ -2502,16 +2502,9 @@ object SparkEntry {
     // O(features) driver update re-broadcast as literals — the
     // parameter-server shape; weights replayed step-for-step by the
     // oracle's unrolled CTEs
-    "q_linear_fit" -> ((s, dir) => {
-      val feats = Tables.documents(s, dir).select(
-        round(least(TextOps.tokenCount(col("text")).cast("double"),
-          lit(200.0)) / lit(200.0), 6).as("x_tokens"),
-        round(least(col("n_chars").cast("double"), lit(2000.0))
-          / lit(2000.0), 6).as("x_chars"),
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-      operators.Profiling.linearFitGD(feats, Seq("x_tokens", "x_chars"),
-        "y", steps = 3, lr = 0.1)
-    }),
+    "q_linear_fit" -> ((s, dir) =>
+      operators.Profiling.linearFitGD(gateFeatures(s, dir),
+        Seq("x_tokens", "x_chars"), "y", steps = 3, lr = 0.1)),
 
     // train-then-serve: fit the gate's weights (same 3-step GD), then
     // score every document with them as literals and keep the docs
@@ -2520,12 +2513,7 @@ object SparkEntry {
     // moves with the corpus); mean over exact 6dp-decimal scores, so
     // the cut itself is engine-portable
     "q_trained_gate" -> ((s, dir) => {
-      val feats = Tables.documents(s, dir).select(col("doc_id"),
-        round(least(TextOps.tokenCount(col("text")).cast("double"),
-          lit(200.0)) / lit(200.0), 6).as("x_tokens"),
-        round(least(col("n_chars").cast("double"), lit(2000.0))
-          / lit(2000.0), 6).as("x_chars"),
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val feats = gateFeatures(s, dir)
       val w = operators.Profiling.linearFitGD(feats,
           Seq("x_tokens", "x_chars"), "y", steps = 3, lr = 0.1)
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -4976,21 +4964,7 @@ object SparkEntry {
     // the power iteration unrolled: 3 chained CTEs, each the same
     // round/decimal-sum/round contribution chain the Spark operator
     // uses, so every intermediate is bit-identical
-    "q_pagerank" -> {
-      val d = 0.85
-      val teleport = 1.0 - d // interpolated so both engines parse the
-                             // exact double (0.15000000000000002)
-      val iters = (1 to 3).map { i =>
-        s"""pr$i AS (SELECT n.node,
-           | round(CAST($teleport AS DOUBLE) + CAST($d AS DOUBLE) *
-           |   COALESCE(CAST(c.m AS DOUBLE), 0.0), 12) AS pr
-           | FROM nodes n LEFT JOIN (
-           |  SELECT e.dst AS node,
-           |    sum(CAST(round(p.pr / g.deg, 12) AS DECIMAL(38,12))) AS m
-           |  FROM e JOIN pr${i - 1} p ON e.src = p.node
-           |   JOIN deg g ON e.src = g.src
-           |  GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
-      }.mkString(",\n")
+    "q_pagerank" ->
       s"""WITH pairs AS (SELECT DISTINCT
          |  'O' || CAST(l_orderkey AS VARCHAR) AS o,
          |  'S' || CAST(l_suppkey AS VARCHAR) AS p FROM lineitem),
@@ -5000,9 +4974,8 @@ object SparkEntry {
          |  UNION SELECT dst FROM e),
          |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
          |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
-         |$iters
-         |SELECT node, round(pr, 6) AS pagerank FROM pr3""".stripMargin
-    },
+         |${pageRankIterCtesSql(3, "e")}
+         |SELECT node, round(pr, 6) AS pagerank FROM pr3""".stripMargin,
 
     "q_inverted_index" ->
       """WITH tk AS (SELECT doc_id, unnest(list_filter(
@@ -5055,20 +5028,7 @@ object SparkEntry {
 
     // the CC-closure oracle's pair CTEs + a 3-round unrolled decimal
     // PageRank + per-component argmax (pr desc, id asc)
-    "q_dup_representatives" -> {
-      val d = 0.85
-      val teleport = 1.0 - d
-      val iters = (1 to 3).map { i =>
-        s"""pr$i AS (SELECT n.node,
-           | round(CAST($teleport AS DOUBLE) + CAST($d AS DOUBLE) *
-           |   COALESCE(CAST(c.m AS DOUBLE), 0.0), 12) AS pr
-           | FROM nodes n LEFT JOIN (
-           |  SELECT e.dst AS node,
-           |    sum(CAST(round(p.pr / g.deg, 12) AS DECIMAL(38,12))) AS m
-           |  FROM edges e JOIN pr${i - 1} p ON e.src = p.node
-           |   JOIN deg g ON e.src = g.src
-           |  GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
-      }.mkString(",\n")
+    "q_dup_representatives" ->
       s"""WITH RECURSIVE $nearDupCorpusSql,
          |${shingleCteSql(5, "docs")},
          |pairs AS (
@@ -5087,7 +5047,7 @@ object SparkEntry {
          |  UNION ALL SELECT dst FROM edges) t),
          |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
          |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
-         |$iters,
+         |${pageRankIterCtesSql(3, "edges")},
          |reach(id, r) AS (
          | SELECT DISTINCT src, src FROM edges
          | UNION
@@ -5101,8 +5061,7 @@ object SparkEntry {
          |  count(*) OVER (PARTITION BY component) AS n_members,
          |  row_number() OVER (PARTITION BY component
          |   ORDER BY pagerank DESC, doc_id ASC) AS rn
-         | FROM j) t WHERE rn = 1""".stripMargin
-    },
+         | FROM j) t WHERE rn = 1""".stripMargin,
 
     // the GD fit unrolled: per step, one decimal gradient sum per
     // weight, then the same round(w - lr*round(sum/n,12), 12) driver
@@ -5130,71 +5089,17 @@ object SparkEntry {
     // the hashing trick replayed: md5 bucket, decimal tf-idf sums,
     // one sqrt, 6dp components
     "q_hashed_embedding" ->
-      """WITH toks AS (
-        | SELECT doc_id, unnest(list_filter(
-        |   string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
-        | FROM documents),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
-        |  GROUP BY doc_id, token),
-        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf
-        |  GROUP BY token),
-        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-        |g AS (SELECT tf.doc_id,
-        |  CAST('0x' || substring(md5(tf.token), 1, 8) AS BIGINT) % 16
-        |    AS b,
-        |  CAST(sum(CAST(round(tf.tf * ln(n.n / df.df), 6)
-        |    AS DECIMAL(38,6))) AS DOUBLE) AS v
-        | FROM tf JOIN df USING (token) CROSS JOIN n
-        | GROUP BY 1, 2),
-        |ks AS (SELECT d.doc_id, CAST(s.k AS BIGINT) AS k
-        | FROM (SELECT DISTINCT doc_id FROM tf) d
-        |  CROSS JOIN generate_series(0, 15) s(k)),
-        |vec AS (SELECT ks.doc_id, ks.k, COALESCE(g.v, 0.0) AS v
-        | FROM ks LEFT JOIN g ON g.doc_id = ks.doc_id AND g.b = ks.k),
-        |nrm AS (SELECT doc_id,
-        |  round(sqrt(CAST(sum(CAST(round(v * v, 12) AS DECIMAL(38,12)))
-        |    AS DOUBLE)), 6) AS nrm
-        | FROM vec GROUP BY doc_id)
-        |SELECT vec.doc_id, vec.k,
-        | CASE WHEN nrm.nrm > 0 THEN round(vec.v / nrm.nrm, 6)
-        |  ELSE 0.0 END AS v
-        |FROM vec JOIN nrm USING (doc_id)""".stripMargin,
+      s"""WITH ${hashedEmbeddingCteSql("documents", 16)}
+         |SELECT doc_id, k, v FROM unit""".stripMargin,
 
-    // hashed-embedding near-dup replayed: same chain over the
-    // injected corpus, then exact pairwise decimal dot products
+    // hashed-embedding similarity replayed: same chain over the
+    // injected corpus's probe subset, then exact pairwise decimal dot
+    // products
     "q_hashed_neardup" ->
       s"""WITH $nearDupCorpusSql,
          |sub AS (SELECT * FROM docs
          | WHERE doc_id < 600 OR doc_id >= 1000000),
-         |toks AS (
-         | SELECT doc_id, unnest(list_filter(
-         |   string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS token
-         | FROM sub),
-         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
-         |  GROUP BY doc_id, token),
-         |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf
-         |  GROUP BY token),
-         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sub),
-         |g AS (SELECT tf.doc_id,
-         |  CAST('0x' || substring(md5(tf.token), 1, 8) AS BIGINT) % 16
-         |    AS b,
-         |  CAST(sum(CAST(round(tf.tf * ln(n.n / df.df), 6)
-         |    AS DECIMAL(38,6))) AS DOUBLE) AS v
-         | FROM tf JOIN df USING (token) CROSS JOIN n
-         | GROUP BY 1, 2),
-         |ks AS (SELECT d.doc_id, CAST(s.k AS BIGINT) AS k
-         | FROM (SELECT DISTINCT doc_id FROM tf) d
-         |  CROSS JOIN generate_series(0, 15) s(k)),
-         |vec AS (SELECT ks.doc_id, ks.k, COALESCE(g.v, 0.0) AS v
-         | FROM ks LEFT JOIN g ON g.doc_id = ks.doc_id AND g.b = ks.k),
-         |nrm AS (SELECT doc_id,
-         |  round(sqrt(CAST(sum(CAST(round(v * v, 12) AS DECIMAL(38,12)))
-         |    AS DOUBLE)), 6) AS nrm
-         | FROM vec GROUP BY doc_id),
-         |unit AS (SELECT vec.doc_id, vec.k,
-         |  CASE WHEN nrm.nrm > 0 THEN round(vec.v / nrm.nrm, 6)
-         |   ELSE 0.0 END AS v
-         | FROM vec JOIN nrm USING (doc_id))
+         |${hashedEmbeddingCteSql("sub", 16)}
          |SELECT id_a, id_b, cosine FROM (
          | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  round(CAST(sum(CAST(round(a.v * b.v, 12) AS DECIMAL(38,12)))
@@ -5204,6 +5109,80 @@ object SparkEntry {
          | GROUP BY 1, 2) t
          |WHERE cosine >= 0.95""".stripMargin
   )
+
+  /** The GD gate's feature frame — ONE definition shared by
+    * `q_linear_fit` and `q_trained_gate` (the Spark twin of
+    * [[linearFitCtes]]'s single-definition rule): pre-rounded
+    * portable doubles (capped token/char ratios) + the en label.
+    */
+  private def gateFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      round(least(TextOps.tokenCount(col("text")).cast("double"),
+        lit(200.0)) / lit(200.0), 6).as("x_tokens"),
+      round(least(col("n_chars").cast("double"), lit(2000.0))
+        / lit(2000.0), 6).as("x_chars"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+
+  /** Unrolled decimal-PageRank iteration CTEs pr1..pr`iters` over
+    * `edgeTable` (src, dst), assuming CTEs `nodes`, `deg` and `pr0`
+    * are already defined — ONE definition of the
+    * round/decimal-sum/round contribution chain for every oracle
+    * replaying [[operators.Behavior.pageRank]].
+    */
+  private def pageRankIterCtesSql(iters: Int, edgeTable: String): String = {
+    val d = 0.85
+    val teleport = 1.0 - d // interpolated so both engines parse the
+                           // exact double (0.15000000000000002)
+    (1 to iters).map { i =>
+      s"""pr$i AS (SELECT n.node,
+         | round(CAST($teleport AS DOUBLE) + CAST($d AS DOUBLE) *
+         |   COALESCE(CAST(c.m AS DOUBLE), 0.0), 12) AS pr
+         | FROM nodes n LEFT JOIN (
+         |  SELECT e.dst AS node,
+         |    sum(CAST(round(p.pr / g.deg, 12) AS DECIMAL(38,12))) AS m
+         |  FROM $edgeTable e JOIN pr${i - 1} p ON e.src = p.node
+         |   JOIN deg g ON e.src = g.src
+         |  GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** Hashed-tfidf-embedding oracle chain over source relation `src`
+    * (must have doc_id, text): CTEs toks → tf → df → n → g → ks →
+    * vec → nrm → unit, where `unit` is the L2-normalized
+    * (doc_id, k, v) row form — ONE definition for every query that
+    * replays [[operators.TextOps.hashedTfidfEmbedding]], the
+    * [[shingleCteSql]] convention.
+    */
+  private def hashedEmbeddingCteSql(src: String, dim: Int): String =
+    s"""toks AS (
+       | SELECT doc_id, unnest(list_filter(
+       |   string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS token
+       | FROM $src),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+       |  GROUP BY doc_id, token),
+       |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf
+       |  GROUP BY token),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM $src),
+       |g AS (SELECT tf.doc_id,
+       |  CAST('0x' || substring(md5(tf.token), 1, 8) AS BIGINT) % $dim
+       |    AS b,
+       |  CAST(sum(CAST(round(tf.tf * ln(n.n / df.df), 6)
+       |    AS DECIMAL(38,6))) AS DOUBLE) AS v
+       | FROM tf JOIN df USING (token) CROSS JOIN n
+       | GROUP BY 1, 2),
+       |ks AS (SELECT d.doc_id, CAST(s.k AS BIGINT) AS k
+       | FROM (SELECT DISTINCT doc_id FROM tf) d
+       |  CROSS JOIN generate_series(0, ${dim - 1}) s(k)),
+       |vec AS (SELECT ks.doc_id, ks.k, COALESCE(g.v, 0.0) AS v
+       | FROM ks LEFT JOIN g ON g.doc_id = ks.doc_id AND g.b = ks.k),
+       |nrm AS (SELECT doc_id,
+       |  round(sqrt(CAST(sum(CAST(round(v * v, 12) AS DECIMAL(38,12)))
+       |    AS DOUBLE)), 6) AS nrm
+       | FROM vec GROUP BY doc_id),
+       |unit AS (SELECT vec.doc_id, vec.k,
+       |  CASE WHEN nrm.nrm > 0 THEN round(vec.v / nrm.nrm, 6)
+       |   ELSE 0.0 END AS v
+       | FROM vec JOIN nrm USING (doc_id))""".stripMargin
 
   /** Shared CTE body for the GD-fit oracles: features (pre-rounded
     * portable doubles + en label), n, and the 3 unrolled

@@ -997,6 +997,17 @@ object TextOps {
           .cast("decimal(38,6)").as("_w"))
       .groupBy(col(idCol), col("_b"))
       .agg(sum(col("_w")).cast("double").as("_v"))
+    // norm via the SUM AGGREGATE, not an array fold: Spark's sum over
+    // decimal(38,12) keeps scale 12 losslessly, whereas a HOF fold's
+    // per-step decimal(38,12)+decimal(38,12) types as (38,11) and
+    // rounds away the 12th decimal before any re-cast — bit-divergent
+    // from the oracle's exact decimal sum. Zero entries contribute 0,
+    // so summing only the non-zero bucket rows equals the full-array
+    // sum the oracle computes.
+    val normTab = summed.groupBy(col(idCol))
+      .agg(round(sqrt(
+        sum(round(col("_v") * col("_v"), 12).cast("decimal(38,12)"))
+          .cast("double")), 6).as("_n"))
     val assembled = summed.groupBy(col(idCol))
       .agg(map_from_entries(collect_list(
         struct(col("_b"), col("_v")))).as("_m"))
@@ -1004,14 +1015,7 @@ object TextOps {
         transform(sequence(lit(0L), lit((dim - 1).toLong)),
           b => coalesce(try_element_at(col("_m"), b), lit(0.0)))
           .as("_vec"))
-    val norm = round(sqrt(aggregate(col("_vec"),
-      lit(java.math.BigDecimal.ZERO).cast("decimal(38,12)"),
-      // re-cast per step: Spark types decimal+decimal as (38,11)
-      (acc, v) => (acc + round(v * v, 12).cast("decimal(38,12)"))
-        .cast("decimal(38,12)"))
-      .cast("double")), 6)
-    assembled
-      .select(col(idCol), col("_vec"), norm.as("_n"))
+    assembled.join(normTab, idCol)
       .select(col(idCol), posexplode(col("_vec")).as(Seq("k", "_raw")),
         col("_n"))
       .select(col(idCol), col("k").cast("long").as("k"),
