@@ -5166,7 +5166,8 @@ object SparkEntry {
        |g AS (SELECT tf.doc_id,
        |  CAST('0x' || substring(md5(tf.token), 1, 8) AS BIGINT) % $dim
        |    AS b,
-       |  CAST(sum(CAST(round(tf.tf * ln(n.n / df.df), 6)
+       |  CAST(sum(CAST(round(CAST(tf.tf AS DOUBLE)
+       |      * round(ln(n.n / df.df), 6), 6)
        |    AS DECIMAL(38,6))) AS DOUBLE) AS v
        | FROM tf JOIN df USING (token) CROSS JOIN n
        | GROUP BY 1, 2),

@@ -988,22 +988,83 @@ object TextOps {
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("_tf"))
     val dfTab = tf.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+    // idf pre-rounded to 6dp BEFORE the product, exactly as the
+    // frozen model stores it — the two forms must share arithmetic or
+    // frozen == inline could never hold bit-exactly
+    val weighted = tf.join(dfTab, "token")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("token"),
+        round(col("_tf").cast("double") *
+          round(log(col("__n") / col("_df")), 6), 6).as("_w"))
+    hashedEmbed(weighted, idCol, dim)
+  }
+
+  /** Frozen idf model for [[hashedTfidfEmbedding]]'s serving split:
+    * the top-`headVocab` tokens by document frequency (ties token
+    * asc) with their exact 6dp idf, plus the corpus size under the
+    * reserved token `""` (whitespace tokenization can never produce
+    * an empty token). The head-vocab trick again: the table is
+    * bounded forever; tail tokens take the MAX idf ln(N/1) — the
+    * value a df-1 token would have, so a hapax scores identically
+    * frozen or inline whenever the head covers every df≥2 token.
+    * Train once per corpus version, broadcast to score any later
+    * corpus or stream ([[dsirModel]]'s contract).
+    */
+  def hashedIdfModel(docs: DataFrame, textCol: String,
+      headVocab: Int = DefaultHeadVocab): DataFrame = {
+    require(headVocab > 0, "headVocab must be positive")
+    val n = docs.agg(count(lit(1)).cast("double").as("_nd"))
+    val dfTab = docs
+      .select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("_df"))
+      .orderBy(col("_df").desc, col("token").asc)
+      .limit(headVocab)
+    dfTab.crossJoin(broadcast(n))
+      .select(col("token"), round(log(col("_nd") / col("_df")), 6)
+        .as("idf"))
+      .unionByName(n.select(lit("").as("token"),
+        round(col("_nd"), 6).as("idf")))
+  }
+
+  /** [[hashedTfidfEmbedding]] against a FROZEN [[hashedIdfModel]] —
+    * the serving path: the model broadcasts onto the (id, token, tf)
+    * stream, unseen tokens take the tail idf ln(N/1), and the rest of
+    * the chain (bucket, decimal sums, norm) is shared with the inline
+    * form via [[hashedEmbed]]. Equal to the inline form whenever the
+    * model's head covers the corpus vocabulary and N matches
+    * (spec-pinned), which is exactly the frozen==inline contract the
+    * DSIR/PQ/CMS splits carry.
+    */
+  def hashedTfidfEmbeddingAgainst(docs: DataFrame, idCol: String,
+      textCol: String, model: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val nd = model.filter(col("token") === "")
+      .select(col("idf").as("_nd"))
+    val head = model.filter(col("token") =!= "")
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("_tf"))
+    val weighted = tf.join(broadcast(head), Seq("token"), "left")
+      .crossJoin(broadcast(nd))
+      .select(col(idCol), col("token"),
+        round(col("_tf").cast("double") *
+          coalesce(col("idf"), round(log(col("_nd")), 6)), 6).as("_w"))
+    hashedEmbed(weighted, idCol, dim)
+  }
+
+  /** Shared tail of the hashed-embedding forms: (id, token, 6dp
+    * weight) rows → md5 bucket → decimal bucket sums → dense array →
+    * lossless-decimal norm → normalized (id, k, v) rows.
+    */
+  private def hashedEmbed(weighted: DataFrame, idCol: String,
+      dim: Int): DataFrame = {
     val bucket = conv(substring(md5(col("token")), 1, 8), 16, 10)
       .cast("long") % dim
-    val summed = tf.join(dfTab, "token")
-      .crossJoin(broadcast(n))
+    val summed = weighted
       .select(col(idCol), bucket.as("_b"),
-        round(col("_tf") * log(col("__n") / col("_df")), 6)
-          .cast("decimal(38,6)").as("_w"))
+        col("_w").cast("decimal(38,6)").as("_w"))
       .groupBy(col(idCol), col("_b"))
       .agg(sum(col("_w")).cast("double").as("_v"))
-    // norm via the SUM AGGREGATE, not an array fold: Spark's sum over
-    // decimal(38,12) keeps scale 12 losslessly, whereas a HOF fold's
-    // per-step decimal(38,12)+decimal(38,12) types as (38,11) and
-    // rounds away the 12th decimal before any re-cast — bit-divergent
-    // from the oracle's exact decimal sum. Zero entries contribute 0,
-    // so summing only the non-zero bucket rows equals the full-array
-    // sum the oracle computes.
     val normTab = summed.groupBy(col(idCol))
       .agg(round(sqrt(
         sum(round(col("_v") * col("_v"), 12).cast("decimal(38,12)"))

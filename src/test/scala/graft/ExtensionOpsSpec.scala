@@ -1517,6 +1517,35 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(cos < 0.99)
   }
 
+  test("frozen hashedIdfModel: scoring the training corpus == inline; " +
+      "OOV tokens take the tail idf") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma"), (1L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta eta")
+    ).toDF("doc_id", "text")
+    val model = TextOps.hashedIdfModel(corpus, "text", headVocab = 100)
+    // the reserved ""-token row carries N; every corpus token present
+    val rows = model.as[(String, Double)].collect().toMap
+    assert(rows("") == 3.0)
+    assert(rows.contains("alpha") && rows.contains("eta"))
+    val frozen = TextOps.hashedTfidfEmbeddingAgainst(corpus, "doc_id",
+        "text", model, dim = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    val inline = TextOps.hashedTfidfEmbedding(corpus, "doc_id", "text",
+        dim = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(frozen == inline)
+    // an unseen-vocabulary doc still embeds — every token at the tail
+    // idf ln(N) — and lands unit-norm
+    val oov = TextOps.hashedTfidfEmbeddingAgainst(
+        Seq((9L, "qq ww")).toDF("doc_id", "text"), "doc_id", "text",
+        model, dim = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(oov.length == 8)
+    val n = math.sqrt(oov.map(r => r._3 * r._3).sum)
+    assert(math.abs(n - 1.0) < 1e-4)
+  }
+
   test("invertedIndex is mergeable: index(A ++ B) == blockwise merge " +
       "of per-shard indexes (incremental maintenance)") {
     // the incremental-update story: index new docs separately, merge

@@ -694,6 +694,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Set((1L, "a3", 3L), (3L, "c", 2L)))
   }
 
+  test("frozen hashed-idf model: streaming embeddings == batch") {
+    // per-doc vectors depend only on the doc's own tokens + the
+    // frozen model, so micro-batching cannot change them
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((0L, "aa bb cc"), (1L, "aa bb"), (2L, "dd ee"))
+      .toDF("doc_id", "text")
+    val model = TextOps.hashedIdfModel(train, "text", headVocab = 100)
+      .localCheckpoint(true)
+    val got = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= TextOps.hashedTfidfEmbeddingAgainst(
+            batch.localCheckpoint(true), "doc_id", "text", model, dim = 8)
+          .as[(Long, Long, Double)].collect()
+        ()
+      }
+      .outputMode("append").start()
+    input.addData((0L, "aa bb cc"), (9L, "zz yy"))
+    q.processAllAvailable()
+    input.addData((2L, "dd ee"))
+    q.processAllAvailable()
+    q.stop()
+    val batchAll = TextOps.hashedTfidfEmbeddingAgainst(
+        Seq((0L, "aa bb cc"), (9L, "zz yy"), (2L, "dd ee"))
+          .toDF("doc_id", "text"), "doc_id", "text", model, dim = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.toSet == batchAll, s"$got != $batchAll")
+    assert(batchAll.map(_._1) == Set(0L, 9L, 2L))
+  }
+
   test("frozen GD weights: streaming scores == batch scores") {
     // the linear gate's serving path is pure literal arithmetic, so a
     // frozen fit scores a stream identically to a batch — the same
