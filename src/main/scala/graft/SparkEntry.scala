@@ -2529,6 +2529,15 @@ object SparkEntry {
         .select(col("doc_id"), col("score"))
     }),
 
+    // reproducible corpus shuffle: the md5-keyed training order —
+    // uniform-random in distribution, bit-identical across runs and
+    // engines; one range-sort rank pass, no rand(), no driver
+    // permutation
+    "q_shuffle_order" -> ((s, dir) =>
+      operators.Sampling.shuffleOrder(
+        Tables.documents(s, dir).select("doc_id"), "doc_id",
+        salt = "epoch1")),
+
     // feature hashing: every doc becomes a fixed 16-dim L2-normalized
     // hashed tf-idf vector with no trained model — the bridge from
     // the text family into the embedding family (cosine/k-means/ANN
@@ -5085,6 +5094,11 @@ object SparkEntry {
          |    AS DOUBLE) / count(*), 6) AS m FROM sc)
          |SELECT sc.doc_id, sc.score FROM sc CROSS JOIN m
          |WHERE sc.score > m.m""".stripMargin,
+
+    "q_shuffle_order" ->
+      """SELECT doc_id, row_number() OVER (
+        | ORDER BY md5('shuf:epoch1:' || CAST(doc_id AS VARCHAR))) AS pos
+        |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
 
     // the hashing trick replayed: md5 bucket, decimal tf-idf sums,
     // one sqrt, 6dp components

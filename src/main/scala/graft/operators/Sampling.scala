@@ -402,4 +402,36 @@ object Sampling {
           col("__w_total").cast("double"), 9))
       .drop("__w_total")
   }
+
+  /** Deterministic corpus shuffle: a REPRODUCIBLE pseudo-random
+    * training order — position = dense 1-based rank of md5("shuf:" ‖
+    * salt ‖ ":" ‖ id). Training runs must shuffle their corpus, and
+    * at 100 TB "shuffle" cannot mean a nondeterministic `rand()` sort
+    * (irreproducible across retries/engines) or a driver permutation
+    * (doesn't exist at this size): hashing every id through the
+    * portable md5 family gives an order that is uniform-random in
+    * distribution yet bit-identical on every run and engine, with
+    * `salt` selecting a fresh permutation per epoch. Domains/sources
+    * interleave in expectation — the curriculum-mixing property a
+    * sorted-by-source layout destroys.
+    *
+    * Plan shape: one [[runningSum]] pass over the hash key — a
+    * range-partitioned single-column sort (balanced by range sampling
+    * — the hash key is uniform by construction, so partitions are
+    * even) + the O(partitions) driver offset fold. The full 32-hex
+    * digest is the order key, so ties require an md5 collision;
+    * `idCol` must be unique (it is a key).
+    *
+    * Output: (idCol, pos BIGINT 1-based).
+    */
+  def shuffleOrder(df: DataFrame, idCol: String,
+      salt: String = "0"): DataFrame = {
+    require(!salt.contains(":"), "salt must not contain ':'")
+    val key = md5(concat(lit(s"shuf:$salt:"), col(idCol).cast("string")))
+    val keyed = df.filter(col(idCol).isNotNull)
+      .select(col(idCol), key.as("_shufkey"))
+      .withColumn("_one", lit(1L))
+    runningSum(keyed, "_shufkey", "_one", "_pos")
+      .select(col(idCol), (col("_pos") + 1L).as("pos"))
+  }
 }

@@ -295,6 +295,25 @@ class ProfilingSpec extends SparkSpec {
     assert(lo == ((0.001, 1L, 3.0)))
   }
 
+  test("shuffleOrder: a reproducible permutation; salt re-shuffles") {
+    import graft.operators.Sampling
+    val df = (1L to 200L).toDF("id")
+    def order(salt: String) =
+      Sampling.shuffleOrder(df, "id", salt).as[(Long, Long)]
+        .collect().sortBy(_._1).map(_._2).toSeq
+    val o1 = order("epoch1")
+    // a permutation of 1..n
+    assert(o1.sorted == (1L to 200L))
+    // bit-identical on re-run and partitioning-invariant
+    assert(o1 == order("epoch1"))
+    assert(o1 == Sampling.shuffleOrder(df.repartition(7), "id", "epoch1")
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2).toSeq)
+    // a different salt is a genuinely different permutation, and the
+    // order is not the identity (it actually shuffles)
+    assert(o1 != order("epoch2"))
+    assert(o1 != (1L to 200L))
+  }
+
   test("linearFitGD: loss decreases, partitioning-invariant, guards") {
     // y = 2x exactly: each GD step must cut the squared error
     val df = (1 to 50).map(i => (i / 50.0, 2.0 * i / 50.0))
