@@ -2538,6 +2538,24 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id"), "doc_id",
         salt = "epoch1")),
 
+    // the capstone composition — what actually feeds a trainer:
+    // reproducible shuffle (salted md5 rank) → token-budget packing
+    // along that order (distributed prefix sum → 4096-token
+    // sequences). Every stage reuses oracled machinery; one range
+    // exchange on the hash key, then shardByBudget's two-pass rank
+    "q_epoch_pack" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val ordered = operators.Sampling.shuffleOrder(
+          toks.select("doc_id"), "doc_id", salt = "epoch1")
+        .join(toks, "doc_id")
+      operators.Sampling.shardByBudget(ordered, "pos", "n_tokens",
+          budget = 4096L)
+        .select(col("doc_id"), col("pos"), col("n_tokens"),
+          col("shard").as("seq_id"))
+    }),
+
     // feature hashing: every doc becomes a fixed 16-dim L2-normalized
     // hashed tf-idf vector with no trained model — the bridge from
     // the text family into the embedding family (cosine/k-means/ANN
@@ -5099,6 +5117,22 @@ object SparkEntry {
       """SELECT doc_id, row_number() OVER (
         | ORDER BY md5('shuf:epoch1:' || CAST(doc_id AS VARCHAR))) AS pos
         |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
+
+    // shuffle rank + exclusive prefix sum of token counts in that
+    // order, floor-divided into 4096-token sequences
+    "q_epoch_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        | FROM documents WHERE doc_id IS NOT NULL),
+        |o AS (SELECT doc_id, n_tokens, row_number() OVER (
+        |  ORDER BY md5('shuf:epoch1:' || CAST(doc_id AS VARCHAR)))
+        |   AS pos FROM t)
+        |SELECT doc_id, pos, n_tokens,
+        | CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY pos
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  / 4096.0) AS BIGINT) AS seq_id
+        |FROM o""".stripMargin,
 
     // the hashing trick replayed: md5 bucket, decimal tf-idf sums,
     // one sqrt, 6dp components
