@@ -2538,6 +2538,30 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id"), "doc_id",
         salt = "epoch1")),
 
+    // domain-difficulty mixture reweighting (DoReMi-flavored
+    // heuristic): mean frozen-en-LM surprisal per language, normalized
+    // — domains unfamiliar to the reference upweight, so the mixture
+    // spends budget where the model has most to learn. Bounded
+    // aggregates only (|langs| rows), decimal means for portability
+    "q_domain_reweight" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = TextOps.surprisalAgainst(docs, "doc_id", "text",
+        TextOps.unigramModel(docs.filter(col("lang") === "en"), "text"))
+      val byDom = scored
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .filter(col("lang").isNotNull)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("surprisal_ref").cast("decimal(38,6)"))
+            .cast("double") / count(lit(1)), 6).as("mean_surprisal"))
+      val tot = byDom.agg(
+        sum(col("mean_surprisal").cast("decimal(38,6)"))
+          .cast("double").as("__t"))
+      byDom.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("mean_surprisal"),
+          round(col("mean_surprisal") / col("__t"), 6).as("mix_weight"))
+    }),
+
     // the capstone composition — what actually feeds a trainer:
     // reproducible shuffle (salted md5 rank) → token-budget packing
     // along that order (distributed prefix sum → 4096-token
@@ -3123,24 +3147,24 @@ object SparkEntry {
         |GROUP BY tf.doc_id""".stripMargin,
 
     "q_surprisal_ref" ->
-      """WITH toks AS (SELECT doc_id, unnest(list_filter(
-        |  string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
-        |  FROM documents),
-        |m AS (SELECT token, count(*) AS c
-        |  FROM (SELECT unnest(list_filter(
-        |    string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
-        |    FROM documents WHERE lang = 'en')
-        |  GROUP BY token),
-        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
-        |  CAST(count(*) AS DOUBLE) AS v FROM m),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
-        |  GROUP BY doc_id, token)
-        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
-        | round(-sum(tf.tf * ln((COALESCE(m.c, 0) + 1.0) /
-        |   (tot.n + tot.v))) / CAST(sum(tf.tf) AS DOUBLE), 6)
-        |   AS surprisal_ref
-        |FROM tf LEFT JOIN m USING (token) CROSS JOIN tot
-        |GROUP BY tf.doc_id""".stripMargin,
+      s"""WITH $surprisalRefCteSql
+         |SELECT doc_id, n_tokens, surprisal_ref FROM sref""".stripMargin,
+
+    // mean surprisal per language over the same sref chain, decimal
+    // means, normalized at 6dp
+    "q_domain_reweight" ->
+      s"""WITH $surprisalRefCteSql,
+         |b AS (SELECT d.lang, count(*) AS n_docs,
+         |  round(CAST(sum(CAST(s.surprisal_ref AS DECIMAL(38,6)))
+         |    AS DOUBLE) / count(*), 6) AS mean_surprisal
+         | FROM sref s JOIN (SELECT doc_id, lang FROM documents
+         |   WHERE lang IS NOT NULL) d USING (doc_id)
+         | GROUP BY d.lang),
+         |t AS (SELECT CAST(sum(CAST(mean_surprisal AS DECIMAL(38,6)))
+         |   AS DOUBLE) AS t FROM b)
+         |SELECT b.lang, b.n_docs, b.mean_surprisal,
+         | round(b.mean_surprisal / t.t, 6) AS mix_weight
+         |FROM b CROSS JOIN t""".stripMargin,
 
     // sqrt-temperature rebalance: p = round(sqrt(c_min/c), 6) — one
     // IEEE-correctly-rounded sqrt of an exact count ratio, so the
@@ -5157,6 +5181,30 @@ object SparkEntry {
          | GROUP BY 1, 2) t
          |WHERE cosine >= 0.95""".stripMargin
   )
+
+  /** Frozen-en-LM per-document surprisal oracle chain ending in CTE
+    * `sref` (doc_id, n_tokens, surprisal_ref) — ONE definition shared
+    * by `q_surprisal_ref` and the domain-reweighting composition.
+    */
+  private val surprisalRefCteSql: String =
+    """toks AS (SELECT doc_id, unnest(list_filter(
+      |  string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+      |  FROM documents),
+      |m AS (SELECT token, count(*) AS c
+      |  FROM (SELECT unnest(list_filter(
+      |    string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+      |    FROM documents WHERE lang = 'en')
+      |  GROUP BY token),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
+      |  CAST(count(*) AS DOUBLE) AS v FROM m),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+      |  GROUP BY doc_id, token),
+      |sref AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+      | round(-sum(tf.tf * ln((COALESCE(m.c, 0) + 1.0) /
+      |   (tot.n + tot.v))) / CAST(sum(tf.tf) AS DOUBLE), 6)
+      |   AS surprisal_ref
+      |FROM tf LEFT JOIN m USING (token) CROSS JOIN tot
+      |GROUP BY tf.doc_id)""".stripMargin
 
   /** The GD gate's feature frame — ONE definition shared by
     * `q_linear_fit` and `q_trained_gate` (the Spark twin of
