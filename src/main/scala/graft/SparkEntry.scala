@@ -2538,6 +2538,19 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id"), "doc_id",
         salt = "epoch1")),
 
+    // scale-safe per-group rank: token-count rank + percentile within
+    // each LANGUAGE — few huge groups, exactly where a partitioned
+    // window would serialize the biggest group on one task; one
+    // composite-key range sort + a broadcast |langs|-row offset table
+    "q_group_rank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      operators.Sampling.groupRank(docs, "lang", "n_tokens", "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("rank"), col("pct"))
+    }),
+
     // domain-difficulty mixture reweighting (DoReMi-flavored
     // heuristic): mean frozen-en-LM surprisal per language, normalized
     // — domains unfamiliar to the reference upweight, so the mixture
@@ -3149,6 +3162,20 @@ object SparkEntry {
     "q_surprisal_ref" ->
       s"""WITH $surprisalRefCteSql
          |SELECT doc_id, n_tokens, surprisal_ref FROM sref""".stripMargin,
+
+    "q_group_rank" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        | FROM documents
+        | WHERE lang IS NOT NULL AND doc_id IS NOT NULL)
+        |SELECT doc_id, lang, n_tokens,
+        | row_number() OVER (PARTITION BY lang
+        |  ORDER BY n_tokens, doc_id) AS "rank",
+        | round(CAST(row_number() OVER (PARTITION BY lang
+        |   ORDER BY n_tokens, doc_id) AS DOUBLE)
+        |  / count(*) OVER (PARTITION BY lang), 6) AS pct
+        |FROM t""".stripMargin,
 
     // mean surprisal per language over the same sref chain, decimal
     // means, normalized at 6dp

@@ -403,6 +403,46 @@ object Sampling {
       .drop("__w_total")
   }
 
+  /** Scale-safe PER-GROUP rank and percentile — the alternative to a
+    * `row_number() OVER (PARTITION BY group ORDER BY value)` window
+    * when groups are FEW and huge (languages, sources, event types):
+    * a window partition cannot be split, so the biggest group
+    * serializes on one task — the same unsplittable-partition hazard
+    * as the retired token-keyed surprisal window, just keyed on a
+    * low-cardinality column. (Entity-keyed windows with MANY small
+    * groups — users, hosts — are fine and keep using windows.)
+    *
+    * Shape: ONE global [[runningSum]] pass ordered by the composite
+    * (group, value, tiebreak) key — the range sort splits a huge
+    * group across many partitions because the ordering continues
+    * through value — then per-group rank = global position − the
+    * group's min position + 1, where the |groups|-row min table
+    * broadcasts back. Percentile = rank / |group| from the same
+    * bounded table. Ties are broken by `tieCol`, so every row's rank
+    * is deterministic.
+    *
+    * Output: input columns + (rank BIGINT 1-based, pct DOUBLE 6dp in
+    * (0, 1]). Null group/value/tiebreak rows are dropped (rank over
+    * null is undefined).
+    */
+  def groupRank(df: DataFrame, groupCol: String, valueCol: String,
+      tieCol: String): DataFrame = {
+    val keyed = df.filter(col(groupCol).isNotNull &&
+        col(valueCol).isNotNull && col(tieCol).isNotNull)
+      .withColumn("_ord",
+        struct(col(groupCol), col(valueCol), col(tieCol)))
+      .withColumn("_one", lit(1L))
+    val pos = runningSum(keyed, "_ord", "_one", "_pos")
+      .withColumn("_gpos", col("_pos") + 1L)
+    val grp = pos.groupBy(col(groupCol))
+      .agg(min(col("_gpos")).as("_gmin"), count(lit(1)).as("_gn"))
+    pos.join(grp, groupCol)
+      .withColumn("rank", col("_gpos") - col("_gmin") + 1L)
+      .withColumn("pct",
+        round(col("rank").cast("double") / col("_gn"), 6))
+      .drop("_ord", "_one", "_pos", "_gpos", "_gmin", "_gn")
+  }
+
   /** Deterministic corpus shuffle: a REPRODUCIBLE pseudo-random
     * training order — position = dense 1-based rank of md5("shuf:" ‖
     * salt ‖ ":" ‖ id). Training runs must shuffle their corpus, and

@@ -295,6 +295,32 @@ class ProfilingSpec extends SparkSpec {
     assert(lo == ((0.001, 1L, 3.0)))
   }
 
+  test("groupRank == the window form it replaces; partitioning-invariant") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      (1L, "en", 30L), (2L, "en", 10L), (3L, "en", 10L), (4L, "en", 50L),
+      (5L, "de", 7L), (6L, "de", 7L), (7L, "fr", 1L),
+      (8L, null.asInstanceOf[String], 9L)
+    ).toDF("id", "lang", "n")
+    val got = Sampling.groupRank(df, "lang", "n", "id")
+      .select("id", "lang", "n", "rank", "pct")
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    val w = Window.partitionBy(col("lang")).orderBy(col("n"), col("id"))
+    val wind = df.filter(col("lang").isNotNull)
+      .select(col("id"), col("lang"), col("n"),
+        row_number().over(w).cast("long").as("rank"),
+        round(row_number().over(w).cast("double") /
+          count(lit(1)).over(Window.partitionBy(col("lang"))), 6)
+          .as("pct"))
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    assert(got == wind, s"$got != $wind")
+    assert(!got.exists(_._2 == null)) // null group dropped
+    assert(got == Sampling.groupRank(df.repartition(7), "lang", "n", "id")
+      .select("id", "lang", "n", "rank", "pct")
+      .as[(Long, String, Long, Long, Double)].collect().toSet)
+  }
+
   test("shuffleOrder: a reproducible permutation; salt re-shuffles") {
     import graft.operators.Sampling
     val df = (1L to 200L).toDF("id")
