@@ -2538,6 +2538,32 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id"), "doc_id",
         salt = "epoch1")),
 
+    // the scale-safe NTILE twin: q_ntile's exact decile assignment
+    // computed from groupRank instead of the partitioned window,
+    // oracled against the WINDOW form itself — the differential proof
+    // the safe path is a drop-in replacement. SQL ntile front-loads
+    // the remainder: the first m mod n buckets hold ⌈m/n⌉ rows, the
+    // rest ⌊m/n⌋ (NOT the equal-interval (r−1)·n div m rule, which
+    // drifts whenever m mod n > 1)
+    "q_ntile_safe" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val counts = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("_m"))
+      operators.Sampling.groupRank(ev, "event_type", "value", "event_id")
+        .join(counts, "event_type")
+        .withColumn("_k", expr("_m % 10"))
+        .withColumn("_big", expr("(_m div 10) + 1"))
+        .withColumn("_small", expr("_m div 10"))
+        .select(col("event_id"), col("event_type"),
+          when(col("rank") <= col("_k") * col("_big"),
+            expr("(rank - 1) div _big") + 1L)
+            .otherwise(col("_k") +
+              expr("(rank - _k * _big - 1) div _small") + 1L)
+            .cast("long").as("decile"))
+    }),
+
     // scale-safe per-group rank: token-count rank + percentile within
     // each LANGUAGE — few huge groups, exactly where a partitioned
     // window would serialize the biggest group on one task; one
@@ -3162,6 +3188,15 @@ object SparkEntry {
     "q_surprisal_ref" ->
       s"""WITH $surprisalRefCteSql
          |SELECT doc_id, n_tokens, surprisal_ref FROM sref""".stripMargin,
+
+    // deliberately the WINDOW form: the safe path must reproduce
+    // ntile itself
+    "q_ntile_safe" ->
+      """SELECT event_id, event_type,
+        | CAST(ntile(10) OVER (PARTITION BY event_type
+        |   ORDER BY value ASC, event_id ASC) AS BIGINT) AS decile
+        |FROM events
+        |WHERE value IS NOT NULL AND event_type IS NOT NULL""".stripMargin,
 
     "q_group_rank" ->
       """WITH t AS (SELECT doc_id, lang,
