@@ -2465,6 +2465,26 @@ object SparkEntry {
       operators.Profiling.rankSelect(Tables.lineitem(s, dir),
         "l_extendedprice", Seq(0.25, 0.5, 0.9, 0.99))),
 
+    // one-pass quantile SKETCH: deterministic md5 bottom-k row sample
+    // (O(k) state per task, values never shuffle — the kept hashes
+    // broadcast back as a semi-join filter), exact discrete quantiles
+    // of the ≤k-row sample. Deterministic sample ⇒ the estimate
+    // itself is oracle-replayable even in the approximate regime
+    "q_sample_quantiles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).withColumn("_rid",
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")))
+      operators.Profiling.sampleQuantiles(li, "_rid", "l_extendedprice",
+        256, Seq(0.25, 0.5, 0.9, 0.99))
+    }),
+
+    // per-group heavy hitters with bounded Misra–Gries state (≤k
+    // counters per group per task); k=16 ≥ the 5 distinct priorities
+    // ⇒ the exact regime the oracle pins — at scale the same plan
+    // enumerates top tokens per domain with the n/(k+1) MG bound
+    "q_freq_items" -> ((s, dir) =>
+      operators.Profiling.freqItemsByKey(Tables.orders(s, dir),
+        "o_orderstatus", "o_orderpriority", 16)),
+
     // equi-depth binning: the global ntile WITHOUT a global ordered
     // window — rank-selected boundaries broadcast as one array row,
     // assignment row-local, ties stable (8 = power of two keeps the
@@ -5118,6 +5138,36 @@ object SparkEntry {
         |FROM q CROSS JOIN n JOIN r
         | ON r."rank" = GREATEST(1, CAST(ceil(q.q * n.n) AS BIGINT))"""
         .stripMargin,
+
+    // the deterministic md5 bottom-k sample is replayed literally
+    // (ORDER BY hash LIMIT k), then the same rank arithmetic as
+    // q_rank_select over the ≤k sampled rows
+    "q_sample_quantiles" ->
+      """WITH r AS (
+        | SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+        |     || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))
+        |   AS BIGINT) AS h,
+        |  CAST(l_extendedprice AS DOUBLE) AS value
+        | FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |s AS (SELECT h, value FROM r ORDER BY h ASC LIMIT 256),
+        |n AS (SELECT count(*) AS n FROM s),
+        |o AS (SELECT value,
+        |  row_number() OVER (ORDER BY value, h) AS "rank" FROM s),
+        |q AS (SELECT CAST(q AS DOUBLE) AS q
+        |  FROM (VALUES (0.25), (0.5), (0.9), (0.99)) t(q))
+        |SELECT q.q, o."rank", o.value
+        |FROM q CROSS JOIN n JOIN o
+        | ON o."rank" = GREATEST(1, CAST(ceil(q.q * n.n) AS BIGINT))"""
+        .stripMargin,
+
+    // exact regime (16 counters ≥ 5 distinct priorities): the MG
+    // summary equals the plain per-group counts
+    "q_freq_items" ->
+      """SELECT o_orderstatus, CAST(o_orderpriority AS VARCHAR) AS item,
+        | count(*) AS cnt
+        |FROM orders
+        |WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     // boundary i = value at rank ceil((i/8)*n); bin = 1 + #boundaries
     // strictly below the value (ties stable by construction)

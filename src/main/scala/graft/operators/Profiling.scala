@@ -319,6 +319,30 @@ object Profiling {
       .agg(min(coalesce(col("_cnt"), lit(0L))).as("cms_est"))
   }
 
+  /** Per-group heavy hitters with bounded state: the Misra–Gries
+    * summary ([[graft.functions.FreqItemsExpression]]) evaluated per
+    * `groupCol`, exploded to (group, item, cnt) rows sorted into the
+    * aggregate's deterministic (cnt desc, item asc) order. Counts are
+    * exact whenever a group's distinct `valueCol` count is ≤ k (no
+    * counter ever evicted — the oracle regime); beyond that they are
+    * lower bounds with error ≤ n_group/(k+1) and every item above
+    * that frequency guaranteed present. The enumeration complement of
+    * [[countMinSketch]]: CMS answers "how often is THIS value", this
+    * answers "WHICH values dominate" — per domain/host/language — in
+    * one pass with ≤k counters per group per task, where the naive
+    * `groupBy(group, value).count` + rank window exchanges the entire
+    * per-group vocabulary.
+    */
+  def freqItemsByKey(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame =
+    df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.FreqItemsExpression.freqItems(
+        col(valueCol).cast("string"), k).as("__fi"))
+      .select(col(groupCol), explode(col("__fi")).as("__e"))
+      .select(col(groupCol), col("__e").getField("item").as("item"),
+        col("__e").getField("cnt").as("cnt"))
+
   /** Exact global quantiles by distributed rank selection — the
     * 100-TB-safe way to take an EXACT corpus-wide median/p99 of one
     * column (per-GROUP exact percentiles are fine as aggregates,
@@ -361,6 +385,76 @@ object Profiling {
     // explode q per row (that would |qs|× the corpus pre-filter)
     val qArr = array(qs.distinct.map(q => lit(q).cast("double")): _*)
     val targets = n.select(explode(qArr).as("q"), col("__n"))
+      .select(col("q"),
+        greatest(lit(1L), ceil(col("q") * col("__n")).cast("long"))
+          .as("rank"))
+    ranked.join(broadcast(targets), "rank")
+      .select(col("q"), col("rank"), col("value"))
+  }
+
+  /** Bounded-state approximate global quantiles by DETERMINISTIC
+    * hash sampling — the one-pass sketch sibling of [[rankSelect]].
+    * [[rankSelect]] is exact but pays a full range-repartition sort of
+    * the column; this keeps only the `k` rows whose md5 row-hash is
+    * smallest — a uniform sample without replacement that is a PURE
+    * FUNCTION of the data (no RNG, no partition-order dependence) —
+    * and takes exact discrete quantiles of that sample. Sampling
+    * error is the DKW bound O(sqrt(ln(1/δ)/k)) on the estimated cdf;
+    * k=4096 puts the q-error under ~0.02 at 95% confidence,
+    * independent of corpus size.
+    *
+    * Because the kept set is deterministic, the ESTIMATE ITSELF is
+    * oracle-checkable: another engine replays hash → bottom-k → sort
+    * → rank bit-for-bit, even in the approximate regime — unlike
+    * MRL/KLL compactors (deterministic only per merge order) or
+    * `approx_percentile` (engine-private sketch). With k ≥ n it
+    * degrades gracefully to exact [[rankSelect]] semantics.
+    *
+    * Plan shape: one bounded aggregate over the hash column
+    * ([[graft.functions.VectorExpressions.topKByScore]] with score =
+    * −hash keeps the k smallest in O(k) state per map task — the kmv
+    * monotonicity argument at [[kmvDistinct]] makes the long→double
+    * score rounding safe), then the ≤k kept hashes BROADCAST back as
+    * a semi-join filter to fetch the sampled values — the value
+    * column never shuffles at all. The sample is then ≤k rows by
+    * construction, so the final sort lives inside ONE
+    * `sort_array(collect_list(...))` aggregate — bounded, windowless,
+    * no one-partition global sort on anything data-sized.
+    *
+    * `idCol` must identify rows uniquely (duplicate ids would enter
+    * or leave the sample together and skew inclusion probability).
+    * Output: (q DOUBLE, rank BIGINT, value DOUBLE) — rank is the
+    * 1-based position ⌈q·|sample|⌉ within the sample, mirroring
+    * [[rankSelect]]'s discrete-quantile contract.
+    */
+  def sampleQuantiles(df: DataFrame, idCol: String, valueCol: String,
+      k: Int, qs: Seq[Double]): DataFrame = {
+    require(k >= 2, "sample size k must be >= 2")
+    require(qs.nonEmpty, "qs must be non-empty")
+    require(qs.forall(q => q > 0 && q <= 1), "each q must be in (0,1]")
+    val rows = df.filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val kept = rows
+      .select(h.as("__h"))
+      .agg(graft.functions.VectorExpressions.topKByScore(
+        -col("__h").cast("double"), col("__h"), k).as("__kept"))
+      .select(explode(col("__kept")).as("__e"))
+      .select(col("__e").getField("id").as("__h"))
+    val sample = rows
+      .select(h.as("__h"), col(valueCol).cast("double").as("value"))
+      .join(broadcast(kept), Seq("__h"), "left_semi")
+    // ≤k rows from here on: everything below is sketch-sized
+    val packed = sample
+      .agg(sort_array(collect_list(struct(col("value"), col("__h"))))
+        .as("__s"))
+    val ranked = packed
+      .select(posexplode(col("__s")).as(Seq("__p", "__e")))
+      .select((col("__p") + 1L).as("rank"),
+        col("__e").getField("value").as("value"))
+    val qArr = array(qs.distinct.map(q => lit(q).cast("double")): _*)
+    val targets = packed
+      .select(explode(qArr).as("q"), size(col("__s")).as("__n"))
       .select(col("q"),
         greatest(lit(1L), ceil(col("q") * col("__n")).cast("long"))
           .as("rank"))

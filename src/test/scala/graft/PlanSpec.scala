@@ -620,6 +620,39 @@ class PlanSpec extends SparkSpec {
       s"corpus re-partitioned for a global aggregate:\n$plan")
   }
 
+  test("sampleQuantiles: no window, no global sort; kept hashes " +
+      "broadcast back; value column pruned from the hash scan") {
+    val df = SparkEntry.queries("q_sample_quantiles")(spark, dir)
+    val plan = physical(df)
+    // data-sized stages: one bounded topKByScore aggregate over the
+    // hash column, one broadcast semi-join to fetch sample values —
+    // the corpus is never sorted or window-ranked
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    assert(plan.contains("misragries") || plan.contains("topkbyscore") ||
+      plan.contains("TopKByScore"), s"bounded aggregate missing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), s"kept set not a broadcast semi-join:\n$plan")
+    // the ONLY sort is over the ≤k-row packed sample (inside
+    // sort_array, which is an expression, not a Sort operator)
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"range sort of the corpus:\n$plan")
+  }
+
+  test("freqItemsByKey: MG aggregate is partial+final (bounded " +
+      "map-side state), vocabulary never pre-counted") {
+    val df = SparkEntry.queries("q_freq_items")(spark, dir)
+    val plan = physical(df)
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial mode: each task ships ≤k counters per group, not its
+    // distinct values
+    assert(plan.contains("ObjectHashAggregate"),
+      s"MG aggregate not object-hash:\n$plan")
+    assert(plan.contains("partial_misragriesfreqitems") ||
+      "partial.*misragries".r.findFirstIn(plan.toLowerCase).isDefined,
+      s"no partial MG aggregation:\n$plan")
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+  }
+
   test("pageRank iteration: incoming mass is an AGGREGATE on dst " +
       "(map-side combined), never a window") {
     // one un-checkpointed iteration, hand-assembled exactly like the

@@ -380,4 +380,84 @@ class ProfilingSpec extends SparkSpec {
     val five = tb.filter(r => r._3 <= 5.0 && 5.0 <= r._4)
     assert(five.length == 1 && five.head._2 >= 30L)
   }
+
+  // ------------------------------------------------------------ //
+  // Profiling.sampleQuantiles / freqItemsByKey (bounded sketches)
+
+  test("sampleQuantiles: k >= n degrades to exact rankSelect") {
+    val df = (1 to 90).map(i => (s"id$i", i.toDouble)).toDF("id", "x")
+    val exact = Profiling.rankSelect(df, "x", Seq(0.25, 0.5, 0.99))
+      .as[(Double, Long, Double)].collect().sortBy(_._1)
+    val got = Profiling.sampleQuantiles(df, "id", "x", 128,
+      Seq(0.25, 0.5, 0.99)).as[(Double, Long, Double)].collect()
+      .sortBy(_._1)
+    assert(got.sameElements(exact))
+  }
+
+  test("sampleQuantiles: deterministic under repartitioning, " +
+      "bounded rank error below k") {
+    val n = 4000
+    val df = (1 to n).map(i => (s"row-$i", i.toDouble)).toDF("id", "x")
+    val k = 500
+    val a = Profiling.sampleQuantiles(df, "id", "x", k, Seq(0.5, 0.9))
+      .as[(Double, Long, Double)].collect().sortBy(_._1)
+    val b = Profiling.sampleQuantiles(df.repartition(13), "id", "x", k,
+      Seq(0.5, 0.9)).as[(Double, Long, Double)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+    // values are 1..n, so a value IS its global rank: the sampled
+    // median/p90 must sit within a few DKW standard errors
+    // (~n/sqrt(k) ≈ 180 rows) of the true rank
+    val tol = 3.0 * n / math.sqrt(k)
+    assert(math.abs(a(0)._3 - 0.5 * n) < tol, a(0).toString)
+    assert(math.abs(a(1)._3 - 0.9 * n) < tol, a(1).toString)
+    // and the sample really was capped at k: rank never exceeds it
+    assert(a.forall(_._2 <= k))
+  }
+
+  test("freqItemsByKey: exact regime == plain counts, any partitioning") {
+    val rows = for {
+      g <- Seq("a", "b"); i <- 1 to 60
+    } yield (g, s"v${i % 5}") // 5 distinct values per group
+    val df = rows.toDF("g", "v")
+    val expect = df.groupBy("g", "v").count()
+      .as[(String, String, Long)].collect().toSet
+    for (parts <- Seq(1, 7)) {
+      val got = Profiling.freqItemsByKey(df.repartition(parts), "g", "v", 8)
+        .as[(String, String, Long)].collect().toSet
+      assert(got == expect)
+    }
+  }
+
+  test("freqItemsByKey: MG guarantees on a skewed stream beyond k") {
+    // Zipf-ish: item i appears ceil(600/i) times, 40 distinct, k=10
+    val rows = for {
+      i <- 1 to 40; _ <- 1 to math.ceil(600.0 / i).toInt
+    } yield ("g", f"item$i%02d")
+    val n = rows.size.toLong
+    val df = rows.toDF("g", "v").repartition(5)
+    val k = 10
+    val truth = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = Profiling.freqItemsByKey(df, "g", "v", k)
+      .as[(String, String, Long)].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(got.size <= k)
+    val bound = n / (k + 1)
+    got.foreach { case (item, est) =>
+      val t = truth(item)
+      assert(est <= t, s"$item overcounted: $est > $t")
+      assert(t - est <= bound, s"$item undercount ${t - est} > $bound")
+    }
+    // every item above the n/(k+1) frequency threshold must appear
+    truth.filter(_._2 > bound).keys.foreach { item =>
+      assert(got.contains(item), s"heavy hitter $item missing")
+    }
+  }
+
+  test("freqItems aggregate: output sorted (cnt desc, item asc)") {
+    val df = Seq("b", "a", "a", "c", "b", "a", "c").map(("g", _))
+      .toDF("g", "v")
+    val got = Profiling.freqItemsByKey(df, "g", "v", 8)
+      .as[(String, String, Long)].collect().map(r => (r._2, r._3))
+    assert(got.toSeq == Seq(("a", 3L), ("b", 2L), ("c", 2L)))
+  }
 }
