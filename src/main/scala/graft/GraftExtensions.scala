@@ -109,6 +109,11 @@ object GraftExtensions {
       "JL +-1 projection to array<float>: (vector, dimIn, dimOut)",
       (args: Seq[Expression]) => { expect(args, 3, "graft_random_projection")
         RandomProjection(args(0), intLit(args(1), "dimIn"),
-          intLit(args(2), "dimOut")) })
+          intLit(args(2), "dimOut")) }),
+    ("graft_freq_items",
+      "Misra-Gries frequent-items aggregate on <=k counters: " +
+        "(value, k) -> array<struct<item string, cnt bigint>>",
+      (args: Seq[Expression]) => { expect(args, 2, "graft_freq_items")
+        MisraGriesFreqItems(args(0), intLit(args(1), "k")) })
   )
 }

@@ -107,6 +107,23 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("graft_freq_items from SQL == Column API (grouped aggregate)") {
+    docs.limit(200)
+      .select($"doc_id", pmod($"doc_id", lit(3)).as("g"),
+        substring($"lang", 1, 2).as("v"))
+      .createOrReplaceTempView("fi_sql")
+    val viaSql = spark.sql(
+      """SELECT g, graft_freq_items(v, 8) AS fi
+        |FROM fi_sql GROUP BY g""".stripMargin)
+      .selectExpr("g", "explode(fi) AS e")
+      .selectExpr("g", "e.item", "e.cnt")
+      .as[(Long, String, Long)].collect().toSet
+    val viaCol = graft.operators.Profiling.freqItemsByKey(
+        spark.table("fi_sql"), "g", "v", 8)
+      .as[(Long, String, Long)].collect().toSet
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
+
   test("non-literal parameter fails at analysis, not execution") {
     docs.limit(5).createOrReplaceTempView("docs_sql2")
     val e = intercept[Exception] {
