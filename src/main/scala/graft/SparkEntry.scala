@@ -1716,6 +1716,34 @@ object SparkEntry {
           concat_ws(",", col("q_codes").cast("array<string>")).as("codes"))
     }),
 
+    // Gram matrix of the embedding corpus: dim(dim+1)/2 cells forever
+    // (the bounded-artifact class), exact-decimal cells bit-identical
+    // across partitionings and engines; surfaced as double
+    "q_gram_matrix" -> ((s, dir) =>
+      Similarity.gramMatrix(Tables.embeddings(s, dir), "embedding", 64)
+        .select(col("i"), col("j"), col("g").cast("double").as("g"))),
+
+    // top principal direction: 3 power-iteration steps over the
+    // collected gram matrix (driver state = model-sized), every step
+    // engine-replayed by the oracle's chained CTEs
+    "q_pca_power" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.pcaTopComponent(Tables.embeddings(s, dir),
+          "embedding", 64, steps = 3)
+        .zipWithIndex.map { case (w, j) => (j, w) }.toSeq
+        .toDF("j", "w")
+    }),
+
+    // the serving arm: every vector's scalar projection onto the
+    // learned direction (whitening / dominant-component strip) —
+    // row-local, weights as literals, exact-decimal fold
+    "q_pca_project" -> ((s, dir) => {
+      val w = Similarity.pcaTopComponent(Tables.embeddings(s, dir),
+        "embedding", 64, steps = 3)
+      Similarity.pcaProject(Tables.embeddings(s, dir), "vec_id",
+        "embedding", w.toSeq)
+    }),
+
     // exact variant (q_knn_ivf_full pattern): planes = 0 degenerates
     // the LSH bucket join to a provably lossless all-pairs candidate
     // set, so the exact-cosine verification step — the part that
@@ -2720,6 +2748,67 @@ object SparkEntry {
     })
   )
 
+  /** Shared CTE body for the gram/PCA oracle family (single source of
+    * truth, the bpe-merges convention): exact-decimal gram cells, the
+    * mirrored square, and `steps` power-iteration steps replayed with
+    * the same round/decimal/sqrt chain as
+    * [[operators.Similarity.pcaTopComponent]].
+    */
+  private val gramOracleCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      |gr AS (
+      | SELECT i.i - 1 AS i, j.j - 1 AS j,
+      |  sum(CAST(round(e.v[i.i] * e.v[j.j], 12)
+      |    AS DECIMAL(38,12))) AS g
+      | FROM e, generate_series(1, 64) i(i), generate_series(1, 64) j(j)
+      | WHERE j.j >= i.i
+      | GROUP BY 1, 2)""".stripMargin
+
+  /** Pure-DECIMAL power-iteration replay (no doubles inside the loop
+    * — see the [[operators.Similarity.pcaTopComponent]] scaladoc for
+    * why: double rounding of dyadic-constant products lands on exact
+    * decimal halves and flips engine-dependently). Products are
+    * DECIMAL(20,12)×DECIMAL(18,12) = DECIMAL(38,24), exactly at
+    * DuckDB's width cap; one normalization at the end, 6dp.
+    */
+  private def pcaOracleCtes(steps: Int): String = {
+    // exact decimal 10^-e shift table (e = digit count of ⌊max|u|⌋,
+    // so e ≤ 11 under the driver's |gram cell| < 1e8 precondition)
+    val shiftCases = (0 to 11).map { e =>
+      val lit = if (e == 0) "1" else "0." + "0" * (e - 1) + "1"
+      s"WHEN $e THEN CAST($lit AS DECIMAL(13,12))"
+    }.mkString(" ")
+    val head = gramOracleCtes + ",\n" +
+      """g2 AS (SELECT i, j, CAST(g AS DECIMAL(24,12)) AS g FROM gr
+        | UNION ALL SELECT j AS i, i AS j, CAST(g AS DECIMAL(24,12)) AS g
+        | FROM gr WHERE i < j),
+        |w0 AS (SELECT j.j - 1 AS j,
+        |  CAST(round(1.0 / sqrt(64.0), 12) AS DECIMAL(14,12)) AS w
+        | FROM generate_series(1, 64) j(j))""".stripMargin
+    val stepCtes = (1 to steps).map { t =>
+      s"""s$t AS (SELECT g2.j,
+         |  CAST(sum(round(g2.g * w${t - 1}.w, 12)) AS DECIMAL(24,12)) AS u
+         | FROM g2 JOIN w${t - 1} ON g2.i = w${t - 1}.j GROUP BY g2.j),
+         |e$t AS (SELECT CASE WHEN m = 0 THEN 0
+         |   ELSE length(CAST(m AS VARCHAR)) END AS e
+         | FROM (SELECT CAST(floor(max(abs(u))) AS BIGINT) AS m
+         |   FROM s$t) t$t),
+         |w$t AS (SELECT s$t.j,
+         |  CAST(round(s$t.u * (CASE e$t.e $shiftCases END), 12)
+         |    AS DECIMAL(14,12)) AS w
+         | FROM s$t CROSS JOIN e$t)""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      s"""nrm AS (SELECT CAST(sum(round(w * w, 12)) AS DOUBLE) AS n2
+         | FROM w$steps),
+         |wout AS (SELECT t.j, round(CAST(t.w AS DOUBLE) / sqrt(nrm.n2), 6)
+         |  AS w
+         | FROM w$steps t CROSS JOIN nrm)""".stripMargin
+    s"$head,\n$stepCtes,\n$tail"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
@@ -2817,6 +2906,22 @@ object SparkEntry {
         |  COALESCE(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
         |    x -> abs(x)), 'max'), 0) AS m
         | FROM embeddings) t""".stripMargin,
+
+    "q_gram_matrix" ->
+      s"""WITH $gramOracleCtes
+         |SELECT i, j, CAST(g AS DOUBLE) AS g FROM gr""".stripMargin,
+
+    "q_pca_power" ->
+      s"""WITH ${pcaOracleCtes(3)}
+         |SELECT j, w FROM wout""".stripMargin,
+
+    "q_pca_project" ->
+      s"""WITH ${pcaOracleCtes(3)}
+         |SELECT e.vec_id,
+         | round(CAST(sum(CAST(round(e.v[wout.j + 1] * wout.w, 12)
+         |   AS DECIMAL(38,12))) AS DOUBLE), 6) AS proj
+         |FROM e CROSS JOIN wout
+         |GROUP BY e.vec_id""".stripMargin,
 
     // variance clamped at 0 (matching the Spark side): a constant
     // group's moment difference rounds ulps-negative and sqrt of that

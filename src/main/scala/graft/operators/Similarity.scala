@@ -407,6 +407,131 @@ object Similarity {
       .withColumn("is_outlier", col("z") > zThreshold)
   }
 
+  /** Gram matrix AᵀA of an embedding column — the bounded summary
+    * behind PCA whitening, covariance drift checks and linear probes:
+    * the corpus reduces to dim(dim+1)/2 cells no matter how many
+    * vectors feed it (the CMS/dsirModel artifact class). Cell (i,j) =
+    * Σ_rows round(vᵢ·vⱼ, 12) summed as DECIMAL(38,12) — the
+    * reduce-order-independent kernel every oracled iteration here
+    * uses (GD, PageRank), so the matrix is bit-identical across
+    * partitionings and engines.
+    *
+    * Plan shape: per row the upper triangle of the outer product
+    * (two chained posexplodes, j ≥ i) feeds ONE hash aggregate;
+    * map-side combine caps the exchange at dim(dim+1)/2 partial rows
+    * per task, so vectors never shuffle. CPU is the algorithm's
+    * Θ(dim²) per row; for dim beyond ~128, project first
+    * ([[randomProject]]) — the JL-then-Gram composition.
+    *
+    * Output: (i, j, g DECIMAL(38,12)) for 0 ≤ i ≤ j < dim; mirror
+    * cells on the consumer side (the matrix is symmetric).
+    */
+  def gramMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .select(posexplode(col("__v")).as(Seq("i", "__x")), col("__v"))
+      .select(col("i"), col("__x"),
+        posexplode(col("__v")).as(Seq("j", "__y")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(round(col("__x") * col("__y"), 12)
+        .cast("decimal(38,12)")).as("g"))
+  }
+
+  /** Top principal direction by fixed-step power iteration over the
+    * [[gramMatrix]] — the whitening/centrality direction SemDeDup-style
+    * curation uses to strip the dominant component before cosine
+    * comparisons. The gram matrix COLLECTS to the driver (≤
+    * dim(dim+1)/2 cells — the IVF-centroid class of bounded driver
+    * state: model-sized, not data-sized).
+    *
+    * The iteration runs in PURE exact-decimal arithmetic: per step
+    * u ← round(G·w, 12) with exact sums, then a DECIMAL POWER-OF-TEN
+    * rescale w ← round(u·10⁻ᵉ, 12) where e is the digit count of the
+    * integer part of max|u| (so |w| ≤ 1 always — integer/decimal
+    * logic, no float log). No doubles inside the loop — this is
+    * load-bearing for engine replay: decimal-HALF_UP rounding of an
+    * exact decimal product is deterministic in every engine, whereas
+    * rounding a DOUBLE product hits exact half boundaries whenever
+    * 12-scale decimals multiply dyadic constants (G·(1/8) ends in …5
+    * at the 15th decimal), and there the binary value falls on an
+    * engine-dependent side of the half (measured: 11/64 final cells
+    * flipped vs DuckDB before this design). The rescale, unlike ‖u‖
+    * division, is exact — and the direction is scale-invariant, so
+    * the one true normalization happens at the END: w/‖w‖ rounded to
+    * 6dp, where a half-boundary hit needs a quotient within ~1e-10 of
+    * a 6dp half — negligible.
+    *
+    * Deterministic and engine-replayable: the DuckDB oracle replays
+    * all `steps` as chained CTEs bit-for-bit (the linearFitGD
+    * convention). Start vector is uniform 1/√dim. Gram cells must
+    * stay under 1e8 (checked) so every product fits DuckDB's
+    * 38-digit decimal cap.
+    */
+  def pcaTopComponent(df: DataFrame, vecCol: String, dim: Int,
+      steps: Int): Array[Double] = {
+    require(steps >= 1 && steps <= 10, "steps must be in [1,10]")
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val cells = gramMatrix(df, vecCol, dim).collect()
+    require(cells.nonEmpty, "pcaTopComponent: empty input")
+    val g = Array.fill[JBD](dim, dim)(JBD.ZERO)
+    cells.foreach { r =>
+      val (i, j, d) = (r.getInt(0), r.getInt(1), r.getDecimal(2))
+      require(d.abs.doubleValue < 1e8,
+        s"gram cell ($i,$j) too large for the decimal replay chain: $d")
+      g(i)(j) = d; g(j)(i) = d
+    }
+    var w = Array.fill(dim)(
+      JBD.valueOf(1.0 / math.sqrt(dim.toDouble))
+        .setScale(12, RoundingMode.HALF_UP))
+    (1 to steps).foreach { _ =>
+      val u = Array.tabulate(dim) { j =>
+        var acc = JBD.ZERO
+        (0 until dim).foreach { i =>
+          acc = acc.add(g(i)(j).multiply(w(i))
+            .setScale(12, RoundingMode.HALF_UP))
+        }
+        acc
+      }
+      // digit count of ⌊max|u|⌋: the exact power-of-ten rescale that
+      // keeps |w| ≤ 1 (m = 0 ⇒ already sub-unit, no shift)
+      val m = u.map(_.abs.setScale(0, RoundingMode.FLOOR).toBigInteger)
+        .max
+      val e = if (m.signum == 0) 0 else m.toString.length
+      w = u.map(_.movePointLeft(e).setScale(12, RoundingMode.HALF_UP))
+    }
+    var n2 = JBD.ZERO
+    w.foreach { x =>
+      n2 = n2.add(x.multiply(x).setScale(12, RoundingMode.HALF_UP))
+    }
+    val norm = math.sqrt(n2.doubleValue)
+    require(norm > 0, "pcaTopComponent: zero gram matrix")
+    w.map(x => JBD.valueOf(x.doubleValue / norm)
+      .setScale(6, RoundingMode.HALF_UP).doubleValue)
+  }
+
+  /** Project vectors onto a fixed direction (the serving arm of
+    * [[pcaTopComponent]]): proj = Σ round(vⱼ·wⱼ, 12) as an exact
+    * decimal fold, 6dp-rounded — row-local, no shuffle, weights carried
+    * as a literal array (model-sized). Rows whose vector is null or
+    * of the wrong length are dropped (the centroidOutliers rule).
+    */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+      weights: Seq[Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val dec = "decimal(38,12)"
+    val wArr = array(weights.map(lit(_)): _*)
+    df.filter(col(vecCol).isNotNull &&
+        size(col(vecCol)) === weights.length)
+      .select(col(idCol),
+        round(aggregate(
+          zip_with(col(vecCol).cast("array<double>"), wArr,
+            (x, wj) => round(x * wj, 12).cast(dec)),
+          lit(0).cast(dec), (acc, p) => (acc + p).cast(dec))
+          .cast("double"), 6).as("proj"))
+  }
+
   /** Sign-bit bucket key from `planes` random hyperplanes
     * (deterministic Rademacher directions). Same key ⇒ likely-similar
     * direction; recomputable on both sides of any join. Fused codegen

@@ -1546,6 +1546,54 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(math.abs(n - 1.0) < 1e-4)
   }
 
+  test("gramMatrix: exact cells on a hand-checked input; " +
+      "partitioning-invariant") {
+    // vectors (1,2), (3,4): AtA = [[10,14],[14,20]]
+    val df = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)).toDF("v")
+    val got = Similarity.gramMatrix(df, "v", 2)
+      .select($"i", $"j", $"g".cast("double"))
+      .as[(Int, Int, Double)].collect().toSet
+    assert(got == Set((0, 0, 10.0), (0, 1, 14.0), (1, 1, 20.0)))
+    // malformed rows (null / wrong length) are dropped, not nulled in
+    val dirty = Seq(Some(Seq(1.0f, 2.0f)), None, Some(Seq(9.9f)))
+      .toDF("v")
+    assert(Similarity.gramMatrix(dirty, "v", 2)
+      .as[(Int, Int, java.math.BigDecimal)].collect().toSet
+      .map((t: (Int, Int, java.math.BigDecimal)) =>
+        (t._1, t._2, t._3.doubleValue)) ==
+      Set((0, 0, 1.0), (0, 1, 2.0), (1, 1, 4.0)))
+    val a = Similarity.gramMatrix(emb, "embedding", 64).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2))).toSet
+    val b = Similarity.gramMatrix(emb.repartition(13), "embedding", 64)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2))).toSet
+    assert(a == b) // exact-decimal cells: bit-identical, any partitioning
+  }
+
+  test("pcaTopComponent: recovers the dominant direction, unit norm, " +
+      "partitioning-invariant") {
+    // strongly anisotropic: variance concentrated on axis 0
+    val rows = (1 to 40).map { i =>
+      Seq((if (i % 2 == 0) 1.0f else -1.0f) * (3.0f + i % 5),
+        0.01f * (i % 7), 0.02f * (i % 3))
+    }
+    val df = rows.toDF("v")
+    val w = Similarity.pcaTopComponent(df, "v", 3, steps = 3)
+    assert(math.abs(w(0)) > 0.99, w.mkString(","))
+    assert(math.abs(math.sqrt(w.map(x => x * x).sum) - 1.0) < 1e-4)
+    val w2 = Similarity.pcaTopComponent(df.repartition(7), "v", 3,
+      steps = 3)
+    assert(w.sameElements(w2)) // decimal chain: bit-identical
+  }
+
+  test("pcaProject: exact decimal fold; wrong-length rows dropped") {
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(0.5f, -1.0f)),
+      (3L, Seq(9.0f))).toDF("id", "v")
+    val got = Similarity.pcaProject(df, "id", "v", Seq(0.6, 0.8))
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 2.2, 2L -> -0.5)) // 3L dropped (len 1)
+  }
+
   test("invertedIndex is mergeable: index(A ++ B) == blockwise merge " +
       "of per-shard indexes (incremental maintenance)") {
     // the incremental-update story: index new docs separately, merge

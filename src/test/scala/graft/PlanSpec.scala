@@ -653,6 +653,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window in plan:\n$plan")
   }
 
+  test("gramMatrix: partial-combined hash aggregate; vectors never " +
+      "shuffle (exchange carries only dim(dim+1)/2 cells)") {
+    val df = graft.operators.Similarity.gramMatrix(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "embedding", 64)
+    val plan = physical(df)
+    assert(plan.contains("partial_sum"),
+      s"no map-side combine in gram aggregate:\n$plan")
+    // the only exchange is the (i, j) cell aggregate — the embedding
+    // column itself must not cross it (generators run scan-side)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).toSeq
+    assert(exchanges.size == 1, s"expected 1 exchange:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(embedding"),
+      s"vector column shuffled:\n$plan")
+  }
+
   test("pageRank iteration: incoming mass is an AGGREGATE on dst " +
       "(map-side combined), never a window") {
     // one un-checkpointed iteration, hand-assembled exactly like the
