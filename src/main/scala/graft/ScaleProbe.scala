@@ -281,6 +281,12 @@ object ScaleProbe {
           s.read.parquet(s"$dir/lineitem.parquet").withColumn("_rid",
             concat_ws(":", col("l_orderkey"), col("l_linenumber"))),
           "_rid", "l_extendedprice", 1024, Seq(0.25, 0.5, 0.9, 0.99))),
+      // Gram matrix: Θ(dim²) CPU per row into one partial-combined
+      // aggregate of dim(dim+1)/2 cells — the ratio certifies the
+      // exchange stays cell-bounded and the cost row-linear
+      "gram_embed_scale" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Similarity.gramMatrix(
+          s.read.parquet(s"$dir/embeddings.parquet"), "embedding", 64)),
       // MG heavy hitters under Zipf token pressure: 64 fixed groups,
       // per-group stream grows with the corpus, state stays ≤k per
       // group per task — the head token never funnels one reducer

@@ -118,6 +118,29 @@ object SparkEntry {
   private def curationV2Shared(s: SparkSession, dir: String): DataFrame =
     memoized(curationV2Memo, s, dir)(curationV2(s, dir))
 
+  /** The embedding gram matrix and its derived PCA direction, staged
+    * once per (session, dir): four queries (gram, power, project,
+    * whiten) share one Θ(dim²)-per-row pass — the "build the second-
+    * moment artifact once per corpus version" production shape.
+    */
+  private val gramMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def gramShared(s: SparkSession, dir: String): DataFrame =
+    memoized(gramMemo, s, dir)(
+      Similarity.gramMatrix(Tables.embeddings(s, dir), "embedding", 64))
+  private val pcaWeightsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Double]]()
+  private def pcaWeightsShared(s: SparkSession, dir: String): Array[Double] = {
+    val key = (s, dir)
+    val hit = pcaWeightsMemo.get(key)
+    if (hit != null) return hit
+    pcaWeightsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val w = Similarity.pcaTopComponentFromGram(gramShared(s, dir), 64,
+      steps = 3)
+    pcaWeightsMemo.putIfAbsent(key, w)
+    pcaWeightsMemo.get(key)
+  }
+
   /** Shared memo shape for staged per-(session, dir) artifacts:
     * build + eager localCheckpoint OUTSIDE any map lock (the
     * Tables.memoRead convention — computeIfAbsent would hold the CHM
@@ -1718,9 +1741,11 @@ object SparkEntry {
 
     // Gram matrix of the embedding corpus: dim(dim+1)/2 cells forever
     // (the bounded-artifact class), exact-decimal cells bit-identical
-    // across partitionings and engines; surfaced as double
+    // across partitionings and engines; surfaced as double. The gram
+    // job is memoized per (session, dir) — production builds it once
+    // per corpus version and derives every PCA artifact from it
     "q_gram_matrix" -> ((s, dir) =>
-      Similarity.gramMatrix(Tables.embeddings(s, dir), "embedding", 64)
+      gramShared(s, dir)
         .select(col("i"), col("j"), col("g").cast("double").as("g"))),
 
     // top principal direction: 3 power-iteration steps over the
@@ -1728,8 +1753,7 @@ object SparkEntry {
     // engine-replayed by the oracle's chained CTEs
     "q_pca_power" -> ((s, dir) => {
       import s.implicits._
-      Similarity.pcaTopComponent(Tables.embeddings(s, dir),
-          "embedding", 64, steps = 3)
+      pcaWeightsShared(s, dir)
         .zipWithIndex.map { case (w, j) => (j, w) }.toSeq
         .toDF("j", "w")
     }),
@@ -1737,12 +1761,18 @@ object SparkEntry {
     // the serving arm: every vector's scalar projection onto the
     // learned direction (whitening / dominant-component strip) —
     // row-local, weights as literals, exact-decimal fold
-    "q_pca_project" -> ((s, dir) => {
-      val w = Similarity.pcaTopComponent(Tables.embeddings(s, dir),
-        "embedding", 64, steps = 3)
+    "q_pca_project" -> ((s, dir) =>
       Similarity.pcaProject(Tables.embeddings(s, dir), "vec_id",
-        "embedding", w.toSeq)
-    }),
+        "embedding", pcaWeightsShared(s, dir).toSeq)),
+
+    // the capstone: rank-1 strip v' = v - (v·w)w per vector — the
+    // SemDeDup preprocessing pass, exploded to (vec_id, j, wv) rows
+    // so every whitened component hash-compares
+    "q_pca_whiten" -> ((s, dir) =>
+      Similarity.pcaWhiten(Tables.embeddings(s, dir), "vec_id",
+          "embedding", pcaWeightsShared(s, dir).toSeq)
+        .select(col("vec_id"),
+          posexplode(col("whitened")).as(Seq("j", "wv")))),
 
     // exact variant (q_knn_ivf_full pattern): planes = 0 degenerates
     // the LSH bucket join to a provably lossless all-pairs candidate
@@ -2922,6 +2952,17 @@ object SparkEntry {
          |   AS DECIMAL(38,12))) AS DOUBLE), 6) AS proj
          |FROM e CROSS JOIN wout
          |GROUP BY e.vec_id""".stripMargin,
+
+    "q_pca_whiten" ->
+      s"""WITH ${pcaOracleCtes(3)},
+         |p AS (SELECT e.vec_id,
+         |  round(CAST(sum(CAST(round(e.v[wout.j + 1] * wout.w, 12)
+         |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS proj
+         | FROM e CROSS JOIN wout
+         | GROUP BY e.vec_id)
+         |SELECT e.vec_id, wout.j,
+         | round(e.v[wout.j + 1] - round(p.proj * wout.w, 12), 6) AS wv
+         |FROM e JOIN p USING (vec_id) CROSS JOIN wout""".stripMargin,
 
     // variance clamped at 0 (matching the Spark side): a constant
     // group's moment difference rounds ulps-negative and sqrt of that

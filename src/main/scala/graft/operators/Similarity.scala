@@ -470,10 +470,19 @@ object Similarity {
     * 38-digit decimal cap.
     */
   def pcaTopComponent(df: DataFrame, vecCol: String, dim: Int,
+      steps: Int): Array[Double] =
+    pcaTopComponentFromGram(gramMatrix(df, vecCol, dim), dim, steps)
+
+  /** [[pcaTopComponent]] over an already-built (possibly memoized /
+    * checkpointed) [[gramMatrix]] — production builds the gram once
+    * per corpus version and derives every downstream artifact from
+    * it, so the expensive pass must be shareable.
+    */
+  def pcaTopComponentFromGram(gram: DataFrame, dim: Int,
       steps: Int): Array[Double] = {
     require(steps >= 1 && steps <= 10, "steps must be in [1,10]")
     import java.math.{BigDecimal => JBD, RoundingMode}
-    val cells = gramMatrix(df, vecCol, dim).collect()
+    val cells = gram.collect()
     require(cells.nonEmpty, "pcaTopComponent: empty input")
     val g = Array.fill[JBD](dim, dim)(JBD.ZERO)
     cells.foreach { r =>
@@ -530,6 +539,37 @@ object Similarity {
             (x, wj) => round(x * wj, 12).cast(dec)),
           lit(0).cast(dec), (acc, p) => (acc + p).cast(dec))
           .cast("double"), 6).as("proj"))
+  }
+
+  /** Rank-1 whitening: strip the [[pcaTopComponent]] direction from
+    * every vector, v′ = v − (v·w)·w — the SemDeDup preprocessing step
+    * (dominant-component energy swamps cosine comparisons; removing
+    * it makes near-dup thresholds meaningful). Row-local like
+    * [[pcaProject]]: weights ride as literals, the projection is the
+    * same 6dp decimal fold, each component subtracts the 12dp-rounded
+    * proj·wⱼ and re-rounds to 6dp — every step engine-replayable.
+    * Output: (idCol, whitened ARRAY<double>); null/wrong-length rows
+    * dropped.
+    */
+  def pcaWhiten(df: DataFrame, idCol: String, vecCol: String,
+      weights: Seq[Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val dec = "decimal(38,12)"
+    val wArr = array(weights.map(lit(_)): _*)
+    df.filter(col(vecCol).isNotNull &&
+        size(col(vecCol)) === weights.length)
+      .select(col(idCol),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__proj",
+        round(aggregate(
+          zip_with(col("__v"), wArr,
+            (x, wj) => round(x * wj, 12).cast(dec)),
+          lit(0).cast(dec), (acc, p) => (acc + p).cast(dec))
+          .cast("double"), 6))
+      .select(col(idCol),
+        zip_with(col("__v"), wArr,
+          (x, wj) => round(x - round(col("__proj") * wj, 12), 6))
+          .as("whitened"))
   }
 
   /** Sign-bit bucket key from `planes` random hyperplanes

@@ -1586,12 +1586,47 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(w.sameElements(w2)) // decimal chain: bit-identical
   }
 
+  test("gramMatrix is mergeable: gram(A ++ B) == cell-wise sum of " +
+      "per-shard matrices (incremental second moments)") {
+    val a = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)).toDF("v")
+    val b = Seq(Seq(-1.0f, 0.5f)).toDF("v")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Similarity.gramMatrix(df, "v", 2).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap
+    val merged = (cells(a).toSeq ++ cells(b).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2)
+        .reduce(_.add(_))).toMap
+    val full = cells(a.union(b))
+    assert(full.keySet == merged.keySet)
+    full.foreach { case (k, v) =>
+      assert(v.compareTo(merged(k)) == 0, s"cell $k: $v != ${merged(k)}")
+    }
+  }
+
   test("pcaProject: exact decimal fold; wrong-length rows dropped") {
     val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(0.5f, -1.0f)),
       (3L, Seq(9.0f))).toDF("id", "v")
     val got = Similarity.pcaProject(df, "id", "v", Seq(0.6, 0.8))
       .as[(Long, Double)].collect().toMap
     assert(got == Map(1L -> 2.2, 2L -> -0.5)) // 3L dropped (len 1)
+  }
+
+  test("pcaWhiten: residual projection onto the stripped direction " +
+      "is ~0; norms shrink") {
+    val w = Similarity.pcaTopComponent(emb, "embedding", 64, steps = 3)
+    val white = Similarity.pcaWhiten(emb, "vec_id", "embedding", w.toSeq)
+    val resid = white.select(
+        aggregate(zip_with(col("whitened"),
+          array(w.map(lit(_)): _*),
+          (x, wj) => x * wj), lit(0.0), (a, b) => a + b).as("r"))
+      .as[Double].collect()
+    assert(resid.forall(r => math.abs(r) < 1e-3),
+      s"max residual ${resid.map(math.abs).max}")
+    // whitening removes energy: mean squared norm strictly drops
+    def msn(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(aggregate(col(c).cast("array<double>"), lit(0.0),
+        (a, x) => a + x * x).as("n")).as[Double].collect().sum
+    assert(msn(white, "whitened") < msn(emb, "embedding"))
   }
 
   test("invertedIndex is mergeable: index(A ++ B) == blockwise merge " +

@@ -837,4 +837,73 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"$streamed != $batch")
     assert(batch.size == 3)
   }
+
+  test("frozen PCA direction: streaming projection == batch") {
+    // the whitening direction trains ONCE on a reference corpus
+    // (driver-held weights, the frozen-artifact class); every
+    // micro-batch projects against those literals, so stream == batch
+    // by construction — pinned here like the GD/PQ/IVF siblings
+    import graft.operators.Similarity
+    implicit val sq = spark.sqlContext
+    val ref = (1 to 30).map { i =>
+      Seq((if (i % 2 == 0) 2.0 else -2.0) * (1 + i % 3),
+        0.01 * (i % 5), 0.02 * (i % 2))
+    }.toDF("v")
+    val w = Similarity.pcaTopComponent(ref, "v", 3, steps = 3)
+    val all = Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(-4.0, 0.5, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0)))
+    val scored = scala.collection.concurrent.TrieMap[Long, Double]()
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = in.toDF().toDF("id", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.pcaProject(b, "id", "v", w.toSeq)
+          .as[(Long, Double)].collect().foreach(r => scored(r._1) = r._2)
+      }.start()
+    try {
+      in.addData(all.head)
+      q.processAllAvailable()
+      in.addData(all.tail: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = Similarity.pcaProject(all.toDF("id", "v"), "id", "v",
+      w.toSeq).as[(Long, Double)].collect().toMap
+    assert(scored.toMap == batch && batch.size == 3)
+  }
+
+  test("Misra-Gries shards: per-batch summaries sum to the batch " +
+      "counts in the exact regime") {
+    // incremental heavy-hitter maintenance: each micro-batch emits its
+    // own <=k-counter summary; with per-group distinct <= k no counter
+    // ever evicts, so shard counts are exact partial counts and the
+    // cross-batch merge is a plain (group, item) sum — equal to one
+    // batch summary over the union, independent of batch boundaries
+    import graft.operators.Profiling
+    implicit val sq = spark.sqlContext
+    val b1 = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("a", "x"))
+    val b2 = Seq(("a", "y"), ("b", "z"), ("b", "z"), ("a", "x"))
+    val shards = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    val in = MemoryStream[(String, String)]
+    val q = in.toDF().toDF("g", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        shards ++= Profiling.freqItemsByKey(b, "g", "v", 8)
+          .as[(String, String, Long)].collect()
+        ()
+      }.start()
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val merged = shards.groupBy(r => (r._1, r._2))
+      .view.mapValues(_.map(_._3).sum).toMap
+    val batch = Profiling.freqItemsByKey((b1 ++ b2).toDF("g", "v"),
+        "g", "v", 8)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(merged == batch, s"$merged != $batch")
+  }
 }
