@@ -74,6 +74,13 @@ object VectorExpressions {
       ExpressionUtils.expression(score),
       ExpressionUtils.expression(payload), k).toAggregateExpression())
 
+  /** Rank-1 whitening kernel v′ = v − (v·w)·w as one fused loop —
+    * see [[RankOneStrip]].
+    */
+  def rankOneStrip(vec: Column, weights: Array[Double]): Column =
+    ExpressionUtils.column(RankOneStrip(
+      ExpressionUtils.expression(vec), weights))
+
   /** Johnson–Lindenstrauss ±1 projection as ONE fused codegen loop:
     * the md5 sign matrix is computed ONCE at plan construction and
     * carried as a reference object (the [[centroidTopIds]] policy),
@@ -467,6 +474,109 @@ object RademacherLsh {
   * centroid matrix rides along as a serialized reference object —
   * broadcast with the task closure, never inlined into the plan.
   */
+/** Fused rank-1 strip v′ = v − (v·w)·w (the PCA whitening kernel):
+  * ONE loop computes the 6dp projection (unscaled-long decimal fold,
+  * the [[PqSqDist]] accumulation) and the per-element subtraction.
+  * Semantics are bit-identical to the built-in formulation
+  * (`Similarity.pcaWhitenBuiltin`, differential spec-pinned); the
+  * built-in form additionally falls into the CollapseProject trap —
+  * the projection fold gets re-inlined into the per-element lambda
+  * and re-evaluates dim times per row (measured 5.3 s vs sub-second
+  * at sf0.1). Weights ride as a REFERENCE OBJECT (the
+  * [[CentroidTopIds]] policy). NULL on length mismatch, null
+  * elements, or decimal overflow.
+  */
+case class RankOneStrip(child: Expression, weights: Array[Double])
+    extends UnaryExpression {
+
+  require(weights.nonEmpty, "weights must be non-empty")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"rank_one_strip requires array<float|double>, got ${t.catalogString}")
+    }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    RankOneStrip.compute(v.asInstanceOf[ArrayData], weights,
+      elemType == FloatType)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("stripWeights", weights, "double[]")
+    val isFloat = if (elemType == FloatType) "true" else "false"
+    nullSafeCodeGen(ctx, ev, arr => {
+      val tmp = ctx.freshName("stripped")
+      s"""
+         |Object $tmp = graft.functions.RankOneStrip.compute(
+         |  $arr, $w, $isFloat);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object RankOneStrip {
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  private def r12(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** round(x·w, 12) as the scale-12 unscaled long, the
+    * [[PqSqDist.termUnscaled]] two-step for a product term.
+    */
+  private def prodUnscaled(x: Double, w: Double): Long = {
+    val rd = r12(x * w)
+    java.math.BigDecimal.valueOf(rd)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+  }
+
+  def compute(a: ArrayData, w: Array[Double], isFloat: Boolean): Any = {
+    val n = w.length
+    if (a.numElements() != n) return null
+    val xs = new Array[Double](n)
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      xs(i) = x
+      try sum = Math.addExact(sum, prodUnscaled(x, w(i)))
+      catch { case _: ArithmeticException => return null }
+      i += 1
+    }
+    // Decimal(sum, 38, 12) → double → round 6: the built-in
+    // cast-then-Round chain replayed
+    val proj = r6(new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(sum), 12).doubleValue())
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      out(i) = r6(xs(i) - r12(proj * w(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 case class CentroidTopIds(child: Expression, matrix: Array[Array[Float]],
     n: Int) extends UnaryExpression {
 

@@ -545,13 +545,33 @@ object Similarity {
     * every vector, v′ = v − (v·w)·w — the SemDeDup preprocessing step
     * (dominant-component energy swamps cosine comparisons; removing
     * it makes near-dup thresholds meaningful). Row-local like
-    * [[pcaProject]]: weights ride as literals, the projection is the
-    * same 6dp decimal fold, each component subtracts the 12dp-rounded
-    * proj·wⱼ and re-rounds to 6dp — every step engine-replayable.
-    * Output: (idCol, whitened ARRAY<double>); null/wrong-length rows
-    * dropped.
+    * [[pcaProject]]: weights ride as a reference object, the
+    * projection is the same 6dp decimal fold, each component
+    * subtracts the 12dp-rounded proj·wⱼ and re-rounds to 6dp — every
+    * step engine-replayable. One fused codegen loop
+    * ([[VectorExpressions.rankOneStrip]]); the built-in HOF
+    * formulation is [[pcaWhitenBuiltin]] (differential spec-pinned),
+    * which CollapseProject quietly turns quadratic — the projection
+    * fold re-inlines into the per-element lambda (measured 5.3 s vs
+    * sub-second at sf0.1). Output: (idCol, whitened ARRAY<double>);
+    * null/wrong-length rows dropped.
     */
   def pcaWhiten(df: DataFrame, idCol: String, vecCol: String,
+      weights: Seq[Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol),
+        VectorExpressions.rankOneStrip(col(vecCol), weights.toArray)
+          .as("whitened"))
+      .filter(col("whitened").isNotNull)
+  }
+
+  /** [[pcaWhiten]] spelled with built-in HOFs — the semantic
+    * reference the fused kernel is differentially pinned against
+    * (the [[randomProjectBuiltin]] convention). Not the production
+    * path: see [[pcaWhiten]] for the CollapseProject hazard.
+    */
+  def pcaWhitenBuiltin(df: DataFrame, idCol: String, vecCol: String,
       weights: Seq[Double]): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
     val dec = "decimal(38,12)"

@@ -1611,6 +1611,23 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 2.2, 2L -> -0.5)) // 3L dropped (len 1)
   }
 
+  test("pcaWhiten fused kernel == built-in HOF formulation, " +
+      "bit-for-bit") {
+    val w = Similarity.pcaTopComponent(emb, "embedding", 64, steps = 3)
+    def flat(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", posexplode($"whitened").as(Seq("j", "wv")))
+      .as[(Long, Int, Double)].collect().toSet
+    val fused = flat(Similarity.pcaWhiten(emb, "vec_id", "embedding",
+      w.toSeq))
+    val builtin = flat(Similarity.pcaWhitenBuiltin(emb, "vec_id",
+      "embedding", w.toSeq))
+    assert(fused == builtin && fused.size == 500 * 64)
+    // null-element and wrong-length vectors drop in BOTH forms
+    val dirty = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(0.5))).toDF("id", "v")
+    assert(Similarity.pcaWhiten(dirty, "id", "v", Seq(0.6, 0.8))
+      .count() == 1L)
+  }
+
   test("pcaWhiten: residual projection onto the stripped direction " +
       "is ~0; norms shrink") {
     val w = Similarity.pcaTopComponent(emb, "embedding", 64, steps = 3)
