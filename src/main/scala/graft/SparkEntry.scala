@@ -894,6 +894,14 @@ object SparkEntry {
       TextOps.surprisalBigram(Tables.documents(s, dir), "doc_id", "text",
         headVocab = 64)),
 
+    // PMI collocation mining: top-50 adjacent pairs by pointwise
+    // mutual information (min pair count 5 gates the hapax-PMI
+    // artifact) — the multiword-expression detector; margins are
+    // joins over the pair table, top-k is TakeOrderedAndProject
+    "q_pmi_collocations" -> ((s, dir) =>
+      TextOps.pmiCollocations(Tables.documents(s, dir), "text",
+        minCount = 5L, k = 50)),
+
     // frozen-reference-model surprisal: every doc scored against the
     // English-subcorpus unigram LM (OOV smoothed to the 1/(N+V) floor)
     "q_surprisal_ref" -> ((s, dir) => {
@@ -3354,6 +3362,29 @@ object SparkEntry {
     "q_surprisal_ref" ->
       s"""WITH $surprisalRefCteSql
          |SELECT doc_id, n_tokens, surprisal_ref FROM sref""".stripMargin,
+
+    // margins and N over the pair table; the a·N/(b·c) double chain
+    // mirrors the Spark expression term-for-term before the 6dp round
+    "q_pmi_collocations" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |  string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |p AS (SELECT
+        |  unnest(toks[1:len(toks)-1]) AS prev,
+        |  unnest(toks[2:len(toks)]) AS cur
+        |  FROM t WHERE len(toks) >= 2),
+        |cp AS (SELECT prev, cur, count(*) AS c_pair FROM p
+        |  GROUP BY prev, cur),
+        |n AS (SELECT CAST(sum(c_pair) AS DOUBLE) AS n FROM cp),
+        |mp AS (SELECT prev, sum(c_pair) AS cprev FROM cp GROUP BY prev),
+        |mc AS (SELECT cur, sum(c_pair) AS ccur FROM cp GROUP BY cur)
+        |SELECT cp.prev, cp.cur, cp.c_pair,
+        | round(ln(CAST(cp.c_pair AS DOUBLE) * n.n /
+        |   (CAST(mp.cprev AS DOUBLE) * CAST(mc.ccur AS DOUBLE))), 6)
+        |  AS pmi
+        |FROM cp JOIN mp USING (prev) JOIN mc USING (cur) CROSS JOIN n
+        |WHERE cp.c_pair >= 5
+        |ORDER BY pmi DESC, prev, cur LIMIT 50""".stripMargin,
 
     // deliberately the WINDOW form: the safe path must reproduce
     // ntile itself

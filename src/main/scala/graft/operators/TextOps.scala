@@ -582,6 +582,56 @@ object TextOps {
           .as("surprisal2"))
   }
 
+  /** PMI collocation mining: the top-`k` adjacent token pairs by
+    * pointwise mutual information,
+    *
+    *   pmi(a,b) = ln( c(a,b)·N / (c(a,·)·c(·,b)) ),
+    *
+    * margins and N taken over the pair table itself — the
+    * multiword-expression detector ("new york", "machine learning")
+    * tokenizer and phrase-vocabulary pipelines run before merging
+    * tokens. `minCount` gates hapax pairs (PMI is maximal for
+    * singletons — the classic artifact), `k` bounds the output.
+    *
+    * Plan shape: row-local zip into pairs → ONE (prev, cur) count
+    * exchange (map-side combined); margins are second-level
+    * aggregates OVER THE PAIR TABLE (never a re-scan of the corpus)
+    * joined back as AQE-splittable equi-joins — the hot-token margin
+    * is a join key, not a window partition (the tfidf rationale); N
+    * folds in as a 1-row broadcast; the top-k is orderBy+limit, which
+    * plans TakeOrderedAndProject — bounded per-partition heaps, no
+    * full sort shuffle (plan-pinned). 6dp-rounded like the surprisal
+    * family; ties broken by (prev, cur) so the cut is total-ordered
+    * and engine-replayable.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    val toks = tokens(col(textCol))
+    val pairs = when(size_(toks) >= 2,
+      zip_with(slice(toks, lit(1), size_(toks) - 1),
+        slice(toks, lit(2), size_(toks) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur"))))
+    val pc = docs
+      .select(explode(pairs).as("_p"))
+      .select(col("_p.prev").as("prev"), col("_p.cur").as("cur"))
+      .groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c_pair"))
+    val n = pc.agg(sum(col("c_pair")).cast("double").as("__n"))
+    val mPrev = pc.groupBy(col("prev")).agg(sum(col("c_pair")).as("_cprev"))
+    val mCur = pc.groupBy(col("cur")).agg(sum(col("c_pair")).as("_ccur"))
+    pc.filter(col("c_pair") >= minCount)
+      .join(mPrev, "prev").join(mCur, "cur")
+      .crossJoin(broadcast(n))
+      .select(col("prev"), col("cur"), col("c_pair"),
+        round(log(col("c_pair").cast("double") * col("__n") /
+          (col("_cprev").cast("double") * col("_ccur").cast("double"))),
+          6).as("pmi"))
+      .orderBy(desc("pmi"), asc("prev"), asc("cur"))
+      .limit(k)
+  }
+
   /** Unigram counts of a corpus — the FROZEN reference model for
     * [[surprisalAgainst]]: (token, c) rows, buildable once offline
     * per reference-corpus version and reused across scoring runs.

@@ -1586,6 +1586,28 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(w.sameElements(w2)) // decimal chain: bit-identical
   }
 
+  test("pmiCollocations: hand-checked values, hapax gate, bounded " +
+      "top-k plan") {
+    // "a b a b": pairs (a,b)x2, (b,a)x1; N=3; prev margins a:2 b:1;
+    // cur margins b:2 a:1 → pmi(a,b)=ln(2·3/(2·2)), pmi(b,a)=ln(3)
+    val df = Seq("a b a b").toDF("text")
+    val got = TextOps.pmiCollocations(df, "text", minCount = 1L, k = 10)
+      .as[(String, String, Long, Double)].collect().toSet
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Set(("a", "b", 2L, r6(math.log(1.5))),
+      ("b", "a", 1L, r6(math.log(3.0)))))
+    // minCount gates the singleton pair
+    val gated = TextOps.pmiCollocations(df, "text", minCount = 2L, k = 10)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(gated.map(t => (t._1, t._2)) == Set(("a", "b")))
+    // top-k plans bounded per-partition heaps, never a full sort
+    val plan = TextOps.pmiCollocations(docs, "text", 5L, 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("gramMatrix is mergeable: gram(A ++ B) == cell-wise sum of " +
       "per-shard matrices (incremental second moments)") {
     val a = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)).toDF("v")
