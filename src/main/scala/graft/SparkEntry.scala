@@ -587,6 +587,16 @@ object SparkEntry {
     ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
     ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"))
 
+  /** Frozen phrase table — the [[bpeMerges]] convention for the
+    * word2phrase serving arm: the top PMI collocations of the
+    * documents corpus (mined once offline via
+    * `TextOps.pmiCollocations`, self-pairs excluded), shipped as the
+    * artifact `q_phrase_merge` and its oracle both GENERATE from.
+    */
+  private[graft] val phraseTable: Seq[(String, String)] = Seq(
+    ("table", "hash"), ("slow", "query"), ("merge", "group"),
+    ("part", "filter"), ("big", "order"), ("vector", "small"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ================= core relational surface =================
     "q1_agg" -> ((s, dir) => {
@@ -901,6 +911,13 @@ object SparkEntry {
     "q_pmi_collocations" -> ((s, dir) =>
       TextOps.pmiCollocations(Tables.documents(s, dir), "text",
         minCount = 5L, k = 50)),
+
+    // the serving arm: the frozen phrase table applied greedily to
+    // every document — row-local, no shuffle, list order = merge
+    // order (chained phrases resolve sequentially, deterministic)
+    "q_phrase_merge" -> ((s, dir) =>
+      TextOps.mergePhrases(Tables.documents(s, dir), "doc_id", "text",
+        phraseTable)),
 
     // frozen-reference-model surprisal: every doc scored against the
     // English-subcorpus unigram LM (OOV smoothed to the 1/(N+V) floor)
@@ -3362,6 +3379,29 @@ object SparkEntry {
     "q_surprisal_ref" ->
       s"""WITH $surprisalRefCteSql
          |SELECT doc_id, n_tokens, surprisal_ref FROM sref""".stripMargin,
+
+    // GENERATED from the same frozen phraseTable (single source of
+    // truth, the q_bpe_encode convention): each stage replays one
+    // index-local (a,b)→a_b rewrite over the document token lists
+    "q_phrase_merge" -> {
+      val stages = phraseTable.zipWithIndex.map { case ((a, b), i) =>
+        s"""v${i + 1} AS (SELECT doc_id, list_filter(list_transform(s,
+           |  (x, ii) -> CASE WHEN x = '$a' AND s[ii+1] = '$b'
+           |      THEN '${a}_$b'
+           |    WHEN ii > 1 AND s[ii-1] = '$a' AND x = '$b' THEN NULL
+           |    ELSE x END), y -> y IS NOT NULL) AS s FROM v$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH v0 AS (SELECT doc_id, list_filter(
+         |  string_split_regex(text, '\\s+'), x -> len(x) > 0) AS s
+         |  FROM documents),
+         |$stages
+         |SELECT v0.doc_id, array_to_string(vf.s, ' ') AS text_merged,
+         | CAST(len(v0.s) AS BIGINT) AS n_tokens,
+         | CAST(len(v0.s) - len(vf.s) AS BIGINT) AS n_merged
+         |FROM v0 JOIN v${phraseTable.length} vf USING (doc_id)"""
+        .stripMargin
+    },
 
     // margins and N over the pair table; the a·N/(b·c) double chain
     // mirrors the Spark expression term-for-term before the 6dp round

@@ -64,6 +64,14 @@ object TextExpressions {
   def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(word),
       merges.toArray))
+
+  /** `phrase_merge(tokens)` against a frozen phrase table: (a, b) →
+    * `a_b`, greedy leftmost per merge in list order — see
+    * [[PhraseMerge]].
+    */
+  def phraseMerge(toks: Column, phrases: Seq[(String, String)]): Column =
+    ColumnBridge.column(PhraseMerge(ColumnBridge.expression(toks),
+      phrases.toArray))
 }
 
 /** `string -> string`: Unicode NFC canonical normalization (composed
@@ -336,6 +344,86 @@ object BpeEncode {
     var mi = 0
     while (mi < merges.length && syms.size > 1) {
       val a = merges(mi)._1; val b = merges(mi)._2; val ab = a + b
+      val next = new java.util.ArrayList[String](syms.size)
+      var j = 0
+      while (j < syms.size) {
+        if (j + 1 < syms.size && syms.get(j) == a && syms.get(j + 1) == b) {
+          next.add(ab); j += 2
+        } else { next.add(syms.get(j)); j += 1 }
+      }
+      syms = next
+      mi += 1
+    }
+    val out = new Array[Any](syms.size)
+    var k = 0
+    while (k < syms.size) {
+      out(k) = UTF8String.fromString(syms.get(k)); k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Frozen-phrase-table serving fold: apply each (a, b) → `a_b` merge
+  * in list order, greedy leftmost-non-overlapping per merge — the
+  * word2phrase serving kernel. One native loop; the per-merge HOF
+  * formulation ([[graft.operators.TextOps.applyPhraseMerge]],
+  * differentially spec-pinned) references its input three times per
+  * merge, so folding k merges as nested lambdas builds a 3^k
+  * expression tree — 6 phrases already exceed the analyzer's
+  * iteration budget. Phrase list rides as a reference object.
+  */
+case class PhraseMerge(child: Expression, phrases: Array[(String, String)])
+    extends UnaryExpression {
+
+  require(phrases.nonEmpty, "phrases must be non-empty")
+  require(phrases.forall { case (a, b) => a != b },
+    "self-merges (a == b) are not order-free")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"phrase_merge requires array<string>, got ${t.catalogString}")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    PhraseMerge.merge(v.asInstanceOf[ArrayData], phrases)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("phraseTable", phrases, "scala.Tuple2[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val tmp = ctx.freshName("merged")
+      s"""
+         |Object $tmp = graft.functions.PhraseMerge.merge(
+         |  $arr, (scala.Tuple2[]) $p);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object PhraseMerge {
+  def merge(toks: ArrayData, phrases: Array[(String, String)]): Any = {
+    val n = toks.numElements()
+    var syms = new java.util.ArrayList[String](n)
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) return null
+      syms.add(toks.getUTF8String(i).toString)
+      i += 1
+    }
+    var mi = 0
+    while (mi < phrases.length && syms.size > 1) {
+      val a = phrases(mi)._1; val b = phrases(mi)._2
+      val ab = a + "_" + b
       val next = new java.util.ArrayList[String](syms.size)
       var j = 0
       while (j < syms.size) {

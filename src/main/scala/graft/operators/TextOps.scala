@@ -632,6 +632,45 @@ object TextOps {
       .limit(k)
   }
 
+  /** One phrase merge (a, b) → `a_b` applied to a token-array column
+    * — [[applyBpeMerge]]'s index-local rewrite with the word2phrase
+    * joiner. Same a ≠ b precondition, same leftmost-non-overlapping
+    * greedy semantics, same locality argument (and therefore the same
+    * exact list_transform oracle replay).
+    */
+  def applyPhraseMerge(toks: Column, a: String, b: String): Column = {
+    require(a != b, "self-merges are not order-free")
+    filter(transform(toks, (x, i) =>
+      when(x === a && get(toks, i + 1) === b, lit(a + "_" + b))
+        .when(i > 0 && get(toks, i - 1) === a && x === b,
+          lit(null).cast("string"))
+        .otherwise(x)), y => y.isNotNull)
+  }
+
+  /** Serve a FROZEN phrase table (the word2phrase/[[pmiCollocations]]
+    * train-then-serve split, the BPE convention: production ships the
+    * collocation list as an artifact, not the miner): apply each
+    * (a, b) → `a_b` merge in list order, greedy leftmost — chained
+    * phrases resolve sequentially ("new york city" under (new,york)
+    * then (york,city) yields `new_york city`, deterministic). One
+    * native fold ([[graft.functions.PhraseMerge]] — the nested-HOF
+    * form builds a 3^k expression tree, see there); row-local, the
+    * phrase list rides as a reference object, no shuffle at all.
+    * Output: (idCol, text_merged, n_tokens, n_merged).
+    */
+  def mergePhrases(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[(String, String)]): DataFrame = {
+    require(phrases.nonEmpty, "phrases must be non-empty")
+    docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"),
+        graft.functions.TextExpressions.phraseMerge(col("__t"), phrases)
+          .as("__m"))
+      .select(col(idCol),
+        array_join(col("__m"), " ").as("text_merged"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (size(col("__t")) - size(col("__m"))).cast("long").as("n_merged"))
+  }
+
   /** Unigram counts of a corpus — the FROZEN reference model for
     * [[surprisalAgainst]]: (token, c) rows, buildable once offline
     * per reference-corpus version and reused across scoring runs.

@@ -1608,6 +1608,40 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("mergePhrases: greedy leftmost, chains resolve sequentially, " +
+      "native fold == per-merge HOF") {
+    val df = Seq(
+      (1L, "new york city tour"),
+      (2L, "new new york york"),
+      (3L, "a new york new york b"),
+      (4L, "")).toDF("id", "text")
+    val phrases = Seq(("new", "york"), ("york", "city"))
+    val got = TextOps.mergePhrases(df, "id", "text", phrases)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // (new,york) consumes york, so (york,city) no longer fires on
+    // doc 1 — word2phrase's sequential-greedy contract
+    assert(got(1L) == (("new_york city tour", 4L, 1L)))
+    assert(got(2L) == (("new new_york york", 4L, 1L)))
+    assert(got(3L) == (("a new_york new_york b", 6L, 2L)))
+    assert(got(4L) == (("", 0L, 0L)))
+    // differential: the native fold == one materialized HOF pass per
+    // merge (the applyPhraseMerge reference semantics)
+    val hof = phrases.foldLeft(
+        df.select($"id", TextOps.tokens($"text").as("m"))) {
+      case (d, (a, b)) =>
+        d.select($"id", TextOps.applyPhraseMerge($"m", a, b).as("m"))
+          .localCheckpoint(true)
+    }.select($"id", array_join($"m", " ").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(got.view.mapValues(_._1).toMap == hof)
+    // real corpus: the frozen table actually fires somewhere
+    val n = TextOps.mergePhrases(docs, "doc_id", "text",
+        SparkEntry.phraseTable)
+      .agg(sum($"n_merged")).as[Long].head()
+    assert(n > 0L)
+  }
+
   test("gramMatrix is mergeable: gram(A ++ B) == cell-wise sum of " +
       "per-shard matrices (incremental second moments)") {
     val a = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)).toDF("v")
