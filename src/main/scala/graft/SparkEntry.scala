@@ -2548,6 +2548,14 @@ object SparkEntry {
       operators.Profiling.rankSelect(Tables.lineitem(s, dir),
         "l_extendedprice", Seq(0.25, 0.5, 0.9, 0.99))),
 
+    // exact WEIGHTED quantiles: the price below which q of the total
+    // QUANTITY sits — same range-sort + distributed-prefix machinery
+    // as q_rank_select, targets broadcast as an interval probe;
+    // integral weights keep the cumulative engine-exact
+    "q_rank_select_weighted" -> ((s, dir) =>
+      operators.Profiling.rankSelectWeighted(Tables.lineitem(s, dir),
+        "l_extendedprice", "l_quantity", Seq(0.25, 0.5, 0.9, 0.99))),
+
     // one-pass quantile SKETCH: deterministic md5 bottom-k row sample
     // (O(k) state per task, values never shuffle — the kept hashes
     // broadcast back as a semi-join filter), exact discrete quantiles
@@ -5354,6 +5362,25 @@ object SparkEntry {
         |SELECT q.q, r."rank", r.value
         |FROM q CROSS JOIN n JOIN r
         | ON r."rank" = GREATEST(1, CAST(ceil(q.q * n.n) AS BIGINT))"""
+        .stripMargin,
+
+    // interval semantics: the row whose (cum−w, cum] catches q·W;
+    // tie rows share the value so the window's tie order is harmless
+    "q_rank_select_weighted" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS value,
+        |  CAST(l_quantity AS DOUBLE) AS w
+        | FROM lineitem
+        | WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |   AND l_quantity > 0),
+        |tw AS (SELECT CAST(sum(w) AS DOUBLE) AS tw FROM v),
+        |r AS (SELECT value, w, sum(w) OVER (ORDER BY value
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumi
+        | FROM v),
+        |q AS (SELECT CAST(q AS DOUBLE) AS q
+        |  FROM (VALUES (0.25), (0.5), (0.9), (0.99)) t(q))
+        |SELECT q.q, r.value
+        |FROM q CROSS JOIN tw JOIN r
+        | ON r.cumi - r.w < q.q * tw.tw AND q.q * tw.tw <= r.cumi"""
         .stripMargin,
 
     // the deterministic md5 bottom-k sample is replayed literally

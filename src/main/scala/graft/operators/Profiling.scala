@@ -462,6 +462,46 @@ object Profiling {
       .select(col("q"), col("rank"), col("value"))
   }
 
+  /** Exact WEIGHTED global quantiles — "the value below which q of
+    * the total WEIGHT sits" (token-weighted length percentiles for
+    * packing budgets, quantity-weighted price percentiles): the row
+    * whose cumulative-weight interval (cum, cum+w] contains q·W, per
+    * q. The weighted generalization of [[rankSelect]], on the same
+    * machinery: range-partitioned sort + [[Sampling.runningSum]]
+    * distributed prefix (O(partitions) driver fold), then the |qs|
+    * targets broadcast as an interval probe — no global window, no
+    * one-reducer percentile.
+    *
+    * Exactness contract: weight sums must be reduce-order-independent
+    * for the interval boundaries to be engine-replayable — integral
+    * weights (long / integer-valued double below 2^53, e.g. token or
+    * quantity counts) qualify; arbitrary fractional weights make the
+    * cumulative order-sensitive in the last ulps. Ties in the value
+    * column are safe either way: tie rows share the output value, so
+    * whichever tie row's interval catches the target, (q, value) is
+    * identical. Rows with weight ≤ 0 are dropped. Output: (q DOUBLE,
+    * value DOUBLE).
+    */
+  def rankSelectWeighted(df: DataFrame, valueCol: String,
+      weightCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "qs must be non-empty")
+    require(qs.forall(q => q > 0 && q <= 1), "each q must be in (0,1]")
+    val vals = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .select(col(valueCol).cast("double").as("value"),
+        col(weightCol).cast("double").as("_w"))
+    val cum = Sampling.runningSum(vals, "value", "_w", "_cum")
+    val total = cum.agg(sum(col("_w")).as("__tw"))
+    val qArr = array(qs.distinct.map(q => lit(q).cast("double")): _*)
+    val targets = total
+      .select(explode(qArr).as("q"), col("__tw"))
+      .select(col("q"), (col("q") * col("__tw")).as("_t"))
+    cum.join(broadcast(targets),
+        col("_cum") < col("_t") && col("_t") <= col("_cum") + col("_w"))
+      .select(col("q"), col("value"))
+  }
+
   /** Distributed linear-model training by full-batch gradient descent
     * — the quality-classifier TRAINING arm the fixed-weight scorer
     * (`q_quality_model`) consumes: learn the weights from labels

@@ -414,6 +414,32 @@ class ProfilingSpec extends SparkSpec {
     assert(a.forall(_._2 <= k))
   }
 
+  test("rankSelectWeighted: interval semantics, ties safe, " +
+      "degenerates to rankSelect at weight 1") {
+    // values 1..4, weights (1,1,2,4): W=8, intervals 1:(0,1] 2:(1,2]
+    // 3:(2,4] 4:(4,8]
+    val df = Seq((1.0, 1L), (2.0, 1L), (3.0, 2L), (4.0, 4L))
+      .toDF("x", "w")
+    val got = Profiling.rankSelectWeighted(df, "x", "w",
+        Seq(0.25, 0.5, 0.51, 1.0))
+      .as[(Double, Double)].collect().toMap
+    assert(got == Map(0.25 -> 2.0, 0.5 -> 3.0, 0.51 -> 4.0, 1.0 -> 4.0))
+    // zero/negative weights drop; ties share the output value
+    val ties = Seq((5.0, 3L), (5.0, 3L), (9.0, 0L), (1.0, 2L))
+      .toDF("x", "w")
+    val med = Profiling.rankSelectWeighted(ties, "x", "w", Seq(0.5))
+      .as[(Double, Double)].collect()
+    assert(med.toSeq == Seq((0.5, 5.0))) // W=8 (9.0 dropped), t=4 → 5.0
+    // weight ≡ 1 == plain discrete quantiles
+    val vals = (1 to 97).map(i => (i.toDouble, 1L)).toDF("x", "w")
+    val a = Profiling.rankSelectWeighted(vals.repartition(7), "x", "w",
+        Seq(0.3, 0.9)).as[(Double, Double)].collect().toMap
+    val b = Profiling.rankSelect(vals.select($"x"), "x", Seq(0.3, 0.9))
+      .as[(Double, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(a == b)
+  }
+
   test("freqItemsByKey: exact regime == plain counts, any partitioning") {
     val rows = for {
       g <- Seq("a", "b"); i <- 1 to 60
