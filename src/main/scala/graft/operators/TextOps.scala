@@ -632,6 +632,72 @@ object TextOps {
       .limit(k)
   }
 
+  /** BM25 top-k retrieval (Robertson/Lucene idf variant): score every
+    * candidate document per query,
+    *
+    *   score(q,d) = Σ_{t∈q∩d} idf(t) · tf·(k1+1) /
+    *                (tf + k1·(1 − b + b·|d|/avgdl)),
+    *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))   (always ≥ 0),
+    *
+    * and keep each query's `k` best — the ranked-retrieval arm of the
+    * [[invertedIndex]] family (eval-set decontamination lookups,
+    * nearest-neighbor text search before embedding rerank).
+    *
+    * Plan shape: candidates are a token equi-join of the distinct
+    * query terms against the (doc, token, tf) postings — hot tokens
+    * are join keys (AQE-splittable), never window partitions; df and
+    * doc-length ride along via co-keyed joins; N/avgdl fold in as a
+    * 1-row broadcast. Per-term scores round to 12dp and sum as
+    * DECIMAL(38,12) (reduce-order-independent — the engine's exact-
+    * sum kernel), the query top-k is the bounded
+    * [[graft.functions.VectorExpressions.topKByScore]] aggregate (≤k
+    * rows per query per map task — never a rank window over all
+    * candidates). 6dp scores; ties break by ascending doc id. Output:
+    * (query_id, rank, doc_id, score).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tf = docs
+      .select(col(idCol).as("_did"),
+        explode(tokens(col(textCol))).as("_tok"))
+      .groupBy(col("_did"), col("_tok"))
+      .agg(count(lit(1)).as("_tf"))
+    val dl = docs.select(col(idCol).as("_did"),
+      tokenCount(col(textCol)).cast("long").as("_dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("__n"),
+      sum(col("_dl")).cast("double").as("__tot"))
+    val dft = tf.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+    val qterms = queries
+      .select(col(qidCol).as("_qid"),
+        explode(tokens(col(qtextCol))).as("_tok"))
+      .distinct()
+    val idf = log(lit(1.0) +
+      (col("__n") - col("_df").cast("double") + lit(0.5)) /
+        (col("_df").cast("double") + lit(0.5)))
+    val denom = col("_tf").cast("double") +
+      lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * col("_dl").cast("double") / (col("__tot") / col("__n")))
+    val term = idf * (col("_tf").cast("double") * lit(k1 + 1.0)) / denom
+    val scored = qterms
+      .join(tf, "_tok").join(dft, "_tok")
+      .join(dl, "_did")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("_qid"), col("_did"))
+      .agg(round(sum(round(term, 12).cast("decimal(38,12)"))
+        .cast("double"), 6).as("_score"))
+    scored
+      .groupBy(col("_qid"))
+      .agg(graft.functions.VectorExpressions.topKByScore(
+        col("_score"), col("_did"), k).as("__kept"))
+      .select(col("_qid").as("query_id"),
+        posexplode(col("__kept")).as(Seq("__p", "__e")))
+      .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
+        col("__e").getField("id").as("doc_id"),
+        col("__e").getField("score").as("score"))
+  }
+
   /** One phrase merge (a, b) → `a_b` applied to a token-array column
     * — [[applyBpeMerge]]'s index-local rewrite with the word2phrase
     * joiner. Same a ≠ b precondition, same leftmost-non-overlapping

@@ -1608,6 +1608,39 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("bm25TopK: hand-computed scores, rank order, bounded top-k " +
+      "plan (no rank window)") {
+    val corpus = Seq((1L, "x x y"), (2L, "x z"), (3L, "w w"))
+      .toDF("doc_id", "text")
+    val queries = Seq((100L, "x y"), (200L, "zz")).toDF("qid", "qtext")
+    val got = TextOps.bm25TopK(corpus, "doc_id", "text", queries,
+        "qid", "qtext", k1 = 1.2, b = 0.75, k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    def r(x: Double, s: Int) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // N=3, avgdl=7/3; idf(x)=ln(1+1.5/2.5), idf(y)=ln(1+2.5/1.5)
+    val avgdl = 7.0 / 3.0
+    def term(tf: Long, df: Long, dl: Long) =
+      r(math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5)) *
+        (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 12)
+    val d1 = r(term(2, 2, 3) + term(1, 1, 3), 6) // x twice + y once
+    val d2 = r(term(1, 2, 2), 6)                 // x once
+    assert(got(100L).map(t => (t._3, t._4)).toSeq ==
+      Seq((1L, d1), (2L, d2)))
+    assert(!got.contains(200L)) // no matching term → no rows
+    // scale shape: candidates by token equi-join + bounded top-k
+    // aggregate — never a rank window over the candidate set
+    val plan = TextOps.bm25TopK(docs, "doc_id", "text",
+        docs.limit(3).select($"doc_id".as("qid"),
+          substring($"text", 1, 30).as("qtext")),
+        "qid", "qtext")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("topkbyscore") || plan.contains("TopKByScore"),
+      plan)
+  }
+
   test("mergePhrases: greedy leftmost, chains resolve sequentially, " +
       "native fold == per-merge HOF") {
     val df = Seq(
