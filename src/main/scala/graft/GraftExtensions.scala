@@ -114,6 +114,24 @@ object GraftExtensions {
       "Misra-Gries frequent-items aggregate on <=k counters: " +
         "(value, k) -> array<struct<item string, cnt bigint>>",
       (args: Seq[Expression]) => { expect(args, 2, "graft_freq_items")
-        MisraGriesFreqItems(args(0), intLit(args(1), "k")) })
+        MisraGriesFreqItems(args(0), intLit(args(1), "k")) }),
+    ("graft_phrase_merge",
+      "frozen-phrase-table merge fold over a token array: " +
+        "(tokens, 'a b,c d' pair list) -> array<string>",
+      (args: Seq[Expression]) => { expect(args, 2, "graft_phrase_merge")
+        val spec = args(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            "graft_phrase_merge phrase table must be a string literal " +
+              s"like 'new york,machine learning', got ${other.sql}")
+        }
+        val phrases = spec.split(",").toSeq.map(_.trim.split("\\s+"))
+          .map { p =>
+            require(p.length == 2,
+              s"each phrase must be two tokens, got '${p.mkString(" ")}'")
+            (p(0), p(1))
+          }
+        PhraseMerge(args(0), phrases.toArray) })
   )
 }

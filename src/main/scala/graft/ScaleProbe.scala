@@ -281,6 +281,24 @@ object ScaleProbe {
           s.read.parquet(s"$dir/lineitem.parquet").withColumn("_rid",
             concat_ws(":", col("l_orderkey"), col("l_linenumber"))),
           "_rid", "l_extendedprice", 1024, Seq(0.25, 0.5, 0.9, 0.99))),
+      // BM25 under Zipf pressure, on retrieval's honest axes: the
+      // CORPUS grows 10x, the query workload stays fixed (copy-0 ids
+      // only — the metrics_etl_hosts axis-splitting rationale), and
+      // the df ceiling prunes near-zero-idf head terms from candidate
+      // generation. Unpruned + both-axes-scaled this measured 3.8-8.9x
+      // (queries x head-postings is quadratic BY CONSTRUCTION — every
+      // retrieval engine ships the stopword prune for exactly this)
+      "bm25_zipf" -> ((s: SparkSession, dir: String) => {
+        val docs = zipfTable(s, dir, scaleDir)
+        val queries = docs
+          .filter(col("doc_id") < 5000 && col("doc_id") % 500 === 0)
+          .select(col("doc_id").as("qid"),
+            array_join(slice(
+              graft.operators.TextOps.tokens(col("text")), 1, 4), " ")
+              .as("qtext"))
+        graft.operators.TextOps.bm25TopK(docs, "doc_id", "text",
+          queries, "qid", "qtext", maxDfFraction = 0.05)
+      }),
       // Gram matrix: Θ(dim²) CPU per row into one partial-combined
       // aggregate of dim(dim+1)/2 cells — the ratio certifies the
       // exchange stays cell-bounded and the cost row-linear

@@ -925,6 +925,20 @@ object SparkEntry {
         "qtext", k1 = 1.2, b = 0.75, k = 10)
     }),
 
+    // the SCALE path: df-ceiling pruning drops near-zero-idf head
+    // terms from candidate generation (df > 75% of the corpus) — the
+    // stopword prune every retrieval engine applies, exactly gated on
+    // both sides so it stays hash-oracled
+    "q_bm25_pruned" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val queries = docs.filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 4), " ")
+            .as("qtext"))
+      TextOps.bm25TopK(docs, "doc_id", "text", queries, "query_id",
+        "qtext", k1 = 1.2, b = 0.75, k = 10, maxDfFraction = 0.75)
+    }),
+
     // the serving arm: the frozen phrase table applied greedily to
     // every document — row-local, no shuffle, list order = merge
     // order (chained phrases resolve sequentially, deterministic)
@@ -2885,6 +2899,44 @@ object SparkEntry {
     s"$head,\n$stepCtes,\n$tail"
   }
 
+  /** BM25 oracle body shared by the exact and df-pruned variants —
+    * `dfGate` lands in the scoring join's WHERE, exactly where the
+    * engine prunes (before a term generates candidates).
+    */
+  private def bm25OracleSql(dfGate: String): String =
+    s"""WITH t AS (SELECT doc_id, list_filter(
+       |  string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |tfc AS (SELECT doc_id AS did, tok, count(*) AS tf
+       | FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       | GROUP BY did, tok),
+       |dl AS (SELECT doc_id AS did, CAST(len(toks) AS BIGINT) AS dl
+       | FROM t),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |  CAST(sum(dl) AS DOUBLE) AS tot FROM dl),
+       |dft AS (SELECT tok, count(*) AS df FROM tfc GROUP BY tok),
+       |qd AS (SELECT DISTINCT doc_id AS qid, unnest(toks[1:4]) AS tok
+       | FROM t WHERE doc_id % 101 = 0),
+       |sc AS (SELECT qd.qid, tfc.did,
+       |  round(CAST(sum(CAST(round(
+       |    ln(1.0 + (st.n - CAST(dft.df AS DOUBLE) + 0.5)
+       |      / (CAST(dft.df AS DOUBLE) + 0.5))
+       |    * (CAST(tfc.tf AS DOUBLE) * 2.2)
+       |    / (CAST(tfc.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+       |      + 0.75 * CAST(dl.dl AS DOUBLE) / (st.tot / st.n))),
+       |    12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+       | FROM qd JOIN tfc USING (tok) JOIN dft USING (tok)
+       |  JOIN dl ON dl.did = tfc.did CROSS JOIN st
+       | WHERE 1 = 1$dfGate
+       | GROUP BY qd.qid, tfc.did)
+       |SELECT qid AS query_id,
+       | CAST(row_number() OVER (PARTITION BY qid
+       |   ORDER BY score DESC, did ASC) AS BIGINT) AS "rank",
+       | did AS doc_id, score
+       |FROM sc
+       |QUALIFY row_number() OVER (PARTITION BY qid
+       |  ORDER BY score DESC, did ASC) <= 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
@@ -3404,38 +3456,12 @@ object SparkEntry {
     // formula replayed operand-for-operand (identical parenthesized
     // double chain before the 12dp round), exact decimal sums, same
     // (score desc, doc asc) tie order at the k-cut
-    "q_bm25_topk" ->
-      """WITH t AS (SELECT doc_id, list_filter(
-        |  string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |tfc AS (SELECT doc_id AS did, tok, count(*) AS tf
-        | FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
-        | GROUP BY did, tok),
-        |dl AS (SELECT doc_id AS did, CAST(len(toks) AS BIGINT) AS dl
-        | FROM t),
-        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-        |  CAST(sum(dl) AS DOUBLE) AS tot FROM dl),
-        |dft AS (SELECT tok, count(*) AS df FROM tfc GROUP BY tok),
-        |qd AS (SELECT DISTINCT doc_id AS qid, unnest(toks[1:4]) AS tok
-        | FROM t WHERE doc_id % 101 = 0),
-        |sc AS (SELECT qd.qid, tfc.did,
-        |  round(CAST(sum(CAST(round(
-        |    ln(1.0 + (st.n - CAST(dft.df AS DOUBLE) + 0.5)
-        |      / (CAST(dft.df AS DOUBLE) + 0.5))
-        |    * (CAST(tfc.tf AS DOUBLE) * 2.2)
-        |    / (CAST(tfc.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
-        |      + 0.75 * CAST(dl.dl AS DOUBLE) / (st.tot / st.n))),
-        |    12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
-        | FROM qd JOIN tfc USING (tok) JOIN dft USING (tok)
-        |  JOIN dl ON dl.did = tfc.did CROSS JOIN st
-        | GROUP BY qd.qid, tfc.did)
-        |SELECT qid AS query_id,
-        | CAST(row_number() OVER (PARTITION BY qid
-        |   ORDER BY score DESC, did ASC) AS BIGINT) AS "rank",
-        | did AS doc_id, score
-        |FROM sc
-        |QUALIFY row_number() OVER (PARTITION BY qid
-        |  ORDER BY score DESC, did ASC) <= 10""".stripMargin,
+    "q_bm25_topk" -> bm25OracleSql(dfGate = ""),
+
+    // same chain with the df ceiling applied where the engine applies
+    // it: before a term generates candidates
+    "q_bm25_pruned" -> bm25OracleSql(
+      dfGate = " AND CAST(dft.df AS DOUBLE) <= 0.75 * st.n"),
 
     // GENERATED from the same frozen phraseTable (single source of
     // truth, the q_bpe_encode convention): each stage replays one

@@ -654,11 +654,25 @@ object TextOps {
     * rows per query per map task — never a rank window over all
     * candidates). 6dp scores; ties break by ascending doc id. Output:
     * (query_id, rank, doc_id, score).
+    *
+    * `maxDfFraction` is the retrieval-engine scale knob: query terms
+    * whose df exceeds that corpus fraction are dropped from CANDIDATE
+    * GENERATION (df itself still counts the full corpus). A web-scale
+    * head token appears in ~every document, so its postings ARE the
+    * corpus — candidate volume explodes while its idf,
+    * ln(1 + (N−df+0.5)/(df+0.5)), is already ≈ 0: the classic
+    * stopword/df-ceiling prune (measured on the Zipf axis: 10× corpus
+    * + head-token queries went 3.8–8.9× superlinear unpruned).
+    * Default 1.0 = pure exact BM25; the pruned variant is exactly
+    * replayable too — the oracle applies the same gate.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
-      k1: Double = 1.2, b: Double = 0.75, k: Int = 10): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 10,
+      maxDfFraction: Double = 1.0): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(maxDfFraction > 0 && maxDfFraction <= 1.0,
+      "maxDfFraction must be in (0,1]")
     val tf = docs
       .select(col(idCol).as("_did"),
         explode(tokens(col(textCol))).as("_tok"))
@@ -680,8 +694,17 @@ object TextOps {
       lit(k1) * (lit(1.0) - lit(b) +
         lit(b) * col("_dl").cast("double") / (col("__tot") / col("__n")))
     val term = idf * (col("_tf").cast("double") * lit(k1 + 1.0)) / denom
+    // the df ceiling prunes query terms BEFORE the postings join —
+    // the candidate volume is what the gate exists to bound
+    val dfGated =
+      if (maxDfFraction >= 1.0) dft
+      else dft.crossJoin(broadcast(stats))
+        .filter(col("_df").cast("double") <=
+          lit(maxDfFraction) * col("__n"))
+        .select(col("_tok"), col("_df"))
     val scored = qterms
-      .join(tf, "_tok").join(dft, "_tok")
+      .join(dfGated, "_tok")
+      .join(tf, "_tok")
       .join(dl, "_did")
       .crossJoin(broadcast(stats))
       .groupBy(col("_qid"), col("_did"))

@@ -1639,6 +1639,13 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("topkbyscore") || plan.contains("TopKByScore"),
       plan)
+    // df ceiling: 'x' (df 2/3) pruned at 0.5, 'y' (df 1/3) kept —
+    // scores become y-only; df itself still counts the full corpus
+    val pruned = TextOps.bm25TopK(corpus, "doc_id", "text", queries,
+        "qid", "qtext", maxDfFraction = 0.5, k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .filter(_._1 == 100L).map(t => (t._3, t._4)).toSet
+    assert(pruned == Set((1L, r(term(1, 1, 3), 6))))
   }
 
   test("mergePhrases: greedy leftmost, chains resolve sequentially, " +

@@ -124,6 +124,23 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql == viaCol && viaSql.nonEmpty)
   }
 
+  test("graft_phrase_merge from SQL == Column API") {
+    Seq((1L, "new york city"), (2L, "old town"))
+      .toDF("id", "text").createOrReplaceTempView("pm_sql")
+    val viaSql = spark.sql(
+      """SELECT id, array_join(graft_phrase_merge(
+        |  graft_shingles(text, 1), 'new york,york city'), ' ') AS m
+        |FROM pm_sql""".stripMargin)
+      .as[(Long, String)].collect().toMap
+    val viaCol = graft.operators.TextOps.mergePhrases(
+        spark.table("pm_sql"), "id", "text",
+        Seq(("new", "york"), ("york", "city")))
+      .select($"id", $"text_merged")
+      .as[(Long, String)].collect().toMap
+    assert(viaSql == viaCol)
+    assert(viaSql(1L) == "new_york city")
+  }
+
   test("non-literal parameter fails at analysis, not execution") {
     docs.limit(5).createOrReplaceTempView("docs_sql2")
     val e = intercept[Exception] {

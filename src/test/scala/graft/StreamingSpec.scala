@@ -838,6 +838,40 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size == 3)
   }
 
+  test("frozen corpus index: streaming BM25 query batches == batch " +
+      "search") {
+    // the search-serving split: the corpus (and therefore tf/df/dl/
+    // avgdl) freezes per index version; query micro-batches score
+    // against it — stream == batch by construction, the IVF/PQ
+    // serving convention applied to text retrieval
+    import graft.operators.TextOps
+    implicit val sq = spark.sqlContext
+    val corpus = Seq((1L, "x x y"), (2L, "x z"), (3L, "y z z"))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    val all = Seq((10L, "x y"), (20L, "z"), (30L, "x z y"))
+    val got = scala.collection.concurrent.TrieMap[(Long, Long), (Long, Double)]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("qid", "qtext")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextOps.bm25TopK(corpus, "doc_id", "text", b, "qid", "qtext")
+          .as[(Long, Long, Long, Double)].collect()
+          .foreach(r => got((r._1, r._3)) = (r._2, r._4))
+        ()
+      }.start()
+    try {
+      in.addData(all.head)
+      q.processAllAvailable()
+      in.addData(all.tail: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = TextOps.bm25TopK(corpus, "doc_id", "text",
+        all.toDF("qid", "qtext"), "qid", "qtext")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> ((r._2, r._4))).toMap
+    assert(got.toMap == batch && batch.nonEmpty)
+  }
+
   test("frozen PCA direction: streaming projection == batch") {
     // the whitening direction trains ONCE on a reference corpus
     // (driver-held weights, the frozen-artifact class); every
