@@ -926,7 +926,7 @@ object SparkEntry {
     }),
 
     // the SCALE path: df-ceiling pruning drops near-zero-idf head
-    // terms from candidate generation (df > 75% of the corpus) — the
+    // terms from candidate generation (df > 79% of the corpus) — the
     // stopword prune every retrieval engine applies, exactly gated on
     // both sides so it stays hash-oracled
     "q_bm25_pruned" -> ((s, dir) => {
@@ -936,7 +936,7 @@ object SparkEntry {
           array_join(slice(TextOps.tokens(col("text")), 1, 4), " ")
             .as("qtext"))
       TextOps.bm25TopK(docs, "doc_id", "text", queries, "query_id",
-        "qtext", k1 = 1.2, b = 0.75, k = 10, maxDfFraction = 0.75)
+        "qtext", k1 = 1.2, b = 0.75, k = 10, maxDfFraction = 0.79)
     }),
 
     // the serving arm: the frozen phrase table applied greedily to
@@ -2595,6 +2595,16 @@ object SparkEntry {
         256, Seq(0.25, 0.5, 0.9, 0.99))
     }),
 
+    // per-GROUP quantile sketch: per-language token-count percentiles
+    // from each language's deterministic bottom-64 row sample — O(k)
+    // state per group per task, values join back by (group, hash)
+    "q_sample_quantiles_by_lang" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("lang"),
+        col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      operators.Profiling.sampleQuantilesByKey(docs, "lang", "doc_id",
+        "n_tokens", 64, Seq(0.5, 0.9))
+    }),
+
     // per-group heavy hitters with bounded Misra–Gries state (≤k
     // counters per group per task); k=16 ≥ the 5 distinct priorities
     // ⇒ the exact regime the oracle pins — at scale the same plan
@@ -3461,7 +3471,7 @@ object SparkEntry {
     // same chain with the df ceiling applied where the engine applies
     // it: before a term generates candidates
     "q_bm25_pruned" -> bm25OracleSql(
-      dfGate = " AND CAST(dft.df AS DOUBLE) <= 0.75 * st.n"),
+      dfGate = " AND CAST(dft.df AS DOUBLE) <= 0.79 * st.n"),
 
     // GENERATED from the same frozen phraseTable (single source of
     // truth, the q_bpe_encode convention): each stage replays one
@@ -5477,6 +5487,29 @@ object SparkEntry {
         |SELECT q.q, o."rank", o.value
         |FROM q CROSS JOIN n JOIN o
         | ON o."rank" = GREATEST(1, CAST(ceil(q.q * n.n) AS BIGINT))"""
+        .stripMargin,
+
+    // per-language replay of the deterministic bottom-64 sample; the
+    // sample is data-determined, so even the approximate regime (en
+    // has > 64 docs) hash-matches
+    "q_sample_quantiles_by_lang" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    AS BIGINT) AS h,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0)) AS DOUBLE) AS value
+        | FROM documents WHERE lang IS NOT NULL AND doc_id IS NOT NULL),
+        |s AS (SELECT lang, h, value, row_number() OVER (
+        |  PARTITION BY lang ORDER BY h) AS rh FROM t),
+        |ss AS (SELECT lang, h, value FROM s WHERE rh <= 64),
+        |o AS (SELECT lang, value, row_number() OVER (
+        |   PARTITION BY lang ORDER BY value, h) AS "rank",
+        |  count(*) OVER (PARTITION BY lang) AS n FROM ss),
+        |q AS (SELECT CAST(q AS DOUBLE) AS q
+        |  FROM (VALUES (0.5), (0.9)) t(q))
+        |SELECT o.lang, q.q, o."rank", o.value
+        |FROM q CROSS JOIN o
+        |WHERE o."rank" = GREATEST(1, CAST(ceil(q.q * o.n) AS BIGINT))"""
         .stripMargin,
 
     // exact regime (16 counters ≥ 5 distinct priorities): the MG

@@ -319,6 +319,61 @@ object Profiling {
       .agg(min(coalesce(col("_cnt"), lit(0L))).as("cms_est"))
   }
 
+  /** Per-GROUP bounded-state quantiles — [[sampleQuantiles]] keyed by
+    * `groupCol` (per-domain/per-language length percentiles at corpus
+    * scale): each group keeps its k smallest md5 row-hashes (O(k)
+    * state per group per task via `TopKByScore`), the kept set joins
+    * back as a (group, hash) semi-join filter, and each group's ≤k
+    * sampled values sort inside ONE `sort_array(collect_list(...))`
+    * aggregate. Same determinism contract as the global form: the
+    * per-group sample is a pure function of the data, so estimates
+    * are oracle-replayable in every regime; groups with ≤ k rows are
+    * exact. Output: (groupCol, q, rank, value).
+    */
+  def sampleQuantilesByKey(df: DataFrame, groupCol: String,
+      idCol: String, valueCol: String, k: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(k >= 2, "sample size k must be >= 2")
+    require(qs.nonEmpty, "qs must be non-empty")
+    require(qs.forall(q => q > 0 && q <= 1), "each q must be in (0,1]")
+    val rows = df.filter(col(groupCol).isNotNull &&
+      col(idCol).isNotNull && col(valueCol).isNotNull)
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val kept = rows
+      .select(col(groupCol), h.as("__h"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.VectorExpressions.topKByScore(
+        -col("__h").cast("double"), col("__h"), k).as("__kept"))
+      .select(col(groupCol), explode(col("__kept")).as("__e"))
+      .select(col(groupCol), col("__e").getField("id").as("__h"))
+    // NOT broadcast-hinted: the kept set is groups×k rows — tiny for
+    // bounded group counts (Catalyst broadcasts it from stats) but a
+    // million-domain corpus needs the shuffled semi-join, which still
+    // only carries (group, hash, value) — never text
+    val sample = rows
+      .select(col(groupCol), h.as("__h"),
+        col(valueCol).cast("double").as("value"))
+      .join(kept, Seq(groupCol, "__h"), "left_semi")
+    val packed = sample
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("value"), col("__h"))))
+        .as("__s"))
+    val ranked = packed
+      .select(col(groupCol), posexplode(col("__s")).as(Seq("__p", "__e")))
+      .select(col(groupCol), (col("__p") + 1L).as("rank"),
+        col("__e").getField("value").as("value"))
+    val qArr = array(qs.distinct.map(q => lit(q).cast("double")): _*)
+    val targets = packed
+      .select(col(groupCol), explode(qArr).as("q"),
+        size(col("__s")).as("__n"))
+      .select(col(groupCol), col("q"),
+        greatest(lit(1L), ceil(col("q") * col("__n")).cast("long"))
+          .as("rank"))
+    ranked.join(targets, Seq(groupCol, "rank"))
+      .select(col(groupCol), col("q"), col("rank"), col("value"))
+  }
+
   /** Per-group heavy hitters with bounded state: the Misra–Gries
     * summary ([[graft.functions.FreqItemsExpression]]) evaluated per
     * `groupCol`, exploded to (group, item, cnt) rows sorted into the

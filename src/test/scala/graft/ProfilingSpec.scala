@@ -440,6 +440,34 @@ class ProfilingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("sampleQuantilesByKey: per-group == global on one group; " +
+      "exact below k; partitioning-invariant") {
+    val one = (1 to 300).map(i => ("g", s"id$i", i.toDouble))
+      .toDF("g", "id", "x")
+    val grouped = Profiling.sampleQuantilesByKey(one, "g", "id", "x",
+        50, Seq(0.5, 0.9))
+      .as[(String, Double, Long, Double)].collect()
+      .map(r => (r._2, r._3, r._4)).toSet
+    val global = Profiling.sampleQuantiles(
+        one.select($"id", $"x"), "id", "x", 50, Seq(0.5, 0.9))
+      .as[(Double, Long, Double)].collect().toSet
+    assert(grouped == global)
+    // two groups, both under k → exact per-group rankSelect semantics
+    val two = (1 to 9).map(i => ("a", s"a$i", i.toDouble)) ++
+      (1 to 5).map(i => ("b", s"b$i", i * 10.0))
+    val df = two.toDF("g", "id", "x")
+    val got = Profiling.sampleQuantilesByKey(df.repartition(5), "g",
+        "id", "x", 16, Seq(0.5))
+      .as[(String, Double, Long, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got("a") == ((5L, 5.0)) && got("b") == ((3L, 30.0)))
+    val again = Profiling.sampleQuantilesByKey(df.repartition(2), "g",
+        "id", "x", 16, Seq(0.5))
+      .as[(String, Double, Long, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(again == got)
+  }
+
   test("freqItemsByKey: exact regime == plain counts, any partitioning") {
     val rows = for {
       g <- Seq("a", "b"); i <- 1 to 60

@@ -905,6 +905,41 @@ class StreamingSpec extends SparkSpec {
     assert(scored.toMap == batch && batch.size == 3)
   }
 
+  test("bottom-k sample shards: per-batch kept sets re-minimize to " +
+      "the batch sample (incremental quantile sketch maintenance)") {
+    // min-k sets are mergeable: union the per-batch kept (hash, value)
+    // rows, keep the k smallest hashes — identical to one batch pass,
+    // so the quantile sketch maintains incrementally with O(k) state
+    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    implicit val sq = spark.sqlContext
+    val b1 = (1 to 40).map(i => (s"id$i", i.toDouble))
+    val b2 = (41 to 90).map(i => (s"id$i", i.toDouble))
+    val k = 16
+    val shards = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double)]
+    def keptOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(conv(substring(md5(col("id")), 1, 15), 16, 10)
+        .cast("long").as("h"), col("x"))
+      .orderBy(col("h")).limit(k)
+      .as[(Long, Double)].collect()
+    val in = MemoryStream[(String, Double)]
+    val q = in.toDF().toDF("id", "x")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        shards ++= keptOf(b)
+        ()
+      }.start()
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val merged = shards.sortBy(_._1).take(k).toSet
+    val batch = keptOf((b1 ++ b2).toDF("id", "x")).toSet
+    assert(merged == batch && batch.size == k)
+  }
+
   test("Misra-Gries shards: per-batch summaries sum to the batch " +
       "counts in the exact regime") {
     // incremental heavy-hitter maintenance: each micro-batch emits its
