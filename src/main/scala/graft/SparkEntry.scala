@@ -2073,6 +2073,35 @@ object SparkEntry {
         "doc_id", "weight", k = 100)
     }),
 
+    // curation v5 — the round-7 capstone: exact-dedup representatives
+    // ∩ CCNet surprisal band (v3's quality gate) → sqrt-temperature
+    // language rebalance → token-weighted top-100 (v4's selection) →
+    // the frozen phrase table applied to the survivors' text (the
+    // tokenizer-prep last mile). Every stage individually oracled;
+    // this pins the COMPOSITION end to end
+    "q_curation_v5" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val band = TextOps.surprisal(docs, "doc_id", "text")
+        .filter(col("surprisal").between(3.39, 3.41)).select("doc_id")
+      val reps = docs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val base = docs.join(reps, "doc_id").join(band, "doc_id")
+      val kept = operators.Sampling
+        .temperatureRebalance(base, "doc_id", "lang")
+        .filter(col("kept")).select("doc_id")
+      val sel = operators.Sampling.weightedSample(
+        docs.join(kept, "doc_id")
+          .select(col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("weight")),
+        "doc_id", "weight", k = 100)
+      TextOps.mergePhrases(
+          docs.join(sel.select("doc_id"), "doc_id"),
+          "doc_id", "text", phraseTable)
+        .join(sel.select(col("doc_id"), col("weight")), "doc_id")
+        .select(col("doc_id"), col("weight"), col("text_merged"),
+          col("n_merged"))
+    }),
+
     // product-quantization encode: 64-dim embeddings → 8 codes from a
     // deterministic 16-entry seed codebook; decimal-exact distances
     // make the argmin portable across engines
@@ -2909,6 +2938,20 @@ object SparkEntry {
     s"$head,\n$stepCtes,\n$tail"
   }
 
+  /** Phrase-merge replay stages v1..vN over a `v0(doc_id, s)` CTE —
+    * GENERATED from [[phraseTable]] (single source of truth), shared
+    * by `q_phrase_merge` and the curation-v5 capstone.
+    */
+  private def phraseStagesSql: String =
+    phraseTable.zipWithIndex.map { case ((a, b), i) =>
+      s"""v${i + 1} AS (SELECT doc_id, list_filter(list_transform(s,
+         |  (x, ii) -> CASE WHEN x = '$a' AND s[ii+1] = '$b'
+         |      THEN '${a}_$b'
+         |    WHEN ii > 1 AND s[ii-1] = '$a' AND x = '$b' THEN NULL
+         |    ELSE x END), y -> y IS NOT NULL) AS s FROM v$i)"""
+        .stripMargin
+    }.mkString(",\n")
+
   /** BM25 oracle body shared by the exact and df-pruned variants —
     * `dfGate` lands in the scoring join's WHERE, exactly where the
     * engine prunes (before a term generates candidates).
@@ -3476,25 +3519,16 @@ object SparkEntry {
     // GENERATED from the same frozen phraseTable (single source of
     // truth, the q_bpe_encode convention): each stage replays one
     // index-local (a,b)→a_b rewrite over the document token lists
-    "q_phrase_merge" -> {
-      val stages = phraseTable.zipWithIndex.map { case ((a, b), i) =>
-        s"""v${i + 1} AS (SELECT doc_id, list_filter(list_transform(s,
-           |  (x, ii) -> CASE WHEN x = '$a' AND s[ii+1] = '$b'
-           |      THEN '${a}_$b'
-           |    WHEN ii > 1 AND s[ii-1] = '$a' AND x = '$b' THEN NULL
-           |    ELSE x END), y -> y IS NOT NULL) AS s FROM v$i)"""
-          .stripMargin
-      }.mkString(",\n")
+    "q_phrase_merge" ->
       s"""WITH v0 AS (SELECT doc_id, list_filter(
          |  string_split_regex(text, '\\s+'), x -> len(x) > 0) AS s
          |  FROM documents),
-         |$stages
+         |$phraseStagesSql
          |SELECT v0.doc_id, array_to_string(vf.s, ' ') AS text_merged,
          | CAST(len(v0.s) AS BIGINT) AS n_tokens,
          | CAST(len(v0.s) - len(vf.s) AS BIGINT) AS n_merged
          |FROM v0 JOIN v${phraseTable.length} vf USING (doc_id)"""
-        .stripMargin
-    },
+        .stripMargin,
 
     // margins and N over the pair table; the a·N/(b·c) double chain
     // mirrors the Spark expression term-for-term before the 6dp round
@@ -3602,6 +3636,47 @@ object SparkEntry {
          |  FROM w WHERE weight > 0)
          |SELECT doc_id, weight, samp_key FROM keyed
          |ORDER BY samp_key DESC, doc_id LIMIT 100""".stripMargin
+    },
+
+    // v4's selection chain with the band gate spliced into dd and the
+    // phrase stages applied to the selected 100 — every constant and
+    // rounding identical to the per-stage oracles
+    "q_curation_v5" -> {
+      val toks =
+        """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
+      s"""WITH surp AS ($surprisalSql),
+         |band AS (SELECT doc_id FROM surp
+         |  WHERE surprisal BETWEEN 3.39 AND 3.41),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY text),
+         |dd AS (SELECT d.* FROM documents d JOIN reps USING (doc_id)
+         |  JOIN band USING (doc_id)),
+         |c AS (SELECT lang, count(*) AS c FROM dd
+         |  WHERE lang IS NOT NULL GROUP BY lang),
+         |m AS (SELECT min(c) AS mc FROM c),
+         |p AS (SELECT lang,
+         |  round(sqrt(CAST(mc AS DOUBLE) / CAST(c AS DOUBLE)), 6) AS kp
+         |  FROM c CROSS JOIN m),
+         |kept AS (SELECT dd.doc_id FROM dd JOIN p USING (lang)
+         |  WHERE (CAST(('0x' || substr(md5(CAST(dd.doc_id AS VARCHAR)),
+         |      1, 8)) AS BIGINT) % 1000000) < p.kp * 1000000),
+         |w AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS weight
+         |  FROM documents JOIN kept USING (doc_id)),
+         |keyed AS (SELECT doc_id, weight,
+         |  round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |      1, 8)) AS BIGINT) % 1000000 + 0.5) / 1000000.0)
+         |    / CAST(weight AS DOUBLE), 9) AS samp_key
+         |  FROM w WHERE weight > 0),
+         |sel AS (SELECT doc_id, weight FROM keyed
+         |  ORDER BY samp_key DESC, doc_id LIMIT 100),
+         |v0 AS (SELECT d.doc_id, $toks AS s
+         |  FROM documents d JOIN sel USING (doc_id)),
+         |$phraseStagesSql
+         |SELECT v0.doc_id, sel.weight,
+         | array_to_string(vf.s, ' ') AS text_merged,
+         | CAST(len(v0.s) - len(vf.s) AS BIGINT) AS n_merged
+         |FROM v0 JOIN v${phraseTable.length} vf USING (doc_id)
+         |JOIN sel ON sel.doc_id = v0.doc_id""".stripMargin
     },
 
     // A-ES weighted sampling replayed: same id-hash uniform, same

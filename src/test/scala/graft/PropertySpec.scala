@@ -269,4 +269,51 @@ class PropertySpec extends SparkSpec {
     // every smallest-stratum row actually kept
     assert(got.filter(_._2 == minStratum).forall(_._4))
   }
+
+  test("mergePhrases: idempotent (re-merging merged text is identity) " +
+      "and token-count consistent, on random corpora") {
+    import graft.operators.TextOps
+    val vocab = Seq("aa", "bb", "cc", "dd", "ee")
+    val gen = Gen.listOfN(200,
+      Gen.listOfN(12, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val texts = gen.sample.get
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val phrases = Seq(("aa", "bb"), ("cc", "dd"))
+    val once = TextOps.mergePhrases(df, "id", "text", phrases)
+    val got = once.as[(Long, String, Long, Long)].collect()
+    // n_after = n_before − n_merged, and at most every token pair fuses
+    got.foreach { case (_, merged, n, m) =>
+      val after = if (merged.isEmpty) 0 else merged.split(" ").length
+      assert(after == n - m && m <= n / 2, s"$merged n=$n m=$m")
+    }
+    // the joiner makes merged tokens leave the pair vocabulary, so a
+    // second pass over the merged text finds nothing to fuse
+    val twice = TextOps.mergePhrases(
+        once.select($"id", $"text_merged".as("text")), "id", "text",
+        phrases)
+      .as[(Long, String, Long, Long)].collect()
+    assert(twice.forall(_._4 == 0L))
+    assert(twice.map(r => r._1 -> r._2).toMap ==
+      got.map(r => r._1 -> r._2).toMap)
+  }
+
+  test("sampleQuantiles: monotone in q; values drawn from the data " +
+      "(random inputs)") {
+    import graft.operators.Profiling
+    val values = Gen.listOfN(500, Gen.chooseNum(-1e4, 1e4)).sample.get
+    val df = values.zipWithIndex
+      .map { case (v, i) => (s"r$i", v) }.toDF("id", "x")
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.95)
+    val got = Profiling.sampleQuantiles(df, "id", "x", 64, qs)
+      .as[(Double, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == qs.length)
+    // quantiles are non-decreasing in q and always actual data values
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._3, s"$a !<= $b")
+      case _ =>
+    }
+    val vset = values.toSet
+    got.foreach(r => assert(vset.contains(r._3), r.toString))
+  }
 }
