@@ -128,6 +128,28 @@ object SparkEntry {
   private def gramShared(s: SparkSession, dir: String): DataFrame =
     memoized(gramMemo, s, dir)(
       Similarity.gramMatrix(Tables.embeddings(s, dir), "embedding", 64))
+  /** The BM25 index staged once per (session, dir): the exact and
+    * df-pruned retrieval queries share one postings/df/length build —
+    * index once, serve many (the production split; see
+    * [[operators.TextOps.Bm25Index]]).
+    */
+  private val bm25Memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), TextOps.Bm25Index]()
+  private def bm25IndexShared(s: SparkSession,
+      dir: String): TextOps.Bm25Index = {
+    val key = (s, dir)
+    val hit = bm25Memo.get(key)
+    if (hit != null) return hit
+    bm25Memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val raw = TextOps.bm25Index(Tables.documents(s, dir), "doc_id", "text")
+    val built = TextOps.Bm25Index(raw.postings.localCheckpoint(true),
+      raw.docLen.localCheckpoint(true),
+      raw.docFreq.localCheckpoint(true),
+      raw.stats.localCheckpoint(true))
+    bm25Memo.putIfAbsent(key, built)
+    bm25Memo.get(key)
+  }
+
   private val pcaWeightsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Double]]()
   private def pcaWeightsShared(s: SparkSession, dir: String): Array[Double] = {
@@ -921,8 +943,8 @@ object SparkEntry {
         .select(col("doc_id").as("query_id"),
           array_join(slice(TextOps.tokens(col("text")), 1, 4), " ")
             .as("qtext"))
-      TextOps.bm25TopK(docs, "doc_id", "text", queries, "query_id",
-        "qtext", k1 = 1.2, b = 0.75, k = 10)
+      TextOps.bm25SearchTopK(bm25IndexShared(s, dir), queries,
+        "query_id", "qtext", k1 = 1.2, b = 0.75, k = 10)
     }),
 
     // the SCALE path: df-ceiling pruning drops near-zero-idf head
@@ -935,8 +957,9 @@ object SparkEntry {
         .select(col("doc_id").as("query_id"),
           array_join(slice(TextOps.tokens(col("text")), 1, 4), " ")
             .as("qtext"))
-      TextOps.bm25TopK(docs, "doc_id", "text", queries, "query_id",
-        "qtext", k1 = 1.2, b = 0.75, k = 10, maxDfFraction = 0.79)
+      TextOps.bm25SearchTopK(bm25IndexShared(s, dir), queries,
+        "query_id", "qtext", k1 = 1.2, b = 0.75, k = 10,
+        maxDfFraction = 0.79)
     }),
 
     // the serving arm: the frozen phrase table applied greedily to

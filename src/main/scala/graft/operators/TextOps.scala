@@ -669,10 +669,23 @@ object TextOps {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k1: Double = 1.2, b: Double = 0.75, k: Int = 10,
-      maxDfFraction: Double = 1.0): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    require(maxDfFraction > 0 && maxDfFraction <= 1.0,
-      "maxDfFraction must be in (0,1]")
+      maxDfFraction: Double = 1.0): DataFrame =
+    bm25SearchTopK(bm25Index(docs, idCol, textCol), queries, qidCol,
+      qtextCol, k1, b, k, maxDfFraction)
+
+  /** The FROZEN index artifacts behind [[bm25TopK]] — postings
+    * (did, tok, tf), doc lengths, document frequencies, and the 1-row
+    * corpus stats. Production builds these once per corpus version
+    * (optionally checkpointed/persisted) and serves every query batch
+    * from them — the PQ-codebook/IVF-index convention applied to text
+    * retrieval; the streaming spec scores query micro-batches against
+    * exactly this split.
+    */
+  final case class Bm25Index(postings: DataFrame, docLen: DataFrame,
+      docFreq: DataFrame, stats: DataFrame)
+
+  def bm25Index(docs: DataFrame, idCol: String,
+      textCol: String): Bm25Index = {
     val tf = docs
       .select(col(idCol).as("_did"),
         explode(tokens(col(textCol))).as("_tok"))
@@ -683,6 +696,21 @@ object TextOps {
     val stats = dl.agg(count(lit(1)).cast("double").as("__n"),
       sum(col("_dl")).cast("double").as("__tot"))
     val dft = tf.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+    Bm25Index(tf, dl, dft, stats)
+  }
+
+  /** [[bm25TopK]] against a pre-built (possibly memoized)
+    * [[Bm25Index]].
+    */
+  def bm25SearchTopK(index: Bm25Index, queries: DataFrame,
+      qidCol: String, qtextCol: String, k1: Double = 1.2,
+      b: Double = 0.75, k: Int = 10,
+      maxDfFraction: Double = 1.0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxDfFraction > 0 && maxDfFraction <= 1.0,
+      "maxDfFraction must be in (0,1]")
+    val (tf, dl, dft, stats) =
+      (index.postings, index.docLen, index.docFreq, index.stats)
     val qterms = queries
       .select(col(qidCol).as("_qid"),
         explode(tokens(col(qtextCol))).as("_tok"))

@@ -848,13 +848,17 @@ class StreamingSpec extends SparkSpec {
     implicit val sq = spark.sqlContext
     val corpus = Seq((1L, "x x y"), (2L, "x z"), (3L, "y z z"))
       .toDF("doc_id", "text").localCheckpoint(true)
+    val raw = TextOps.bm25Index(corpus, "doc_id", "text")
+    val index = TextOps.Bm25Index(raw.postings.localCheckpoint(true),
+      raw.docLen.localCheckpoint(true),
+      raw.docFreq.localCheckpoint(true), raw.stats.localCheckpoint(true))
     val all = Seq((10L, "x y"), (20L, "z"), (30L, "x z y"))
     val got = scala.collection.concurrent.TrieMap[(Long, Long), (Long, Double)]()
     val in = MemoryStream[(Long, String)]
     val q = in.toDF().toDF("qid", "qtext")
       .writeStream.outputMode("append")
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        TextOps.bm25TopK(corpus, "doc_id", "text", b, "qid", "qtext")
+        TextOps.bm25SearchTopK(index, b, "qid", "qtext")
           .as[(Long, Long, Long, Double)].collect()
           .foreach(r => got((r._1, r._3)) = (r._2, r._4))
         ()
