@@ -2096,6 +2096,13 @@ object SparkEntry {
         "doc_id", "weight", k = 100)
     }),
 
+    // greedy k-center coreset: 5 farthest-first exemplars — k−1
+    // passes, each one row-local distance to the single new center
+    // (literal vector) + a TakeOrdered(1) argmax; never pairwise
+    "q_kcenter_coreset" -> ((s, dir) =>
+      Similarity.kCenterCoreset(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = 64, k = 5)),
+
     // curation v5 — the round-7 capstone: exact-dedup representatives
     // ∩ CCNet surprisal band (v3's quality gate) → sqrt-temperature
     // language rebalance → token-weighted top-100 (v4's selection) →
@@ -2961,6 +2968,47 @@ object SparkEntry {
     s"$head,\n$stepCtes,\n$tail"
   }
 
+  /** Greedy k-center replay: all k farthest-first rounds unrolled as
+    * chained CTEs — per round a distance table to the previous
+    * center's vector (the pqSqDist per-element decimal chain), a
+    * running min, and a (d desc, id) argmax.
+    */
+  private def kcenterOracleSql(k: Int): String = {
+    val head =
+      """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |    AND len(embedding) = 64),
+        |c1 AS (SELECT min(vec_id) AS id FROM e)""".stripMargin
+    val steps = (2 to k).map { t =>
+      val mn =
+        if (t == 2) s"mn2 AS (SELECT vec_id, d FROM d2)"
+        else
+          s"""mn$t AS (SELECT mn${t - 1}.vec_id,
+             |  least(mn${t - 1}.d, d$t.d) AS d
+             | FROM mn${t - 1} JOIN d$t USING (vec_id))""".stripMargin
+      s"""d$t AS (SELECT e.vec_id,
+         |  round(CAST(sum(CAST(round((e.v[i.i] - s.v[i.i])
+         |      * (e.v[i.i] - s.v[i.i]), 12) AS DECIMAL(28,12)))
+         |    AS DOUBLE), 6) AS d
+         | FROM e CROSS JOIN (SELECT e2.v FROM e e2
+         |   JOIN c${t - 1} ON e2.vec_id = c${t - 1}.id) s,
+         |  generate_series(1, 64) i(i)
+         | GROUP BY e.vec_id),
+         |$mn,
+         |c$t AS (SELECT vec_id AS id, d FROM mn$t
+         | ORDER BY d DESC, vec_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val rows = (2 to k).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS rank, id AS vec_id, d AS dist FROM c$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH $head,
+       |$steps
+       |SELECT CAST(1 AS BIGINT) AS rank, id AS vec_id,
+       |  CAST(0.0 AS DOUBLE) AS dist FROM c1
+       |UNION ALL $rows""".stripMargin
+  }
+
   /** Phrase-merge replay stages v1..vN over a `v0(doc_id, s)` CTE —
     * GENERATED from [[phraseTable]] (single source of truth), shared
     * by `q_phrase_merge` and the curation-v5 capstone.
@@ -3660,6 +3708,10 @@ object SparkEntry {
          |SELECT doc_id, weight, samp_key FROM keyed
          |ORDER BY samp_key DESC, doc_id LIMIT 100""".stripMargin
     },
+
+    // all 5 farthest-first rounds replayed: per-element decimal
+    // distances, running min, (d desc, id) argmax per round
+    "q_kcenter_coreset" -> kcenterOracleSql(5),
 
     // v4's selection chain with the band gate spliced into dd and the
     // phrase stages applied to the selected 100 — every constant and

@@ -333,6 +333,62 @@ object Similarity {
     * through decimal (exact, order-independent), division to double —
     * the result is bit-identical across engines and partitionings.
     */
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-first traversal)
+    * — DIVERSITY selection over an embedding corpus: start from the
+    * min-id vector, repeatedly add the point farthest from every
+    * chosen center (2-approximation of the optimal k-center cover).
+    * The selection a curation pipeline runs to pick a maximally-
+    * spread-out exemplar subset (seed sets for labeling, eval probes,
+    * dedup anchors) — the diversity complement of [[semanticDedup]]'s
+    * redundancy removal.
+    *
+    * Distributed shape: k−1 passes, each pass ONE row-local distance
+    * to the single NEW center (its vector rides as a literal array —
+    * model-sized, like IVF centroids) folded into a running min
+    * column, then ONE argmax via TakeOrdered(1) — never a pairwise
+    * join, never corpus state on the driver (k vectors only). The
+    * running-min column is eagerly localCheckpoint'ed per round (the
+    * PageRank lineage guard). Distances are the [[pqSqDist]] exact-
+    * decimal kernel rounded to 6dp, argmax ties break by ascending
+    * id — every step engine-replayable; the oracle unrolls all k
+    * rounds as chained CTEs. Output: (rank, idCol, dist) where dist
+    * is the point's min squared L2 to the previously chosen centers
+    * (0 for the seed).
+    */
+  def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, "k must be in [2,64]")
+    val spark = df.sparkSession
+    val vecs = df
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        size(col(vecCol)) === dim)
+      .select(col(idCol).as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .localCheckpoint(true)
+    def litVec(v: Seq[Double]) = array(v.map(lit(_)): _*)
+    def distTo(center: Seq[Double]) =
+      round(VectorExpressions.pqSqDist(col("_v"), litVec(center))
+        .cast("double"), 6)
+    val seedRow = vecs.orderBy(col("_id").asc).limit(1).collect()
+    require(seedRow.nonEmpty, "kCenterCoreset: empty input")
+    var centerVec = seedRow(0).getSeq[Double](1)
+    val centers = scala.collection.mutable.ArrayBuffer(
+      (1L, seedRow(0).getLong(0), 0.0))
+    var cur = vecs.withColumn("_mind", distTo(centerVec))
+      .localCheckpoint(true)
+    (2 to k).foreach { t =>
+      val next = cur.orderBy(col("_mind").desc, col("_id").asc)
+        .limit(1).collect()(0)
+      centers += ((t.toLong, next.getLong(0), next.getDouble(2)))
+      centerVec = next.getSeq[Double](1)
+      cur = cur.withColumn("_mind",
+        least(col("_mind"), distTo(centerVec)))
+        .localCheckpoint(true)
+    }
+    import spark.implicits._
+    centers.toSeq.toDF("rank", idCol, "dist")
+  }
+
   def labelCentroids(df: DataFrame, labelCol: String, vecCol: String)
       : DataFrame =
     df.select(col(labelCol).as("label"),

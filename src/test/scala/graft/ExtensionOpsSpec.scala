@@ -1546,6 +1546,30 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(math.abs(n - 1.0) < 1e-4)
   }
 
+  test("kCenterCoreset: farthest-first on a hand-checked line; " +
+      "max-min distances non-increasing; partitioning-invariant") {
+    val pts = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(10.0f, 0.0f))).toDF("vec_id", "v")
+    val got = Similarity.kCenterCoreset(pts, "vec_id", "v", 2, 3)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // seed = min id; then the farthest (10-0)^2=100; then id2 at
+    // min(1, 81) = 1
+    assert(got.toSeq == Seq((1L, 1L, 0.0), (2L, 3L, 100.0),
+      (3L, 2L, 1.0)))
+    val a = Similarity.kCenterCoreset(emb, "vec_id", "embedding", 64, 5)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val b = Similarity.kCenterCoreset(emb.repartition(13), "vec_id",
+        "embedding", 64, 5)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(a.sameElements(b)) // decimal distances: bit-identical
+    // Gonzalez invariant: the chosen max-min distance never grows
+    a.drop(1).sliding(2).foreach {
+      case Array(x, y) => assert(x._3 >= y._3, s"$x then $y")
+      case _ =>
+    }
+    assert(a.map(_._2).distinct.length == 5) // 5 distinct exemplars
+  }
+
   test("gramMatrix: exact cells on a hand-checked input; " +
       "partitioning-invariant") {
     // vectors (1,2), (3,4): AtA = [[10,14],[14,20]]
