@@ -68,7 +68,19 @@ object Bench {
     // can't poison every sample of a query.
     // oracled queries + the bench-only partial-probe ANN scale paths
     // (approximate by design, so outside the correctness artifact)
-    val benched = SparkEntry.queries ++ SparkEntry.benchOnly
+    // local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just
+    // those queries (unknown names rejected loudly). The driver never
+    // sets it, so official runs always cover the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.trim)
+      .filter(_.nonEmpty).map(_.split(",").map(_.trim).toSet)
+    val all = SparkEntry.queries ++ SparkEntry.benchOnly
+    val benched = only match {
+      case Some(names) =>
+        val unknown = names.diff(all.keySet)
+        require(unknown.isEmpty, s"unknown bench queries: $unknown")
+        all.filter { case (k, _) => names(k) }
+      case None => all
+    }
     val passResults = (1 to passes).map { p =>
       val tPass = System.nanoTime()
       val r = benched.map { case (name, fn) =>

@@ -92,6 +92,11 @@ object GraftExtensions {
         "(the PQ distance kernel)",
       (args: Seq[Expression]) => { expect(args, 2, "graft_pq_sq_dist")
         PqSqDist(args(0), args(1)) }),
+    ("graft_pq_dot",
+      "exact decimal(28,12) dot product of two float/double arrays " +
+        "(the cosine kernel over pre-normalized vectors)",
+      (args: Seq[Expression]) => { expect(args, 2, "graft_pq_dot")
+        PqDot(args(0), args(1)) }),
     ("graft_text_stats",
       "single-pass text statistics struct (english stopword profile)",
       (args: Seq[Expression]) => { expect(args, 1, "graft_text_stats")

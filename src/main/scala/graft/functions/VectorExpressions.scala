@@ -62,6 +62,17 @@ object VectorExpressions {
     ExpressionUtils.column(PqSqDist(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Exact decimal dot product of two float/double arrays as
+    * DECIMAL(28,12) — the cosine kernel over pre-normalized vectors.
+    * Bit-identical to the built-in chain `sum(round(x*y, 12)
+    * .cast(decimal))` over exploded components (differential
+    * spec-pinned), fused into one codegen loop accumulating the
+    * unscaled long — the [[pqSqDist]] pattern with a product term.
+    */
+  def pqDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(PqDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Bounded top-k aggregate: `topKByScore(score, payload, k)` keeps
     * only k (score, payload) pairs per aggregation state, so the
     * map-side partial aggregation ships at most k rows per partition
@@ -268,6 +279,97 @@ object PqSqDist {
     // back to double, then the double→decimal(28,12) cast re-rounds
     // the (now ≤12-decimal) shortest representation — both steps
     // replayed verbatim so the fused kernel equals the built-ins
+    val rd = java.math.BigDecimal.valueOf(t)
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    java.math.BigDecimal.valueOf(rd)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+  }
+}
+
+/** `pq_dot(array<float|double>, array<float|double>) ->
+  * decimal(28,12)`: Σ round(x·y, 12) with each term rounded via
+  * Spark's own double-round semantics and accumulated as the exact
+  * unscaled long — [[PqSqDist]] with a product term. Null on length
+  * mismatch, null element, or overflow (decimal semantics).
+  */
+case class PqDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DecimalType(28, 12)
+
+  private def elemType: DataType = left.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
+           (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"pq_dot requires two arrays of float or two arrays of " +
+        s"double, got ${left.dataType.catalogString} and " +
+        s"${right.dataType.catalogString}")
+    }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[ArrayData]
+    val b = bv.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val float = elemType == FloatType
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (float) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (float) b.getFloat(i).toDouble else b.getDouble(i)
+      try {
+        sum = Math.addExact(sum, PqDot.termUnscaled(x, y))
+      } catch { case _: ArithmeticException => return null }
+      i += 1
+    }
+    Decimal(sum, 28, 12)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemType == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum"); val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |long $sum = 0L; boolean $bad = ($n != $b.numElements());
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |  try {
+         |    $sum = java.lang.Math.addExact($sum,
+         |      graft.functions.PqDot.termUnscaled(
+         |        (double) $a.$get($i), (double) $b.$get($i)));
+         |  } catch (ArithmeticException e) { $bad = true; }
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.sql.types.Decimal.apply($sum, 28, 12); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqDot {
+  /** round(x·y, 12) exactly as Spark's Round-then-cast-to-decimal
+    * does it (see [[PqSqDist.termUnscaled]]), as the unscaled long at
+    * scale 12; ArithmeticException on overflow → caller yields NULL.
+    */
+  def termUnscaled(x: Double, y: Double): Long = {
+    val t = x * y
     val rd = java.math.BigDecimal.valueOf(t)
       .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
     java.math.BigDecimal.valueOf(rd)

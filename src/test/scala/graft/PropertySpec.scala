@@ -249,6 +249,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PqDot: bit-identical to the exploded round/sum/decimal chain " +
+      "(the oracle formulation); symmetric (random float vectors)") {
+    import graft.functions.VectorExpressions
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-10f, 10f))
+    val pairs = Gen.listOfN(150, Gen.zip(vecGen, vecGen)).sample.get
+    val dec = "decimal(38,12)"
+    val df = pairs.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "a", "b")
+    // the formulation every oracle replays: per-component TOP-LEVEL
+    // round (codegen'd — zip_with lambdas evaluate interpreted and
+    // Round's interpreted path rounds a shortest-decimal repr, which
+    // disagrees with codegen on ~0.1% of products), decimal sum
+    val exploded = df
+      .select($"id", posexplode($"a").as(Seq("k", "x")), $"b")
+      .select($"id", round($"x".cast("double") *
+        element_at($"b", $"k".cast("int") + 1).cast("double"), 12)
+        .cast(dec).as("t"))
+      .groupBy($"id").agg(sum($"t").cast(dec).cast("string").as("chain"))
+    val fused = df.select($"id",
+      VectorExpressions.pqDot($"a", $"b").cast(dec).cast("string")
+        .as("fused"),
+      VectorExpressions.pqDot($"b", $"a").cast(dec).cast("string")
+        .as("rev"))
+    fused.join(exploded, "id")
+      .as[(Long, String, String, String)].collect()
+      .foreach { case (_, f, rev, chain) =>
+        assert(f == chain, "fused kernel must equal the exploded chain")
+        assert(f == rev, "dot product must be symmetric")
+      }
+  }
+
   test("temperatureRebalance: probabilities in (0, 1], ordered " +
       "opposite to counts, smallest stratum whole (random strata)") {
     import graft.operators.Sampling

@@ -54,6 +54,25 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("graft_pq_dot from SQL == Column API, decimal-exact") {
+    spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .limit(20).createOrReplaceTempView("emb_dot_sql")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, b.vec_id,
+        | CAST(graft_pq_dot(a.embedding, b.embedding) AS STRING) AS d
+        |FROM emb_dot_sql a JOIN emb_dot_sql b ON a.vec_id < b.vec_id""".stripMargin)
+      .as[(Long, Long, String)].collect().toSet
+    val e1 = spark.table("emb_dot_sql")
+      .select($"vec_id".as("ida"), $"embedding".as("va"))
+    val e2 = spark.table("emb_dot_sql")
+      .select($"vec_id".as("idb"), $"embedding".as("vb"))
+    val viaCol = e1.join(e2, $"ida" < $"idb")
+      .select($"ida", $"idb",
+        VectorExpressions.pqDot($"va", $"vb").cast("string").as("d"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(viaSql == viaCol)
+  }
+
   test("graft_nfc_normalize from SQL == Column API") {
     val decomposed = "caf" + "\u0065" + "\u0301"
     Seq((1L, decomposed)).toDF("id", "t").createOrReplaceTempView("nfc_sql")
