@@ -2605,14 +2605,24 @@ object SparkEntry {
     // DECIMAL(38,12) so the result is reduce-order-independent and
     // replayable by the oracle's unrolled-CTE chain
     "q_pagerank" -> ((s, dir) => {
+      // iterate on LONG node ids (orderkey*2 / suppkey*2+1) and
+      // attach the 'O…'/'S…' labels only on the final |nodes|-row
+      // result: rank values are independent of node naming, and long
+      // join keys roughly halve the per-iteration join/agg cost vs
+      // label strings (measured 6.4s -> 5.0s solo-bench)
       val pairs = Tables.lineitem(s, dir)
-        .select(concat(lit("O"), col("l_orderkey")).as("o"),
-          concat(lit("S"), col("l_suppkey")).as("p"))
+        .select((col("l_orderkey").cast("long") * 2).as("o"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("p"))
         .distinct()
       val edges = pairs.select(col("o").as("src"), col("p").as("dst"))
         .union(pairs.select(col("p").as("src"), col("o").as("dst")))
       operators.Behavior.pageRank(edges, "src", "dst",
-        iters = 3, damping = 0.85)
+          iters = 3, damping = 0.85)
+        .select(when(col("node") % 2 === 0,
+            concat(lit("O"), (col("node") / 2).cast("long")))
+          .otherwise(concat(lit("S"), ((col("node") - 1) / 2)
+            .cast("long"))).as("node"),
+          col("pagerank"))
     }),
 
     // blocked inverted index: token -> sorted doc-id postings split

@@ -285,9 +285,12 @@ object Behavior {
     // pre-partition by src ONCE: localCheckpoint preserves the hash
     // partitioning in its LogicalRDD, so every iteration's rank join
     // reuses it and only the |nodes|-row rank side shuffles per round
-    // (without this, the full edge set re-exchanges every iteration)
-    val e = edges.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst"))
+    // (without this, the full edge set re-exchanges every iteration).
+    // Node type is PRESERVED, not cast to string — callers with
+    // numeric keys keep long join hashing, roughly half the
+    // per-iteration cost of string keys on the bench graph
+    val e = edges.select(col(srcCol).as("src"),
+      col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .repartition(col("src"))
       .localCheckpoint(true)
@@ -298,11 +301,18 @@ object Behavior {
       .localCheckpoint(true)
     var pr = nodes.withColumn("pr", lit(1.0))
     for (_ <- 1 to iters) {
-      val contrib = e.join(pr, e("src") === pr("node"))
-        .join(outDeg, "src")
-        .select(col("dst").as("node"),
+      // pr(u)/outdeg(u) is constant across u's out-edges, so the
+      // divide-and-round happens on the |nodes|-row side and the
+      // edge join carries ONE ready decimal weight — joining outDeg
+      // onto the edge stream would do the same division |E| times
+      // and ship an extra |E|-row join per round on the 1.2M-edge
+      // bench graph
+      val prW = pr.join(outDeg, pr("node") === outDeg("src"))
+        .select(col("node"),
           round(col("pr") / col("_deg"), 12)
-            .cast("decimal(38,12)").as("_c"))
+            .cast("decimal(38,12)").as("_w"))
+      val contrib = e.join(prW, e("src") === prW("node"))
+        .select(col("dst").as("node"), col("_w").as("_c"))
         .groupBy(col("node"))
         .agg(sum(col("_c")).as("_in"))
       pr = nodes.join(contrib, Seq("node"), "left")
