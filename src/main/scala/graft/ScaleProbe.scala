@@ -233,6 +233,14 @@ object ScaleProbe {
         graft.operators.Similarity.randomProject(
           s.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
           "embedding", dimIn = 64, dimOut = 16)),
+      // greedy k-center: k−1 corpus passes, each one row-local
+      // distance fold + a TakeOrdered(1) argmax — the ratio certifies
+      // each pass is scan-bound (no pairwise blowup, no driver state
+      // beyond k vectors)
+      "kcenter_coreset" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Similarity.kCenterCoreset(
+          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
+          "embedding", dim = 64, k = 5)),
       // blocked inverted index under the Zipf axis: the head token's
       // postings are ~every doc — the blocked (token, doc_id mod N)
       // aggregate must spread it; an unblocked (token) group would

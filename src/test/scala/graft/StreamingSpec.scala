@@ -510,6 +510,52 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size == 40 * 8) // every (vector, subspace) coded
   }
 
+  test("frozen k-center exemplars: streaming assignment == batch") {
+    // the coreset's serving path: the k exemplar VECTORS are the
+    // frozen artifact (IVF-centroid-sized driver state); incoming
+    // vectors route to their nearest exemplar row-locally, so
+    // micro-batching cannot change assignments
+    import graft.operators.Similarity
+    import graft.functions.VectorExpressions
+    implicit val sq = spark.sqlContext
+    val corpus = spark.read
+      .parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val centers = Similarity.kCenterCoreset(corpus, "vec_id",
+        "embedding", dim = 64, k = 4)
+      .select("vec_id")
+      .join(corpus, "vec_id")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+        get(VectorExpressions.centroidTopIds(
+          col("embedding").cast("array<float>"),
+          centers.map(_._2), 1), lit(0)).as("exemplar_idx"))
+    val incoming = corpus.filter(col("vec_id").between(200, 239))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+      .map { case (id, v) => (id, v.toSeq) }
+    val streamed = scala.collection.concurrent.TrieMap[Long, Int]()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        assign(b).as[(Long, Int)].collect()
+          .foreach(r => streamed(r._1) = r._2)
+      }.start()
+    try {
+      in.addData(incoming.take(15): _*)
+      q.processAllAvailable()
+      in.addData(incoming.drop(15): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = assign(corpus.filter(col("vec_id").between(200, 239)))
+      .as[(Long, Int)].collect().toMap
+    assert(streamed.toMap == batch)
+    assert(batch.size == 40)
+    assert(batch.values.toSet.subsetOf((0 until 4).toSet))
+  }
+
   test("frozen IVF index: streaming query batches == batch search") {
     // the serving shape: centroids train once on the corpus version,
     // query micro-batches probe the frozen index
