@@ -108,6 +108,54 @@ object VectorExpressions {
       ExpressionUtils.expression(vec), dimIn, dimOut))
 }
 
+/** Shared scale-12 HALF_UP rounding for the fused decimal kernels:
+  * `BigDecimal.valueOf(t).setScale(12, HALF_UP)` → double →
+  * `valueOf(·).setScale(12, HALF_UP).unscaledValue` (Spark's
+  * round-then-cast-to-decimal chain), with an exact integer FAST PATH.
+  * The BigDecimal chain costs ~0.5 µs/term (two Double.toString
+  * parses) and dominated the fused kernels — measured 2.2 s for a
+  * 2000-row × 1024-term JL projection.
+  *
+  * Fast-path correctness: y = t·1e12 differs from the true
+  * shortest-decimal(t)·1e12 by ≤ |y|·2.2e-16 (one ulp for the
+  * shortest-repr gap, one for the product rounding), so when the
+  * fractional part is farther than eps = |y|·1e-15 + 1e-12 (≥4×
+  * margin) from the HALF_UP boundary, integer floor/ceil gives the
+  * identical unscaled value; inside the margin — and for |y| ≥ 1e15,
+  * where the decimal→double→decimal round-trip of the slow chain is
+  * no longer guaranteed bijective (ulp(t) > 5e-13 beyond |t| ≈ 4500,
+  * so adjacent scale-12 values can collapse onto one double) — it
+  * falls back to the exact BigDecimal chain. For |t| < 1000 the
+  * round-trip is the identity (ulp < 1.1e-13 ≪ half a scale-12 unit),
+  * so skipping steps 2-3 on the fast path changes nothing.
+  * Differential-pinned against the slow chain in PropertySpec.
+  */
+object DecimalRound {
+  def unscaled12(t: Double): Long = {
+    val y = t * 1e12
+    val ay = Math.abs(y)
+    if (ay < 1e15) {
+      val fl = Math.floor(y)
+      val f = y - fl
+      val eps = ay * 1e-15 + 1e-12
+      if (f > 0.5 + eps) return fl.toLong + 1L
+      if (f < 0.5 - eps) return fl.toLong
+    }
+    slow12(t)
+  }
+
+  /** The exact reference chain (and the ArithmeticException-on-
+    * overflow contract the callers map to NULL).
+    */
+  def slow12(t: Double): Long = {
+    val rd = java.math.BigDecimal.valueOf(t)
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    java.math.BigDecimal.valueOf(rd)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+  }
+}
+
 /** `cosine(array<float|double>, array<float|double>) -> double`.
   * Both children must share the element type. Single fused loop in both
   * interpreted and codegen'd form.
@@ -274,16 +322,10 @@ object PqSqDist {
     */
   def termUnscaled(x: Double, y: Double): Long = {
     val d = x - y
-    val t = d * d
-    // Round(double, 12): BigDecimal.valueOf(t).setScale(12, HALF_UP)
-    // back to double, then the double→decimal(28,12) cast re-rounds
-    // the (now ≤12-decimal) shortest representation — both steps
-    // replayed verbatim so the fused kernel equals the built-ins
-    val rd = java.math.BigDecimal.valueOf(t)
-      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
-    java.math.BigDecimal.valueOf(rd)
-      .setScale(12, java.math.RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
+    // Round(double, 12) then double→decimal(28,12) cast, replayed by
+    // [[DecimalRound]] (fast path + exact fallback) so the fused
+    // kernel equals the built-ins
+    DecimalRound.unscaled12(d * d)
   }
 }
 
@@ -368,14 +410,8 @@ object PqDot {
     * does it (see [[PqSqDist.termUnscaled]]), as the unscaled long at
     * scale 12; ArithmeticException on overflow → caller yields NULL.
     */
-  def termUnscaled(x: Double, y: Double): Long = {
-    val t = x * y
-    val rd = java.math.BigDecimal.valueOf(t)
-      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
-    java.math.BigDecimal.valueOf(rd)
-      .setScale(12, java.math.RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
-  }
+  def termUnscaled(x: Double, y: Double): Long =
+    DecimalRound.unscaled12(x * y)
 }
 
 /** `array<float|double> -> array<float>`: JL ±1 projection with the
@@ -485,13 +521,7 @@ object RandomProjection {
   /** round(v, 12) → decimal(28,12) unscaled long, the
     * [[PqSqDist.termUnscaled]] two-step replayed for a single value.
     */
-  def termUnscaled(v: Double): Long = {
-    val rd = java.math.BigDecimal.valueOf(v)
-      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
-    java.math.BigDecimal.valueOf(rd)
-      .setScale(12, java.math.RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
-  }
+  def termUnscaled(v: Double): Long = DecimalRound.unscaled12(v)
 }
 
 /** `array<float|double> -> long`: packed sign bits of `planes`
@@ -644,12 +674,8 @@ object RankOneStrip {
   /** round(x·w, 12) as the scale-12 unscaled long, the
     * [[PqSqDist.termUnscaled]] two-step for a product term.
     */
-  private def prodUnscaled(x: Double, w: Double): Long = {
-    val rd = r12(x * w)
-    java.math.BigDecimal.valueOf(rd)
-      .setScale(12, java.math.RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
-  }
+  private def prodUnscaled(x: Double, w: Double): Long =
+    DecimalRound.unscaled12(x * w)
 
   def compute(a: ArrayData, w: Array[Double], isFloat: Boolean): Any = {
     val n = w.length

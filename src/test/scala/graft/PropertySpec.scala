@@ -280,6 +280,34 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("DecimalRound: fast path == exact BigDecimal chain " +
+      "(random sweep + boundary-adversarial values)") {
+    import graft.functions.DecimalRound
+    val rnd = new scala.util.Random(42)
+    def check(t: Double): Unit =
+      assert(DecimalRound.unscaled12(t) == DecimalRound.slow12(t),
+        s"mismatch at t=$t")
+    // magnitudes spanning the fast-path range and past its 1e3 cutoff
+    (1 to 200000).foreach { _ =>
+      val mag = math.pow(10, rnd.nextInt(10) - 5)
+      check((rnd.nextDouble() * 2 - 1) * mag)
+    }
+    // exact HALF_UP boundaries and near-boundary values (the fallback
+    // window): k + 0.5 scale-12 units, both signs
+    (1 to 20000).foreach { _ =>
+      val k = rnd.nextInt(1 << 20).toLong
+      val base = (k * 2 + 1) * 5e-13 // exactly (k+0.5)e-12 in decimal
+      check(base); check(-base)
+      check(base + 1e-18); check(base - 1e-18)
+    }
+    // float-product values, the kernels' actual input distribution
+    (1 to 50000).foreach { _ =>
+      val x = rnd.nextFloat() * 20 - 10
+      val y = rnd.nextFloat() * 20 - 10
+      check(x.toDouble * y.toDouble)
+    }
+  }
+
   test("temperatureRebalance: probabilities in (0, 1], ordered " +
       "opposite to counts, smallest stratum whole (random strata)") {
     import graft.operators.Sampling
