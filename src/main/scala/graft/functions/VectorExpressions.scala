@@ -85,6 +85,17 @@ object VectorExpressions {
       ExpressionUtils.expression(score),
       ExpressionUtils.expression(payload), k).toAggregateExpression())
 
+  /** [[topKByScore]] with a double value carried per kept row — the
+    * one-scan "k best rows and their measure" aggregate; selection
+    * ignores the value.
+    */
+  def topKByScoreVal(score: Column, id: Column, value: Column,
+      k: Int): Column =
+    ExpressionUtils.column(TopKByScoreVal(
+      ExpressionUtils.expression(score),
+      ExpressionUtils.expression(id),
+      ExpressionUtils.expression(value), k).toAggregateExpression())
+
   /** Rank-1 whitening kernel v′ = v − (v·w)·w as one fused loop —
     * see [[RankOneStrip]].
     */
@@ -855,6 +866,122 @@ case class TopKByScore(score: Expression, payload: Expression, k: Int,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(score = newChildren(0), payload = newChildren(1))
+}
+
+/** [[TopKByScore]] with a double VALUE riding along each kept
+  * (score, id) pair — the one-scan form of "keep the k best rows and
+  * their measure" (the hash-sample quantile sketch's sample +
+  * value, previously a second corpus scan + semi-join). Selection and
+  * tie semantics are identical to [[TopKByScore]]: the value column
+  * never influences which rows are kept.
+  */
+case class TopKByScoreVal(score: Expression, id: Expression,
+    value: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKValBuffer] {
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(score, id, value)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType &&
+        value.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "topKByScoreVal requires (double score, bigint id, double " +
+        s"value), got (${score.dataType.simpleString}, " +
+        s"${id.dataType.simpleString}, ${value.dataType.simpleString})")
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType), StructField("id", LongType),
+    StructField("value", DoubleType))))
+
+  override def createAggregationBuffer(): TopKValBuffer =
+    new TopKValBuffer(k)
+
+  override def update(buf: TopKValBuffer, input: InternalRow)
+      : TopKValBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    val v = value.eval(input)
+    if (s != null && i != null && v != null) {
+      buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long],
+        v.asInstanceOf[Double])
+    }
+    buf
+  }
+
+  override def merge(a: TopKValBuffer, b: TopKValBuffer)
+      : TopKValBuffer = {
+    b.foreach((s, i, v) => a.add(s, i, v)); a
+  }
+
+  override def eval(buf: TopKValBuffer): Any = {
+    val sorted = buf.sortedDesc
+    new GenericArrayData(sorted.map { case (s, i, v) =>
+      InternalRow(s, i, v)
+    })
+  }
+
+  override def serialize(buf: TopKValBuffer): Array[Byte] =
+    buf.serialize()
+  override def deserialize(bytes: Array[Byte]): TopKValBuffer =
+    TopKValBuffer.deserialize(bytes, k)
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKByScoreVal =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByScoreVal =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1),
+      value = newChildren(2))
+}
+
+/** [[TopKBuffer]] with a value per entry; ordering ignores the value. */
+final class TopKValBuffer(k: Int) {
+  private val heap = scala.collection.mutable.PriorityQueue
+    .empty[(Double, Long, Double)](
+      Ordering.by[(Double, Long, Double), (Double, Long)] {
+        case (s, i, _) => (-s, i)
+      })
+
+  def add(s: Double, id: Long, v: Double): Unit = {
+    if (heap.size < k) heap.enqueue((s, id, v))
+    else {
+      val (ws, wi, _) = heap.head
+      if (s > ws || (s == ws && id < wi)) {
+        heap.dequeue(); heap.enqueue((s, id, v))
+      }
+    }
+  }
+
+  def foreach(f: (Double, Long, Double) => Unit): Unit =
+    heap.foreach { case (s, i, v) => f(s, i, v) }
+
+  def sortedDesc: Array[(Double, Long, Double)] =
+    heap.toArray.sortBy { case (s, i, _) => (-s, i) }
+
+  def serialize(): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(heap.size)
+    heap.foreach { case (s, i, v) =>
+      out.writeDouble(s); out.writeLong(i); out.writeDouble(v) }
+    out.flush(); bos.toByteArray
+  }
+}
+
+object TopKValBuffer {
+  def deserialize(bytes: Array[Byte], k: Int): TopKValBuffer = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val buf = new TopKValBuffer(k)
+    val n = in.readInt()
+    (0 until n).foreach { _ =>
+      buf.add(in.readDouble(), in.readLong(), in.readDouble()) }
+    buf
+  }
 }
 
 /** Size-bounded min-heap on score; keeps the k largest. */

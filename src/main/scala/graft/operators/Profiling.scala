@@ -340,21 +340,20 @@ object Profiling {
       col(idCol).isNotNull && col(valueCol).isNotNull)
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
-    val kept = rows
-      .select(col(groupCol), h.as("__h"))
-      .groupBy(col(groupCol))
-      .agg(graft.functions.VectorExpressions.topKByScore(
-        -col("__h").cast("double"), col("__h"), k).as("__kept"))
-      .select(col(groupCol), explode(col("__kept")).as("__e"))
-      .select(col(groupCol), col("__e").getField("id").as("__h"))
-    // NOT broadcast-hinted: the kept set is groups×k rows — tiny for
-    // bounded group counts (Catalyst broadcasts it from stats) but a
-    // million-domain corpus needs the shuffled semi-join, which still
-    // only carries (group, hash, value) — never text
+    // ONE corpus scan per group (TopKByScoreVal carries the value
+    // inline — the sampleQuantiles one-scan form, per key); the
+    // exchange carries ≤k (score, hash, value) entries per group per
+    // map task — never text
     val sample = rows
       .select(col(groupCol), h.as("__h"),
         col(valueCol).cast("double").as("value"))
-      .join(kept, Seq(groupCol, "__h"), "left_semi")
+      .groupBy(col(groupCol))
+      .agg(graft.functions.VectorExpressions.topKByScoreVal(
+        -col("__h").cast("double"), col("__h"), col("value"), k)
+        .as("__kept"))
+      .select(col(groupCol), explode(col("__kept")).as("__e"))
+      .select(col(groupCol), col("__e").getField("id").as("__h"),
+        col("__e").getField("value").as("value"))
     val packed = sample
       .groupBy(col(groupCol))
       .agg(sort_array(collect_list(struct(col("value"), col("__h"))))
@@ -490,15 +489,17 @@ object Profiling {
     val rows = df.filter(col(idCol).isNotNull && col(valueCol).isNotNull)
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
-    val kept = rows
-      .select(h.as("__h"))
-      .agg(graft.functions.VectorExpressions.topKByScore(
-        -col("__h").cast("double"), col("__h"), k).as("__kept"))
-      .select(explode(col("__kept")).as("__e"))
-      .select(col("__e").getField("id").as("__h"))
+    // ONE corpus scan: the k smallest hashes keep their value inline
+    // (TopKByScoreVal — selection identical to the two-scan
+    // topKByScore + semi-join form, which paid the md5 twice)
     val sample = rows
       .select(h.as("__h"), col(valueCol).cast("double").as("value"))
-      .join(broadcast(kept), Seq("__h"), "left_semi")
+      .agg(graft.functions.VectorExpressions.topKByScoreVal(
+        -col("__h").cast("double"), col("__h"), col("value"), k)
+        .as("__kept"))
+      .select(explode(col("__kept")).as("__e"))
+      .select(col("__e").getField("id").as("__h"),
+        col("__e").getField("value").as("value"))
     // ≤k rows from here on: everything below is sketch-sized
     val packed = sample
       .agg(sort_array(collect_list(struct(col("value"), col("__h"))))

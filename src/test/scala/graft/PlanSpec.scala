@@ -620,18 +620,18 @@ class PlanSpec extends SparkSpec {
       s"corpus re-partitioned for a global aggregate:\n$plan")
   }
 
-  test("sampleQuantiles: no window, no global sort; kept hashes " +
-      "broadcast back; value column pruned from the hash scan") {
+  test("sampleQuantiles: no window, no global sort; ONE corpus scan " +
+      "(value rides the bounded top-k aggregate)") {
     val df = SparkEntry.queries("q_sample_quantiles")(spark, dir)
     val plan = physical(df)
-    // data-sized stages: one bounded topKByScore aggregate over the
-    // hash column, one broadcast semi-join to fetch sample values —
-    // the corpus is never sorted or window-ranked
+    // data-sized stages: exactly one bounded topKByScoreVal aggregate
+    // over (hash, value) — the corpus is never sorted, window-ranked,
+    // or re-scanned for the sample values (the former semi-join form)
     assert(!plan.contains("Window"), s"window in plan:\n$plan")
-    assert(plan.contains("misragries") || plan.contains("topkbyscore") ||
-      plan.contains("TopKByScore"), s"bounded aggregate missing:\n$plan")
-    assert(plan.contains("BroadcastHashJoin") &&
-      plan.contains("LeftSemi"), s"kept set not a broadcast semi-join:\n$plan")
+    assert(plan.toLowerCase.contains("topkbyscoreval"),
+      s"bounded aggregate missing:\n$plan")
+    assert(!plan.contains("LeftSemi"),
+      s"two-scan semi-join shape resurfaced:\n$plan")
     // the ONLY sort is over the ≤k-row packed sample (inside
     // sort_array, which is an expression, not a Sort operator)
     assert(!plan.contains("Exchange rangepartitioning"),
