@@ -29,6 +29,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the library's own extensions — the deployment posture a real
+      // cluster runs with (SQL surface + FastRound rewrite)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // the default codegen class cache holds 100 entries; 120 queries
       // compile several WholeStageCodegen units each, so every pass
       // would evict and Janino-recompile the whole suite (measured as

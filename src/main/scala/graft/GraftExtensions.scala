@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-plan tier: the binned range-join rewrite (inert until
     // spark.graft.rangeJoin.binWidth is set)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // bit-identical Round fast path (on by default;
+    // spark.graft.fastRound.enabled=false to disable)
+    ext.injectOptimizerRule(_ => graft.plans.FastRoundRewrite)
   }
 }
 

@@ -24,4 +24,14 @@ object ColumnBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .registerFunction(name, info, builder)
+
+  /** The exact error an ANSI double→decimal cast raises on precision
+    * overflow (`QueryExecutionErrors` is `private[sql]`); the fused
+    * round-to-decimal kernel re-throws it for bit-and-error parity.
+    */
+  def decimalPrecisionOverflowError(
+      value: org.apache.spark.sql.types.Decimal, precision: Int,
+      scale: Int): ArithmeticException =
+    org.apache.spark.sql.errors.QueryExecutionErrors
+      .cannotChangeDecimalPrecisionError(value, precision, scale)
 }

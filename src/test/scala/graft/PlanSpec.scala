@@ -465,7 +465,15 @@ class PlanSpec extends SparkSpec {
         (plan.contains("HashJoin") || plan.contains("SortMergeJoin")),
         s"expected an equi-join on the bin:\n$plan")
       assert(plan.contains("explode"), s"interval side not binned:\n$plan")
-      assert(plan.contains("Union"), s"no wide fallback branch:\n$plan")
+      // with the extensions installed the rule runs inside the main
+      // optimizer batches, so ConvertToLocalRelation evaluates the
+      // wide-branch filter over these literal rows (none wide) and
+      // PropagateEmptyRelation statically prunes the Union — strictly
+      // better than the AQE-time pruning asserted below; the sentinel
+      // case further down proves the fallback branch still exists
+      // whenever a wide interval is present
+      assert(!plan.contains("NestedLoopJoin"),
+        s"narrow case kept a nested loop:\n$plan")
       val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1)))
         .toSet
       assert(got == expected, s"rewrite changed results: $got")

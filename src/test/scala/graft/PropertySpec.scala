@@ -308,6 +308,78 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("FastRound rewrite: bit-identical to Spark's Round across " +
+      "scales, boundaries, NaN/Inf; plan actually rewritten") {
+    import graft.functions.DecimalRound
+    val rnd = new scala.util.Random(7)
+    val vals = Seq(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity, 0.0, -0.0, 1e-20, -1e-20, 0.5e-6,
+        -0.5e-6, 1234.5678953, 4499.9999995, 1e16, -1e16) ++
+      (1 to 100000).map { _ =>
+        (rnd.nextDouble() * 2 - 1) * math.pow(10, rnd.nextInt(12) - 6) }
+    val df = vals.toDF("x")
+    Seq(0, 2, 6, 12, 15).foreach { s =>
+      // rule OFF -> Spark's Round; rule ON -> FastRound
+      spark.conf.set("spark.graft.fastRound.enabled", "false")
+      val viaSpark = df.select(round($"x", s)).as[Double].collect()
+      spark.conf.set("spark.graft.fastRound.enabled", "true")
+      val viaFast = df.select(round($"x", s)).as[Double].collect()
+      viaSpark.zip(viaFast).zip(vals).foreach { case ((a, b), v) =>
+        assert(java.lang.Double.compare(a, b) == 0 ||
+          (a.isNaN && b.isNaN), s"scale $s at $v: $a != $b")
+      }
+      // the helper agrees with Spark's value too (catches a rewrite
+      // that silently failed to fire leaving both sides as Round)
+      vals.filterNot(v => v.isNaN || v.isInfinite).foreach { v =>
+        assert(java.lang.Double.compare(
+          DecimalRound.fastRound(v, s), DecimalRound.slowRound(v, s)) == 0,
+          s"helper mismatch at $v scale $s")
+      }
+    }
+    // the fused round→decimal chain: identical decimals either way,
+    // incl. NaN/Inf→null and the beyond-long-unscaled BigDecimal range
+    Seq(6, 12).foreach { s =>
+      val dec = s"decimal(38,$s)"
+      spark.conf.set("spark.graft.fastRound.enabled", "false")
+      val viaSpark = df.select(round($"x", s).cast(dec).cast("string"))
+        .as[String].collect()
+      spark.conf.set("spark.graft.fastRound.enabled", "true")
+      val viaFast = df.select(round($"x", s).cast(dec).cast("string"))
+        .as[String].collect()
+      viaSpark.zip(viaFast).zip(vals).foreach { case ((a, b), v) =>
+        assert(a == b, s"decimal chain scale $s at $v: $a != $b")
+      }
+    }
+    // ANSI precision overflow: both forms raise the same Spark error
+    def outcome(enabled: Boolean): String = {
+      spark.conf.set("spark.graft.fastRound.enabled", enabled.toString)
+      try Seq(1e30).toDF("x")
+        .select(round($"x", 12).cast("decimal(38,12)").cast("string"))
+        .as[String].collect()(0)
+      catch { case e: Throwable =>
+        var c: Throwable = e
+        while (c.getCause != null && !c.getClass.getName.contains("Spark"))
+          c = c.getCause
+        s"THROW ${c.getClass.getSimpleName}"
+      }
+    }
+    assert(outcome(enabled = false) == outcome(enabled = true),
+      "overflow outcome parity")
+    // plan asserts need a non-local child (a literal LocalRelation
+    // constant-folds the whole projection away)
+    val li = spark.read
+      .parquet(s"${sf("sf0.001")}/lineitem.parquet")
+      .select($"l_extendedprice".cast("double").as("x"))
+    val plan = li.select(round($"x", 6))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("fast_round"),
+      s"rewrite did not fire:\n$plan")
+    val plan2 = li.select(round($"x", 12).cast("decimal(38,12)"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan2.contains("fast_round_decimal"),
+      s"cast fusion did not fire:\n$plan2")
+  }
+
   test("temperatureRebalance: probabilities in (0, 1], ordered " +
       "opposite to counts, smallest stratum whole (random strata)") {
     import graft.operators.Sampling

@@ -25,6 +25,9 @@ object SparkSpec {
       // whole-stage codegen breaks the suite instead of limping through
       // (this caught the 32-term unrolled Morton interleave).
       .config("spark.sql.codegen.fallback", "false")
+      // the library's extensions, as Bench/Verify run them — every
+      // spec exercises the FastRound rewrite path
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
