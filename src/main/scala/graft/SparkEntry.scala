@@ -1289,6 +1289,33 @@ object SparkEntry {
       }
     }),
 
+    // interval×interval overlap join — rangeJoin's two-sided sibling:
+    // which user sessions ran CONCURRENTLY. Both sides explode to
+    // hour buckets and meet in a hash equi-join (never a nested
+    // loop); the canonical-bin conjunct (bucket of the later start)
+    // emits each pair exactly once with no distinct
+    "q_interval_overlap" -> ((s, dir) => {
+      val sess = operators.Behavior.sessionize(Tables.events(s, dir),
+          "user_id", "ts", gapSeconds = 1800L)
+        .select(col("user_id"), col("session_no"),
+          unix_timestamp(col("session_start")).as("s"),
+          unix_timestamp(col("session_end")).as("t"))
+        .localCheckpoint(true) // feeds both join sides: one window pass
+      val a = sess.select(col("user_id").as("user_a"),
+        col("session_no").as("sess_a"), col("s").as("s_a"),
+        col("t").as("t_a"))
+      val b = sess.select(col("user_id").as("user_b"),
+        col("session_no").as("sess_b"), col("s").as("s_b"),
+        col("t").as("t_b"))
+      Relational.intervalOverlapJoin(a, b, "s_a", "t_a", "s_b", "t_b",
+          binWidth = 3600L)
+        .filter(col("user_a") < col("user_b"))
+        .select(col("user_a"), col("sess_a"), col("user_b"),
+          col("sess_b"),
+          (least(col("t_a"), col("t_b")) -
+            greatest(col("s_a"), col("s_b"))).as("overlap_s"))
+    }),
+
     // gap-based sessionization: number each user's sessions by
     // cumulative new-session flags (gap > 30 min starts a session) —
     // the per-event session-id form that session_window's grouped
@@ -4325,6 +4352,35 @@ object SparkEntry {
         |WHERE value IS NOT NULL AND event_type IS NOT NULL
         |WINDOW w AS (PARTITION BY event_type
         | ORDER BY value ASC, event_id ASC)""".stripMargin,
+
+    // the binning + canonical-bin dedup are engine details; the
+    // oracle is sessionize (the q_sessionize window semantics:
+    // full-precision ts order, default RANGE frame shared by both
+    // engines) + the plain overlap self-join
+    "q_interval_overlap" ->
+      """WITH base AS (
+        | SELECT user_id, ts,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS e
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |flagged AS (
+        | SELECT user_id, ts, e,
+        |  CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w > 1800
+        |   THEN 1 ELSE 0 END AS ns
+        | FROM base
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+        |sess AS (
+        | SELECT user_id,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC)
+        |   AS BIGINT) AS session_no, e
+        | FROM flagged),
+        |iv AS (SELECT user_id, session_no, min(e) AS s, max(e) AS t
+        | FROM sess GROUP BY 1, 2)
+        |SELECT a.user_id AS user_a, a.session_no AS sess_a,
+        | b.user_id AS user_b, b.session_no AS sess_b,
+        | least(a.t, b.t) - greatest(a.s, b.s) AS overlap_s
+        |FROM iv a JOIN iv b
+        | ON a.user_id < b.user_id AND a.s <= b.t AND b.s <= a.t"""
+        .stripMargin,
 
     // same 300 windows rebuilt relationally; the binning is an engine
     // detail, so the oracle is the plain containment join

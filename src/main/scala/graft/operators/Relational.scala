@@ -395,4 +395,57 @@ object Relational {
       .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop(bin)
   }
+
+  /** INTERVAL×INTERVAL overlap join — [[rangeJoin]]'s two-sided
+    * sibling (concurrent sessions, outage windows against maintenance
+    * windows, validity-period reconciliation): every (left, right)
+    * pair whose CLOSED intervals `[lStart, lEnd]` ∩ `[rStart, rEnd]`
+    * is non-empty, each pair emitted EXACTLY ONCE.
+    *
+    * Spark plans the naive `a.s <= b.t && b.s <= a.t` join as a
+    * nested loop — the 100 TB melt. Here both sides explode to one
+    * row per `binWidth`-bucket they span and meet in a hash EQUI-join
+    * on the bucket (AQE/skew-split eligible; the shuffle carries
+    * interval rows × their bin fan-out, never a cross product), with
+    * the true overlap predicate as the residual filter. A pair whose
+    * intervals share k buckets would match k times; the CANONICAL-BIN
+    * conjunct — the bucket containing `greatest(lStart, rStart)`,
+    * which overlap guarantees lies in BOTH intervals — pins each pair
+    * to exactly one bucket, so no `distinct` (and no second shuffle)
+    * is needed.
+    *
+    * Bounds columns must be integral (epoch seconds, not timestamps).
+    * Malformed intervals (`end < start`) are dropped, matching the
+    * empty overlap they'd produce under the naive join. Intervals
+    * spanning more than `maxBinsPerInterval` buckets raise an error
+    * at run time rather than silently exploding the candidate volume
+    * — size `binWidth` to the typical interval length (the
+    * [[rangeJoin]]/RangeJoinRewrite guidance) and filter open-ended
+    * sentinels upstream.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binWidth: Long, maxBinsPerInterval: Long = 1024L): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    val binL = "__graft_iv_bin_l"
+    val binR = "__graft_iv_bin_r"
+    def binned(df: DataFrame, s: String, e: String, bin: String) = {
+      val lo = floor(col(s) / binWidth).cast("long")
+      val hi = floor(col(e) / binWidth).cast("long")
+      df.filter(col(e) >= col(s))
+        .withColumn(bin, explode(sequence(lo,
+          when(hi - lo < maxBinsPerInterval, hi).otherwise(raise_error(
+            concat(lit(s"interval spans more than $maxBinsPerInterval " +
+              s"bins of width $binWidth at "), col(s).cast("string")))
+            .cast("long")))))
+    }
+    val lb = binned(left, lStart, lEnd, binL)
+    val rb = binned(right, rStart, rEnd, binR)
+    lb.join(rb, col(binL) === col(binR) &&
+        col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col(binL) === floor(greatest(col(lStart), col(rStart)) / binWidth)
+          .cast("long"))
+      .drop(binL, binR)
+  }
 }

@@ -515,6 +515,22 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(RangeJoinRewrite.WidthConf)
   }
 
+  test("intervalOverlapJoin: bin equi-join, no nested loop, no " +
+      "post-join dedup aggregate") {
+    val df = SparkEntry.queries("q_interval_overlap")(spark, dir)
+    val plan = physical(df)
+    assert(!plan.contains("NestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"overlap join fell back to a cross product:\n$plan")
+    assert(plan.contains("__graft_iv_bin"),
+      s"bin key missing from the join:\n$plan")
+    // the canonical-bin conjunct replaces a distinct: nothing between
+    // the join and the final projection may aggregate the pairs
+    val afterJoin = plan.split("Join").head
+    assert(!afterJoin.contains("HashAggregate"),
+      s"pair dedup aggregate above the join:\n$plan")
+  }
+
   test("family-partitioned layout: a family filter prunes at the scan") {
     import spark.implicits._
     // the K6 layout: one directory per metric_family (HostMetrics

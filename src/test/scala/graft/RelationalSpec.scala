@@ -129,6 +129,41 @@ class RelationalSpec extends SparkSpec {
     assert(b == Set(1L, 2L))
   }
 
+  test("intervalOverlapJoin == naive overlap join, each pair ONCE; " +
+      "malformed dropped; over-wide interval raises") {
+    import org.apache.spark.sql.functions.col
+    val a = spark.range(0, 60).select(col("id").as("aid"),
+      (col("id") * 17 % 300).as("sa"),
+      (col("id") * 17 % 300 + col("id") % 5 * 40).as("ta"))
+    val b = spark.range(0, 50).select(col("id").as("bid"),
+      (col("id") * 23 % 280).as("sb"),
+      (col("id") * 23 % 280 + col("id") % 7 * 25).as("tb"))
+    // multi-bin spans included (binWidth 50 vs lengths up to 160):
+    // exact MULTISET equality proves the canonical bin fires once
+    val got = Relational.intervalOverlapJoin(a, b, "sa", "ta", "sb",
+        "tb", binWidth = 50L)
+      .select($"aid", $"bid").as[(Long, Long)].collect().toSeq.sorted
+    val naive = a.crossJoin(b)
+      .filter(col("sa") <= col("tb") && col("sb") <= col("ta"))
+      .select($"aid", $"bid").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == naive && got.nonEmpty)
+    // inclusive edge touch counts as overlap; disjoint does not;
+    // malformed (t < s) interval drops
+    val x = Seq((1L, 0L, 10L), (2L, 50L, 40L)).toDF("xid", "sx", "tx")
+    val y = Seq((7L, 10L, 20L), (8L, 11L, 20L)).toDF("yid", "sy", "ty")
+    val edge = Relational.intervalOverlapJoin(x, y, "sx", "tx", "sy",
+        "ty", binWidth = 8L)
+      .select($"xid", $"yid").as[(Long, Long)].collect().toSet
+    assert(edge == Set((1L, 7L)))
+    // over-wide interval: hard error, not a silent candidate blowup
+    val wide = Seq((9L, 0L, 1000000L)).toDF("xid", "sx", "tx")
+    val err = intercept[Exception] {
+      Relational.intervalOverlapJoin(wide, y, "sx", "tx", "sy", "ty",
+        binWidth = 10L, maxBinsPerInterval = 16L).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("snapshotDiff: added/removed/changed classification, nulls compared") {
     val prev = Seq(
       (1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
