@@ -1316,6 +1316,20 @@ object SparkEntry {
             greatest(col("s_a"), col("s_b"))).as("overlap_s"))
     }),
 
+    // concurrency sweep over the same session intervals: +1/−1
+    // boundary deltas (end+1 keeps closed-interval semantics exact in
+    // integers) aggregated per distinct time, running total via the
+    // certified distributed prefix — max(active) is peak concurrent
+    // sessions, with no global window and ≤2 delta rows per interval
+    // on the exchange
+    "q_concurrency_sweep" -> ((s, dir) => {
+      val sess = operators.Behavior.sessionize(Tables.events(s, dir),
+          "user_id", "ts", gapSeconds = 1800L)
+        .select(unix_timestamp(col("session_start")).as("s"),
+          unix_timestamp(col("session_end")).as("t"))
+      operators.TimeSeries.concurrencySweep(sess, "s", "t")
+    }),
+
     // gap-based sessionization: number each user's sessions by
     // cumulative new-session flags (gap > 30 min starts a session) —
     // the per-event session-id form that session_window's grouped
@@ -4381,6 +4395,36 @@ object SparkEntry {
         |FROM iv a JOIN iv b
         | ON a.user_id < b.user_id AND a.s <= b.t AND b.s <= a.t"""
         .stripMargin,
+
+    // the sweep replayed: same session intervals, ±1 deltas at
+    // (s, t+1), per-time aggregate, window running total (the
+    // distributed prefix is the engine detail)
+    "q_concurrency_sweep" ->
+      """WITH base AS (
+        | SELECT user_id, ts,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS e
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |flagged AS (
+        | SELECT user_id, ts, e,
+        |  CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w > 1800
+        |   THEN 1 ELSE 0 END AS ns
+        | FROM base
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+        |sess AS (
+        | SELECT user_id,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC)
+        |   AS BIGINT) AS session_no, e
+        | FROM flagged),
+        |iv AS (SELECT user_id, session_no, min(e) AS s, max(e) AS t
+        | FROM sess GROUP BY 1, 2),
+        |b AS (
+        | SELECT s AS t, CAST(1 AS BIGINT) AS d FROM iv
+        | UNION ALL SELECT t + 1, CAST(-1 AS BIGINT) FROM iv),
+        |g AS (SELECT t, CAST(sum(d) AS BIGINT) AS delta FROM b
+        | GROUP BY t)
+        |SELECT t, delta,
+        | CAST(sum(delta) OVER (ORDER BY t ASC) AS BIGINT) AS active
+        |FROM g""".stripMargin,
 
     // same 300 windows rebuilt relationally; the binning is an engine
     // detail, so the oracle is the plain containment join

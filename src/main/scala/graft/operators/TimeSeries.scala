@@ -202,4 +202,40 @@ object TimeSeries {
         count(lit(1)).as("n_merged"))
       .drop("__graft_iv_island")
   }
+
+  /** Concurrency sweep over CLOSED integral intervals — "how many are
+    * active at once" (peak concurrent sessions, connection-pool
+    * sizing, overlap load curves): each interval contributes
+    * boundary deltas (+1 at `start`, −1 at `end + 1` — the inclusive-
+    * end trick that keeps everything in exact integer arithmetic),
+    * deltas aggregate per distinct boundary time, and the running
+    * total is [[Sampling.runningSum]]'s distributed prefix (range
+    * sort + O(partitions) driver fold — no global window, no single
+    * reducer). Output: one row per distinct boundary `t` with the
+    * net `delta` and `active` = number of intervals covering
+    * `[t, next boundary)`; `max(active)` is the peak. Malformed
+    * intervals (`end < start`) and null bounds are dropped.
+    *
+    * The aggregate-then-sweep shape is the scale-safe form: the
+    * exchange carries (t, delta) pairs only — at most 2 rows per
+    * interval, collapsed map-side — and the prefix machinery is the
+    * same certified [[Profiling.rankSelect]] path.
+    */
+  def concurrencySweep(df: DataFrame, startCol: String,
+      endCol: String): DataFrame = {
+    val deltas = df
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(endCol) >= col(startCol))
+      .select(explode(array(
+        struct(col(startCol).cast("long").as("t"), lit(1L).as("d")),
+        struct((col(endCol).cast("long") + 1L).as("t"),
+          lit(-1L).as("d")))).as("b"))
+      .select(col("b.t").as("t"), col("b.d").as("d"))
+      .groupBy(col("t")).agg(sum(col("d")).as("delta"))
+    // runningSum's prefix is EXCLUSIVE (the shardByBudget contract);
+    // the concurrency after this boundary includes its own delta
+    Sampling.runningSum(deltas, "t", "delta", "__graft_pre")
+      .select(col("t"), col("delta"),
+        (col("__graft_pre") + col("delta")).as("active"))
+  }
 }

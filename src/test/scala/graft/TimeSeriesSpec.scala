@@ -128,4 +128,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(TimeSeries.mergeIntervals(none, Seq("k"), "lo", "hi")
       .count() == 0L)
   }
+
+  test("concurrencySweep: hand-checked curve; closed-interval edge " +
+      "touch counts; returns to zero; partitioning-invariant") {
+    // [0,10], [5,15], [10,20], [30,30]: peak 3 exactly at t=10 (the
+    // closed-end touch), back to 0 after 21 and after 31
+    val iv = Seq((0L, 10L), (5L, 15L), (10L, 20L), (30L, 30L),
+      (40L, 35L)) // malformed: dropped
+      .toDF("s", "t")
+    val got = TimeSeries.concurrencySweep(iv, "s", "t")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // deltas: +1@{0,5,10,30}, −1@{11,16,21,31} (closed ends + 1)
+    val deltas = Map(0L -> 1L, 5L -> 1L, 10L -> 1L, 11L -> -1L,
+      16L -> -1L, 21L -> -1L, 30L -> 1L, 31L -> -1L)
+    var acc = 0L
+    val manual = deltas.toSeq.sortBy(_._1).map { case (t, d) =>
+      acc += d; (t, d, acc) }
+    assert(got.toSeq == manual, s"${got.toSeq} vs $manual")
+    assert(got.map(_._3).max == 3L) // peak: 10 ∈ all three intervals
+    assert(got.last._3 == 0L)      // sweep closes at zero
+    val rep = TimeSeries.concurrencySweep(iv.repartition(13), "s", "t")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rep.sameElements(got))
+  }
 }
