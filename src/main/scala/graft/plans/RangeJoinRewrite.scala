@@ -7,6 +7,35 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 
+/** Boolean pass-through wrapper marking a predicate as
+  * [[RangeJoinRewrite]]'s own wide-fallback join condition. Catalyst
+  * treats an unknown expression conservatively — nothing splits,
+  * simplifies, or substitutes through it — so the fallback join can
+  * never be re-parsed as a rewrite candidate. Markers built from
+  * projected columns do NOT survive: pushing a marker conjunct
+  * through its defining Project substitutes the alias away
+  * (PushPredicateThroughNonJoin) and ColumnPruning then drops the
+  * column, which re-armed the rule every fixed-point iteration
+  * (measured 202 stacked joins before this wrapper).
+  */
+case class GraftFallbackCond(child: org.apache.spark.sql.catalyst
+    .expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(v: Any): Any = v
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = c)
+}
+
 /** Optimizer rule: rewrite a point-in-interval non-equi inner join into
   * a binned equi-join (SURVEY §2.4 / §4 — the whole-plan tier of the
   * extension ladder: a `Rule[LogicalPlan]` where a library operator
@@ -43,10 +72,13 @@ import org.apache.spark.sql.types._
   * wider than `spark.graft.rangeJoin.maxBinsPerInterval` (default 256)
   * bins are not exploded — they keep the original non-equi join in a
   * unioned fallback branch, so one open-ended sentinel row cannot turn
-  * the rewrite into a too-long-sequence runtime failure. Fixpoint:
-  * both produced joins are recognizable (the binned one by its bin
-  * equality and `__graft`-prefixed outputs, the fallback by its
-  * marker column) and never reprocessed.
+  * the rewrite into a too-long-sequence runtime failure. Fixpoint
+  * (load-bearing inside the extensions' fixed-point operator batch):
+  * the binned join is recognized by the recursive `__graft` subtree
+  * scan (its bin attributes are condition-referenced and can never be
+  * pruned), and the fallback join's condition is wrapped in the
+  * opaque [[GraftFallbackCond]], which the conjunct parser cannot
+  * decompose — so neither is ever reprocessed.
   *
   * Ships via [[graft.GraftExtensions]] (`injectOptimizerRule`) for
   * builder-configured sessions, or [[RangeJoinRewrite.install]] on a
@@ -122,10 +154,22 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   private def rewrite(j: Join, width: Long): Option[LogicalPlan] = {
     val conjuncts = splitConjuncts(j.condition.get)
 
-    // our own artifacts below a join mean this IS a rewritten (or
-    // wide-fallback) join — never reprocess (fixpoint for the batch)
-    if ((j.left.output ++ j.right.output)
-        .exists(_.name.startsWith("__graft"))) return None
+    // our own artifacts ANYWHERE below this join mean it is (or sits
+    // over) a rewritten or wide-fallback join — never reprocess.
+    // The scan must be SUBTREE-recursive: inside the extensions'
+    // fixed-point operator batch, PushDownPredicates moves the
+    // fallback marker's conjunct below the join and ColumnPruning
+    // re-projects it out of the immediate child's output, so a
+    // shallow child-output check stops seeing it after one iteration
+    // and the rule re-rewrites its own fallback every iteration
+    // (measured 202 stacked joins). The marker alias itself is
+    // non-foldable (see below), so it can never be constant-folded
+    // out of the subtree. Trade-off: a user query stacking a SECOND
+    // range join directly above a rewritten one keeps its original
+    // plan — correct, just not binned.
+    def tainted(p: LogicalPlan): Boolean =
+      p.exists(n => n.output.exists(_.name.startsWith("__graft")))
+    if (tainted(j.left) || tainted(j.right)) return None
 
     // an existing cross-side equality = Spark already equi-joins
     val hasEqui = conjuncts.exists {
@@ -203,11 +247,17 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       // branch at runtime after the (tiny) interval-side stage
       // materializes empty — PlanSpec asserts the final adaptive plan
       // carries no nested loop then.
-      val marker = Alias(Literal(true), "__graft_wide")()
-      val wideIvs = Project(ivsPlan.output :+ marker,
-        Filter(GreaterThan(spanBins, Literal(maxBins.toDouble)), ivsPlan))
+      // the fallback's ORIGINAL condition rides inside the opaque
+      // [[GraftFallbackCond]] wrapper: the pair-search above cannot
+      // decompose it, so the fallback join is structurally
+      // unrewritable — fixpoint by construction, with no reliance on
+      // prunable marker columns
+      val wideIvs = Filter(
+        GreaterThan(spanBins, Literal(maxBins.toDouble)), ivsPlan)
       val (wl, wr) = if (ptOnLeft) (ptsPlan, wideIvs) else (wideIvs, ptsPlan)
-      val wide = Project(j.output, Join(wl, wr, Inner, j.condition, j.hint))
+      val wide = Project(j.output,
+        Join(wl, wr, Inner, Some(GraftFallbackCond(j.condition.get)),
+          j.hint))
 
       Union(Seq(narrow, wide))
     }
