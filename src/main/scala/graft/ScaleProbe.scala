@@ -115,6 +115,28 @@ object ScaleProbe {
               / (1 << 20))).cast("long").cast("string"))),
         " ").as("text"))
 
+  /** Session intervals over events with per-copy user AND time-range
+    * shifts (copy = event_id stride): 10× the sessions over 10× the
+    * timeline at constant density — the honest temporal growth axis
+    * for the interval operators.
+    */
+  private def shiftedSessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .withColumn("_copy",
+        floor(col("event_id") / 1000000000L).cast("long"))
+      .withColumn("user_id",
+        col("user_id") + col("_copy") * 10000000L)
+      .withColumn("ts",
+        (unix_timestamp(col("ts")) + col("_copy") * 40000000L)
+          .cast("timestamp"))
+    graft.operators.Behavior.sessionize(ev, "user_id", "ts",
+        gapSeconds = 1800L)
+      .select(col("user_id"), col("session_no"),
+        unix_timestamp(col("session_start")).as("s"),
+        unix_timestamp(col("session_end")).as("t"))
+      .localCheckpoint(true)
+  }
+
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
@@ -274,6 +296,28 @@ object ScaleProbe {
               floor(col("event_id") / 1000000000L).cast("long")
                 * 10000000L),
           "user_id", "ts", gapSeconds = 1800L)),
+      // interval ops on the honest TEMPORAL axis: each replica's
+      // users AND time range shift (the corpus grows over time), so
+      // per-bucket session density — and with it the overlap join's
+      // candidate volume and the sweep's per-time deltas — stays
+      // constant while intervals grow 10x. Densifying a FIXED time
+      // range instead would grow overlap OUTPUT quadratically by
+      // construction (the metrics_etl fixed-host rationale).
+      "interval_overlap_scale" -> ((s: SparkSession, dir: String) => {
+        val sess = shiftedSessions(s, dir)
+        val a = sess.select(col("user_id").as("ua"),
+          col("session_no").as("sa"), col("s").as("s_a"),
+          col("t").as("t_a"))
+        val b = sess.select(col("user_id").as("ub"),
+          col("session_no").as("sb"), col("s").as("s_b"),
+          col("t").as("t_b"))
+        graft.operators.Relational.intervalOverlapJoin(a, b,
+            "s_a", "t_a", "s_b", "t_b", binWidth = 3600L)
+          .filter(col("ua") < col("ub"))
+      }),
+      "concurrency_sweep_scale" -> ((s: SparkSession, dir: String) =>
+        graft.operators.TimeSeries.concurrencySweep(
+          shiftedSessions(s, dir), "s", "t")),
       // exact global quantiles: one range-partitioned single-column
       // sort + O(partitions) driver fold — the ratio certifies the
       // sort stays balanced and nothing funnels one reducer

@@ -510,6 +510,42 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size == 40 * 8) // every (vector, subspace) coded
   }
 
+  test("frozen maintenance windows: streaming interval overlap == batch") {
+    // the overlap join's serving split: the window table is the
+    // frozen artifact; each micro-batch of incoming sessions joins it
+    // row-locally (bin fan-out + broadcast hash join), so batching
+    // cannot change the pairs
+    import graft.operators.Relational
+    implicit val sq = spark.sqlContext
+    val windows = Seq((1L, 100L, 260L), (2L, 300L, 455L),
+        (3L, 1000L, 1040L)).toDF("win_id", "ws", "we")
+      .localCheckpoint(true)
+    def overlap(df: org.apache.spark.sql.DataFrame) =
+      Relational.intervalOverlapJoin(df, windows, "s", "t", "ws", "we",
+          binWidth = 64L)
+        .select(col("sess_id"), col("win_id"))
+    val sessions = Seq((10L, 90L, 120L), (11L, 200L, 310L),
+      (12L, 500L, 600L), (13L, 1040L, 1100L), (14L, 40L, 50L))
+    val streamed = scala.collection.mutable.Set[(Long, Long)]()
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = in.toDF().toDF("sess_id", "s", "t")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        streamed ++= overlap(b).as[(Long, Long)].collect()
+        ()
+      }.start()
+    try {
+      in.addData(sessions.take(2): _*)
+      q.processAllAvailable()
+      in.addData(sessions.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = overlap(sessions.toDF("sess_id", "s", "t"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed.toSet == batch)
+    assert(batch == Set((10L, 1L), (11L, 1L), (11L, 2L), (13L, 3L)))
+  }
+
   test("frozen k-center exemplars: streaming assignment == batch") {
     // the coreset's serving path: the k exemplar VECTORS are the
     // frozen artifact (IVF-centroid-sized driver state); incoming
