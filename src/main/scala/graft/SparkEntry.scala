@@ -2502,6 +2502,15 @@ object SparkEntry {
         FROM g_nation_la GROUP BY n_regionkey""")
     }),
 
+    // RRD COUNTER / Prometheus-rate semantics over the metric
+    // stream: per-entity increase with reset detection (a decrease
+    // means the counter restarted — increase = raw value), per-second
+    // rate over the epoch gap; first samples and duplicate-timestamp
+    // rows drop. One entity-keyed exchange, both lags share one sort
+    "q_counter_rate" -> ((s, dir) =>
+      operators.TimeSeries.counterRate(Tables.events(s, dir),
+        Seq("user_id", "event_type"), "ts", "value", "event_id")),
+
     // per-user EWMA smoothing (alpha 0.25): one codegen fold per key
     // after a single exchange; bit-replayable (multiply, multiply,
     // add per step — no pow, no closed form)
@@ -5542,6 +5551,29 @@ object SparkEntry {
       """SELECT n_regionkey,
         | string_agg(n_name, ',' ORDER BY n_name) AS names
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    // the same lag/reset/ratio chain term for term; epoch gaps from
+    // second-truncated timestamps (the engine's unix_timestamp)
+    "q_counter_rate" ->
+      """WITH base AS (
+        | SELECT user_id, event_type, ts, event_id,
+        |  CAST(value AS DOUBLE) AS value,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS e
+        | FROM events
+        | WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  AND ts IS NOT NULL AND value IS NOT NULL),
+        |lagged AS (
+        | SELECT user_id, event_type, ts, value, e,
+        |  lag(value) OVER w AS pv, lag(e) OVER w AS pe
+        | FROM base
+        | WINDOW w AS (PARTITION BY user_id, event_type
+        |   ORDER BY ts ASC, event_id ASC))
+        |SELECT user_id, event_type, ts, value,
+        | round(CASE WHEN value >= pv THEN value - pv ELSE value END,
+        |   6) AS increase,
+        | round((CASE WHEN value >= pv THEN value - pv ELSE value END)
+        |   / (e - pe), 6) AS rate_per_s
+        |FROM lagged WHERE pv IS NOT NULL AND e > pe""".stripMargin,
 
     // the recursive CTE replays the exact (multiply, multiply, add)
     // step sequence — bit-identical smoothed values

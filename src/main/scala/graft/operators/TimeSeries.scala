@@ -203,6 +203,46 @@ object TimeSeries {
       .drop("__graft_iv_island")
   }
 
+  /** Cumulative-counter rate with RESET detection — RRD `COUNTER` /
+    * Prometheus `rate` semantics over the monitoring stream the
+    * reference ETL lands (rrdexport counter data sources,
+    * `extract.py` metric rows): per entity, each sample's increase
+    * over its predecessor, where a DECREASE means the counter
+    * restarted and the increase is the raw value (the
+    * counted-from-zero convention); per-second rate divides by the
+    * epoch gap. First samples (no predecessor) and zero/negative
+    * time gaps (duplicate timestamps) are dropped — a rate needs a
+    * well-ordered interval. Rates round to 6dp (engine-portable).
+    *
+    * One entity-keyed exchange; both `lag`s share a single window
+    * spec (one sort). Entity count scales with the fleet and
+    * per-entity volume is retention-bounded — the [[Behavior
+    * .sessionize]] no-Zipf-head argument.
+    */
+  def counterRate(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, tieBreakCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "counterRate needs at least one key")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
+    val epoch = unix_timestamp(col(tsCol))
+    val prevV = lag(col(valueCol), 1).over(w)
+    val prevT = lag(epoch, 1).over(w)
+    df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(keyCols.map(col) ++ Seq(col(tsCol), col(tieBreakCol),
+        col(valueCol), epoch.as("__e"), prevV.as("__pv"),
+        prevT.as("__pt")): _*)
+      .filter(col("__pv").isNotNull && col("__e") > col("__pt"))
+      .select(keyCols.map(col) ++ Seq(col(tsCol),
+        col(valueCol).as("value"),
+        round(when(col(valueCol) >= col("__pv"),
+            col(valueCol) - col("__pv")).otherwise(col(valueCol)), 6)
+          .as("increase"),
+        round((when(col(valueCol) >= col("__pv"),
+            col(valueCol) - col("__pv")).otherwise(col(valueCol))) /
+          (col("__e") - col("__pt")), 6).as("rate_per_s")): _*)
+  }
+
   /** Concurrency sweep over CLOSED integral intervals — "how many are
     * active at once" (peak concurrent sessions, connection-pool
     * sizing, overlap load curves): each interval contributes

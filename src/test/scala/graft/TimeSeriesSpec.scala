@@ -129,6 +129,31 @@ class TimeSeriesSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("counterRate: increases, reset-to-raw-value, first-sample and " +
+      "duplicate-timestamp drops; hand-checked rates") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val samples = Seq(
+      ("h1", t(0), 1L, 100.0), // first sample: dropped
+      ("h1", t(1), 2L, 160.0), // +60 over 60s -> 1.0/s
+      ("h1", t(2), 3L, 40.0),  // RESET: increase = 40, rate 40/60
+      ("h1", t(4), 4L, 100.0), // +60 over 120s -> 0.5/s
+      ("h1", t(4), 5L, 130.0), // duplicate ts: dropped (gap 0)
+      ("h2", t(0), 6L, 10.0)   // lone sample: dropped
+    ).toDF("host", "ts", "event_id", "value")
+    val got = TimeSeries.counterRate(samples, Seq("host"), "ts",
+        "value", "event_id")
+      .select($"host", $"value", $"increase", $"rate_per_s")
+      .as[(String, Double, Double, Double)].collect().toSet
+    assert(got == Set(
+      ("h1", 160.0, 60.0, 1.0),
+      ("h1", 40.0, 40.0, round6(40.0 / 60)),
+      ("h1", 100.0, 60.0, 0.5)), got.toString)
+  }
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   test("concurrencySweep: hand-checked curve; closed-interval edge " +
       "touch counts; returns to zero; partitioning-invariant") {
     // [0,10], [5,15], [10,20], [30,30]: peak 3 exactly at t=10 (the
