@@ -198,4 +198,95 @@ object StreamingDedup {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch_id")
       .parquet(out)
+
+  /** Cross-batch streaming twin of
+    * [[graft.operators.TimeSeries.counterRate]]: per-entity state is
+    * the LAST (epoch-second, value) sample — 16 bytes per entity,
+    * bounded by fleet size — so a counter's rate stream continues
+    * seamlessly across micro-batches with the exact batch semantics
+    * (reset ⇒ increase = raw value; duplicate-timestamp rows advance
+    * the state but emit nothing; rounding via the same fast-round
+    * chain, so streaming == batch bit-for-bit on in-order input).
+    *
+    * In-order contract: rows within a batch sort by (ts, tiebreak);
+    * across batches per-entity arrival must be monotone (the
+    * monitoring poller's property). A strictly-late sample (older
+    * than the state) is dropped without advancing state — a rate
+    * stream never rewrites history. No state timeout: idle entities
+    * keep their 16 bytes so a counter surviving a long gap still
+    * rates correctly on return (evict upstream if fleet churn is
+    * adversarial).
+    */
+  def rateStream(stream: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, tieBreakCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "rateStream needs at least one key")
+    val schema = stream.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val vIdx = schema.fieldIndex(valueCol)
+    val tieIdx = schema.fieldIndex(tieBreakCol)
+    schema(tsIdx).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => ()
+      case dt => throw new IllegalArgumentException(
+        s"rateStream: event-time column '$tsCol' must be a " +
+          s"timestamp, got ${dt.simpleString}")
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keyIdx.map(schema(_)) ++ Seq(schema(tsIdx),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("increase",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("rate_per_s",
+          org.apache.spark.sql.types.DoubleType)))
+    val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    val stateEnc: Encoder[(Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    def tsMs(r: Row): Long = r.get(tsIdx) match {
+      case t: java.sql.Timestamp      => t.getTime
+      case i: java.time.Instant       => i.toEpochMilli
+      case l: java.time.LocalDateTime =>
+        l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case other => throw new IllegalStateException(
+        s"unsupported event-time value ${other.getClass.getName}")
+    }
+    def num(r: Row, i: Int): Double =
+      r.get(i).asInstanceOf[Number].doubleValue()
+    stream
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupByKey((r: Row) =>
+        keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))(
+        Encoders.STRING)
+      .flatMapGroupsWithState[(Long, Double), Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row],
+            state: GroupState[(Long, Double)]) =>
+          val ordered = rows.toSeq.sortBy(r =>
+            (tsMs(r), String.valueOf(r.get(tieIdx))))
+          var last: Option[(Long, Double)] = state.getOption
+          val out = Seq.newBuilder[Row]
+          ordered.foreach { r =>
+            val e = Math.floorDiv(tsMs(r), 1000L)
+            val v = num(r, vIdx)
+            last match {
+              case Some((pe, pv)) if e > pe =>
+                val rawInc = if (v >= pv) v - pv else v
+                out += Row.fromSeq(keyIdx.map(r.get) ++ Seq(
+                  r.get(tsIdx), v,
+                  graft.functions.DecimalRound.fastRound(rawInc, 6),
+                  graft.functions.DecimalRound.fastRound(
+                    rawInc / (e - pe), 6)))
+                last = Some((e, v))
+              case Some((pe, _)) if e == pe =>
+                last = Some((e, v)) // duplicate ts: advance, emit none
+              case Some(_) => () // strictly late: drop, keep state
+              case None => last = Some((e, v))
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }(stateEnc, rowEnc)
+  }
 }

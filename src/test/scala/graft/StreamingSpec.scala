@@ -510,6 +510,58 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size == 40 * 8) // every (vector, subspace) coded
   }
 
+  test("rateStream: cross-batch counter rates == batch counterRate; " +
+      "reset and duplicate-ts semantics carry over the batch boundary") {
+    import graft.operators.TimeSeries
+    implicit val sq = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // h1: increase, then RESET across the batch boundary, then a
+    // duplicate-ts row (state advances, no emit), then a normal step
+    // whose prev is the duplicate's value — the lag-chain semantics
+    val all = Seq(
+      ("h1", t(0), 1L, 100.0), ("h1", t(1), 2L, 160.0),
+      ("h2", t(0), 3L, 50.0),
+      // batch 2
+      ("h1", t(2), 4L, 40.0), ("h1", t(3), 5L, 70.0),
+      ("h1", t(3), 6L, 90.0), ("h2", t(2), 7L, 80.0),
+      // batch 3
+      ("h1", t(5), 8L, 100.0))
+    val in = MemoryStream[(String, java.sql.Timestamp, Long, Double)]
+    val got = scala.collection.mutable.ArrayBuffer[
+      (String, Double, Double, Double)]()
+    val q = StreamingDedup.rateStream(
+        in.toDF().toDF("host", "ts", "event_id", "value"),
+        Seq("host"), "ts", "value", "event_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select($"host", $"value", $"increase", $"rate_per_s")
+          .as[(String, Double, Double, Double)].collect()
+        ()
+      }.start()
+    try {
+      in.addData(all.take(3): _*)
+      q.processAllAvailable()
+      in.addData(all.slice(3, 7): _*)
+      q.processAllAvailable()
+      in.addData(all.drop(7): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = TimeSeries.counterRate(
+        all.toDF("host", "ts", "event_id", "value"),
+        Seq("host"), "ts", "value", "event_id")
+      .select($"host", $"value", $"increase", $"rate_per_s")
+      .as[(String, Double, Double, Double)].collect()
+    assert(got.sorted == batch.toSeq.sorted,
+      s"streaming $got vs batch ${batch.toSeq}")
+    // the duplicate-ts row emitted nothing but advanced state: the
+    // t(5) step rates against value 90, not 70
+    assert(got.contains(("h1", 100.0, 10.0, round6(10.0 / 120))))
+  }
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   test("frozen maintenance windows: streaming interval overlap == batch") {
     // the overlap join's serving split: the window table is the
     // frozen artifact; each micro-batch of incoming sessions joins it
