@@ -318,6 +318,16 @@ object ScaleProbe {
       "concurrency_sweep_scale" -> ((s: SparkSession, dir: String) =>
         graft.operators.TimeSeries.concurrencySweep(
           shiftedSessions(s, dir), "s", "t")),
+      // LTTB on the users axis: entities scale with the data, each
+      // series stays retention-bounded — the per-entity fold must
+      // track the corpus linearly (no global state, no giant groups)
+      "lttb_users_scale" -> ((s: SparkSession, dir: String) =>
+        graft.operators.TimeSeries.lttb(
+          s.read.parquet(s"$dir/events.parquet")
+            .withColumn("user_id", col("user_id") +
+              floor(col("event_id") / 1000000000L).cast("long")
+                * 10000000L),
+          Seq("user_id"), "ts", "value", "event_id", buckets = 8)),
       // exact global quantiles: one range-partitioned single-column
       // sort + O(partitions) driver fold — the ratio certifies the
       // sort stays balanced and nothing funnels one reducer

@@ -2502,6 +2502,15 @@ object SparkEntry {
         FROM g_nation_la GROUP BY n_regionkey""")
     }),
 
+    // LTTB downsampling per user series (8 points): the dashboard
+    // decimation — first/last kept, per middle bucket the
+    // largest-triangle point vs the previous pick and the next
+    // bucket's average; one entity-keyed exchange, sequential fold
+    // per entity, every pick decimal/IEEE-replayable
+    "q_lttb" -> ((s, dir) =>
+      operators.TimeSeries.lttb(Tables.events(s, dir), Seq("user_id"),
+        "ts", "value", "event_id", buckets = 8)),
+
     // RRD COUNTER / Prometheus-rate semantics over the metric
     // stream: per-entity increase with reset detection (a decrease
     // means the counter restarted — increase = raw value), per-second
@@ -3080,6 +3089,74 @@ object SparkEntry {
        |SELECT CAST(1 AS BIGINT) AS rank, id AS vec_id,
        |  CAST(0.0 AS DOUBLE) AS dist FROM c1
        |UNION ALL $rows""".stripMargin
+  }
+
+  /** LTTB replay: the B−2 middle-bucket argmax stages unrolled as
+    * chained CTEs (the kcenter pattern, per key): integer-division
+    * bucket map, decimal-chain bucket averages, IEEE-double triangle
+    * areas against the PREVIOUS stage's pick, (area desc, index asc)
+    * ties. Series with ≤ B samples pass through whole.
+    */
+  private def lttbOracleSql(buckets: Int): String = {
+    val mid = buckets - 2
+    val head =
+      s"""base AS (
+         | SELECT user_id AS k,
+         |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS e,
+         |  CAST(event_id AS BIGINT) AS tb, CAST(value AS DOUBLE) AS v
+         | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |  AND value IS NOT NULL),
+         |items AS (
+         | SELECT k, e, v,
+         |  row_number() OVER (PARTITION BY k ORDER BY e, tb, v) - 1
+         |    AS i,
+         |  count(*) OVER (PARTITION BY k) AS n
+         | FROM base),
+         |big AS (SELECT * FROM items WHERE n > $buckets),
+         |mb AS (
+         | SELECT k, e, v, i, n,
+         |  ((i - 1) * $mid) // (n - 2) AS b
+         | FROM big WHERE i >= 1 AND i <= n - 2),
+         |avgs AS (
+         | SELECT k, b,
+         |  round(CAST(sum(e) AS DOUBLE) / count(*), 6) AS xb,
+         |  round(CAST(sum(CAST(round(v, 12) AS DECIMAL(38,12)))
+         |    AS DOUBLE) / count(*), 6) AS yb
+         | FROM mb GROUP BY 1, 2),
+         |lastp AS (SELECT k, e, v FROM big WHERE i = n - 1),
+         |s0 AS (SELECT k, i, e, v FROM big WHERE i = 0)""".stripMargin
+    val stages = (1 to mid).map { st =>
+      val b = st - 1
+      val next =
+        if (st == mid)
+          "SELECT k, CAST(e AS DOUBLE) AS xb, v AS yb FROM lastp"
+        else s"SELECT k, xb, yb FROM avgs WHERE b = $st"
+      s"""s$st AS (
+         | SELECT k, i, e, v FROM (
+         |  SELECT m.k, m.i, m.e, m.v,
+         |   row_number() OVER (PARTITION BY m.k ORDER BY
+         |     abs((CAST(a.e AS DOUBLE) - nx.xb) * (m.v - a.v)
+         |       - (CAST(a.e AS DOUBLE) - CAST(m.e AS DOUBLE))
+         |         * (nx.yb - a.v)) DESC, m.i ASC) AS rn
+         |  FROM mb m
+         |  JOIN s${st - 1} a ON m.k = a.k
+         |  JOIN ($next) nx ON nx.k = m.k
+         |  WHERE m.b = $b) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val bigRows = (0 until mid + 1).map {
+      case 0 => s"SELECT k, CAST(0 AS BIGINT) AS sel_rank, e, v FROM s0"
+      case st => s"SELECT k, CAST($st AS BIGINT), e, v FROM s$st"
+    }.mkString("\nUNION ALL ")
+    s"""WITH $head,
+       |$stages
+       |SELECT k AS user_id, sel_rank, e AS ts_epoch, v AS value
+       |FROM (
+       | $bigRows
+       | UNION ALL SELECT k, CAST(${buckets - 1} AS BIGINT), e, v
+       |  FROM big WHERE i = n - 1
+       | UNION ALL SELECT k, CAST(i AS BIGINT), e, v FROM items
+       |  WHERE n <= $buckets
+       |) u""".stripMargin
   }
 
   /** Phrase-merge replay stages v1..vN over a `v0(doc_id, s)` CTE —
@@ -5551,6 +5628,10 @@ object SparkEntry {
       """SELECT n_regionkey,
         | string_agg(n_name, ',' ORDER BY n_name) AS names
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    // all 6 middle-bucket argmax stages unrolled; decimal-chain
+    // averages, IEEE-double areas, lowest-index ties
+    "q_lttb" -> lttbOracleSql(8),
 
     // the same lag/reset/ratio chain term for term; epoch gaps from
     // second-truncated timestamps (the engine's unix_timestamp)

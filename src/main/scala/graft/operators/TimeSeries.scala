@@ -243,6 +243,51 @@ object TimeSeries {
           (col("__e") - col("__pt")), 6).as("rate_per_s")): _*)
   }
 
+  /** Largest-Triangle-Three-Buckets downsampling per entity — keep
+    * each series' `buckets` visually most important samples (first
+    * and last always; per middle bucket the point maximizing the
+    * triangle with the previous pick and the next bucket's average):
+    * what a dashboard renders instead of shipping a million raw
+    * points per chart. The selection is sequential, so it runs as the
+    * [[graft.functions.LttbExpression]] fold over the per-entity
+    * sorted sample array — the [[ewma]] collect/fold/explode shape:
+    * ONE entity-keyed exchange, per-entity state bounded by the
+    * entity's own retention, no global window. Series with ≤
+    * `buckets` samples pass through whole. Output: (keys, ts_epoch,
+    * value, sel_rank 0-based).
+    *
+    * Exact-replay contract: integer bucket map, decimal-chain bucket
+    * averages, IEEE-double triangle areas, lowest-index ties — every
+    * pick reproduced by the oracle's unrolled per-bucket argmax
+    * stages (see `q_lttb`'s generated SQL).
+    */
+  def lttb(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, tieBreakCol: String, buckets: Int): DataFrame = {
+    require(keyCols.nonEmpty, "lttb needs at least one key")
+    require(buckets >= 3, "lttb needs at least 3 buckets")
+    val keys = keyCols.map(col)
+    val sorted = df
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(keys :+ struct(
+        unix_timestamp(col(tsCol)).as("e"),
+        col(tieBreakCol).cast("long").as("tb"),
+        col(valueCol).cast("double").as("v")).as("__s"): _*)
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(col("__s"))).as("__items"))
+      .withColumn("__ev", transform(col("__items"),
+        it => struct(it.getField("e").as("e"), it.getField("v").as("v"))))
+    sorted
+      .select(keys :+ col("__ev") :+ posexplode(
+        graft.functions.LttbExpression.lttbSelect(col("__ev"), buckets))
+        .as(Seq("sel_rank", "__idx")): _*)
+      .select(keys ++ Seq(col("sel_rank").cast("long").as("sel_rank"),
+        element_at(col("__ev"), col("__idx") + 1).getField("e")
+          .as("ts_epoch"),
+        element_at(col("__ev"), col("__idx") + 1).getField("v")
+          .as("value")): _*)
+  }
+
   /** Concurrency sweep over CLOSED integral intervals — "how many are
     * active at once" (peak concurrent sessions, connection-pool
     * sizing, overlap load curves): each interval contributes

@@ -154,6 +154,32 @@ class TimeSeriesSpec extends SparkSpec {
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  test("lttb: hand-checked picks (spike kept, endpoints kept); " +
+      "pass-through below budget; partitioning-invariant") {
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // 10 points, buckets=4 -> middle buckets i=1..4 and i=5..8; the
+    // spike at i=2 dominates bucket 0; bucket 1 (all zeros) picks the
+    // largest |45-5i| => i=5
+    val vs = Seq(0.0, 0.0, 5.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val pts = vs.zipWithIndex.map { case (v, i) =>
+      ("k", t(i), i.toLong, v) }.toDF("key", "ts", "event_id", "value")
+    val got = TimeSeries.lttb(pts, Seq("key"), "ts", "value",
+        "event_id", buckets = 4)
+      .select($"sel_rank", $"ts_epoch", $"value")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(0L, 2L, 5L, 9L), got.toSeq)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    // n <= buckets: every point passes through
+    val small = TimeSeries.lttb(pts.limit(3), Seq("key"), "ts",
+        "value", "event_id", buckets = 4)
+    assert(small.count() == 3)
+    val rep = TimeSeries.lttb(pts.repartition(7), Seq("key"), "ts",
+        "value", "event_id", buckets = 4)
+      .select($"sel_rank", $"ts_epoch", $"value")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(rep.sameElements(got))
+  }
+
   test("concurrencySweep: hand-checked curve; closed-interval edge " +
       "touch counts; returns to zero; partitioning-invariant") {
     // [0,10], [5,15], [10,20], [30,30]: peak 3 exactly at t=10 (the
