@@ -2511,6 +2511,14 @@ object SparkEntry {
       operators.TimeSeries.lttb(Tables.events(s, dir), Seq("user_id"),
         "ts", "value", "event_id", buckets = 8)),
 
+    // M4 per-user decimation (16 buckets): min/max/first/last per
+    // equal-width time bucket — pixel-exact line rendering from two
+    // aggregates (bounds pre-agg joined back + one partial-combined
+    // group); LTTB's aggregate-only sibling
+    "q_m4" -> ((s, dir) =>
+      operators.TimeSeries.m4(Tables.events(s, dir), Seq("user_id"),
+        "ts", "value", "event_id", buckets = 16)),
+
     // RRD COUNTER / Prometheus-rate semantics over the metric
     // stream: per-entity increase with reset detection (a decrease
     // means the counter restarted — increase = raw value), per-second
@@ -5632,6 +5640,41 @@ object SparkEntry {
     // all 6 middle-bucket argmax stages unrolled; decimal-chain
     // averages, IEEE-double areas, lowest-index ties
     "q_lttb" -> lttbOracleSql(8),
+
+    // bucket arithmetic replayed in integers; first/last via
+    // (e, tb, v)-ordered row_number — the struct-min/max tie rule
+    "q_m4" ->
+      """WITH base AS (
+        | SELECT user_id, CAST(epoch(date_trunc('second', ts))
+        |   AS BIGINT) AS e, CAST(event_id AS BIGINT) AS tb,
+        |  CAST(value AS DOUBLE) AS v
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  AND value IS NOT NULL),
+        |bounds AS (
+        | SELECT user_id, min(e) AS emin, max(e) AS emax FROM base
+        | GROUP BY 1),
+        |bucketed AS (
+        | SELECT b.user_id, b.e, b.tb, b.v,
+        |  CAST(floor(CAST((b.e - o.emin) * 16 AS DOUBLE)
+        |    / (o.emax - o.emin + 1)) AS BIGINT) AS bucket
+        | FROM base b JOIN bounds o USING (user_id)),
+        |ordered AS (
+        | SELECT user_id, bucket, v,
+        |  row_number() OVER (PARTITION BY user_id, bucket
+        |    ORDER BY e ASC, tb ASC, v ASC) AS rf,
+        |  row_number() OVER (PARTITION BY user_id, bucket
+        |    ORDER BY e DESC, tb DESC, v DESC) AS rl
+        | FROM bucketed)
+        |SELECT g.user_id, g.bucket, g.n, g.v_min, g.v_max,
+        | f.v AS v_first, l.v AS v_last
+        |FROM (
+        | SELECT user_id, bucket, count(*) AS n, min(v) AS v_min,
+        |  max(v) AS v_max
+        | FROM bucketed GROUP BY 1, 2) g
+        |JOIN (SELECT user_id, bucket, v FROM ordered WHERE rf = 1) f
+        | USING (user_id, bucket)
+        |JOIN (SELECT user_id, bucket, v FROM ordered WHERE rl = 1) l
+        | USING (user_id, bucket)""".stripMargin,
 
     // the same lag/reset/ratio chain term for term; epoch gaps from
     // second-truncated timestamps (the engine's unix_timestamp)

@@ -288,6 +288,42 @@ object TimeSeries {
           .as("value")): _*)
   }
 
+  /** M4 downsampling per entity — the error-free line-chart
+    * decimation (Jugel et al. 2014): per equal-width time bucket keep
+    * min, max, first, and last value, which provably reproduces the
+    * pixel-exact rendering of the full series. The aggregate-only
+    * sibling of [[lttb]] (no sequential state — ONE entity-keyed
+    * pre-aggregate for each series' time range joined back, then one
+    * partial-combined group on (entity, bucket); first/last are
+    * struct-ordered min/max so ties are deterministic).
+    * Output: (keys, bucket, n, v_min, v_max, v_first, v_last).
+    */
+  def m4(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, tieBreakCol: String, buckets: Int): DataFrame = {
+    require(keyCols.nonEmpty, "m4 needs at least one key")
+    require(buckets >= 1, "m4 needs at least one bucket")
+    val keys = keyCols.map(col)
+    val base = df
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(keys ++ Seq(unix_timestamp(col(tsCol)).as("__e"),
+        col(tieBreakCol).cast("long").as("__tb"),
+        col(valueCol).cast("double").as("__v")): _*)
+    val bounds = base.groupBy(keys: _*)
+      .agg(min(col("__e")).as("__emin"), max(col("__e")).as("__emax"))
+    base.join(bounds, keyCols)
+      .withColumn("__b",
+        floor((col("__e") - col("__emin")) * buckets /
+          (col("__emax") - col("__emin") + 1)).cast("long"))
+      .groupBy(keys :+ col("__b").as("bucket"): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col("__v")).as("v_min"), max(col("__v")).as("v_max"),
+        min(struct(col("__e"), col("__tb"), col("__v")))
+          .getField("__v").as("v_first"),
+        max(struct(col("__e"), col("__tb"), col("__v")))
+          .getField("__v").as("v_last"))
+  }
+
   /** Concurrency sweep over CLOSED integral intervals — "how many are
     * active at once" (peak concurrent sessions, connection-pool
     * sizing, overlap load curves): each interval contributes

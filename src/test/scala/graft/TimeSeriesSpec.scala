@@ -180,6 +180,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rep.sameElements(got))
   }
 
+  test("m4: hand-checked bucket aggregates; every extreme kept; " +
+      "first/last tie rule deterministic") {
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // e 0..7 over 2 buckets (span 8): bucket 0 = e 0..3, 1 = e 4..7
+    val pts = Seq(
+      ("k", t(0), 1L, 5.0), ("k", t(1), 2L, 9.0), ("k", t(2), 3L, 1.0),
+      ("k", t(3), 4L, 6.0), ("k", t(4), 5L, 2.0), ("k", t(7), 6L, 8.0))
+      .toDF("key", "ts", "event_id", "value")
+    val got = TimeSeries.m4(pts, Seq("key"), "ts", "value", "event_id",
+        buckets = 2)
+      .select($"bucket", $"n", $"v_min", $"v_max", $"v_first", $"v_last")
+      .as[(Long, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 4L, 1.0, 9.0, 5.0, 6.0),
+      (1L, 2L, 2.0, 8.0, 2.0, 8.0)), got.toSeq)
+  }
+
   test("concurrencySweep: hand-checked curve; closed-interval edge " +
       "touch counts; returns to zero; partitioning-invariant") {
     // [0,10], [5,15], [10,20], [30,30]: peak 3 exactly at t=10 (the
