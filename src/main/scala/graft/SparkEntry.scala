@@ -2502,6 +2502,16 @@ object SparkEntry {
         FROM g_nation_la GROUP BY n_regionkey""")
     }),
 
+    // perceptual-hash media near-dup: dHash over the codec feature
+    // vectors (64 gradient bits as two 32-bit halves), 4×16-bit band
+    // blocking (equi-join candidates, never all pairs), true-hamming
+    // verify at ≤8 — the plateau separating byte-edited copies from
+    // unrelated payloads on this corpus (measured 46 vs 61 at ≤20)
+    "q_media_neardup" -> ((s, dir) =>
+      Multimodal.mediaNearDup(
+        Multimodal.fromBinary(nearDupCorpus(s, dir), "doc_id", "text",
+          "text/plain"), maxHamming = 8)),
+
     // LTTB downsampling per user series (8 points): the dashboard
     // decimation — first/last kept, per middle bucket the
     // largest-triangle point vs the previous pick and the next
@@ -5640,6 +5650,51 @@ object SparkEntry {
     // all 6 middle-bucket argmax stages unrolled; decimal-chain
     // averages, IEEE-double areas, lowest-index ties
     "q_lttb" -> lttbOracleSql(8),
+
+    // the whole perceptual chain replayed: mod-65 byte-sum features
+    // (the q_media_features CTE), adjacent-comparison bits as two
+    // 32-bit sums, 16-bit band blocking, xor/bit_count hamming
+    "q_media_neardup" ->
+      s"""WITH $nearDupCorpusSql,
+         |byt AS (
+         | SELECT doc_id, CASE WHEN text = '' THEN CAST([] AS INTEGER[])
+         |   ELSE list_transform(string_split(text, ''), c -> ord(c))
+         |  END AS bytes
+         | FROM docs),
+         |f AS (
+         | SELECT doc_id, list_transform(range(0, 65), j ->
+         |   coalesce(list_sum(list_transform(
+         |     range(1, len(bytes) + 1),
+         |     i -> CASE WHEN (i - 1) % 65 = j THEN bytes[i] ELSE 0
+         |     END)), 0)) AS fv
+         | FROM byt),
+         |h AS (
+         | SELECT doc_id,
+         |  CAST(coalesce(list_sum(list_transform(range(0, 32), k ->
+         |    CASE WHEN fv[k + 1] > fv[k + 2]
+         |     THEN CAST(pow(2, k) AS BIGINT) ELSE 0 END)), 0)
+         |   AS BIGINT) AS lo,
+         |  CAST(coalesce(list_sum(list_transform(range(0, 32), k ->
+         |    CASE WHEN fv[k + 33] > fv[k + 34]
+         |     THEN CAST(pow(2, k) AS BIGINT) ELSE 0 END)), 0)
+         |   AS BIGINT) AS hi
+         | FROM f),
+         |banded AS (
+         | SELECT doc_id, lo, hi, t.bi,
+         |  CASE t.bi WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+         |   WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS bv
+         | FROM h, (SELECT unnest(range(0, 4)) AS bi) t),
+         |cand AS (
+         | SELECT DISTINCT x.doc_id AS media_a, y.doc_id AS media_b,
+         |  x.lo AS la, x.hi AS ha, y.lo AS lb, y.hi AS hb
+         | FROM banded x JOIN banded y
+         |  ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT media_a, media_b,
+         | CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb))
+         |   AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 8"""
+        .stripMargin,
 
     // bucket arithmetic replayed in integers; first/last via
     // (e, tb, v)-ordered row_number — the struct-min/max tie rule

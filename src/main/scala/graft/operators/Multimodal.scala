@@ -102,6 +102,67 @@ object Multimodal {
       }(enc)
   }
 
+  /** Difference-hash (dHash) half over a feature vector: bit k set
+    * iff `features[lo+k+1] > features[lo+k+2]` (1-based adjacent
+    * comparison), packed as Σ bit·2^k — 32 bits per half, so the sum
+    * stays far from any overflow and replays as plain integer
+    * arithmetic in any engine (a 64-bit OR-fold would need the sign
+    * bit). The perceptual-hash convention: adjacent-gradient signs
+    * are stable under small payload edits, so near-identical media
+    * land hamming-close.
+    */
+  def dHashHalf(features: Column, lo: Int): Column =
+    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, k) =>
+      acc + when(
+        element_at(features, k + lit(lo + 1)) >
+          element_at(features, k + lit(lo + 2)),
+        pow(lit(2.0), k.cast("double")).cast("long")).otherwise(0L))
+
+  /** Banded perceptual near-dup over media payloads: dHash the
+    * [[StubCodec]] feature vectors (dim 65 → 64 gradient bits as two
+    * 32-bit halves), block candidates on 4 16-bit bands (a pair must
+    * agree exactly on ≥1 band — the simhash/minhash banding trick, so
+    * candidates are an equi-join, never all pairs), verify by true
+    * hamming distance ≤ `maxHamming`. Output one row per qualifying
+    * pair: (media_a, media_b, hamming).
+    *
+    * Scale: the feature/codec pass is row-local mapPartitions; the
+    * only exchanges carry (id, 2 longs) hashes and the banded
+    * candidates. Band width 16 bits keeps hot buckets rare; a
+    * degenerate corpus (all-equal payloads) degrades to the honest
+    * quadratic of its true duplicate set, like every banding scheme.
+    */
+  def mediaNearDup(media: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be >= 0")
+    val feats = extractFeatures(media, dim = 65)
+      .select(col("media_id"),
+        col("features").cast("array<double>").as("__f"))
+      .select(col("media_id"),
+        dHashHalf(col("__f"), 0).as("__lo"),
+        dHashHalf(col("__f"), 32).as("__hi"))
+      .localCheckpoint(true) // feeds both sides of the band self-join
+    val banded = feats.select(col("media_id"), col("__lo"), col("__hi"),
+      explode(array(
+        struct(lit(0).as("bi"),
+          (col("__lo") % 65536).as("bv")),
+        struct(lit(1).as("bi"),
+          (col("__lo") / 65536).cast("long").as("bv")),
+        struct(lit(2).as("bi"),
+          (col("__hi") % 65536).as("bv")),
+        struct(lit(3).as("bi"),
+          (col("__hi") / 65536).cast("long").as("bv")))).as("__band"))
+    val a = banded.select(col("media_id").as("media_a"),
+      col("__lo").as("lo_a"), col("__hi").as("hi_a"), col("__band"))
+    val b = banded.select(col("media_id").as("media_b"),
+      col("__lo").as("lo_b"), col("__hi").as("hi_b"), col("__band"))
+    a.join(b, Seq("__band")).filter(col("media_a") < col("media_b"))
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(first((bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+        bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long"))
+        .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** "Resize" stub: truncate/pad payload to `n` bytes — stands in for
     * an image resize; pure column expressions (no codec needed for the
     * byte-level contract).

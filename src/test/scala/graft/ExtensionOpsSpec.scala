@@ -793,6 +793,42 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("mediaNearDup: identical payloads at hamming 0; byte-edited " +
+      "copy found near; unrelated payloads absent; banding == " +
+      "brute force within threshold on this corpus") {
+    val t1 = "the quick brown fox jumps over the lazy dog " * 8
+    val corpus = Seq(
+      (1L, t1), (2L, t1),                  // exact dup -> hamming 0
+      (3L, t1 + " suffix edit"),           // near-dup of 1/2
+      (4L, "completely different payload with other bytes " * 9))
+      .toDF("doc_id", "text")
+    val media = Multimodal.fromBinary(corpus, "doc_id", "text",
+      "text/plain")
+    val got = Multimodal.mediaNearDup(media, maxHamming = 8)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 0L)
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) == got((2L, 3L)))
+    assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L))
+    // banding recall: every brute-force pair within the threshold is
+    // found (4x16-bit bands over <=8 differing bits cannot miss: 8
+    // flipped bits can dirty at most 8 of... pigeonhole needs <=3
+    // dirty bands to guarantee a clean one; verify empirically here)
+    val feats = Multimodal.extractFeatures(media, dim = 65)
+      .select($"media_id", Multimodal.dHashHalf(
+          $"features".cast("array<double>"), 0).as("lo"),
+        Multimodal.dHashHalf(
+          $"features".cast("array<double>"), 32).as("hi"))
+      .as[(Long, Long, Long)].collect()
+    val brute = (for {
+      a <- feats; b <- feats if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      if h <= 8
+    } yield (a._1, b._1) -> h.toLong).toMap
+    assert(got == brute, s"$got vs $brute")
+  }
+
   test("multimodal: binary payload round-trip + stub feature extract") {
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f =>
