@@ -2502,6 +2502,28 @@ object SparkEntry {
         FROM g_nation_la GROUP BY n_regionkey""")
     }),
 
+    // frame-set dedup — the video-dedup shape: payloads explode to
+    // contiguous 32-byte frames (the codec frame-grab stub), each
+    // frame md5s, and per-media frame-hash documents run the STANDARD
+    // minhash pipeline at shingleK=1 (frame-set Jaccard) — the whole
+    // near-dup machinery reused over a non-text modality
+    "q_frame_dedup" -> ((s, dir) => {
+      val media = Multimodal.fromBinary(nearDupCorpus(s, dir),
+        "doc_id", "text", "text/plain")
+      val frameDocs = Multimodal.explodeFrames(media, stride = 32,
+          frameLen = 32)
+        .select(col("media_id"),
+          struct(col("frame_no"), md5(col("frame")).as("fh")).as("__s"))
+        .groupBy("media_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(col("__s"))),
+          x => x.getField("fh")), " ").as("frames"))
+      Dedup.minhashNearDupPairs(frameDocs, "media_id", "frames",
+          shingleK = 1, numHashes = 64, bands = 32, threshold = 0.7)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+    }),
+
     // perceptual-hash media near-dup: dHash over the codec feature
     // vectors (64 gradient bits as two 32-bit halves), 4×16-bit band
     // blocking (equi-join candidates, never all pairs), true-hamming
@@ -5650,6 +5672,35 @@ object SparkEntry {
     // all 6 middle-bucket argmax stages unrolled; decimal-chain
     // averages, IEEE-double areas, lowest-index ties
     "q_lttb" -> lttbOracleSql(8),
+
+    // exact frame-set Jaccard over md5'd 32-byte slices — the
+    // brute-force oracle for the banded pipeline (banding recall 1 on
+    // this corpus, the q_minhash_pairs convention); intersection-join
+    // completeness: any pair at jaccard >= 0.7 shares a frame
+    "q_frame_dedup" ->
+      s"""WITH $nearDupCorpusSql,
+         |o AS (SELECT doc_id, text,
+         |  octet_length(encode(text)) AS n FROM docs),
+         |fr AS (SELECT doc_id,
+         |  md5(substring(text,
+         |    CAST(1 + g * 32 AS INTEGER), 32)) AS fh
+         | FROM (SELECT doc_id, text,
+         |   unnest(range(0, CAST(floor((n - 1) / 32.0) AS BIGINT) + 1))
+         |     AS g
+         |  FROM o WHERE n > 0) t),
+         |fs AS (SELECT DISTINCT doc_id, fh FROM fr),
+         |sz AS (SELECT doc_id, count(*) AS n FROM fs GROUP BY 1),
+         |inter AS (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         | FROM fs a JOIN fs b ON a.fh = b.fh AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         | round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON sa.doc_id = id_a
+         |JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7"""
+        .stripMargin,
 
     // the whole perceptual chain replayed: mod-65 byte-sum features
     // (the q_media_features CTE), adjacent-comparison bits as two
