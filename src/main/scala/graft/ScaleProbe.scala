@@ -328,6 +328,23 @@ object ScaleProbe {
               floor(col("event_id") / 1000000000L).cast("long")
                 * 10000000L),
           Seq("user_id"), "ts", "value", "event_id", buckets = 8)),
+      // same axis for the monitoring pair: per-entity windows (rate)
+      // and the bounds-join + bucket aggregate (M4) must both stay
+      // linear as the fleet grows with the data
+      "counter_rate_users_scale" -> ((s: SparkSession, dir: String) =>
+        graft.operators.TimeSeries.counterRate(
+          s.read.parquet(s"$dir/events.parquet")
+            .withColumn("user_id", col("user_id") +
+              floor(col("event_id") / 1000000000L).cast("long")
+                * 10000000L),
+          Seq("user_id", "event_type"), "ts", "value", "event_id")),
+      "m4_users_scale" -> ((s: SparkSession, dir: String) =>
+        graft.operators.TimeSeries.m4(
+          s.read.parquet(s"$dir/events.parquet")
+            .withColumn("user_id", col("user_id") +
+              floor(col("event_id") / 1000000000L).cast("long")
+                * 10000000L),
+          Seq("user_id"), "ts", "value", "event_id", buckets = 16)),
       // exact global quantiles: one range-partitioned single-column
       // sort + O(partitions) driver fold — the ratio certifies the
       // sort stays balanced and nothing funnels one reducer
