@@ -380,6 +380,37 @@ class PropertySpec extends SparkSpec {
       s"cast fusion did not fire:\n$plan2")
   }
 
+  test("counterRate: matches a reference per-key fold on random " +
+      "streams (resets, duplicate timestamps, shuffled input)") {
+    import graft.operators.TimeSeries
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 1200).map { i =>
+      val key = s"h${rnd.nextInt(8)}"
+      val ts = new java.sql.Timestamp(rnd.nextInt(600) * 1000L)
+      (key, ts, i.toLong, (rnd.nextInt(2000) / 2.0))
+    }
+    val got = TimeSeries.counterRate(
+        scala.util.Random.shuffle(rows).toDF("k", "ts", "eid", "v"),
+        Seq("k"), "ts", "v", "eid")
+      .select($"k", $"ts", $"value", $"increase", $"rate_per_s")
+      .as[(String, java.sql.Timestamp, Double, Double, Double)]
+      .collect().toSet
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val expected = rows.groupBy(_._1).flatMap { case (k, ks) =>
+      val ordered = ks.sortBy(r => (r._2.getTime, r._3))
+      ordered.zip(ordered.drop(1)).flatMap { case (p, c) =>
+        val (pe, ce) = (p._2.getTime / 1000, c._2.getTime / 1000)
+        if (ce > pe) {
+          val inc = if (c._4 >= p._4) c._4 - p._4 else c._4
+          Some((k, c._2, c._4, r6(inc), r6(inc / (ce - pe))))
+        } else None
+      }
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("temperatureRebalance: probabilities in (0, 1], ordered " +
       "opposite to counts, smallest stratum whole (random strata)") {
     import graft.operators.Sampling
