@@ -69,14 +69,33 @@ object LttbExpression {
       while (j <= hi(b)) { s += es(j); j += 1 }
       DecimalRound.fastRound(s.toDouble / (hi(b) - lo(b) + 1), 6)
     }
+    // long unscaled-sum fast path; on overflow (|v| ≳ 9.2e6 at scale
+    // 12 — routine for byte/packet counters) fall back to an exact
+    // BigInteger accumulator, which is what the oracle's
+    // DECIMAL(38,12) sum computes — same value, no exception
     def ybar(b: Int): Double = {
-      var s = 0L; var j = lo(b)
-      while (j <= hi(b)) {
-        s = Math.addExact(s, DecimalRound.unscaledAt(vs(j), 12)); j += 1
+      val cnt = hi(b) - lo(b) + 1
+      var s = 0L; var j = lo(b); var overflowed = false
+      while (j <= hi(b) && !overflowed) {
+        try { s = Math.addExact(s, DecimalRound.unscaledAt(vs(j), 12)); j += 1 }
+        catch { case _: ArithmeticException => overflowed = true }
       }
-      DecimalRound.fastRound(
-        new java.math.BigDecimal(java.math.BigInteger.valueOf(s), 12)
-          .doubleValue() / (hi(b) - lo(b) + 1), 6)
+      val sum12 =
+        if (!overflowed) new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(s), 12)
+        else {
+          var acc = java.math.BigInteger.ZERO
+          var i2 = lo(b)
+          while (i2 <= hi(b)) {
+            acc = acc.add(java.math.BigDecimal.valueOf(
+              DecimalRound.slowRound(vs(i2), 12))
+              .setScale(12, java.math.RoundingMode.HALF_UP)
+              .unscaledValue())
+            i2 += 1
+          }
+          new java.math.BigDecimal(acc, 12)
+        }
+      DecimalRound.fastRound(sum12.doubleValue() / cnt, 6)
     }
     val out = new Array[Int](buckets)
     out(0) = 0

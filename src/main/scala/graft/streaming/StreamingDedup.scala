@@ -199,94 +199,205 @@ object StreamingDedup {
       .partitionBy("__batch_id")
       .parquet(out)
 
+  /** Order-preserving string encoding for a tiebreak value of the
+    * given type: encoded strings compare lexicographically exactly as
+    * the native values compare in the batch window's
+    * `orderBy(tieBreakCol)` — integral types via sign-flipped
+    * fixed-width hex, float/double via the IEEE total-order bit
+    * trick, timestamps via epoch micros, strings as themselves
+    * (type-prefixed so encodings never mix). Decimals ride the double
+    * path (a tiebreak needs order, not 38-digit exactness).
+    */
+  private[graft] def sortableTie(
+      dt: org.apache.spark.sql.types.DataType): Any => String = {
+    import org.apache.spark.sql.types._
+    def hex16(l: Long): String = f"${l ^ Long.MinValue}%016x"
+    def dblKey(d: Double): String = {
+      val b = java.lang.Double.doubleToLongBits(d)
+      hex16(if (b < 0) ~b else b ^ Long.MinValue) // total order incl. -0.0 < 0.0
+    }
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        v => "n" + hex16(v.asInstanceOf[Number].longValue())
+      case FloatType | DoubleType =>
+        v => "n" + dblKey(v.asInstanceOf[Number].doubleValue())
+      case _: DecimalType =>
+        v => "n" + dblKey(v.asInstanceOf[java.math.BigDecimal].doubleValue())
+      case DateType =>
+        v => "n" + hex16(v match {
+          case d: java.sql.Date       => d.toLocalDate.toEpochDay
+          case d: java.time.LocalDate => d.toEpochDay
+        })
+      case TimestampType | TimestampNTZType =>
+        v => "n" + hex16(tsMicrosOf(v))
+      case BooleanType =>
+        v => if (v.asInstanceOf[Boolean]) "n1" else "n0"
+      case StringType => v => "s" + String.valueOf(v)
+      case other => throw new IllegalArgumentException(
+        s"rateStream: unsupported tiebreak type ${other.simpleString}")
+    }
+  }
+
+  private def tsMicrosOf(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      Math.addExact(Math.multiplyExact(Math.floorDiv(t.getTime, 1000L),
+        1000000L), t.getNanos.toLong / 1000L)
+    case i: java.time.Instant =>
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        i.getNano.toLong / 1000L)
+    case l: java.time.LocalDateTime =>
+      tsMicrosOf(l.toInstant(java.time.ZoneOffset.UTC))
+    case other => throw new IllegalStateException(
+      s"unsupported event-time value ${other.getClass.getName}")
+  }
+
   /** Cross-batch streaming twin of
     * [[graft.operators.TimeSeries.counterRate]]: per-entity state is
     * the LAST (epoch-second, value) sample — 16 bytes per entity,
     * bounded by fleet size — so a counter's rate stream continues
     * seamlessly across micro-batches with the exact batch semantics
-    * (reset ⇒ increase = raw value; duplicate-timestamp rows advance
-    * the state but emit nothing; rounding via the same fast-round
-    * chain, so streaming == batch bit-for-bit on in-order input).
+    * (reset means increase = raw value; duplicate-timestamp rows
+    * advance the state but emit nothing; rounding via the same
+    * fast-round chain, so streaming == batch bit-for-bit).
     *
-    * In-order contract: rows within a batch sort by (ts, tiebreak);
-    * across batches per-entity arrival must be monotone (the
-    * monitoring poller's property). A strictly-late sample (older
-    * than the state) is dropped without advancing state — a rate
-    * stream never rewrites history. No state timeout: idle entities
-    * keep their 16 bytes so a counter surviving a long gap still
-    * rates correctly on return (evict upstream if fleet churn is
-    * adversarial).
+    * Ordering contract:
+    *  - `lateness = None` (in-order mode): rows within a batch sort by
+    *    (ts, tiebreak) with the tiebreak's NATIVE ordering; across
+    *    batches per-entity arrival must be monotone (the monitoring
+    *    poller's property). A strictly-late sample (older than the
+    *    state) is dropped without advancing state — a rate stream
+    *    never rewrites history.
+    *  - `lateness = Some(d)` (out-of-order mode): the stream is
+    *    watermarked at `d` and each entity buffers the not-yet-final
+    *    samples (those the watermark has not passed — bounded by d
+    *    times the entity's sample rate). A sample is consumed only
+    *    once no earlier sample can still arrive, so any reordering
+    *    within `d` produces the exact batch output; samples later
+    *    than `d` are dropped by the engine's watermark filter before
+    *    they reach the operator (the documented too-late semantics).
+    *    Buffered tails drain via an event-time timeout pinned to the
+    *    earliest buffered sample, so an entity flushes even when only
+    *    OTHER entities advance the watermark (feed a heartbeat past
+    *    max(ts)+d to drain a finite replay).
     */
   def rateStream(stream: DataFrame, keyCols: Seq[String], tsCol: String,
-      valueCol: String, tieBreakCol: String): DataFrame = {
+      valueCol: String, tieBreakCol: String,
+      lateness: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types._
     require(keyCols.nonEmpty, "rateStream needs at least one key")
     val schema = stream.schema
     val keyIdx = keyCols.map(schema.fieldIndex)
     val tsIdx = schema.fieldIndex(tsCol)
     val vIdx = schema.fieldIndex(valueCol)
     val tieIdx = schema.fieldIndex(tieBreakCol)
-    schema(tsIdx).dataType match {
-      case org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType => ()
+    val tsType = schema(tsIdx).dataType match {
+      case t @ (TimestampType | TimestampNTZType) => t
       case dt => throw new IllegalArgumentException(
         s"rateStream: event-time column '$tsCol' must be a " +
           s"timestamp, got ${dt.simpleString}")
     }
-    val outSchema = org.apache.spark.sql.types.StructType(
+    val tieKey = sortableTie(schema(tieIdx).dataType)
+    val outSchema = StructType(
       keyIdx.map(schema(_)) ++ Seq(schema(tsIdx),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("increase",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("rate_per_s",
-          org.apache.spark.sql.types.DoubleType)))
+        StructField("value", DoubleType),
+        StructField("increase", DoubleType),
+        StructField("rate_per_s", DoubleType)))
+    // state carries the key values so a timeout invocation (no rows)
+    // can still emit fully-keyed output
+    val stateSchema = StructType(Seq(
+      StructField("hasLast", BooleanType, nullable = false),
+      StructField("lastE", LongType, nullable = false),
+      StructField("lastV", DoubleType, nullable = false),
+      StructField("buf", ArrayType(StructType(Seq(
+        StructField("micros", LongType, nullable = false),
+        StructField("tie", StringType, nullable = false),
+        StructField("v", DoubleType, nullable = false))),
+        containsNull = false), nullable = false),
+      StructField("keys", StructType(keyIdx.map(schema(_))),
+        nullable = false)))
     val rowEnc: Encoder[Row] = Encoders.row(outSchema)
-    val stateEnc: Encoder[(Long, Double)] =
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
-    def tsMs(r: Row): Long = r.get(tsIdx) match {
-      case t: java.sql.Timestamp      => t.getTime
-      case i: java.time.Instant       => i.toEpochMilli
-      case l: java.time.LocalDateTime =>
-        l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-      case other => throw new IllegalStateException(
-        s"unsupported event-time value ${other.getClass.getName}")
+    val stateEnc: Encoder[Row] = Encoders.row(stateSchema)
+    val ntz = tsType == TimestampNTZType
+    def tsOut(micros: Long): Any = {
+      val inst = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        Math.floorMod(micros, 1000000L) * 1000L)
+      if (ntz) java.time.LocalDateTime.ofInstant(inst,
+        java.time.ZoneOffset.UTC)
+      else java.sql.Timestamp.from(inst)
     }
     def num(r: Row, i: Int): Double =
       r.get(i).asInstanceOf[Number].doubleValue()
-    stream
+    val watermarked = lateness.fold(stream)(stream.withWatermark(tsCol, _))
+    val timeoutConf =
+      if (lateness.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    watermarked
       .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
         col(tsCol).isNotNull && col(valueCol).isNotNull)
+      // length-prefixed parts: distinct key tuples can never
+      // concatenate to the same grouping key ("1"+"2x" vs "12"+"x")
       .groupByKey((r: Row) =>
-        keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))(
-        Encoders.STRING)
-      .flatMapGroupsWithState[(Long, Double), Row](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[Row],
-            state: GroupState[(Long, Double)]) =>
-          val ordered = rows.toSeq.sortBy(r =>
-            (tsMs(r), String.valueOf(r.get(tieIdx))))
-          var last: Option[(Long, Double)] = state.getOption
-          val out = Seq.newBuilder[Row]
-          ordered.foreach { r =>
-            val e = Math.floorDiv(tsMs(r), 1000L)
-            val v = num(r, vIdx)
-            last match {
-              case Some((pe, pv)) if e > pe =>
-                val rawInc = if (v >= pv) v - pv else v
-                out += Row.fromSeq(keyIdx.map(r.get) ++ Seq(
-                  r.get(tsIdx), v,
+        keyIdx.map { i =>
+          val s = String.valueOf(r.get(i)); s.length + ":" + s
+        }.mkString("|"))(Encoders.STRING)
+      .flatMapGroupsWithState[Row, Row](OutputMode.Append, timeoutConf) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          val rs = rows.toArray
+          val st = state.getOption
+          if (rs.isEmpty && st.isEmpty) Iterator.empty
+          else {
+            val keyVals: Seq[Any] =
+              if (rs.nonEmpty) keyIdx.map(rs.head.get)
+              else st.get.getStruct(4).toSeq
+            var hasLast = st.exists(_.getBoolean(0))
+            var lastE = st.fold(0L)(_.getLong(1))
+            var lastV = st.fold(0.0)(_.getDouble(2))
+            val buf: Seq[(Long, String, Double)] = st.fold(
+              Seq.empty[(Long, String, Double)])(_.getSeq[Row](3).map(b =>
+                (b.getLong(0), b.getString(1), b.getDouble(2))))
+            val incoming = rs.iterator.map(r => (
+              tsMicrosOf(r.get(tsIdx)), tieKey(r.get(tieIdx)),
+              num(r, vIdx))).toSeq
+            val all = (buf ++ incoming).sortBy(s => (s._1, s._2))
+            // a sample is final once no future batch can deliver an
+            // earlier one: the engine drops rows below the watermark,
+            // so strictly-below-watermark buffered samples are safe
+            val wmMs =
+              if (lateness.isDefined) state.getCurrentWatermarkMs()
+              else Long.MaxValue
+            val wmMicros =
+              if (wmMs >= Long.MaxValue / 1000L) Long.MaxValue
+              else wmMs * 1000L
+            val (ready, pending) = all.partition(s =>
+              lateness.isEmpty || s._1 < wmMicros)
+            val out = Seq.newBuilder[Row]
+            ready.foreach { s =>
+              val e = Math.floorDiv(s._1, 1000000L)
+              if (!hasLast) { hasLast = true; lastE = e; lastV = s._3 }
+              else if (e > lastE) {
+                val rawInc = if (s._3 >= lastV) s._3 - lastV else s._3
+                out += Row.fromSeq(keyVals ++ Seq(
+                  tsOut(s._1), s._3,
                   graft.functions.DecimalRound.fastRound(rawInc, 6),
                   graft.functions.DecimalRound.fastRound(
-                    rawInc / (e - pe), 6)))
-                last = Some((e, v))
-              case Some((pe, _)) if e == pe =>
-                last = Some((e, v)) // duplicate ts: advance, emit none
-              case Some(_) => () // strictly late: drop, keep state
-              case None => last = Some((e, v))
+                    rawInc / (e - lastE), 6)))
+                lastE = e; lastV = s._3
+              } else if (e == lastE) {
+                lastV = s._3 // duplicate ts: advance, emit none
+              } // strictly late vs state: drop, keep state
             }
+            state.update(Row(hasLast, lastE, lastV,
+              pending.map(p => Row(p._1, p._2, p._3)),
+              Row.fromSeq(keyVals)))
+            if (lateness.isDefined && pending.nonEmpty) {
+              // wake this entity once the watermark passes its oldest
+              // buffered sample, even if no more of ITS data arrives
+              val earliestMs = Math.floorDiv(pending.head._1, 1000L)
+              state.setTimeoutTimestamp(Math.max(earliestMs, wmMs + 1L))
+            }
+            out.result().iterator
           }
-          last.foreach(state.update)
-          out.result().iterator
       }(stateEnc, rowEnc)
   }
 }

@@ -562,6 +562,139 @@ class StreamingSpec extends SparkSpec {
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  test("rateStream: multi-key entities whose parts concatenate " +
+      "identically keep separate counter state") {
+    import graft.operators.TimeSeries
+    implicit val sq = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // ("1","2x") vs ("12","x"): an unseparated key concat collides
+    val all = Seq(
+      ("1", "2x", t(0), 1L, 100.0), ("12", "x", t(1), 2L, 500.0),
+      ("1", "2x", t(2), 3L, 160.0), ("12", "x", t(3), 4L, 530.0))
+    val in = MemoryStream[(String, String, java.sql.Timestamp, Long, Double)]
+    val got = scala.collection.mutable.ArrayBuffer[
+      (String, String, Double, Double)]()
+    val q = StreamingDedup.rateStream(
+        in.toDF().toDF("user_id", "event_type", "ts", "event_id", "value"),
+        Seq("user_id", "event_type"), "ts", "value", "event_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select($"user_id", $"event_type", $"value", $"increase")
+          .as[(String, String, Double, Double)].collect()
+        ()
+      }.start()
+    try {
+      in.addData(all.take(2): _*); q.processAllAvailable()
+      in.addData(all.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val batch = TimeSeries.counterRate(
+        all.toDF("user_id", "event_type", "ts", "event_id", "value"),
+        Seq("user_id", "event_type"), "ts", "value", "event_id")
+      .select($"user_id", $"event_type", $"value", $"increase")
+      .as[(String, String, Double, Double)].collect()
+    assert(got.sorted == batch.toSeq.sorted, s"streaming $got vs batch ${batch.toSeq}")
+    // the colliding concat would have rated 160 against 500 (reset →
+    // increase 160 ≠ 60); separate states rate 160 against 100
+    assert(got.contains(("1", "2x", 160.0, 60.0)))
+    assert(got.contains(("12", "x", 530.0, 30.0)))
+  }
+
+  test("rateStream: duplicate-timestamp tiebreak uses the column's " +
+      "NATIVE ordering (numeric 2 < 10, not lexicographic)") {
+    import graft.operators.TimeSeries
+    implicit val sq = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // two same-ts rows with event_ids 2 and 10: the batch window's
+    // numeric order makes id=10's value (90) the surviving state;
+    // lexicographic ("10" < "2") would keep id=2's value (70)
+    val all = Seq(
+      ("h1", t(0), 1L, 50.0),
+      ("h1", t(1), 10L, 90.0), ("h1", t(1), 2L, 70.0),
+      ("h1", t(2), 11L, 100.0))
+    val in = MemoryStream[(String, java.sql.Timestamp, Long, Double)]
+    val got = scala.collection.mutable.ArrayBuffer[
+      (String, Double, Double, Double)]()
+    val q = StreamingDedup.rateStream(
+        in.toDF().toDF("host", "ts", "event_id", "value"),
+        Seq("host"), "ts", "value", "event_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select($"host", $"value", $"increase", $"rate_per_s")
+          .as[(String, Double, Double, Double)].collect()
+        ()
+      }.start()
+    try {
+      in.addData(all.take(3): _*); q.processAllAvailable()
+      in.addData(all.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    val batch = TimeSeries.counterRate(
+        all.toDF("host", "ts", "event_id", "value"),
+        Seq("host"), "ts", "value", "event_id")
+      .select($"host", $"value", $"increase", $"rate_per_s")
+      .as[(String, Double, Double, Double)].collect()
+    assert(got.sorted == batch.toSeq.sorted, s"streaming $got vs batch ${batch.toSeq}")
+    // t(2) rates against 90 (native order), not 70 (lexicographic)
+    assert(got.contains(("h1", 100.0, 10.0, round6(10.0 / 60))))
+  }
+
+  test("rateStream with lateness: out-of-order arrival within the " +
+      "watermark == batch counterRate on a shuffled MemoryStream") {
+    import graft.operators.TimeSeries
+    implicit val sq = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // in-order ground truth (h1 has a reset at t4 and a duplicate ts;
+    // h2 interleaves) — delivered SHUFFLED across three micro-batches,
+    // every displacement within the 10-minute lateness bound
+    val all = Seq(
+      ("h1", t(0), 1L, 100.0), ("h1", t(2), 2L, 160.0),
+      ("h1", t(4), 3L, 40.0), ("h1", t(6), 4L, 70.0),
+      ("h1", t(6), 5L, 90.0), ("h1", t(8), 6L, 120.0),
+      ("h2", t(1), 7L, 50.0), ("h2", t(3), 8L, 80.0),
+      ("h2", t(5), 9L, 20.0))
+    val shuffled = Seq(
+      // batch 1: t2 before t0, h2's t3 before t1
+      all(1), all(7), all(0), all(6),
+      // batch 2: h1's duplicate-ts pair inverted, t4 after t6
+      all(4), all(3), all(2), all(8),
+      // batch 3: the tail + a heartbeat far past max(ts)+lateness so
+      // the watermark passes every real sample and the buffer drains
+      all(5), ("hb", t(40), 99L, 0.0))
+    val batches = Seq(shuffled.take(4), shuffled.slice(4, 8), shuffled.drop(8))
+    val in = MemoryStream[(String, java.sql.Timestamp, Long, Double)]
+    val got = scala.collection.mutable.ArrayBuffer[
+      (String, java.sql.Timestamp, Double, Double, Double)]()
+    val q = StreamingDedup.rateStream(
+        in.toDF().toDF("host", "ts", "event_id", "value"),
+        Seq("host"), "ts", "value", "event_id",
+        lateness = Some("10 minutes"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select($"host", $"ts", $"value", $"increase", $"rate_per_s")
+          .as[(String, java.sql.Timestamp, Double, Double, Double)].collect()
+        ()
+      }.start()
+    try {
+      batches.foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      // one extra empty-ish cycle so the heartbeat-advanced watermark
+      // is applied to the buffered tail
+      in.addData(("hb", t(41), 100L, 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    val batch = TimeSeries.counterRate(
+        all.toDF("host", "ts", "event_id", "value"),
+        Seq("host"), "ts", "value", "event_id")
+      .select($"host", $"ts", $"value", $"increase", $"rate_per_s")
+      .as[(String, java.sql.Timestamp, Double, Double, Double)].collect()
+    val gotReal = got.filter(_._1 != "hb")
+    assert(gotReal.sortBy(r => (r._1, r._2.getTime)) ==
+      batch.toSeq.sortBy(r => (r._1, r._2.getTime)),
+      s"streaming $gotReal vs batch ${batch.toSeq}")
+    // h1 emits t2, t4 (reset), the FIRST t6 row (the second advances
+    // state silently), t8; h2 emits t3, t5 (reset)
+    assert(gotReal.size == 6)
+  }
+
   test("frozen maintenance windows: streaming interval overlap == batch") {
     // the overlap join's serving split: the window table is the
     // frozen artifact; each micro-batch of incoming sessions joins it

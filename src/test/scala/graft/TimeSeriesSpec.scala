@@ -180,6 +180,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rep.sameElements(got))
   }
 
+  test("lttb: monitoring-counter magnitudes (|v| > 9.2e6 overflows " +
+      "the scale-12 unscaled long) select without error and " +
+      "translation-invariantly") {
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val base = Seq(0.0, 0.0, 5.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    def picks(offset: Double) = TimeSeries.lttb(
+        base.zipWithIndex.map { case (v, i) =>
+          ("k", t(i), i.toLong, v + offset) }
+          .toDF("key", "ts", "event_id", "value"),
+        Seq("key"), "ts", "value", "event_id", buckets = 4)
+      .select($"ts_epoch").as[Long].collect().sorted.toSeq
+    // triangle areas are translation-invariant (all v-terms are
+    // differences), so a 3.5e9 byte-counter baseline must reproduce
+    // the small-value picks — it used to throw ArithmeticException
+    // out of the bucket-average fold instead
+    assert(picks(3.5e9) == picks(0.0))
+    assert(picks(0.0) == Seq(0L, 2L, 5L, 9L))
+  }
+
   test("m4: hand-checked bucket aggregates; every extreme kept; " +
       "first/last tie rule deterministic") {
     def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
