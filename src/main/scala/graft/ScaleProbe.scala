@@ -328,6 +328,19 @@ object ScaleProbe {
               floor(col("event_id") / 1000000000L).cast("long")
                 * 10000000L),
           Seq("user_id"), "ts", "value", "event_id", buckets = 8)),
+      // the ADVERSARIAL axis: every event lands in ONE entity, so the
+      // whole corpus is a single series 10x longer at 10x. LTTB is
+      // sequential per entity, so the compute is one task and the
+      // ratio reads the HONEST linear cost of that task (annotated
+      // by-construction, the surprisal_bigram_zipf class) — what the
+      // row certifies is bounded MEMORY: the streaming pass holds two
+      // buckets (~n/(B-2) points), where the former collect_list form
+      // held the entire series as one array row and fell over here
+      "lttb_hot_entity_scale" -> ((s: SparkSession, dir: String) =>
+        graft.operators.TimeSeries.lttb(
+          s.read.parquet(s"$dir/events.parquet")
+            .withColumn("user_id", lit(0L)),
+          Seq("user_id"), "ts", "value", "event_id", buckets = 64)),
       // same axis for the monitoring pair: per-entity windows (rate)
       // and the bounds-join + bucket aggregate (M4) must both stay
       // linear as the fleet grows with the data

@@ -40,6 +40,71 @@ object LttbExpression {
   def bucketOf(i: Int, n: Int, buckets: Int): Int =
     ((i - 1).toLong * (buckets - 2) / (n - 2)).toInt
 
+  /** [[bucketOf]] for per-entity counts past Int range (the bounded
+    * streaming pass's hot-entity case). Exact while
+    * (i−1)·(B−2) fits a long — i.e. any realistic B for n ≤ 2⁶³⁄B.
+    */
+  def bucketOf(i: Long, n: Long, buckets: Int): Int =
+    ((i - 1L) * (buckets - 2) / (n - 2L)).toInt
+
+  /** Bucket anchor x̄ = round6(Σe / cnt) over `es[lo..hi]` — exact
+    * long sum, shared by the array fold and [[graft.operators
+    * .TimeSeries.lttb]]'s bounded streaming pass.
+    */
+  def xbarOf(es: Array[Long], lo: Int, hi: Int): Double = {
+    var s = 0L; var j = lo
+    while (j <= hi) { s += es(j); j += 1 }
+    DecimalRound.fastRound(s.toDouble / (hi - lo + 1), 6)
+  }
+
+  /** Bucket anchor ȳ = round6(double(Σ round12(v)) / cnt) over
+    * `vs[lo..hi]`: long unscaled-sum fast path; on overflow
+    * (|v| ≳ 9.2e6 at scale 12 — routine for byte/packet counters)
+    * fall back to an exact BigInteger accumulator, which is what the
+    * oracle's DECIMAL(38,12) sum computes — same value, no exception.
+    */
+  def ybarOf(vs: Array[Double], lo: Int, hi: Int): Double = {
+    val cnt = hi - lo + 1
+    var s = 0L; var j = lo; var overflowed = false
+    while (j <= hi && !overflowed) {
+      try { s = Math.addExact(s, DecimalRound.unscaledAt(vs(j), 12)); j += 1 }
+      catch { case _: ArithmeticException => overflowed = true }
+    }
+    val sum12 =
+      if (!overflowed) new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(s), 12)
+      else {
+        var acc = java.math.BigInteger.ZERO
+        var i2 = lo
+        while (i2 <= hi) {
+          acc = acc.add(java.math.BigDecimal.valueOf(
+            DecimalRound.slowRound(vs(i2), 12))
+            .setScale(12, java.math.RoundingMode.HALF_UP)
+            .unscaledValue())
+          i2 += 1
+        }
+        new java.math.BigDecimal(acc, 12)
+      }
+    DecimalRound.fastRound(sum12.doubleValue() / cnt, 6)
+  }
+
+  /** Index in `[lo, hi]` maximizing the triangle with the previous
+    * pick `(ax, ay)` and the next anchor `(nx, ny)` — plain IEEE
+    * double area, lowest-index ties. Shared with the streaming pass.
+    */
+  def argmaxTriangle(es: Array[Long], vs: Array[Double], lo: Int,
+      hi: Int, ax: Double, ay: Double, nx: Double, ny: Double): Int = {
+    var best = lo; var bestArea = -1.0
+    var j = lo
+    while (j <= hi) {
+      val area = Math.abs(
+        (ax - nx) * (vs(j) - ay) - (ax - es(j).toDouble) * (ny - ay))
+      if (area > bestArea) { bestArea = area; best = j }
+      j += 1
+    }
+    best
+  }
+
   def select(items: ArrayData, buckets: Int): Array[Int] = {
     val n = items.numElements()
     if (n <= buckets) return Array.tabulate(n)(identity)
@@ -64,39 +129,6 @@ object LttbExpression {
     }
     // bucket anchors: (x̄, ȳ) of the NEXT bucket via the exact-decimal
     // chain; the final middle bucket anchors on the last point
-    def xbar(b: Int): Double = {
-      var s = 0L; var j = lo(b)
-      while (j <= hi(b)) { s += es(j); j += 1 }
-      DecimalRound.fastRound(s.toDouble / (hi(b) - lo(b) + 1), 6)
-    }
-    // long unscaled-sum fast path; on overflow (|v| ≳ 9.2e6 at scale
-    // 12 — routine for byte/packet counters) fall back to an exact
-    // BigInteger accumulator, which is what the oracle's
-    // DECIMAL(38,12) sum computes — same value, no exception
-    def ybar(b: Int): Double = {
-      val cnt = hi(b) - lo(b) + 1
-      var s = 0L; var j = lo(b); var overflowed = false
-      while (j <= hi(b) && !overflowed) {
-        try { s = Math.addExact(s, DecimalRound.unscaledAt(vs(j), 12)); j += 1 }
-        catch { case _: ArithmeticException => overflowed = true }
-      }
-      val sum12 =
-        if (!overflowed) new java.math.BigDecimal(
-          java.math.BigInteger.valueOf(s), 12)
-        else {
-          var acc = java.math.BigInteger.ZERO
-          var i2 = lo(b)
-          while (i2 <= hi(b)) {
-            acc = acc.add(java.math.BigDecimal.valueOf(
-              DecimalRound.slowRound(vs(i2), 12))
-              .setScale(12, java.math.RoundingMode.HALF_UP)
-              .unscaledValue())
-            i2 += 1
-          }
-          new java.math.BigDecimal(acc, 12)
-        }
-      DecimalRound.fastRound(sum12.doubleValue() / cnt, 6)
-    }
     val out = new Array[Int](buckets)
     out(0) = 0
     var prev = 0
@@ -104,16 +136,10 @@ object LttbExpression {
     while (b < mid) {
       val (nx, ny) =
         if (b == mid - 1) (es(n - 1).toDouble, vs(n - 1))
-        else (xbar(b + 1), ybar(b + 1))
-      val ax = es(prev).toDouble; val ay = vs(prev)
-      var best = lo(b); var bestArea = -1.0
-      var j = lo(b)
-      while (j <= hi(b)) {
-        val area = Math.abs(
-          (ax - nx) * (vs(j) - ay) - (ax - es(j).toDouble) * (ny - ay))
-        if (area > bestArea) { bestArea = area; best = j }
-        j += 1
-      }
+        else (xbarOf(es, lo(b + 1), hi(b + 1)),
+          ybarOf(vs, lo(b + 1), hi(b + 1)))
+      val best = argmaxTriangle(es, vs, lo(b), hi(b),
+        es(prev).toDouble, vs(prev), nx, ny)
       out(b + 1) = best
       prev = best
       b += 1

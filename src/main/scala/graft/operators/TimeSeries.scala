@@ -248,44 +248,149 @@ object TimeSeries {
     * and last always; per middle bucket the point maximizing the
     * triangle with the previous pick and the next bucket's average):
     * what a dashboard renders instead of shipping a million raw
-    * points per chart. The selection is sequential, so it runs as the
-    * [[graft.functions.LttbExpression]] fold over the per-entity
-    * sorted sample array — the [[ewma]] collect/fold/explode shape:
-    * ONE entity-keyed exchange, per-entity state bounded by the
-    * entity's own retention, no global window. Series with ≤
-    * `buckets` samples pass through whole. Output: (keys, ts_epoch,
-    * value, sel_rank 0-based).
+    * points per chart. Series with ≤ `buckets` samples pass through
+    * whole. Output: (keys, ts_epoch, value, sel_rank 0-based).
+    *
+    * BOUNDED-MEMORY execution: the selection is sequential per
+    * entity, but it never materializes a whole series — rows are
+    * co-partitioned by entity and sorted within partitions by
+    * (entity, e, tb, v), and a single streaming pass keeps only the
+    * current middle bucket plus one lookahead bucket (the next
+    * bucket's average is the triangle anchor), i.e. O(n/(B−2)) live
+    * points per entity instead of the collect_list O(n) row. One
+    * count aggregate + one co-partitioned join + one exchange; a
+    * single hot entity with years of points streams through a task
+    * instead of becoming a giant array row.
     *
     * Exact-replay contract: integer bucket map, decimal-chain bucket
-    * averages, IEEE-double triangle areas, lowest-index ties — every
-    * pick reproduced by the oracle's unrolled per-bucket argmax
-    * stages (see `q_lttb`'s generated SQL).
+    * averages, IEEE-double triangle areas, lowest-index ties — the
+    * same [[graft.functions.LttbExpression]] arithmetic (shared
+    * static kernels), so every pick is reproduced by the oracle's
+    * unrolled per-bucket argmax stages (see `q_lttb`'s generated
+    * SQL) and by the array-fold form bit-for-bit.
     */
   def lttb(df: DataFrame, keyCols: Seq[String], tsCol: String,
       valueCol: String, tieBreakCol: String, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     require(keyCols.nonEmpty, "lttb needs at least one key")
     require(buckets >= 3, "lttb needs at least 3 buckets")
     val keys = keyCols.map(col)
-    val sorted = df
+    val base = df
       .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
         col(tsCol).isNotNull && col(valueCol).isNotNull)
-      .select(keys :+ struct(
-        unix_timestamp(col(tsCol)).as("e"),
-        col(tieBreakCol).cast("long").as("tb"),
-        col(valueCol).cast("double").as("v")).as("__s"): _*)
-      .groupBy(keys: _*)
-      .agg(array_sort(collect_list(col("__s"))).as("__items"))
-      .withColumn("__ev", transform(col("__items"),
-        it => struct(it.getField("e").as("e"), it.getField("v").as("v"))))
-    sorted
-      .select(keys :+ col("__ev") :+ posexplode(
-        graft.functions.LttbExpression.lttbSelect(col("__ev"), buckets))
-        .as(Seq("sel_rank", "__idx")): _*)
-      .select(keys ++ Seq(col("sel_rank").cast("long").as("sel_rank"),
-        element_at(col("__ev"), col("__idx") + 1).getField("e")
-          .as("ts_epoch"),
-        element_at(col("__ev"), col("__idx") + 1).getField("v")
-          .as("value")): _*)
+      .select(keys ++ Seq(
+        unix_timestamp(col(tsCol)).as("__e"),
+        col(tieBreakCol).cast("long").as("__tb"),
+        col(valueCol).cast("double").as("__v")): _*)
+    val counts = base.groupBy(keys: _*)
+      .agg(count(lit(1)).as("__n"))
+    val k = keyCols.size
+    val joined = base.join(counts, keyCols)
+      .repartition(keys: _*)
+      .sortWithinPartitions(keys ++ Seq(col("__e"), col("__tb"),
+        col("__v")): _*)
+    val inSchema = joined.schema
+    val eIdx = inSchema.fieldIndex("__e")
+    val vIdx = inSchema.fieldIndex("__v")
+    val nIdx = inSchema.fieldIndex("__n")
+    val outSchema = StructType(
+      (0 until k).map(inSchema(_)) ++ Seq(
+        StructField("sel_rank", LongType, nullable = false),
+        StructField("ts_epoch", LongType, nullable = false),
+        StructField("value", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    joined.mapPartitions { it =>
+      new Iterator[Row] {
+        private val L = graft.functions.LttbExpression
+        private var pendingOut: List[Row] = Nil
+        // per-entity streaming state
+        private var keyVals: Seq[Any] = null
+        private var n = 0L
+        private var i = 0L           // 0-based index within the entity
+        private var prevE = 0L; private var prevV = 0.0 // previous PICK
+        private var curB = 0         // bucket being buffered
+        private var rank = 1L        // next middle sel_rank to emit
+        // lookahead buffers: `held` = completed bucket awaiting its
+        // anchor; `cur` = bucket currently filling
+        private var heldE: Array[Long] = null; private var heldV: Array[Double] = null
+        private var heldLen = 0
+        private var curE = new Array[Long](16); private var curV = new Array[Double](16)
+        private var curLen = 0
+        private def out(rk: Long, e: Long, v: Double): Row =
+          Row.fromSeq(keyVals ++ Seq[Any](rk, e, v))
+        private def selectHeld(nx: Double, ny: Double): Unit = {
+          if (heldLen > 0) {
+            val j = L.argmaxTriangle(heldE, heldV, 0, heldLen - 1,
+              prevE.toDouble, prevV, nx, ny)
+            prevE = heldE(j); prevV = heldV(j)
+            pendingOut ::= out(rank, heldE(j), heldV(j))
+            rank += 1
+          }
+        }
+        private def rotate(): Unit = {
+          // cur is complete: anchor = cur's average; select held
+          selectHeld(L.xbarOf(curE, 0, curLen - 1),
+            L.ybarOf(curV, 0, curLen - 1))
+          heldE = curE; heldV = curV; heldLen = curLen
+          curE = new Array[Long](math.max(16, heldLen))
+          curV = new Array[Double](math.max(16, heldLen))
+          curLen = 0
+        }
+        private def push(e: Long, v: Double): Unit = {
+          if (curLen == curE.length) {
+            curE = java.util.Arrays.copyOf(curE, curLen * 2)
+            curV = java.util.Arrays.copyOf(curV, curLen * 2)
+          }
+          curE(curLen) = e; curV(curLen) = v; curLen += 1
+        }
+        private def finishEntity(lastE: Long, lastV: Double): Unit = {
+          if (keyVals != null && n > buckets) {
+            // the final middle bucket anchors on the LAST point; any
+            // still-held bucket selects first against cur's average
+            if (curLen > 0) rotate()
+            selectHeld(lastE.toDouble, lastV)
+            pendingOut ::= out((buckets - 1).toLong, lastE, lastV)
+          }
+          heldE = null; heldV = null; heldLen = 0; curLen = 0
+          curB = 0; rank = 1L; i = 0L
+        }
+        private var lastSeenE = 0L; private var lastSeenV = 0.0
+        private def consume(r: Row): Unit = {
+          val kv = (0 until k).map(r.get)
+          if (keyVals == null || kv != keyVals) {
+            finishEntity(lastSeenE, lastSeenV)
+            keyVals = kv; n = r.getLong(nIdx); i = 0L
+          }
+          val e = r.getLong(eIdx); val v = r.getDouble(vIdx)
+          if (n <= buckets) {
+            pendingOut ::= out(i, e, v) // pass-through: rank = index
+          } else if (i == 0L) {
+            prevE = e; prevV = v
+            pendingOut ::= out(0L, e, v)
+          } else if (i <= n - 2) {
+            val b = graft.functions.LttbExpression
+              .bucketOf(i, n, buckets)
+            if (b != curB) { rotate(); curB = b }
+            push(e, v)
+          }
+          lastSeenE = e; lastSeenV = v
+          i += 1
+        }
+        def hasNext: Boolean = {
+          while (pendingOut.isEmpty && it.hasNext) consume(it.next())
+          if (pendingOut.isEmpty && keyVals != null) {
+            finishEntity(lastSeenE, lastSeenV)
+            keyVals = null
+          }
+          pendingOut.nonEmpty
+        }
+        def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException
+          val h = pendingOut.head; pendingOut = pendingOut.tail; h
+        }
+      }
+    }(enc)
   }
 
   /** M4 downsampling per entity — the error-free line-chart

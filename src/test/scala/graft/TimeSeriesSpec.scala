@@ -199,6 +199,50 @@ class TimeSeriesSpec extends SparkSpec {
     assert(picks(0.0) == Seq(0L, 2L, 5L, 9L))
   }
 
+  test("lttb: bounded streaming pass == LttbExpression array fold " +
+      "bit-for-bit on randomized series (magnitudes, dup timestamps)") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(20260814L)
+    val rows = (0 until 40).flatMap { ent =>
+      val n = 3 + rnd.nextInt(60)
+      val scaleUp = if (ent % 3 == 0) 1e9 else 1.0 // overflow regime
+      (0 until n).map { j =>
+        // ~20% duplicate timestamps exercise the (e, tb, v) tie chain
+        val sec = if (j > 0 && rnd.nextDouble() < 0.2) j - 1 else j
+        (s"e$ent", new java.sql.Timestamp(sec * 1000L),
+          (ent * 1000 + j).toLong,
+          rnd.nextDouble() * scaleUp - scaleUp / 3)
+      }
+    }
+    val df = rows.toDF("key", "ts", "event_id", "value")
+      .repartition(13)
+    for (buckets <- Seq(3, 4, 7, 16)) {
+      val streaming = TimeSeries.lttb(df, Seq("key"), "ts", "value",
+          "event_id", buckets)
+        .select($"key", $"sel_rank", $"ts_epoch", $"value")
+        .as[(String, Long, Long, Double)].collect().sorted.toSeq
+      // the array-fold reference: the pre-round-8 collect_list shape
+      val folded = df
+        .select($"key", struct(
+          unix_timestamp($"ts").as("e"),
+          $"event_id".cast("long").as("tb"),
+          $"value".cast("double").as("v")).as("__s"))
+        .groupBy($"key")
+        .agg(array_sort(collect_list($"__s")).as("__items"))
+        .withColumn("__ev", transform($"__items",
+          it => struct(it.getField("e").as("e"),
+            it.getField("v").as("v"))))
+        .select($"key", $"__ev", posexplode(
+          graft.functions.LttbExpression.lttbSelect($"__ev", buckets))
+          .as(Seq("sel_rank", "__idx")))
+        .select($"key", $"sel_rank".cast("long"),
+          element_at($"__ev", $"__idx" + 1).getField("e"),
+          element_at($"__ev", $"__idx" + 1).getField("v"))
+        .as[(String, Long, Long, Double)].collect().sorted.toSeq
+      assert(streaming == folded, s"buckets=$buckets")
+    }
+  }
+
   test("m4: hand-checked bucket aggregates; every extreme kept; " +
       "first/last tie rule deterministic") {
     def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
