@@ -360,12 +360,19 @@ object SparkEntry {
     *
     * `hosts` is the scale axis: a real deployment grows by monitoring
     * MORE HOSTS (more, similarly-sized response documents), not by
-    * packing 10× the points into each document — response documents
-    * are bounded by the fetch window (25 h — `url...py:49`). ScaleProbe
-    * exercises both axes; the per-document axis degrades superlinearly
-    * by design of the document shape (a 10× collect_list row), which
-    * is exactly why the connector fans out per (host, service) instead
-    * of batching.
+    * packing 10× the points into each document. Documents are built
+    * per (host, service, FETCH WINDOW) — rrdexport responses cover a
+    * bounded 25 h span (`extract.py:29-31`, `url...py:49`), so a
+    * document's size is capped by the window's sample budget no
+    * matter how long the corpus runs, and the parse stage
+    * parallelizes over document count instead of funneling a giant
+    * collect_list row per host. (Output-invariant: document
+    * boundaries are internal — the melt explodes the same points.)
+    * ScaleProbe exercises the hosts axis and the replication axis;
+    * the latter packs 10× the samples into a fixed time range, which
+    * grows each window's document 10× BY CONSTRUCTION (a 10×-rate
+    * poller, not a monitoring deployment) — attribution in
+    * BASELINE.md.
     */
   def metricsEtl(s: SparkSession, dir: String, hosts: Int): DataFrame = {
     import graft.pipelines.HostMetrics
@@ -383,10 +390,12 @@ object SparkEntry {
       when(col("event_id") % 89 === 0, lit("garbage"))
         .otherwise(dd((col("event_id") * 11) % 9000)),
       dd((col("event_id") * 13) % 7000))
+    val fetchWindow = 25L * 3600L // extract.py:29-31 lookback span
     def responses(svc: String, vCol: Column): DataFrame = ev
       .select(col("host_name"),
+        floor(col("epoch") / fetchWindow).as("__w"),
         struct(col("epoch").cast("string").as("t"), vCol.as("v")).as("p"))
-      .groupBy(col("host_name"))
+      .groupBy(col("host_name"), col("__w"))
       .agg(collect_list(col("p")).as("row"))
       .select(col("host_name"), lit(svc).as("service_name"),
         to_json(struct(struct(col("row")).as("data"))).as("body"))

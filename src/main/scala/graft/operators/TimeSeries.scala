@@ -429,6 +429,46 @@ object TimeSeries {
           .getField("__v").as("v_last"))
   }
 
+  /** [[m4]] for Structured Streaming — the live dashboard decimation
+    * path (the [[consolidateStream]] convention): per entity and
+    * FIXED-WIDTH epoch-aligned time bucket (a stream cannot know an
+    * entity's final span, so the bucket is a width, not a count),
+    * keep min / max / first / last with the batch form's
+    * deterministic (e, tb, v) struct-order tie rule. Watermarked
+    * event-time `window()` aggregate: closed buckets emit exactly
+    * once in append mode when the watermark passes them, later rows
+    * never reopen an emitted bucket, and the state store holds only
+    * open buckets. Runs on a batch frame too (the watermark is a
+    * no-op there) — batch == stream spec-pinned.
+    * Output: (keys, bucket_start, n, v_min, v_max, v_first, v_last).
+    */
+  def m4Stream(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, tieBreakCol: String, bucketSeconds: Long,
+      watermarkDelay: String): DataFrame = {
+    require(keyCols.nonEmpty, "m4Stream needs at least one key")
+    require(bucketSeconds > 0, "bucket width must be positive")
+    val keys = keyCols.map(col)
+    df.withWatermark(tsCol, watermarkDelay)
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(keys ++ Seq(col(tsCol),
+        unix_timestamp(col(tsCol)).as("__e"),
+        col(tieBreakCol).cast("long").as("__tb"),
+        col(valueCol).cast("double").as("__v")): _*)
+      .groupBy(keys :+ window(col(tsCol), s"$bucketSeconds seconds")
+        .as("__graft_w"): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col("__v")).as("v_min"), max(col("__v")).as("v_max"),
+        min(struct(col("__e"), col("__tb"), col("__v")))
+          .getField("__v").as("v_first"),
+        max(struct(col("__e"), col("__tb"), col("__v")))
+          .getField("__v").as("v_last"))
+      .select(keys ++ Seq(
+        col("__graft_w.start").cast("long").as("bucket_start"),
+        col("n"), col("v_min"), col("v_max"), col("v_first"),
+        col("v_last")): _*)
+  }
+
   /** Concurrency sweep over CLOSED integral intervals — "how many are
     * active at once" (peak concurrent sessions, connection-pool
     * sizing, overlap load curves): each interval contributes

@@ -308,6 +308,48 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("m4Stream: closed buckets emit once with the batch tie rule; " +
+      "late rows drop; stream == batch frame run") {
+    import graft.operators.TimeSeries
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Point]
+    // value doubles as the unique tiebreak in this fixture
+    val agg = TimeSeries.m4Stream(input.toDF(), Seq("host"), "ts",
+      "value", "value", bucketSeconds = 600L,
+      watermarkDelay = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("m4_stream")
+      .outputMode("append").start()
+    // bucket 10:00-10:10 for h1 (extremes + first/last distinct rows)
+    input.addData(p("h1", 1, 4.0), p("h1", 3, 9.0), p("h1", 5, 1.0),
+      p("h1", 9, 6.0))
+    q.processAllAvailable()
+    assert(spark.table("m4_stream").count() == 0) // watermark not past
+    // advance event time past 10:10 + 5 min -> first bucket closes
+    input.addData(p("h1", 16, 7.0))
+    q.processAllAvailable()
+    val closed = spark.table("m4_stream")
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect()
+    assert(closed.length == 1)
+    val (host, bucket, n, vmin, vmax, vfirst, vlast) = closed.head
+    assert(host == "h1" && n == 4L && vmin == 1.0 && vmax == 9.0)
+    assert(vfirst == 4.0 && vlast == 6.0)
+    assert(bucket % 600 == 0)
+    // a row behind the watermark never reopens the emitted bucket
+    input.addData(p("h1", 2, 99.0))
+    q.processAllAvailable()
+    assert(spark.table("m4_stream").count() == 1)
+    q.stop()
+    // batch == stream: the same operator on a batch frame produces
+    // the emitted bucket row identically (watermark no-op there)
+    val batchRows = TimeSeries.m4Stream(
+        Seq(p("h1", 1, 4.0), p("h1", 3, 9.0), p("h1", 5, 1.0),
+          p("h1", 9, 6.0)).toDF(),
+        Seq("host"), "ts", "value", "value", 600L, "5 minutes")
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(batchRows == Seq(closed.head))
+  }
+
   test("foreachBatch idempotent parquet sink") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graftsink").toString
