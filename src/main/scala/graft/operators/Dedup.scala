@@ -224,23 +224,29 @@ object Dedup {
       broadcastCandidateLimit: Long = 1000000L): DataFrame = {
     // refuse parameter drift against the staged metadata columns: a
     // mismatched band scheme would silently miss every cross-epoch pair.
-    // Validate ALL distinct parameter tuples, not a sampled head row —
-    // a staged path that accumulated two epochs' schemes must also be
-    // refused, or whichever epoch the sample missed silently drops its
-    // cross-epoch pairs. The distinct scans three RLE'd constant
-    // columns — metadata cost, not a data scan.
+    // Validate ALL rows, not a sampled head — a staged path that
+    // accumulated two epochs' schemes must also be refused, or
+    // whichever epoch the sample missed silently drops its cross-epoch
+    // pairs. All-rows validation = min==max per column (single scheme)
+    // plus the probe's own tuple: one partial-aggregated pass over
+    // three RLE'd constant columns, no exchange-distinct (which round
+    // 7 measured as a whole extra shuffle job on every probe call).
     if (stagedBands.columns.contains("num_hashes")) {
-      val schemes = stagedBands.select("shingle_k", "num_hashes", "bands")
-        .distinct().collect()
-      require(schemes.length <= 1,
-        s"staged band keys mix ${schemes.length} parameter schemes " +
-          s"(${schemes.map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
-            .mkString(", ")}) — restage under one scheme")
-      schemes.foreach { r =>
-        require(r.getInt(0) == shingleK && r.getInt(1) == numHashes &&
-          r.getInt(2) == bands,
-          s"staged band keys were built with (shingleK=${r.getInt(0)}, " +
-          s"numHashes=${r.getInt(1)}, bands=${r.getInt(2)}) but the " +
+      val m = stagedBands.agg(
+        min(col("shingle_k")), max(col("shingle_k")),
+        min(col("num_hashes")), max(col("num_hashes")),
+        min(col("bands")), max(col("bands"))).collect()(0)
+      if (!m.isNullAt(0)) { // null = empty history: nothing to refuse
+        require(m.getInt(0) == m.getInt(1) && m.getInt(2) == m.getInt(3)
+            && m.getInt(4) == m.getInt(5),
+          s"staged band keys mix parameter schemes (shingleK " +
+            s"${m.getInt(0)}..${m.getInt(1)}, numHashes " +
+            s"${m.getInt(2)}..${m.getInt(3)}, bands " +
+            s"${m.getInt(4)}..${m.getInt(5)}) — restage under one scheme")
+        require(m.getInt(0) == shingleK && m.getInt(2) == numHashes &&
+          m.getInt(4) == bands,
+          s"staged band keys were built with (shingleK=${m.getInt(0)}, " +
+          s"numHashes=${m.getInt(2)}, bands=${m.getInt(4)}) but the " +
           s"probe uses ($shingleK, $numHashes, $bands)")
       }
     }
