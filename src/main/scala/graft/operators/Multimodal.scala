@@ -69,6 +69,103 @@ object Multimodal {
         .map(b => f"${b & 0xff}%02x").mkString
   }
 
+  /** The native-decoder contract [[StubCodec]] stands in for: `open()`
+    * builds ONE per-partition context (native handles, pinned
+    * buffers, thread-local scratch — the expensive part a real
+    * libjpeg/ffmpeg binding amortizes across a batch), and the
+    * context decodes row payloads until the task completes. A decoder
+    * MUST throw on corrupt input — [[extractFeaturesGuarded]] maps
+    * the throw to a quarantine row instead of failing the job.
+    */
+  trait MediaCodec extends Serializable {
+    def open(): MediaCodecContext
+  }
+  trait MediaCodecContext {
+    def decode(payload: Array[Byte], dim: Int): Array[Float]
+    def close(): Unit
+  }
+
+  /** [[StubCodec]] wrapped in the [[MediaCodec]] contract (stateless,
+    * so the "context" is trivial — a real codec's would not be).
+    */
+  object StubMediaCodec extends MediaCodec {
+    def open(): MediaCodecContext = new MediaCodecContext {
+      def decode(payload: Array[Byte], dim: Int): Array[Float] =
+        StubCodec.decode(payload, dim)
+      def close(): Unit = ()
+    }
+  }
+
+  /** [[featureSchema]] plus the quarantine columns: `status` is
+    * 'ok' | 'corrupt' | 'oversized', `err` carries the decoder's
+    * message on 'corrupt' rows.
+    */
+  val guardedFeatureSchema: StructType = StructType(
+    featureSchema.fields.toSeq :+
+      StructField("status", StringType, nullable = false) :+
+      StructField("err", StringType, nullable = true))
+
+  /** Production decode seam: [[extractFeatures]] with the three
+    * failure modes a native codec hits on real corpora handled as
+    * DATA, not job failures —
+    *
+    *  - **corrupt payload**: the decoder throws; the row lands in the
+    *    output with `status='corrupt'`, the error message, empty
+    *    features, and its checksum (so the corrupt artifact is still
+    *    content-addressable for the K6 quarantine sink). One bad
+    *    JPEG must never kill a 100 TB pass.
+    *  - **oversized payload (row-size guard)**: payloads larger than
+    *    `maxPayloadBytes` are routed to `status='oversized'` WITHOUT
+    *    entering the decoder. The scan itself cannot split a single
+    *    row — a payload past `spark.sql.files.maxPartitionBytes`
+    *    simply becomes a one-row input partition — so the memory
+    *    hazard is not the scan but the DECODER's working set
+    *    (payload × decode expansion, in native allocations the
+    *    executor's heap limits don't see). The guard bounds decoder
+    *    input explicitly; quarantined oversized rows are re-processed
+    *    out of band (dedicated high-memory queue), the K6 pattern.
+    *  - **per-partition context reuse**: `codec.open()` runs ONCE per
+    *    partition (not per row) and is closed on task completion even
+    *    when a decode throws — the amortization contract that makes
+    *    mapPartitions the right seam (spec-counted).
+    *
+    * Split the output with `status == 'ok'` vs not — the quarantine
+    * side output carries everything an operator needs to triage.
+    */
+  def extractFeaturesGuarded(media: DataFrame, dim: Int,
+      codec: MediaCodec = StubMediaCodec,
+      maxPayloadBytes: Int = 64 << 20): DataFrame = {
+    require(maxPayloadBytes > 0, "maxPayloadBytes must be positive")
+    val enc = org.apache.spark.sql.Encoders.row(guardedFeatureSchema)
+    media.select("media_id", "payload", "meta.format")
+      .mapPartitions { rows =>
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val ctx = codec.open()
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => ctx.close()))
+          rows.map { r =>
+            val id = r.getLong(0)
+            val payload = if (r.isNullAt(1)) Array.empty[Byte]
+              else r.getAs[Array[Byte]](1)
+            val fmt = if (r.isNullAt(2)) null else r.getString(2)
+            val sum = StubCodec.checksum(payload)
+            if (payload.length > maxPayloadBytes)
+              Row(id, fmt, payload.length, sum, Seq.empty[Float],
+                "oversized", null)
+            else
+              try Row(id, fmt, payload.length, sum,
+                ctx.decode(payload, dim).toSeq, "ok", null)
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  Row(id, fmt, payload.length, sum, Seq.empty[Float],
+                    "corrupt", String.valueOf(e.getMessage))
+              }
+          }
+        }
+      }(enc)
+  }
+
   /** Build a media table from any binary-able column — used by tests
     * and the harness queries to synthesize media rows from text.
     */

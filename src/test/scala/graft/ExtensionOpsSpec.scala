@@ -829,6 +829,51 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got == brute, s"$got vs $brute")
   }
 
+  test("multimodal: guarded codec seam — corrupt payload quarantines, " +
+      "oversized rows never reach the decoder, one context per " +
+      "partition closed on completion") {
+    FlakyCodec.reset()
+    val rows = Seq(
+      (1L, "plain payload one"),
+      (2L, "CORRUPT stream with a bad huffman table"),
+      (3L, "plain payload two"),
+      (4L, "x" * 300), // oversized vs the 100-byte guard
+      (5L, "CORRUPT again"),
+      (6L, "plain payload three"))
+    val media = Multimodal.fromBinary(
+      rows.toDF("doc_id", "text").repartition(3), "doc_id", "text",
+      "text/plain")
+    val got = Multimodal.extractFeaturesGuarded(media, dim = 8,
+        codec = FlakyCodec, maxPayloadBytes = 100)
+      .select($"media_id", $"status", $"err", size($"features"),
+        $"checksum")
+      .as[(Long, String, Option[String], Int, String)]
+      .collect().sortBy(_._1)
+    // nothing lost: every input row lands exactly once
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got.map(_._2).toSeq ==
+      Seq("ok", "corrupt", "ok", "oversized", "corrupt", "ok"))
+    // corrupt rows carry the decoder's message; ok rows carry features
+    assert(got.filter(_._2 == "corrupt")
+      .forall(_._3.exists(_.contains("corrupt payload"))))
+    assert(got.filter(_._2 == "ok").forall(_._4 == 8))
+    assert(got.filter(_._2 != "ok").forall(_._4 == 0))
+    // the quarantined artifact stays content-addressable (K6): the
+    // oversized row's checksum is its real md5
+    val bigMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(("x" * 300).getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(got.find(_._1 == 4L).get._5 == bigMd5)
+    // row-size guard: the decoder saw the 5 in-bound payloads only
+    assert(FlakyCodec.decoded.get() == 5)
+    // context amortization: one open per NON-EMPTY partition, not per
+    // row, and every opened context was closed on task completion
+    // (decode throws included)
+    val parts = media.rdd.getNumPartitions
+    assert(FlakyCodec.opened.get() > 0 && FlakyCodec.opened.get() <= parts)
+    assert(FlakyCodec.closed.get() == FlakyCodec.opened.get())
+  }
+
   test("multimodal: binary payload round-trip + stub feature extract") {
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f =>
@@ -1823,5 +1868,30 @@ class ExtensionOpsSpec extends SparkSpec {
         col("postings"))
       .as[(String, Long, Long, Long, Seq[Long])].collect().toSet
     assert(got == full, s"$got != $full")
+  }
+}
+
+/** Fake "native" codec for the guarded-seam spec: throws on payloads
+  * starting with CORRUPT (a decoder hitting a bad stream), and counts
+  * context opens/closes and decode calls through JVM-wide atomics
+  * (valid under local[*] — executor threads share the test JVM).
+  */
+object FlakyCodec extends graft.operators.Multimodal.MediaCodec {
+  val opened = new java.util.concurrent.atomic.AtomicInteger
+  val closed = new java.util.concurrent.atomic.AtomicInteger
+  val decoded = new java.util.concurrent.atomic.AtomicInteger
+  def reset(): Unit = { opened.set(0); closed.set(0); decoded.set(0) }
+  def open(): graft.operators.Multimodal.MediaCodecContext = {
+    opened.incrementAndGet()
+    new graft.operators.Multimodal.MediaCodecContext {
+      def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+        decoded.incrementAndGet()
+        if (new String(payload, 0, math.min(7, payload.length), "UTF-8")
+            == "CORRUPT")
+          throw new RuntimeException("corrupt payload: bad stream header")
+        graft.operators.Multimodal.StubCodec.decode(payload, dim)
+      }
+      def close(): Unit = closed.incrementAndGet()
+    }
   }
 }
