@@ -2560,6 +2560,14 @@ object SparkEntry {
       operators.TimeSeries.m4(Tables.events(s, dir), Seq("user_id"),
         "ts", "value", "event_id", buckets = 16)),
 
+    // m4Stream's batch form (the watermark is a no-op on a batch
+    // frame): fixed-width epoch-aligned daily buckets — oracling the
+    // exact aggregate the live dashboard twin emits per closed window
+    "q_m4_fixed" -> ((s, dir) =>
+      operators.TimeSeries.m4Stream(Tables.events(s, dir),
+        Seq("user_id"), "ts", "value", "event_id",
+        bucketSeconds = 86400L, watermarkDelay = "0 seconds")),
+
     // RRD COUNTER / Prometheus-rate semantics over the metric
     // stream: per-entity increase with reset detection (a decrease
     // means the counter restarted — increase = raw value), per-second
@@ -5790,6 +5798,38 @@ object SparkEntry {
         | USING (user_id, bucket)
         |JOIN (SELECT user_id, bucket, v FROM ordered WHERE rl = 1) l
         | USING (user_id, bucket)""".stripMargin,
+
+    // fixed-width twin: epoch-aligned daily buckets — floor on the
+    // second-truncated e equals the engine's micros-aligned window()
+    // because floor(floor(x)/W) == floor(x/W) for integer W
+    "q_m4_fixed" ->
+      """WITH base AS (
+        | SELECT user_id, CAST(epoch(date_trunc('second', ts))
+        |   AS BIGINT) AS e, CAST(event_id AS BIGINT) AS tb,
+        |  CAST(value AS DOUBLE) AS v
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  AND value IS NOT NULL),
+        |bucketed AS (
+        | SELECT user_id, (e // 86400) * 86400 AS bucket_start,
+        |  e, tb, v
+        | FROM base),
+        |ordered AS (
+        | SELECT user_id, bucket_start, v,
+        |  row_number() OVER (PARTITION BY user_id, bucket_start
+        |    ORDER BY e ASC, tb ASC, v ASC) AS rf,
+        |  row_number() OVER (PARTITION BY user_id, bucket_start
+        |    ORDER BY e DESC, tb DESC, v DESC) AS rl
+        | FROM bucketed)
+        |SELECT g.user_id, g.bucket_start, g.n, g.v_min, g.v_max,
+        | f.v AS v_first, l.v AS v_last
+        |FROM (
+        | SELECT user_id, bucket_start, count(*) AS n, min(v) AS v_min,
+        |  max(v) AS v_max
+        | FROM bucketed GROUP BY 1, 2) g
+        |JOIN (SELECT user_id, bucket_start, v FROM ordered
+        |  WHERE rf = 1) f USING (user_id, bucket_start)
+        |JOIN (SELECT user_id, bucket_start, v FROM ordered
+        |  WHERE rl = 1) l USING (user_id, bucket_start)""".stripMargin,
 
     // the same lag/reset/ratio chain term for term; epoch gaps from
     // second-truncated timestamps (the engine's unix_timestamp)
