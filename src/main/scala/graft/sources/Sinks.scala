@@ -58,6 +58,19 @@ object Sinks {
   def writeVersioned(df: DataFrame, base: String, runDate: String): Unit =
     df.write.mode("overwrite").parquet(s"$base/run_date=$runDate")
 
+  /** Columnar archive pair beyond parquet: ORC round-trip for
+    * Hive/Trino-estate interop (ORC ships in stock Spark; no extra
+    * dependency). Same writer contract as the parquet sinks; ORC
+    * stripes carry min/max indexes, so filters push to the scan and
+    * projection prunes columns exactly like parquet
+    * (SinksSpec-verified on the explain output).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** K4 failure path (`load_to_db.py:60-62`): attempt the primary
     * write; on failure, quarantine the payload to a dated parquet path
     * for manual replay instead of losing it.

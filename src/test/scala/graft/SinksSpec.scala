@@ -59,6 +59,36 @@ class SinksSpec extends SparkSpec {
     assert(back.count() == 2 && back.columns.length == 4)
   }
 
+  test("ORC archive pair: typed round-trip, filter pushdown and " +
+      "column pruning reach the scan") {
+    val d = tmp()
+    // exercise the types the media/metrics pipelines carry: timestamp,
+    // array, binary, nested struct
+    val typed = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        Seq(1.5f, 2.5f), "payload-a"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+        Seq(3.5f), "payload-b"))
+      .toDF("id", "ts", "vec", "s")
+      .withColumn("bin", $"s".cast("binary"))
+      .withColumn("meta", struct($"id".as("k"), $"s".as("v")))
+    Sinks.writeOrc(typed, d)
+    val back = Sinks.readOrc(spark, d)
+    // file reads relax nullability (no NOT NULL metadata in the
+    // stripe footer) — names and types are the contract
+    assert(back.schema.sql.replace(" NOT NULL", "") ==
+      typed.schema.sql.replace(" NOT NULL", ""))
+    assert(back.orderBy($"id").collect().toSeq ==
+      typed.orderBy($"id").collect().toSeq)
+    // pushdown: the id filter reaches the ORC scan; projection prunes
+    val q = back.filter($"id" === 2L).select($"s")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]"),
+      physical)
+    assert(!physical.contains("vec"), "projection should prune vec")
+    assert(q.as[String].collect().toSeq == Seq("payload-b"))
+  }
+
   test("K6 versioned snapshot + quarantine failure path") {
     val base = tmp()
     Sinks.writeVersioned(payload, base, "20240811")
