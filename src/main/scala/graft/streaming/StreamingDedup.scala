@@ -211,10 +211,14 @@ object StreamingDedup {
   private[graft] def sortableTie(
       dt: org.apache.spark.sql.types.DataType): Any => String = {
     import org.apache.spark.sql.types._
-    def hex16(l: Long): String = f"${l ^ Long.MinValue}%016x"
+    def rawHex(l: Long): String = f"$l%016x" // unsigned 16-digit hex
+    def hex16(l: Long): String = rawHex(l ^ Long.MinValue)
     def dblKey(d: Double): String = {
+      // IEEE sortable-bits map: negatives flip ALL bits, positives
+      // flip the sign bit only — then the raw unsigned hex IS the
+      // order (hex16 would flip the sign bit a second time)
       val b = java.lang.Double.doubleToLongBits(d)
-      hex16(if (b < 0) ~b else b ^ Long.MinValue) // total order incl. -0.0 < 0.0
+      rawHex(if (b < 0) ~b else b | Long.MinValue) // incl. -0.0 < 0.0
     }
     dt match {
       case ByteType | ShortType | IntegerType | LongType =>

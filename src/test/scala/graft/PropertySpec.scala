@@ -478,4 +478,40 @@ class PropertySpec extends SparkSpec {
     val vset = values.toSet
     got.foreach(r => assert(vset.contains(r._3), r.toString))
   }
+
+  test("rateStream sortableTie: encoded strings sort exactly as the " +
+      "native values across every supported tiebreak type") {
+    import org.apache.spark.sql.types._
+    import graft.streaming.StreamingDedup.sortableTie
+    val rnd = new scala.util.Random(8L)
+    def check[A](dt: DataType, vs: Seq[A])(cmp: (A, A) => Int): Unit = {
+      val enc = sortableTie(dt)
+      val native = vs.sortWith((a, b) => cmp(a, b) < 0)
+      val encoded = vs.sortBy(v => enc(v.asInstanceOf[Any]))
+      // encodings must be order-ISOMORPHIC: equal iff equal, and the
+      // two sorts agree position by position
+      assert(native.zip(encoded).forall { case (a, b) => cmp(a, b) == 0 },
+        s"$dt: $native vs $encoded")
+    }
+    val longs = Seq.fill(200)(rnd.nextLong()) ++
+      Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue)
+    check(LongType, longs)(java.lang.Long.compare)
+    check(IntegerType,
+      Seq.fill(200)(rnd.nextInt()) ++ Seq(0, -1, Int.MaxValue, Int.MinValue))(
+      java.lang.Integer.compare)
+    val doubles = Seq.fill(200)(
+        java.lang.Double.longBitsToDouble(rnd.nextLong()))
+      .filterNot(_.isNaN) ++
+      Seq(0.0, -0.0, 1.5e308, -1.5e308, 4.9e-324, -4.9e-324,
+        Double.PositiveInfinity, Double.NegativeInfinity)
+    // java.lang.Double.compare is the -0.0 < 0.0 total order Spark's
+    // orderBy uses on the non-NaN domain
+    check(DoubleType, doubles)(java.lang.Double.compare)
+    check(StringType,
+      Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(8)).mkString) ++
+        Seq("", "0", "00", "a", "A"))(
+      (a: String, b: String) => a.compareTo(b))
+    val ts = Seq.fill(100)(new java.sql.Timestamp(rnd.nextLong() % 4102444800000L))
+    check(TimestampType, ts)((a: java.sql.Timestamp, b) => a.compareTo(b))
+  }
 }
