@@ -308,6 +308,71 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("rateStream with lateness: randomized bounded-disorder property " +
+      "— arrival = ts + U(0, 0.9·lateness), random batch splits, " +
+      "streaming == batch bit-for-bit") {
+    import graft.operators.TimeSeries
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(20260814L)
+    val latenessMs = 5 * 60 * 1000L
+    val base = 1704067200000L // 2024-01-01 00:00:00 UTC
+    // 3 entities × 40 samples at a 60s cadence with duplicate
+    // timestamps (~15%) and resets (~10%)
+    val inOrder = for {
+      h <- Seq("h1", "h2", "h3")
+      i <- 0 until 40
+    } yield {
+      val ts = base + i * 60000L + (if (rnd.nextDouble() < 0.15) -60000L else 0L)
+      val v = if (rnd.nextDouble() < 0.10) rnd.nextDouble() * 50
+        else 100.0 + i * 17 + rnd.nextInt(10)
+      (h, new java.sql.Timestamp(ts), (h.hashCode.toLong << 8) + i, v)
+    }
+    // bounded-disorder arrival: sort by ts + U(0, 0.9·lateness), so no
+    // sample can ever arrive below the watermark (maxSeen − lateness)
+    val arrivals = inOrder.sortBy { case (_, ts, tb, _) =>
+      (ts.getTime + (rnd.nextDouble() * 0.9 * latenessMs).toLong, tb)
+    }
+    // random batch boundaries (4-12 rows each), then a heartbeat far
+    // past max(ts)+lateness and one extra cycle to drain the buffers
+    val batches = scala.collection.mutable.ArrayBuffer[
+      Seq[(String, java.sql.Timestamp, Long, Double)]]()
+    var rest = arrivals
+    while (rest.nonEmpty) {
+      val n = 4 + rnd.nextInt(9)
+      batches += rest.take(n); rest = rest.drop(n)
+    }
+    val hbTs = new java.sql.Timestamp(base + 100L * 60000L + latenessMs * 3)
+    val in = MemoryStream[(String, java.sql.Timestamp, Long, Double)]
+    val got = scala.collection.mutable.ArrayBuffer[
+      (String, java.sql.Timestamp, Double, Double, Double)]()
+    val q = StreamingDedup.rateStream(
+        in.toDF().toDF("host", "ts", "event_id", "value"),
+        Seq("host"), "ts", "value", "event_id",
+        lateness = Some("5 minutes"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select($"host", $"ts", $"value", $"increase", $"rate_per_s")
+          .as[(String, java.sql.Timestamp, Double, Double, Double)].collect()
+        ()
+      }.start()
+    try {
+      batches.foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+      in.addData(("hb", hbTs, 9999L, 0.0)); q.processAllAvailable()
+      in.addData(("hb", new java.sql.Timestamp(hbTs.getTime + 60000L),
+        10000L, 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    val batch = TimeSeries.counterRate(
+        inOrder.toDF("host", "ts", "event_id", "value"),
+        Seq("host"), "ts", "value", "event_id")
+      .select($"host", $"ts", $"value", $"increase", $"rate_per_s")
+      .as[(String, java.sql.Timestamp, Double, Double, Double)].collect()
+    val key = (r: (String, java.sql.Timestamp, Double, Double, Double)) =>
+      (r._1, r._2.getTime, r._3, r._4, r._5)
+    assert(got.filter(_._1 != "hb").map(key).sorted ==
+      batch.toSeq.map(key).sorted)
+    assert(batch.length > 60) // the fixture actually rates something
+  }
+
   test("m4Stream: closed buckets emit once with the batch tie rule; " +
       "late rows drop; stream == batch frame run") {
     import graft.operators.TimeSeries
