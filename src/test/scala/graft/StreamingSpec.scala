@@ -308,6 +308,52 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("rateStream state (last sample + reorder buffer) survives query " +
+      "restart via checkpoint") {
+    import graft.operators.TimeSeries
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graftrateck").toString
+    val out = java.nio.file.Files.createTempDirectory("graftrateout").toString
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val input = MemoryStream[(String, java.sql.Timestamp, Long, Double)]
+    def start() = StreamingDedup.rateStream(
+        input.toDF().toDF("host", "ts", "event_id", "value"),
+        Seq("host"), "ts", "value", "event_id",
+        lateness = Some("5 minutes"))
+      .writeStream
+      .foreachBatch(StreamingDedup.foreachBatchParquetSink(out) _)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    // t0 establishes state; t2 arrives but stays BUFFERED (watermark
+    // has not passed it when the process dies)
+    input.addData(("h1", t(0), 1L, 100.0), ("h1", t(2), 2L, 160.0))
+    q1.processAllAvailable()
+    q1.stop() // simulated process death mid-buffer
+    val q2 = start()
+    // after restart: a sample that should rate against the BUFFERED
+    // t2 (not against t0) once the watermark drains both
+    input.addData(("h1", t(4), 3L, 220.0), ("hb", t(30), 9L, 0.0))
+    q2.processAllAvailable()
+    input.addData(("hb", t(31), 10L, 0.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .filter($"host" === "h1")
+      .select($"value", $"increase", $"rate_per_s")
+      .as[(Double, Double, Double)].collect().toSet
+    // both rates exist and the t4 step rated against the buffered t2
+    // value restored from the checkpoint — 60/120s, not 120/240s
+    assert(got == Set((160.0, 60.0, 0.5), (220.0, 60.0, 0.5)), got)
+    val batch = TimeSeries.counterRate(
+        Seq(("h1", t(0), 1L, 100.0), ("h1", t(2), 2L, 160.0),
+          ("h1", t(4), 3L, 220.0)).toDF("host", "ts", "event_id", "value"),
+        Seq("host"), "ts", "value", "event_id")
+      .select($"value", $"increase", $"rate_per_s")
+      .as[(Double, Double, Double)].collect().toSet
+    assert(got == batch)
+  }
+
   test("rateStream with lateness: randomized bounded-disorder property " +
       "— arrival = ts + U(0, 0.9·lateness), random batch splits, " +
       "streaming == batch bit-for-bit") {
