@@ -2560,6 +2560,18 @@ object SparkEntry {
       operators.TimeSeries.m4(Tables.events(s, dir), Seq("user_id"),
         "ts", "value", "event_id", buckets = 16)),
 
+    // SLA rollup: 10-minute activity intervals per user, percent of a
+    // fixed 15-day window covered by their union — the percent-uptime
+    // view the reference's status dashboards serve
+    "q_availability" -> ((s, dir) => {
+      val e = unix_timestamp(col("ts"))
+      operators.TimeSeries.availability(
+        Tables.events(s, dir).filter(col("ts").isNotNull)
+          .select(col("user_id"), e.as("lo"), (e + 600L).as("hi")),
+        Seq("user_id"), "lo", "hi",
+        windowLo = 1704412800L, windowHi = 1705708799L) // Jan 5 - Jan 19
+    }),
+
     // m4Stream's batch form (the watermark is a no-op on a batch
     // frame): fixed-width epoch-aligned daily buckets — oracling the
     // exact aggregate the live dashboard twin emits per closed window
@@ -5798,6 +5810,37 @@ object SparkEntry {
         | USING (user_id, bucket)
         |JOIN (SELECT user_id, bucket, v FROM ordered WHERE rl = 1) l
         | USING (user_id, bucket)""".stripMargin,
+
+    // same islands chain as q_merge_intervals on the window-clamped
+    // intervals, then closed-length sum over merged islands / window
+    "q_availability" ->
+      """WITH iv AS (
+        | SELECT user_id,
+        |  greatest(CAST(epoch(date_trunc('second', ts)) AS BIGINT),
+        |    1704412800) AS lo,
+        |  least(CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 600,
+        |    1705708799) AS hi
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |cl AS (SELECT * FROM iv WHERE lo <= hi),
+        |m AS (
+        | SELECT user_id, lo, hi, max(hi) OVER (
+        |   PARTITION BY user_id ORDER BY lo, hi
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        | FROM cl),
+        |g AS (
+        | SELECT user_id, lo, hi, sum(
+        |   CASE WHEN pm IS NULL OR lo > pm THEN 1 ELSE 0 END) OVER (
+        |   PARTITION BY user_id ORDER BY lo, hi
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM m),
+        |mg AS (
+        | SELECT user_id, island, min(lo) AS lo, max(hi) AS hi
+        | FROM g GROUP BY 1, 2)
+        |SELECT user_id, sum(hi - lo + 1) AS covered_s,
+        | CAST(1296000 AS BIGINT) AS window_s,
+        | round(CAST(sum(hi - lo + 1) AS DOUBLE) / 1296000, 6)
+        |   AS availability
+        |FROM mg GROUP BY 1""".stripMargin,
 
     // fixed-width twin: epoch-aligned daily buckets — floor on the
     // second-truncated e equals the engine's micros-aligned window()

@@ -429,6 +429,43 @@ object TimeSeries {
           .getField("__v").as("v_last"))
   }
 
+  /** Availability / SLA rollup over CLOSED integral activity
+    * intervals — the percent-uptime readout the reference's status
+    * dashboards exist for (`url...py` feeds exactly this view):
+    * per key, the fraction of `[windowLo, windowHi]` covered by the
+    * UNION of the key's intervals. Clamp to the window, collapse
+    * overlaps via [[mergeIntervals]] (adjacent-but-disjoint islands
+    * need no merging — their closed lengths sum identically), then
+    * Σ(hi−lo+1) / window seconds, rounded to 6dp (engine-portable).
+    * Keys with no in-window interval produce no row (join a key dim
+    * with `coalesce(availability, 0)` for the zero-uptime report).
+    *
+    * Scale shape: inherits [[mergeIntervals]]'s single key-partitioned
+    * sort; the rollup is one more partial-combined aggregate on the
+    * merged (per-key, per-island) rows — per-key interval counts are
+    * retention-bounded, no global stage.
+    */
+  def availability(df: DataFrame, keyCols: Seq[String], loCol: String,
+      hiCol: String, windowLo: Long, windowHi: Long): DataFrame = {
+    require(keyCols.nonEmpty, "availability needs at least one key")
+    require(windowHi >= windowLo, "window must be non-empty")
+    val windowS = windowHi - windowLo + 1
+    val keys = keyCols.map(col)
+    val clamped = df
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(loCol).isNotNull && col(hiCol).isNotNull)
+      .select(keys ++ Seq(
+        greatest(col(loCol).cast("long"), lit(windowLo)).as("__lo"),
+        least(col(hiCol).cast("long"), lit(windowHi)).as("__hi")): _*)
+      .filter(col("__lo") <= col("__hi"))
+    mergeIntervals(clamped, keyCols, "__lo", "__hi")
+      .groupBy(keys: _*)
+      .agg(sum(col("__hi") - col("__lo") + 1L).as("covered_s"))
+      .select(keys ++ Seq(col("covered_s"),
+        lit(windowS).as("window_s"),
+        round(col("covered_s") / lit(windowS), 6).as("availability")): _*)
+  }
+
   /** [[m4]] for Structured Streaming — the live dashboard decimation
     * path (the [[consolidateStream]] convention): per entity and
     * FIXED-WIDTH epoch-aligned time bucket (a stream cannot know an

@@ -261,6 +261,25 @@ class TimeSeriesSpec extends SparkSpec {
       (1L, 2L, 2.0, 8.0, 2.0, 8.0)), got.toSeq)
   }
 
+  test("availability: overlap union, window clamping, out-of-window " +
+      "drop; hand-checked fractions") {
+    // window [100, 199] (100s). h1: [90,120]+[110,140] union-> clamp
+    // [100,140] = 41s; [180,260] clamps to [180,199] = 20s -> 61/100.
+    // h2: one exact-window interval -> 1.0. h3: fully outside -> no row
+    val iv = Seq(
+      ("h1", 90L, 120L), ("h1", 110L, 140L), ("h1", 180L, 260L),
+      ("h2", 100L, 199L),
+      ("h3", 0L, 50L), ("h3", 300L, 400L))
+      .toDF("host", "lo", "hi")
+    val got = TimeSeries.availability(iv, Seq("host"), "lo", "hi",
+        windowLo = 100L, windowHi = 199L)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map(
+      "h1" -> ((61L, 100L, 0.61)),
+      "h2" -> ((100L, 100L, 1.0))), got.toString)
+  }
+
   test("concurrencySweep: hand-checked curve; closed-interval edge " +
       "touch counts; returns to zero; partitioning-invariant") {
     // [0,10], [5,15], [10,20], [30,30]: peak 3 exactly at t=10 (the
