@@ -2074,6 +2074,13 @@ object SparkEntry {
         "event_type", "ts", "event_id")
     }),
 
+    // incident-report pair over the same state history: per user,
+    // failure episodes ('error' islands), mean repair time of CLOSED
+    // episodes, mean time between failure starts
+    "q_reliability" -> ((s, dir) =>
+      operators.Behavior.reliability(Tables.events(s, dir), "user_id",
+        "event_type", "ts", "event_id", downState = "error")),
+
     // snapshot changelog → SCD2 validity intervals: the status-stream
     // history build (consecutive equal states merge; open interval has
     // null valid_to)
@@ -5209,6 +5216,44 @@ object SparkEntry {
         | lead(valid_from) OVER (PARTITION BY user_id
         |   ORDER BY island ASC) AS valid_to
         |FROM intervals""".stripMargin,
+
+    // q_scd2's islands chain filtered to 'error' episodes, then the
+    // lag-over-starts reliability aggregates; avg of exact BIGINT
+    // second durations -> one double division, 6dp
+    "q_reliability" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, event_type AS state, ts,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0
+        |  END AS chg
+        | FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |   AND event_type IS NOT NULL
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |islands AS (
+        | SELECT user_id, state, ts,
+        |  sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM flagged),
+        |intervals AS (
+        | SELECT user_id, island, min(state) AS state,
+        |  min(ts) AS valid_from
+        | FROM islands GROUP BY 1, 2),
+        |hist AS (
+        | SELECT user_id, state,
+        |  CAST(epoch(date_trunc('second', valid_from)) AS BIGINT) AS f,
+        |  CAST(epoch(date_trunc('second', lead(valid_from) OVER (
+        |    PARTITION BY user_id ORDER BY island ASC))) AS BIGINT) AS t
+        | FROM intervals),
+        |downs AS (
+        | SELECT user_id, f, t,
+        |  lag(f) OVER (PARTITION BY user_id ORDER BY f ASC) AS pf
+        | FROM hist WHERE state = 'error')
+        |SELECT user_id, count(*) AS n_failures,
+        | round(avg(t - f), 6) AS mttr_s,
+        | round(avg(f - pf), 6) AS mtbf_s
+        |FROM downs GROUP BY 1""".stripMargin,
 
     // exact interpolated medians on both sides (quantile_cont ==
     // Spark's percentile); two stats joins, then the robust cut

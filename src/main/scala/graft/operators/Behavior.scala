@@ -175,6 +175,38 @@ object Behavior {
         lead(col("valid_from"), 1).over(w2).as("valid_to"))
   }
 
+  /** MTTR / MTBF reliability rollup over a status-snapshot stream —
+    * the incident-report pair every monitoring shop derives from the
+    * state history the reference lands: per key,
+    *  - `n_failures`: episodes of `downState` ([[scd2History]]
+    *    islands, so consecutive equal snapshots are ONE episode);
+    *  - `mttr_s`: mean seconds of the CLOSED down episodes (an
+    *    ongoing outage has no repair time yet — null when none
+    *    closed);
+    *  - `mtbf_s`: mean seconds between consecutive failure STARTS
+    *    (null with fewer than two failures).
+    * Deterministic: epoch-second durations sum exactly as longs
+    * before one double division; 6dp rounding (engine-portable).
+    * Scale: one more lag + aggregate over the |episodes|-sized
+    * interval frame, all on the [[scd2History]] key partitioning.
+    */
+  def reliability(snapshots: DataFrame, keyCol: String, stateCol: String,
+      tsCol: String, tieBreakCol: String, downState: String): DataFrame = {
+    val downs = scd2History(snapshots, keyCol, stateCol, tsCol,
+        tieBreakCol)
+      .filter(col("state") === downState)
+      .select(col(keyCol),
+        unix_timestamp(col("valid_from")).as("__from"),
+        unix_timestamp(col("valid_to")).as("__to")) // null = ongoing
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__from").asc)
+    downs
+      .withColumn("__prev_start", lag(col("__from"), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_failures"),
+        round(avg(col("__to") - col("__from")), 6).as("mttr_s"),
+        round(avg(col("__from") - col("__prev_start")), 6).as("mtbf_s"))
+  }
+
   /** Robust per-group outliers by median absolute deviation: flag rows
     * where |x − median| > cutoff · MAD. Unlike the z-score form
     * (`q_zscore_outliers`), a few extreme points cannot inflate the

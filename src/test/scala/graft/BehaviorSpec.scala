@@ -107,6 +107,35 @@ class BehaviorSpec extends SparkSpec {
     assert(got(2).isNullAt(3)) // current state: open interval
   }
 
+  test("reliability: episode merge, open-outage exclusion from MTTR, " +
+      "MTBF between failure starts; hand-checked seconds") {
+    val snaps = Seq(
+      // h1: DOWN [00:00,01:00) (two equal snapshots = ONE episode),
+      // UP, DOWN [03:00,03:30), UP, DOWN open at 05:00
+      (1L, "h1", "DOWN", ts("2024-01-01 00:00:00")),
+      (2L, "h1", "DOWN", ts("2024-01-01 00:20:00")),
+      (3L, "h1", "UP", ts("2024-01-01 01:00:00")),
+      (4L, "h1", "DOWN", ts("2024-01-01 03:00:00")),
+      (5L, "h1", "UP", ts("2024-01-01 03:30:00")),
+      (6L, "h1", "DOWN", ts("2024-01-01 05:00:00")),
+      // h2: never down -> no row
+      (7L, "h2", "UP", ts("2024-01-01 00:00:00")),
+      // h3: one open outage -> counted, but no MTTR/MTBF yet
+      (8L, "h3", "DOWN", ts("2024-01-01 02:00:00"))
+    ).toDF("event_id", "host", "status", "ts")
+    val got = Behavior.reliability(snaps, "host", "status", "ts",
+        "event_id", downState = "DOWN")
+      .collect().map(r => r.getAs[String]("host") ->
+        (r.getAs[Long]("n_failures"),
+          Option(r.getAs[java.lang.Double]("mttr_s")),
+          Option(r.getAs[java.lang.Double]("mtbf_s")))).toMap
+    // h1: 3 failures; closed durations 3600s + 1800s -> MTTR 2700;
+    // starts 00:00, 03:00, 05:00 -> gaps 10800, 7200 -> MTBF 9000
+    assert(got("h1") == ((3L, Some(2700.0), Some(9000.0))), got.toString)
+    assert(got("h3") == ((1L, None, None)))
+    assert(!got.contains("h2"))
+  }
+
   test("mad outliers: a masked extreme survives where z-score hides it") {
     // 20 tight points + 2 extremes: the extremes inflate stddev enough
     // that 3σ z-scoring misses them at small n, while the median/MAD
