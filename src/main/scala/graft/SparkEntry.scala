@@ -902,6 +902,24 @@ object SparkEntry {
       Dedup.substringDedupBySpans(substrCorpus(s, dir), "doc_id", "text",
         k = 8, repeatedSpansShared(s, dir))),
 
+    // the curation SIGNAL form (RefinedWeb/Gopher duplicate-text
+    // fraction): per doc, tokens inside merged repeated spans over
+    // total tokens — the number a quality gate thresholds on; same
+    // shared span staging, one more narrow join
+    "q_dup_text_fraction" -> ((s, dir) => {
+      val toks = substrCorpus(s, dir).select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+          .cast("long").as("n_tokens"))
+      val dup = repeatedSpansShared(s, dir)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_end") - col("span_start")).as("__dup"))
+      toks.join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("__dup"), lit(0L)).as("dup_tokens"),
+          round(coalesce(col("__dup"), lit(0L)) /
+            greatest(col("n_tokens"), lit(1L)), 6).as("dup_fraction"))
+    }),
+
     // curation v2: the round-3 text ops composed in ONE plan —
     // corpus-level line dedup (boilerplate header/footer) → domain
     // blocklist drop (%11 docs carry a blocked tracker URL) →
@@ -3704,6 +3722,25 @@ object SparkEntry {
          |$substrSpanSql
          |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
          |FROM grp GROUP BY doc_id, island""".stripMargin,
+
+    // duplicate-text fraction — the RefinedWeb/Gopher curation gate's
+    // signal: per doc, tokens inside corpus-repeated merged spans over
+    // total tokens (docs with no repeated span read 0)
+    "q_dup_text_fraction" ->
+      s"""WITH $substrCorpusSql,
+         |$substrSpanSql,
+         |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+         |  FROM grp GROUP BY doc_id, island),
+         |dupt AS (SELECT doc_id, sum(e - s) AS dup_tokens
+         |  FROM spans GROUP BY 1),
+         |tok AS (SELECT doc_id,
+         |  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |    x -> len(x) > 0)) AS BIGINT) AS n_tokens FROM corpus)
+         |SELECT t.doc_id, t.n_tokens,
+         | CAST(COALESCE(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         | round(CAST(COALESCE(d.dup_tokens, 0) AS DOUBLE)
+         |   / greatest(t.n_tokens, 1), 6) AS dup_fraction
+         |FROM tok t LEFT JOIN dupt d USING (doc_id)""".stripMargin,
 
     // applied form: zipped parallel unnests give (i, token); tokens
     // inside any merged span are dropped, the rest rejoin by ' '
