@@ -588,6 +588,30 @@ class PlanSpec extends SparkSpec {
     assert(sorts <= 1, s"window passes must share one sort:\n$plan")
   }
 
+  test("availability: the SLA rollup rides mergeIntervals' single " +
+      "key exchange — no second shuffle for the coverage aggregate") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.functions._
+    val e = unix_timestamp(col("ts"))
+    val df = graft.operators.TimeSeries.availability(
+      ev.filter(col("ts").isNotNull)
+        .select(col("user_id"), e.as("lo"), (e + 600L).as("hi")),
+      Seq("user_id"), "lo", "hi", 1704412800L, 1705708799L)
+    val plan = physical(df)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected exactly 1 exchange:\n$plan")
+  }
+
+  test("reliability: every stage shares the scd2 key partitioning — " +
+      "one entity exchange end to end") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val df = graft.operators.Behavior.reliability(ev, "user_id",
+      "event_type", "ts", "event_id", downState = "error")
+    val plan = physical(df)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected exactly 1 exchange:\n$plan")
+  }
+
   test("invertedIndex: no exchange carries text; block key salts the " +
       "posting aggregate") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
