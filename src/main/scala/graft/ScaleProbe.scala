@@ -296,6 +296,27 @@ object ScaleProbe {
               floor(col("event_id") / 1000000000L).cast("long")
                 * 10000000L),
           "user_id", "ts", gapSeconds = 1800L)),
+      // SLA tier on the users axis (round 8): per-entity islands +
+      // rollup must track the fleet linearly, same contract as the
+      // sessionize row they share plan shape with
+      "availability_scale" -> ((s: SparkSession, dir: String) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .filter(col("ts").isNotNull)
+          .withColumn("user_id", col("user_id") +
+            floor(col("event_id") / 1000000000L).cast("long") * 10000000L)
+        val e = unix_timestamp(col("ts"))
+        graft.operators.TimeSeries.availability(
+          ev.select(col("user_id"), e.as("lo"), (e + 600L).as("hi")),
+          Seq("user_id"), "lo", "hi", 1704412800L, 1705708799L)
+      }),
+      "reliability_scale" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Behavior.reliability(
+          s.read.parquet(s"$dir/events.parquet")
+            .withColumn("user_id", col("user_id") +
+              floor(col("event_id") / 1000000000L).cast("long")
+                * 10000000L),
+          "user_id", "event_type", "ts", "event_id",
+          downState = "error")),
       // interval ops on the honest TEMPORAL axis: each replica's
       // users AND time range shift (the corpus grows over time), so
       // per-bucket session density — and with it the overlap join's
