@@ -139,4 +139,38 @@ class EndToEndSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect().toSet
     assert(rows(pipeline()) == rows(shards))
   }
+
+  test("SLA dashboard end-to-end: events -> state history -> " +
+      "availability + MTTR/MTBF -> ORC archive") {
+    // the monitoring readout the reference's dashboards serve,
+    // composed from individually-oracled stages and landed in the
+    // archive format a Hive/Trino estate reads
+    import graft.operators.{Behavior, TimeSeries}
+    import graft.sources.Sinks
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sf("sf0.001"))
+    val e = unix_timestamp(col("ts"))
+    val avail = TimeSeries.availability(
+      ev.filter(col("ts").isNotNull)
+        .select(col("user_id"), e.as("lo"), (e + 600L).as("hi")),
+      Seq("user_id"), "lo", "hi", 1704412800L, 1705708799L)
+    val rel = Behavior.reliability(ev, "user_id", "event_type", "ts",
+      "event_id", downState = "error")
+    val report = avail.join(rel, Seq("user_id"), "left")
+    val out = java.nio.file.Files.createTempDirectory("graftsla").toString
+    Sinks.writeOrc(report, out)
+    val back = Sinks.readOrc(spark, out)
+    assert(back.count() == avail.count() && back.count() > 0)
+    // fractions are fractions; every user with failures has a count
+    val sane = back.filter(col("availability") < 0.0 ||
+      col("availability") > 1.0 ||
+      (col("n_failures").isNotNull && col("n_failures") <= 0)).count()
+    assert(sane == 0)
+    // determinism across the archive round-trip
+    val again = avail.join(rel, Seq("user_id"), "left")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("availability"), col("n_failures"))
+        .as[(Long, Double, Option[Long])].collect().toSet
+    assert(key(back) == key(again))
+  }
 }
