@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-plan tier: the binned range-join rewrite (inert until
     // spark.graft.rangeJoin.binWidth is set)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // and its overlap-join sibling (inert until
+    // spark.graft.overlapJoin.binWidth is set); runs after the range
+    // rule, whose __graft taint it respects
+    ext.injectOptimizerRule(_ => graft.plans.IntervalOverlapRewrite)
     // bit-identical Round fast path (on by default;
     // spark.graft.fastRound.enabled=false to disable)
     ext.injectOptimizerRule(_ => graft.plans.FastRoundRewrite)

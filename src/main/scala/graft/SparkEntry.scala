@@ -1343,6 +1343,41 @@ object SparkEntry {
             greatest(col("s_a"), col("s_b"))).as("overlap_s"))
     }),
 
+    // the OPTIMIZER-RULE arm of the overlap join: the same pairs from
+    // PLAIN non-equi join text (what a SQL user writes), binned
+    // transparently by IntervalOverlapRewrite — q_interval_overlap's
+    // oracle pins both arms to the identical result
+    "q_overlap_join_rule" -> ((s, dir) => {
+      graft.plans.IntervalOverlapRewrite.install(s)
+      val conf = graft.plans.IntervalOverlapRewrite.WidthConf
+      val prev = s.conf.getOption(conf)
+      s.conf.set(conf, "3600")
+      try {
+        val sess = operators.Behavior.sessionize(Tables.events(s, dir),
+            "user_id", "ts", gapSeconds = 1800L)
+          .select(col("user_id"), col("session_no"),
+            unix_timestamp(col("session_start")).as("s"),
+            unix_timestamp(col("session_end")).as("t"))
+          .localCheckpoint(true)
+        val a = sess.select(col("user_id").as("user_a"),
+          col("session_no").as("sess_a"), col("s").as("s_a"),
+          col("t").as("t_a"))
+        val b = sess.select(col("user_id").as("user_b"),
+          col("session_no").as("sess_b"), col("s").as("s_b"),
+          col("t").as("t_b"))
+        a.join(b, a("s_a") <= b("t_b") && b("s_b") <= a("t_a") &&
+            a("user_a") < b("user_b"))
+          .select(col("user_a"), col("sess_a"), col("user_b"),
+            col("sess_b"),
+            (least(col("t_a"), col("t_b")) -
+              greatest(col("s_a"), col("s_b"))).as("overlap_s"))
+          .localCheckpoint(eager = true) // materialize under the conf
+      } finally prev match {
+        case Some(v) => s.conf.set(conf, v)
+        case None => s.conf.unset(conf)
+      }
+    }),
+
     // concurrency sweep over the same session intervals: +1/−1
     // boundary deltas (end+1 keeps closed-interval semantics exact in
     // integers) aggregated per distinct time, running total via the
@@ -4571,6 +4606,33 @@ object SparkEntry {
     // full-precision ts order, default RANGE frame shared by both
     // engines) + the plain overlap self-join
     "q_interval_overlap" ->
+      """WITH base AS (
+        | SELECT user_id, ts,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS e
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |flagged AS (
+        | SELECT user_id, ts, e,
+        |  CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w > 1800
+        |   THEN 1 ELSE 0 END AS ns
+        | FROM base
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+        |sess AS (
+        | SELECT user_id,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC)
+        |   AS BIGINT) AS session_no, e
+        | FROM flagged),
+        |iv AS (SELECT user_id, session_no, min(e) AS s, max(e) AS t
+        | FROM sess GROUP BY 1, 2)
+        |SELECT a.user_id AS user_a, a.session_no AS sess_a,
+        | b.user_id AS user_b, b.session_no AS sess_b,
+        | least(a.t, b.t) - greatest(a.s, b.s) AS overlap_s
+        |FROM iv a JOIN iv b
+        | ON a.user_id < b.user_id AND a.s <= b.t AND b.s <= a.t"""
+        .stripMargin,
+
+    // the rule arm produces the SAME pairs from plain join text —
+    // identical oracle to q_interval_overlap
+    "q_overlap_join_rule" ->
       """WITH base AS (
         | SELECT user_id, ts,
         |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS e

@@ -515,6 +515,79 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(RangeJoinRewrite.WidthConf)
   }
 
+  test("IntervalOverlapRewrite: plain SQL overlap join rewrites to the " +
+      "canonical-bin equi-join; degenerate intervals keep exact " +
+      "semantics through the fallback") {
+    import graft.plans.IntervalOverlapRewrite
+    import spark.implicits._
+    IntervalOverlapRewrite.install(spark)
+    val a = Seq((1L, 0L, 10L), (2L, 20L, 30L), (3L, 55L, 60L))
+      .toDF("a_id", "a_s", "a_e")
+    val b = Seq((10L, 5L, 8L), (20L, 9L, 22L), (30L, 100L, 110L))
+      .toDF("b_id", "b_s", "b_e")
+    def q() = a.join(b, a("a_s") <= b("b_e") && b("b_s") <= a("a_e"))
+      .select($"a_id", $"b_id")
+    try {
+      spark.conf.unset(IntervalOverlapRewrite.WidthConf)
+      val naive = q()
+      assert(physical(naive).contains("NestedLoopJoin"), physical(naive))
+      val expected = naive.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(expected == Set((1L, 10L), (1L, 20L), (2L, 20L)))
+
+      spark.conf.set(IntervalOverlapRewrite.WidthConf, "16")
+      val rewritten = q()
+      val plan = physical(rewritten)
+      assert(plan.contains("__graft_ov_bin") &&
+        (plan.contains("HashJoin") || plan.contains("SortMergeJoin")),
+        s"expected the canonical-bin equi-join:\n$plan")
+      assert(!plan.contains("NestedLoopJoin"),
+        s"narrow case kept a nested loop:\n$plan")
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(got == expected, s"rewrite changed results: $got")
+
+      // a strict id-dedup conjunct must not be mistaken for a bound:
+      // the self-overlap query still bins on the interval columns and
+      // returns the exact naive pairs
+      val s1 = Seq((1L, 0L, 10L), (2L, 5L, 15L), (3L, 40L, 50L))
+        .toDF("id", "s", "e")
+      val s2 = s1.select($"id".as("id2"), $"s".as("s2"), $"e".as("e2"))
+      def dedup() = s1.join(s2,
+        s1("id") < s2("id2") && s1("s") <= s2("e2") && s2("s2") <= s1("e"))
+        .select($"id", $"id2")
+      val dd = dedup()
+      val ddPlan = physical(dd)
+      assert(ddPlan.contains("__graft_ov_bin"), ddPlan)
+      assert(!ddPlan.contains("NestedLoopJoin"), ddPlan)
+      assert(dd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 2L)))
+
+      // degenerate rows: a reversed interval that still satisfies the
+      // predicate within one bin, a wide sentinel, and a fully open
+      // interval — the fallback union must reproduce the naive join
+      // bit for bit (reversed-but-overlapping rows INCLUDED: rewrite
+      // of user SQL preserves semantics, unlike the operator's
+      // documented malformed-drop policy)
+      val aBad = a.unionByName(Seq(
+        (8L, 9L, 3L),                              // reversed, crosses bins
+        (9L, Long.MinValue + 1, Long.MaxValue - 1)) // fully open
+        .toDF("a_id", "a_s", "a_e"))
+      def mixed() = aBad.join(b,
+          aBad("a_s") <= b("b_e") && b("b_s") <= aBad("a_e"))
+        .select($"a_id", $"b_id")
+      spark.conf.unset(IntervalOverlapRewrite.WidthConf)
+      val naiveMixed = mixed().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set(IntervalOverlapRewrite.WidthConf, "16")
+      val m = mixed()
+      assert(physical(m).contains("Union"), physical(m))
+      val gotMixed = m.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotMixed == naiveMixed,
+        s"fallback changed results: $gotMixed vs $naiveMixed")
+    } finally spark.conf.unset(IntervalOverlapRewrite.WidthConf)
+  }
+
   test("intervalOverlapJoin: bin equi-join, no nested loop, no " +
       "post-join dedup aggregate") {
     val df = SparkEntry.queries("q_interval_overlap")(spark, dir)
