@@ -2620,6 +2620,14 @@ object SparkEntry {
       operators.TimeSeries.m4(Tables.events(s, dir), Seq("user_id"),
         "ts", "value", "event_id", buckets = 16)),
 
+    // sequential change-point detection over the metric stream:
+    // two-sided CUSUM around a frozen target with alarm-reset — each
+    // alarm marks one detected drift episode
+    "q_cusum" -> ((s, dir) =>
+      operators.TimeSeries.cusum(Tables.events(s, dir), Seq("user_id"),
+        Seq("ts", "event_id"), "value",
+        target = 50.0, slack = 5.0, threshold = 200.0)),
+
     // SLA rollup: 10-minute activity intervals per user, percent of a
     // fixed 15-day window covered by their union — the percent-uptime
     // view the reference's status dashboards serve
@@ -5985,6 +5993,33 @@ object SparkEntry {
         | round(CAST(sum(hi - lo + 1) AS DOUBLE) / 1296000, 6)
         |   AS availability
         |FROM mg GROUP BY 1""".stripMargin,
+
+    // the ewma pattern: recursive CTE replaying the per-key fold row
+    // by row; every step the same (subtract, subtract, add, max)
+    // double sequence, alarm = the PRE-reset statistics' threshold
+    // test, reset applied when deriving the next row's carry
+    "q_cusum" ->
+      """WITH RECURSIVE t AS (
+        | SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS rn
+        | FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |r AS (
+        | SELECT user_id, ts, event_id, rn, value,
+        |  greatest(0.0, (value - 50.0) - 5.0) AS sp,
+        |  greatest(0.0, (50.0 - value) - 5.0) AS sn
+        | FROM t WHERE rn = 1
+        | UNION ALL
+        | SELECT t.user_id, t.ts, t.event_id, t.rn, t.value,
+        |  greatest(0.0, (CASE WHEN r.sp > 200.0 OR r.sn > 200.0
+        |    THEN 0.0 ELSE r.sp END) + ((t.value - 50.0) - 5.0)),
+        |  greatest(0.0, (CASE WHEN r.sp > 200.0 OR r.sn > 200.0
+        |    THEN 0.0 ELSE r.sn END) + ((50.0 - t.value) - 5.0))
+        | FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+        |SELECT user_id, ts, event_id, value,
+        | sp AS cusum_pos, sn AS cusum_neg,
+        | (sp > 200.0 OR sn > 200.0) AS alarm
+        |FROM r""".stripMargin,
 
     // fixed-width twin: epoch-aligned daily buckets — floor on the
     // second-truncated e equals the engine's micros-aligned window()

@@ -167,6 +167,45 @@ object TimeSeries {
         col("__graft_ewma_z.__graft_ewma_y").as("ewma"): _*)
   }
 
+  /** Two-sided CUSUM change-point detection per key (Page 1954) — the
+    * sequential drift detector monitoring shops run on metric
+    * streams: cumulative positive/negative deviations from `target`
+    * beyond a `slack` allowance, ALARM when either side exceeds
+    * `threshold`, reset after each alarm (one alarm per change).
+    * The [[ewma]] collect/fold/explode shape: ONE entity-keyed
+    * exchange, a linear codegen'd [[graft.functions.CusumFold]] pass
+    * per key, per-entity state bounded by retention. Null values are
+    * dropped upstream (a gap contributes no deviation evidence).
+    * Output: keys + orderCols + `valueCol` + (cusum_pos, cusum_neg,
+    * alarm) — the PRE-reset statistics, so triggering magnitudes stay
+    * visible. Engine-replayable: each step is a fixed IEEE-double
+    * (subtract, subtract, add, max) sequence in sorted order.
+    */
+  def cusum(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, target: Double, slack: Double,
+      threshold: Double): DataFrame = {
+    require(keyCols.nonEmpty, "cusum needs at least one key")
+    val keys = keyCols.map(col)
+    val itemCols = orderCols :+ valueCol
+    df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(valueCol).isNotNull)
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(itemCols.map(col): _*)))
+        .as("__graft_cu_items"))
+      .withColumn("__graft_cu_s",
+        graft.functions.CusumExpression.cusumFold(
+          transform(col("__graft_cu_items"),
+            it => it.getField(valueCol).cast("double")),
+          target, slack, threshold))
+      .select(keys :+ explode(arrays_zip(col("__graft_cu_items"),
+        col("__graft_cu_s"))).as("__graft_cu_z"): _*)
+      .select(keys ++ itemCols.map(c =>
+        col(s"__graft_cu_z.__graft_cu_items.$c").as(c)) ++ Seq(
+        col("__graft_cu_z.__graft_cu_s.s_pos").as("cusum_pos"),
+        col("__graft_cu_z.__graft_cu_s.s_neg").as("cusum_neg"),
+        col("__graft_cu_z.__graft_cu_s.alarm").as("alarm")): _*)
+  }
+
   /** Merge overlapping-or-touching `[lo, hi]` intervals per key into
     * maximal islands (the gaps-and-islands canonical form): per host,
     * collapse raw downtime/alert intervals into distinct outage

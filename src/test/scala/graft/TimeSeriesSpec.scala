@@ -261,6 +261,30 @@ class TimeSeriesSpec extends SparkSpec {
       (1L, 2L, 2.0, 8.0, 2.0, 8.0)), got.toSeq)
   }
 
+  test("cusum: hand-checked drift accumulation, alarm at threshold, " +
+      "reset after alarm; one-sided excursions don't cross-charge") {
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // target 10, slack 2, threshold 5: values 18,16 accumulate
+    // (18-10-2)+(16-10-2)=6+4 -> s_pos 6 then 10 -> alarm at i=1,
+    // reset; then 3 gives s_neg (10-3-2)=5 (NOT >5: no alarm); then 1
+    // adds (10-1-2)=7 -> s_neg 12 -> alarm; 10 after reset: all zero
+    val pts = Seq(
+      ("k", t(0), 1L, 18.0), ("k", t(1), 2L, 16.0),
+      ("k", t(2), 3L, 3.0), ("k", t(3), 4L, 1.0),
+      ("k", t(4), 5L, 10.0))
+      .toDF("key", "ts", "event_id", "value")
+    val got = TimeSeries.cusum(pts, Seq("key"), Seq("ts", "event_id"),
+        "value", target = 10.0, slack = 2.0, threshold = 5.0)
+      .select($"event_id", $"cusum_pos", $"cusum_neg", $"alarm")
+      .as[(Long, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 6.0, 0.0, true),   // 6 > 5 immediately
+      (2L, 4.0, 0.0, false),  // post-reset: 16 contributes 4
+      (3L, 0.0, 5.0, false),  // 5 is NOT > 5
+      (4L, 0.0, 12.0, true),
+      (5L, 0.0, 0.0, false)), got.toSeq)
+  }
+
   test("availability: overlap union, window clamping, out-of-window " +
       "drop; hand-checked fractions") {
     // window [100, 199] (100s). h1: [90,120]+[110,140] union-> clamp
