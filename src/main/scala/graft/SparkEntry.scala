@@ -2620,6 +2620,13 @@ object SparkEntry {
       operators.TimeSeries.m4(Tables.events(s, dir), Seq("user_id"),
         "ts", "value", "event_id", buckets = 16)),
 
+    // trend-aware smoothing + one-step forecast (the ewma sibling for
+    // trending streams); alpha/beta with exact complements so the
+    // recursive oracle replays every double
+    "q_holt" -> ((s, dir) =>
+      operators.TimeSeries.holt(Tables.events(s, dir), Seq("user_id"),
+        Seq("ts", "event_id"), "value", alpha = 0.25, beta = 0.5)),
+
     // sequential change-point detection over the metric stream:
     // two-sided CUSUM around a frozen target with alarm-reset — each
     // alarm marks one detected drift episode
@@ -5993,6 +6000,28 @@ object SparkEntry {
         | round(CAST(sum(hi - lo + 1) AS DOUBLE) / 1296000, 6)
         |   AS availability
         |FROM mg GROUP BY 1""".stripMargin,
+
+    // level/trend recursion replayed row by row; 0.75 and 0.5 are the
+    // EXACT complements of the engine's alpha/beta, so every literal
+    // matches the fold's doubles bit-for-bit
+    "q_holt" ->
+      """WITH RECURSIVE t AS (
+        | SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS rn
+        | FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |r AS (
+        | SELECT user_id, ts, event_id, rn, value,
+        |  value AS l, CAST(0.0 AS DOUBLE) AS b
+        | FROM t WHERE rn = 1
+        | UNION ALL
+        | SELECT t.user_id, t.ts, t.event_id, t.rn, t.value,
+        |  0.25 * t.value + 0.75 * (r.l + r.b),
+        |  0.5 * ((0.25 * t.value + 0.75 * (r.l + r.b)) - r.l) + 0.5 * r.b
+        | FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+        |SELECT user_id, ts, event_id, value, l AS level, b AS trend,
+        | l + b AS forecast
+        |FROM r""".stripMargin,
 
     // the ewma pattern: recursive CTE replaying the per-key fold row
     // by row; every step the same (subtract, subtract, add, max)

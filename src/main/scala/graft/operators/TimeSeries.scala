@@ -167,6 +167,37 @@ object TimeSeries {
         col("__graft_ewma_z.__graft_ewma_y").as("ewma"): _*)
   }
 
+  /** Holt linear-trend smoothing + one-step forecast per key — the
+    * [[ewma]] sibling for TRENDING metric streams (capacity growth,
+    * counter drift): level/trend recursion with exactly-representable
+    * smoothing complements, same collect/fold/explode shape (one
+    * entity exchange, linear codegen [[graft.functions.HoltFold]]
+    * pass). Output: keys + orderCols + `valueCol` +
+    * (level, trend, forecast = next step's prediction).
+    */
+  def holt(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(keyCols.nonEmpty, "holt needs at least one key")
+    val keys = keyCols.map(col)
+    val itemCols = orderCols :+ valueCol
+    df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(valueCol).isNotNull)
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(itemCols.map(col): _*)))
+        .as("__graft_ho_items"))
+      .withColumn("__graft_ho_s",
+        graft.functions.HoltExpression.holtFold(
+          transform(col("__graft_ho_items"),
+            it => it.getField(valueCol).cast("double")), alpha, beta))
+      .select(keys :+ explode(arrays_zip(col("__graft_ho_items"),
+        col("__graft_ho_s"))).as("__graft_ho_z"): _*)
+      .select(keys ++ itemCols.map(c =>
+        col(s"__graft_ho_z.__graft_ho_items.$c").as(c)) ++ Seq(
+        col("__graft_ho_z.__graft_ho_s.level").as("level"),
+        col("__graft_ho_z.__graft_ho_s.trend").as("trend"),
+        col("__graft_ho_z.__graft_ho_s.forecast").as("forecast")): _*)
+  }
+
   /** Two-sided CUSUM change-point detection per key (Page 1954) — the
     * sequential drift detector monitoring shops run on metric
     * streams: cumulative positive/negative deviations from `target`

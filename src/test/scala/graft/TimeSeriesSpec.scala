@@ -261,6 +261,36 @@ class TimeSeriesSpec extends SparkSpec {
       (1L, 2L, 2.0, 8.0, 2.0, 8.0)), got.toSeq)
   }
 
+  test("holt: hand-checked level/trend recursion; forecast tracks a " +
+      "perfect linear ramp; non-exact smoothing complements refused") {
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // x = 10, 12: l1=10 b1=0; l2 = .25*12 + .75*10 = 10.5;
+    // b2 = .5*(10.5-10) + .5*0 = 0.25; forecast2 = 10.75
+    val pts = Seq(("k", t(0), 1L, 10.0), ("k", t(1), 2L, 12.0))
+      .toDF("key", "ts", "event_id", "value")
+    val got = TimeSeries.holt(pts, Seq("key"), Seq("ts", "event_id"),
+        "value", alpha = 0.25, beta = 0.5)
+      .select($"event_id", $"level", $"trend", $"forecast")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 10.0, 0.0, 10.0),
+      (2L, 10.5, 0.25, 10.75)), got.toSeq)
+    // a long perfect ramp converges to the true slope: the forecast
+    // becomes exact (the property EWMA alone can never achieve)
+    val ramp = (0 until 200).map(i => ("r", t(i), i.toLong, 100.0 + 3.0 * i))
+      .toDF("key", "ts", "event_id", "value")
+    val tail = TimeSeries.holt(ramp, Seq("key"), Seq("ts", "event_id"),
+        "value", alpha = 0.25, beta = 0.5)
+      .orderBy($"event_id".desc).limit(1)
+      .select($"value", $"forecast").as[(Double, Double)].head()
+    assert(math.abs(tail._2 - (tail._1 + 3.0)) < 1e-6, tail.toString)
+    // drift-prone parameters fail loudly, not as an oracle mismatch
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.holt(pts, Seq("key"), Seq("ts", "event_id"),
+        "value", alpha = 0.3, beta = 0.5).collect()
+    }
+    assert(e.getMessage.contains("complement"))
+  }
+
   test("cusum: hand-checked drift accumulation, alarm at threshold, " +
       "reset after alarm; one-sided excursions don't cross-charge") {
     def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
