@@ -317,6 +317,25 @@ object ScaleProbe {
                 * 10000000L),
           "user_id", "event_type", "ts", "event_id",
           downState = "error")),
+      // the sequential-fold pair on the users axis: per-entity
+      // collect/fold arrays stay retention-bounded while entities
+      // scale with the corpus (the ewma/sessionize argument)
+      "cusum_users_scale" -> ((s: SparkSession, dir: String) =>
+        graft.operators.TimeSeries.cusum(
+          s.read.parquet(s"$dir/events.parquet")
+            .withColumn("user_id", col("user_id") +
+              floor(col("event_id") / 1000000000L).cast("long")
+                * 10000000L),
+          Seq("user_id"), Seq("ts", "event_id"), "value",
+          target = 50.0, slack = 5.0, threshold = 200.0)),
+      "holt_users_scale" -> ((s: SparkSession, dir: String) =>
+        graft.operators.TimeSeries.holt(
+          s.read.parquet(s"$dir/events.parquet")
+            .withColumn("user_id", col("user_id") +
+              floor(col("event_id") / 1000000000L).cast("long")
+                * 10000000L),
+          Seq("user_id"), Seq("ts", "event_id"), "value",
+          alpha = 0.25, beta = 0.5)),
       // interval ops on the honest TEMPORAL axis: each replica's
       // users AND time range shift (the corpus grows over time), so
       // per-bucket session density — and with it the overlap join's

@@ -256,6 +256,97 @@ object StreamingDedup {
   }
 
   /** Cross-batch streaming twin of
+    * [[graft.operators.TimeSeries.cusum]] — the ALERTING deployment
+    * of change-point detection (a drift alarm is only useful live):
+    * per-entity state is the (S⁺, S⁻) statistic pair plus the last
+    * consumed (event-time, tiebreak) position — a few dozen bytes per
+    * entity, bounded by fleet size — so the CUSUM recursion continues
+    * seamlessly across micro-batches with the exact batch fold
+    * semantics (same op order, alarm-reset included: streaming ==
+    * batch bit-for-bit on in-order input).
+    *
+    * In-order contract (the [[rateStream]] default): rows within a
+    * batch sort by (ts, tiebreak) with the tiebreak's NATIVE
+    * ordering; across batches per-entity arrival must be monotone. A
+    * strictly-late sample is dropped without advancing state — an
+    * order-sensitive recursion never rewrites history (route
+    * disordered streams through [[rateStream]]-style watermark
+    * buffering upstream, or re-run the batch fold).
+    * Output: keys + ts + value + (cusum_pos, cusum_neg, alarm).
+    */
+  def cusumStream(stream: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, tieBreakCol: String, target: Double,
+      slack: Double, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(keyCols.nonEmpty, "cusumStream needs at least one key")
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val schema = stream.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val vIdx = schema.fieldIndex(valueCol)
+    val tieIdx = schema.fieldIndex(tieBreakCol)
+    schema(tsIdx).dataType match {
+      case TimestampType | TimestampNTZType => ()
+      case dt => throw new IllegalArgumentException(
+        s"cusumStream: event-time column '$tsCol' must be a " +
+          s"timestamp, got ${dt.simpleString}")
+    }
+    val tieKey = sortableTie(schema(tieIdx).dataType)
+    val outSchema = StructType(
+      keyIdx.map(schema(_)) ++ Seq(schema(tsIdx),
+        StructField("value", DoubleType),
+        StructField("cusum_pos", DoubleType),
+        StructField("cusum_neg", DoubleType),
+        StructField("alarm", BooleanType)))
+    val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    // (sp, sn, lastMicros, lastTie, seen)
+    val stateEnc: Encoder[(Double, Double, Long, String, Boolean)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble,
+        Encoders.scalaLong, Encoders.STRING, Encoders.scalaBoolean)
+    def num(r: Row, i: Int): Double =
+      r.get(i).asInstanceOf[Number].doubleValue()
+    stream
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupByKey((r: Row) =>
+        keyIdx.map { i =>
+          val s = String.valueOf(r.get(i)); s.length + ":" + s
+        }.mkString("|"))(Encoders.STRING)
+      .flatMapGroupsWithState[(Double, Double, Long, String, Boolean), Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row],
+            state: GroupState[(Double, Double, Long, String, Boolean)]) =>
+          val rs = rows.toArray
+          val keyVals = keyIdx.map(rs.head.get)
+          var (sp, sn, lastM, lastT, seen) = state.getOption
+            .getOrElse((0.0, 0.0, Long.MinValue, "", false))
+          val ordered = rs.sortBy(r =>
+            (tsMicrosOf(r.get(tsIdx)), tieKey(r.get(tieIdx))))
+          val out = Seq.newBuilder[Row]
+          ordered.foreach { r =>
+            val m = tsMicrosOf(r.get(tsIdx))
+            val t = tieKey(r.get(tieIdx))
+            val late = seen &&
+              (m < lastM || (m == lastM && t <= lastT))
+            if (!late) {
+              val v = num(r, vIdx)
+              // the batch fold's exact op order (CusumFold.result)
+              sp = Math.max(0.0, sp + ((v - target) - slack))
+              sn = Math.max(0.0, sn + ((target - v) - slack))
+              val alarm = sp > threshold || sn > threshold
+              out += Row.fromSeq(keyVals ++ Seq[Any](r.get(tsIdx), v,
+                sp, sn, alarm))
+              if (alarm) { sp = 0.0; sn = 0.0 }
+              lastM = m; lastT = t; seen = true
+            }
+          }
+          state.update((sp, sn, lastM, lastT, seen))
+          out.result().iterator
+      }(stateEnc, rowEnc)
+  }
+
+  /** Cross-batch streaming twin of
     * [[graft.operators.TimeSeries.counterRate]]: per-entity state is
     * the LAST (epoch-second, value) sample — 16 bytes per entity,
     * bounded by fleet size — so a counter's rate stream continues

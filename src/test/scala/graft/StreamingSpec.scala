@@ -308,6 +308,55 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("cusumStream: cross-batch drift statistics == batch cusum; " +
+      "alarm reset carries over the batch boundary; late row dropped") {
+    import graft.operators.TimeSeries
+    implicit val sq = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // target 10, slack 2, threshold 5: 18 alarms instantly (6>5);
+    // batch 2 continues post-reset state; 16,15 accumulate 4+3=7 ->
+    // alarm spans the BOUNDARY between batch 2 and 3
+    val all = Seq(
+      ("h1", t(0), 1L, 18.0), ("h1", t(1), 2L, 16.0),
+      // batch 2
+      ("h1", t(2), 3L, 15.0), ("h1", t(3), 4L, 10.0),
+      // batch 3
+      ("h1", t(4), 5L, 1.0))
+    val in = MemoryStream[(String, java.sql.Timestamp, Long, Double)]
+    val got = scala.collection.mutable.ArrayBuffer[
+      (String, Double, Double, Double, Boolean)]()
+    val q = StreamingDedup.cusumStream(
+        in.toDF().toDF("host", "ts", "event_id", "value"),
+        Seq("host"), "ts", "value", "event_id",
+        target = 10.0, slack = 2.0, threshold = 5.0)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select($"host", $"value", $"cusum_pos", $"cusum_neg",
+            $"alarm")
+          .as[(String, Double, Double, Double, Boolean)].collect()
+        ()
+      }.start()
+    try {
+      in.addData(all.take(2): _*); q.processAllAvailable()
+      in.addData(all.slice(2, 4): _*); q.processAllAvailable()
+      // a strictly-late replay of t(1) must be dropped, not re-folded
+      in.addData(("h1", t(1), 2L, 16.0)); q.processAllAvailable()
+      in.addData(all.drop(4): _*); q.processAllAvailable()
+    } finally q.stop()
+    val batch = TimeSeries.cusum(
+        all.toDF("host", "ts", "event_id", "value"),
+        Seq("host"), Seq("ts", "event_id"), "value",
+        target = 10.0, slack = 2.0, threshold = 5.0)
+      .select($"host", $"value", $"cusum_pos", $"cusum_neg", $"alarm")
+      .as[(String, Double, Double, Double, Boolean)].collect()
+    assert(got.sortBy(r => (r._2, r._3)) ==
+      batch.toSeq.sortBy(r => (r._2, r._3)),
+      s"streaming $got vs batch ${batch.toSeq}")
+    // the cross-boundary accumulation: 16 -> s_pos 4 (post-reset),
+    // then 15 in the NEXT batch -> s_pos 7 -> alarm
+    assert(got.contains(("h1", 15.0, 7.0, 0.0, true)))
+  }
+
   test("rateStream state (last sample + reorder buffer) survives query " +
       "restart via checkpoint") {
     import graft.operators.TimeSeries
