@@ -732,6 +732,33 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), round(z, 4).as("z"))
     }),
 
+    // seasonal-baseline anomalies — the "this hour is unusual FOR
+    // THIS HOUR" monitoring readout: per (series, hour-of-day slot)
+    // baseline via the q_zscore_outliers exact-moment recipe, flag
+    // events deviating > 2 sigma from their own seasonal slot (a
+    // plain global z-score would alert on every daily peak)
+    "q_seasonal_anomalies" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull &&
+          col("ts").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          hour(col("ts")).cast("long").as("slot"), col("value"))
+      val stats = ev.groupBy(col("event_type"), col("slot"))
+        .agg(
+          sum(col("value").cast("decimal(28,10)")).cast("double").as("__s1"),
+          sum((col("value") * col("value")).cast("decimal(28,10)"))
+            .cast("double").as("__s2"),
+          count(lit(1)).cast("double").as("__n"))
+        .filter(col("__n") >= 5)
+      val mu = col("__s1") / col("__n")
+      val variance = greatest(col("__s2") / col("__n") - mu * mu, lit(0.0))
+      val z = (col("value") - mu) / sqrt(variance)
+      ev.join(stats, Seq("event_type", "slot"))
+        .filter(variance > 0 && abs(z) > 2)
+        .select(col("event_id"), col("event_type"), col("slot"),
+          round(z, 4).as("z"))
+    }),
+
     // deterministic train/val/test assignment: a pure function of row
     // identity (md5 bucket), reproducible across runs/engines — the
     // correctness-critical property rand()-based splits lack
@@ -2647,6 +2674,28 @@ object SparkEntry {
         windowLo = 1704412800L, windowHi = 1705708799L) // Jan 5 - Jan 19
     }),
 
+    // error-budget burn rate, the multi-window SRE alert rule: burn =
+    // downtime fraction / (1 - SLO) over a LONG and a SHORT window;
+    // paging when BOTH exceed 1 (fast burn confirmed by sustained
+    // burn — the Google SRE workbook alert). SLO 0.99 -> budget 0.01
+    "q_burn_rate" -> ((s, dir) => {
+      val e = unix_timestamp(col("ts"))
+      val iv = Tables.events(s, dir).filter(col("ts").isNotNull)
+        .select(col("user_id"), e.as("lo"), (e + 600L).as("hi"))
+      def burn(lo: Long, hi: Long, name: String) =
+        operators.TimeSeries.availability(iv, Seq("user_id"),
+            "lo", "hi", lo, hi)
+          .select(col("user_id"),
+            round((lit(1.0) - col("availability")) / lit(0.01), 6)
+              .as(name))
+      burn(1704412800L, 1705708799L, "burn_long")       // Jan 5 - 19
+        .join(burn(1705017600L, 1705103999L, "burn_short"), // Jan 12
+          Seq("user_id"))
+        .select(col("user_id"), col("burn_long"), col("burn_short"),
+          (col("burn_long") > 1.0 && col("burn_short") > 1.0)
+            .as("page"))
+    }),
+
     // m4Stream's batch form (the watermark is a no-op on a batch
     // frame): fixed-width epoch-aligned daily buckets — oracling the
     // exact aggregate the live dashboard twin emits per closed window
@@ -3499,6 +3548,30 @@ object SparkEntry {
         | round((e.value - v.mu) / sqrt(v.var), 4) AS z
         |FROM events e JOIN v ON e.user_id = v.user_id
         |WHERE e.value IS NOT NULL AND v.var > 0
+        |  AND abs((e.value - v.mu) / sqrt(v.var)) > 2""".stripMargin,
+
+    // the zscore recipe per (event_type, hour-of-day) seasonal slot
+    "q_seasonal_anomalies" ->
+      """WITH ev AS (
+        | SELECT event_id, event_type,
+        |  CAST(hour(ts) AS BIGINT) AS slot, value
+        | FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  AND ts IS NOT NULL),
+        |stats AS (
+        | SELECT event_type, slot,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2,
+        |  CAST(count(*) AS DOUBLE) AS n
+        | FROM ev GROUP BY 1, 2 HAVING count(*) >= 5),
+        |v AS (
+        | SELECT event_type, slot, s1 / n AS mu,
+        |  greatest(s2 / n - (s1 / n) * (s1 / n), 0) AS var
+        | FROM stats)
+        |SELECT e.event_id, e.event_type, e.slot,
+        | round((e.value - v.mu) / sqrt(v.var), 4) AS z
+        |FROM ev e JOIN v ON e.event_type = v.event_type
+        |  AND e.slot = v.slot
+        |WHERE v.var > 0
         |  AND abs((e.value - v.mu) / sqrt(v.var)) > 2""".stripMargin,
 
     "q_split_assign" -> {
@@ -5969,6 +6042,47 @@ object SparkEntry {
         | USING (user_id, bucket)
         |JOIN (SELECT user_id, bucket, v FROM ordered WHERE rl = 1) l
         | USING (user_id, bucket)""".stripMargin,
+
+    // the availability chain instantiated per window (suffixed CTEs),
+    // burn = (1 - covered/window) / 0.01, inner-joined
+    "q_burn_rate" -> {
+      def chain(sfx: String, lo: Long, hi: Long): String = {
+        val win = hi - lo + 1
+        s"""iv$sfx AS (
+           | SELECT user_id,
+           |  greatest(CAST(epoch(date_trunc('second', ts)) AS BIGINT),
+           |    $lo) AS lo,
+           |  least(CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 600,
+           |    $hi) AS hi
+           | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+           |cl$sfx AS (SELECT * FROM iv$sfx WHERE lo <= hi),
+           |m$sfx AS (
+           | SELECT user_id, lo, hi, max(hi) OVER (
+           |   PARTITION BY user_id ORDER BY lo, hi
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           | FROM cl$sfx),
+           |g$sfx AS (
+           | SELECT user_id, lo, hi, sum(
+           |   CASE WHEN pm IS NULL OR lo > pm THEN 1 ELSE 0 END) OVER (
+           |   PARTITION BY user_id ORDER BY lo, hi
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           | FROM m$sfx),
+           |mg$sfx AS (
+           | SELECT user_id, island, min(lo) AS lo, max(hi) AS hi
+           | FROM g$sfx GROUP BY 1, 2),
+           |av$sfx AS (
+           | SELECT user_id, round(
+           |   (1.0 - round(CAST(sum(hi - lo + 1) AS DOUBLE) / $win, 6))
+           |     / 0.01, 6) AS burn$sfx
+           | FROM mg$sfx GROUP BY 1)""".stripMargin
+      }
+      s"""WITH ${chain("_long", 1704412800L, 1705708799L)},
+         |${chain("_short", 1705017600L, 1705103999L)}
+         |SELECT a.user_id, a.burn_long, b.burn_short,
+         | (a.burn_long > 1.0 AND b.burn_short > 1.0) AS page
+         |FROM av_long a JOIN av_short b ON a.user_id = b.user_id"""
+        .stripMargin
+    },
 
     // same islands chain as q_merge_intervals on the window-clamped
     // intervals, then closed-length sum over merged islands / window
