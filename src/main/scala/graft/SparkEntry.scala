@@ -2426,6 +2426,15 @@ object SparkEntry {
         "event_type", "user_id", 64)
     }),
 
+    // HLL distinct sketch (p=9, 512 registers): max-mergeable register
+    // state — the shardable/daily-rollup sibling of q_kmv_distinct —
+    // with the register sum folded as an exact BIGINT so even the
+    // estimate replays bit-for-bit in the oracle
+    "q_hll_distinct" -> ((s, dir) => {
+      operators.Profiling.hllDistinct(Tables.events(s, dir),
+        "event_type", "user_id", 9)
+    }),
+
     // BPE subword encoding against the frozen merges artifact: one
     // row per (doc, word position), encode computed once per DISTINCT
     // word (the tokenizer word-cache) and broadcast back — the real
@@ -2875,6 +2884,33 @@ object SparkEntry {
           .otherwise(concat(lit("S"), ((col("node") - 1) / 2)
             .cast("long"))).as("node"),
           col("pagerank"))
+    }),
+
+    // per-node triangle counts on the part co-purchase graph (parts
+    // sharing >= 2 distinct orders): degree-ordered orientation keeps
+    // the wedge join O(E^1.5) even on skewed degrees — the hub node
+    // never enumerates its own deg^2 wedges
+    "q_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      // pair generation as a per-order fold, not a self-join: orders
+      // are tiny (<= 13 lines), so collect the distinct sorted part
+      // list per order (ONE exchange) and emit u<v combos map-side —
+      // the join+distinct form pays a 600k x 600k sort-merge plus a
+      // 3-column distinct exchange for the same 1.2M pairs (measured
+      // ~2x the wall-clock at sf0.1)
+      val pairs = li.groupBy(col("l_orderkey"))
+        .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
+          .as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), " +
+            "y -> struct(x AS u, y AS v))))")).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+      val edges = pairs.groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("s"))
+        .filter(col("s") >= 2).select(col("u"), col("v"))
+      operators.Behavior.triangleCounts(edges, "u", "v")
     }),
 
     // blocked inverted index: token -> sorted doc-id postings split
@@ -5679,6 +5715,45 @@ object SparkEntry {
         |  END, 4) AS est_distinct
         |FROM r WHERE rn <= 64 GROUP BY event_type""".stripMargin,
 
+    // the HLL registers replayed exactly: same 60-bit md5 hash,
+    // bucket = h mod 512, rho via integer bitlength (no float log),
+    // register sum rescaled by 2^52 so it folds as an exact BIGINT;
+    // the single long->double conversion and alpha*m^2*2^52/S division
+    // round identically in both engines, as does the linear-counting
+    // branch (one ln)
+    "q_hll_distinct" ->
+      """WITH h AS (
+        | SELECT event_type,
+        |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |    AS BIGINT) AS h
+        | FROM events
+        | WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (
+        | SELECT event_type, h % 512 AS bucket,
+        |  CASE WHEN h // 512 = 0 THEN 52
+        |   ELSE 52 - length(format('{:b}', h // 512)) END AS rho
+        | FROM h),
+        |regs AS (
+        | SELECT event_type, bucket, max(rho) AS m_j
+        | FROM r GROUP BY 1, 2),
+        |s AS (
+        | SELECT event_type,
+        |  sum(CAST(1 AS BIGINT) << (52 - m_j)) AS sp,
+        |  CAST(count(*) AS BIGINT) AS n_registers
+        | FROM regs GROUP BY 1),
+        |e AS (
+        | SELECT event_type, n_registers,
+        |  0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0
+        |    * 4503599627370496.0
+        |    / CAST(sp + (512 - n_registers)
+        |        * (CAST(1 AS BIGINT) << 52) AS DOUBLE) AS raw
+        | FROM s)
+        |SELECT event_type, n_registers,
+        | round(CASE WHEN raw <= 1280.0 AND n_registers < 512
+        |   THEN 512.0 * ln(512.0 / CAST(512 - n_registers AS DOUBLE))
+        |   ELSE raw END, 4) AS est_distinct
+        |FROM e""".stripMargin,
+
     // BPE replayed from the SAME frozen merges list (single source of
     // truth: the SQL below is GENERATED from bpeMerges): distinct
     // words start as codepoint symbols + </w>; each merge is an
@@ -6352,6 +6427,46 @@ object SparkEntry {
         |SELECT user_id, session_no, min(ep) AS start_ep,
         | max(ep) AS end_ep, count(*) AS n_events
         |FROM g GROUP BY 1, 2""".stripMargin,
+
+    // the oriented-wedge enumeration replayed: same canonical edges,
+    // same (degree, node) total order, same close condition — every
+    // triangle appears exactly once in both engines, so per-node
+    // participation counts hash-match
+    "q_triangles" ->
+      """WITH p AS (
+        | SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |  greatest(a.l_partkey, b.l_partkey) AS v, a.l_orderkey AS ok
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey),
+        |e0 AS (
+        | SELECT u, v FROM (
+        |  SELECT u, v, count(*) AS s FROM p GROUP BY 1, 2) t
+        | WHERE s >= 2),
+        |deg AS (
+        | SELECT node, count(*) AS d FROM (
+        |  SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) n
+        | GROUP BY 1),
+        |o AS (
+        | SELECT
+        |  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+        |   THEN e0.u ELSE e0.v END AS a,
+        |  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+        |   THEN e0.v ELSE e0.u END AS b,
+        |  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+        |   THEN dv.d ELSE du.d END AS db
+        | FROM e0 JOIN deg du ON e0.u = du.node
+        |  JOIN deg dv ON e0.v = dv.node),
+        |w AS (
+        | SELECT e1.a, e1.b, e2.b AS c
+        | FROM o e1 JOIN o e2 ON e1.a = e2.a
+        |  AND (e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b))),
+        |t AS (
+        | SELECT w.a, w.b, w.c
+        | FROM w JOIN o e3 ON w.b = e3.a AND w.c = e3.b)
+        |SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        |FROM (SELECT unnest([a, b, c]) AS node FROM t) x
+        |GROUP BY 1""".stripMargin,
 
     // the power iteration unrolled: 3 chained CTEs, each the same
     // round/decimal-sum/round contribution chain the Spark operator

@@ -251,6 +251,72 @@ object Profiling {
         .as("est_distinct"))
   }
 
+  /** HyperLogLog distinct-count sketch (Flajolet 2007), deterministic
+    * and engine-replayable — the mergeable counterpart of
+    * [[kmvDistinct]]. Registers derive from the same 60-bit md5 hash:
+    * bucket = h mod 2^p, and rho = 1 + number of leading zeros of the
+    * remaining 60−p bits (w = h div 2^p, so rho = (60−p+1) −
+    * bitlength(w), with w = 0 meaning all-zero → rho = 60−p+1).
+    * Register value M_j = max rho over the bucket's values — a MAX,
+    * which is what makes HLL registers mergeable across shards,
+    * days, or corpus versions with no loss (unlike KMV's bottom-k,
+    * max-merge needs no re-sort).
+    *
+    * The estimator's register sum Σ 2^−M_j is rescaled by 2^52 so it
+    * folds as an exact BIGINT (rho ≤ 52 ⇒ each term 2^(52−rho) is an
+    * integer; ≤ 2^p terms of ≤ 2^52 stay under 2^63) — reduce-order-
+    * independent, so the one long→double conversion and the final
+    * alpha·m²·2^52 / S division are bit-identical in any IEEE engine.
+    * Small-range correction: raw ≤ 2.5m with V > 0 empty registers →
+    * linear counting m·ln(m/V), the standard Flajolet switch.
+    *
+    * Plan shape (the 100 TB story): one partial-aggregated exchange
+    * to (group, bucket, max rho) — at most m = 2^p rows per group
+    * LEAVE each map task regardless of input size — then a bounded
+    * second aggregate over ≤ m register rows per group. No distinct
+    * stream, no value ever crosses the second exchange.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, "hll needs 4 <= p <= 16")
+    val m = 1 << p
+    val wBits = 60 - p
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val bucket = (col("__h") % m).as("bucket")
+    // integral division (Column./ is always a DOUBLE divide, which
+    // would shave the low bits of a 60-bit hash)
+    val w = expr(s"__h div $m")
+    // bitlength via the binary-string rendering: exact integer path,
+    // no float log anywhere near a power-of-two boundary
+    val rho = when(w === 0L, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(w))).cast("int")
+    val regs = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), h.as("__h"))
+      .select(col(groupCol), bucket, rho.as("__rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("__rho")).as("m_j"))
+    // Σ 2^(52 − M_j) over present registers + 2^52 per empty one,
+    // folded as exact longs (shiftleft on a BIGINT base — the Scala
+    // shim only takes literal shifts, the SQL expression takes any)
+    val summed = regs.groupBy(col(groupCol))
+      .agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 52 - m_j)")).as("__s"),
+        count(lit(1)).as("n_registers"))
+    val sScaled = (col("__s") +
+      (lit(m.toLong) - col("n_registers")) * lit(1L << 52)).cast("double")
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val raw = lit(alpha * m.toDouble * m.toDouble) *
+      lit(4503599627370496.0) / sScaled // 2^52, exactly representable
+    val v = lit(m.toLong) - col("n_registers")
+    val est = when(raw <= lit(2.5 * m.toDouble) && v > 0L,
+      lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+      .otherwise(raw)
+    summed.select(col(groupCol), col("n_registers"),
+      round(est, 4).as("est_distinct"))
+  }
+
   /** Leading-32-bit md5 of `d || ':' || value`, mod `width` — the
     * CMS row hash family: one independent portable hash per depth row
     * (the DSIR `tokenBucket` convention, salted by the row index).

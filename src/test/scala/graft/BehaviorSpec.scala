@@ -218,6 +218,34 @@ class BehaviorSpec extends SparkSpec {
     assert(prS("l1") > prS("l2")) // fed by the hub
   }
 
+  test("triangleCounts: K4 exact, pendant absent, dirt canonicalized") {
+    // K4 on 1..4 (four triangles, each node in three) + pendant node 5
+    // + a self-loop, a duplicate edge, and a reversed edge — all of
+    // which canonicalization must absorb without changing a count
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L),          // pendant: in zero triangles -> absent
+      (2L, 2L),          // self-loop: dropped
+      (2L, 1L), (3L, 1L) // reversed duplicates of existing edges
+    ).toDF("s", "d")
+    val got = Behavior.triangleCounts(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: two shared-edge triangles; partition-invariant") {
+    // triangles {1,2,3} and {2,3,4} share edge 2-3
+    val base = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s", "d")
+    val expect = Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L)
+    val a = Behavior.triangleCounts(base, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == expect)
+    val b = Behavior.triangleCounts(base.repartition(7), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b == expect)
+  }
+
   test("mixtureWeights: sqrt flattening, ratios sum to 1") {
     val df = (Seq.fill(81)("big") ++ Seq.fill(9)("small"))
       .zipWithIndex.map { case (s, i) => (i.toLong, s) }

@@ -111,6 +111,41 @@ class ProfilingSpec extends SparkSpec {
     assert(bigEst > 600 && bigEst < 1400, s"est $bigEst")
   }
 
+  test("hllDistinct: estimate within HLL error; registers mergeable " +
+      "(duplication/partitioning-invariant)") {
+    val base = spark.range(3000).select(
+      when(col("id") % 2 === 0, "small").otherwise("big").as("g"),
+      when(col("id") % 2 === 0, (col("id") / 2).cast("long") % 20)
+        .otherwise(col("id")).as("v"))
+    val got = Profiling.hllDistinct(base, "g", "v", 9)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    // p=9 -> ~4.6% relative stddev; generous deterministic bounds
+    val (_, smallEst) = got("small")
+    assert(smallEst > 15 && smallEst < 25, s"small $smallEst")
+    val (bigRegs, bigEst) = got("big")
+    assert(bigRegs <= 512L)
+    assert(bigEst > 1100 && bigEst < 1900, s"big $bigEst")
+    // max-merge register semantics: duplicating and repartitioning
+    // the input cannot move a single register, hence not the estimate
+    val dup = base.union(base).repartition(13)
+    val a = Profiling.hllDistinct(base, "g", "v", 9)
+      .orderBy("g").collect().toSeq
+    val b = Profiling.hllDistinct(dup, "g", "v", 9)
+      .orderBy("g").collect().toSeq
+    assert(a == b)
+  }
+
+  test("hllDistinct: linear-counting regime is exact-ish and engages " +
+      "below 2.5m") {
+    val df = spark.range(40).select(lit("g").as("g"), col("id").as("v"))
+    val r = Profiling.hllDistinct(df, "g", "v", 9).head()
+    // 40 distinct over 512 registers: raw << 1280 and empties exist,
+    // so the m*ln(m/V) branch must fire; it is near-exact down here
+    assert(r.getLong(1) <= 40L)
+    assert(math.abs(r.getDouble(2) - 40.0) < 3.0, s"est ${r.getDouble(2)}")
+  }
+
   test("kmvDistinct: insensitive to duplication and partitioning") {
     val base = spark.range(500).select(lit("g").as("g"),
       (col("id") % 200).as("v"))
