@@ -2671,6 +2671,39 @@ object SparkEntry {
         Seq("ts", "event_id"), "value",
         target = 50.0, slack = 5.0, threshold = 200.0)),
 
+    // autocorrelation per series at lags 1..3: the seasonality probe
+    // read before picking a smoothing horizon — one window pass emits
+    // all lags, Pearson moments fold as exact decimals
+    "q_acf" -> ((s, dir) =>
+      operators.TimeSeries.acf(Tables.events(s, dir), Seq("event_type"),
+        Seq("ts", "event_id"), "value", maxLag = 3)),
+
+    // Apdex (T=50): the service-level satisfaction index over the
+    // latency-shaped value column — three integer counts, one division
+    "q_apdex" -> ((s, dir) =>
+      operators.TimeSeries.apdex(Tables.events(s, dir),
+        Seq("event_type"), "value", satisfiedThreshold = 50.0)),
+
+    // p-chart over daily error proportions: pooled center line,
+    // per-day 3-sigma limits (unequal subgroup sizes), out-of-control
+    // days flagged on the unrounded proportion
+    "q_pchart" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          (col("event_type") === "error").as("fail"))
+      operators.TimeSeries.pChart(ev, Seq.empty, "day", "fail")
+        .withColumn("out_of_control",
+          col("out_of_control").cast("long"))
+    }),
+
+    // SAX symbolization: per-series z-normalized PAA over 64-row
+    // segments mapped to a 4-letter alphabet — telemetry as grep-able
+    // strings
+    "q_sax" -> ((s, dir) =>
+      operators.TimeSeries.sax(Tables.events(s, dir), Seq("event_type"),
+        Seq("ts", "event_id"), "value", segmentRows = 64)),
+
     // SLA rollup: 10-minute activity intervals per user, percent of a
     // fixed 15-day window covered by their union — the percent-uptime
     // view the reference's status dashboards serve
@@ -6293,6 +6326,136 @@ object SparkEntry {
         | round((CASE WHEN value >= pv THEN value - pv ELSE value END)
         |   / (e - pe), 6) AS rate_per_s
         |FROM lagged WHERE pv IS NOT NULL AND e > pe""".stripMargin,
+
+    // all three lags replayed off one window pass; Pearson moments as
+    // exact decimal sums, the combination formula in the same IEEE
+    // op order as the operator
+    "q_acf" ->
+      """WITH ev AS (
+        | SELECT event_type, ts, event_id, value FROM events
+        | WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  AND event_id IS NOT NULL AND value IS NOT NULL),
+        |l AS (
+        | SELECT event_type, value AS x,
+        |  lead(value, 1) OVER w AS y1,
+        |  lead(value, 2) OVER w AS y2,
+        |  lead(value, 3) OVER w AS y3
+        | FROM ev
+        | WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |p AS (
+        | SELECT event_type, x, 1 AS lag, y1 AS y FROM l
+        |  WHERE y1 IS NOT NULL
+        | UNION ALL SELECT event_type, x, 2, y2 FROM l
+        |  WHERE y2 IS NOT NULL
+        | UNION ALL SELECT event_type, x, 3, y3 FROM l
+        |  WHERE y3 IS NOT NULL),
+        |m AS (
+        | SELECT event_type, CAST(lag AS BIGINT) AS lag,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS syy
+        | FROM p GROUP BY 1, 2)
+        |SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+        | round((n * sxy - sx * sy)
+        |   / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+        |FROM m
+        |WHERE n >= 2 AND (n * sxx - sx * sx) > 0
+        |  AND (n * syy - sy * sy) > 0""".stripMargin,
+
+    "q_apdex" ->
+      """SELECT event_type,
+        | CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_satisfied,
+        | CAST(sum(CASE WHEN value > 50.0 AND value <= 200.0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating,
+        | CAST(count(*) AS BIGINT) AS n_total,
+        | round((CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END)
+        |     AS DOUBLE)
+        |   + CAST(sum(CASE WHEN value > 50.0 AND value <= 200.0
+        |     THEN 1 ELSE 0 END) AS DOUBLE) * 0.5)
+        |  / CAST(count(*) AS DOUBLE), 4) AS apdex
+        |FROM events
+        |WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    // pooled center line, per-day widths, flag on the UNROUNDED
+    // proportion — the same one fixed IEEE order as the operator
+    "q_pchart" ->
+      """WITH per AS (
+        | SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS x
+        | FROM events
+        | WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        | GROUP BY 1),
+        |tot AS (
+        | SELECT sum(n) AS nn, sum(x) AS xx FROM per)
+        |SELECT day, n, x,
+        | round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p,
+        | round(CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS p_bar,
+        | round(greatest(CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE)
+        |   - 3.0 * sqrt(CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE)
+        |     * (1.0 - CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE))
+        |     / CAST(n AS DOUBLE)), 0.0), 6) AS lcl,
+        | round(least(CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE)
+        |   + 3.0 * sqrt(CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE)
+        |     * (1.0 - CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE))
+        |     / CAST(n AS DOUBLE)), 1.0), 6) AS ucl,
+        | CAST(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        |    > least(CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      + 3.0 * sqrt(CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE)
+        |        * (1.0 - CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        / CAST(n AS DOUBLE)), 1.0)
+        |   OR CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        |    < greatest(CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      - 3.0 * sqrt(CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE)
+        |        * (1.0 - CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        / CAST(n AS DOUBLE)), 0.0) AS BIGINT)
+        |  AS out_of_control
+        |FROM per, tot""".stripMargin,
+
+    // same moments, same segment fold, same breakpoint CASE chain —
+    // every z comparison replays on an identical double
+    "q_sax" ->
+      """WITH ev AS (
+        | SELECT event_type, ts, event_id, value FROM events
+        | WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  AND event_id IS NOT NULL AND value IS NOT NULL),
+        |stats AS (
+        | SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(value * value AS DECIMAL(28,10)))
+        |    AS DOUBLE) AS s2,
+        |  CAST(count(*) AS DOUBLE) AS cnt
+        | FROM ev GROUP BY 1),
+        |k AS (
+        | SELECT event_type, s1 / cnt AS mu,
+        |  sqrt(greatest(s2 / cnt - (s1 / cnt) * (s1 / cnt), 0))
+        |    AS sigma
+        | FROM stats
+        | WHERE greatest(s2 / cnt - (s1 / cnt) * (s1 / cnt), 0) > 0),
+        |r AS (
+        | SELECT event_type, value,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |     ORDER BY ts, event_id) - 1 AS BIGINT) // 64 AS segment
+        | FROM ev),
+        |g AS (
+        | SELECT event_type, segment,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sv,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM r GROUP BY 1, 2)
+        |SELECT g.event_type, g.segment, g.n,
+        | round((sv / CAST(n AS DOUBLE) - mu) / sigma, 6) AS paa_z,
+        | CASE
+        |  WHEN (sv / CAST(n AS DOUBLE) - mu) / sigma < -0.6745 THEN 'a'
+        |  WHEN (sv / CAST(n AS DOUBLE) - mu) / sigma < 0.0 THEN 'b'
+        |  WHEN (sv / CAST(n AS DOUBLE) - mu) / sigma < 0.6745 THEN 'c'
+        |  ELSE 'd' END AS symbol
+        |FROM g JOIN k ON g.event_type = k.event_type""".stripMargin,
 
     // the recursive CTE replays the exact (multiply, multiply, add)
     // step sequence — bit-identical smoothed values

@@ -611,4 +611,188 @@ object TimeSeries {
       .select(col("t"), col("delta"),
         (col("__graft_pre") + col("delta")).as("active"))
   }
+
+  /** Autocorrelation function per series at lags 1..`maxLag` — the
+    * seasonality/self-similarity probe a capacity planner reads
+    * before picking an EWMA/Holt horizon: acf(L) = Pearson r over the
+    * (x_t, x_{t+L}) pairs of the (orderCols)-ordered series.
+    *
+    * One window pass computes all lags (`lead(v, L)` share the single
+    * key exchange + sort), the pairs explode map-side, and the
+    * moments fold as exact DECIMAL(28,10) sums — reduce-order-
+    * independent, so the one combination formula in IEEE doubles is
+    * bit-identical across partitionings and engines. Degenerate pairs
+    * (either side constant) are dropped rather than emitted as
+    * NaN/±inf. Output: (keys, lag, n_pairs, acf).
+    */
+  def acf(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, maxLag: Int): DataFrame = {
+    require(keyCols.nonEmpty, "acf needs at least one key")
+    require(maxLag >= 1 && maxLag <= 32, "maxLag must be in [1, 32]")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(orderCols.map(col): _*)
+    val lagged = df
+      .filter((keyCols ++ orderCols :+ valueCol)
+        .map(col(_).isNotNull).reduce(_ && _))
+      .select(keys ++ Seq(col(valueCol).as("__x")) ++
+        (1 to maxLag).map(l =>
+          lead(col(valueCol), l).over(w).as(s"__y$l")): _*)
+    val pairs = lagged
+      .select(keys ++ Seq(col("__x"),
+        posexplode(array((1 to maxLag).map(l => col(s"__y$l")): _*))): _*)
+      .select(keys ++ Seq(col("__x"),
+        (col("pos") + 1).cast("long").as("lag"),
+        col("col").as("__y")): _*)
+      .filter(col("__y").isNotNull)
+    val m = pairs.groupBy(keys :+ col("lag"): _*)
+      .agg(
+        count(lit(1)).cast("double").as("__n"),
+        sum(col("__x").cast("decimal(28,10)")).cast("double").as("__sx"),
+        sum(col("__y").cast("decimal(28,10)")).cast("double").as("__sy"),
+        sum((col("__x") * col("__y")).cast("decimal(28,10)"))
+          .cast("double").as("__sxy"),
+        sum((col("__x") * col("__x")).cast("decimal(28,10)"))
+          .cast("double").as("__sxx"),
+        sum((col("__y") * col("__y")).cast("decimal(28,10)"))
+          .cast("double").as("__syy"))
+    val dx = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val dy = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    val num = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    m.filter(col("__n") >= 2 && dx > 0 && dy > 0)
+      .select(keys ++ Seq(col("lag"),
+        col("__n").cast("long").as("n_pairs"),
+        round(num / sqrt(dx * dy), 6).as("acf")): _*)
+  }
+
+  /** Apdex score per group (the service-level satisfaction index):
+    * with latency threshold T, satisfied = v ≤ T, tolerating =
+    * T < v ≤ 4T, apdex = (satisfied + tolerating/2) / total. One
+    * partial-aggregated exchange of three integer counts; the single
+    * division is the only rounded step. Output: (keys, n_satisfied,
+    * n_tolerating, n_total, apdex).
+    */
+  def apdex(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      satisfiedThreshold: Double): DataFrame = {
+    require(keyCols.nonEmpty, "apdex needs at least one key")
+    require(satisfiedThreshold > 0, "threshold must be positive")
+    val keys = keyCols.map(col)
+    val v = col(valueCol)
+    val t = lit(satisfiedThreshold)
+    df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        v.isNotNull)
+      .groupBy(keys: _*)
+      .agg(
+        sum(when(v <= t, 1L).otherwise(0L)).as("n_satisfied"),
+        sum(when(v > t && v <= t * 4, 1L).otherwise(0L))
+          .as("n_tolerating"),
+        count(lit(1)).as("n_total"))
+      .select(keys ++ Seq(col("n_satisfied"), col("n_tolerating"),
+        col("n_total"),
+        round((col("n_satisfied").cast("double") +
+          col("n_tolerating").cast("double") * 0.5) /
+          col("n_total").cast("double"), 4).as("apdex")): _*)
+  }
+
+  /** p-chart (attribute control chart) over per-period failure
+    * proportions: per (keys, period) count trials n and failures x;
+    * the center line p̄ = ΣX/ΣN pools ALL periods of the key, and each
+    * period's 3σ limits are p̄ ± 3·√(p̄(1−p̄)/n) — per-period widths,
+    * the textbook Shewhart form for unequal subgroup sizes. A period
+    * is out of control when its unrounded proportion falls outside
+    * its own limits.
+    *
+    * Plan: one (keys, period) aggregate, one keys-level rollup of two
+    * integer totals (model-sized — broadcastable), one join back.
+    * All counts integral; p̄/limits/flag evaluate in one fixed IEEE
+    * order so the boundary decision replays exactly.
+    */
+  def pChart(df: DataFrame, keyCols: Seq[String], periodCol: String,
+      failCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val per = df
+      .filter((keyCols :+ periodCol :+ failCol)
+        .map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
+      .groupBy(keys :+ col(periodCol): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(failCol).cast("long")).as("x"))
+    val totals = per.groupBy(keys: _*)
+      .agg(sum(col("n")).as("__nn"), sum(col("x")).as("__xx"))
+    val joined =
+      if (keyCols.isEmpty) per.crossJoin(broadcast(totals))
+      else per.join(totals, keyCols)
+    val pbar = col("__xx").cast("double") / col("__nn").cast("double")
+    val width = lit(3.0) * sqrt(pbar * (lit(1.0) - pbar) /
+      col("n").cast("double"))
+    val p = col("x").cast("double") / col("n").cast("double")
+    joined.select(keys ++ Seq(col(periodCol), col("n"), col("x"),
+      round(p, 6).as("p"),
+      round(pbar, 6).as("p_bar"),
+      round(greatest(pbar - width, lit(0.0)), 6).as("lcl"),
+      round(least(pbar + width, lit(1.0)), 6).as("ucl"),
+      (p > least(pbar + width, lit(1.0)) ||
+        p < greatest(pbar - width, lit(0.0))).as("out_of_control")): _*)
+  }
+
+  /** SAX symbolization (Lin 2003): z-normalize each key's series
+    * against its own exact moments, aggregate fixed-size runs of
+    * `segmentRows` consecutive points (PAA), and map each segment's
+    * normalized mean to a letter via the standard Gaussian
+    * breakpoints — the discretized series that makes motif/anomaly
+    * grep over raw telemetry a string problem.
+    *
+    * PAA folds raw values as exact DECIMAL sums; the segment mean is
+    * normalized ONCE ((mean−μ)/σ — algebraically the mean of the
+    * z-values, without an order-dependent double sum), so every
+    * breakpoint comparison replays bit-for-bit. Keys with σ = 0 are
+    * dropped (a constant series has no z-space). Plan: one moments
+    * aggregate + one windowed row_number sharing the key exchange,
+    * one (key, segment) aggregate, one stats join.
+    * Output: (keys, segment, n, paa_z, symbol).
+    */
+  def sax(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, segmentRows: Int,
+      breakpoints: Seq[Double] = Seq(-0.6745, 0.0, 0.6745)): DataFrame = {
+    require(keyCols.nonEmpty, "sax needs at least one key")
+    require(segmentRows >= 1, "segmentRows must be >= 1")
+    require(breakpoints.nonEmpty && breakpoints == breakpoints.sorted,
+      "breakpoints must be sorted and non-empty")
+    require(breakpoints.size <= 25, "alphabet capped at a..z")
+    val keys = keyCols.map(col)
+    val clean = df.filter((keyCols ++ orderCols :+ valueCol)
+      .map(col(_).isNotNull).reduce(_ && _))
+    val stats = clean.groupBy(keys: _*)
+      .agg(
+        sum(col(valueCol).cast("decimal(28,10)")).cast("double")
+          .as("__s1"),
+        sum((col(valueCol) * col(valueCol)).cast("decimal(28,10)"))
+          .cast("double").as("__s2"),
+        count(lit(1)).cast("double").as("__cnt"))
+    val mu = col("__s1") / col("__cnt")
+    val variance = greatest(col("__s2") / col("__cnt") - mu * mu,
+      lit(0.0))
+    val keyed = stats.filter(variance > 0)
+      .select(keys ++ Seq(mu.as("__mu"),
+        sqrt(variance).as("__sigma")): _*)
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(orderCols.map(col): _*)
+    val segs = clean
+      .select(keys ++ Seq(col(valueCol).as("__v"),
+        ((row_number().over(w) - 1) / segmentRows).cast("long")
+          .as("segment")): _*)
+      .groupBy(keys :+ col("segment"): _*)
+      .agg(sum(col("__v").cast("decimal(28,10)")).cast("double")
+          .as("__sv"),
+        count(lit(1)).as("n"))
+    val z = (col("__sv") / col("n").cast("double") - col("__mu")) /
+      col("__sigma")
+    val symbol = breakpoints.zipWithIndex.reverse
+      .foldLeft(lit(('a' + breakpoints.size).toChar.toString)) {
+        case (acc, (b, i)) =>
+          when(z < lit(b), lit(('a' + i).toChar.toString)).otherwise(acc)
+      }
+    segs.join(keyed, keyCols)
+      .select(keys ++ Seq(col("segment"), col("n"),
+        round(z, 6).as("paa_z"), symbol.as("symbol")): _*)
+  }
 }

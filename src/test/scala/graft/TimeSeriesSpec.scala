@@ -356,4 +356,78 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(rep.sameElements(got))
   }
+
+  test("acf: alternating series -1/+1, ramp +1, constant dropped") {
+    val df = (
+      (1 to 5).map(i => ("alt", i.toLong, (1 - i % 2).toDouble)) ++
+      (1 to 5).map(i => ("ramp", i.toLong, i.toDouble)) ++
+      (1 to 5).map(i => ("flat", i.toLong, 7.0))
+    ).toDF("k", "t", "v")
+    val got = TimeSeries.acf(df, Seq("k"), Seq("t"), "v", maxLag = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // x alternates 0,1,0,1,0: lag-1 pairs perfectly anti-correlated,
+    // lag-2 pairs perfectly correlated — both exact under the integer
+    // moment sums
+    assert(got(("alt", 1L)) == ((4L, -1.0)))
+    assert(got(("alt", 2L)) == ((3L, 1.0)))
+    assert(got(("ramp", 1L)) == ((4L, 1.0)))
+    assert(got(("ramp", 2L)) == ((3L, 1.0)))
+    // constant series: zero variance on both sides -> no row
+    assert(!got.contains(("flat", 1L)))
+  }
+
+  test("apdex: boundary membership (v = T satisfied, v = 4T " +
+      "tolerating), score arithmetic") {
+    val df = Seq(
+      ("svc", 50.0), ("svc", 10.0),   // satisfied (<= T, inclusive)
+      ("svc", 50.1), ("svc", 200.0),  // tolerating (T < v <= 4T]
+      ("svc", 200.1), ("svc", 999.0)  // frustrated
+    ).toDF("k", "v")
+    val r = TimeSeries.apdex(df, Seq("k"), "v", 50.0).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L && r.getLong(3) == 6L)
+    assert(r.getDouble(4) == 0.5) // (2 + 2*0.5) / 6
+  }
+
+  test("pChart: pooled center line, per-period widths, flag fires " +
+      "only outside the period's own limits; lcl clamps at 0") {
+    // 9 calm periods at 2/100 + one hot period at 30/100:
+    // pbar = 48/1000; the hot period is far outside its ucl
+    val rows =
+      (1 to 9).flatMap(d => (1 to 100).map(i =>
+        (f"d$d%02d", i <= 2))) ++
+      (1 to 100).map(i => ("d10", i <= 30))
+    val df = rows.toDF("day", "fail")
+    val got = TimeSeries.pChart(df, Seq.empty, "day", "fail")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6),
+          r.getBoolean(7))).toMap
+    val (n, x, lcl, ucl, out) = got("d10")
+    assert(n == 100L && x == 30L && out)
+    assert(ucl < 0.3 && ucl > 0.048)
+    val (_, _, lcl1, ucl1, out1) = got("d01")
+    assert(!out1 && lcl1 == 0.0) // pbar - 3 sigma < 0 -> clamped
+    assert(got.count(_._2._5) == 1) // only the hot day flags
+  }
+
+  test("sax: segments of segmentRows, symbols from breakpoints, " +
+      "constant key dropped") {
+    // key 'k': 4 values with mu = 5, sigma = sqrt((4+4+16+16)/4 - 0)
+    // ... use simple values where z-signs are obvious: 1,3,7,9
+    // mu = 5, var = (1+9+49+81)/4 - 25 = 10, sigma = sqrt(10)
+    val df = (Seq(("k", 1L, 1.0), ("k", 2L, 3.0), ("k", 3L, 7.0),
+      ("k", 4L, 9.0)) ++ Seq(("flat", 1L, 2.0), ("flat", 2L, 2.0)))
+      .toDF("k", "t", "v")
+    val got = TimeSeries.sax(df, Seq("k"), Seq("t"), "v",
+        segmentRows = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getString(4))).toMap
+    // segment 0 mean = 2 -> z = -3/sqrt(10) ~ -0.95 -> 'a'
+    // segment 1 mean = 8 -> z = +3/sqrt(10) ~ +0.95 -> 'd'
+    val (n0, z0, s0) = got(("k", 0L))
+    val (n1, z1, s1) = got(("k", 1L))
+    assert(n0 == 2L && s0 == "a" && z0 < -0.6745)
+    assert(n1 == 2L && s1 == "d" && z1 > 0.6745)
+    assert(!got.keys.exists(_._1 == "flat")) // sigma = 0 dropped
+  }
 }
