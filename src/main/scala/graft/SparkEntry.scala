@@ -988,6 +988,14 @@ object SparkEntry {
       TextOps.pmiCollocations(Tables.documents(s, dir), "text",
         minCount = 5L, k = 50)),
 
+    // RAKE keyphrases: stopword-delimited candidate runs, word score
+    // deg/freq rounded to decimal before the phrase sum (order-
+    // independent), scoring join explodes only distinct >=5-occurrence
+    // phrase texts
+    "q_rake_keywords" -> ((s, dir) =>
+      TextOps.rakeKeywords(Tables.documents(s, dir), "doc_id", "text",
+        TextOps.langProfiles("en"), minOcc = 5L, maxWords = 6)),
+
     // BM25 ranked retrieval: 4-token query probes (every 101st doc's
     // prefix) against the corpus — token equi-join candidates, exact
     // decimal per-(query,doc) sums, bounded topKByScore per query
@@ -2671,6 +2679,16 @@ object SparkEntry {
         Seq("ts", "event_id"), "value",
         target = 50.0, slack = 5.0, threshold = 200.0)),
 
+    // Theil-Sen robust trend per user: median pairwise slope + median
+    // residual intercept — both exact rank-selected sample elements,
+    // so the whole fit replays without an averaging step
+    "q_theil_sen" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("x"),
+          col("value"))
+      operators.TimeSeries.theilSen(ev, Seq("user_id"), "x", "value")
+    }),
+
     // autocorrelation per series at lags 1..3: the seasonality probe
     // read before picking a smoothing horizon — one window pass emits
     // all lags, Pearson moments fold as exact decimals
@@ -4055,6 +4073,53 @@ object SparkEntry {
          | CAST(len(v0.s) - len(vf.s) AS BIGINT) AS n_merged
          |FROM v0 JOIN v${phraseTable.length} vf USING (doc_id)"""
         .stripMargin,
+
+    // RAKE replayed: same boundary marks, same running-sum phrase
+    // numbering, word deg/freq rounded to DECIMAL(28,9) before the
+    // order-independent phrase sum
+    "q_rake_keywords" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(toks) AS token,
+        |  unnest(range(0, len(toks))) AS pos
+        | FROM (SELECT doc_id, list_filter(
+        |   string_split_regex(text, '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL) t),
+        |m AS (
+        | SELECT doc_id, pos, token,
+        |  CASE WHEN token IN ('the','and','of','to','in','is','that',
+        |    'it','was','for','with','are','this','a')
+        |   THEN 1 ELSE 0 END AS b
+        | FROM toks),
+        |ph0 AS (
+        | SELECT doc_id, pos, token, b,
+        |  sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+        | FROM m),
+        |ph AS (
+        | SELECT doc_id, pid,
+        |  string_agg(token, ' ' ORDER BY pos) AS phrase,
+        |  count(*) AS len
+        | FROM ph0 WHERE b = 0 GROUP BY 1, 2
+        | HAVING count(*) <= 6),
+        |ws AS (
+        | SELECT word,
+        |  CAST(round(CAST(sum(len) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 9) AS DECIMAL(28,9)) AS wscore
+        | FROM (SELECT unnest(string_split(phrase, ' ')) AS word, len
+        |   FROM ph) x
+        | GROUP BY 1),
+        |dp AS (
+        | SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+        | FROM ph GROUP BY 1 HAVING count(*) >= 5),
+        |dpw AS (
+        | SELECT phrase, n_occurrences,
+        |  unnest(string_split(phrase, ' ')) AS word
+        | FROM dp)
+        |SELECT dpw.phrase, CAST(count(*) AS BIGINT) AS n_words,
+        | dpw.n_occurrences,
+        | round(CAST(sum(ws.wscore) AS DOUBLE), 6) AS score
+        |FROM dpw JOIN ws ON dpw.word = ws.word
+        |GROUP BY dpw.phrase, dpw.n_occurrences""".stripMargin,
 
     // margins and N over the pair table; the a·N/(b·c) double chain
     // mirrors the Spark expression term-for-term before the 6dp round
@@ -6326,6 +6391,43 @@ object SparkEntry {
         | round((CASE WHEN value >= pv THEN value - pv ELSE value END)
         |   / (e - pe), 6) AS rate_per_s
         |FROM lagged WHERE pv IS NOT NULL AND e > pe""".stripMargin,
+
+    // both medians replayed as rank ceil(n/2) row_number picks; the
+    // residual pass uses the 6dp-rounded slope, closing the chain
+    "q_theil_sen" ->
+      """WITH pts AS (
+        | SELECT user_id,
+        |  CAST(epoch(date_trunc('second', ts)) AS DOUBLE) AS x,
+        |  CAST(value AS DOUBLE) AS y
+        | FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  AND value IS NOT NULL),
+        |p AS (
+        | SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS m
+        | FROM pts a JOIN pts b
+        |  ON a.user_id = b.user_id AND a.x < b.x),
+        |s AS (
+        | SELECT user_id, m,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY m) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n
+        | FROM p),
+        |sl AS (
+        | SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+        |  round(m, 6) + 0.0 AS slope
+        | FROM s
+        | WHERE rn = CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS BIGINT)),
+        |r AS (
+        | SELECT pts.user_id, sl.n_pairs, sl.slope,
+        |  pts.y - sl.slope * pts.x AS res
+        | FROM pts JOIN sl ON pts.user_id = sl.user_id),
+        |rr AS (
+        | SELECT user_id, n_pairs, slope, res,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY res) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n
+        | FROM r)
+        |SELECT user_id, n_pairs, slope, round(res, 6) + 0.0 AS intercept
+        |FROM rr
+        |WHERE rn = CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS BIGINT)""".stripMargin,
 
     // all three lags replayed off one window pass; Pearson moments as
     // exact decimal sums, the combination formula in the same IEEE

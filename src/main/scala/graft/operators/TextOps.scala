@@ -336,6 +336,71 @@ object TextOps {
       .limit(topN)
   }
 
+  /** RAKE keyword extraction (Rose 2010) corpus-wide: candidate
+    * phrases are maximal stopword-delimited token runs; each word
+    * scores deg(w)/freq(w) with deg = Σ phrase-length over the word's
+    * occurrences (longer co-occurrence context ⇒ higher score), and a
+    * phrase scores the sum of its words' scores. The cheap
+    * keyphrase-surfacing pass of a corpus-curation pipeline — no
+    * model, no IDF table, one vocabulary-sized artifact.
+    *
+    * Determinism: word scores round to DECIMAL(28,9) before the
+    * phrase sum (the pageRank round-then-decimal convention), so the
+    * phrase score is reduce-order-independent and engine-replayable.
+    * Word statistics count ALL phrase occurrences (classic RAKE);
+    * `minOcc` only prunes the output.
+    *
+    * Plan shape: one doc-keyed window pass marks stopword boundaries
+    * and numbers phrases (running sum), phrases aggregate per (doc,
+    * run), word stats are ONE vocabulary-sized aggregate, and the
+    * scoring join explodes only the ≥`minOcc` DISTINCT phrase texts —
+    * never the per-occurrence stream. Output: (phrase, n_words,
+    * n_occurrences, score).
+    */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], minOcc: Long = 5L,
+      maxWords: Int = 6): DataFrame = {
+    require(stopwords.nonEmpty, "rake needs a stopword list")
+    require(maxWords >= 1, "maxWords must be >= 1")
+    val sw = array(stopwords.map(lit): _*)
+    val toks = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__doc")).orderBy(col("pos"))
+    val phrases = toks
+      .withColumn("__b",
+        when(array_contains(sw, col("token")), 1L).otherwise(0L))
+      .withColumn("__pid", sum(col("__b")).over(w))
+      .filter(col("__b") === 0L)
+      .groupBy(col("__doc"), col("__pid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("token")))),
+        x => x.getField("token")).as("__words"))
+      .filter(size(col("__words")) <= maxWords)
+    val wordScores = phrases
+      .select(explode(col("__words")).as("word"),
+        size(col("__words")).cast("long").as("__len"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .select(col("word"),
+        round(col("__deg").cast("double") / col("__freq").cast("double"),
+          9).cast("decimal(28,9)").as("__wscore"))
+    val distinctPhrases = phrases
+      .select(array_join(col("__words"), " ").as("phrase"))
+      .groupBy(col("phrase")).agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minOcc)
+    distinctPhrases
+      .select(col("phrase"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("word"))
+      .join(wordScores, "word")
+      .groupBy(col("phrase"), col("n_occurrences"))
+      .agg(count(lit(1)).as("n_words"), sum(col("__wscore")).as("__ps"))
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        round(col("__ps").cast("double"), 6).as("score"))
+  }
+
   /** Overlapping token-window chunking — the training-data layout step
     * that slices each document into fixed-size windows with stride
     * overlap so no span longer than (size − stride) is lost at a chunk

@@ -612,6 +612,68 @@ object TimeSeries {
         (col("__graft_pre") + col("delta")).as("active"))
   }
 
+  /** Theil–Sen robust trend per series: slope = the median of all
+    * pairwise slopes (y_j−y_i)/(x_j−x_i) over x_i < x_j, intercept =
+    * the median residual y − slope·x — the estimator that shrugs off
+    * ~29% outliers where least squares (the [[Profiling]] linear-fit
+    * GD sibling) chases every spike. The capacity-trend line you fit
+    * THROUGH monitoring noise, not to it.
+    *
+    * Medians are exact lower medians (rank ⌈n/2⌉ picked by
+    * row_number — an ACTUAL sample element, so no averaging step
+    * exists to round differently across engines); the residual pass
+    * uses the 6dp-rounded slope so the replay chain stays closed.
+    * Ties in slope value are output-identical regardless of
+    * row_number order.
+    *
+    * Scale note: the pair set is inherently quadratic per series —
+    * that IS the estimator — so cost is bounded by the per-entity
+    * retention window, same contract as [[lttb]]'s dashboard spans;
+    * the self-join fans out map-side after one key exchange and the
+    * median windows reuse that partitioning. Feed it consolidated
+    * buckets (the [[consolidate]] output), not raw points, when a
+    * series exceeds a few thousand samples.
+    * Output: (keys, n_pairs, slope, intercept).
+    */
+  def theilSen(df: DataFrame, keyCols: Seq[String], xCol: String,
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "theilSen needs at least one key")
+    val keys = keyCols.map(col)
+    val pts = df
+      .filter((keyCols :+ xCol :+ valueCol)
+        .map(col(_).isNotNull).reduce(_ && _))
+      .select(keys ++ Seq(col(xCol).cast("double").as("__x"),
+        col(valueCol).cast("double").as("__y")): _*)
+    val pairs = pts.as("a").join(pts.as("b"),
+        keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
+          .reduce(_ && _) && col("a.__x") < col("b.__x"))
+      .select(keyCols.map(k => col(s"a.$k").as(k)) ++ Seq(
+        ((col("b.__y") - col("a.__y")) / (col("b.__x") - col("a.__x")))
+          .as("__m")): _*)
+    val wS = Window.partitionBy(keys: _*).orderBy(col("__m"))
+    val wK = Window.partitionBy(keys: _*)
+    val slope = pairs
+      .withColumn("__rn", row_number().over(wS))
+      .withColumn("__n", count(lit(1)).over(wK))
+      .filter(col("__rn") === ceil(col("__n").cast("double") / 2.0)
+        .cast("long"))
+      .select(keys ++ Seq(col("__n").as("n_pairs"),
+        // + 0.0 folds IEEE -0.0 (a tiny negative slope rounded to
+        // zero) onto +0.0 — engines render signed zeros differently
+        (round(col("__m"), 6) + lit(0.0)).as("slope")): _*)
+    val resid = pts.join(slope, keyCols)
+      .select(keys ++ Seq(col("n_pairs"), col("slope"),
+        (col("__y") - col("slope") * col("__x")).as("__r")): _*)
+    val wR = Window.partitionBy(keys: _*).orderBy(col("__r"))
+    resid
+      .withColumn("__rn", row_number().over(wR))
+      .withColumn("__nr", count(lit(1)).over(wK))
+      .filter(col("__rn") === ceil(col("__nr").cast("double") / 2.0)
+        .cast("long"))
+      .select(keys ++ Seq(col("n_pairs"), col("slope"),
+        (round(col("__r"), 6) + lit(0.0)).as("intercept")): _*)
+  }
+
   /** Autocorrelation function per series at lags 1..`maxLag` — the
     * seasonality/self-similarity probe a capacity planner reads
     * before picking an EWMA/Holt horizon: acf(L) = Pearson r over the

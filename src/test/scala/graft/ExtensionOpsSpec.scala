@@ -1713,6 +1713,30 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("rakeKeywords: hand-checked deg/freq scores, run splitting, " +
+      "minOcc and maxWords gates") {
+    // phrases across both docs: [deep learning] x3, [ai] x3
+    // deg(deep)=deg(learning)=6 over freq 3 -> 2.0; ai: 3/3 -> 1.0
+    // so score(deep learning)=4.0, score(ai)=1.0 — all exact
+    val df = Seq(
+      (1L, "deep learning the deep learning the ai"),
+      (2L, "deep learning the ai the ai")).toDF("doc_id", "text")
+    val got = TextOps.rakeKeywords(df, "doc_id", "text",
+        stopwords = Seq("the"), minOcc = 2L, maxWords = 6)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == Set(("deep learning", 2L, 3L, 4.0), ("ai", 1L, 3L, 1.0)))
+    // minOcc prunes output only — "ai" keeps its stats-driven score
+    val pruned = TextOps.rakeKeywords(df, "doc_id", "text",
+        Seq("the"), minOcc = 3L, maxWords = 6)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(pruned == got)
+    // a run longer than maxWords disappears entirely
+    val long = TextOps.rakeKeywords(df, "doc_id", "text",
+        Seq("the"), minOcc = 1L, maxWords = 1)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(long.map(_._1) == Set("ai"))
+  }
+
   test("bm25TopK: hand-computed scores, rank order, bounded top-k " +
       "plan (no rank window)") {
     val corpus = Seq((1L, "x x y"), (2L, "x z"), (3L, "w w"))

@@ -357,6 +357,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rep.sameElements(got))
   }
 
+  test("theilSen: outlier-immune slope, lower-median ranks, equal-x " +
+      "pairs excluded") {
+    // slopes of (1,1)(2,2)(3,3)(4,100): [1,1,1,33,49,97] -> median
+    // rank ceil(6/2)=3 -> 1.0; residuals [0,0,0,96] -> rank 2 -> 0.0
+    // (least squares would report slope ~28 on the same points)
+    val df = (Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 100.0))
+      .map { case (x, y) => ("k", x, y) } ++
+      // a second key where two points share x: only the unequal-x
+      // pair contributes -> slope (9-5)/(2-1) = 4
+      Seq(("dup", 1.0, 5.0), ("dup", 1.0, 7.0), ("dup", 2.0, 9.0)))
+      .toDF("k", "x", "y")
+    val got = TimeSeries.theilSen(df, Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("k") == ((6L, 1.0, 0.0)))
+    // dup: pairs (5,9) and (7,9) vs x=1 -> slopes [2,4], rank 1 -> 2
+    // residuals y - 2x = [3, 5, 5] -> rank 2 -> 5
+    assert(got("dup") == ((2L, 2.0, 5.0)))
+  }
+
   test("acf: alternating series -1/+1, ramp +1, constant dropped") {
     val df = (
       (1 to 5).map(i => ("alt", i.toLong, (1 - i % 2).toDouble)) ++
