@@ -2352,6 +2352,14 @@ object SparkEntry {
           col("nb.id").as("neighbor_id"))
     }),
 
+    // decimal-exact K-means (Lloyd, k=8, 2 update rounds + final
+    // assignment): frozen first-k seeds, pqSqDist argmin with ties to
+    // the smaller cluster, per-dim exact-decimal centroid means — the
+    // whole clustering replays in the oracle, unlike float-avg built-ins
+    "q_kmeans" -> ((s, dir) =>
+      Similarity.kmeansLloyd(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 8, iters = 2)),
+
     // per-column profile in one scan: null counts, cardinalities,
     // portable-rendered min/max — the declarative form of the
     // reference's inline completeness/row-width checks
@@ -4427,6 +4435,55 @@ object SparkEntry {
          |  vec_id AS neighbor_id
          | FROM ad WHERE vec_id <> qid) t
          |WHERE rank <= 10""".stripMargin,
+
+    // Lloyd unrolled: per round an argmin CTE (same decimal distance,
+    // same tie rule) and an exact-decimal mean CTE with empty-cluster
+    // coalesce — every centroid double is bit-identical, so the final
+    // assignment and distances hash-match
+    "q_kmeans" -> {
+      val iters = 2
+      val chain = (0 until iters).map { t =>
+        s"""a$t AS (SELECT vec_id, cl FROM (
+           |  SELECT d.vec_id, d.cl, row_number() OVER (
+           |    PARTITION BY d.vec_id ORDER BY d.dist ASC, d.cl ASC)
+           |    AS rn
+           |  FROM (SELECT v.vec_id, c.cl,
+           |     sum(CAST(round((v.v - c.cv) * (v.v - c.cv), 12)
+           |       AS DECIMAL(28,12))) AS dist
+           |    FROM vecs v JOIN c$t c ON v.i = c.i
+           |    GROUP BY v.vec_id, c.cl) d) x WHERE rn = 1),
+           |m$t AS (SELECT a.cl, v.i,
+           |   CAST(sum(CAST(v.v AS DECIMAL(28,10))) AS DOUBLE)
+           |     / CAST(count(*) AS DOUBLE) AS cv
+           |  FROM a$t a JOIN vecs v ON a.vec_id = v.vec_id
+           |  GROUP BY a.cl, v.i),
+           |c${t + 1} AS (SELECT c.cl, c.i, coalesce(m.cv, c.cv) AS cv
+           |  FROM c$t c LEFT JOIN m$t m
+           |   ON c.cl = m.cl AND c.i = m.i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH vecs AS (SELECT vec_id, i.i AS i,
+         |  CAST(embedding[i.i] AS DOUBLE) AS v
+         | FROM embeddings, generate_series(1, 64) i(i)
+         | WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+         |seeds AS (SELECT vec_id,
+         |  row_number() OVER (ORDER BY vec_id) - 1 AS cl
+         | FROM (SELECT vec_id FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+         |  ORDER BY vec_id LIMIT 8) s),
+         |c0 AS (SELECT s.cl, v.i, v.v AS cv
+         | FROM seeds s JOIN vecs v ON s.vec_id = v.vec_id),
+         |$chain,
+         |fin AS (SELECT d.vec_id, d.cl, d.dist, row_number() OVER (
+         |   PARTITION BY d.vec_id ORDER BY d.dist ASC, d.cl ASC) AS rn
+         | FROM (SELECT v.vec_id, c.cl,
+         |    sum(CAST(round((v.v - c.cv) * (v.v - c.cv), 12)
+         |      AS DECIMAL(28,12))) AS dist
+         |   FROM vecs v JOIN c$iters c ON v.i = c.i
+         |   GROUP BY v.vec_id, c.cl) d)
+         |SELECT vec_id, CAST(cl AS INT) AS cluster,
+         | round(CAST(dist AS DOUBLE), 6) AS dist
+         |FROM fin WHERE rn = 1""".stripMargin
+    },
 
     "q_dsir_weights" -> dsirWeightsSql,
 

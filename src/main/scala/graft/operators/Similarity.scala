@@ -842,6 +842,78 @@ object Similarity {
     cents
   }
 
+  /** Decimal-exact K-means (Lloyd) — the ORACLED clustering operator
+    * (cluster-then-curate: SemDeDup buckets, data-mix strata, eval
+    * probes all start from one). Unlike [[refineCentroids]] (the IVF
+    * index builder, float-avg and benchOnly-approximate), every step
+    * here replays bit-for-bit in another engine: seeds are the first
+    * k vectors by id, assignment argmin uses the
+    * [[graft.functions.VectorExpressions.pqSqDist]] round(·,12)→
+    * DECIMAL(28,12) distance with ties to the smaller cluster id,
+    * and each centroid update is a per-dimension DECIMAL(28,10)-exact
+    * sum divided by the count in double. `iters` (assign → update)
+    * rounds, then one final assignment against the final centroids.
+    * An empty cluster keeps its previous centroid.
+    *
+    * Plan per round: ONE broadcast of the k×dim centroid literal
+    * frame onto the corpus (crossJoin fan-out ×k map-side), a
+    * min(struct) argmin aggregate (partial-combined — at most one row
+    * per id per task crosses), and a k-row × dim-column mean
+    * aggregate whose collect is model-sized (k×dim doubles — the
+    * parameter-server class). The corpus is scanned per round but
+    * never shuffled as vectors beyond the id-keyed argmin exchange.
+    * Output: (idCol, cluster, dist).
+    */
+  def kmeansLloyd(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(iters >= 1 && iters <= 16, s"iters must be in [1,16], got $iters")
+    val spark = corpus.sparkSession
+    val clean = corpus
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__vec"))
+    var cents: Seq[Seq[Double]] = clean.orderBy(col("__id")).limit(k)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    require(cents.length == k, s"corpus has fewer than $k vectors")
+    val dim = cents.head.length
+    def centFrame(cs: Seq[Seq[Double]]): DataFrame =
+      spark.range(1).select(explode(array(cs.zipWithIndex.map {
+        case (v, j) => struct(lit(j).as("__cl"),
+          array(v.map(lit): _*).as("__cvec"))
+      }: _*)).as("c"))
+        .select(col("c.__cl").as("__cl"), col("c.__cvec").as("__cvec"))
+    def assign(cs: Seq[Seq[Double]]): DataFrame =
+      clean.crossJoin(broadcast(centFrame(cs)))
+        .select(col("__id"), col("__vec"), col("__cl"),
+          graft.functions.VectorExpressions
+            .pqSqDist(col("__vec"), col("__cvec")).as("__d"))
+        .groupBy(col("__id"))
+        .agg(min(struct(col("__d"), col("__cl"), col("__vec")))
+          .as("__m"))
+        .select(col("__id"), col("__m.__cl").as("__cl"),
+          col("__m.__d").as("__d"), col("__m.__vec").as("__vec"))
+    (1 to iters).foreach { _ =>
+      val means = assign(cents)
+        .groupBy(col("__cl"))
+        .agg(count(lit(1)).as("__n"),
+          (0 until dim).map(i =>
+            (sum(element_at(col("__vec"), i + 1).cast("decimal(28,10)"))
+              .cast("double") / count(lit(1)).cast("double"))
+              .as(s"__m$i")): _*)
+        .collect()
+        .map(r => r.getAs[Int]("__cl") ->
+          (0 until dim).map(i => r.getDouble(i + 2)))
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        means.getOrElse(j, old)
+      }
+    }
+    assign(cents)
+      .select(col("__id").as(idCol), col("__cl").as("cluster"),
+        round(col("__d").cast("double"), 6).as("dist"))
+  }
+
   /** Composed IVF-PQ search — the production ANN shape at corpus
     * scale (Jégou et al. 2011): a coarse quantizer partitions the
     * corpus into `nlist` inverted lists, each query probes its

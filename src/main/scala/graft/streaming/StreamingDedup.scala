@@ -347,6 +347,103 @@ object StreamingDedup {
   }
 
   /** Cross-batch streaming twin of
+    * [[graft.operators.TimeSeries.holt]] — live trend smoothing +
+    * one-step forecast (the capacity-drift readout is most useful as
+    * it happens): per-entity state is the (level, trend) pair plus
+    * the last consumed (event-time, tiebreak) position, so the Holt
+    * recursion continues seamlessly across micro-batches with the
+    * exact batch fold op order ([[graft.functions.HoltFold.result]]:
+    * l = α·x + (1−α)(l+b) then b = β(l−l_prev) + (1−β)b — streaming
+    * == batch bit-for-bit on in-order input). Smoothing complements
+    * must be exactly representable, the batch kernel's contract.
+    *
+    * In-order contract (the [[cusumStream]] one): rows within a batch
+    * sort by (ts, tiebreak) with the tiebreak's NATIVE ordering;
+    * across batches per-entity arrival must be monotone; a strictly-
+    * late sample is dropped without advancing state.
+    * Output: keys + ts + value + (level, trend, forecast).
+    */
+  def holtStream(stream: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, tieBreakCol: String, alpha: Double,
+      beta: Double): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(keyCols.nonEmpty, "holtStream needs at least one key")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0, 1], got $beta")
+    require(graft.functions.HoltExpression.exactComplement(alpha) &&
+      graft.functions.HoltExpression.exactComplement(beta),
+      "holtStream needs exactly-representable 1-alpha and 1-beta " +
+        "(the batch HoltFold contract)")
+    val schema = stream.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val vIdx = schema.fieldIndex(valueCol)
+    val tieIdx = schema.fieldIndex(tieBreakCol)
+    schema(tsIdx).dataType match {
+      case TimestampType | TimestampNTZType => ()
+      case dt => throw new IllegalArgumentException(
+        s"holtStream: event-time column '$tsCol' must be a " +
+          s"timestamp, got ${dt.simpleString}")
+    }
+    val tieKey = sortableTie(schema(tieIdx).dataType)
+    val outSchema = StructType(
+      keyIdx.map(schema(_)) ++ Seq(schema(tsIdx),
+        StructField("value", DoubleType),
+        StructField("level", DoubleType),
+        StructField("trend", DoubleType),
+        StructField("forecast", DoubleType)))
+    val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    // (level, trend, lastMicros, lastTie, seen)
+    val stateEnc: Encoder[(Double, Double, Long, String, Boolean)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble,
+        Encoders.scalaLong, Encoders.STRING, Encoders.scalaBoolean)
+    def num(r: Row, i: Int): Double =
+      r.get(i).asInstanceOf[Number].doubleValue()
+    val ca = 1.0 - alpha
+    val cb = 1.0 - beta
+    stream
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupByKey((r: Row) =>
+        keyIdx.map { i =>
+          val s = String.valueOf(r.get(i)); s.length + ":" + s
+        }.mkString("|"))(Encoders.STRING)
+      .flatMapGroupsWithState[(Double, Double, Long, String, Boolean), Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row],
+            state: GroupState[(Double, Double, Long, String, Boolean)]) =>
+          val rs = rows.toArray
+          val keyVals = keyIdx.map(rs.head.get)
+          var (l, b, lastM, lastT, seen) = state.getOption
+            .getOrElse((0.0, 0.0, Long.MinValue, "", false))
+          val ordered = rs.sortBy(r =>
+            (tsMicrosOf(r.get(tsIdx)), tieKey(r.get(tieIdx))))
+          val out = Seq.newBuilder[Row]
+          ordered.foreach { r =>
+            val m = tsMicrosOf(r.get(tsIdx))
+            val t = tieKey(r.get(tieIdx))
+            val late = seen &&
+              (m < lastM || (m == lastM && t <= lastT))
+            if (!late) {
+              val v = num(r, vIdx)
+              // the batch fold's exact op order (HoltFold.result)
+              if (!seen) { l = v; b = 0.0 }
+              else {
+                val lp = l
+                l = alpha * v + ca * (lp + b)
+                b = beta * (l - lp) + cb * b
+              }
+              out += Row.fromSeq(keyVals ++ Seq[Any](r.get(tsIdx), v,
+                l, b, l + b))
+              lastM = m; lastT = t; seen = true
+            }
+          }
+          state.update((l, b, lastM, lastT, seen))
+          out.result().iterator
+      }(stateEnc, rowEnc)
+  }
+
+  /** Cross-batch streaming twin of
     * [[graft.operators.TimeSeries.counterRate]]: per-entity state is
     * the LAST (epoch-second, value) sample — 16 bytes per entity,
     * bounded by fleet size — so a counter's rate stream continues

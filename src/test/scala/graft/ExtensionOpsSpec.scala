@@ -1422,6 +1422,40 @@ class ExtensionOpsSpec extends SparkSpec {
       x.getMessage.contains("expected 2")), e.toString)
   }
 
+  test("kmeansLloyd: separable clusters converge; empty cluster keeps " +
+      "its centroid and can recapture; partition-invariant") {
+    import graft.operators.Similarity
+    val two = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(10.0f, 10.0f)), (4L, Seq(10.0f, 11.0f)))
+      .toDF("id", "vec")
+    val got = Similarity.kmeansLloyd(two, "id", "vec", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    // the low pair and the high pair split cleanly; final centroids
+    // are the pair means, so every dist is 0.5^2 x 1 dim = 0.25
+    assert(got(1L)._1 == got(2L)._1 && got(3L)._1 == got(4L)._1)
+    assert(got(1L)._1 != got(3L)._1)
+    assert(got.values.forall(_._2 == 0.25))
+    // duplicate seed vectors: everything ties to cluster 0 in round 1
+    // (smaller-id rule), cluster 1 keeps its [0,0] centroid (the
+    // coalesce path) and RECAPTURES the origin points in round 2
+    val dup = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(5.0f, 5.0f))).toDF("id", "vec")
+    val got2 = Similarity.kmeansLloyd(dup, "id", "vec", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    assert(got2(1L) == ((1, 0.0)) && got2(2L) == ((1, 0.0)))
+    assert(got2(3L) == ((0, 0.0)))
+    // deterministic under repartitioning (decimal distances + exact
+    // means leave nothing order-dependent)
+    val rep = Similarity.kmeansLloyd(two.repartition(7), "id", "vec",
+        k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    assert(rep == got)
+  }
+
   test("ivfPqSearchTopK: exhaustive probe == plain ADC; partial probe " +
       "honors the probed lists; frozen artifacts reproduce the inline build") {
     import graft.operators.Similarity

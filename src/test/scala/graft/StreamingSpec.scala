@@ -357,6 +357,57 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains(("h1", 15.0, 7.0, 0.0, true)))
   }
 
+  test("holtStream: cross-batch level/trend recursion == batch holt " +
+      "bit-for-bit; late row dropped; non-exact complement refused") {
+    import graft.operators.TimeSeries
+    implicit val sq = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val all = Seq(
+      ("h1", t(0), 1L, 10.0), ("h1", t(1), 2L, 12.0),
+      // batch 2: the recursion must continue from checkpointed (l, b)
+      ("h1", t(2), 3L, 14.0), ("h1", t(3), 4L, 16.0),
+      // a second entity isolates state
+      ("h2", t(0), 5L, 100.0), ("h2", t(2), 6L, 90.0))
+    val in = MemoryStream[(String, java.sql.Timestamp, Long, Double)]
+    val got = scala.collection.mutable.ArrayBuffer[
+      (String, Double, Double, Double, Double)]()
+    val q = StreamingDedup.holtStream(
+        in.toDF().toDF("host", "ts", "event_id", "value"),
+        Seq("host"), "ts", "value", "event_id",
+        alpha = 0.25, beta = 0.5)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select($"host", $"value", $"level", $"trend",
+            $"forecast")
+          .as[(String, Double, Double, Double, Double)].collect()
+        ()
+      }.start()
+    try {
+      in.addData(all.take(2): _*); q.processAllAvailable()
+      in.addData(("h2", t(0), 5L, 100.0)); q.processAllAvailable()
+      // strictly-late replay: dropped, state NOT re-folded
+      in.addData(("h1", t(0), 1L, 10.0)); q.processAllAvailable()
+      in.addData(all.slice(2, 4): _*); q.processAllAvailable()
+      in.addData(("h2", t(2), 6L, 90.0)); q.processAllAvailable()
+    } finally q.stop()
+    val batch = TimeSeries.holt(
+        all.toDF("host", "ts", "event_id", "value"),
+        Seq("host"), Seq("ts", "event_id"), "value",
+        alpha = 0.25, beta = 0.5)
+      .select($"host", $"value", $"level", $"trend", $"forecast")
+      .as[(String, Double, Double, Double, Double)].collect()
+    assert(got.sortBy(r => (r._1, r._2)) ==
+      batch.toSeq.sortBy(r => (r._1, r._2)),
+      s"streaming $got vs batch ${batch.toSeq}")
+    // a drift-prone alpha fails loudly, matching the batch kernel
+    intercept[IllegalArgumentException] {
+      StreamingDedup.holtStream(
+        in.toDF().toDF("host", "ts", "event_id", "value"),
+        Seq("host"), "ts", "value", "event_id",
+        alpha = 0.3, beta = 0.5)
+    }
+  }
+
   test("rateStream state (last sample + reorder buffer) survives query " +
       "restart via checkpoint") {
     import graft.operators.TimeSeries
