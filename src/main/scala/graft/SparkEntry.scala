@@ -2169,6 +2169,29 @@ object SparkEntry {
       operators.Behavior.reliability(Tables.events(s, dir), "user_id",
         "event_type", "ts", "event_id", downState = "error")),
 
+    // Nagios flap detection over the state stream: trailing-21-check
+    // weighted state-change percentage (0.8→1.2 linear recency
+    // weights as exact rationals) + high/low hysteresis — all windowed
+    // integer sums on one (user, ts) exchange
+    "q_flap_detect" -> ((s, dir) =>
+      operators.Behavior.flapDetection(Tables.events(s, dir), "user_id",
+        "event_type", "ts", "event_id", highPct = 20.0, lowPct = 5.0)),
+
+    // Nagios soft/hard state confirmation: non-OK states harden at the
+    // 3rd consecutive same-state check, OK is immediately hard; emits
+    // the retry ordinal, the confirmed state, and the notification
+    // rows (hard_change)
+    "q_hard_state" -> ((s, dir) => {
+      val snap = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .withColumn("state",
+          when(col("value") < 50, "ok")
+            .when(col("value") < 80, "warn")
+            .otherwise("crit"))
+      operators.Behavior.hardSoftState(snap, "user_id", "state", "ts",
+        "event_id", okState = "ok", maxAttempts = 3)
+    }),
+
     // snapshot changelog → SCD2 validity intervals: the status-stream
     // history build (consecutive equal states merge; open interval has
     // null valid_to)

@@ -207,6 +207,138 @@ object Behavior {
         round(avg(col("__from") - col("__prev_start")), 6).as("mtbf_s"))
   }
 
+  /** Nagios-style flap detection over a status-snapshot stream — the
+    * classic monitoring heuristic for services oscillating between
+    * states (public Nagios Core docs, "Detection and Handling of State
+    * Flapping"; the reference's status stream
+    * `url_service_status_InfluxDB_insert.py:60-64` is exactly the
+    * input this reads). For each check, look at the trailing
+    * `historyLen` archived states (default 21 → 20 consecutive-state
+    * comparisons), weight each observed state CHANGE linearly from 0.8
+    * (oldest comparison) to 1.2 (newest), and report
+    * `pct = 100 · Σ weighted changes / (historyLen − 1)`. Flapping
+    * starts when pct crosses `highPct` and stops only when it falls
+    * below `lowPct` (hysteresis), exactly the Nagios
+    * high/low-threshold pair.
+    *
+    * Weights are exact rationals: with n−1 = 20 comparisons the
+    * weight of the change d rows back (d = 0 newest … 19 oldest) is
+    * (114 − 2d)/95, so the weighted sum is the INTEGER
+    *   num = 114·S1 − 2·(rn·S1 − S_rn)
+    * over two windowed integer sums (S1 = Σ chg, S_rn = Σ chg·rn over
+    * ROWS 19 PRECEDING), and pct = num·100/1900 is one IEEE division
+    * — engine-portable with no per-row float accumulation.
+    *
+    * Hysteresis without a sequential fold: each row emits an event
+    * (1 = crossed high, 0 = fell below low, null = in the dead band)
+    * and `flapping` is the LAST non-null event so far — a single
+    * `last(ignoreNulls)` running window, the standard
+    * latest-threshold-crossing trick.
+    *
+    * Plan shape: one hash exchange on the key; the change flag, the
+    * two trailing sums, and the hysteresis fill all share the same
+    * (key, ts, tiebreak) window sort, so Catalyst plans ONE exchange
+    * and ONE sort. Per-row state is O(1); no arrays, no collect.
+    */
+  def flapDetection(snapshots: DataFrame, keyCol: String,
+      stateCol: String, tsCol: String, tieBreakCol: String,
+      highPct: Double = 20.0, lowPct: Double = 5.0): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
+    val chg = when(lag(col(stateCol), 1).over(w).isNotNull &&
+      lag(col(stateCol), 1).over(w) =!= col(stateCol), 1L).otherwise(0L)
+    val base = snapshots
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(stateCol).isNotNull)
+      .select(col(keyCol), col(stateCol), col(tsCol),
+        row_number().over(w).as("_rn"), chg.as("_chg"))
+    // downstream windows order by the materialized _rn — the same
+    // total order, so the sort is reused and the tiebreak column can
+    // be dropped
+    val wr = Window.partitionBy(col(keyCol)).orderBy(col("_rn").asc)
+    val run = wr.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val trail = wr.rowsBetween(-19, Window.currentRow)
+    val num = lit(114L) * sum(col("_chg")).over(trail) -
+      lit(2L) * (col("_rn") * sum(col("_chg")).over(trail) -
+        sum(col("_chg") * col("_rn")).over(trail))
+    val scored = base.withColumn("_num", num)
+      .withColumn("pct",
+        round(col("_num").cast("double") * 100.0 / 1900.0, 6))
+    // threshold events on the exact rational: num·100/1900 ⋛ T  ⇔
+    // num ⋛ 19·T (integer vs exact double product — no rounding edge)
+    val evt = when(col("_num").cast("double") >= lit(19.0 * highPct), 1)
+      .when(col("_num").cast("double") <= lit(19.0 * lowPct), 0)
+      .otherwise(lit(null).cast("int"))
+    scored
+      .withColumn("flapping",
+        coalesce(last(evt, ignoreNulls = true).over(run), lit(0)) === 1)
+      .select(col(keyCol), col(tsCol), col(stateCol).as("state"),
+        col("pct"), col("flapping"))
+  }
+
+  /** Nagios-style soft/hard state confirmation over a status-snapshot
+    * stream (public Nagios Core docs, "State Types"): a non-OK result
+    * is SOFT until the same state repeats `maxAttempts` consecutive
+    * checks, at which point it hardens; OK snapshots are HARD
+    * immediately (the landed stream carries confirmed recoveries —
+    * the simplification is documented here, not hidden). Emits per
+    * check: the retry ordinal within the current same-state run
+    * (capped at `maxAttempts`), the state type, the prevailing
+    * CONFIRMED (hard) state, and `hard_change` — true on the row
+    * where the confirmed state first differs from the previous
+    * confirmed state, i.e. the row that fires a notification.
+    *
+    * Run lengths without a second exchange: the run's start row is
+    * the running max of `rn` over change rows (same window sort), so
+    * `attempt = rn − run_start + 1` — no re-partition by island, no
+    * arrays. The confirmed state is again the latest-non-null running
+    * fill ([[flapDetection]]'s hysteresis trick) over rows that
+    * qualify as hard.
+    *
+    * One hash exchange on the key, one sort, O(1) per-row state.
+    */
+  def hardSoftState(snapshots: DataFrame, keyCol: String,
+      stateCol: String, tsCol: String, tieBreakCol: String,
+      okState: String, maxAttempts: Int = 3): DataFrame = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
+    val chg = lag(col(stateCol), 1).over(w).isNull ||
+      lag(col(stateCol), 1).over(w) =!= col(stateCol)
+    val base = snapshots
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(stateCol).isNotNull)
+      .select(col(keyCol), col(stateCol), col(tsCol),
+        row_number().over(w).as("_rn"),
+        when(chg, row_number().over(w)).as("_chg_rn"))
+    // window functions cannot nest inside window arguments, so each
+    // derived signal materializes before the next window reads it;
+    // every spec shares the (key, _rn) partitioning + sort
+    val wr = Window.partitionBy(col(keyCol)).orderBy(col("_rn").asc)
+    val run = wr.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val staged = base
+      .withColumn("attempt", least(
+        col("_rn") - max(col("_chg_rn")).over(run) + 1L,
+        lit(maxAttempts.toLong)))
+      .withColumn("_hard", col(stateCol) === okState ||
+        col("attempt") >= lit(maxAttempts.toLong))
+      .withColumn("hard_state",
+        last(when(col("_hard"), col(stateCol)), ignoreNulls = true)
+          .over(run))
+    staged
+      .withColumn("state_type",
+        when(col("_hard"), "HARD").otherwise("SOFT"))
+      .withColumn("hard_change",
+        col("hard_state").isNotNull &&
+          (lag(col("hard_state"), 1).over(wr).isNull ||
+            lag(col("hard_state"), 1).over(wr) =!= col("hard_state")))
+      .select(col(keyCol), col(tsCol), col(stateCol).as("state"),
+        col("attempt"), col("state_type"), col("hard_state"),
+        col("hard_change"))
+  }
+
   /** Robust per-group outliers by median absolute deviation: flag rows
     * where |x − median| > cutoff · MAD. Unlike the z-score form
     * (`q_zscore_outliers`), a few extreme points cannot inflate the
