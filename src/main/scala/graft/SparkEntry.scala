@@ -2177,10 +2177,11 @@ object SparkEntry {
       operators.Behavior.flapDetection(Tables.events(s, dir), "user_id",
         "event_type", "ts", "event_id", highPct = 20.0, lowPct = 5.0)),
 
-    // Nagios soft/hard state confirmation: non-OK states harden at the
-    // 3rd consecutive same-state check, OK is immediately hard; emits
-    // the retry ordinal, the confirmed state, and the notification
-    // rows (hard_change)
+    // Nagios soft/hard state confirmation: non-OK results harden at
+    // the 3rd consecutive non-OK check (the retry counter spans
+    // warn→crit, Nagios current_attempt semantics), OK is immediately
+    // hard; emits the retry ordinal, the confirmed state, and the
+    // notification rows (hard_change; starts-healthy fires nothing)
     "q_hard_state" -> ((s, dir) => {
       val snap = Tables.events(s, dir)
         .filter(col("value").isNotNull)
@@ -2773,12 +2774,18 @@ object SparkEntry {
       val e = unix_timestamp(col("ts"))
       val iv = Tables.events(s, dir).filter(col("ts").isNotNull)
         .select(col("user_id"), e.as("lo"), (e + 600L).as("hi"))
-      def burn(lo: Long, hi: Long, name: String) =
+      // burn = (1 − availability)/0.01 on the EXACT 6dp millionths:
+      // (10⁶ − m)·100 is an integer, so the only float op is the final
+      // /10⁶ — the availability() integer-HALF_UP chain, engine-exact
+      def burn(lo: Long, hi: Long, name: String) = {
+        val win = hi - lo + 1
         operators.TimeSeries.availability(iv, Seq("user_id"),
             "lo", "hi", lo, hi)
           .select(col("user_id"),
-            round((lit(1.0) - col("availability")) / lit(0.01), 6)
-              .as(name))
+            (expr(s"(1000000L - (covered_s * 2000000L + ${win}L) div " +
+                s"${2 * win}L) * 100L").cast("double") /
+              lit(1000000.0)).as(name))
+      }
       burn(1704412800L, 1705708799L, "burn_long")       // Jan 5 - 19
         .join(burn(1705017600L, 1705103999L, "burn_short"), // Jan 12
           Seq("user_id"))
@@ -5656,6 +5663,90 @@ object SparkEntry {
         | round(avg(f - pf), 6) AS mtbf_s
         |FROM downs GROUP BY 1""".stripMargin,
 
+    // the Nagios weighted-change integer chain replayed: num =
+    // 114·S1 − 2·(rn·S1 − S_rn) over the trailing-20 window, strict
+    // >380 / <95 threshold events, latest-non-null hysteresis fill
+    "q_flap_detect" ->
+      """WITH b AS (
+        | SELECT user_id, event_type, ts,
+        |  row_number() OVER w AS rn,
+        |  CASE WHEN lag(event_type) OVER w IS NOT NULL
+        |    AND lag(event_type) OVER w <> event_type
+        |   THEN 1 ELSE 0 END AS chg
+        | FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |   AND event_type IS NOT NULL
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (
+        | SELECT user_id, ts, event_type, rn,
+        |  114 * sum(chg) OVER t
+        |   - 2 * (rn * sum(chg) OVER t - sum(chg * rn) OVER t) AS num
+        | FROM b
+        | WINDOW t AS (PARTITION BY user_id ORDER BY rn ASC
+        |   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |e AS (
+        | SELECT user_id, ts, event_type, rn,
+        |  round(CAST(num AS DOUBLE) * 100.0 / 1900.0, 6) AS pct,
+        |  CASE WHEN CAST(num AS DOUBLE) > 380.0 THEN 1
+        |       WHEN CAST(num AS DOUBLE) < 95.0 THEN 0 END AS evt
+        | FROM s)
+        |SELECT user_id, ts, event_type AS state, pct,
+        | COALESCE(last_value(evt IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY rn ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) = 1
+        |  AS flapping
+        |FROM e""".stripMargin,
+
+    // OK-flag gaps-and-islands (the q_sessionize recipe on the ok
+    // flip): pos = rn − run_start + 1, attempt capped at 3 (1 on OK),
+    // hard = ok OR pos >= 3, confirmed state = latest hard fill,
+    // first-confirmed-OK fires nothing
+    "q_hard_state" ->
+      """WITH src AS (
+        | SELECT user_id, ts, event_id,
+        |  CASE WHEN value < 50 THEN 'ok' WHEN value < 80 THEN 'warn'
+        |       ELSE 'crit' END AS state
+        | FROM events
+        | WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |   AND ts IS NOT NULL),
+        |b AS (
+        | SELECT user_id, state, ts, (state = 'ok') AS ok,
+        |  row_number() OVER w AS rn,
+        |  CASE WHEN lag(state = 'ok') OVER w IS NULL
+        |    OR lag(state = 'ok') OVER w <> (state = 'ok')
+        |   THEN row_number() OVER w END AS flip_rn
+        | FROM src
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |st AS (
+        | SELECT user_id, state, ts, rn, ok,
+        |  rn - max(flip_rn) OVER r + 1 AS pos
+        | FROM b
+        | WINDOW r AS (PARTITION BY user_id ORDER BY rn ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |h AS (
+        | SELECT user_id, state, ts, rn,
+        |  CASE WHEN ok THEN 1 ELSE least(pos, 3) END AS attempt,
+        |  (ok OR pos >= 3) AS hard
+        | FROM st),
+        |hs AS (
+        | SELECT user_id, state, ts, rn, attempt, hard,
+        |  last_value(CASE WHEN hard THEN state END IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY rn ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS hard_state
+        | FROM h)
+        |SELECT user_id, ts, state, CAST(attempt AS BIGINT) AS attempt,
+        | CASE WHEN hard THEN 'HARD' ELSE 'SOFT' END AS state_type,
+        | hard_state,
+        | (hard_state IS NOT NULL AND
+        |  CASE WHEN lag(hard_state) OVER v IS NULL
+        |       THEN hard_state <> 'ok'
+        |       ELSE lag(hard_state) OVER v <> hard_state END)
+        |  AS hard_change
+        |FROM hs
+        |WINDOW v AS (PARTITION BY user_id ORDER BY rn ASC)"""
+        .stripMargin,
+
     // exact interpolated medians on both sides (quantile_cont ==
     // Spark's percentile); two stats joins, then the robust cut
     "q_mad_outliers" ->
@@ -6324,9 +6415,10 @@ object SparkEntry {
            | SELECT user_id, island, min(lo) AS lo, max(hi) AS hi
            | FROM g$sfx GROUP BY 1, 2),
            |av$sfx AS (
-           | SELECT user_id, round(
-           |   (1.0 - round(CAST(sum(hi - lo + 1) AS DOUBLE) / $win, 6))
-           |     / 0.01, 6) AS burn$sfx
+           | SELECT user_id, CAST(
+           |   (1000000 - (sum(hi - lo + 1) * 2000000 + $win)
+           |     // (2 * $win)) * 100
+           |   AS DOUBLE) / 1000000 AS burn$sfx
            | FROM mg$sfx GROUP BY 1)""".stripMargin
       }
       s"""WITH ${chain("_long", 1704412800L, 1705708799L)},
@@ -6364,8 +6456,8 @@ object SparkEntry {
         | FROM g GROUP BY 1, 2)
         |SELECT user_id, sum(hi - lo + 1) AS covered_s,
         | CAST(1296000 AS BIGINT) AS window_s,
-        | round(CAST(sum(hi - lo + 1) AS DOUBLE) / 1296000, 6)
-        |   AS availability
+        | CAST((sum(hi - lo + 1) * 2000000 + 1296000) // (2 * 1296000)
+        |   AS DOUBLE) / 1000000 AS availability
         |FROM mg GROUP BY 1""".stripMargin,
 
     // level/trend recursion replayed row by row; 0.75 and 0.5 are the

@@ -217,17 +217,23 @@ object Behavior {
     * comparisons), weight each observed state CHANGE linearly from 0.8
     * (oldest comparison) to 1.2 (newest), and report
     * `pct = 100 · Σ weighted changes / (historyLen − 1)`. Flapping
-    * starts when pct crosses `highPct` and stops only when it falls
-    * below `lowPct` (hysteresis), exactly the Nagios
-    * high/low-threshold pair.
+    * starts when pct rises STRICTLY above `highPct` and stops when it
+    * falls STRICTLY below `lowPct` (hysteresis) — Nagios Core's
+    * `curved_percent_change > high_flap_threshold` /
+    * `< low_flap_threshold` comparisons, so rows landing exactly on a
+    * threshold keep the previous flapping verdict (dead band).
     *
-    * Weights are exact rationals: with n−1 = 20 comparisons the
-    * weight of the change d rows back (d = 0 newest … 19 oldest) is
-    * (114 − 2d)/95, so the weighted sum is the INTEGER
-    *   num = 114·S1 − 2·(rn·S1 − S_rn)
+    * Weights are exact rationals: with m = historyLen−1 comparisons
+    * the weight of the change d rows back (d = 0 newest … m−1 oldest)
+    * is (6(m−1) − 2d)/(5(m−1)), so the weighted sum is the INTEGER
+    *   num = 6(m−1)·S1 − 2·(rn·S1 − S_rn)
     * over two windowed integer sums (S1 = Σ chg, S_rn = Σ chg·rn over
-    * ROWS 19 PRECEDING), and pct = num·100/1900 is one IEEE division
-    * — engine-portable with no per-row float accumulation.
+    * ROWS m−1 PRECEDING), and pct = num·20/(m(m−1)) is one IEEE
+    * division — engine-portable with no per-row float accumulation
+    * (default historyLen 21 → the Nagios constants 114, 1900). Keys
+    * with fewer than historyLen snapshots score over the states seen
+    * so far (a short history can only under-count changes — the
+    * conservative cold-start, matching Nagios's zero-filled array).
     *
     * Hysteresis without a sequential fold: each row emits an event
     * (1 = crossed high, 0 = fell below low, null = in the dead band)
@@ -235,14 +241,19 @@ object Behavior {
     * `last(ignoreNulls)` running window, the standard
     * latest-threshold-crossing trick.
     *
-    * Plan shape: one hash exchange on the key; the change flag, the
-    * two trailing sums, and the hysteresis fill all share the same
-    * (key, ts, tiebreak) window sort, so Catalyst plans ONE exchange
-    * and ONE sort. Per-row state is O(1); no arrays, no collect.
+    * Plan shape: one hash exchange on the key; every window reads the
+    * same per-key total order ((ts, tiebreak), re-expressed as the
+    * materialized `_rn`), so the plan carries ONE exchange and two
+    * in-partition sorts (Catalyst cannot prove `_rn`-order ≡
+    * (ts, tiebreak)-order across the projection). Per-row state is
+    * O(1); no arrays, no collect.
     */
   def flapDetection(snapshots: DataFrame, keyCol: String,
       stateCol: String, tsCol: String, tieBreakCol: String,
-      highPct: Double = 20.0, lowPct: Double = 5.0): DataFrame = {
+      highPct: Double = 20.0, lowPct: Double = 5.0,
+      historyLen: Int = 21): DataFrame = {
+    require(historyLen >= 3, "flapDetection needs historyLen >= 3")
+    val m = historyLen - 1 // comparisons in a full window
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
     val chg = when(lag(col(stateCol), 1).over(w).isNotNull &&
@@ -258,17 +269,21 @@ object Behavior {
     val wr = Window.partitionBy(col(keyCol)).orderBy(col("_rn").asc)
     val run = wr.rowsBetween(Window.unboundedPreceding,
       Window.currentRow)
-    val trail = wr.rowsBetween(-19, Window.currentRow)
-    val num = lit(114L) * sum(col("_chg")).over(trail) -
+    val trail = wr.rowsBetween(-(m - 1).toLong, Window.currentRow)
+    val num = lit(6L * (m - 1)) * sum(col("_chg")).over(trail) -
       lit(2L) * (col("_rn") * sum(col("_chg")).over(trail) -
         sum(col("_chg") * col("_rn")).over(trail))
+    val denom = 5L * m.toLong * (m - 1) // num/denom = Σw·chg / m
     val scored = base.withColumn("_num", num)
       .withColumn("pct",
-        round(col("_num").cast("double") * 100.0 / 1900.0, 6))
-    // threshold events on the exact rational: num·100/1900 ⋛ T  ⇔
-    // num ⋛ 19·T (integer vs exact double product — no rounding edge)
-    val evt = when(col("_num").cast("double") >= lit(19.0 * highPct), 1)
-      .when(col("_num").cast("double") <= lit(19.0 * lowPct), 0)
+        round(col("_num").cast("double") * 100.0 / denom.toDouble, 6))
+    // strict threshold events on the exact rational:
+    // num·100/denom > T  ⇔  num > T·denom/100 (integer vs exact
+    // double product — no rounding edge; 19·T at the default size)
+    val evt = when(col("_num").cast("double") >
+        lit(highPct * denom / 100.0), 1)
+      .when(col("_num").cast("double") <
+        lit(lowPct * denom / 100.0), 0)
       .otherwise(lit(null).cast("int"))
     scored
       .withColumn("flapping",
@@ -279,24 +294,29 @@ object Behavior {
 
   /** Nagios-style soft/hard state confirmation over a status-snapshot
     * stream (public Nagios Core docs, "State Types"): a non-OK result
-    * is SOFT until the same state repeats `maxAttempts` consecutive
-    * checks, at which point it hardens; OK snapshots are HARD
-    * immediately (the landed stream carries confirmed recoveries —
-    * the simplification is documented here, not hidden). Emits per
-    * check: the retry ordinal within the current same-state run
-    * (capped at `maxAttempts`), the state type, the prevailing
-    * CONFIRMED (hard) state, and `hard_change` — true on the row
-    * where the confirmed state first differs from the previous
-    * confirmed state, i.e. the row that fires a notification.
+    * is SOFT until `maxAttempts` CONSECUTIVE NON-OK checks have been
+    * seen — the retry counter keeps incrementing across differing
+    * non-OK states (warn → crit is still attempt 2, the Nagios
+    * `current_attempt` semantics), hardening at attempt `maxAttempts`
+    * with whatever state the hardening check observed. OK snapshots
+    * are HARD immediately and reset the counter to 1. Emits per
+    * check: the retry ordinal within the current OK/non-OK run
+    * (capped at `maxAttempts`; 1 on every OK row), the state type,
+    * the prevailing CONFIRMED (hard) state, and `hard_change` — true
+    * on the row where the confirmed state changes, i.e. the row that
+    * fires a notification. A key whose FIRST confirmed state is
+    * `okState` fires nothing (a service that starts healthy is not a
+    * recovery — ADVICE r8); a first confirmed non-OK state does fire.
     *
-    * Run lengths without a second exchange: the run's start row is
-    * the running max of `rn` over change rows (same window sort), so
+    * Run lengths without a second exchange: a run starts where the
+    * OK-flag flips (or at the key's first row), its start row is the
+    * running max of `rn` over those flip rows (same window sort), so
     * `attempt = rn − run_start + 1` — no re-partition by island, no
     * arrays. The confirmed state is again the latest-non-null running
     * fill ([[flapDetection]]'s hysteresis trick) over rows that
     * qualify as hard.
     *
-    * One hash exchange on the key, one sort, O(1) per-row state.
+    * One hash exchange on the key, O(1) per-row state.
     */
   def hardSoftState(snapshots: DataFrame, keyCol: String,
       stateCol: String, tsCol: String, tieBreakCol: String,
@@ -304,14 +324,15 @@ object Behavior {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
-    val chg = lag(col(stateCol), 1).over(w).isNull ||
-      lag(col(stateCol), 1).over(w) =!= col(stateCol)
+    val ok = col(stateCol) === okState
+    val okFlip = lag(ok, 1).over(w).isNull ||
+      lag(ok, 1).over(w) =!= ok
     val base = snapshots
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
         col(stateCol).isNotNull)
-      .select(col(keyCol), col(stateCol), col(tsCol),
+      .select(col(keyCol), col(stateCol), col(tsCol), ok.as("_ok"),
         row_number().over(w).as("_rn"),
-        when(chg, row_number().over(w)).as("_chg_rn"))
+        when(okFlip, row_number().over(w)).as("_flip_rn"))
     // window functions cannot nest inside window arguments, so each
     // derived signal materializes before the next window reads it;
     // every spec shares the (key, _rn) partitioning + sort
@@ -319,11 +340,12 @@ object Behavior {
     val run = wr.rowsBetween(Window.unboundedPreceding,
       Window.currentRow)
     val staged = base
-      .withColumn("attempt", least(
-        col("_rn") - max(col("_chg_rn")).over(run) + 1L,
-        lit(maxAttempts.toLong)))
-      .withColumn("_hard", col(stateCol) === okState ||
-        col("attempt") >= lit(maxAttempts.toLong))
+      .withColumn("attempt", when(col("_ok"), lit(1L)).otherwise(least(
+        col("_rn") - max(col("_flip_rn")).over(run) + 1L,
+        lit(maxAttempts.toLong))))
+      .withColumn("_hard", col("_ok") ||
+        col("_rn") - max(col("_flip_rn")).over(run) + 1L >=
+          lit(maxAttempts.toLong))
       .withColumn("hard_state",
         last(when(col("_hard"), col(stateCol)), ignoreNulls = true)
           .over(run))
@@ -331,9 +353,11 @@ object Behavior {
       .withColumn("state_type",
         when(col("_hard"), "HARD").otherwise("SOFT"))
       .withColumn("hard_change",
-        col("hard_state").isNotNull &&
-          (lag(col("hard_state"), 1).over(wr).isNull ||
-            lag(col("hard_state"), 1).over(wr) =!= col("hard_state")))
+        col("hard_state").isNotNull && (
+          when(lag(col("hard_state"), 1).over(wr).isNull,
+            col("hard_state") =!= okState)
+          .otherwise(
+            lag(col("hard_state"), 1).over(wr) =!= col("hard_state"))))
       .select(col(keyCol), col(tsCol), col(stateCol).as("state"),
         col("attempt"), col("state_type"), col("hard_state"),
         col("hard_change"))

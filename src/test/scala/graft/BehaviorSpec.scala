@@ -246,6 +246,67 @@ class BehaviorSpec extends SparkSpec {
     assert(b == expect)
   }
 
+  test("flapDetection: exact weighted pct, STRICT threshold " +
+      "hysteresis (boundary rows keep the previous verdict)") {
+    // historyLen=3 → m=2 comparisons, weights 1.2 (newest) / 0.8
+    // (oldest), pct = 60·chg₀ + 40·chg₁. States a,b,a,b,a,a,a →
+    // pct 0, 60, 100, 100, 100, 40, 0. high=90 / low=40 strict:
+    // row1 0<40 stop(already off), row3 100>90 start, row6 pct==40
+    // is NOT <40 → still flapping, row7 0<40 → stop.
+    val snap = Seq("a", "b", "a", "b", "a", "a", "a").zipWithIndex
+      .map { case (st, i) =>
+        (i.toLong, 7L, st, ts(f"2024-01-01 10:${i}%02d:00")) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Behavior.flapDetection(snap, "user_id", "event_type",
+        "ts", "event_id", highPct = 90.0, lowPct = 40.0,
+        historyLen = 3)
+      .orderBy("ts").select("pct", "flapping")
+      .as[(Double, Boolean)].collect().toSeq
+    assert(got == Seq((0.0, false), (60.0, false), (100.0, true),
+      (100.0, true), (100.0, true), (40.0, true), (0.0, false)), got)
+    // strict high: pct exactly 100 must NOT start at highPct=100
+    val never = Behavior.flapDetection(snap, "user_id", "event_type",
+        "ts", "event_id", highPct = 100.0, lowPct = 40.0,
+        historyLen = 3)
+      .filter(col("flapping")).count()
+    assert(never == 0L)
+  }
+
+  test("hardSoftState: retry counter spans differing non-OK states; " +
+      "starts-healthy fires nothing; starts-broken fires on harden") {
+    // svc 1: ok, warn, crit, crit, ok, warn, ok — warn→crit is
+    // attempt 2 (Nagios current_attempt), hardens at the 3rd non-OK
+    // check with the state observed THERE (crit), recovery fires,
+    // the healthy start does not.
+    val svc1 = Seq("ok", "warn", "crit", "crit", "ok", "warn", "ok")
+      .zipWithIndex.map { case (st, i) =>
+        (i.toLong, 1L, st, ts(f"2024-01-01 10:${i}%02d:00")) }
+    // svc 2: crit, crit, crit — first CONFIRMED state is non-OK →
+    // the hardening row must fire even with no previous hard state
+    val svc2 = Seq("crit", "crit", "crit").zipWithIndex
+      .map { case (st, i) =>
+        (100L + i, 2L, st, ts(f"2024-01-01 11:${i}%02d:00")) }
+    val snap = (svc1 ++ svc2)
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Behavior.hardSoftState(snap, "user_id", "event_type",
+        "ts", "event_id", okState = "ok", maxAttempts = 3)
+      .orderBy("user_id", "ts")
+      .select("attempt", "state_type", "hard_state", "hard_change")
+      .as[(Long, String, String, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "HARD", "ok", false),   // healthy start: no notification
+      (1L, "SOFT", "ok", false),   // warn, attempt 1
+      (2L, "SOFT", "ok", false),   // crit continues the run: attempt 2
+      (3L, "HARD", "crit", true),  // hardens as crit → page
+      (1L, "HARD", "ok", true),    // recovery → page
+      (1L, "SOFT", "ok", false),   // soft blip never notifies
+      (1L, "HARD", "ok", false),   // back ok, confirmed unchanged
+      (1L, "SOFT", null, false),   // svc2: no confirmed state yet
+      (2L, "SOFT", null, false),
+      (3L, "HARD", "crit", true)), // first confirmation IS the page
+      got)
+  }
+
   test("mixtureWeights: sqrt flattening, ratios sum to 1") {
     val df = (Seq.fill(81)("big") ++ Seq.fill(9)("small"))
       .zipWithIndex.map { case (s, i) => (i.toLong, s) }

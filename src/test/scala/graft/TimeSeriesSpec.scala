@@ -377,6 +377,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got("dup") == ((2L, 2.0, 5.0)))
   }
 
+  test("theilSen: maxPointsPerSeries hard-raises naming the hot key " +
+      "instead of detonating the quadratic pair join") {
+    val df = ((1 to 6).map(i => ("hot", i.toDouble, i.toDouble)) ++
+      (1 to 3).map(i => ("cool", i.toDouble, i.toDouble)))
+      .toDF("k", "x", "y")
+    val e = intercept[Exception] {
+      TimeSeries.theilSen(df, Seq("k"), "x", "y",
+        maxPointsPerSeries = 5).collect()
+    }
+    assert(e.getMessage.contains("exceeds 5 points") &&
+      e.getMessage.contains("hot"), e.getMessage)
+    // under the cap the same frame computes normally
+    val ok = TimeSeries.theilSen(df, Seq("k"), "x", "y",
+      maxPointsPerSeries = 6).collect()
+    assert(ok.length == 2)
+  }
+
   test("acf: alternating series -1/+1, ramp +1, constant dropped") {
     val df = (
       (1 to 5).map(i => ("alt", i.toLong, (1 - i % 2).toDouble)) ++

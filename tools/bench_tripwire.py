@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""Per-query bench regression tripwire (VERDICT r8 task 8): compare a
+fresh Bench JSON line against the previous round's and flag movers, so
+10-second surprises are caught by the builder at round close, not by
+the judge. Usage:
+
+    tools/bench_tripwire.py BENCH_new.json BENCH_prev.json [ratio]
+
+Exit 1 if any query regressed by more than `ratio` (default 2.0) AND
+by more than 0.5 s absolute (the host's scheduling floor makes pure
+ratios on 0.1 s queries meaningless). New/removed queries are listed
+informationally and never fail the gate."""
+import json
+import sys
+
+new = json.load(open(sys.argv[1]))
+prev = json.load(open(sys.argv[2]))
+ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+
+nq, pq = new.get("queries", {}), prev.get("queries", {})
+added = sorted(set(nq) - set(pq))
+removed = sorted(set(pq) - set(nq))
+if added:
+    print(f"new queries ({len(added)}): {', '.join(added)}")
+if removed:
+    print(f"removed queries ({len(removed)}): {', '.join(removed)}")
+
+regressed = []
+improved = []
+for name in sorted(set(nq) & set(pq)):
+    a, b = pq[name], nq[name]
+    if b > a * ratio and b - a > 0.5:
+        regressed.append((name, a, b))
+    elif a > b * ratio and a - b > 0.5:
+        improved.append((name, a, b))
+for name, a, b in improved:
+    print(f"IMPROVED {name}: {a:.2f}s -> {b:.2f}s ({a / b:.1f}x)")
+for name, a, b in regressed:
+    print(f"REGRESSED {name}: {a:.2f}s -> {b:.2f}s ({b / a:.1f}x)")
+
+tot_a = sum(pq[n] for n in set(nq) & set(pq))
+tot_b = sum(nq[n] for n in set(nq) & set(pq))
+print(f"shared-query total: {tot_a:.1f}s -> {tot_b:.1f}s; "
+      f"{len(regressed)} regressed / {len(improved)} improved "
+      f"(>{ratio}x and >0.5s)")
+sys.exit(1 if regressed else 0)

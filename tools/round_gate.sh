@@ -1,20 +1,33 @@
 #!/usr/bin/env bash
 # Round-close build gate: refuse to end a round on a tree the driver's
-# own entrypoints cannot run. Round 5 shipped a non-compiling snapshot
-# (a sink referenced a class whose file didn't exist yet) and the
-# entire round's correctness and bench artifacts were zeroed — this
-# script is the tripwire that prevents a repeat. Run it before ANY
-# end-of-round commit:
+# own entrypoints cannot run, or on a correctness artifact that would
+# carry unverifiable rows. History of why each check exists:
+#   - round 5 shipped a non-compiling snapshot → check 1;
+#   - round 8 shipped 13 late queries past a one-query gate: one
+#     hash-FAIL and two no-oracle rows landed in the official artifact
+#     while BASELINE.md claimed "ALL OK" → checks 3-5 now sweep the
+#     FULL surface, not a sample (VERDICT r8 task 3).
+# Run it before ANY end-of-round commit:
 #
-#   tools/round_gate.sh            # full gate (~2 min warm)
+#   tools/round_gate.sh            # full gate (~5 min warm)
 #
 # Checks, in order (fail-fast, non-zero exit on any failure):
 #   1. `sbt Test/compile`  — main AND test sources compile;
 #   2. entry smoke         — SparkEntry.entry(spark) returns rows > 0
 #                            on sf0.001 (the driver's t1 gate);
-#   3. one Verify query    — graft.Verify writes q1_agg parquet +
-#                            oracle_sql.json on sf0.001 (the driver's
-#                            t2 plumbing end-to-end, minus DuckDB).
+#   3. FULL Verify sweep   — every SparkEntry.queries entry runs and
+#                            dumps parquet on $ROUND_GATE_SF (none may
+#                            throw);
+#   4. oracle coverage     — every dumped query has an oracleSql entry
+#                            (zero `no_oracle` rows in the artifact);
+#                            exceptions must be listed in
+#                            tools/spec_pinned.txt with a reason;
+#   5. DuckDB parity       — tools/oracle_check.py over the full dump
+#                            prints ALL OK (the driver's t2 compare).
+#
+# The bench regression tripwire is separate (needs the previous
+# round's BENCH json + a full sf0.1 run):
+#   tools/bench_tripwire.py BENCH_new.json BENCH_prev.json
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -22,18 +35,18 @@ SF=${ROUND_GATE_SF:-/root/testdata/sf0.001}
 OUT=$(mktemp -d /tmp/round_gate.XXXXXX)
 trap 'rm -rf "$OUT"' EXIT
 
-echo "[gate] 1/3 sbt Test/compile"
+echo "[gate] 1/5 sbt Test/compile"
 sbt -batch Test/compile >"$OUT/compile.log" 2>&1 || {
   tail -30 "$OUT/compile.log"; echo "[gate] FAIL: compile"; exit 1; }
 
-echo "[gate] 2/3 entry smoke (graft.Smoke, rows>0)"
+echo "[gate] 2/5 entry smoke (graft.Smoke, rows>0)"
 sbt -batch "runMain graft.Smoke" >"$OUT/smoke.log" 2>&1 || {
   tail -30 "$OUT/smoke.log"; echo "[gate] FAIL: entry smoke"; exit 1; }
 grep -q '"smoke":"entry"' "$OUT/smoke.log" || {
   echo "[gate] FAIL: entry smoke produced no summary"; exit 1; }
 
-echo "[gate] 3/3 Verify q1_agg on $SF"
-sbt -batch "runMain graft.Verify $SF $OUT/v q1_agg" \
+echo "[gate] 3/5 FULL Verify sweep on $SF"
+sbt -batch "runMain graft.Verify $SF $OUT/v" \
   >"$OUT/verify.log" 2>&1 || {
   tail -30 "$OUT/verify.log"; echo "[gate] FAIL: Verify run"; exit 1; }
 if grep -q '\[verify\] .* failed' "$OUT/verify.log"; then
@@ -42,7 +55,34 @@ if grep -q '\[verify\] .* failed' "$OUT/verify.log"; then
 fi
 [ -f "$OUT/v/oracle_sql.json" ] || {
   echo "[gate] FAIL: oracle_sql.json not written"; exit 1; }
-ls "$OUT"/v/q1_agg/*.parquet >/dev/null 2>&1 || {
-  echo "[gate] FAIL: q1_agg parquet not written"; exit 1; }
+
+echo "[gate] 4/5 oracle coverage (queries ⊆ oracleSql ∪ spec_pinned)"
+python3 - "$OUT/v" <<'EOF' || { echo "[gate] FAIL: oracle coverage"; exit 1; }
+import json, os, sys
+out = sys.argv[1]
+dumped = {d for d in os.listdir(out)
+          if os.path.isdir(os.path.join(out, d))}
+oracled = set(json.load(open(f"{out}/oracle_sql.json")))
+pinned = set()
+if os.path.exists("tools/spec_pinned.txt"):
+    with open("tools/spec_pinned.txt") as f:
+        pinned = {l.split("#")[0].strip() for l in f} - {""}
+missing = sorted(dumped - oracled - pinned)
+if missing:
+    print("queries with NO oracle and NO spec-pin:", missing)
+    sys.exit(1)
+stale = sorted(oracled - dumped)
+if stale:
+    print("oracleSql keys with NO queries entry (stale):", stale)
+    sys.exit(1)
+print(f"coverage OK: {len(dumped)} queries, {len(oracled)} oracled, "
+      f"{len(pinned & dumped)} spec-pinned")
+EOF
+
+echo "[gate] 5/5 DuckDB parity on the full dump"
+python3 tools/oracle_check.py "$SF" "$OUT/v" >"$OUT/oracle.log" 2>&1 || {
+  grep -v '^OK' "$OUT/oracle.log" | head -20
+  echo "[gate] FAIL: oracle parity"; exit 1; }
+tail -1 "$OUT/oracle.log"
 
 echo "[gate] PASS — tree is safe to commit at round close"
