@@ -1,0 +1,111 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.model.NagiosModel
+import graft.pipelines.HostMetrics
+import graft.sources.Sinks
+
+/** The runnable §3.1 job — the reference's cron line made a committed
+  * artifact instead of a docs note (`README.md:3` chains
+  * `hosts_to_csv.py` → `extract.py` → `load_to_db.py` from cron; this
+  * is that chain as ONE Spark entrypoint). Each invocation is a cron
+  * tick: a file-source stream over the landed rrdexport response
+  * documents runs under `Trigger.AvailableNow` — process everything
+  * new since the last tick, commit the source offsets to the
+  * checkpoint, exit. Files already consumed by a previous tick are
+  * never re-read (the checkpoint is the cron chain's "did I already
+  * load this extract" bookkeeping, without the reference's
+  * intermediate `data_extract.txt` handoff file).
+  *
+  * Exactly-once into the sink without a transactional store: the
+  * melted payload is anti-join-deduped against the ROWS ALREADY IN
+  * THE SINK (`extract.py:115-132`'s cross-run dedup — whole-row
+  * 256-bit identity), so a tick that died between its parquet append
+  * and its checkpoint commit re-processes the batch on restart and
+  * the dedup drops every already-landed row — append + dedup
+  * composes to idempotent. Load failures quarantine the payload to a
+  * dated path for replay instead of losing it
+  * (`load_to_db.py:60-62`).
+  *
+  * Scale posture: one cron tick at 100 TB fleet size is a bounded
+  * file listing (only unconsumed files), a map-side flatten/melt, one
+  * anti-join exchange against the sink's row keys, and a
+  * family-partitioned append — the same plan SURVEY §3.1 argues for,
+  * wrapped in the orchestration the reference runs with.
+  */
+object NagiosEtlJob {
+
+  /** One landed response document per row (`extract.py:71-76`). */
+  val inputSchema: StructType = StructType(Seq(
+    StructField("host_name", StringType),
+    StructField("service_name", StringType),
+    StructField("body", StringType)))
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: NagiosEtlJob <inDir> <outDir> <checkpointDir> [service...]")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try runOnce(spark, args(0), args(1), args(2),
+      if (args.length > 3) args.drop(3).toSeq else NagiosModel.services)
+    finally spark.stop()
+  }
+
+  /** One cron tick: consume every not-yet-processed response file,
+    * ingest, exit. Restartable mid-batch (see object doc).
+    */
+  def runOnce(spark: SparkSession, inDir: String, outDir: String,
+      ckptDir: String,
+      services: Seq[String] = NagiosModel.services): Unit = {
+    val q = spark.readStream.schema(inputSchema).json(inDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(spark, batch, outDir, services, batchId); ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Flatten → melt → dedup-vs-sink → family-partitioned append, with
+    * the quarantine failure path. Public so a long-running deployment
+    * can mount the same logic on a continuous trigger.
+    */
+  def ingestBatch(spark: SparkSession, batch: DataFrame, outDir: String,
+      services: Seq[String], batchId: Long): Unit = {
+    val dataDir = s"$outDir/data"
+    val payload = HostMetrics.longPayload(
+      HostMetrics.flattenResponses(batch), services)
+    val path = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val previous =
+      if (fs.exists(path))
+        spark.read.parquet(dataDir)
+          .select(payload.columns.map(org.apache.spark.sql.functions.col)
+            .toSeq: _*)
+      else payload.limit(0)
+    val fresh = HostMetrics.routed(
+      HostMetrics.dedupAgainst(payload, previous))
+    val runDate =
+      s"${java.time.LocalDate.now()}_batch$batchId"
+    Sinks.writeWithQuarantine(fresh, s"$outDir/quarantine", runDate) {
+      df => df.write.mode("append").partitionBy("metric_family")
+        .parquet(dataDir)
+    } match {
+      case Left(err) => System.err.println(
+        s"[nagios-etl] batch $batchId quarantined: $err")
+      case Right(_) => ()
+    }
+  }
+}

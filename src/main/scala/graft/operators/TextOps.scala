@@ -354,8 +354,13 @@ object TextOps {
     * and numbers phrases (running sum), phrases aggregate per (doc,
     * run), word stats are ONE vocabulary-sized aggregate, and the
     * scoring join explodes only the ≥`minOcc` DISTINCT phrase texts —
-    * never the per-occurrence stream. Output: (phrase, n_words,
-    * n_occurrences, score).
+    * never the per-occurrence stream. Over-long runs are dropped by a
+    * run-length window BEFORE the phrase aggregate (same doc-hash
+    * distribution, no extra exchange), so a document with no
+    * stopwords at all — CJK text, code, a minified blob — bounds
+    * every collected array at `maxWords` instead of materializing the
+    * whole document as one phrase row and discarding it after.
+    * Output: (phrase, n_words, n_occurrences, score).
     */
   def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String], minOcc: Long = 5L,
@@ -369,16 +374,23 @@ object TextOps {
         posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__doc")).orderBy(col("pos"))
+    // run length BEFORE collecting: HashPartitioning(__doc) already
+    // satisfies the (__doc, __pid) clustered distribution, so this
+    // window adds a sort but no exchange — and caps collect_list at
+    // maxWords elements even for stopword-free documents
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__doc"), col("__pid"))
     val phrases = toks
       .withColumn("__b",
         when(array_contains(sw, col("token")), 1L).otherwise(0L))
       .withColumn("__pid", sum(col("__b")).over(w))
       .filter(col("__b") === 0L)
+      .withColumn("__rl", count(lit(1)).over(wRun))
+      .filter(col("__rl") <= maxWords)
       .groupBy(col("__doc"), col("__pid"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("token")))),
         x => x.getField("token")).as("__words"))
-      .filter(size(col("__words")) <= maxWords)
     val wordScores = phrases
       .select(explode(col("__words")).as("word"),
         size(col("__words")).cast("long").as("__len"))

@@ -444,6 +444,113 @@ object StreamingDedup {
   }
 
   /** Cross-batch streaming twin of
+    * [[graft.operators.Behavior.hardSoftState]] — the notification
+    * path a live monitor actually runs (Nagios confirms a problem
+    * over `maxAttempts` retries BEFORE paging; batch replay is the
+    * audit view, this is the pager): per-entity state is the retry
+    * counter position, the previous check's OK flag, the prevailing
+    * confirmed (hard) state, and the last consumed (event-time,
+    * tiebreak) position — a few dozen bytes per entity, bounded by
+    * fleet size — so the soft/hard confirmation continues seamlessly
+    * across micro-batches with the exact batch semantics: the retry
+    * ordinal spans differing non-OK states, OK resets to 1 and is
+    * immediately hard, `hard_change` fires on confirmed-state changes
+    * and never on a healthy first confirmation (streaming == batch
+    * row-for-row on in-order input — StreamingSpec pins the parity).
+    *
+    * In-order contract (the [[cusumStream]] one): rows within a batch
+    * sort by (ts, tiebreak) with the tiebreak's NATIVE ordering;
+    * across batches per-entity arrival must be monotone; a strictly-
+    * late sample is dropped without advancing state — a retry counter
+    * never rewrites history.
+    * Output: keys + ts + (state, attempt, state_type, hard_state,
+    * hard_change).
+    */
+  def hardSoftStateStream(stream: DataFrame, keyCols: Seq[String],
+      stateCol: String, tsCol: String, tieBreakCol: String,
+      okState: String, maxAttempts: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(keyCols.nonEmpty, "hardSoftStateStream needs at least one key")
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    val schema = stream.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val stIdx = schema.fieldIndex(stateCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val tieIdx = schema.fieldIndex(tieBreakCol)
+    schema(tsIdx).dataType match {
+      case TimestampType | TimestampNTZType => ()
+      case dt => throw new IllegalArgumentException(
+        s"hardSoftStateStream: event-time column '$tsCol' must be a " +
+          s"timestamp, got ${dt.simpleString}")
+    }
+    val tieKey = sortableTie(schema(tieIdx).dataType)
+    val outSchema = StructType(
+      keyIdx.map(schema(_)) ++ Seq(schema(tsIdx),
+        StructField("state", StringType),
+        StructField("attempt", LongType),
+        StructField("state_type", StringType),
+        StructField("hard_state", StringType),
+        StructField("hard_change", BooleanType)))
+    val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    // ((prevOk, posInRun), hardStateOrNull, lastMicros, lastTie, seen)
+    val stateEnc: Encoder[((Boolean, Long), String, Long, String, Boolean)] =
+      Encoders.tuple(
+        Encoders.tuple(Encoders.scalaBoolean, Encoders.scalaLong),
+        Encoders.STRING, Encoders.scalaLong, Encoders.STRING,
+        Encoders.scalaBoolean)
+    stream
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(tsCol).isNotNull && col(stateCol).isNotNull)
+      .groupByKey((r: Row) =>
+        keyIdx.map { i =>
+          val s = String.valueOf(r.get(i)); s.length + ":" + s
+        }.mkString("|"))(Encoders.STRING)
+      .flatMapGroupsWithState[
+          ((Boolean, Long), String, Long, String, Boolean), Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row],
+            state: GroupState[((Boolean, Long), String, Long, String,
+              Boolean)]) =>
+          val rs = rows.toArray
+          val keyVals = keyIdx.map(rs.head.get)
+          val st = state.getOption
+            .getOrElse(((false, 0L), null: String, Long.MinValue, "",
+              false))
+          var prevOk = st._1._1; var pos = st._1._2
+          var hardState = st._2
+          var lastM = st._3; var lastT = st._4; var seen = st._5
+          val ordered = rs.sortBy(r =>
+            (tsMicrosOf(r.get(tsIdx)), tieKey(r.get(tieIdx))))
+          val out = Seq.newBuilder[Row]
+          ordered.foreach { r =>
+            val m = tsMicrosOf(r.get(tsIdx))
+            val t = tieKey(r.get(tieIdx))
+            val late = seen &&
+              (m < lastM || (m == lastM && t <= lastT))
+            if (!late) {
+              // the batch operator's exact semantics, one row at a time
+              val sv = String.valueOf(r.get(stIdx))
+              val ok = sv == okState
+              pos = if (!seen || ok != prevOk) 1L else pos + 1L
+              val attempt =
+                if (ok) 1L else math.min(pos, maxAttempts.toLong)
+              val hard = ok || pos >= maxAttempts.toLong
+              val newHard = if (hard) sv else hardState
+              val change = newHard != null && (
+                if (hardState == null) newHard != okState
+                else hardState != newHard)
+              out += Row.fromSeq(keyVals ++ Seq[Any](r.get(tsIdx), sv,
+                attempt, if (hard) "HARD" else "SOFT", newHard, change))
+              hardState = newHard; prevOk = ok
+              lastM = m; lastT = t; seen = true
+            }
+          }
+          state.update(((prevOk, pos), hardState, lastM, lastT, seen))
+          out.result().iterator
+      }(stateEnc, rowEnc)
+  }
+
+  /** Cross-batch streaming twin of
     * [[graft.operators.TimeSeries.counterRate]]: per-entity state is
     * the LAST (epoch-second, value) sample — 16 bytes per entity,
     * bounded by fleet size — so a counter's rate stream continues

@@ -129,6 +129,31 @@ class SinksSpec extends SparkSpec {
       callerProps.getProperty("batchsize") == "500")
   }
 
+  test("K4 MSSQL dialect mapping (the reference's actual target, " +
+      "load_to_db.py:27) — pinned without a live server") {
+    // The reference INSERTs into PRE-CREATED host_{type}_usage tables
+    // (it never issues DDL), and writeJdbc's append mode is the same
+    // contract: driver-typed setTimestamp parameters land in whatever
+    // column type the DBA created (datetime2 included). Spark's
+    // dialect only decides DDL when Spark CREATES the table — and
+    // there it emits DATETIME (3ms granularity), so a deployment that
+    // needs datetime2 precision must pre-create the table, exactly
+    // the reference's mode. This spec pins the dialect resolution and
+    // the mappings so a Spark upgrade changing them is caught here,
+    // not in production.
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+    val d = JdbcDialects.get("jdbc:sqlserver://db.example.com:1433" +
+      ";databaseName=metrics")
+    assert(d.getClass.getSimpleName == "MsSqlServerDialect")
+    def ddl(t: DataType) = d.getJDBCType(t).map(_.databaseTypeDefinition)
+    assert(ddl(TimestampType) == Some("DATETIME"))
+    assert(ddl(StringType) == Some("NVARCHAR(MAX)"))
+    assert(ddl(BooleanType) == Some("BIT"))
+    // doubles/longs fall through to the JDBC defaults (no override)
+    assert(ddl(DoubleType).isEmpty && ddl(LongType).isEmpty)
+  }
+
   test("A1-A5 observe metrics collected during the action") {
     val observed = Sinks.observed(payload.filter($"percent_used" > 20),
       "valid_rows")

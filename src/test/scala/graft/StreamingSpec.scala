@@ -408,6 +408,69 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("hardSoftStateStream: cross-batch retry counter == batch " +
+      "hardSoftState; counter spans batch boundary AND state change; " +
+      "late row dropped") {
+    import graft.operators.Behavior
+    implicit val sq = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val all = Seq(
+      // h1 starts healthy (no notification), then warn/crit/warn:
+      // the retry ordinal must keep counting across BOTH the batch
+      // boundary and the warn→crit change, hardening as warn at 3
+      ("h1", t(0), 1L, "ok"), ("h1", t(1), 2L, "warn"),
+      // batch 2
+      ("h1", t(2), 3L, "crit"), ("h1", t(3), 4L, "warn"),
+      // batch 3
+      ("h1", t(4), 5L, "ok"),
+      // h2 starts broken: first CONFIRMED state fires
+      ("h2", t(0), 6L, "crit"), ("h2", t(1), 7L, "crit"),
+      ("h2", t(2), 8L, "crit"))
+    val in = MemoryStream[(String, java.sql.Timestamp, Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(String,
+      java.sql.Timestamp, String, Long, String, String, Boolean)]()
+    val q = StreamingDedup.hardSoftStateStream(
+        in.toDF().toDF("host", "ts", "event_id", "st"),
+        Seq("host"), "st", "ts", "event_id", okState = "ok",
+        maxAttempts = 3)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select($"host", $"ts", $"state", $"attempt",
+            $"state_type", $"hard_state", $"hard_change")
+          .as[(String, java.sql.Timestamp, String, Long, String,
+            String, Boolean)].collect()
+        ()
+      }.start()
+    try {
+      in.addData(all.take(2): _*); q.processAllAvailable()
+      in.addData(all.slice(5, 7): _*); q.processAllAvailable()
+      in.addData(all.slice(2, 4): _*); q.processAllAvailable()
+      // strictly-late replay: dropped, counter NOT re-advanced
+      in.addData(("h1", t(1), 2L, "warn")); q.processAllAvailable()
+      in.addData(all.slice(4, 5): _*); q.processAllAvailable()
+      in.addData(all.slice(7, 8): _*); q.processAllAvailable()
+    } finally q.stop()
+    val batch = Behavior.hardSoftState(
+        all.toDF("host", "ts", "event_id", "st"),
+        "host", "st", "ts", "event_id", okState = "ok",
+        maxAttempts = 3)
+      .select($"host", $"ts", $"state", $"attempt", $"state_type",
+        $"hard_state", $"hard_change")
+      .as[(String, java.sql.Timestamp, String, Long, String, String,
+        Boolean)].collect()
+    assert(got.size == all.size)
+    assert(got.sortBy(r => (r._1, r._2.getTime)).toSeq ==
+      batch.toSeq.sortBy(r => (r._1, r._2.getTime)),
+      s"streaming ${got.toSeq} vs batch ${batch.toSeq}")
+    // the pager rows: warn hardens THROUGH the crit detour, recovery
+    // fires, the broken start fires, the healthy start does not
+    assert(got.contains(("h1", t(3), "warn", 3L, "HARD", "warn", true)))
+    assert(got.contains(("h1", t(4), "ok", 1L, "HARD", "ok", true)))
+    assert(got.contains(("h2", t(2), "crit", 3L, "HARD", "crit", true)))
+    assert(got.count(r => r._1 == "h1" && r._7) == 2)
+    assert(got.count(r => r._1 == "h2" && r._7) == 1)
+  }
+
   test("rateStream state (last sample + reorder buffer) survives query " +
       "restart via checkpoint") {
     import graft.operators.TimeSeries
