@@ -2097,6 +2097,17 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // leakage-safe split: near-dup components never straddle
+    // train/val/test — the split label hashes each doc's component
+    // REPRESENTATIVE (min id; singleton docs represent themselves),
+    // preventing eval contamination by a training doc's near-twin at
+    // split time instead of post-hoc
+    "q_split_leakage_safe" -> ((s, dir) =>
+      operators.Sampling.leakageSafeSplit(
+        nearDupCorpus(s, dir).select(col("doc_id")),
+        "doc_id", nearDupPairsShared(s, dir),
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))),
+
     // curation audit: the dup-CLUSTER size histogram over the verified
     // near-dup graph — how much duplicate mass sits in big boilerplate
     // components vs simple pairs; composed from the shared pair
@@ -5425,6 +5436,36 @@ object SparkEntry {
          |SELECT d.doc_id FROM docs d
          |WHERE NOT EXISTS (SELECT 1 FROM comp c
          |  WHERE c.id = d.doc_id AND c.component <> d.doc_id)""".stripMargin,
+
+    // the exact closure + representative-hash split labels: bucket
+    // CASE mirrors splitLabel's md5-prefix arithmetic on the rep id
+    "q_split_leakage_safe" -> {
+      val bucket =
+        """CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8))
+          |  AS BIGINT) % 100""".stripMargin
+      s"""WITH RECURSIVE $nearDupCorpusSql,
+         |${shingleCteSql(5, "docs")},
+         |pairs AS (
+         | SELECT a.doc_id AS u, b.doc_id AS v
+         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |   >= 0.5),
+         |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+         |reach(id, r) AS (
+         | SELECT DISTINCT u, u FROM edges
+         | UNION
+         | SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |labeled AS (
+         | SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep_id
+         | FROM docs d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT doc_id, rep_id,
+         | CASE WHEN ($bucket) < 90 THEN 'train'
+         |   WHEN ($bucket) < 95 THEN 'val'
+         |   ELSE 'test' END AS split
+         |FROM labeled""".stripMargin
+    },
 
     // cluster-size histogram over the same exact closure
     "q_dup_clusters" ->

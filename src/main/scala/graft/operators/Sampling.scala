@@ -42,6 +42,36 @@ object Sampling {
   def deterministicSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(splitBucket(col(idCol), 100) < pct)
 
+  /** Leakage-safe train/val/test split: documents in the same
+    * near-dup component ALWAYS land in the same split. Plain
+    * per-document hash splitting ([[splitLabel]]) puts a training doc
+    * and its near-duplicate in different splits ~2·p·(1−p) of the
+    * time, silently inflating eval scores — the contamination
+    * [[q_decontaminate]]-style post-hoc checks hunt for, prevented at
+    * split time instead. Assignment hashes the component
+    * REPRESENTATIVE (the component's minimum id — the
+    * [[Dedup.dedupByComponents]] survivor rule; a doc in no pair
+    * represents itself), so the split stays deterministic under crawl
+    * reordering and incremental re-splits agree wherever components
+    * are unchanged.
+    *
+    * Scale shape: [[Dedup.connectedComponents]]'s bounded label
+    * rounds over the (sparse) verified-pair graph + ONE left join of
+    * the |dups|-sized label table onto the corpus (AQE broadcasts it
+    * while duplicate mass is small — the common case) + the map-side
+    * hash label. Output: (idCol, rep_id, split).
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      weights: Seq[(String, Int)]): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component"))
+    df.join(comps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("rep_id"))
+      .select(col(idCol), col("rep_id"),
+        splitLabel(col("rep_id"), weights).as("split"))
+  }
+
   /** Deterministic stratified sample: per-stratum keep percentages
     * (the data-mix knob — e.g. keep 100% of a rare language, 5% of the
     * dominant one). Same id-hash bucketing as [[deterministicSample]],

@@ -48,6 +48,33 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got == samples.map(_._2))
   }
 
+  test("leakageSafeSplit: near-dup components never straddle splits; " +
+      "singletons hash independently; agrees with the rep's own label") {
+    import graft.operators.Sampling
+    // components {1,2,3} (chain) and {10,11}; 20..40 singletons
+    val ids = (Seq(1L, 2L, 3L, 10L, 11L) ++ (20L to 40L)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Sampling.leakageSafeSplit(ids, "doc_id", pairs,
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == 26)
+    // every member carries the component min as rep and the SAME label
+    assert(Seq(1L, 2L, 3L).map(got(_)).distinct == Seq(got(1L)))
+    assert(got(1L)._1 == 1L && got(10L)._1 == 10L && got(11L)._1 == 10L)
+    // singleton reps are themselves, and the label equals the plain
+    // per-id hash label (incremental re-splits agree off-component)
+    val plain = ids.select($"doc_id", Sampling.splitLabel($"doc_id",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5)).as("s"))
+      .as[(Long, String)].collect().toMap
+    (20L to 40L).foreach { i =>
+      assert(got(i) == ((i, plain(i))), s"singleton $i")
+    }
+    // a component's label is its representative's plain label
+    assert(got(3L)._2 == plain(1L) && got(11L)._2 == plain(10L))
+  }
+
   test("sampling: deterministic split is stable, partitioned, and proportional") {
     import graft.operators.Sampling
     val a = docs.select($"doc_id",
