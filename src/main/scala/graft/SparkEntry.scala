@@ -2056,6 +2056,17 @@ object SparkEntry {
           md5(col("frame")).as("frame_md5"))
     }),
 
+    // shot-boundary detection over the sampled frames: per-frame
+    // codec features (exact integer byte sums), L1 distance to the
+    // previous frame, cut where it exceeds the threshold — the frame
+    // selector a video pipeline runs instead of stride-blind sampling
+    "q_scene_changes" -> ((s, dir) => {
+      val media = Multimodal.fromBinary(Tables.documents(s, dir),
+        "doc_id", "text", "text/plain")
+      Multimodal.sceneChanges(media, stride = 32, frameLen = 16,
+        dim = 8, threshold = 150L)
+    }),
+
     // end-to-end near-dup REMOVAL (the corpus-level generalization of
     // the reference's dedup-by-content): survivors = corpus minus
     // higher-id members of verified near-dup pairs. Same injected
@@ -5553,6 +5564,42 @@ object SparkEntry {
         |     i -> CASE WHEN (i - 1) % 8 = j THEN bytes[i] ELSE 0 END)),
         |     0) AS VARCHAR)), ',') AS features
         |FROM b""".stripMargin,
+
+    // the q_media_frames slicing + q_media_features byte-sum slots per
+    // FRAME, lag + L1 distance, threshold cut; frame 0 always opens
+    "q_scene_changes" ->
+      """WITH o AS (SELECT doc_id, text,
+        |  octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, text,
+        |  unnest(range(0, CAST(floor((n - 1) / 32.0) AS BIGINT) + 1))
+        |    AS g
+        | FROM o WHERE n > 0),
+        |fr AS (SELECT doc_id AS media_id, CAST(g AS BIGINT) AS frame_no,
+        |  substring(text, CAST(1 + g * 32 AS INTEGER), 16) AS frame
+        | FROM f),
+        |ft AS (SELECT media_id, frame_no,
+        |  CASE WHEN frame = '' THEN CAST([] AS INTEGER[])
+        |   ELSE list_transform(string_split(frame, ''), c -> ord(c)) END
+        |   AS bytes
+        | FROM fr),
+        |fe AS (SELECT media_id, frame_no,
+        |  list_transform(range(0, 8), j ->
+        |    coalesce(list_sum(list_transform(range(1, len(bytes) + 1),
+        |      i -> CASE WHEN (i - 1) % 8 = j THEN bytes[i] ELSE 0 END)),
+        |      0)) AS feat
+        | FROM ft),
+        |lg AS (SELECT media_id, frame_no, feat,
+        |  lag(feat) OVER (PARTITION BY media_id ORDER BY frame_no)
+        |    AS pf
+        | FROM fe),
+        |ds AS (SELECT media_id, frame_no,
+        |  CASE WHEN pf IS NULL THEN NULL
+        |   ELSE CAST(list_sum(list_transform(range(1, 9),
+        |     i -> abs(feat[i] - pf[i]))) AS BIGINT) END AS dist
+        | FROM lg)
+        |SELECT media_id, frame_no, dist,
+        | (frame_no = 0 OR dist > 150) AS scene_cut
+        |FROM ds""".stripMargin,
 
     // exact all-pairs 5-shingle Jaccard (brute force is feasible at the
     // verify SF): proves the LSH candidate generation misses nothing on

@@ -311,4 +311,56 @@ object Multimodal {
         col("payload").substr(col("frame_offset"), lit(frameLen))
           .as("frame"))
   }
+
+  /** Scene-change detection over sampled frames — the shot-boundary
+    * pass a video training pipeline runs to pick one representative
+    * frame per scene instead of `stride`-blind sampling: per media,
+    * decode each [[explodeFrames]] frame to its feature vector
+    * ([[StubCodec]] byte-sum slots — exact integers, so the whole
+    * chain is oracle-replayable like `q_media_features`) and cut
+    * where the L1 feature distance to the previous frame exceeds
+    * `threshold`. Frame 0 always opens a scene. Output: (media_id,
+    * frame_no, dist — null on frame 0, scene_cut).
+    *
+    * Scale shape: frame explosion and the per-frame decode are
+    * row-local (the decode sits in one mapPartitions, the real-codec
+    * batching seam); the only exchange is ONE media-keyed window
+    * whose partitions are bounded by payload size / stride — frames
+    * of one video never spread across machines, and no stage holds
+    * more than a frame pair per row.
+    */
+  def sceneChanges(media: DataFrame, stride: Int, frameLen: Int,
+      dim: Int, threshold: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    require(dim > 0, "dim must be positive")
+    require(threshold >= 0, "threshold must be >= 0")
+    val frames = explodeFrames(media, stride, frameLen)
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("features", ArrayType(IntegerType), nullable = false))))
+    val feats = frames.select("media_id", "frame_no", "frame")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val f = if (r.isNullAt(2)) Array.empty[Byte]
+            else r.getAs[Array[Byte]](2)
+          Row(r.getLong(0), r.getInt(1),
+            StubCodec.decode(f, dim).map(_.toInt).toSeq)
+        }
+      }(enc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_no"))
+    feats
+      .withColumn("__prev", lag(col("features"), 1).over(w))
+      .withColumn("dist",
+        when(col("__prev").isNull, lit(null).cast("long"))
+          .otherwise(aggregate(
+            zip_with(col("features"), col("__prev"),
+              (a, b) => abs(a - b).cast("long")),
+            lit(0L), (acc, x) => acc + x)))
+      .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+        col("dist"),
+        (col("frame_no") === 0 || col("dist") > threshold)
+          .as("scene_cut"))
+  }
 }

@@ -1069,6 +1069,28 @@ class ExtensionOpsSpec extends SparkSpec {
       (3L, 0, 1, "xyz")))
   }
 
+  test("sceneChanges: hand-checked L1 cuts; frame 0 opens; constant " +
+      "payload never cuts") {
+    // stride=2, frameLen=2, dim=2 → frames "ab","cd"... features are
+    // per-slot byte sums: frame "ab" → [97, 98]. Payload 1 jumps at
+    // the third frame ('a'*4 then 'z'*4): dist |97-97|*2=0 then
+    // |122-97|*2=50 — cut at threshold 40, not at 0.
+    val media = Seq(
+      (1L, "aaaazzzz".getBytes("UTF-8")),
+      (2L, "bbbbbb".getBytes("UTF-8"))) // constant: no cuts after 0
+      .toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        lit(null).cast("string").as("meta"))
+    val got = Multimodal.sceneChanges(media, stride = 2, frameLen = 2,
+        dim = 2, threshold = 40L)
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, None, true), (1L, 1L, Some(0L), false),
+      (1L, 2L, Some(50L), true), (1L, 3L, Some(0L), false),
+      (2L, 0L, None, true), (2L, 1L, Some(0L), false),
+      (2L, 2L, Some(0L), false)), got)
+  }
+
   test("editDistanceJoin == brute-force levenshtein on part names") {
     val parts = spark.read.parquet(sf("sf0.001") + "/part.parquet")
       .select($"p_partkey".as("lid"), $"p_name".as("lname"))
