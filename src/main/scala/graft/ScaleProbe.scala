@@ -505,20 +505,38 @@ object ScaleProbe {
       // bounded. Generated, not materialized: the O(E) hash-draw cost
       // is noise against the triangle join, so the missing scan floor
       // only makes the ratio conservative (zipfCorpus note).
-      "triangles_zipf" -> ((s: SparkSession, dir: String) => {
-        val f = if (dir == scaleDir) factor else 1
-        val nEdges = 200000L * f
-        val nodes = 20000L * f
-        def zipfNode(seed: Int) =
-          floor(pow(lit(nodes.toDouble),
-            pmod(hash(col("id"), lit(seed)), lit(1 << 20)).cast("double")
-              / (1 << 20))).cast("long")
-        val edges = s.range(nEdges)
-          .select(zipfNode(1).as("src"), zipfNode(2).as("dst"))
-          .filter(col("src") =!= col("dst"))
-          .distinct() // simple graph: the build any real pipeline does
-        graft.operators.Behavior.triangleCounts(edges, "src", "dst")
-      }))
+      "triangles_zipf" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Behavior.triangleCounts(
+          zipfEdges(s, dir, scaleDir, factor), "src", "dst")),
+      // k-core peel on the same Zipf-degree graph: per-round degree
+      // aggregates map-side-combine the hub, the keep list semi-joins
+      // back — rounds are data-bounded shells, never a hub window
+      "kcore_zipf" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Behavior.kCore(
+          zipfEdges(s, dir, scaleDir, factor), "src", "dst", k = 3)))
+
+  /** Zipf-DEGREE random graph shared by the graph-family probes:
+    * both endpoints drawn by the corpus axis's inverse-CDF Zipf,
+    * nodes AND edges scale with the factor (constant mean degree, hub
+    * degree grows ~10x, hub-pair dedup rate constant — no saturation
+    * distortion). Generated, not materialized: the O(E) hash-draw
+    * cost is noise against the graph joins, so the missing scan floor
+    * only makes ratios conservative (zipfCorpus note).
+    */
+  private def zipfEdges(s: SparkSession, dir: String, scaleDir: String,
+      factor: Int): DataFrame = {
+    val f = if (dir == scaleDir) factor else 1
+    val nEdges = 200000L * f
+    val nodes = 20000L * f
+    def zipfNode(seed: Int) =
+      floor(pow(lit(nodes.toDouble),
+        pmod(hash(col("id"), lit(seed)), lit(1 << 20)).cast("double")
+          / (1 << 20))).cast("long")
+    s.range(nEdges)
+      .select(zipfNode(1).as("src"), zipfNode(2).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct() // simple graph: the build any real pipeline does
+  }
 
   /** Both Zipf corpora live in the scale dir (the 1x twin under a
     * `_1x` name — srcDir is the harness's read-only testdata).

@@ -86,6 +86,45 @@ object SparkEntry {
       |   text || ' near dup suffix' AS text
       | FROM documents WHERE doc_id < 20)""".stripMargin
 
+  /** The support-2 part co-purchase graph shared by the graph-family
+    * queries (`q_triangles`, `q_kcore`): distinct part pairs within
+    * an order, kept when ≥ 2 orders agree. Pair generation is a
+    * per-order fold, not a self-join: orders are tiny (≤ 13 lines),
+    * so collect the distinct sorted part list per order (ONE
+    * exchange) and emit u<v combos map-side — the join+distinct form
+    * pays a 600k × 600k sort-merge plus a 3-column distinct exchange
+    * for the same 1.2M pairs (measured ~2× the wall-clock at sf0.1).
+    * ONE definition on each side (SQL twin in [[coPurchaseEdgesSql]]).
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.groupBy(col("l_orderkey"))
+      .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
+        .as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), " +
+          "y -> struct(x AS u, y AS v))))")).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    pairs.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2).select(col("u"), col("v"))
+  }
+
+  /** CTEs `p`, `e0` — the SQL twin of [[coPurchaseEdges]]. */
+  private val coPurchaseEdgesSql: String =
+    """p AS (
+      | SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+      |  greatest(a.l_partkey, b.l_partkey) AS v, a.l_orderkey AS ok
+      | FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey
+      |   AND a.l_partkey < b.l_partkey),
+      |e0 AS (
+      | SELECT u, v FROM (
+      |  SELECT u, v, count(*) AS s FROM p GROUP BY 1, 2) t
+      | WHERE s >= 2)""".stripMargin
+
   /** Shared boilerplate tail appended to every 5th doc by the
     * substring-dedup queries: 13 tokens, so its 8-token windows repeat
     * corpus-wide. ONE definition on each side (Scala here, SQL in
@@ -3001,28 +3040,17 @@ object SparkEntry {
     // sharing >= 2 distinct orders): degree-ordered orientation keeps
     // the wedge join O(E^1.5) even on skewed degrees — the hub node
     // never enumerates its own deg^2 wedges
-    "q_triangles" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey"))
-      // pair generation as a per-order fold, not a self-join: orders
-      // are tiny (<= 13 lines), so collect the distinct sorted part
-      // list per order (ONE exchange) and emit u<v combos map-side —
-      // the join+distinct form pays a 600k x 600k sort-merge plus a
-      // 3-column distinct exchange for the same 1.2M pairs (measured
-      // ~2x the wall-clock at sf0.1)
-      val pairs = li.groupBy(col("l_orderkey"))
-        .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
-          .as("ps"))
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> " +
-            "transform(slice(ps, i + 2, size(ps)), " +
-            "y -> struct(x AS u, y AS v))))")).as("p"))
-        .select(col("p.u").as("u"), col("p.v").as("v"))
-      val edges = pairs.groupBy(col("u"), col("v"))
-        .agg(count(lit(1)).as("s"))
-        .filter(col("s") >= 2).select(col("u"), col("v"))
-      operators.Behavior.triangleCounts(edges, "u", "v")
-    }),
+    "q_triangles" -> ((s, dir) =>
+      operators.Behavior.triangleCounts(
+        coPurchaseEdges(s, dir), "u", "v")),
+
+    // k-core over the same support-2 co-purchase graph: iterative
+    // peel to the fixpoint — the cohesive-community filter between
+    // triangle density and PageRank centrality; spam/bridge parts
+    // shell away, survivors report their in-core degree
+    "q_kcore" -> ((s, dir) =>
+      operators.Behavior.kCore(coPurchaseEdges(s, dir), "u", "v",
+        k = 3)),
 
     // blocked inverted index: token -> sorted doc-id postings split
     // over doc_id%8 blocks (the salted-aggregate trick — the head
@@ -6958,16 +6986,7 @@ object SparkEntry {
     // triangle appears exactly once in both engines, so per-node
     // participation counts hash-match
     "q_triangles" ->
-      """WITH p AS (
-        | SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
-        |  greatest(a.l_partkey, b.l_partkey) AS v, a.l_orderkey AS ok
-        | FROM lineitem a JOIN lineitem b
-        |  ON a.l_orderkey = b.l_orderkey
-        |   AND a.l_partkey < b.l_partkey),
-        |e0 AS (
-        | SELECT u, v FROM (
-        |  SELECT u, v, count(*) AS s FROM p GROUP BY 1, 2) t
-        | WHERE s >= 2),
+      s"""WITH $coPurchaseEdgesSql,
         |deg AS (
         | SELECT node, count(*) AS d FROM (
         |  SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) n
@@ -6992,6 +7011,32 @@ object SparkEntry {
         |SELECT node, CAST(count(*) AS BIGINT) AS triangles
         |FROM (SELECT unnest([a, b, c]) AS node FROM t) x
         |GROUP BY 1""".stripMargin,
+
+    // the peel unrolled to 14 rounds — at the fixpoint every further
+    // round is the identity, so any R >= the data's shell depth (11
+    // at sf0.01, 1 at sf0.001) replays the operator exactly. Each
+    // round's CTEs are MATERIALIZED: DuckDB inlines CTEs by default,
+    // and e_i references e_{i-1} three times — unmaterialized, the
+    // 14-round chain expands to 3^14 base-table scans
+    "q_kcore" -> {
+      val rounds = (1 to 14).map { i =>
+        s"""deg$i AS MATERIALIZED (
+           | SELECT node, count(*) AS d FROM (
+           |  SELECT u AS node FROM e${i - 1}
+           |  UNION ALL SELECT v FROM e${i - 1}) n$i
+           | GROUP BY 1),
+           |keep$i AS MATERIALIZED (SELECT node FROM deg$i WHERE d >= 3),
+           |e$i AS MATERIALIZED (
+           | SELECT u, v FROM e${i - 1}
+           | WHERE u IN (SELECT node FROM keep$i)
+           |   AND v IN (SELECT node FROM keep$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $coPurchaseEdgesSql,
+         |$rounds
+         |SELECT node, count(*) AS core_degree FROM (
+         | SELECT u AS node FROM e14 UNION ALL SELECT v FROM e14) f
+         |GROUP BY 1""".stripMargin
+    },
 
     // the power iteration unrolled: 3 chained CTEs, each the same
     // round/decimal-sum/round contribution chain the Spark operator

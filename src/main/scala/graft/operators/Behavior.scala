@@ -536,6 +536,65 @@ object Behavior {
     * equi-join on (b,c), and a bounded explode→count. Nodes in zero
     * triangles are absent from the output.
     */
+  /** k-core extraction (Seidman 1983) — the maximal subgraph in which
+    * every node keeps degree ≥ k, the standard graph-curation filter
+    * between [[triangleCounts]]'s local density and [[pageRank]]'s
+    * global centrality (spam/bridge nodes peel away, the cohesive
+    * community remains). Iterative peel to the FIXPOINT: drop nodes
+    * under degree k, recompute degrees over the surviving edges,
+    * repeat; converges because the edge set strictly shrinks.
+    * Output: (node, core_degree) for the surviving nodes —
+    * `core_degree` is the node's degree INSIDE the k-core (≥ k by
+    * construction).
+    *
+    * Scale shape: each round is one degree aggregate (map-side
+    * combined — a Zipf hub contributes per-task partials, never a
+    * single-reducer window) plus two semi-joins of the |nodes|-sized
+    * keep list back onto the edges (AQE broadcasts it while it
+    * fits); per-round eager localCheckpoint cuts the plan lineage
+    * (the [[Dedup.connectedComponents]] O(2^rounds) lesson). Rounds
+    * are data-bounded: a peel round only fires when the previous one
+    * removed something, and real graphs shell out in a few dozen
+    * rounds; `maxIters` bounds the pathological chain and the
+    * operator REFUSES (raise, not silent truncation) if the fixpoint
+    * is not reached — partial peels are not a k-core.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIters: Int = 40): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var surv = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    def degrees(e: DataFrame): DataFrame = e
+      .select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    var nEdges = surv.count()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      it += 1
+      val keep = degrees(surv).filter(col("d") >= k)
+        .select(col("node"))
+      val next = surv
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val n = next.count()
+      converged = n == nEdges // edges only shrink: equal = fixpoint
+      nEdges = n
+      surv = next
+    }
+    require(converged,
+      s"kCore did not reach the fixpoint in $maxIters rounds")
+    degrees(surv).select(col("node"), col("d").as("core_degree"))
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String)
       : DataFrame = {
     // materialize the canonical edge set ONCE: it feeds the degree

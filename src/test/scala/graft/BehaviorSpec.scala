@@ -233,6 +233,27 @@ class BehaviorSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("kCore: chain and pendant peel away, clique survives with " +
+      "in-core degrees; k above the clique empties; cascade rounds") {
+    // 4-clique {1,2,3,4} + chain 4-5-6 + pendant 7 on 1: k=2 peels
+    // 6,7 (round 1) then 5 (round 2 — the CASCADE: 5 had degree 2
+    // until 6 left), keeping the clique at degree 3
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (1L, 7L))
+      .toDF("s", "d")
+    val k2 = Behavior.kCore(edges, "s", "d", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), k2)
+    // k=4: nobody keeps degree 4 once the periphery goes — empty
+    assert(Behavior.kCore(edges, "s", "d", k = 4).count() == 0L)
+    // duplicate/reversed/self-loop edges canonicalize away
+    val messy = edges.unionByName(Seq((2L, 1L), (3L, 3L), (1L, 2L))
+      .toDF("s", "d"))
+    val again = Behavior.kCore(messy, "s", "d", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == k2)
+  }
+
   test("triangleCounts: two shared-edge triangles; partition-invariant") {
     // triangles {1,2,3} and {2,3,4} share edge 2-3
     val base = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
