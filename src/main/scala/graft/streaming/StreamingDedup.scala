@@ -551,6 +551,124 @@ object StreamingDedup {
   }
 
   /** Cross-batch streaming twin of
+    * [[graft.operators.Behavior.flapDetection]] — the live flap
+    * suppressor (Nagios damps notifications WHILE a service
+    * oscillates; detecting it after the fact is an audit, not a
+    * suppressor): per-entity state is the trailing `historyLen−1`
+    * state-change flags (one bit each), the previous raw state, the
+    * current flapping verdict, and the last consumed (event-time,
+    * tiebreak) position — O(historyLen) bits per entity, bounded by
+    * fleet size. Each arriving check recomputes the exact-rational
+    * weighted change percentage from the flag window (the SAME
+    * integer `num` the batch windows produce) and applies the strict
+    * high/low hysteresis, so streaming == batch row-for-row on
+    * in-order input, with the flag window and the flapping verdict
+    * crossing batch boundaries intact (StreamingSpec pins parity).
+    *
+    * In-order contract (the [[cusumStream]] one): rows within a batch
+    * sort by (ts, tiebreak) with the tiebreak's NATIVE ordering;
+    * across batches per-entity arrival must be monotone; a strictly-
+    * late sample is dropped without advancing state.
+    * Output: keys + ts + (state, pct, flapping).
+    */
+  def flapDetectionStream(stream: DataFrame, keyCols: Seq[String],
+      stateCol: String, tsCol: String, tieBreakCol: String,
+      highPct: Double = 20.0, lowPct: Double = 5.0,
+      historyLen: Int = 21): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(keyCols.nonEmpty, "flapDetectionStream needs at least one key")
+    require(historyLen >= 3, "flapDetectionStream needs historyLen >= 3")
+    val m = historyLen - 1
+    val denom = 5L * m.toLong * (m - 1)
+    val hiCut = highPct * denom / 100.0
+    val loCut = lowPct * denom / 100.0
+    val schema = stream.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val stIdx = schema.fieldIndex(stateCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val tieIdx = schema.fieldIndex(tieBreakCol)
+    schema(tsIdx).dataType match {
+      case TimestampType | TimestampNTZType => ()
+      case dt => throw new IllegalArgumentException(
+        s"flapDetectionStream: event-time column '$tsCol' must be a " +
+          s"timestamp, got ${dt.simpleString}")
+    }
+    val tieKey = sortableTie(schema(tieIdx).dataType)
+    val outSchema = StructType(
+      keyIdx.map(schema(_)) ++ Seq(schema(tsIdx),
+        StructField("state", StringType),
+        StructField("pct", DoubleType),
+        StructField("flapping", BooleanType)))
+    val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    // (chgBits newest-last, prevState, flapping, lastMicros,
+    //  (lastTie, seen))
+    val stateEnc: Encoder[(String, String, Boolean, Long,
+        (String, Boolean))] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING,
+        Encoders.scalaBoolean, Encoders.scalaLong,
+        Encoders.tuple(Encoders.STRING, Encoders.scalaBoolean))
+    stream
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(tsCol).isNotNull && col(stateCol).isNotNull)
+      .groupByKey((r: Row) =>
+        keyIdx.map { i =>
+          val s = String.valueOf(r.get(i)); s.length + ":" + s
+        }.mkString("|"))(Encoders.STRING)
+      .flatMapGroupsWithState[(String, String, Boolean, Long,
+          (String, Boolean)), Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row],
+            state: GroupState[(String, String, Boolean, Long,
+              (String, Boolean))]) =>
+          val rs = rows.toArray
+          val keyVals = keyIdx.map(rs.head.get)
+          val st = state.getOption.getOrElse(
+            ("", "", false, Long.MinValue, ("", false)))
+          val bits = new StringBuilder(st._1)
+          var prevState = st._2
+          var flapping = st._3
+          var lastM = st._4
+          var lastT = st._5._1
+          var seen = st._5._2
+          val ordered = rs.sortBy(r =>
+            (tsMicrosOf(r.get(tsIdx)), tieKey(r.get(tieIdx))))
+          val out = Seq.newBuilder[Row]
+          ordered.foreach { r =>
+            val mic = tsMicrosOf(r.get(tsIdx))
+            val t = tieKey(r.get(tieIdx))
+            val late = seen &&
+              (mic < lastM || (mic == lastM && t <= lastT))
+            if (!late) {
+              val sv = String.valueOf(r.get(stIdx))
+              val chg = if (seen && sv != prevState) '1' else '0'
+              bits.append(chg)
+              if (bits.length > m) bits.deleteCharAt(0)
+              // the batch windows' exact integer: Σ chg_d·(6(m−1)−2d),
+              // d = distance back (0 = this row)
+              var num = 0L
+              var d = 0
+              while (d < bits.length) {
+                if (bits.charAt(bits.length - 1 - d) == '1')
+                  num += 6L * (m - 1) - 2L * d
+                d += 1
+              }
+              val pct = graft.functions.DecimalRound.fastRound(
+                num.toDouble * 100.0 / denom.toDouble, 6)
+              if (num.toDouble > hiCut) flapping = true
+              else if (num.toDouble < loCut) flapping = false
+              out += Row.fromSeq(keyVals ++ Seq[Any](r.get(tsIdx), sv,
+                pct, flapping))
+              prevState = sv
+              lastM = mic; lastT = t; seen = true
+            }
+          }
+          state.update((bits.toString, prevState, flapping, lastM,
+            (lastT, seen)))
+          out.result().iterator
+      }(stateEnc, rowEnc)
+  }
+
+  /** Cross-batch streaming twin of
     * [[graft.operators.TimeSeries.counterRate]]: per-entity state is
     * the LAST (epoch-second, value) sample — 16 bytes per entity,
     * bounded by fleet size — so a counter's rate stream continues

@@ -471,6 +471,55 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(r => r._1 == "h2" && r._7) == 1)
   }
 
+  test("flapDetectionStream: cross-batch flag window == batch " +
+      "flapDetection; strict hysteresis carries over the boundary; " +
+      "late row dropped") {
+    import graft.operators.Behavior
+    implicit val sq = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // the BehaviorSpec fixture: historyLen=3, pct = 60·chg₀ + 40·chg₁,
+    // states a,b,a,b,a,a,a → pct 0,60,100,100,100,40,0; high=90/low=40
+    // strict → flapping F,F,T,T,T,T(boundary pct==40 keeps),F
+    val all = Seq("a", "b", "a", "b", "a", "a", "a").zipWithIndex
+      .map { case (st, i) => ("h1", t(i), i.toLong, st) }
+    val in = MemoryStream[(String, java.sql.Timestamp, Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[
+      (String, java.sql.Timestamp, String, Double, Boolean)]()
+    val q = StreamingDedup.flapDetectionStream(
+        in.toDF().toDF("host", "ts", "event_id", "st"),
+        Seq("host"), "st", "ts", "event_id", highPct = 90.0,
+        lowPct = 40.0, historyLen = 3)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select($"host", $"ts", $"state", $"pct", $"flapping")
+          .as[(String, java.sql.Timestamp, String, Double, Boolean)]
+          .collect()
+        ()
+      }.start()
+    try {
+      // the flag window AND the flapping verdict must cross these cuts
+      in.addData(all.take(2): _*); q.processAllAvailable()
+      in.addData(all.slice(2, 3): _*); q.processAllAvailable()
+      // strictly-late replay: dropped, window NOT re-advanced
+      in.addData(all(1)); q.processAllAvailable()
+      in.addData(all.slice(3, 6): _*); q.processAllAvailable()
+      in.addData(all.slice(6, 7): _*); q.processAllAvailable()
+    } finally q.stop()
+    val batch = Behavior.flapDetection(
+        all.toDF("host", "ts", "event_id", "st"),
+        "host", "st", "ts", "event_id", highPct = 90.0,
+        lowPct = 40.0, historyLen = 3)
+      .select($"host", $"ts", $"state", $"pct", $"flapping")
+      .as[(String, java.sql.Timestamp, String, Double, Boolean)]
+      .collect()
+    assert(got.size == all.size)
+    assert(got.sortBy(_._2.getTime).toSeq ==
+      batch.toSeq.sortBy(_._2.getTime),
+      s"streaming ${got.toSeq} vs batch ${batch.toSeq}")
+    // the dead-band boundary row (pct == lowPct) kept flapping ON
+    assert(got.exists(r => r._4 == 40.0 && r._5))
+  }
+
   test("rateStream state (last sample + reorder buffer) survives query " +
       "restart via checkpoint") {
     import graft.operators.TimeSeries
