@@ -2764,6 +2764,15 @@ object SparkEntry {
       operators.TimeSeries.holt(Tables.events(s, dir), Seq("user_id"),
         Seq("ts", "event_id"), "value", alpha = 0.25, beta = 0.5)),
 
+    // the seasonal rung: Holt–Winters additive with a 4-slot ring —
+    // the first period of each series seeds the seasonals (no
+    // output), then every level/trend/season/forecast double replays
+    // in the recursive oracle
+    "q_holt_winters" -> ((s, dir) =>
+      operators.TimeSeries.holtWinters(Tables.events(s, dir),
+        Seq("user_id"), Seq("ts", "event_id"), "value",
+        alpha = 0.25, beta = 0.5, gamma = 0.25, period = 4)),
+
     // sequential change-point detection over the metric stream:
     // two-sided CUSUM around a frozen target with alarm-reset — each
     // alarm marks one detected drift episode
@@ -6597,6 +6606,62 @@ object SparkEntry {
         |SELECT user_id, ts, event_id, value, l AS level, b AS trend,
         | l + b AS forecast
         |FROM r""".stripMargin,
+
+    // warmup pivoted to explicit left-to-right sums (((x1+x2)+x3)+x4
+    // — the fold's exact IEEE order), then the recursion carries the
+    // 4-slot seasonal ring as a LIST, rewriting one slot per step;
+    // forecast reads the NEXT slot, untouched this step for m >= 2
+    "q_holt_winters" ->
+      """WITH RECURSIVE t AS (
+        | SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS rn
+        | FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |w AS (
+        | SELECT user_id,
+        |  MAX(CASE WHEN rn = 1 THEN value END) AS x1,
+        |  MAX(CASE WHEN rn = 2 THEN value END) AS x2,
+        |  MAX(CASE WHEN rn = 3 THEN value END) AS x3,
+        |  MAX(CASE WHEN rn = 4 THEN value END) AS x4
+        | FROM t WHERE rn <= 4 GROUP BY 1 HAVING count(*) = 4),
+        |seed AS (
+        | SELECT user_id, x1, x2, x3, x4,
+        |  (((x1 + x2) + x3) + x4) / 4 AS l0
+        | FROM w),
+        |r AS (
+        | SELECT user_id, CAST(4 AS BIGINT) AS rn,
+        |  CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS BIGINT)
+        |    AS event_id, CAST(NULL AS DOUBLE) AS value,
+        |  l0 AS l, CAST(0.0 AS DOUBLE) AS b,
+        |  [x1 - l0, x2 - l0, x3 - l0, x4 - l0] AS ring,
+        |  CAST(NULL AS DOUBLE) AS s, CAST(NULL AS DOUBLE) AS f
+        | FROM seed
+        | UNION ALL
+        | SELECT t.user_id, t.rn, t.ts, t.event_id, t.value,
+        |  0.25 * (t.value - r.ring[((t.rn - 1) % 4) + 1])
+        |    + 0.75 * (r.l + r.b),
+        |  0.5 * ((0.25 * (t.value - r.ring[((t.rn - 1) % 4) + 1])
+        |      + 0.75 * (r.l + r.b)) - r.l) + 0.5 * r.b,
+        |  list_transform(r.ring, (sv, j) -> CASE
+        |    WHEN j = ((t.rn - 1) % 4) + 1 THEN
+        |     0.25 * (t.value - (0.25 * (t.value
+        |        - r.ring[((t.rn - 1) % 4) + 1])
+        |       + 0.75 * (r.l + r.b)))
+        |      + 0.75 * r.ring[((t.rn - 1) % 4) + 1]
+        |    ELSE sv END),
+        |  0.25 * (t.value - (0.25 * (t.value
+        |      - r.ring[((t.rn - 1) % 4) + 1])
+        |     + 0.75 * (r.l + r.b)))
+        |   + 0.75 * r.ring[((t.rn - 1) % 4) + 1],
+        |  ((0.25 * (t.value - r.ring[((t.rn - 1) % 4) + 1])
+        |     + 0.75 * (r.l + r.b))
+        |   + (0.5 * ((0.25 * (t.value - r.ring[((t.rn - 1) % 4) + 1])
+        |       + 0.75 * (r.l + r.b)) - r.l) + 0.5 * r.b))
+        |  + r.ring[(t.rn % 4) + 1]
+        | FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+        |SELECT user_id, ts, event_id, value, l AS level, b AS trend,
+        | s AS season, f AS forecast
+        |FROM r WHERE rn > 4""".stripMargin,
 
     // the ewma pattern: recursive CTE replaying the per-key fold row
     // by row; every step the same (subtract, subtract, add, max)

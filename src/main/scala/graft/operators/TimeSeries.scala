@@ -198,6 +198,50 @@ object TimeSeries {
         col("__graft_ho_z.__graft_ho_s.forecast").as("forecast")): _*)
   }
 
+  /** Holt–Winters additive seasonal smoothing per key — the
+    * [[holt]] ladder's seasonal rung (daily load curves, weekly batch
+    * windows): level + trend + a `period`-slot seasonal ring, one
+    * linear codegen'd [[graft.functions.HoltWintersFold]] pass over
+    * each key's collected array (the [[ewma]] collect/fold/explode
+    * shape — ONE entity-keyed exchange, per-entity state bounded by
+    * retention). The first `period` samples of each series seed the
+    * ring (left-to-right mean + residuals) and emit NO output — a
+    * season must be observed once before it can be removed; rows
+    * after the warmup carry (level, trend, season, forecast =
+    * one-step-ahead including the next slot's seasonal). Smoothing
+    * complements must be exactly representable (refused loudly
+    * otherwise) — every step replays in a recursive-CTE oracle
+    * bit-for-bit.
+    */
+  def holtWinters(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], valueCol: String, alpha: Double,
+      beta: Double, gamma: Double, period: Int): DataFrame = {
+    require(keyCols.nonEmpty, "holtWinters needs at least one key")
+    val keys = keyCols.map(col)
+    val itemCols = orderCols :+ valueCol
+    df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(valueCol).isNotNull)
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(itemCols.map(col): _*)))
+        .as("__graft_hw_items"))
+      .withColumn("__graft_hw_s",
+        graft.functions.HoltWintersExpression.holtWintersFold(
+          transform(col("__graft_hw_items"),
+            it => it.getField(valueCol).cast("double")),
+          alpha, beta, gamma, period))
+      .select(keys :+ explode(arrays_zip(col("__graft_hw_items"),
+        col("__graft_hw_s"))).as("__graft_hw_z"): _*)
+      // warmup slots are null structs: drop them AFTER the zip so
+      // item/state alignment never shifts
+      .filter(col("__graft_hw_z.__graft_hw_s").isNotNull)
+      .select(keys ++ itemCols.map(c =>
+        col(s"__graft_hw_z.__graft_hw_items.$c").as(c)) ++ Seq(
+        col("__graft_hw_z.__graft_hw_s.level").as("level"),
+        col("__graft_hw_z.__graft_hw_s.trend").as("trend"),
+        col("__graft_hw_z.__graft_hw_s.season").as("season"),
+        col("__graft_hw_z.__graft_hw_s.forecast").as("forecast")): _*)
+  }
+
   /** Two-sided CUSUM change-point detection per key (Page 1954) — the
     * sequential drift detector monitoring shops run on metric
     * streams: cumulative positive/negative deviations from `target`

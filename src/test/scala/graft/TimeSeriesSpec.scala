@@ -291,6 +291,51 @@ class TimeSeriesSpec extends SparkSpec {
     assert(e.getMessage.contains("complement"))
   }
 
+  test("holtWinters: hand-checked seasonal recursion; warmup emits " +
+      "nothing; seasonal series forecasts exactly; refusal") {
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // m=2, α=β=γ=0.5, x = 1,2,3,4: warmup l0=1.5, ring=[-0.5, 0.5];
+    // x=3: l=2.5 b=0.5 s=0.0 fc=2.5+0.5+0.5=3.5
+    // x=4: l=3.25 b=0.625 s=0.625 fc=3.25+0.625+0.0=3.875
+    val pts = (1 to 4).map(i => ("k", t(i), i.toLong, i.toDouble))
+      .toDF("key", "ts", "event_id", "value")
+    val got = TimeSeries.holtWinters(pts, Seq("key"),
+        Seq("ts", "event_id"), "value", alpha = 0.5, beta = 0.5,
+        gamma = 0.5, period = 2)
+      .select($"event_id", $"level", $"trend", $"season", $"forecast")
+      .as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (3L, 2.5, 0.5, 0.0, 3.5),
+      (4L, 3.25, 0.625, 0.625, 3.875)), got.toSeq)
+    // a perfectly periodic series (no trend) converges to exact
+    // one-step forecasts — the property Holt alone can never achieve
+    val season = Seq(10.0, 20.0, 40.0, 20.0)
+    val per = (0 until 200).map(i =>
+      ("p", t(i), i.toLong, season(i % 4)))
+      .toDF("key", "ts", "event_id", "value")
+    val tail = TimeSeries.holtWinters(per, Seq("key"),
+        Seq("ts", "event_id"), "value", alpha = 0.25, beta = 0.25,
+        gamma = 0.5, period = 4)
+      .orderBy($"event_id".desc).limit(2)
+      .select($"event_id", $"forecast")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    tail.foreach { case (id, fc) =>
+      assert(math.abs(fc - season(((id + 1) % 4).toInt)) < 1e-6,
+        s"id=$id fc=$fc")
+    }
+    // a series shorter than one period emits nothing
+    assert(TimeSeries.holtWinters(pts.filter($"event_id" <= 2),
+      Seq("key"), Seq("ts", "event_id"), "value", 0.5, 0.5, 0.5,
+      period = 2).count() == 0L)
+    // drift-prone gamma fails loudly, not as an oracle mismatch
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.holtWinters(pts, Seq("key"), Seq("ts", "event_id"),
+        "value", alpha = 0.5, beta = 0.5, gamma = 0.3,
+        period = 2).collect()
+    }
+    assert(e.getMessage.contains("complement"))
+  }
+
   test("cusum: hand-checked drift accumulation, alarm at threshold, " +
       "reset after alarm; one-sided excursions don't cross-charge") {
     def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
