@@ -551,6 +551,138 @@ object StreamingDedup {
   }
 
   /** Cross-batch streaming twin of
+    * [[graft.operators.TimeSeries.holtWinters]] — live seasonal
+    * smoothing + one-step forecast: per-entity state is the (level,
+    * trend) pair, the `period`-slot seasonal ring, the warmup buffer
+    * (≤ period samples), the row position, and the last consumed
+    * (event-time, tiebreak) position — O(period) doubles per entity,
+    * bounded by fleet size — so the triple-exponential recursion
+    * continues seamlessly across micro-batches with the exact batch
+    * fold op order ([[graft.functions.HoltWintersFold.result]]:
+    * left-to-right warmup mean, then the fixed
+    * level/trend/season/forecast sequence — streaming == batch
+    * bit-for-bit on in-order input; the warmup emits nothing on both
+    * sides). Smoothing complements must be exactly representable,
+    * the batch kernel's contract.
+    *
+    * In-order contract (the [[cusumStream]] one): rows within a batch
+    * sort by (ts, tiebreak) with the tiebreak's NATIVE ordering;
+    * across batches per-entity arrival must be monotone; a strictly-
+    * late sample is dropped without advancing state.
+    * Output: keys + ts + value + (level, trend, season, forecast).
+    */
+  def holtWintersStream(stream: DataFrame, keyCols: Seq[String],
+      tsCol: String, valueCol: String, tieBreakCol: String,
+      alpha: Double, beta: Double, gamma: Double,
+      period: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(keyCols.nonEmpty,
+      "holtWintersStream needs at least one key")
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(graft.functions.HoltExpression.exactComplement(alpha) &&
+      graft.functions.HoltExpression.exactComplement(beta) &&
+      graft.functions.HoltExpression.exactComplement(gamma),
+      "holtWintersStream needs exactly-representable complements " +
+        "(the batch HoltWintersFold contract)")
+    val schema = stream.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val vIdx = schema.fieldIndex(valueCol)
+    val tieIdx = schema.fieldIndex(tieBreakCol)
+    schema(tsIdx).dataType match {
+      case TimestampType | TimestampNTZType => ()
+      case dt => throw new IllegalArgumentException(
+        s"holtWintersStream: event-time column '$tsCol' must be a " +
+          s"timestamp, got ${dt.simpleString}")
+    }
+    val tieKey = sortableTie(schema(tieIdx).dataType)
+    val outSchema = StructType(
+      keyIdx.map(schema(_)) ++ Seq(schema(tsIdx),
+        StructField("value", DoubleType),
+        StructField("level", DoubleType),
+        StructField("trend", DoubleType),
+        StructField("season", DoubleType),
+        StructField("forecast", DoubleType)))
+    val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    // ((i, l, b), warmupBuf, ring, lastMicros, (lastTie, seen))
+    val stateEnc: Encoder[((Long, Double, Double), Seq[Double],
+        Seq[Double], Long, (String, Boolean))] =
+      Encoders.product[((Long, Double, Double), Seq[Double],
+        Seq[Double], Long, (String, Boolean))]
+    def num(r: Row, i: Int): Double =
+      r.get(i).asInstanceOf[Number].doubleValue()
+    val ca = 1.0 - alpha
+    val cb = 1.0 - beta
+    val cg = 1.0 - gamma
+    stream
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupByKey((r: Row) =>
+        keyIdx.map { i =>
+          val s = String.valueOf(r.get(i)); s.length + ":" + s
+        }.mkString("|"))(Encoders.STRING)
+      .flatMapGroupsWithState[((Long, Double, Double), Seq[Double],
+          Seq[Double], Long, (String, Boolean)), Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row],
+            state: GroupState[((Long, Double, Double), Seq[Double],
+              Seq[Double], Long, (String, Boolean))]) =>
+          val rs = rows.toArray
+          val keyVals = keyIdx.map(rs.head.get)
+          val st = state.getOption.getOrElse(
+            ((0L, 0.0, 0.0), Seq.empty[Double], Seq.empty[Double],
+              Long.MinValue, ("", false)))
+          var i = st._1._1; var l = st._1._2; var b = st._1._3
+          val buf = scala.collection.mutable.ArrayBuffer[Double](
+            st._2: _*)
+          var ring = st._3.toArray
+          var lastM = st._4
+          var lastT = st._5._1; var seen = st._5._2
+          val m = period
+          val ordered = rs.sortBy(r =>
+            (tsMicrosOf(r.get(tsIdx)), tieKey(r.get(tieIdx))))
+          val out = Seq.newBuilder[Row]
+          ordered.foreach { r =>
+            val mic = tsMicrosOf(r.get(tsIdx))
+            val t = tieKey(r.get(tieIdx))
+            val late = seen &&
+              (mic < lastM || (mic == lastM && t <= lastT))
+            if (!late) {
+              val v = num(r, vIdx)
+              if (i < m) {
+                buf += v
+                if (i == m - 1) {
+                  // the batch fold's exact warmup: left-to-right mean
+                  var acc = 0.0
+                  var j = 0
+                  while (j < m) { acc = acc + buf(j); j += 1 }
+                  l = acc / m
+                  b = 0.0
+                  ring = buf.map(_ - l).toArray
+                  buf.clear()
+                }
+                // warmup rows emit nothing — the batch contract
+              } else {
+                val sOld = ring((i % m).toInt)
+                val lp = l
+                l = alpha * (v - sOld) + ca * (lp + b)
+                b = beta * (l - lp) + cb * b
+                ring((i % m).toInt) = gamma * (v - l) + cg * sOld
+                out += Row.fromSeq(keyVals ++ Seq[Any](r.get(tsIdx), v,
+                  l, b, ring((i % m).toInt),
+                  l + b + ring(((i + 1) % m).toInt)))
+              }
+              i += 1
+              lastM = mic; lastT = t; seen = true
+            }
+          }
+          state.update(((i, l, b), buf.toSeq, ring.toSeq, lastM,
+            (lastT, seen)))
+          out.result().iterator
+      }(stateEnc, rowEnc)
+  }
+
+  /** Cross-batch streaming twin of
     * [[graft.operators.Behavior.flapDetection]] — the live flap
     * suppressor (Nagios damps notifications WHILE a service
     * oscillates; detecting it after the fact is an audit, not a

@@ -471,6 +471,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(r => r._1 == "h2" && r._7) == 1)
   }
 
+  test("holtWintersStream: cross-batch seasonal ring == batch " +
+      "holtWinters bit-for-bit; warmup spans the boundary and emits " +
+      "nothing; late row dropped") {
+    import graft.operators.TimeSeries
+    implicit val sq = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val season = Seq(10.0, 20.0, 40.0, 20.0)
+    val all = (0 until 12).map(i =>
+      ("h1", t(i), i.toLong, season(i % 4) + 0.5 * i))
+    val in = MemoryStream[(String, java.sql.Timestamp, Long, Double)]
+    val got = scala.collection.mutable.ArrayBuffer[
+      (String, Double, Double, Double, Double, Double)]()
+    val q = StreamingDedup.holtWintersStream(
+        in.toDF().toDF("host", "ts", "event_id", "value"),
+        Seq("host"), "ts", "value", "event_id",
+        alpha = 0.25, beta = 0.5, gamma = 0.25, period = 4)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select($"host", $"value", $"level", $"trend",
+            $"season", $"forecast")
+          .as[(String, Double, Double, Double, Double, Double)]
+          .collect()
+        ()
+      }.start()
+    try {
+      // the WARMUP buffer itself must cross this boundary (2 of 4)
+      in.addData(all.take(2): _*); q.processAllAvailable()
+      in.addData(all.slice(2, 5): _*); q.processAllAvailable()
+      // strictly-late replay: dropped, ring NOT re-advanced
+      in.addData(all(3)); q.processAllAvailable()
+      in.addData(all.slice(5, 12): _*); q.processAllAvailable()
+    } finally q.stop()
+    val batch = TimeSeries.holtWinters(
+        all.toDF("host", "ts", "event_id", "value"),
+        Seq("host"), Seq("ts", "event_id"), "value",
+        alpha = 0.25, beta = 0.5, gamma = 0.25, period = 4)
+      .select($"host", $"value", $"level", $"trend", $"season",
+        $"forecast")
+      .as[(String, Double, Double, Double, Double, Double)].collect()
+    assert(got.size == 8) // 12 rows − 4 warmup
+    assert(got.sortBy(_._2).toSeq == batch.toSeq.sortBy(_._2),
+      s"streaming ${got.toSeq} vs batch ${batch.toSeq}")
+  }
+
   test("flapDetectionStream: cross-batch flag window == batch " +
       "flapDetection; strict hysteresis carries over the boundary; " +
       "late row dropped") {
