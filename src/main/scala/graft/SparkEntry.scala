@@ -2923,6 +2923,18 @@ object SparkEntry {
         "value", 10.0)
     }),
 
+    // per-entity exact two-sample KS: does this user's click-value
+    // distribution match their view-value distribution? ECDF gaps as
+    // exact integers over the common n_a·n_b denominator, one double
+    // division at the end; squared asymptotic significance test
+    "q_ks_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .withColumn("is_click", col("event_type") === "click")
+      operators.Profiling.ksTest(ev, Seq("user_id"), "value",
+        "is_click")
+    }),
+
     // Spark 4 VariantType ingestion: parse_json once into the binary
     // variant encoding, typed paths via variant_get — the
     // schema-on-read form of the reference's polymorphic JSON
@@ -6944,6 +6956,41 @@ object SparkEntry {
          |    AS y
          | FROM events WHERE value IS NOT NULL) t""".stripMargin
     },
+
+    // tie-collapsed (key, value) counts, running ECDF sums, the
+    // integer gap maximum, one double division + the squared
+    // significance comparison — every step the Spark chain verbatim
+    "q_ks_drift" ->
+      """WITH f AS (
+        | SELECT user_id, value AS v, (event_type = 'click') AS tag
+        | FROM events
+        | WHERE event_type IN ('click', 'view')
+        |   AND user_id IS NOT NULL AND value IS NOT NULL),
+        |c AS (
+        | SELECT user_id, v,
+        |  sum(CASE WHEN tag THEN 1 ELSE 0 END) AS ca,
+        |  sum(CASE WHEN NOT tag THEN 1 ELSE 0 END) AS cb
+        | FROM f GROUP BY 1, 2),
+        |r AS (
+        | SELECT user_id, v,
+        |  sum(ca) OVER w AS ra, sum(cb) OVER w AS rb,
+        |  sum(ca) OVER a AS na, sum(cb) OVER a AS nb
+        | FROM c
+        | WINDOW w AS (PARTITION BY user_id ORDER BY v ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  a AS (PARTITION BY user_id)),
+        |g AS (
+        | SELECT user_id, max(na) AS n_a, max(nb) AS n_b,
+        |  max(abs(ra * nb - rb * na)) AS num
+        | FROM r WHERE na > 0 AND nb > 0 GROUP BY 1)
+        |SELECT user_id, CAST(n_a AS BIGINT) AS n_a,
+        | CAST(n_b AS BIGINT) AS n_b,
+        | round(CAST(num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6)
+        |   AS ks_d,
+        | (CAST(num AS DOUBLE) * CAST(num AS DOUBLE) >
+        |  1.358 * 1.358 * CAST((n_a + n_b) * n_a * n_b AS DOUBLE))
+        |   AS significant
+        |FROM g""".stripMargin,
 
     // conditional counts per bin, window totals, one IEEE-op chain
     // per output — ln-free drift term

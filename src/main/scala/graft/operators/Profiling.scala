@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -714,6 +715,62 @@ object Profiling {
     * (bin) aggregate over the stream; nothing wide beyond
     * rankSelect's range exchange.
     */
+  /** Exact two-sample Kolmogorov–Smirnov distance per key — the
+    * distribution-shift detector behind per-entity drift alerts
+    * (is this host's latency distributed like it was last week?):
+    * D = sup_x |F_A(x) − F_B(x)| over the key's two tagged samples,
+    * with `tagCol` (boolean) splitting A (true) from B (false).
+    * Keys missing either sample emit no row (no distribution to
+    * compare). `significant` applies the asymptotic α=0.05 rejection
+    * c·√((n_A+n_B)/(n_A·n_B)), c = 1.358.
+    *
+    * Exactness: at each distinct value the ECDF gap is the INTEGER
+    * |cum_A·n_B − cum_B·n_A| over the common denominator n_A·n_B, so
+    * D maximizes over exact longs and pays ONE double division at
+    * the end (6dp) — no float ECDF accumulation, engine-portable.
+    * The significance test squares instead of rooting:
+    * D > c·√((n_A+n_B)/(n_A·n_B)) ⇔ num² > c²·(n_A+n_B)·n_A·n_B,
+    * with both sides the same fixed IEEE expression in every engine.
+    *
+    * Scale shape: one (key, value) pre-aggregate collapses ties
+    * map-side, one key-partitioned window pass (per-key partitions —
+    * entity-bounded, never a global sort; the global two-sample
+    * form belongs on [[rankSelect]]'s range machinery), one final
+    * partial-combined aggregate.
+    */
+  def ksTest(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      tagCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "ksTest needs at least one key")
+    val keys = keyCols.map(col)
+    val counts = df
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(valueCol).isNotNull && col(tagCol).isNotNull)
+      .groupBy(keys :+ col(valueCol).as("__v"): _*)
+      .agg(sum(when(col(tagCol), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col(tagCol), 1L).otherwise(0L)).as("__cb"))
+    val wRun = Window.partitionBy(keys: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    val run = counts
+      .withColumn("__ra", sum(col("__ca")).over(wRun))
+      .withColumn("__rb", sum(col("__cb")).over(wRun))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+    run
+      .groupBy(keys: _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(abs(col("__ra") * col("__nb") - col("__rb") * col("__na")))
+          .as("__num"))
+      .select(keys ++ Seq(col("n_a"), col("n_b"),
+        round(col("__num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("ks_d"),
+        (col("__num").cast("double") * col("__num").cast("double") >
+          lit(1.358 * 1.358) * ((col("n_a") + col("n_b")) *
+            col("n_a") * col("n_b")).cast("double"))
+          .as("significant")): _*)
+  }
+
   def equiDepthBins(df: DataFrame, valueCol: String,
       nBins: Int): DataFrame = {
     require(nBins >= 2, "nBins must be >= 2")

@@ -549,4 +549,36 @@ class ProfilingSpec extends SparkSpec {
       .as[(String, String, Long)].collect().map(r => (r._2, r._3))
     assert(got.toSeq == Seq(("a", 3L), ("b", 2L), ("c", 2L)))
   }
+
+  test("ksTest: hand-checked ECDF gap with ties; identical samples " +
+      "give D=0; one-sample keys drop; disjoint supports give D=1") {
+    // k1: A=[1,2], B=[2,3] — gaps at distinct v: 2,2,0 over n_a·n_b=4
+    // -> D=0.5. k2: A=B=[1,2,3] -> D=0. k3: only A -> no row.
+    // k4: A=[1,2], B=[5,6] disjoint -> D=1, still not significant at
+    // these tiny n.
+    val rows = Seq(
+      ("k1", 1.0, true), ("k1", 2.0, true),
+      ("k1", 2.0, false), ("k1", 3.0, false),
+      ("k2", 1.0, true), ("k2", 2.0, true), ("k2", 3.0, true),
+      ("k2", 1.0, false), ("k2", 2.0, false), ("k2", 3.0, false),
+      ("k3", 1.0, true),
+      ("k4", 1.0, true), ("k4", 2.0, true),
+      ("k4", 5.0, false), ("k4", 6.0, false))
+      .toDF("k", "v", "tag")
+    val got = Profiling.ksTest(rows, Seq("k"), "v", "tag")
+      .as[(String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.keySet == Set("k1", "k2", "k4"))
+    assert(got("k1") == ((2L, 2L, 0.5, false)), got("k1"))
+    assert(got("k2") == ((3L, 3L, 0.0, false)), got("k2"))
+    assert(got("k4") == ((2L, 2L, 1.0, false)), got("k4"))
+    // a large genuinely-shifted pair IS significant: A uniform on
+    // 0..99, B uniform on 50..149 (D=0.5 at n=100 each)
+    val big = ((0 until 100).map(i => ("s", i.toDouble, true)) ++
+      (0 until 100).map(i => ("s", 50.0 + i, false)))
+      .toDF("k", "v", "tag")
+    val sig = Profiling.ksTest(big, Seq("k"), "v", "tag")
+      .as[(String, Long, Long, Double, Boolean)].head()
+    assert(sig._4 == 0.5 && sig._5, sig.toString)
+  }
 }
