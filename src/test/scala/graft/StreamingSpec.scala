@@ -610,6 +610,50 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("hardSoftStateStream retry counter survives query restart via " +
+      "checkpoint — a half-counted problem keeps counting") {
+    import graft.operators.Behavior
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("grafthsck").toString
+    val out = java.nio.file.Files.createTempDirectory("grafthsout").toString
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val input = MemoryStream[(String, java.sql.Timestamp, Long, String)]
+    def start() = StreamingDedup.hardSoftStateStream(
+        input.toDF().toDF("host", "ts", "event_id", "st"),
+        Seq("host"), "st", "ts", "event_id", okState = "ok",
+        maxAttempts = 3)
+      .writeStream
+      .foreachBatch(StreamingDedup.foreachBatchParquetSink(out) _)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    // two soft non-OK checks land, then the process dies
+    input.addData(("h1", t(0), 1L, "warn"), ("h1", t(1), 2L, "crit"))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    // the third check after restart must HARDEN (attempt 3 continues
+    // from the checkpointed counter, not restart at 1)
+    input.addData(("h1", t(2), 3L, "crit"))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .select($"ts", $"state", $"attempt", $"state_type",
+        $"hard_state", $"hard_change")
+      .as[(java.sql.Timestamp, String, Long, String, String, Boolean)]
+      .collect().sortBy(_._1.getTime)
+    val batch = Behavior.hardSoftState(
+        Seq(("h1", t(0), 1L, "warn"), ("h1", t(1), 2L, "crit"),
+          ("h1", t(2), 3L, "crit")).toDF("host", "ts", "event_id", "st"),
+        "host", "st", "ts", "event_id", okState = "ok", maxAttempts = 3)
+      .select($"ts", $"state", $"attempt", $"state_type",
+        $"hard_state", $"hard_change")
+      .as[(java.sql.Timestamp, String, Long, String, String, Boolean)]
+      .collect().sortBy(_._1.getTime)
+    assert(got.toSeq == batch.toSeq, s"restart ${got.toSeq}")
+    assert(got.last == ((t(2), "crit", 3L, "HARD", "crit", true)))
+  }
+
   test("rateStream with lateness: randomized bounded-disorder property " +
       "— arrival = ts + U(0, 0.9·lateness), random batch splits, " +
       "streaming == batch bit-for-bit") {
