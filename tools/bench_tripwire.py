@@ -11,13 +11,31 @@ by more than 0.5 s absolute (the host's scheduling floor makes pure
 ratios on 0.1 s queries meaningless). New/removed queries are listed
 informationally and never fail the gate."""
 import json
+import re
 import sys
 
-new = json.load(open(sys.argv[1]))
-prev = json.load(open(sys.argv[2]))
+
+def load_queries(path):
+    """Accept either a Bench stdout line ({"queries": {...}}) or the
+    driver's BENCH_r{N}.json wrapper, whose `tail`/`parsed` fields may
+    hold only a truncated fragment — recover whatever "q_x":1.23
+    pairs survive."""
+    d = json.load(open(path))
+    if isinstance(d.get("queries"), dict):
+        return d["queries"]
+    if isinstance(d.get("parsed"), dict) and \
+            isinstance(d["parsed"].get("queries"), dict):
+        return d["parsed"]["queries"]
+    frag = d.get("tail", "") or ""
+    pairs = re.findall(r'"(q_[a-z0-9_]+)":([0-9.]+)', frag)
+    return {k: float(v) for k, v in pairs}
+
+
+new = load_queries(sys.argv[1])
+prev = load_queries(sys.argv[2])
 ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
 
-nq, pq = new.get("queries", {}), prev.get("queries", {})
+nq, pq = new, prev
 added = sorted(set(nq) - set(pq))
 removed = sorted(set(pq) - set(nq))
 if added:
