@@ -2254,6 +2254,23 @@ object SparkEntry {
         "event_id", okState = "ok", maxAttempts = 3)
     }),
 
+    // Nagios re-notification schedule over the confirmed-state stream:
+    // initial page at hard_change, repeat at the first check of each
+    // elapsed 6h slot while the same non-OK state stays confirmed,
+    // escalation from the first repeat — islands + integer slots, no
+    // sequential recursion
+    "q_notifications" -> ((s, dir) => {
+      val snap = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .withColumn("state",
+          when(col("value") < 50, "ok")
+            .when(col("value") < 80, "warn")
+            .otherwise("crit"))
+      operators.Behavior.notificationSchedule(snap, "user_id", "state",
+        "ts", "event_id", okState = "ok", maxAttempts = 3,
+        intervalSeconds = 21600L, escalateAfter = 1L)
+    }),
+
     // snapshot changelog → SCD2 validity intervals: the status-stream
     // history build (consecutive equal states merge; open interval has
     // null valid_to)
@@ -5833,6 +5850,79 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) = 1
         |  AS flapping
         |FROM e""".stripMargin,
+
+    // the q_hard_state chain extended: hard_change islands over the
+    // confirmed stream, elapsed-div-interval slots anchored on each
+    // episode's first check, first check per slot notifies, ordinal
+    // escalates from the first repeat
+    "q_notifications" ->
+      """WITH src AS (
+        | SELECT user_id, ts, event_id,
+        |  CASE WHEN value < 50 THEN 'ok' WHEN value < 80 THEN 'warn'
+        |       ELSE 'crit' END AS state
+        | FROM events
+        | WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |   AND ts IS NOT NULL),
+        |b AS (
+        | SELECT user_id, state, ts, event_id, (state = 'ok') AS ok,
+        |  row_number() OVER w AS rn,
+        |  CASE WHEN lag(state = 'ok') OVER w IS NULL
+        |    OR lag(state = 'ok') OVER w <> (state = 'ok')
+        |   THEN row_number() OVER w END AS flip_rn
+        | FROM src
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |st AS (
+        | SELECT user_id, state, ts, event_id, rn, ok,
+        |  rn - max(flip_rn) OVER r + 1 AS pos
+        | FROM b
+        | WINDOW r AS (PARTITION BY user_id ORDER BY rn ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |h AS (
+        | SELECT user_id, state, ts, event_id, rn,
+        |  (ok OR pos >= 3) AS hard
+        | FROM st),
+        |hs AS (
+        | SELECT user_id, state, ts, event_id, rn,
+        |  last_value(CASE WHEN hard THEN state END IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY rn ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS hard_state
+        | FROM h),
+        |hc AS (
+        | SELECT user_id, ts, event_id, rn, hard_state,
+        |  (hard_state IS NOT NULL AND
+        |   CASE WHEN lag(hard_state) OVER v IS NULL
+        |        THEN hard_state <> 'ok'
+        |        ELSE lag(hard_state) OVER v <> hard_state END)
+        |   AS hard_change
+        | FROM hs
+        | WINDOW v AS (PARTITION BY user_id ORDER BY rn ASC)),
+        |ep AS (
+        | SELECT user_id, ts, event_id, rn, hard_state,
+        |  sum(CASE WHEN hard_change THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY user_id ORDER BY rn ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epi
+        | FROM hc WHERE hard_state IS NOT NULL),
+        |sl AS (
+        | SELECT user_id, ts, event_id, rn, hard_state, epi,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS e,
+        |  (CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |   - min(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+        |     OVER (PARTITION BY user_id, epi)) // 21600 AS slot
+        | FROM ep WHERE hard_state <> 'ok'),
+        |fr AS (
+        | SELECT user_id, ts, hard_state, epi, slot,
+        |  row_number() OVER (PARTITION BY user_id, epi, slot
+        |    ORDER BY e ASC, event_id ASC) AS srn
+        | FROM sl),
+        |nn AS (
+        | SELECT user_id, ts, hard_state AS state, epi,
+        |  CAST(row_number() OVER (PARTITION BY user_id, epi
+        |    ORDER BY slot ASC) - 1 AS BIGINT) AS notification_no
+        | FROM fr WHERE srn = 1)
+        |SELECT user_id, ts, state, notification_no,
+        | (notification_no >= 1) AS escalated
+        |FROM nn""".stripMargin,
 
     // OK-flag gaps-and-islands (the q_sessionize recipe on the ok
     // flip): pos = rn − run_start + 1, attempt capped at 3 (1 on OK),

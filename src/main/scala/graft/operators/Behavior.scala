@@ -320,7 +320,8 @@ object Behavior {
     */
   def hardSoftState(snapshots: DataFrame, keyCol: String,
       stateCol: String, tsCol: String, tieBreakCol: String,
-      okState: String, maxAttempts: Int = 3): DataFrame = {
+      okState: String, maxAttempts: Int = 3,
+      keepTieBreak: Boolean = false): DataFrame = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
@@ -330,7 +331,8 @@ object Behavior {
     val base = snapshots
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
         col(stateCol).isNotNull)
-      .select(col(keyCol), col(stateCol), col(tsCol), ok.as("_ok"),
+      .select(col(keyCol), col(stateCol), col(tsCol),
+        col(tieBreakCol), ok.as("_ok"),
         row_number().over(w).as("_rn"),
         when(okFlip, row_number().over(w)).as("_flip_rn"))
     // window functions cannot nest inside window arguments, so each
@@ -358,9 +360,70 @@ object Behavior {
             col("hard_state") =!= okState)
           .otherwise(
             lag(col("hard_state"), 1).over(wr) =!= col("hard_state"))))
-      .select(col(keyCol), col(tsCol), col(stateCol).as("state"),
-        col("attempt"), col("state_type"), col("hard_state"),
-        col("hard_change"))
+      .select((Seq(col(keyCol), col(tsCol),
+        col(stateCol).as("state"), col("attempt"), col("state_type"),
+        col("hard_state"), col("hard_change")) ++
+        (if (keepTieBreak) Seq(col(tieBreakCol)) else Nil)): _*)
+  }
+
+  /** Nagios-style re-notification schedule over the confirmed-state
+    * stream (public Nagios Core docs, `notification_interval` /
+    * escalations): the initial page fires when a problem CONFIRMS
+    * ([[hardSoftState]]'s `hard_change`), and while the confirmed
+    * state stays the same non-OK value, the FIRST CHECK in each
+    * elapsed `intervalSeconds` slot since the problem confirmed
+    * re-notifies — pages repeat at check granularity, exactly the
+    * "re-notify every N unless acknowledged" contract (no
+    * acknowledgement model here; feed an ack table as an anti-join
+    * upstream). `notification_no` is the 0-based page ordinal within
+    * the episode; `escalated` turns true from ordinal
+    * `escalateAfter` on (the escalation chain's trigger row).
+    *
+    * No sequential recursion: confirmed-state episodes are
+    * [[scd2History]]-style islands over `hard_change`, the slot is
+    * integer (elapsed div interval), and one row per (episode, slot)
+    * survives — three window/aggregate passes on the same key
+    * partitioning, O(1) per-row state.
+    * Output: (key, ts, state, notification_no, escalated).
+    */
+  def notificationSchedule(snapshots: DataFrame, keyCol: String,
+      stateCol: String, tsCol: String, tieBreakCol: String,
+      okState: String, maxAttempts: Int = 3,
+      intervalSeconds: Long = 3600L,
+      escalateAfter: Long = 2L): DataFrame = {
+    require(intervalSeconds > 0, "intervalSeconds must be positive")
+    require(escalateAfter >= 1, "escalateAfter must be >= 1")
+    val hs = hardSoftState(snapshots, keyCol, stateCol, tsCol,
+      tieBreakCol, okState, maxAttempts, keepTieBreak = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieBreakCol).asc)
+    val run = w.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val episodes = hs
+      .filter(col("hard_state").isNotNull)
+      .withColumn("_ep",
+        sum(when(col("hard_change"), 1L).otherwise(0L)).over(run))
+      .filter(col("hard_state") =!= okState)
+    val wEp = Window.partitionBy(col(keyCol), col("_ep"))
+    val slotted = episodes
+      .withColumn("_e", unix_timestamp(col(tsCol)))
+      .withColumn("_start", min(col("_e")).over(wEp))
+      .withColumn("_slot",
+        expr(s"(_e - _start) div ${intervalSeconds}L"))
+    // first check in each slot notifies (native-order tiebreak, so
+    // the oracle's row_number replays the pick exactly)
+    val wSlot = Window.partitionBy(col(keyCol), col("_ep"), col("_slot"))
+      .orderBy(col("_e").asc, col(tieBreakCol).asc)
+    val wN = Window.partitionBy(col(keyCol), col("_ep"))
+      .orderBy(col("_slot").asc)
+    slotted
+      .withColumn("_srn", row_number().over(wSlot))
+      .filter(col("_srn") === 1)
+      .withColumn("notification_no",
+        row_number().over(wN).cast("long") - 1L)
+      .select(col(keyCol), col(tsCol),
+        col("hard_state").as("state"), col("notification_no"),
+        (col("notification_no") >= escalateAfter).as("escalated"))
   }
 
   /** Robust per-group outliers by median absolute deviation: flag rows

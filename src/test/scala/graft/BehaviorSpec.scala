@@ -233,6 +233,30 @@ class BehaviorSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("notificationSchedule: initial page, slot-gated repeats, " +
+      "escalation ordinal; recovery and healthy start page nothing") {
+    def ts2(s: String) = ts(s)
+    // maxAttempts=1 (every check confirms), interval=1h, escalate at 2
+    val snap = Seq(
+      (1L, 9L, "ok",   "2024-01-01 09:00:00"),
+      (2L, 9L, "crit", "2024-01-01 10:00:00"), // page 0 (slot 0)
+      (3L, 9L, "crit", "2024-01-01 10:30:00"), // same slot: silent
+      (4L, 9L, "crit", "2024-01-01 11:10:00"), // slot 1 → page 1
+      (5L, 9L, "crit", "2024-01-01 12:30:00"), // slot 2 → page 2 (escalated)
+      (6L, 9L, "ok",   "2024-01-01 13:00:00"), // recovery: no page row
+      (7L, 9L, "crit", "2024-01-01 14:00:00")) // NEW episode → page 0
+      .map { case (id, u, st, t) => (id, u, st, ts2(t)) }
+      .toDF("event_id", "user_id", "state", "ts")
+    val got = Behavior.notificationSchedule(snap, "user_id", "state",
+        "ts", "event_id", okState = "ok", maxAttempts = 1,
+        intervalSeconds = 3600L, escalateAfter = 2L)
+      .orderBy("ts")
+      .select("state", "notification_no", "escalated")
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(("crit", 0L, false), ("crit", 1L, false),
+      ("crit", 2L, true), ("crit", 0L, false)), got)
+  }
+
   test("kCore: chain and pendant peel away, clique survives with " +
       "in-core degrees; k above the clique empties; cascade rounds") {
     // 4-clique {1,2,3,4} + chain 4-5-6 + pendant 7 on 1: k=2 peels
