@@ -2565,6 +2565,23 @@ object SparkEntry {
           size(col("bpe_tokens")).cast("long").as("n_bpe"))
     }),
 
+    // tokenizer fertility per language: mean subwords per word under
+    // the frozen merges — the tokenizer-QA readout that decides
+    // whether a language needs its own merges before its token budget
+    // silently doubles (fertility ≈ 2× means half the effective
+    // context window)
+    "q_tokenizer_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.bpeEncode(docs, "doc_id", "text", bpeMerges)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(col("bpe_tokens")).cast("long")).as("n_subwords"))
+        .select(col("lang"), col("n_words"), col("n_subwords"),
+          round(col("n_subwords").cast("double") /
+            col("n_words").cast("double"), 6).as("fertility"))
+    }),
+
     // content-defined chunking (window 8, divisor 16): boundaries
     // where the md5 of the 8-char context hits 0 mod 16, so shared
     // regions chunk identically across documents regardless of
@@ -6278,6 +6295,32 @@ object SparkEntry {
          | w.word, array_to_string(v.s, ' ') AS bpe,
          | CAST(len(v.s) AS BIGINT) AS n_bpe
          |FROM w JOIN v${bpeMerges.length} v USING (word)""".stripMargin
+    },
+
+    // the q_bpe_encode merge stages shared, aggregated per language
+    "q_tokenizer_fertility" -> {
+      val stages = bpeMerges.zipWithIndex.map { case ((a, b), i) =>
+        s"""v${i + 1} AS (SELECT word, list_filter(list_transform(s,
+           |  (x, ii) -> CASE WHEN x = '$a' AND s[ii+1] = '$b'
+           |      THEN '$a$b'
+           |    WHEN ii > 1 AND s[ii-1] = '$a' AND x = '$b' THEN NULL
+           |    ELSE x END), y -> y IS NOT NULL) AS s FROM v$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (SELECT doc_id, unnest(toks) AS word
+         | FROM (SELECT doc_id, list_filter(
+         |   string_split_regex(text, '\\s+'), t -> len(t) > 0) AS toks
+         |  FROM documents) t),
+         |v0 AS (SELECT word, list_append(string_split(word, ''), '</w>')
+         |   AS s
+         | FROM (SELECT DISTINCT word FROM w) d),
+         |$stages
+         |SELECT d2.lang, count(*) AS n_words,
+         | CAST(sum(len(v.s)) AS BIGINT) AS n_subwords,
+         | round(CAST(sum(len(v.s)) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+         |   6) AS fertility
+         |FROM w JOIN v${bpeMerges.length} v USING (word)
+         | JOIN documents d2 ON w.doc_id = d2.doc_id
+         |GROUP BY 1""".stripMargin
     },
 
     // CDC boundaries replayed: candidate positions 2..n-7, boundary
