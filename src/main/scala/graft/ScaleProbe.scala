@@ -156,8 +156,30 @@ object ScaleProbe {
       // round-8 late addition (VERDICT r8 task 7): per-iter assign is
       // a broadcast-centroid row-local argmin, the update a k×dim-cell
       // partial-combined aggregate — both corpus-linear
-      "q_kmeans")
+      "q_kmeans",
+      // round-9 operators (no late addition ships without a scale
+      // row — the r8 lesson). All per-key-window/fold shapes are
+      // LINEAR per key, so the fixed-users replicated-events axis is
+      // honest for them (unlike theilSen's quadratic pair join):
+      // holt_winters = one fold pass per key; ks_drift = one
+      // tie-collapsed window; notifications = three windows on one
+      // partitioning; scene_changes = row-local decode + media
+      // window; tokenizer_fertility = vocab-sized encode cache
+      // (mangled copies grow the vocab 10x — exactly the claim)
+      "q_holt_winters", "q_ks_drift", "q_notifications",
+      "q_scene_changes", "q_tokenizer_fertility")
       .map(q => q -> SparkEntry.queries(q)) ++ Seq(
+      // leakage-safe split via DIRECT pipeline calls (the SparkEntry
+      // entry serves the per-dir pair-staging memo, which would let
+      // run 2 time a cache hit — the minhash_cc_full rationale)
+      "leakage_split_full" -> ((s: SparkSession, dir: String) => {
+        val corpus = nearDupCorpus(s, dir)
+        graft.operators.Sampling.leakageSafeSplit(
+          corpus.select(col("doc_id")), "doc_id",
+          graft.operators.Dedup.minhashNearDupPairs(corpus, "doc_id",
+            "text", numHashes = 64, bands = 32, threshold = 0.5),
+          Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      }),
       // RAKE on a STOPWORD-PRESERVING replication (VERDICT r8 task 7):
       // the generic mangled-documents axis suffixes every token, so
       // copies 1..N-1 contain zero stopwords and each document

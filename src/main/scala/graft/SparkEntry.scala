@@ -2565,6 +2565,27 @@ object SparkEntry {
           size(col("bpe_tokens")).cast("long").as("n_bpe"))
     }),
 
+    // Luhn-gated card redaction: every doc gets one VALID card (check
+    // digit computed from the Luhn sum) and one INVALID sibling (check
+    // digit +1) appended — the valid one must redact, the invalid one
+    // must survive (the precision regex-only scrubbing can't deliver)
+    "q_redact_cards" -> ((s, dir) => {
+      val base15 = (lit(400000000000000L) + col("doc_id"))
+        .cast("string")
+      val s0 = TextOps.luhnSum(concat(base15, lit("0")))
+      val chk = (lit(10L) - s0 % 10L) % 10L
+      val valid = concat(base15, chk.cast("string"))
+      val invalid = concat(base15, ((chk + 1L) % 10L).cast("string"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat_ws(" ", col("text"), valid, invalid).as("__t"))
+        .select(col("doc_id"),
+          TextOps.redactCards(col("__t")).as("redacted"))
+        .select(col("doc_id"), col("redacted"),
+          regexp_count(col("redacted"), lit("<CARD>")).cast("long")
+            .as("n_cards"))
+    }),
+
     // tokenizer fertility per language: mean subwords per word under
     // the frozen merges — the tokenizer-QA readout that decides
     // whether a language needs its own merges before its token budget
@@ -6295,6 +6316,47 @@ object SparkEntry {
          | w.word, array_to_string(v.s, ' ') AS bpe,
          | CAST(len(v.s) AS BIGINT) AS n_bpe
          |FROM w JOIN v${bpeMerges.length} v USING (word)""".stripMargin
+    },
+
+    // the Luhn sum as list arithmetic (position 1 = rightmost, evens
+    // doubled with 9-subtraction), check digit from the appended-0
+    // sum, candidates re-extracted and reduce-replaced with word
+    // boundaries — replacements are disjoint digit runs, so the
+    // reduce order list_distinct happens to pick cannot matter
+    "q_redact_cards" -> {
+      val luhn = (c: String) =>
+        s"""list_sum(list_transform(range(1, len($c) + 1), i ->
+           |  CASE WHEN i % 2 = 1
+           |   THEN ord(substr(reverse($c), i, 1)) - 48
+           |   ELSE CASE WHEN (ord(substr(reverse($c), i, 1)) - 48) * 2 > 9
+           |    THEN (ord(substr(reverse($c), i, 1)) - 48) * 2 - 9
+           |    ELSE (ord(substr(reverse($c), i, 1)) - 48) * 2 END
+           |  END))""".stripMargin
+      s"""WITH f AS (
+         | SELECT doc_id,
+         |  CAST(400000000000000 + doc_id AS VARCHAR) AS b15
+         | FROM documents),
+         |chk AS (
+         | SELECT doc_id, b15,
+         |  (10 - ${luhn("(b15 || '0')")} % 10) % 10 AS d
+         | FROM f),
+         |t AS (
+         | SELECT c.doc_id,
+         |  d.text || ' ' || c.b15 || CAST(c.d AS VARCHAR) || ' ' ||
+         |   c.b15 || CAST((c.d + 1) % 10 AS VARCHAR) AS t2
+         | FROM chk c JOIN documents d ON c.doc_id = d.doc_id),
+         |r AS (
+         | SELECT doc_id, list_reduce(
+         |  list_prepend(t2, list_filter(
+         |    list_distinct(regexp_extract_all(t2, '\\b\\d{13,19}\\b')),
+         |    c -> ${luhn("c")} % 10 = 0)),
+         |  (acc, x) -> regexp_replace(acc, '\\b' || x || '\\b',
+         |    '<CARD>', 'g')) AS redacted
+         | FROM t)
+         |SELECT doc_id, redacted,
+         | CAST(len(regexp_extract_all(redacted, '<CARD>')) AS BIGINT)
+         |   AS n_cards
+         |FROM r""".stripMargin
     },
 
     // the q_bpe_encode merge stages shared, aggregated per language

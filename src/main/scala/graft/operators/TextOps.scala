@@ -167,6 +167,39 @@ object TextOps {
       regexp_replace(c, re, tag)
     }
 
+  /** Luhn sum of a digit string — position 1 = RIGHTMOST digit,
+    * odd positions taken as-is, even positions doubled with the
+    * classic 9-subtraction. Pure integer HOF arithmetic, identical
+    * in any engine (no `luhn_check` builtin dependency, so the
+    * oracle replays it digit for digit).
+    */
+  def luhnSum(digits: Column): Column =
+    aggregate(sequence(lit(1), length(digits)), lit(0L), (acc, i) => {
+      val d = (ascii(substring(reverse(digits), i, lit(1))) - 48)
+        .cast("long")
+      acc + when(i % 2 === 1, d)
+        .otherwise(d * 2 - when(d * 2 > 9, 9L).otherwise(0L))
+    })
+
+  /** Payment-card redaction with Luhn validation — the precision fix
+    * plain regex scrubbing can't provide: a 13–19-digit run is only a
+    * card if its Luhn checksum validates (regex-only redaction
+    * obliterates order ids, EANs and tracking numbers; Luhn-gated
+    * redaction leaves them intact). Candidates come from one
+    * `regexp_extract_all`, validation is [[luhnSum]] % 10 == 0, and
+    * each valid candidate is replaced everywhere with word
+    * boundaries. All row-local codegen HOFs — scan throughput, no
+    * UDF, engine-replayable.
+    */
+  def redactCards(text: Column): Column = {
+    val cands = array_distinct(regexp_extract_all(text,
+      lit("\\b\\d{13,19}\\b"), lit(0)))
+    val valid = filter(cands, c => luhnSum(c) % 10 === 0)
+    aggregate(valid, text, (acc, c) =>
+      regexp_replace(acc, concat(lit("\\b"), c, lit("\\b")),
+        lit("<CARD>")))
+  }
+
   /** Per-category PII hit counts (email, ip, ssn, phone) as a struct —
     * the audit side of [[redactPii]]: corpus-level PII density reports
     * aggregate these without materializing redacted text.

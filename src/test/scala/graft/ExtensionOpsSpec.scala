@@ -130,6 +130,24 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(short == Seq("a b"))
   }
 
+  test("text: Luhn-gated card redaction — valid card redacts, " +
+      "same-shape invalid number and order ids survive") {
+    // 4111111111111111 is the classic Luhn-valid test PAN;
+    // 4111111111111112 fails the checksum; the 13-digit order id
+    // 4111111111111 is Luhn-valid too and must ALSO redact (13-19
+    // digit window), while a 12-digit run is never a candidate
+    val row = Seq("pay 4111111111111111 not 4111111111111112 " +
+      "ord 411111111111 ok").toDF("t")
+      .select(TextOps.redactCards($"t")).as[String].head()
+    assert(row == "pay <CARD> not 4111111111111112 " +
+      "ord 411111111111 ok", row)
+    // luhnSum ground truth: 79927398713 is the canonical valid example
+    val s = Seq(("79927398713", "79927398710")).toDF("a", "b")
+      .select(TextOps.luhnSum($"a") % 10, TextOps.luhnSum($"b") % 10)
+      .as[(Long, Long)].head()
+    assert(s._1 == 0L && s._2 != 0L, s.toString)
+  }
+
   test("text: PII redaction replaces each category, counts once") {
     val row = Seq(
       ("mail bob.smith+x@corp.example.org or 10.1.2.3 ssn 123-45-6789 " +
