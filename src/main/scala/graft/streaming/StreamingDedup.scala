@@ -551,6 +551,127 @@ object StreamingDedup {
   }
 
   /** Cross-batch streaming twin of
+    * [[graft.operators.Behavior.notificationSchedule]] — the pages a
+    * live monitor actually SENDS (batch replay is the audit; this is
+    * the pager queue): [[hardSoftStateStream]]'s confirmation fold
+    * extended with the episode anchor — per entity, the state adds
+    * the current episode's start epoch and the last notified slot, so
+    * the initial page fires the moment a problem confirms, repeats
+    * fire at the first check of each elapsed `intervalSeconds` slot,
+    * and a confirmed state CHANGE re-anchors the episode — all across
+    * micro-batch boundaries (streaming == batch row-for-row on
+    * in-order input; StreamingSpec pins parity and a mid-episode
+    * restart). Late rows drop without advancing state.
+    * Output: keys + ts + (state, notification_no, escalated).
+    */
+  def notificationStream(stream: DataFrame, keyCols: Seq[String],
+      stateCol: String, tsCol: String, tieBreakCol: String,
+      okState: String, maxAttempts: Int = 3,
+      intervalSeconds: Long = 3600L,
+      escalateAfter: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(keyCols.nonEmpty, "notificationStream needs at least one key")
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    require(intervalSeconds > 0, "intervalSeconds must be positive")
+    require(escalateAfter >= 1, "escalateAfter must be >= 1")
+    val schema = stream.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val stIdx = schema.fieldIndex(stateCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val tieIdx = schema.fieldIndex(tieBreakCol)
+    schema(tsIdx).dataType match {
+      case TimestampType | TimestampNTZType => ()
+      case dt => throw new IllegalArgumentException(
+        s"notificationStream: event-time column '$tsCol' must be a " +
+          s"timestamp, got ${dt.simpleString}")
+    }
+    val tieKey = sortableTie(schema(tieIdx).dataType)
+    val outSchema = StructType(
+      keyIdx.map(schema(_)) ++ Seq(schema(tsIdx),
+        StructField("state", StringType),
+        StructField("notification_no", LongType),
+        StructField("escalated", BooleanType)))
+    val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    // ((prevOk, pos), hardState, (epStartE, lastSlot, nextOrdinal),
+    //  lastMicros, (lastTie, seen))
+    val stateEnc: Encoder[((Boolean, Long), String,
+        (Long, Long, Long), Long, (String, Boolean))] =
+      Encoders.tuple(
+        Encoders.tuple(Encoders.scalaBoolean, Encoders.scalaLong),
+        Encoders.STRING,
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong),
+        Encoders.scalaLong,
+        Encoders.tuple(Encoders.STRING, Encoders.scalaBoolean))
+    stream
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(tsCol).isNotNull && col(stateCol).isNotNull)
+      .groupByKey((r: Row) =>
+        keyIdx.map { i =>
+          val s = String.valueOf(r.get(i)); s.length + ":" + s
+        }.mkString("|"))(Encoders.STRING)
+      .flatMapGroupsWithState[((Boolean, Long), String,
+          (Long, Long, Long), Long, (String, Boolean)), Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row],
+            state: GroupState[((Boolean, Long), String,
+              (Long, Long, Long), Long, (String, Boolean))]) =>
+          val rs = rows.toArray
+          val keyVals = keyIdx.map(rs.head.get)
+          val st = state.getOption.getOrElse(
+            ((false, 0L), null: String, (Long.MinValue, -1L, 0L),
+              Long.MinValue, ("", false)))
+          var prevOk = st._1._1; var pos = st._1._2
+          var hardState = st._2
+          var epStart = st._3._1; var lastSlot = st._3._2
+          var ordinal = st._3._3
+          var lastM = st._4
+          var lastT = st._5._1; var seen = st._5._2
+          val ordered = rs.sortBy(r =>
+            (tsMicrosOf(r.get(tsIdx)), tieKey(r.get(tieIdx))))
+          val out = Seq.newBuilder[Row]
+          ordered.foreach { r =>
+            val mic = tsMicrosOf(r.get(tsIdx))
+            val t = tieKey(r.get(tieIdx))
+            val late = seen &&
+              (mic < lastM || (mic == lastM && t <= lastT))
+            if (!late) {
+              // the batch confirmation chain, one row at a time
+              val sv = String.valueOf(r.get(stIdx))
+              val ok = sv == okState
+              pos = if (!seen || ok != prevOk) 1L else pos + 1L
+              val hard = ok || pos >= maxAttempts.toLong
+              val newHard = if (hard) sv else hardState
+              val changed = newHard != null && newHard != hardState
+              hardState = newHard; prevOk = ok
+              // episode anchoring + slot gating (the batch operator's
+              // islands/slots, sequentially)
+              val e = Math.floorDiv(mic, 1000000L)
+              if (hardState != null && hardState != okState) {
+                if (changed) {
+                  epStart = e; lastSlot = -1L; ordinal = 0L
+                }
+                val slot = (e - epStart) / intervalSeconds
+                if (slot > lastSlot) {
+                  out += Row.fromSeq(keyVals ++ Seq[Any](r.get(tsIdx),
+                    hardState, ordinal,
+                    ordinal >= escalateAfter))
+                  lastSlot = slot; ordinal += 1L
+                }
+              } else if (changed) {
+                // recovery closes the episode (no page row)
+                epStart = Long.MinValue; lastSlot = -1L; ordinal = 0L
+              }
+              lastM = mic; lastT = t; seen = true
+            }
+          }
+          state.update(((prevOk, pos), hardState,
+            (epStart, lastSlot, ordinal), lastM, (lastT, seen)))
+          out.result().iterator
+      }(stateEnc, rowEnc)
+  }
+
+  /** Cross-batch streaming twin of
     * [[graft.operators.TimeSeries.holtWinters]] — live seasonal
     * smoothing + one-step forecast: per-entity state is the (level,
     * trend) pair, the `period`-slot seasonal ring, the warmup buffer

@@ -610,6 +610,58 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("notificationStream: cross-batch episode anchor + slot gate == " +
+      "batch notificationSchedule; escalation ordinal spans the " +
+      "boundary; late row dropped") {
+    import graft.operators.Behavior
+    implicit val sq = spark.sqlContext
+    def t(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // the BehaviorSpec fixture: maxAttempts=1, 1h interval, escalate
+    // at 2 → pages at 10:00 (0), 11:10 (1), 12:30 (2, escalated),
+    // and 14:00 (new episode, 0); silent at 10:30 and on recovery
+    val all = Seq(
+      ("h1", t(9, 0), 1L, "ok"), ("h1", t(10, 0), 2L, "crit"),
+      ("h1", t(10, 30), 3L, "crit"), ("h1", t(11, 10), 4L, "crit"),
+      ("h1", t(12, 30), 5L, "crit"), ("h1", t(13, 0), 6L, "ok"),
+      ("h1", t(14, 0), 7L, "crit"))
+    val in = MemoryStream[(String, java.sql.Timestamp, Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[
+      (String, java.sql.Timestamp, String, Long, Boolean)]()
+    val q = StreamingDedup.notificationStream(
+        in.toDF().toDF("host", "ts", "event_id", "st"),
+        Seq("host"), "st", "ts", "event_id", okState = "ok",
+        maxAttempts = 1, intervalSeconds = 3600L, escalateAfter = 2L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select($"host", $"ts", $"state", $"notification_no",
+            $"escalated")
+          .as[(String, java.sql.Timestamp, String, Long, Boolean)]
+          .collect()
+        ()
+      }.start()
+    try {
+      // episode start and its first repeat land in different batches
+      in.addData(all.take(3): _*); q.processAllAvailable()
+      // strictly-late replay: dropped, slot state NOT re-advanced
+      in.addData(all(2)); q.processAllAvailable()
+      in.addData(all.slice(3, 5): _*); q.processAllAvailable()
+      in.addData(all.slice(5, 7): _*); q.processAllAvailable()
+    } finally q.stop()
+    val batch = Behavior.notificationSchedule(
+        all.toDF("host", "ts", "event_id", "st"),
+        "host", "st", "ts", "event_id", okState = "ok",
+        maxAttempts = 1, intervalSeconds = 3600L, escalateAfter = 2L)
+      .select($"host", $"ts", $"state", $"notification_no",
+        $"escalated")
+      .as[(String, java.sql.Timestamp, String, Long, Boolean)]
+      .collect()
+    assert(got.sortBy(_._2.getTime).toSeq ==
+      batch.toSeq.sortBy(_._2.getTime),
+      s"streaming ${got.toSeq} vs batch ${batch.toSeq}")
+    assert(got.count(_._5) == 1 && got.size == 4)
+  }
+
   test("hardSoftStateStream retry counter survives query restart via " +
       "checkpoint — a half-counted problem keeps counting") {
     import graft.operators.Behavior
