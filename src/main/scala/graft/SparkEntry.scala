@@ -2978,6 +2978,17 @@ object SparkEntry {
         "value", 10.0)
     }),
 
+    // 2x2 chi-square A/B test per event_type: arms by user-id parity,
+    // conversion = value >= 50 — four exact cell counts from one
+    // aggregate, one fixed IEEE formula, α=0.05 critical value
+    "q_ab_test" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .withColumn("arm_a", col("user_id") % 2 === 0)
+        .withColumn("hit", col("value") >= 50)
+      operators.Profiling.abTest(ev, Seq("event_type"), "arm_a", "hit")
+    }),
+
     // per-entity exact two-sample KS: does this user's click-value
     // distribution match their view-value distribution? ECDF gaps as
     // exact integers over the common n_a·n_b denominator, one double
@@ -7151,6 +7162,42 @@ object SparkEntry {
          |    AS y
          | FROM events WHERE value IS NOT NULL) t""".stripMargin
     },
+
+    // four conditional-count cells, the same fixed double formula
+    "q_ab_test" ->
+      """WITH cells AS (
+        | SELECT event_type,
+        |  sum(CASE WHEN user_id % 2 = 0 AND value >= 50
+        |    THEN 1 ELSE 0 END) AS a,
+        |  sum(CASE WHEN user_id % 2 <> 0 AND value >= 50
+        |    THEN 1 ELSE 0 END) AS b,
+        |  sum(CASE WHEN user_id % 2 = 0 AND value < 50
+        |    THEN 1 ELSE 0 END) AS c,
+        |  sum(CASE WHEN user_id % 2 <> 0 AND value < 50
+        |    THEN 1 ELSE 0 END) AS d
+        | FROM events
+        | WHERE value IS NOT NULL AND event_type IS NOT NULL
+        | GROUP BY 1),
+        |f AS (
+        | SELECT event_type,
+        |  CAST(a AS DOUBLE) AS fa, CAST(b AS DOUBLE) AS fb,
+        |  CAST(c AS DOUBLE) AS fc, CAST(d AS DOUBLE) AS fd,
+        |  CAST(a + c AS BIGINT) AS n_a, CAST(a AS BIGINT) AS conv_a,
+        |  CAST(b + d AS BIGINT) AS n_b, CAST(b AS BIGINT) AS conv_b
+        | FROM cells)
+        |SELECT event_type, n_a, conv_a, n_b, conv_b,
+        | CASE WHEN (fa + fc) * (fb + fd) * (fa + fb) * (fc + fd) > 0.0
+        |  THEN round(((fa + fb + fc + fd) *
+        |    ((fa * fd - fb * fc) * (fa * fd - fb * fc)))
+        |   / ((fa + fc) * (fb + fd) * (fa + fb) * (fc + fd)), 6)
+        | END AS chi2,
+        | CASE WHEN (fa + fc) * (fb + fd) * (fa + fb) * (fc + fd) > 0.0
+        |  THEN (((fa + fb + fc + fd) *
+        |    ((fa * fd - fb * fc) * (fa * fd - fb * fc)))
+        |   / ((fa + fc) * (fb + fd) * (fa + fb) * (fc + fd)))
+        |   > 3.841459
+        | END AS significant
+        |FROM f""".stripMargin,
 
     // tie-collapsed (key, value) counts, running ECDF sums, the
     // integer gap maximum, one double division + the squared

@@ -771,6 +771,48 @@ object Profiling {
           .as("significant")): _*)
   }
 
+  /** Two-proportion A/B test per key (2×2 chi-square, 1 df) — the
+    * experimentation readout over conversion-style booleans: arms
+    * split by `armCol` (true → A), successes by `hitCol`;
+    *   χ² = N·(ad − bc)² / (n_A·n_B·(a+b)·(c+d))
+    * with a=conv_A, b=conv_B, c=miss_A, d=miss_B. The four cell
+    * counts are exact longs from ONE partial-combined aggregate; the
+    * statistic is a FIXED double expression over them (each count
+    * cast once, same parenthesization both engines — (ad−bc) stays
+    * integer-exact below 2⁵³ long before any rounding can differ).
+    * Keys with an empty arm or a degenerate margin emit chi2 = null
+    * (the test is undefined, not zero). `significant` at α = 0.05,
+    * 1 df (critical value 3.841459). One aggregate — no window, no
+    * join, |keys| output rows.
+    */
+  def abTest(df: DataFrame, keyCols: Seq[String], armCol: String,
+      hitCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "abTest needs at least one key")
+    val keys = keyCols.map(col)
+    val cells = df
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(armCol).isNotNull && col(hitCol).isNotNull)
+      .groupBy(keys: _*)
+      .agg(
+        sum(when(col(armCol) && col(hitCol), 1L).otherwise(0L)).as("__a"),
+        sum(when(!col(armCol) && col(hitCol), 1L).otherwise(0L)).as("__b"),
+        sum(when(col(armCol) && !col(hitCol), 1L).otherwise(0L)).as("__c"),
+        sum(when(!col(armCol) && !col(hitCol), 1L).otherwise(0L)).as("__d"))
+    val (a, b, c, d) = (col("__a").cast("double"),
+      col("__b").cast("double"), col("__c").cast("double"),
+      col("__d").cast("double"))
+    val den = (a + c) * (b + d) * (a + b) * (c + d)
+    val chi2raw = ((a + b + c + d) *
+      ((a * d - b * c) * (a * d - b * c))) / den
+    cells.select(keys ++ Seq(
+      (col("__a") + col("__c")).as("n_a"),
+      col("__a").as("conv_a"),
+      (col("__b") + col("__d")).as("n_b"),
+      col("__b").as("conv_b"),
+      when(den > 0.0, round(chi2raw, 6)).as("chi2"),
+      when(den > 0.0, chi2raw > 3.841459).as("significant")): _*)
+  }
+
   def equiDepthBins(df: DataFrame, valueCol: String,
       nBins: Int): DataFrame = {
     require(nBins >= 2, "nBins must be >= 2")

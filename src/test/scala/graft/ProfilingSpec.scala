@@ -550,6 +550,30 @@ class ProfilingSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 3L), ("b", 2L), ("c", 2L)))
   }
 
+  test("abTest: hand-checked 2x2 chi-square; equal arms give 0; " +
+      "degenerate margins give null; strong effect significant") {
+    // k1: A 10/20 vs B 10/20 -> chi2 = 0, not significant
+    // k2: A 18/20 hits vs B 2/20 -> ad-bc = 18*18-2*2 = 320,
+    //     chi2 = 40*320^2/(20*20*20*20) = 25.6 -> significant
+    // k3: everyone hits (c+d = 0 margin) -> null
+    // k4: only arm A present -> n_b = 0 margin -> null
+    def arm(k: String, a: Boolean, hits: Int, misses: Int) =
+      Seq.fill(hits)((k, a, true)) ++ Seq.fill(misses)((k, a, false))
+    val rows = (arm("k1", true, 10, 10) ++ arm("k1", false, 10, 10) ++
+      arm("k2", true, 18, 2) ++ arm("k2", false, 2, 18) ++
+      arm("k3", true, 5, 0) ++ arm("k3", false, 5, 0) ++
+      arm("k4", true, 3, 3)).toDF("k", "arm", "hit")
+    val got = Profiling.abTest(rows, Seq("k"), "arm", "hit")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          if (r.isNullAt(6)) None else Some(r.getBoolean(6))))).toMap
+    assert(got("k1") == ((20L, 10L, 20L, 10L, Some(0.0), Some(false))))
+    assert(got("k2") == ((20L, 18L, 20L, 2L, Some(25.6), Some(true))))
+    assert(got("k3") == ((5L, 5L, 5L, 5L, None, None)))
+    assert(got("k4") == ((6L, 3L, 0L, 0L, None, None)))
+  }
+
   test("ksTest: hand-checked ECDF gap with ties; identical samples " +
       "give D=0; one-sample keys drop; disjoint supports give D=1") {
     // k1: A=[1,2], B=[2,3] — gaps at distinct v: 2,2,0 over n_a·n_b=4
