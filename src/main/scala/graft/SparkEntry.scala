@@ -2978,6 +2978,30 @@ object SparkEntry {
         "value", 10.0)
     }),
 
+    // Kaplan-Meier time-to-first-error per acquisition cohort (first
+    // event_type): users who never error are right-censored at their
+    // last observation — they shrink the risk set without counting as
+    // deaths, the correction naive failure fractions get wrong
+    "q_kaplan_meier" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("e"))
+      val per = e.groupBy(col("user_id"))
+        .agg(min(col("e")).as("t0"),
+          min(when(col("event_type") === "error", col("e")))
+            .as("terr"),
+          max(col("e")).as("tend"),
+          min(struct(col("e"), col("event_id"), col("event_type")))
+            .getField("event_type").as("cohort"))
+      val subj = per.select(col("cohort"),
+        when(col("terr").isNotNull, col("terr") - col("t0"))
+          .otherwise(col("tend") - col("t0")).as("dur"),
+        col("terr").isNotNull.as("event"))
+      operators.Behavior.kaplanMeier(subj, Seq("cohort"), "dur",
+        "event")
+    }),
+
     // 2x2 chi-square A/B test per event_type: arms by user-id parity,
     // conversion = value >= 50 — four exact cell counts from one
     // aggregate, one fixed IEEE formula, α=0.05 critical value
@@ -7162,6 +7186,60 @@ object SparkEntry {
          |    AS y
          | FROM events WHERE value IS NOT NULL) t""".stripMargin
     },
+
+    // risk sets from a DESC cumulative sum over (cohort, duration)
+    // counts, the survival product replayed by the recursive CTE in
+    // event-time order — base 1·(1−d/n) == Spark's 1.0 seed exactly
+    "q_kaplan_meier" ->
+      """WITH RECURSIVE e AS (
+        | SELECT user_id, event_id, event_type,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS e
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |per AS (
+        | SELECT user_id, min(e) AS t0,
+        |  min(CASE WHEN event_type = 'error' THEN e END) AS terr,
+        |  max(e) AS tend
+        | FROM e GROUP BY 1),
+        |fe AS (
+        | SELECT user_id, event_type AS cohort FROM (
+        |  SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY e ASC, event_id ASC) AS rn
+        |  FROM e) x WHERE rn = 1),
+        |subj AS (
+        | SELECT f.cohort,
+        |  CASE WHEN p.terr IS NOT NULL THEN p.terr - p.t0
+        |       ELSE p.tend - p.t0 END AS duration,
+        |  (p.terr IS NOT NULL) AS ev
+        | FROM per p JOIN fe f ON p.user_id = f.user_id),
+        |pd AS (
+        | SELECT cohort, duration,
+        |  sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d, count(*) AS w
+        | FROM subj GROUP BY 1, 2),
+        |ar AS (
+        | SELECT cohort, duration, d,
+        |  sum(w) OVER (PARTITION BY cohort ORDER BY duration DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS n_at_risk
+        | FROM pd),
+        |et AS (
+        | SELECT cohort, duration, d, n_at_risk,
+        |  row_number() OVER (PARTITION BY cohort
+        |    ORDER BY duration ASC) AS rn
+        | FROM ar WHERE d > 0),
+        |r AS (
+        | SELECT cohort, duration, d, n_at_risk, rn,
+        |  1.0 * (1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+        |   AS s
+        | FROM et WHERE rn = 1
+        | UNION ALL
+        | SELECT t.cohort, t.duration, t.d, t.n_at_risk, t.rn,
+        |  r.s * (1.0 - CAST(t.d AS DOUBLE) / CAST(t.n_at_risk
+        |    AS DOUBLE))
+        | FROM et t JOIN r ON t.cohort = r.cohort AND t.rn = r.rn + 1)
+        |SELECT cohort, duration, CAST(d AS BIGINT) AS d,
+        | CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        | round(s, 6) AS survival
+        |FROM r""".stripMargin,
 
     // four conditional-count cells, the same fixed double formula
     "q_ab_test" ->

@@ -426,6 +426,58 @@ object Behavior {
         (col("notification_no") >= escalateAfter).as("escalated"))
   }
 
+  /** Kaplan–Meier survival estimator per cohort — the
+    * time-to-failure curve behind churn and hardware-lifetime
+    * reports, with right-censoring done correctly (a subject still
+    * alive at the end of observation reduces the risk set but never
+    * counts as a death — naive "fraction failed by t" over-estimates
+    * hazard exactly there): at each distinct event time tᵢ,
+    * S(tᵢ) = Π_{j≤i} (1 − dⱼ/nⱼ) with dⱼ = events at tⱼ and nⱼ =
+    * subjects still at risk (duration ≥ tⱼ, censored included).
+    *
+    * Shape: one (cohort, duration) aggregate collapses subjects; the
+    * risk set is a DESCENDING cumulative sum over that per-cohort
+    * frame (distinct durations — retention-bounded, never subject
+    * rows); the product chain folds left-to-right per cohort over the
+    * event-time list (collect bounded by distinct event times; the
+    * O(k²) interpreted prefix products are documented — k is a curve,
+    * not a corpus). Survival rounds to 6dp at OUTPUT only, so the
+    * chained double multiplies replay in a recursive-CTE oracle.
+    * Output: (cohort, duration, d, n_at_risk, survival).
+    */
+  def kaplanMeier(df: DataFrame, cohortCols: Seq[String],
+      durationCol: String, eventCol: String): DataFrame = {
+    require(cohortCols.nonEmpty, "kaplanMeier needs at least one cohort")
+    val keys = cohortCols.map(col)
+    val perDur = df
+      .filter(cohortCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .groupBy(keys :+ col(durationCol).cast("long").as("duration"): _*)
+      .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("__w"))
+    val wDesc = Window.partitionBy(keys: _*)
+      .orderBy(col("duration").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = perDur
+      .withColumn("n_at_risk", sum(col("__w")).over(wDesc))
+      .filter(col("d") > 0)
+    val curves = atRisk
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(col("duration"), col("d"),
+        col("n_at_risk")))).as("__pts"))
+      .select(keys ++ Seq(col("__pts"),
+        posexplode(col("__pts")).as(Seq("__i", "__p"))): _*)
+    curves.select(keys ++ Seq(
+      col("__p.duration").as("duration"), col("__p.d").as("d"),
+      col("__p.n_at_risk").as("n_at_risk"),
+      round(aggregate(
+        slice(col("__pts"), lit(1), col("__i") + 1),
+        lit(1.0), (acc, x) => acc *
+          (lit(1.0) - x.getField("d").cast("double") /
+            x.getField("n_at_risk").cast("double"))), 6)
+        .as("survival")): _*)
+  }
+
   /** Robust per-group outliers by median absolute deviation: flag rows
     * where |x − median| > cutoff · MAD. Unlike the z-score form
     * (`q_zscore_outliers`), a few extreme points cannot inflate the

@@ -233,6 +233,22 @@ class BehaviorSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("kaplanMeier: hand-checked curve — censored subjects shrink " +
+      "the risk set but never count as deaths") {
+    // durations (event?): 1(+), 2(censored), 3(+), 3(+), 4(censored)
+    // risk sets: t=1 n=5, t=3 n=3 → S(1)=0.8, S(3)=0.8·(1/3)=0.266667
+    val subj = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+      (4L, false)).map { case (d, e) => ("c", d, e) }
+      .toDF("cohort", "dur", "ev")
+    val got = Behavior.kaplanMeier(subj, Seq("cohort"), "dur", "ev")
+      .orderBy("duration")
+      .select("duration", "d", "n_at_risk", "survival")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 5L, 0.8), (3L, 2L, 3L, 0.266667)), got)
+    // naive failure fraction at t=3 would read 3/5 = 0.6 survival
+    // 0.4 — KM's 0.267 correctly charges the censored subjects
+  }
+
   test("notificationSchedule: initial page, slot-gated repeats, " +
       "escalation ordinal; recovery and healthy start page nothing") {
     def ts2(s: String) = ts(s)
