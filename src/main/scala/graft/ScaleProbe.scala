@@ -167,7 +167,11 @@ object ScaleProbe {
       // window; tokenizer_fertility = vocab-sized encode cache
       // (mangled copies grow the vocab 10x — exactly the claim)
       "q_holt_winters", "q_ks_drift", "q_notifications",
-      "q_scene_changes", "q_tokenizer_fertility")
+      "q_scene_changes", "q_tokenizer_fertility",
+      // ab_test = one partial-combined 4-cell aggregate; kaplan_meier
+      // = per-user aggregate + per-cohort curve windows (distinct
+      // durations grow with the timeline, users with the corpus)
+      "q_ab_test", "q_kaplan_meier")
       .map(q => q -> SparkEntry.queries(q)) ++ Seq(
       // leakage-safe split via DIRECT pipeline calls (the SparkEntry
       // entry serves the per-dir pair-staging memo, which would let
