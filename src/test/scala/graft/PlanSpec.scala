@@ -119,6 +119,34 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial aggregation:\n$plan")
   }
 
+  test("round-9 monitoring/stats tier: exchange budgets hold " +
+      "(the Scaladoc shape claims, pinned)") {
+    def hashEx(q: String): Int = {
+      val plan = physical(SparkEntry.queries(q)(spark, dir))
+      "Exchange hashpartitioning".r.findAllIn(plan).size
+    }
+    // flap + hard/soft: ONE key exchange each — every window reads
+    // the same per-key total order
+    assert(hashEx("q_flap_detect") == 1)
+    assert(hashEx("q_hard_state") == 1)
+    // notifications: the ENTIRE chain (confirmation fill + episode
+    // islands + slot picks + ordinal) still ONE exchange — every
+    // window's partition keys are supersets of the base key, so
+    // HashPartitioning(key) satisfies them all
+    assert(hashEx("q_notifications") == 1)
+    // A/B: one partial-combined aggregate, nothing else
+    assert(hashEx("q_ab_test") == 1)
+    // KS: the (key, value) tie-collapse + the key window — the
+    // value-collapse exchange cannot serve the key window (same-key
+    // rows span partitions under (key, value) hashing)
+    assert(hashEx("q_ks_drift") == 2)
+    // Kaplan–Meier: subject build + (cohort, duration) collapse +
+    // curve stages — the LATER exchanges carry only distinct-duration
+    // curve rows; collapsing to hash(cohort) up front would strangle
+    // the subject-stage parallelism to |cohorts| partitions
+    assert(hashEx("q_kaplan_meier") == 3)
+  }
+
   test("bloom decontamination probes map-side, before any exchange") {
     val df = SparkEntry.queries("q_decontaminate_bloom")(spark, dir)
     // AdaptiveSparkPlanExec is a LEAF node — collect() stops at it;
