@@ -173,4 +173,41 @@ class EndToEndSpec extends SparkSpec {
         .as[(Long, Double, Option[Long])].collect().toSet
     assert(key(back) == key(again))
   }
+
+  test("incident lifecycle end-to-end: snapshots -> confirmation -> " +
+      "flap-suppressed pages -> JDBC alert log") {
+    // the full Nagios notification path composed from the round-9
+    // tier: confirm problems over retries, schedule pages with
+    // interval gating, SUPPRESS pages while the service is flapping
+    // (the reason flap detection exists), land the alert log over K4
+    import graft.operators.Behavior
+    import graft.sources.Sinks
+    import spark.implicits._
+    val snap = graft.sources.Tables.events(spark, sf("sf0.001"))
+      .filter(col("value").isNotNull)
+      .withColumn("state",
+        when(col("value") < 50, "ok")
+          .when(col("value") < 80, "warn").otherwise("crit"))
+    val pages = Behavior.notificationSchedule(snap, "user_id", "state",
+      "ts", "event_id", okState = "ok", maxAttempts = 3,
+      intervalSeconds = 21600L, escalateAfter = 1L)
+    val flap = Behavior.flapDetection(snap, "user_id", "state", "ts",
+        "event_id", highPct = 20.0, lowPct = 5.0)
+      .filter(col("flapping"))
+      .select(col("user_id"), col("ts"))
+    // a page is suppressed when its check row is inside a flapping
+    // window — the left anti join is the suppression
+    val sent = pages.join(flap, Seq("user_id", "ts"), "left_anti")
+    val (nPages, nSent) = (pages.count(), sent.count())
+    assert(nPages > 0 && nSent > 0 && nSent <= nPages,
+      s"pages=$nPages sent=$nSent")
+    val url = "jdbc:derby:memory:graftalerts;create=true"
+    Sinks.writeJdbc(sent.withColumn("ts", col("ts").cast("string")),
+      url, "alert_log")
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "alert_log").load()
+    assert(back.count() == nSent)
+    assert(back.columns.map(_.toLowerCase).sorted.toSeq ==
+      Seq("escalated", "notification_no", "state", "ts", "user_id"))
+  }
 }
