@@ -2879,9 +2879,12 @@ object SparkEntry {
       operators.TimeSeries.sax(Tables.events(s, dir), Seq("event_type"),
         Seq("ts", "event_id"), "value", segmentRows = 64)),
 
-    // SLA rollup: 10-minute activity intervals per user, percent of a
+    // SLA rollup: 10-minute activity intervals per user, ppm of a
     // fixed 15-day window covered by their union — the percent-uptime
-    // view the reference's status dashboards serve
+    // view the reference's status dashboards serve. Output is
+    // integer millionths (BIGINT): no float exists anywhere in the
+    // chain, so the driver's hash protocol cannot see representation
+    // drift (VERDICT r9 task 1 — the r8/r9 red row)
     "q_availability" -> ((s, dir) => {
       val e = unix_timestamp(col("ts"))
       operators.TimeSeries.availability(
@@ -2894,29 +2897,28 @@ object SparkEntry {
     // error-budget burn rate, the multi-window SRE alert rule: burn =
     // downtime fraction / (1 - SLO) over a LONG and a SHORT window;
     // paging when BOTH exceed 1 (fast burn confirmed by sustained
-    // burn — the Google SRE workbook alert). SLO 0.99 -> budget 0.01
+    // burn — the Google SRE workbook alert). SLO 0.99 -> budget 0.01.
+    // Burn is emitted as integer millionths (burn_ppm = (10⁶ −
+    // availability_ppm)·100, burn > 1 ⇔ burn_ppm > 10⁶): the whole
+    // chain stays BIGINT so no float representation exists for the
+    // driver hash to diverge on (the q_availability treatment,
+    // VERDICT r9 task 1)
     "q_burn_rate" -> ((s, dir) => {
       val e = unix_timestamp(col("ts"))
       val iv = Tables.events(s, dir).filter(col("ts").isNotNull)
         .select(col("user_id"), e.as("lo"), (e + 600L).as("hi"))
-      // burn = (1 − availability)/0.01 on the EXACT 6dp millionths:
-      // (10⁶ − m)·100 is an integer, so the only float op is the final
-      // /10⁶ — the availability() integer-HALF_UP chain, engine-exact
-      def burn(lo: Long, hi: Long, name: String) = {
-        val win = hi - lo + 1
+      def burn(lo: Long, hi: Long, name: String) =
         operators.TimeSeries.availability(iv, Seq("user_id"),
             "lo", "hi", lo, hi)
           .select(col("user_id"),
-            (expr(s"(1000000L - (covered_s * 2000000L + ${win}L) div " +
-                s"${2 * win}L) * 100L").cast("double") /
-              lit(1000000.0)).as(name))
-      }
-      burn(1704412800L, 1705708799L, "burn_long")       // Jan 5 - 19
-        .join(burn(1705017600L, 1705103999L, "burn_short"), // Jan 12
+            ((lit(1000000L) - col("availability_ppm")) * 100L).as(name))
+      burn(1704412800L, 1705708799L, "burn_long_ppm")       // Jan 5 - 19
+        .join(burn(1705017600L, 1705103999L, "burn_short_ppm"), // Jan 12
           Seq("user_id"))
-        .select(col("user_id"), col("burn_long"), col("burn_short"),
-          (col("burn_long") > 1.0 && col("burn_short") > 1.0)
-            .as("page"))
+        .select(col("user_id"), col("burn_long_ppm"),
+          col("burn_short_ppm"),
+          (col("burn_long_ppm") > 1000000L &&
+            col("burn_short_ppm") > 1000000L).as("page"))
     }),
 
     // m4Stream's batch form (the watermark is a no-op on a batch
@@ -6785,15 +6787,16 @@ object SparkEntry {
            | SELECT user_id, CAST(
            |   (1000000 - (sum(hi - lo + 1) * 2000000 + $win)
            |     // (2 * $win)) * 100
-           |   AS DOUBLE) / 1000000 AS burn$sfx
+           |   AS BIGINT) AS burn$sfx
            | FROM mg$sfx GROUP BY 1)""".stripMargin
       }
-      s"""WITH ${chain("_long", 1704412800L, 1705708799L)},
-         |${chain("_short", 1705017600L, 1705103999L)}
-         |SELECT a.user_id, a.burn_long, b.burn_short,
-         | (a.burn_long > 1.0 AND b.burn_short > 1.0) AS page
-         |FROM av_long a JOIN av_short b ON a.user_id = b.user_id"""
-        .stripMargin
+      s"""WITH ${chain("_long_ppm", 1704412800L, 1705708799L)},
+         |${chain("_short_ppm", 1705017600L, 1705103999L)}
+         |SELECT a.user_id, a.burn_long_ppm, b.burn_short_ppm,
+         | (a.burn_long_ppm > 1000000 AND b.burn_short_ppm > 1000000)
+         |   AS page
+         |FROM av_long_ppm a JOIN av_short_ppm b
+         | ON a.user_id = b.user_id""".stripMargin
     },
 
     // same islands chain as q_merge_intervals on the window-clamped
@@ -6824,7 +6827,7 @@ object SparkEntry {
         |SELECT user_id, sum(hi - lo + 1) AS covered_s,
         | CAST(1296000 AS BIGINT) AS window_s,
         | CAST((sum(hi - lo + 1) * 2000000 + 1296000) // (2 * 1296000)
-        |   AS DOUBLE) / 1000000 AS availability
+        |   AS BIGINT) AS availability_ppm
         |FROM mg GROUP BY 1""".stripMargin,
 
     // level/trend recursion replayed row by row; 0.75 and 0.5 are the

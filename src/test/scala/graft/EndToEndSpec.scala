@@ -161,16 +161,17 @@ class EndToEndSpec extends SparkSpec {
     Sinks.writeOrc(report, out)
     val back = Sinks.readOrc(spark, out)
     assert(back.count() == avail.count() && back.count() > 0)
-    // fractions are fractions; every user with failures has a count
-    val sane = back.filter(col("availability") < 0.0 ||
-      col("availability") > 1.0 ||
+    // ppm stays in [0, 10^6]; every user with failures has a count
+    val sane = back.filter(col("availability_ppm") < 0L ||
+      col("availability_ppm") > 1000000L ||
       (col("n_failures").isNotNull && col("n_failures") <= 0)).count()
     assert(sane == 0)
     // determinism across the archive round-trip
     val again = avail.join(rel, Seq("user_id"), "left")
     def key(df: org.apache.spark.sql.DataFrame) =
-      df.select(col("user_id"), col("availability"), col("n_failures"))
-        .as[(Long, Double, Option[Long])].collect().toSet
+      df.select(col("user_id"), col("availability_ppm"),
+          col("n_failures"))
+        .as[(Long, Long, Option[Long])].collect().toSet
     assert(key(back) == key(again))
   }
 

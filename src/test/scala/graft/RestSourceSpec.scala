@@ -33,6 +33,15 @@ object NotFound404Transport {
   val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
+/** 404s web01's fetches, serves everyone else from disk — the
+  * one-decommissioned-host-in-the-fleet shape of extract.py:100-103.
+  */
+class Web01DownTransport extends RestTransport {
+  override def fetch(url: String, params: Map[String, String]): RestResponse =
+    if (params("host_name") == "web01") RestResponse(404, "no such host")
+    else new FileTransport().fetch(url, params)
+}
+
 class HangingTransport extends RestTransport {
   override def fetch(url: String, params: Map[String, String]): RestResponse = {
     HangingTransport.attempts.incrementAndGet()
@@ -162,6 +171,58 @@ class RestSourceSpec extends SparkSpec {
       messages(e).mkString(" | "))
     // a client error cannot succeed on retry — exactly one attempt
     assert(NotFound404Transport.attempts.get() == 1)
+  }
+
+  test("permissive mode: a failed (host, service) dead-letters, the " +
+      "rest of the extract lands (extract.py:100-103)") {
+    def read(mode: String) = spark.read.format("nagios-rest")
+      .option("endpointDir", dir)
+      .option("transportClass", classOf[Web01DownTransport].getName)
+      .option("backoffMs", "1")
+      .option("mode", mode)
+      .load()
+    // failfast (the default, spelled or omitted): web01's 404 kills
+    // the job even though web02 is healthy
+    intercept[Exception] { read("failfast").collect() }
+    // permissive: web02's data row lands; web01's two tasks each
+    // yield ONE dead-letter row (null epoch/values, the error in the
+    // appended fetch_error column) and ZERO data rows
+    val got = read("permissive")
+    assert(got.columns.toSeq == Seq("host_name", "service_name",
+      "epoch", "values", "fetch_error"))
+    val rows = got.collect()
+    val (dead, data) = rows.partition(r => !r.isNullAt(4))
+    assert(data.length == 1 && data.head.getString(0) == "web02" &&
+      data.head.getSeq[String](3) == Seq("10.0"))
+    assert(dead.length == 2 &&
+      dead.forall(r => r.getString(0) == "web01" && r.isNullAt(2) &&
+        r.isNullAt(3) && r.getString(4).contains("client error 404")),
+      rows.mkString("\n"))
+    // the dead letters split off with one filter — the P3 convention
+    assert(got.filter($"fetch_error".isNull).count() == 1)
+    // an unknown mode is rejected loudly, not treated as failfast
+    val bad = intercept[IllegalArgumentException] {
+      spark.read.format("nagios-rest").option("endpointDir", dir)
+        .option("mode", "lenient").load()
+    }
+    assert(bad.getMessage.contains("failfast or permissive"))
+  }
+
+  test("permissive mode dead-letters an unparseable response body too") {
+    val d = java.nio.file.Files.createTempDirectory("graftrest3")
+    java.nio.file.Files.writeString(
+      d.resolve(graft.sources.rest.NagiosRestSource.taskFile("hA", "CPU Usage")),
+      "this is not json {{{")
+    java.nio.file.Files.writeString(
+      d.resolve(graft.sources.rest.NagiosRestSource.taskFile("hB", "CPU Usage")),
+      """{"data": {"row": [{"t": "100", "v": "1.0"}]}}""")
+    val got = spark.read.format("nagios-rest")
+      .option("endpointDir", d.toString)
+      .option("mode", "permissive")
+      .load().collect()
+    val (dead, data) = got.partition(r => !r.isNullAt(4))
+    assert(data.length == 1 && data.head.getString(0) == "hB")
+    assert(dead.length == 1 && dead.head.getString(0) == "hA")
   }
 
   test("per-attempt deadline: a hung transport times out and retries, then fails") {
@@ -322,6 +383,28 @@ class RestSourceSpec extends SparkSpec {
         assert(messages(e).exists(_.contains("client error 404")),
           messages(e).mkString(" | "))
         assert(hits.get() == 1) // raise_for_status: no retry on 4xx
+    }
+  }
+
+  test("endpointUrl permissive mode: a live 404 amid successes lands " +
+      "N-1 hosts plus a dead letter, job completes") {
+    withServer({ (_, params) =>
+      if (params("host_name") == "web02") (404, "decommissioned")
+      else (200, """{"data":{"row":[{"t":"1723402800","v":"7.0"}]}}""")
+    }) { base =>
+      val got = spark.read.format("nagios-rest")
+        .option("endpointUrl", s"$base/rrdexport")
+        .option("hostServices",
+          "web01:CPU Usage;web02:CPU Usage;web03:CPU Usage")
+        .option("backoffMs", "1")
+        .option("mode", "permissive")
+        .load().collect()
+      val (dead, data) = got.partition(r => !r.isNullAt(4))
+      assert(data.map(_.getString(0)).toSet == Set("web01", "web03"))
+      assert(data.forall(_.getLong(2) == 1723402800L))
+      assert(dead.length == 1 && dead.head.getString(0) == "web02" &&
+        dead.head.getString(4).contains("client error 404"),
+        got.mkString("\n"))
     }
   }
 

@@ -372,11 +372,11 @@ class TimeSeriesSpec extends SparkSpec {
       .toDF("host", "lo", "hi")
     val got = TimeSeries.availability(iv, Seq("host"), "lo", "hi",
         windowLo = 100L, windowHi = 199L)
-      .as[(String, Long, Long, Double)].collect()
+      .as[(String, Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(got == Map(
-      "h1" -> ((61L, 100L, 0.61)),
-      "h2" -> ((100L, 100L, 1.0))), got.toString)
+      "h1" -> ((61L, 100L, 610000L)),
+      "h2" -> ((100L, 100L, 1000000L))), got.toString)
   }
 
   test("concurrencySweep: hand-checked curve; closed-interval edge " +
