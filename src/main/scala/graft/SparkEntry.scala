@@ -2846,6 +2846,20 @@ object SparkEntry {
       operators.TimeSeries.theilSen(ev, Seq("user_id"), "x", "value")
     }),
 
+    // the scale-graceful Theil-Sen arm (VERDICT r9 task 4): series
+    // past the 64-point cap keep ~1/7 of their pairs by the portable
+    // md5 pair hash instead of raising; series at/under the cap stay
+    // exact. sf0.01 has users on both sides of 64 (49..86 points), so
+    // one query oracles the exact arm, the sampled arm, and the
+    // boundary between them
+    "q_theil_sen_sampled" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("x"),
+          col("value"))
+      operators.TimeSeries.theilSen(ev, Seq("user_id"), "x", "value",
+        maxPointsPerSeries = 64, oversizePairSampleMod = 7)
+    }),
+
     // autocorrelation per series at lags 1..3: the seasonality probe
     // read before picking a smoothing horizon — one window pass emits
     // all lags, Pearson moments fold as exact decimals
@@ -7004,6 +7018,53 @@ object SparkEntry {
         | SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS m
         | FROM pts a JOIN pts b
         |  ON a.user_id = b.user_id AND a.x < b.x),
+        |s AS (
+        | SELECT user_id, m,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY m) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n
+        | FROM p),
+        |sl AS (
+        | SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+        |  round(m, 6) + 0.0 AS slope
+        | FROM s
+        | WHERE rn = CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS BIGINT)),
+        |r AS (
+        | SELECT pts.user_id, sl.n_pairs, sl.slope,
+        |  pts.y - sl.slope * pts.x AS res
+        | FROM pts JOIN sl ON pts.user_id = sl.user_id),
+        |rr AS (
+        | SELECT user_id, n_pairs, slope, res,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY res) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n
+        | FROM r)
+        |SELECT user_id, n_pairs, slope, round(res, 6) + 0.0 AS intercept
+        |FROM rr
+        |WHERE rn = CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS BIGINT)""".stripMargin,
+
+    // the exact chain plus the oversize pair filter: np per series,
+    // pairs of >64-point series kept only when the portable md5
+    // bucket over 'tspair:user:x_a:x_b' lands on 0 mod 7 — the
+    // engine's conv(substring(md5)) == DuckDB's CAST('0x'||substr
+    // convention, established by q_rebalance_lang
+    "q_theil_sen_sampled" ->
+      """WITH pts AS (
+        | SELECT user_id,
+        |  CAST(epoch(date_trunc('second', ts)) AS DOUBLE) AS x,
+        |  CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |    AS VARCHAR) AS xs,
+        |  CAST(value AS DOUBLE) AS y,
+        |  count(*) OVER (PARTITION BY user_id) AS np
+        | FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  AND value IS NOT NULL),
+        |p AS (
+        | SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS m
+        | FROM pts a JOIN pts b
+        |  ON a.user_id = b.user_id AND a.x < b.x
+        | WHERE a.np <= 64 OR
+        |  (CAST(('0x' || substr(md5('tspair:' ||
+        |     CAST(a.user_id AS VARCHAR) || ':' || a.xs || ':' || b.xs),
+        |     1, 8)) AS BIGINT) % 7) = 0),
         |s AS (
         | SELECT user_id, m,
         |  row_number() OVER (PARTITION BY user_id ORDER BY m) AS rn,

@@ -698,34 +698,69 @@ object TimeSeries {
     * O(n²) pair explosion at cluster scale. The count guard is a
     * window over the same key partitioning the self-join needs, so
     * it adds no exchange.
-    * Output: (keys, n_pairs, slope, intercept).
+    *
+    * Scale-graceful arm (VERDICT r9 task 4): `oversizePairSampleMod
+    * = m > 0` replaces the raise with deterministic pair sampling —
+    * a series longer than `maxPointsPerSeries` keeps only pairs whose
+    * portable md5 bucket (over "tspair" ‖ key ‖ x_a ‖ x_b, the raw
+    * xCol rendered as string so the hash input is engine-portable)
+    * lands on 0 mod m, i.e. ~1/m of its pairs, uniformly and
+    * bit-reproducibly on any engine/run — the standard pair-sampled
+    * Theil–Sen estimator (median of a uniform pair subsample is a
+    * consistent slope estimate). Series AT or UNDER the cap stay
+    * EXACT — the fallback only engages where the exact estimator
+    * would have aborted, so a hot series degrades to an approximate
+    * fit instead of killing the job. Honest bound: sampling shrinks
+    * the shuffled/aggregated pair volume by m but the join must
+    * still enumerate candidate pairs within the series, so for a
+    * series orders past the cap, consolidate() first remains the
+    * production answer; m covers the hot-but-not-absurd tail.
+    * Output: (keys, n_pairs, slope, intercept) — n_pairs counts the
+    * pairs actually used (sampled count for oversize series).
     */
   def theilSen(df: DataFrame, keyCols: Seq[String], xCol: String,
-      valueCol: String, maxPointsPerSeries: Int = 4096): DataFrame = {
+      valueCol: String, maxPointsPerSeries: Int = 4096,
+      oversizePairSampleMod: Int = 0): DataFrame = {
     require(keyCols.nonEmpty, "theilSen needs at least one key")
     require(maxPointsPerSeries > 1,
       "theilSen needs maxPointsPerSeries > 1")
+    require(oversizePairSampleMod >= 0,
+      "oversizePairSampleMod must be >= 0 (0 = raise on oversize)")
     val keys = keyCols.map(col)
     val wG = Window.partitionBy(keys: _*)
-    val pts = df
+    val sampling = oversizePairSampleMod > 0
+    val base = df
       .filter((keyCols :+ xCol :+ valueCol)
         .map(col(_).isNotNull).reduce(_ && _))
       .select(keys ++ Seq(col(xCol).cast("double").as("__x"),
+        col(xCol).cast("string").as("__xs"),
         col(valueCol).cast("double").as("__y")): _*)
       .withColumn("__np", count(lit(1)).over(wG))
-      .withColumn("__x",
-        when(col("__np") <= maxPointsPerSeries, col("__x"))
-          .otherwise(raise_error(concat(
-            lit(s"theilSen: series exceeds $maxPointsPerSeries " +
-              "points ("), col("__np"),
-            lit(") at key "),
-            concat_ws("/", keys.map(_.cast("string")): _*),
-            lit(" — consolidate() the series first or raise " +
-              "maxPointsPerSeries")))))
-      .drop("__np")
-    val pairs = pts.as("a").join(pts.as("b"),
-        keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
-          .reduce(_ && _) && col("a.__x") < col("b.__x"))
+    val pts =
+      if (sampling) base
+      else base
+        .withColumn("__x",
+          when(col("__np") <= maxPointsPerSeries, col("__x"))
+            .otherwise(raise_error(concat(
+              lit(s"theilSen: series exceeds $maxPointsPerSeries " +
+                "points ("), col("__np"),
+              lit(") at key "),
+              concat_ws("/", keys.map(_.cast("string")): _*),
+              lit(" — consolidate() the series first, raise " +
+                "maxPointsPerSeries, or set oversizePairSampleMod")))))
+        .drop("__np", "__xs")
+    val joinCond = {
+      val eq = keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
+        .reduce(_ && _) && col("a.__x") < col("b.__x")
+      if (!sampling) eq
+      else eq && (col("a.__np") <= maxPointsPerSeries ||
+        conv(substring(md5(concat_ws(":",
+            Seq(lit("tspair")) ++
+              keyCols.map(k => col(s"a.$k").cast("string")) ++
+              Seq(col("a.__xs"), col("b.__xs")): _*)), 1, 8), 16, 10)
+          .cast("long") % oversizePairSampleMod === 0L)
+    }
+    val pairs = pts.as("a").join(pts.as("b"), joinCond)
       .select(keyCols.map(k => col(s"a.$k").as(k)) ++ Seq(
         ((col("b.__y") - col("a.__y")) / (col("b.__x") - col("a.__x")))
           .as("__m")): _*)

@@ -439,6 +439,42 @@ class TimeSeriesSpec extends SparkSpec {
     assert(ok.length == 2)
   }
 
+  test("theilSen: oversizePairSampleMod degrades a hot series to a " +
+      "deterministic pair subsample instead of aborting") {
+    // hot: 200 clean-line points y = 2x + 1 (noise-free so ANY pair
+    // subsample has slope exactly 2); cool: 4 points, under the cap
+    val df = ((1 to 200).map(i => ("hot", i.toDouble, 2.0 * i + 1.0)) ++
+      (1 to 4).map(i => ("cool", i.toDouble, 3.0 * i)))
+      .toDF("k", "x", "y")
+    // exact mode raises on the hot key...
+    intercept[Exception] {
+      TimeSeries.theilSen(df, Seq("k"), "x", "y",
+        maxPointsPerSeries = 64).collect()
+    }
+    // ...the sampled arm produces a result for BOTH keys
+    val got = TimeSeries.theilSen(df, Seq("k"), "x", "y",
+      maxPointsPerSeries = 64, oversizePairSampleMod = 7)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (hotPairs, hotSlope, hotIcept) = got("hot")
+    // ~1/7 of the 19900 pairs survive the hash filter; the exact fit
+    // is recovered because the input is a clean line
+    assert(hotPairs > 0 && hotPairs < 19900L / 3, hotPairs.toString)
+    assert(hotSlope == 2.0 && hotIcept == 1.0, got("hot").toString)
+    // the under-cap series is EXACT — identical to the raise-mode fit
+    val exactCool = TimeSeries.theilSen(
+      df.filter(col("k") === "cool"), Seq("k"), "x", "y")
+      .collect().map(r => (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).head
+    assert(got("cool") == exactCool, s"${got("cool")} vs $exactCool")
+    // determinism: same frame, same sample, bit-identical output
+    val again = TimeSeries.theilSen(df.repartition(13), Seq("k"), "x",
+        "y", maxPointsPerSeries = 64, oversizePairSampleMod = 7)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(again == got)
+  }
+
   test("acf: alternating series -1/+1, ramp +1, constant dropped") {
     val df = (
       (1 to 5).map(i => ("alt", i.toLong, (1 - i % 2).toDouble)) ++
