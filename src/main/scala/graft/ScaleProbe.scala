@@ -220,6 +220,15 @@ object ScaleProbe {
         val f = if (dir == scaleDir) factor else 1
         SparkEntry.metricsEtl(s, dir, hosts = 25 * f)
       }),
+      // the committed cron-tick job end to end on the same hosts axis
+      // (VERDICT r9 task 7): doc count grows with the corpus, each
+      // doc stays fetch-window-bounded; the tick adds the stream
+      // read, the (empty-sink) bounded dedup, and the partitioned
+      // append on top of metrics_etl_hosts' transform pipeline
+      "etl_job_hosts" -> ((s: SparkSession, dir: String) => {
+        val f = if (dir == scaleDir) factor else 1
+        SparkEntry.etlJobTick(s, dir, hosts = 25 * f)
+      }),
       "minhash_pairs_full" -> ((s: SparkSession, dir: String) =>
         graft.operators.Dedup.minhashNearDupPairs(nearDupCorpus(s, dir),
           "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.5)),

@@ -413,13 +413,13 @@ object SparkEntry {
     * poller, not a monitoring deployment) — attribution in
     * BASELINE.md.
     */
-  def metricsEtl(s: SparkSession, dir: String, hosts: Int): DataFrame = {
-    import graft.pipelines.HostMetrics
-    val ev = Tables.events(s, dir).select(
-      col("event_id"),
-      concat(lit("host"), (col("user_id") % hosts).cast("string"))
-        .as("host_name"),
-      unix_timestamp(col("ts")).as("epoch"))
+  /** Deterministic rrdexport response documents over a prepared
+    * (event_id, host_name, epoch) frame: per (host, 25h fetch window)
+    * one CPU doc (scalar v, NaN every 97th point) and one Swap doc
+    * (3-element list v, garbage every 89th) — the metricsEtl corpus
+    * shape, shared by the flagship query and the end-to-end job tick.
+    */
+  private def syntheticResponses(ev: DataFrame): DataFrame = {
     def dd(m: Column): Column = format_string("%d.%02d",
       floor(m / 100).cast("long"), (m % 100).cast("long"))
     val cpuV = when(col("event_id") % 97 === 0, lit("NaN"))
@@ -438,9 +438,50 @@ object SparkEntry {
       .agg(collect_list(col("p")).as("row"))
       .select(col("host_name"), lit(svc).as("service_name"),
         to_json(struct(struct(col("row")).as("data"))).as("body"))
-    val points = HostMetrics.flattenResponses(
-      responses("CPU Usage", cpuV)
-        .unionByName(responses("Swap Usage", swapV)))
+    responses("CPU Usage", cpuV).unionByName(responses("Swap Usage", swapV))
+  }
+
+  /** The committed §3.1 cron-tick job end to end (VERDICT r9 task 7):
+    * land the synthetic response documents as the job's JSON input
+    * (staged once per (JVM, dir, hosts) — corpus prep, not job time),
+    * then run ONE fresh AvailableNow tick — stream read → flatten →
+    * melt → bounded-window dedup → (family, load_date)-partitioned
+    * append — into brand-new out/checkpoint dirs, so every call
+    * measures a full first tick, never a checkpoint no-op. Returns
+    * the landed sink frame (the bench's noop write re-scans it; the
+    * scan is trivial next to the tick itself).
+    */
+  def etlJobTick(s: SparkSession, dir: String, hosts: Int): DataFrame = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val tag = Tables.dirTag(
+      s"$dir|${src.length()}|${src.lastModified()}|$hosts")
+    val inDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_etljob_in_$tag").getAbsolutePath
+    if (!new java.io.File(inDir, "_SUCCESS").exists()) {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        concat(lit("host"), (col("user_id") % hosts).cast("string"))
+          .as("host_name"),
+        unix_timestamp(col("ts")).as("epoch"))
+      syntheticResponses(ev).write.mode("overwrite").json(inDir)
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_etljob")
+      .toString
+    jobs.NagiosEtlJob.runOnce(s, inDir, s"$base/out", s"$base/ckpt",
+      Seq("CPU Usage", "Swap Usage"))
+    s.read.parquet(s"$base/out/data")
+  }
+
+  def metricsEtl(s: SparkSession, dir: String, hosts: Int): DataFrame = {
+    import graft.pipelines.HostMetrics
+    val ev = Tables.events(s, dir).select(
+      col("event_id"),
+      concat(lit("host"), (col("user_id") % hosts).cast("string"))
+        .as("host_name"),
+      unix_timestamp(col("ts")).as("epoch"))
+    def dd(m: Column): Column = format_string("%d.%02d",
+      floor(m / 100).cast("long"), (m % 100).cast("long"))
+    val points = HostMetrics.flattenResponses(syntheticResponses(ev))
     val payload = HostMetrics.longPayload(points,
       Seq("CPU Usage", "Swap Usage"))
     // previous run's payload = the three already-loaded hosts; the
@@ -3453,6 +3494,14 @@ object SparkEntry {
     * scale path stays measured.
     */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the flagship operational path, timed end to end: one committed
+    // NagiosEtlJob cron tick (stream read of landed response docs →
+    // flatten → melt → bounded dedup → partitioned append). No SQL
+    // oracle — it is a side-effecting streaming job; correctness is
+    // JobSpec's (idempotence, dedup window, quarantine), the bench
+    // row tracks its wall clock per round (VERDICT r9 task 7)
+    "q_etl_job" -> ((s, dir) => etlJobTick(s, dir, hosts = 25)),
+
     "q_knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 50)

@@ -21,20 +21,32 @@ import graft.sources.Sinks
   * intermediate `data_extract.txt` handoff file).
   *
   * Exactly-once into the sink without a transactional store: the
-  * melted payload is anti-join-deduped against the ROWS ALREADY IN
-  * THE SINK (`extract.py:115-132`'s cross-run dedup — whole-row
-  * 256-bit identity), so a tick that died between its parquet append
-  * and its checkpoint commit re-processes the batch on restart and
-  * the dedup drops every already-landed row — append + dedup
-  * composes to idempotent. Load failures quarantine the payload to a
-  * dated path for replay instead of losing it
-  * (`load_to_db.py:60-62`).
+  * melted payload is anti-join-deduped against the rows already in
+  * the sink's RECENT `load_date` partitions (`extract.py:115-132`'s
+  * cross-run dedup — whole-row 256-bit identity), so a tick that died
+  * between its parquet append and its checkpoint commit re-processes
+  * the batch on restart and the dedup drops every already-landed row
+  * — append + dedup composes to idempotent. The dedup window is
+  * BOUNDED (r10, ADVICE r9): rows re-deliverable into this tick can
+  * only have landed within the re-delivery horizon (a crash-restart
+  * re-append lands the same UTC day it crashed; an exporter re-send
+  * arrives within its retention), so the anti-join reads only
+  * partitions with `load_date >= today_UTC − dedupHorizonDays`
+  * (default 7) — partition-pruned at the scan, NOT a full-sink read,
+  * matching the reference's previous-extract-only bound while
+  * covering multi-day outages. Per-tick dedup cost is therefore
+  * O(horizon ingest), flat in total sink history. Load failures
+  * quarantine the payload to a UTC-timestamped path for replay
+  * instead of losing it (`load_to_db.py:60-62`); the timestamp (ms
+  * precision) + batch id keeps paths unique even after a checkpoint
+  * reset restarts batch ids at 0 — a second same-day failure can
+  * never overwrite an earlier quarantined payload.
   *
   * Scale posture: one cron tick at 100 TB fleet size is a bounded
   * file listing (only unconsumed files), a map-side flatten/melt, one
-  * anti-join exchange against the sink's row keys, and a
-  * family-partitioned append — the same plan SURVEY §3.1 argues for,
-  * wrapped in the orchestration the reference runs with.
+  * anti-join exchange against the horizon partitions' row keys, and a
+  * (family, load_date)-partitioned append — the same plan SURVEY §3.1
+  * argues for, wrapped in the orchestration the reference runs with.
   */
 object NagiosEtlJob {
 
@@ -66,41 +78,73 @@ object NagiosEtlJob {
     */
   def runOnce(spark: SparkSession, inDir: String, outDir: String,
       ckptDir: String,
-      services: Seq[String] = NagiosModel.services): Unit = {
+      services: Seq[String] = NagiosModel.services,
+      dedupHorizonDays: Int = 7): Unit = {
     val q = spark.readStream.schema(inputSchema).json(inDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(spark, batch, outDir, services, batchId); ()
+        ingestBatch(spark, batch, outDir, services, batchId,
+          dedupHorizonDays); ()
       }
       .start()
     q.awaitTermination()
   }
 
-  /** Flatten → melt → dedup-vs-sink → family-partitioned append, with
-    * the quarantine failure path. Public so a long-running deployment
-    * can mount the same logic on a continuous trigger.
+  /** Quarantine path component: unique even across checkpoint resets
+    * (batch ids restart at 0) — ms-precision UTC timestamp + a
+    * monotonic JVM nonce + the batch id, so a second same-day failure
+    * can never overwrite an earlier quarantined payload, even if two
+    * failures land in the same millisecond. UTC, not the JVM default
+    * TZ: the session timezone is pinned UTC and paths must match it.
+    */
+  private val quarantineNonce = new java.util.concurrent.atomic.AtomicLong(0)
+  def quarantineTag(batchId: Long): String =
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss.SSS'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now()) +
+      s"_n${quarantineNonce.getAndIncrement()}_batch$batchId"
+
+  /** Flatten → melt → dedup-vs-recent-sink-partitions → (family,
+    * load_date)-partitioned append, with the quarantine failure path.
+    * Public so a long-running deployment can mount the same logic on
+    * a continuous trigger.
     */
   def ingestBatch(spark: SparkSession, batch: DataFrame, outDir: String,
-      services: Seq[String], batchId: Long): Unit = {
+      services: Seq[String], batchId: Long,
+      dedupHorizonDays: Int = 7): Unit = {
+    require(dedupHorizonDays >= 1,
+      "dedupHorizonDays must cover at least the current day")
     val dataDir = s"$outDir/data"
     val payload = HostMetrics.longPayload(
       HostMetrics.flattenResponses(batch), services)
     val path = new org.apache.hadoop.fs.Path(dataDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // all times UTC: the session timezone is pinned UTC, so path
+    // components and partition values must not leak the JVM default
+    val todayUtc = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+    // ISO dates compare correctly as strings, so this predicate prunes
+    // load_date partitions at the scan — per-tick dedup reads only the
+    // re-delivery horizon, never the whole sink history
+    val minLoadDate = todayUtc.minusDays(dedupHorizonDays - 1L).toString
     val previous =
       if (fs.exists(path))
         spark.read.parquet(dataDir)
+          .filter(org.apache.spark.sql.functions.col("load_date") >=
+            minLoadDate)
           .select(payload.columns.map(org.apache.spark.sql.functions.col)
             .toSeq: _*)
       else payload.limit(0)
     val fresh = HostMetrics.routed(
       HostMetrics.dedupAgainst(payload, previous))
-    val runDate =
-      s"${java.time.LocalDate.now()}_batch$batchId"
-    Sinks.writeWithQuarantine(fresh, s"$outDir/quarantine", runDate) {
-      df => df.write.mode("append").partitionBy("metric_family")
+      .withColumn("load_date",
+        org.apache.spark.sql.functions.lit(todayUtc.toString))
+    Sinks.writeWithQuarantine(fresh, s"$outDir/quarantine",
+        quarantineTag(batchId)) {
+      df => df.write.mode("append")
+        .partitionBy("metric_family", "load_date")
         .parquet(dataDir)
     } match {
       case Left(err) => System.err.println(

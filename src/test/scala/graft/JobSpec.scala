@@ -62,5 +62,67 @@ class JobSpec extends SparkSpec {
     // ends bit-identical — append + dedup composes to exactly-once
     NagiosEtlJob.runOnce(spark, in, out, s"$base/ckpt2", services)
     assert(sink().count() == 5)
+
+    // the sink is (family, load_date)-partitioned with today's UTC
+    // date — the layout the bounded dedup window prunes on
+    val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
+    assert(sink().select("load_date").distinct()
+      .as[String].collect().toSeq == Seq(today))
+    assert(new java.io.File(
+      s"$out/data/metric_family=cpu/load_date=$today").isDirectory)
+  }
+
+  test("dedup window is bounded: rows older than the horizon no " +
+      "longer suppress a re-delivery; a wider horizon does") {
+    val base = java.nio.file.Files.createTempDirectory("graftjobw").toString
+    val (in, out) = (s"$base/in", s"$base/out")
+    val services = Seq("CPU Usage")
+    def sink() = spark.read.parquet(s"$out/data")
+    land(in, ("h1", "CPU Usage", cpuBody))
+    NagiosEtlJob.runOnce(spark, in, out, s"$base/ckptw", services)
+    assert(sink().count() == 1)
+    // age the landed partition past the default 7-day horizon by
+    // renaming its load_date directory (partition value lives in the
+    // path, not the files)
+    val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+    val fam = s"$out/data/metric_family=cpu"
+    assert(new java.io.File(s"$fam/load_date=$today").isDirectory)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$fam/load_date=$today"),
+      java.nio.file.Paths.get(s"$fam/load_date=${today.minusDays(30)}"))
+    // re-deliver the same payload: the 30-day-old copy is OUTSIDE the
+    // default window, so the anti-join never reads it -> row lands
+    // again (per-tick cost stays flat in sink history — that is the
+    // trade the bound makes, matching extract.py's
+    // previous-extract-only dedup)
+    land(in, ("h1", "CPU Usage", cpuBody))
+    NagiosEtlJob.runOnce(spark, in, out, s"$base/ckptw", services)
+    assert(sink().count() == 2, sink().collect().mkString("\n"))
+    // re-deliver once more with a 60-day horizon: the old partition
+    // is back inside the window, dedup suppresses the copy
+    land(in, ("h1", "CPU Usage", cpuBody))
+    NagiosEtlJob.runOnce(spark, in, out, s"$base/ckptw", services,
+      dedupHorizonDays = 60)
+    assert(sink().count() == 2)
+  }
+
+  test("quarantine tags are unique across same-millisecond failures " +
+      "and checkpoint-reset batch-id restarts, and are UTC") {
+    // the ADVICE r9 failure path: after a checkpoint reset batch ids
+    // restart at 0, so two same-day batch-0 failures previously
+    // collided on failed_run_date=<date>_batch0 with mode(overwrite)
+    val tags = (1 to 100).map(_ => NagiosEtlJob.quarantineTag(0L))
+    assert(tags.distinct.length == 100, "colliding quarantine tags")
+    assert(tags.forall(_.endsWith("_batch0")))
+    // UTC, ms precision: parseable back under the UTC formatter
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss.SSS'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+    tags.foreach { t =>
+      val ts = t.substring(0, t.indexOf("_n"))
+      val parsed = java.time.Instant.from(fmt.parse(ts))
+      assert(math.abs(parsed.toEpochMilli -
+        System.currentTimeMillis()) < 60000, t)
+    }
   }
 }
