@@ -7576,10 +7576,22 @@ object SparkEntry {
            | WHERE u IN (SELECT node FROM keep$i)
            |   AND v IN (SELECT node FROM keep$i))""".stripMargin
       }.mkString(",\n")
+      // fixpoint ASSERTION (ADVICE r9): the unroll is only correct
+      // while the data's shell depth is <= 14 (11 at sf0.01) — at a
+      // larger SF an under-peeled oracle would silently report a
+      // spurious hash-FAIL against the correct operator. If round 14
+      // still removed edges, the oracle now ERRORS loudly instead of
+      // comparing a wrong answer.
       s"""WITH $coPurchaseEdgesSql,
-         |$rounds
+         |$rounds,
+         |chk AS (SELECT CASE
+         |  WHEN (SELECT count(*) FROM e14) = (SELECT count(*) FROM e13)
+         |  THEN 1 ELSE error('q_kcore oracle: edge set still shrinking '
+         |    || 'after 14 peel rounds - raise the unroll depth for '
+         |    || 'this SF') END AS ok)
          |SELECT node, count(*) AS core_degree FROM (
          | SELECT u AS node FROM e14 UNION ALL SELECT v FROM e14) f
+         |CROSS JOIN chk
          |GROUP BY 1""".stripMargin
     },
 

@@ -642,7 +642,16 @@ object StreamingDedup {
               pos = if (!seen || ok != prevOk) 1L else pos + 1L
               val hard = ok || pos >= maxAttempts.toLong
               val newHard = if (hard) sv else hardState
-              val changed = newHard != null && newHard != hardState
+              // the SAME okState-gated first-confirmation rule as
+              // hardSoftStateStream and the batch hard_change (ADVICE
+              // r9): a first confirmed OK is NOT a change. Currently
+              // output-equivalent here (a first OK only reaches the
+              // no-page recovery branch either way), but the two folds
+              // must share one change definition so a future edit to
+              // the page-emission condition cannot diverge them.
+              val changed = newHard != null && (
+                if (hardState == null) newHard != okState
+                else newHard != hardState)
               hardState = newHard; prevOk = ok
               // episode anchoring + slot gating (the batch operator's
               // islands/slots, sequentially)

@@ -19,7 +19,10 @@ def load_queries(path):
     """Accept either a Bench stdout line ({"queries": {...}}) or the
     driver's BENCH_r{N}.json wrapper, whose `tail`/`parsed` fields may
     hold only a truncated fragment — recover whatever "q_x":1.23
-    pairs survive."""
+    pairs survive. The fragment path is LOSSY: warn loudly with the
+    recovered count (ADVICE r9 — a regressed query absent from the
+    fragment would otherwise pass the gate silently), and fail
+    outright if nothing was recovered."""
     d = json.load(open(path))
     if isinstance(d.get("queries"), dict):
         return d["queries"]
@@ -28,11 +31,26 @@ def load_queries(path):
         return d["parsed"]["queries"]
     frag = d.get("tail", "") or ""
     pairs = re.findall(r'"(q_[a-z0-9_]+)":([0-9.]+)', frag)
+    m = re.search(r'"n":(\d+)', frag)
+    expected = f" of {m.group(1)} benched" if m else ""
+    print(f"WARNING: {path} has no full queries dict; regex-recovered "
+          f"{len(pairs)} q_* pairs{expected} from the tail fragment — "
+          f"comparison is PARTIAL, absent queries are NOT gated")
+    if not pairs:
+        print(f"FATAL: {path} yielded zero query timings — nothing to "
+              f"compare; refusing to report a vacuous pass")
+        sys.exit(1)
     return {k: float(v) for k, v in pairs}
 
 
 new = load_queries(sys.argv[1])
 prev = load_queries(sys.argv[2])
+common = set(new) & set(prev)
+expected_common = min(len(new), len(prev))
+if len(common) < max(1, expected_common // 2):
+    print(f"WARNING: only {len(common)} queries comparable across the "
+          f"two inputs (vs {expected_common} in the smaller set) — "
+          f"the gate covers a minority of the suite")
 ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
 
 nq, pq = new, prev
