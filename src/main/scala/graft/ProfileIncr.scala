@@ -48,6 +48,42 @@ object ProfileIncr {
           min(col("num_hashes")), max(col("num_hashes")),
           min(col("bands")), max(col("bands"))).collect()
       }
+      // inline decomposition of the probe's internal actions (same
+      // code path as minhashNearDupPairsIncremental, staged apart)
+      val newBands = t("p1_new_bands") {
+        val nb = operators.Dedup.bandKeyRows(batch, "doc_id", "text",
+            5, 64, 32)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        nb.count(); nb
+      }
+      val cand = t("p2_candidates") {
+        val probeBuckets = newBands.select("band", "bucket").distinct()
+        val all = staged.select("id", "band", "bucket")
+          .unionByName(newBands)
+          .join(broadcast(probeBuckets), Seq("band", "bucket"))
+        val dense = all.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("n")).filter(col("n") <= 1000)
+          .select("band", "bucket")
+        val a = newBands.select(col("band"), col("bucket"),
+          col("id").as("id_a"))
+        val b = all.join(dense, Seq("band", "bucket"))
+          .select(col("band"), col("bucket"), col("id").as("id_b"))
+        val c = a.join(b, Seq("band", "bucket"))
+          .filter(col("id_a") =!= col("id_b"))
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        System.err.println(s"[incr]   nCandidates=${c.count()}")
+        c
+      }
+      t("p3_verify") {
+        operators.Dedup.verifyCandidatePairs(cand,
+            docs.unionByName(batch), "doc_id", "text", 5, 0.5,
+            1000000L, cand.count())
+          .localCheckpoint(true)
+      }
+      newBands.unpersist(false); cand.unpersist(false)
       val full = t("full_probe") {
         operators.Dedup.minhashNearDupPairsIncremental(
           batch, docs.unionByName(batch), staged,

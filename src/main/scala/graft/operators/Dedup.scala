@@ -139,7 +139,7 @@ object Dedup {
     * of the signature layout shared by staging and the incremental
     * probe (a drift here silently empties the bucket join).
     */
-  private def bandKeyRows(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def bandKeyRows(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     df.select(col(idCol).as("id"),
@@ -157,7 +157,7 @@ object Dedup {
     * past `broadcastCandidateLimit` pairs falls back to a shuffle
     * semi-join instead of OOMing the driver.
     */
-  private def verifyCandidatePairs(candidates: DataFrame, corpus: DataFrame,
+  private[graft] def verifyCandidatePairs(candidates: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, shingleK: Int, threshold: Double,
       broadcastCandidateLimit: Long, nCandidates: Long): DataFrame = {
     val candIds = candidates.select(col("id_a").as("id"))
@@ -228,45 +228,60 @@ object Dedup {
     // accumulated two epochs' schemes must also be refused, or
     // whichever epoch the sample missed silently drops its cross-epoch
     // pairs. All-rows validation = min==max per column (single scheme)
-    // plus the probe's own tuple: one partial-aggregated pass over
-    // three RLE'd constant columns, no exchange-distinct (which round
-    // 7 measured as a whole extra shuffle job on every probe call).
-    if (stagedBands.columns.contains("num_hashes")) {
-      val m = stagedBands.agg(
-        min(col("shingle_k")), max(col("shingle_k")),
-        min(col("num_hashes")), max(col("num_hashes")),
-        min(col("bands")), max(col("bands"))).collect()(0)
-      if (!m.isNullAt(0)) { // null = empty history: nothing to refuse
-        require(m.getInt(0) == m.getInt(1) && m.getInt(2) == m.getInt(3)
-            && m.getInt(4) == m.getInt(5),
-          s"staged band keys mix parameter schemes (shingleK " +
-            s"${m.getInt(0)}..${m.getInt(1)}, numHashes " +
-            s"${m.getInt(2)}..${m.getInt(3)}, bands " +
-            s"${m.getInt(4)}..${m.getInt(5)}) — restage under one scheme")
-        require(m.getInt(0) == shingleK && m.getInt(2) == numHashes &&
-          m.getInt(4) == bands,
-          s"staged band keys were built with (shingleK=${m.getInt(0)}, " +
-          s"numHashes=${m.getInt(2)}, bands=${m.getInt(4)}) but the " +
-          s"probe uses ($shingleK, $numHashes, $bands)")
-      }
+    // plus the probe's own tuple. r10 (VERDICT r9 task 5): the check
+    // rides the candidate job as an `observe` metric set — zero extra
+    // Spark jobs vs the r7-r9 dedicated aggregate pass (measured as a
+    // full scheduling-floor job on every probe call). min/max are
+    // merge-idempotent, so the staged scan appearing in BOTH candidate
+    // branches (dense counts + probe side) cannot skew them, and the
+    // validation still covers every staged row. Refusal happens after
+    // the candidate count and before any verify work or output.
+    val schemeObs =
+      if (stagedBands.columns.contains("num_hashes"))
+        Some(new org.apache.spark.sql.Observation())
+      else None
+    val stagedChecked = schemeObs match {
+      case Some(o) => stagedBands.observe(o,
+        min(col("shingle_k")).as("k_min"), max(col("shingle_k")).as("k_max"),
+        min(col("num_hashes")).as("h_min"), max(col("num_hashes")).as("h_max"),
+        min(col("bands")).as("b_min"), max(col("bands")).as("b_max"))
+      case None => stagedBands
     }
     val newBands = bandKeyRows(newDocs, idCol, textCol, shingleK,
         numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    newBands.count() // materialize before multi-branch consumption
+    val newBandCount = newBands.count() // materialize before multi-branch use
 
-    val allBands = stagedBands.select("id", "band", "bucket")
+    // Only buckets TOUCHED BY THE BATCH can produce candidates, so
+    // restrict history to them FIRST (r10, VERDICT r9 task 5): the
+    // r7-r9 shape aggregated bucket counts over the ENTIRE staged
+    // history on every probe call — a full-history shuffle per cron
+    // tick, the cost that grows with corpus age, not batch size. A
+    // broadcast semi-join on the probe's own (band, bucket) set turns
+    // that into a map-side filter of the history scan (no shuffle of
+    // history rows outside the touched set); the degenerate-bucket
+    // count then aggregates only touched-bucket rows. For a batch too
+    // large to broadcast its bucket set, fall back to the plain
+    // equi-join — the old shuffle shape, correct at any size.
+    val probeBuckets = newBands.select("band", "bucket").distinct()
+    val probeKeyed =
+      if (newBandCount <= broadcastCandidateLimit) broadcast(probeBuckets)
+      else probeBuckets
+    val touched = stagedChecked.select("id", "band", "bucket")
       .unionByName(newBands)
+      .join(probeKeyed, Seq("band", "bucket"))
     // degenerate-bucket guard: counts scan only the narrow staged
     // (band, bucket) columns, never text. No n>1 requirement here —
-    // a new-side singleton may still pair with history.
-    val dense = allBands.groupBy("band", "bucket")
+    // a new-side singleton may still pair with history. Counting
+    // touched rows only is EXACT for touched buckets (a bucket's rows
+    // all carry the same (band, bucket) key).
+    val dense = touched.groupBy("band", "bucket")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBucket)
       .select("band", "bucket")
-    // candidate = new ⋈ all, normalized to id_a < id_b
+    // candidate = new ⋈ touched, normalized to id_a < id_b
     val a = newBands.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = allBands.join(dense, Seq("band", "bucket"))
+    val b = touched.join(dense, Seq("band", "bucket"))
       .select(col("band"), col("bucket"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") =!= col("id_b"))
@@ -275,6 +290,42 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCandidates = candidates.count()
+    schemeObs.foreach { o =>
+      // the candidate count above scanned every staged row, so the
+      // metrics are normally final here — refuse BEFORE any verify or
+      // output work. Non-blocking future check, NOT a bare get: AQE
+      // may skip the staged-side stage entirely (empty-batch probe
+      // propagates an empty join side), and a blocking get would hang
+      // forever on metrics that will never fire — fall back to the r7
+      // dedicated aggregate in that rare case instead.
+      val m: Map[String, Any] =
+        if (o.future.isCompleted) o.get
+        else {
+          val r = stagedBands.agg(
+            min(col("shingle_k")).as("k_min"),
+            max(col("shingle_k")).as("k_max"),
+            min(col("num_hashes")).as("h_min"),
+            max(col("num_hashes")).as("h_max"),
+            min(col("bands")).as("b_min"),
+            max(col("bands")).as("b_max")).collect()(0)
+          r.schema.fieldNames.zipWithIndex
+            .map { case (n, idx) => n -> r.get(idx) }.toMap
+        }
+      if (m("k_min") != null) { // null = empty history: nothing to refuse
+        def i(k: String): Int = m(k).asInstanceOf[Number].intValue()
+        require(i("k_min") == i("k_max") && i("h_min") == i("h_max") &&
+            i("b_min") == i("b_max"),
+          s"staged band keys mix parameter schemes (shingleK " +
+            s"${i("k_min")}..${i("k_max")}, numHashes " +
+            s"${i("h_min")}..${i("h_max")}, bands " +
+            s"${i("b_min")}..${i("b_max")}) — restage under one scheme")
+        require(i("k_min") == shingleK && i("h_min") == numHashes &&
+          i("b_min") == bands,
+          s"staged band keys were built with (shingleK=${i("k_min")}, " +
+          s"numHashes=${i("h_min")}, bands=${i("b_min")}) but the " +
+          s"probe uses ($shingleK, $numHashes, $bands)")
+      }
+    }
 
     val verified = verifyCandidatePairs(candidates, corpus, idCol, textCol,
       shingleK, threshold, broadcastCandidateLimit, nCandidates)
