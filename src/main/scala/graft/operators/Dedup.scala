@@ -135,6 +135,46 @@ object Dedup {
     out
   }
 
+  /** Candidate pairs for the incremental probe, with history
+    * restricted to buckets TOUCHED BY THE BATCH before any
+    * aggregation (the r10 shape, VERDICT r9 task 5): `useBroadcast`
+    * semi-joins history against the batch's own (band, bucket) set as
+    * a broadcast — a map-side filter of the history scan, so no
+    * history row outside a touched bucket ever crosses an exchange;
+    * false falls back to the plain equi-join (the pre-r10 shuffle
+    * shape, correct for batches too large to broadcast their bucket
+    * set). The degenerate-bucket guard counts touched rows only —
+    * EXACT for touched buckets, since a bucket's rows all carry the
+    * same (band, bucket) key. Extracted so PlanSpec can pin the
+    * broadcast shape and the two paths' result equality.
+    */
+  private[graft] def incrementalCandidates(newBands: DataFrame,
+      staged: DataFrame, maxBucket: Int, useBroadcast: Boolean)
+      : DataFrame = {
+    val probeBuckets = newBands.select("band", "bucket").distinct()
+    val probeKeyed =
+      if (useBroadcast) broadcast(probeBuckets) else probeBuckets
+    val touched = staged.select("id", "band", "bucket")
+      .unionByName(newBands)
+      .join(probeKeyed, Seq("band", "bucket"))
+    // counts scan only the narrow (band, bucket) columns, never text.
+    // No n>1 requirement here — a new-side singleton may still pair
+    // with history.
+    val dense = touched.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket)
+      .select("band", "bucket")
+    // candidate = new ⋈ touched, normalized to id_a < id_b
+    val a = newBands.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = touched.join(dense, Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+  }
+
   /** Exploded (id, band, bucket) band-key rows — the single definition
     * of the signature layout shared by staging and the incremental
     * probe (a drift here silently empties the bucket join).
@@ -263,31 +303,8 @@ object Dedup {
     // count then aggregates only touched-bucket rows. For a batch too
     // large to broadcast its bucket set, fall back to the plain
     // equi-join — the old shuffle shape, correct at any size.
-    val probeBuckets = newBands.select("band", "bucket").distinct()
-    val probeKeyed =
-      if (newBandCount <= broadcastCandidateLimit) broadcast(probeBuckets)
-      else probeBuckets
-    val touched = stagedChecked.select("id", "band", "bucket")
-      .unionByName(newBands)
-      .join(probeKeyed, Seq("band", "bucket"))
-    // degenerate-bucket guard: counts scan only the narrow staged
-    // (band, bucket) columns, never text. No n>1 requirement here —
-    // a new-side singleton may still pair with history. Counting
-    // touched rows only is EXACT for touched buckets (a bucket's rows
-    // all carry the same (band, bucket) key).
-    val dense = touched.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") <= maxBucket)
-      .select("band", "bucket")
-    // candidate = new ⋈ touched, normalized to id_a < id_b
-    val a = newBands.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = touched.join(dense, Seq("band", "bucket"))
-      .select(col("band"), col("bucket"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"))
-      .distinct()
+    val candidates = incrementalCandidates(newBands, stagedChecked,
+        maxBucket, useBroadcast = newBandCount <= broadcastCandidateLimit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCandidates = candidates.count()
     schemeObs.foreach { o =>

@@ -703,6 +703,40 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected exactly 1 exchange:\n$plan")
   }
 
+  test("incremental minhash probe: history prunes to batch-touched " +
+      "buckets via broadcast BEFORE any aggregation; fallback path " +
+      "result-identical") {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val batch = base.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" near dup suffix")).as("text"))
+    val staged = graft.operators.Dedup.bandKeyRows(base, "doc_id",
+      "text", 5, 64, 32)
+    val newBands = graft.operators.Dedup.bandKeyRows(batch, "doc_id",
+      "text", 5, 64, 32)
+    val bc = graft.operators.Dedup.incrementalCandidates(newBands,
+      staged, 1000, useBroadcast = true)
+    val plan = physical(bc)
+    // the history union is consumed through a BroadcastHashJoin on the
+    // batch's own bucket set — the map-side filter that keeps untouched
+    // history rows out of every exchange. The dense-bucket HashAggregate
+    // must sit ABOVE that join, never directly on the raw union.
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val aggIdx = plan.indexOf("HashAggregate")
+    val bcjIdx = plan.lastIndexOf("BroadcastHashJoin")
+    assert(aggIdx >= 0 && bcjIdx > aggIdx,
+      s"dense aggregate does not consume the broadcast-filtered union:\n$plan")
+    // both paths produce the same candidate set (the fallback is the
+    // too-big-to-broadcast arm)
+    val fb = graft.operators.Dedup.incrementalCandidates(newBands,
+      staged, 1000, useBroadcast = false)
+    def set(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = set(bc)
+    assert(got.nonEmpty && got == set(fb))
+  }
+
   test("reliability: every stage shares the scd2 key partitioning — " +
       "one entity exchange end to end") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
