@@ -262,6 +262,27 @@ object ScaleProbe {
         val f = if (dir == scaleDir) factor else 1
         SparkEntry.etlJobTick(s, dir, hosts = 25 * f)
       }),
+      // consolidate-then-fit: the documented production answer for a
+      // Theil-Sen series past the pair cap, as a MEASURED row (r10).
+      // The replica grows per-user density 10x (event ids shift, ts
+      // does not — the hot-series shape): raw fitting would grow the
+      // pair set 100x, but consolidating to fixed daily buckets first
+      // is one linear map-combined aggregate and the fit then runs on
+      // a bounded bucket series at ANY density — the exact arm never
+      // approaches its cap. Expected ratio: scan-linear.
+      "theil_sen_consolidated_scale" -> ((s: SparkSession, dir: String) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("value").isNotNull)
+          .select(col("user_id"),
+            unix_timestamp(col("ts")).as("sec"),
+            col("value"), col("event_id"))
+        val buckets = graft.operators.TimeSeries.consolidate(ev,
+          Seq("user_id"), "sec", "value", "event_id",
+          Seq("daily" -> 86400L))
+        graft.operators.TimeSeries.theilSen(buckets, Seq("user_id"),
+          "bucket_start", "v_avg")
+      }),
       "minhash_pairs_full" -> ((s: SparkSession, dir: String) =>
         graft.operators.Dedup.minhashNearDupPairs(nearDupCorpus(s, dir),
           "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.5)),
