@@ -582,6 +582,42 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(mixedDrift.getMessage.contains("parameter schemes"))
   }
 
+  test("dedup: incremental probe with an EMPTY batch returns no pairs, " +
+      "does not hang, and still refuses scheme drift") {
+    import org.apache.spark.sql.functions.col
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the r10 hang hazard this pins: the scheme check rides the
+    // candidate job as observe metrics, and AQE may skip the staged
+    // scan entirely when the batch side is empty — a blocking get
+    // would wait forever on metrics that never fire; the probe must
+    // fall back to the dedicated aggregate instead
+    val base = docs.select("doc_id", "text")
+    val history = base.filter(col("doc_id") >= 100)
+    val empty = base.filter(col("doc_id") < 0)
+    val staged = java.nio.file.Files.createTempDirectory("graftstage3")
+      .toString
+    Dedup.stageBandKeys(history, "doc_id", "text", staged,
+      numHashes = 64, bands = 32)
+    val n = Await.result(Future {
+      Dedup.minhashNearDupPairsIncremental(empty, history,
+        spark.read.parquet(staged), "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5).count()
+    }, 120.seconds)
+    assert(n == 0)
+    // the all-rows refusal must hold even when the candidate job never
+    // scanned the staged side (the fallback-aggregate path)
+    val drift = intercept[IllegalArgumentException] {
+      Await.result(Future {
+        Dedup.minhashNearDupPairsIncremental(empty, history,
+          spark.read.parquet(staged), "doc_id", "text",
+          numHashes = 64, bands = 16, threshold = 0.5).count()
+      }, 120.seconds)
+    }
+    assert(drift.getMessage.contains("staged band keys"))
+  }
+
   test("dedup: connected-components closure vs greedy on a chain") {
     // chain 1~2, 2~0 (A~B~C with A≁C): one component, min id 0
     val pairs = Seq((0L, 2L), (1L, 2L)).toDF("id_a", "id_b")
