@@ -129,22 +129,43 @@ object NagiosEtlJob {
     // load_date partitions at the scan — per-tick dedup reads only the
     // re-delivery horizon, never the whole sink history
     val minLoadDate = todayUtc.minusDays(dedupHorizonDays - 1L).toString
+    val sinkExists = fs.exists(path)
+    // migration guard: a sink written by a pre-load_date deployment
+    // partitions on metric_family alone; appending the new two-level
+    // layout into it would leave MIXED partition depths that Spark's
+    // discovery refuses to read — so an old sink stays entirely on its
+    // old layout (full-sink dedup, family-only partitions, the pre-r10
+    // behavior) until the operator rewrites it, and only new sinks get
+    // the bounded-window layout. Detected from the sink's own schema.
+    val oldLayout = sinkExists &&
+      !spark.read.parquet(dataDir).columns.contains("load_date")
+    if (oldLayout) System.err.println(
+      s"[nagios-etl] $dataDir uses the pre-load_date layout: dedup is " +
+        "full-sink and unbounded for this sink — rewrite it " +
+        "partitioned by (metric_family, load_date) to bound tick cost")
     val previous =
-      if (fs.exists(path))
-        spark.read.parquet(dataDir)
-          .filter(org.apache.spark.sql.functions.col("load_date") >=
-            minLoadDate)
-          .select(payload.columns.map(org.apache.spark.sql.functions.col)
-            .toSeq: _*)
-      else payload.limit(0)
-    val fresh = HostMetrics.routed(
+      if (!sinkExists) payload.limit(0)
+      else {
+        val sink = spark.read.parquet(dataDir)
+        val bounded =
+          if (oldLayout) sink
+          else sink.filter(
+            org.apache.spark.sql.functions.col("load_date") >= minLoadDate)
+        bounded.select(
+          payload.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      }
+    val deduped = HostMetrics.routed(
       HostMetrics.dedupAgainst(payload, previous))
-      .withColumn("load_date",
+    val fresh =
+      if (oldLayout) deduped
+      else deduped.withColumn("load_date",
         org.apache.spark.sql.functions.lit(todayUtc.toString))
     Sinks.writeWithQuarantine(fresh, s"$outDir/quarantine",
         quarantineTag(batchId)) {
       df => df.write.mode("append")
-        .partitionBy("metric_family", "load_date")
+        .partitionBy(
+          (if (oldLayout) Seq("metric_family")
+           else Seq("metric_family", "load_date")): _*)
         .parquet(dataDir)
     } match {
       case Left(err) => System.err.println(

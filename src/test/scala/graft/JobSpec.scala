@@ -106,6 +106,40 @@ class JobSpec extends SparkSpec {
     assert(sink().count() == 2)
   }
 
+  test("pre-load_date sink keeps its old layout: full-sink dedup, no " +
+      "mixed partition depths, sink stays readable") {
+    val base = java.nio.file.Files.createTempDirectory("graftjobm").toString
+    val (in, out) = (s"$base/in", s"$base/out")
+    val services = Seq("CPU Usage")
+    def sink() = spark.read.parquet(s"$out/data")
+    // fabricate an OLD-layout sink: run one tick, then strip load_date
+    // by rewriting family-only (what a pre-r10 deployment left behind)
+    land(in, ("h1", "CPU Usage", cpuBody))
+    NagiosEtlJob.runOnce(spark, in, out, s"$base/ckpt1", services)
+    val legacy = sink().drop("load_date").localCheckpoint(true)
+    val fs = new java.io.File(s"$out/data")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete(); ()
+    }
+    deleteRec(fs)
+    legacy.write.mode("overwrite").partitionBy("metric_family")
+      .parquet(s"$out/data")
+    assert(!sink().columns.contains("load_date"))
+    // re-delivery into the legacy sink: full-sink dedup still
+    // suppresses it (pre-r10 behavior), and the appended tick keeps
+    // the single-level layout so the sink stays readable
+    land(in, ("h1", "CPU Usage", cpuBody))
+    NagiosEtlJob.runOnce(spark, in, out, s"$base/ckpt2", services)
+    assert(sink().count() == 1)
+    assert(!sink().columns.contains("load_date"))
+    // a genuinely new host appends in the same old layout
+    land(in, ("h2", "CPU Usage", cpuBody))
+    NagiosEtlJob.runOnce(spark, in, out, s"$base/ckpt3", services)
+    assert(sink().count() == 2 &&
+      !sink().columns.contains("load_date"))
+  }
+
   test("quarantine tags are unique across same-millisecond failures " +
       "and checkpoint-reset batch-id restarts, and are UTC") {
     // the ADVICE r9 failure path: after a checkpoint reset batch ids
