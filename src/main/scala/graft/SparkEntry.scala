@@ -449,9 +449,23 @@ object SparkEntry {
     * append — into brand-new out/checkpoint dirs, so every call
     * measures a full first tick, never a checkpoint no-op. Returns
     * the landed sink frame (the bench's noop write re-scans it; the
-    * scan is trivial next to the tick itself).
+    * scan is trivial next to the tick itself). The PREVIOUS call's
+    * work dir is deleted on entry — a multi-call bench/probe JVM
+    * holds at most one finished tick's output on disk, not one per
+    * pass (the frame returned from the previous call must already
+    * have been consumed by then, which is the bench contract).
     */
+  private val lastTickDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   def etlJobTick(s: SparkSession, dir: String, hosts: Int): DataFrame = {
+    Option(lastTickDir.getAndSet(null)).foreach { prev =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(prev))
+    }
     val src = new java.io.File(s"$dir/events.parquet")
     val tag = Tables.dirTag(
       s"$dir|${src.length()}|${src.lastModified()}|$hosts")
@@ -467,6 +481,7 @@ object SparkEntry {
     }
     val base = java.nio.file.Files.createTempDirectory("graft_etljob")
       .toString
+    lastTickDir.set(base)
     jobs.NagiosEtlJob.runOnce(s, inDir, s"$base/out", s"$base/ckpt",
       Seq("CPU Usage", "Swap Usage"))
     s.read.parquet(s"$base/out/data")

@@ -61,7 +61,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`df.filter($"fetch_error".isNotNull)`) instead of buried in
   * executor logs. Failfast keeps the strict schema (no error
   * column) and stays the default: silently-partial extracts must be
-  * opted into.
+  * opted into. Note a user-supplied `epoch >= ts` bound is re-checked
+  * by Spark post-scan (the residual-filter convention above), and a
+  * dead-letter row's null epoch fails it — audit dead letters with an
+  * unbounded read; a time-bounded read correctly returns only
+  * in-bound data rows.
   *
   * Output schema: (host_name, service_name, epoch long, values
   * array<string>) — the normalized form consumed by
