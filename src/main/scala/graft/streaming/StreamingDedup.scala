@@ -1079,4 +1079,88 @@ object StreamingDedup {
           }
       }(stateEnc, rowEnc)
   }
+
+  /** Cross-batch streaming twin of
+    * [[graft.operators.TimeSeries.availability]] — the LIVE SLA
+    * readout: coverage of a FIXED `[windowLo, windowHi]` per key,
+    * updated as activity intervals arrive. Per-key state is the
+    * merged disjoint islands of the window-clamped intervals (sorted
+    * `Seq[(lo, hi)]` — bounded by the window's island count, never by
+    * stream length). A batch that CHANGES a key's coverage emits one
+    * row `(keys, covered_s, window_s, availability_ppm)` with the
+    * batch operator's exact integer-ppm arithmetic — append mode, the
+    * dashboard upserts by key on read. Duplicate and out-of-order
+    * intervals are absorbed by construction (interval union is
+    * commutative and idempotent), so NO watermark is needed for
+    * correctness and nothing is ever dropped as late; a re-delivered
+    * interval changes nothing and emits nothing. Batch == stream:
+    * after any prefix of batches the last emitted row per key equals
+    * the batch [[graft.operators.TimeSeries.availability]] over the
+    * union of all intervals so far (spec-pinned). State compaction
+    * merges ADJACENT islands too (lo == prev hi + 1) — covered_s is
+    * identical either way (closed lengths sum), the state just stays
+    * canonical.
+    */
+  def availabilityStream(stream: DataFrame, keyCols: Seq[String],
+      loCol: String, hiCol: String, windowLo: Long,
+      windowHi: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(keyCols.nonEmpty, "availabilityStream needs at least one key")
+    require(windowHi >= windowLo, "window must be non-empty")
+    val windowS = windowHi - windowLo + 1
+    val keys = keyCols.map(col)
+    val clamped = stream
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(loCol).isNotNull && col(hiCol).isNotNull)
+      .select(keys ++ Seq(
+        greatest(col(loCol).cast("long"), lit(windowLo)).as("__lo"),
+        least(col(hiCol).cast("long"), lit(windowHi)).as("__hi")): _*)
+      .filter(col("__lo") <= col("__hi"))
+    val schema = clamped.schema
+    val keyIdx = keyCols.indices
+    val loIdx = schema.fieldIndex("__lo")
+    val hiIdx = schema.fieldIndex("__hi")
+    val outSchema = StructType(
+      keyIdx.map(schema(_)) ++ Seq(
+        StructField("covered_s", LongType),
+        StructField("window_s", LongType),
+        StructField("availability_ppm", LongType)))
+    val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    val stateEnc: Encoder[Tuple1[Seq[(Long, Long)]]] =
+      Encoders.product[Tuple1[Seq[(Long, Long)]]]
+    clamped
+      .groupByKey((r: Row) =>
+        keyIdx.map { i =>
+          val s = String.valueOf(r.get(i)); s.length + ":" + s
+        }.mkString("|"))(Encoders.STRING)
+      .flatMapGroupsWithState[Tuple1[Seq[(Long, Long)]], Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row],
+            state: GroupState[Tuple1[Seq[(Long, Long)]]]) =>
+          val rs = rows.toArray
+          val keyVals = keyIdx.map(rs.head.get)
+          val before = state.getOption.map(_._1).getOrElse(Seq.empty)
+          // fold each interval into the sorted disjoint island list
+          var islands = before.toList
+          rs.foreach { r =>
+            val lo = r.getLong(loIdx); val hi = r.getLong(hiIdx)
+            val (left, rest) = islands.span(_._2 < lo - 1)
+            val (overlap, right) = rest.span(_._1 <= hi + 1)
+            val merged =
+              if (overlap.isEmpty) (lo, hi)
+              else (math.min(lo, overlap.head._1),
+                math.max(hi, overlap.last._2))
+            islands = left ::: merged :: right
+          }
+          def covered(is: Seq[(Long, Long)]): Long =
+            is.iterator.map { case (l, h) => h - l + 1 }.sum
+          val cov = covered(islands)
+          state.update(Tuple1(islands))
+          if (cov == covered(before)) Iterator.empty
+          else Iterator.single(Row.fromSeq(keyVals ++ Seq[Any](
+            cov, windowS,
+            // the batch operator's exact integer HALF_UP ppm
+            (cov * 2000000L + windowS) / (2L * windowS))))
+      }(stateEnc, rowEnc)
+  }
 }

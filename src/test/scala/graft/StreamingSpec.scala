@@ -1751,4 +1751,52 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(merged == batch, s"$merged != $batch")
   }
+  test("availabilityStream: live SLA coverage == batch availability " +
+      "after every batch; duplicates and out-of-order emit nothing new") {
+    import graft.operators.TimeSeries
+    implicit val sq = spark.sqlContext
+    // window [100, 199] (the batch spec's fixture): h1 accretes
+    // overlapping + adjacent + out-of-window intervals across batches,
+    // h2 lands whole-window in one shot, h3 never intersects
+    val in = MemoryStream[(String, Long, Long)]
+    val got = scala.collection.mutable.ArrayBuffer[
+      (String, Long, Long, Long)]()
+    val q = StreamingDedup.availabilityStream(
+        in.toDF().toDF("host", "lo", "hi"),
+        Seq("host"), "lo", "hi", windowLo = 100L, windowHi = 199L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.as[(String, Long, Long, Long)].collect(); ()
+      }.start()
+    def batchAvail(ivs: Seq[(String, Long, Long)]) = TimeSeries
+      .availability(ivs.toDF("host", "lo", "hi"), Seq("host"),
+        "lo", "hi", 100L, 199L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def lastPerKey = got.groupBy(_._1).view
+      .mapValues(v => (v.last._2, v.last._3, v.last._4)).toMap
+    val b1 = Seq(("h1", 90L, 120L), ("h3", 0L, 50L))
+    val b2 = Seq(("h1", 110L, 140L),          // overlap: extends to 140
+      ("h1", 180L, 260L),                     // clamps to [180, 199]
+      ("h2", 100L, 199L))                     // exact window -> 10^6 ppm
+    val b3 = Seq(("h1", 90L, 120L),           // duplicate re-delivery
+      ("h1", 115L, 130L),                     // fully inside an island
+      ("h3", 300L, 400L))                     // out of window again
+    val b4 = Seq(("h1", 141L, 150L))          // ADJACENT: extends island
+    try {
+      var seen = Seq.empty[(String, Long, Long)]
+      for (b <- Seq(b1, b2, b3, b4)) {
+        in.addData(b: _*); q.processAllAvailable()
+        seen = seen ++ b
+        assert(lastPerKey == batchAvail(seen),
+          s"after batch: $lastPerKey vs ${batchAvail(seen)}")
+      }
+    } finally q.stop()
+    // h3 never emitted; the no-change batch (b3) emitted nothing
+    assert(!got.exists(_._1 == "h3"))
+    assert(got.size == 4, got.toString) // h1 x3 changes + h2 x1
+    // exact ppm values: h1 ends [100,150]+[180,199] = 71s -> 710000
+    assert(lastPerKey("h1") == ((71L, 100L, 710000L)))
+    assert(lastPerKey("h2") == ((100L, 100L, 1000000L)))
+  }
 }
