@@ -1101,6 +1101,28 @@ object StreamingDedup {
     * identical either way (closed lengths sum), the state just stays
     * canonical.
     */
+  /** Fold one closed interval into a sorted disjoint island list,
+    * merging overlaps AND adjacency (covered length is identical
+    * either way; the state stays canonical). Shared by
+    * [[availabilityStream]] and [[burnRateStream]].
+    */
+  private def insertIsland(islands: List[(Long, Long)], lo: Long,
+      hi: Long): List[(Long, Long)] = {
+    val (left, rest) = islands.span(_._2 < lo - 1)
+    val (overlap, right) = rest.span(_._1 <= hi + 1)
+    val merged =
+      if (overlap.isEmpty) (lo, hi)
+      else (math.min(lo, overlap.head._1), math.max(hi, overlap.last._2))
+    left ::: merged :: right
+  }
+
+  private def coveredS(is: Seq[(Long, Long)]): Long =
+    is.iterator.map { case (l, h) => h - l + 1 }.sum
+
+  /** The batch operator's exact integer HALF_UP parts-per-million. */
+  private def ppm(covered: Long, windowS: Long): Long =
+    (covered * 2000000L + windowS) / (2L * windowS)
+
   def availabilityStream(stream: DataFrame, keyCols: Seq[String],
       loCol: String, hiCol: String, windowLo: Long,
       windowHi: Long): DataFrame = {
@@ -1140,27 +1162,93 @@ object StreamingDedup {
           val rs = rows.toArray
           val keyVals = keyIdx.map(rs.head.get)
           val before = state.getOption.map(_._1).getOrElse(Seq.empty)
-          // fold each interval into the sorted disjoint island list
           var islands = before.toList
           rs.foreach { r =>
-            val lo = r.getLong(loIdx); val hi = r.getLong(hiIdx)
-            val (left, rest) = islands.span(_._2 < lo - 1)
-            val (overlap, right) = rest.span(_._1 <= hi + 1)
-            val merged =
-              if (overlap.isEmpty) (lo, hi)
-              else (math.min(lo, overlap.head._1),
-                math.max(hi, overlap.last._2))
-            islands = left ::: merged :: right
+            islands = insertIsland(islands, r.getLong(loIdx),
+              r.getLong(hiIdx))
           }
-          def covered(is: Seq[(Long, Long)]): Long =
-            is.iterator.map { case (l, h) => h - l + 1 }.sum
-          val cov = covered(islands)
+          val cov = coveredS(islands)
           state.update(Tuple1(islands))
-          if (cov == covered(before)) Iterator.empty
+          if (cov == coveredS(before)) Iterator.empty
           else Iterator.single(Row.fromSeq(keyVals ++ Seq[Any](
-            cov, windowS,
-            // the batch operator's exact integer HALF_UP ppm
-            (cov * 2000000L + windowS) / (2L * windowS))))
+            cov, windowS, ppm(cov, windowS))))
+      }(stateEnc, rowEnc)
+  }
+
+  /** Cross-batch streaming form of the `q_burn_rate` SRE alert rule
+    * (multi-window error-budget burn, SLO 0.99): ONE stateful fold
+    * holds BOTH windows' merged island lists per key — no stream-
+    * stream join, no watermark (interval union is idempotent, exactly
+    * the [[availabilityStream]] argument). A batch that changes either
+    * window's coverage FOR A KEY WITH ACTIVITY IN BOTH WINDOWS emits
+    * `(keys, burn_long_ppm, burn_short_ppm, page)` in the batch
+    * query's exact integer arithmetic (burn_ppm = (10⁶ −
+    * availability_ppm)·100; page ⇔ both burns > 10⁶). Keys covering
+    * only one window emit nothing — the batch form's inner join.
+    * State per key = two island lists, each bounded by its window's
+    * island count.
+    */
+  def burnRateStream(stream: DataFrame, keyCols: Seq[String],
+      loCol: String, hiCol: String, longLo: Long, longHi: Long,
+      shortLo: Long, shortHi: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(keyCols.nonEmpty, "burnRateStream needs at least one key")
+    require(longHi >= longLo && shortHi >= shortLo,
+      "windows must be non-empty")
+    val longS = longHi - longLo + 1
+    val shortS = shortHi - shortLo + 1
+    val keys = keyCols.map(col)
+    val pts = stream
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(loCol).isNotNull && col(hiCol).isNotNull)
+      .select(keys ++ Seq(col(loCol).cast("long").as("__lo"),
+        col(hiCol).cast("long").as("__hi")): _*)
+      .filter(col("__lo") <= col("__hi"))
+    val schema = pts.schema
+    val keyIdx = keyCols.indices
+    val loIdx = schema.fieldIndex("__lo")
+    val hiIdx = schema.fieldIndex("__hi")
+    val outSchema = StructType(
+      keyIdx.map(schema(_)) ++ Seq(
+        StructField("burn_long_ppm", LongType),
+        StructField("burn_short_ppm", LongType),
+        StructField("page", BooleanType)))
+    val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    val stateEnc: Encoder[(Seq[(Long, Long)], Seq[(Long, Long)])] =
+      Encoders.product[(Seq[(Long, Long)], Seq[(Long, Long)])]
+    pts
+      .groupByKey((r: Row) =>
+        keyIdx.map { i =>
+          val s = String.valueOf(r.get(i)); s.length + ":" + s
+        }.mkString("|"))(Encoders.STRING)
+      .flatMapGroupsWithState[(Seq[(Long, Long)], Seq[(Long, Long)]),
+          Row](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row],
+            state: GroupState[(Seq[(Long, Long)], Seq[(Long, Long)])]) =>
+          val rs = rows.toArray
+          val keyVals = keyIdx.map(rs.head.get)
+          val (beforeL, beforeS) =
+            state.getOption.getOrElse((Seq.empty, Seq.empty))
+          var isL = beforeL.toList
+          var isS = beforeS.toList
+          rs.foreach { r =>
+            val lo = r.getLong(loIdx); val hi = r.getLong(hiIdx)
+            val (lLo, lHi) = (math.max(lo, longLo), math.min(hi, longHi))
+            if (lLo <= lHi) isL = insertIsland(isL, lLo, lHi)
+            val (sLo, sHi) = (math.max(lo, shortLo), math.min(hi, shortHi))
+            if (sLo <= sHi) isS = insertIsland(isS, sLo, sHi)
+          }
+          val (covL, covS) = (coveredS(isL), coveredS(isS))
+          val changed =
+            covL != coveredS(beforeL) || covS != coveredS(beforeS)
+          state.update((isL, isS))
+          if (!changed || isL.isEmpty || isS.isEmpty) Iterator.empty
+          else {
+            val bl = (1000000L - ppm(covL, longS)) * 100L
+            val bs = (1000000L - ppm(covS, shortS)) * 100L
+            Iterator.single(Row.fromSeq(keyVals ++ Seq[Any](
+              bl, bs, bl > 1000000L && bs > 1000000L)))
+          }
       }(stateEnc, rowEnc)
   }
 }

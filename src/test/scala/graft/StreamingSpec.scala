@@ -1799,4 +1799,36 @@ class StreamingSpec extends SparkSpec {
     assert(lastPerKey("h1") == ((71L, 100L, 710000L)))
     assert(lastPerKey("h2") == ((100L, 100L, 1000000L)))
   }
+  test("burnRateStream: one fold, two windows == the batch q_burn_rate " +
+      "semantics; one-window keys silent; page flips live") {
+    implicit val sq = spark.sqlContext
+    // long window [100, 299] (200s, budget 1% -> burn>1 iff
+    // availability < 0.99 iff covered < 198); short [200, 249] (50s)
+    val in = MemoryStream[(String, Long, Long)]
+    val got = scala.collection.mutable.ArrayBuffer[
+      (String, Long, Long, Boolean)]()
+    val q = StreamingDedup.burnRateStream(
+        in.toDF().toDF("host", "lo", "hi"),
+        Seq("host"), "lo", "hi", 100L, 299L, 200L, 249L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.as[(String, Long, Long, Boolean)].collect(); ()
+      }.start()
+    try {
+      // h1 covers only the long window -> inner-join silence
+      in.addData(("h1", 100L, 150L)); q.processAllAvailable()
+      assert(got.isEmpty)
+      // h1 touches the short window: both burns defined, both > 1
+      // long covered 51+10=61 -> avail 305000 ppm, burn 69500000
+      // short covered 10 -> avail 200000 ppm, burn 80000000 -> page
+      in.addData(("h1", 200L, 209L)); q.processAllAvailable()
+      assert(got.toSeq == Seq(("h1", 69500000L, 80000000L, true)))
+      // full recovery: cover both windows entirely -> burn 0, no page
+      in.addData(("h1", 100L, 299L)); q.processAllAvailable()
+      assert(got.last == (("h1", 0L, 0L, false)))
+      // duplicate re-delivery: nothing changes, nothing emits
+      in.addData(("h1", 100L, 299L)); q.processAllAvailable()
+      assert(got.size == 2)
+    } finally q.stop()
+  }
 }
