@@ -1831,4 +1831,43 @@ class StreamingSpec extends SparkSpec {
       assert(got.size == 2)
     } finally q.stop()
   }
+  test("availabilityStream == batch availability on the sf0.001 events " +
+      "fixture, arbitrary 3-way batch split") {
+    import graft.operators.TimeSeries
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    implicit val sq = spark.sqlContext
+    // the q_availability fixture: 10-minute activity intervals per
+    // user over the Jan 5-19 window, replayed as a 3-batch stream in
+    // a deterministic arbitrary order (sorted by (lo, user) then
+    // round-robin split — within-batch disorder AND cross-batch
+    // interleaving)
+    val iv = graft.sources.Tables.events(spark, sf("sf0.001"))
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("lo"),
+        (unix_timestamp(col("ts")) + 600L).as("hi"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._1))
+    val batches = (0 until 3).map(i =>
+      iv.zipWithIndex.collect { case (r, j) if j % 3 == i => r })
+    val in = MemoryStream[(Long, Long, Long)]
+    val last = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    val q = StreamingDedup.availabilityStream(
+        in.toDF().toDF("user_id", "lo", "hi"),
+        Seq("user_id"), "lo", "hi", 1704412800L, 1705708799L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[(Long, Long, Long, Long)].collect()
+          .foreach(r => last(r._1) = (r._2, r._3, r._4)); ()
+      }.start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val batch = TimeSeries.availability(
+        iv.toSeq.toDF("user_id", "lo", "hi"), Seq("user_id"),
+        "lo", "hi", 1704412800L, 1705708799L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(last.toMap == batch,
+      s"${last.size} streamed vs ${batch.size} batch keys")
+    assert(batch.nonEmpty)
+  }
 }
