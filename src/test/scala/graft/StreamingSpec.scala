@@ -1870,4 +1870,36 @@ class StreamingSpec extends SparkSpec {
       s"${last.size} streamed vs ${batch.size} batch keys")
     assert(batch.nonEmpty)
   }
+  test("availabilityStream island state survives query restart via " +
+      "checkpoint; post-restart interval merges with pre-restart islands") {
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graftavck").toString
+    val out = java.nio.file.Files.createTempDirectory("graftavout").toString
+    val input = MemoryStream[(String, Long, Long)]
+    def start() = StreamingDedup.availabilityStream(
+        input.toDF().toDF("host", "lo", "hi"),
+        Seq("host"), "lo", "hi", windowLo = 100L, windowHi = 199L)
+      .writeStream
+      .foreachBatch(StreamingDedup.foreachBatchParquetSink(out) _)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    input.addData(("h1", 100L, 129L)) // island [100,129], 30s
+    q1.processAllAvailable()
+    q1.stop() // simulated process death
+    val q2 = start()
+    // merges with the RESTORED island (adjacent), not a fresh one:
+    // covered must read 60, not 30
+    input.addData(("h1", 130L, 159L))
+    q2.processAllAvailable()
+    // duplicate of a pre-restart interval: restored state absorbs it
+    input.addData(("h1", 100L, 129L))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+      .select($"host", $"covered_s", $"availability_ppm")
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq(("h1", 30L, 300000L), ("h1", 60L, 600000L)),
+      got.toSeq.toString)
+  }
 }
