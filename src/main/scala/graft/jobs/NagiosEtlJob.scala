@@ -129,7 +129,6 @@ object NagiosEtlJob {
     // load_date partitions at the scan — per-tick dedup reads only the
     // re-delivery horizon, never the whole sink history
     val minLoadDate = todayUtc.minusDays(dedupHorizonDays - 1L).toString
-    val sinkExists = fs.exists(path)
     // migration guard: a sink written by a pre-load_date deployment
     // partitions on metric_family alone; appending the new two-level
     // layout into it would leave MIXED partition depths that Spark's
@@ -137,23 +136,38 @@ object NagiosEtlJob {
     // old layout (full-sink dedup, family-only partitions, the pre-r10
     // behavior) until the operator rewrites it, and only new sinks get
     // the bounded-window layout. Detected from the sink's own schema.
-    val oldLayout = sinkExists &&
-      !spark.read.parquet(dataDir).columns.contains("load_date")
+    // A dir that EXISTS but yields no readable schema (a first append
+    // that died before any footer landed) counts as nonexistent: the
+    // old behavior threw here on every subsequent tick, wedging the
+    // job with nothing ever quarantined (ADVICE r10).
+    val sinkDf: Option[DataFrame] =
+      if (!fs.exists(path)) None
+      else
+        try Some(spark.read.parquet(dataDir))
+        catch {
+          case e if scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[nagios-etl] $dataDir exists but has no readable " +
+                s"parquet (${e.getClass.getSimpleName}) — treating as " +
+                "an empty sink; dedup starts fresh this tick")
+            None
+        }
+    val oldLayout =
+      sinkDf.exists(!_.columns.contains("load_date"))
     if (oldLayout) System.err.println(
       s"[nagios-etl] $dataDir uses the pre-load_date layout: dedup is " +
         "full-sink and unbounded for this sink — rewrite it " +
         "partitioned by (metric_family, load_date) to bound tick cost")
-    val previous =
-      if (!sinkExists) payload.limit(0)
-      else {
-        val sink = spark.read.parquet(dataDir)
+    val previous = sinkDf match {
+      case None => payload.limit(0)
+      case Some(sink) =>
         val bounded =
           if (oldLayout) sink
           else sink.filter(
             org.apache.spark.sql.functions.col("load_date") >= minLoadDate)
         bounded.select(
           payload.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
-      }
+    }
     val deduped = HostMetrics.routed(
       HostMetrics.dedupAgainst(payload, previous))
     val fresh =

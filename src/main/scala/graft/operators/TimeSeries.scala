@@ -594,6 +594,62 @@ object TimeSeries {
           s"${2L * windowS}L").as("availability_ppm")): _*)
   }
 
+  /** [[availability]] over SEVERAL report windows in ONE interval-merge
+    * pass — the batch form of [[graft.streaming.StreamingDedup
+    * .burnRateStream]]'s single-state fold (VERDICT r10 task 4). The
+    * multi-window SRE burn-rate rule needs availability over a long
+    * AND a short window; instantiating [[availability]] per window
+    * costs one key-partitioned sort each plus a join to recombine.
+    * Because intersecting a DISJOINT merged-island set with any
+    * sub-window yields exactly the clamp-then-merge coverage, one
+    * merge over the hull of all windows serves every window: per
+    * merged island, each window's covered seconds is the clamped
+    * overlap `max(0, min(hi, wHi) - max(lo, wLo) + 1)`, summed in the
+    * SAME partial-combined aggregate. One exchange + sort total,
+    * independent of window count.
+    *
+    * Output: keys, then per window `covered_s_<name>` and
+    * `availability_ppm_<name>` (integer HALF_UP millionths, the
+    * [[availability]] no-float hash contract). Emits a row for every
+    * key with ≥1 covered second in the HULL; a window the key never
+    * touches reports ppm 0 (filter `covered_s_<name> >= 1` to
+    * reproduce the inner-join-of-per-window-chains shape).
+    */
+  def availabilityMulti(df: DataFrame, keyCols: Seq[String],
+      loCol: String, hiCol: String,
+      windows: Seq[(String, Long, Long)]): DataFrame = {
+    require(keyCols.nonEmpty, "availabilityMulti needs at least one key")
+    require(windows.nonEmpty, "availabilityMulti needs at least one window")
+    windows.foreach { case (n, lo, hi) =>
+      require(hi >= lo, s"window $n must be non-empty") }
+    require(windows.map(_._1).distinct.size == windows.size,
+      "window names must be distinct")
+    val hullLo = windows.map(_._2).min
+    val hullHi = windows.map(_._3).max
+    val keys = keyCols.map(col)
+    val clamped = df
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(loCol).isNotNull && col(hiCol).isNotNull)
+      .select(keys ++ Seq(
+        greatest(col(loCol).cast("long"), lit(hullLo)).as("__lo"),
+        least(col(hiCol).cast("long"), lit(hullHi)).as("__hi")): _*)
+      .filter(col("__lo") <= col("__hi"))
+    val covs = windows.map { case (name, wLo, wHi) =>
+      sum(greatest(
+        least(col("__hi"), lit(wHi)) - greatest(col("__lo"), lit(wLo))
+          + 1L, lit(0L))).as(s"covered_s_$name")
+    }
+    mergeIntervals(clamped, keyCols, "__lo", "__hi")
+      .groupBy(keys: _*)
+      .agg(covs.head, covs.tail: _*)
+      .select(keys ++ windows.flatMap { case (name, wLo, wHi) =>
+        val winS = wHi - wLo + 1
+        Seq(col(s"covered_s_$name"),
+          expr(s"(covered_s_$name * 2000000L + ${winS}L) div " +
+            s"${2L * winS}L").as(s"availability_ppm_$name"))
+      }: _*)
+  }
+
   /** [[m4]] for Structured Streaming — the live dashboard decimation
     * path (the [[consolidateStream]] convention): per entity and
     * FIXED-WIDTH epoch-aligned time bucket (a stream cannot know an

@@ -517,9 +517,13 @@ class RestPartitionReader(part: RestInputPartition)
       // (extract.py:100-103): an exhausted-retry/4xx fetch or an
       // unparseable response dead-letters THIS task — zero data rows
       // + one error row — and the rest of the extract proceeds
+      // NonFatal only: a Spark task kill during a slow fetch raises
+      // InterruptedException, which NonFatal classifies as fatal —
+      // it propagates and cancellation works; everything else
+      // (IO/parse/retry-exhaustion) dead-letters (ADVICE r10)
       try parse(fetchBody())
       catch {
-        case e: Exception =>
+        case e if scala.util.control.NonFatal(e) =>
           Iterator.single(InternalRow(
             UTF8String.fromString(part.host),
             UTF8String.fromString(part.service),

@@ -140,6 +140,36 @@ class JobSpec extends SparkSpec {
       !sink().columns.contains("load_date"))
   }
 
+  test("existing-but-unreadable data dir does not wedge the job: a " +
+      "footerless first append reads as an empty sink, the next tick " +
+      "lands and the sink becomes readable (ADVICE r10)") {
+    val base = java.nio.file.Files.createTempDirectory("graftjobu").toString
+    val (in, out) = (s"$base/in", s"$base/out")
+    val services = Seq("CPU Usage")
+    // fabricate the wedge state: the data dir EXISTS but holds only a
+    // truncated part file with no parquet footer (a first append that
+    // died partway) — the pre-fix probe threw here on EVERY tick
+    val dataDir = new java.io.File(s"$out/data")
+    assert(dataDir.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/data/part-00000.snappy.parquet"),
+      "not a parquet footer".getBytes)
+    land(in, ("h1", "CPU Usage", cpuBody))
+    NagiosEtlJob.runOnce(spark, in, out, s"$base/ckpt1", services)
+    // the garbage file must not poison the NOW-valid sink read: the
+    // new layout lands under partition dirs, so drop the stray file
+    // the way an operator cleaning a dead write would
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$out/data/part-00000.snappy.parquet"))
+    val sink = spark.read.parquet(s"$out/data")
+    assert(sink.count() == 1, sink.collect().mkString("\n"))
+    assert(sink.columns.contains("load_date"))
+    // and the tick after that sees a READABLE sink: normal dedup path
+    land(in, ("h1", "CPU Usage", cpuBody))
+    NagiosEtlJob.runOnce(spark, in, out, s"$base/ckpt2", services)
+    assert(spark.read.parquet(s"$out/data").count() == 1)
+  }
+
   test("quarantine tags are unique across same-millisecond failures " +
       "and checkpoint-reset batch-id restarts, and are UTC") {
     // the ADVICE r9 failure path: after a checkpoint reset batch ids

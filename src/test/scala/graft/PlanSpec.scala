@@ -703,6 +703,26 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected exactly 1 exchange:\n$plan")
   }
 
+  test("availabilityMulti: the two-window burn-rate rollup stays on " +
+      "ONE exchange — no per-window re-sort, no recombining join " +
+      "(VERDICT r10 task 4: the burnRateStream shape, batch form)") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.functions._
+    val e = unix_timestamp(col("ts"))
+    val df = graft.operators.TimeSeries.availabilityMulti(
+      ev.filter(col("ts").isNotNull)
+        .select(col("user_id"), e.as("lo"), (e + 600L).as("hi")),
+      Seq("user_id"), "lo", "hi",
+      Seq(("long", 1704412800L, 1705708799L),
+        ("short", 1705017600L, 1705103999L)))
+    val plan = physical(df)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected exactly 1 exchange:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin"),
+      s"one-pass form must not join per-window chains:\n$plan")
+  }
+
   test("incremental minhash probe: history prunes to batch-touched " +
       "buckets via broadcast BEFORE any aggregation; fallback path " +
       "result-identical") {

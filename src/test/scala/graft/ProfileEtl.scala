@@ -5,10 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** Scratch decomposition of etl_job_hosts (round 10): times the cron
   * tick's internal stages at 1x and 10x to attribute the first
-  * measured 6.65 ratio.
+  * measured 6.65 ratio. Lives in the TEST source set so it never
+  * ships in the library jar (ADVICE r10); run with
+  * `sbt "Test/runMain graft.ProfileEtl [dir1:hosts1 dir2:hosts2 ...]"`.
   */
 object ProfileEtl {
   def main(args: Array[String]): Unit = {
+    val targets =
+      if (args.nonEmpty) args.toSeq.map { a =>
+        val Array(d, h) = a.split(":", 2); (d, h.toInt)
+      }
+      else Seq(("/root/testdata/sf0.1", 25),
+        ("/root/repo/tmp/scale10x", 250))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -25,9 +33,7 @@ object ProfileEtl {
         f"[etl] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       r
     }
-    for ((dir, hosts) <- Seq(("/root/testdata/sf0.1", 25),
-        ("/root/repo/tmp/scale10x", 250));
-        pass <- 1 to 2) {
+    for ((dir, hosts) <- targets; pass <- 1 to 2) {
       System.err.println(s"--- $dir hosts=$hosts pass $pass ---")
       // the staged input (memoized by etlJobTick's convention)
       val src = new java.io.File(s"$dir/events.parquet")

@@ -379,6 +379,42 @@ class TimeSeriesSpec extends SparkSpec {
       "h2" -> ((100L, 100L, 1000000L))), got.toString)
   }
 
+  test("availabilityMulti: one merge pass over the hull reproduces " +
+      "per-window availability exactly, for every window") {
+    // windows: long [100,199], short [150,169]; h1 covers 61s of long
+    // (41 + 20) of which [150..169] ∩ ([100,140] ∪ [180,199]) = 0s of
+    // short; h2 covers both fully; h4 touches ONLY the short window
+    val iv = Seq(
+      ("h1", 90L, 120L), ("h1", 110L, 140L), ("h1", 180L, 260L),
+      ("h2", 100L, 199L),
+      ("h3", 0L, 50L),
+      ("h4", 155L, 160L))
+      .toDF("host", "lo", "hi")
+    val windows = Seq(("long", 100L, 199L), ("short", 150L, 169L))
+    val got = TimeSeries.availabilityMulti(iv, Seq("host"), "lo", "hi",
+        windows)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      "h1" -> ((61L, 610000L, 0L, 0L)),
+      "h2" -> ((100L, 1000000L, 20L, 1000000L)),
+      "h4" -> ((6L, 60000L, 6L, 300000L))), got.toString)
+    // equivalence: for each window, (covered, ppm) must equal the
+    // single-window availability chain over the same input
+    for ((name, lo, hi) <- windows) {
+      val single = TimeSeries.availability(iv, Seq("host"), "lo", "hi",
+          lo, hi)
+        .select($"host", $"covered_s", $"availability_ppm")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val multi = got.collect {
+        case (h, (cl, pl, cs, ps)) =>
+          h -> (if (name == "long") (cl, pl) else (cs, ps))
+      }.filter(_._2._1 >= 1L)
+      assert(multi == single, s"window $name: $multi vs $single")
+    }
+  }
+
   test("concurrencySweep: hand-checked curve; closed-interval edge " +
       "touch counts; returns to zero; partitioning-invariant") {
     // [0,10], [5,15], [10,20], [30,30]: peak 3 exactly at t=10 (the

@@ -31,9 +31,23 @@ def canon(cols, rows):
     rows2 = sorted(tuple(norm(r[i]) for i in order) for r in rows)
     return cols2, rows2
 
+# Type parity (VERDICT r10 task 1/2): the driver's hash is computed over
+# typed arrow buffers, so an oracle column DuckDB widened to HUGEINT or
+# DECIMAL hash-mismatches a Spark BIGINT/DOUBLE even when every VALUE is
+# equal — exactly the q_availability r8-r10 red row (uncast sum(BIGINT)).
+# Python-side fetchall() erases that width (HUGEINT arrives as int), so
+# value comparison alone is blind to it. Gate the declared relation types
+# on BOTH sides, sorted by column name, before comparing values.
+def types_of(rel):
+    return {c: str(t) for c, t in zip(rel.columns, rel.types)}
+
 fails = 0
 for name, sql in sorted(oracle.items()):
     try:
+        spark_lazy = con.sql(
+            f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
+        stypes = types_of(spark_lazy)
+        otypes = types_of(con.sql(sql))
         spark_rel = con.execute(
             f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
         scols, srows = spark_rel.description, spark_rel.fetchall()
@@ -43,6 +57,13 @@ for name, sql in sorted(oracle.items()):
         orows = orel.fetchall()
     except Exception as e:
         print(f"FAIL {name}: exception {e}")
+        fails += 1
+        continue
+    tdiff = {c: (stypes.get(c), otypes.get(c))
+             for c in sorted(set(stypes) | set(otypes))
+             if stypes.get(c) != otypes.get(c)}
+    if tdiff:
+        print(f"FAIL {name}: type drift (spark, oracle) = {tdiff}")
         fails += 1
         continue
     sc, sr = canon(scols, srows)

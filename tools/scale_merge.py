@@ -4,7 +4,9 @@
 min-ratio across runs (each run is already min-of-2 timed after a
 warm-up pass), ratios < 0.5 discarded as polluted-denominator
 measurements (a host stall inflating the 1x sample reads as a fake
-speedup). x1/x10 report the minima across runs for context.
+speedup). x1/x10 are taken from the SAME run that produced the
+selected min ratio, so x10/x1 reproduces the reported ratio and the
+artifact stays internally consistent for auditing (ADVICE r10).
 
 Usage: scale_merge.py OUT.json RUN_SUMMARY.json...
 """
@@ -16,13 +18,13 @@ runs = [json.load(open(p)) for p in paths]
 queries = {}
 for k in sorted({q for r in runs for q in r["queries"]}):
     samples = [r["queries"][k] for r in runs if k in r["queries"]]
-    ratios = [s["ratio"] for s in samples if s["ratio"] >= 0.5]
-    if not ratios:  # every sample polluted: keep the raw min, flagged
-        ratios = [min(s["ratio"] for s in samples)]
+    clean = [s for s in samples if s["ratio"] >= 0.5]
+    pool = clean if clean else samples  # every sample polluted: raw min
+    best = min(pool, key=lambda s: s["ratio"])
     queries[k] = {
-        "x1": round(min(s["x1"] for s in samples), 3),
-        "x10": round(min(s["x10"] for s in samples), 3),
-        "ratio": round(min(ratios), 2),
+        "x1": round(best["x1"], 3),
+        "x10": round(best["x10"], 3),
+        "ratio": round(best["ratio"], 2),
     }
 base = runs[0]
 artifact = {
