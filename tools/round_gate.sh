@@ -79,10 +79,46 @@ print(f"coverage OK: {len(dumped)} queries, {len(oracled)} oracled, "
       f"{len(pinned & dumped)} spec-pinned")
 EOF
 
-echo "[gate] 5/5 DuckDB parity on the full dump"
+echo "[gate] 5/6 DuckDB parity on the full dump"
 python3 tools/oracle_check.py "$SF" "$OUT/v" >"$OUT/oracle.log" 2>&1 || {
   grep -v '^OK' "$OUT/oracle.log" | head -20
   echo "[gate] FAIL: oracle parity"; exit 1; }
 tail -1 "$OUT/oracle.log"
+
+echo "[gate] 6/6 driver-artifact divergence (local-green vs driver-red)"
+# The q_availability lesson (red in the DRIVER artifact for rounds
+# 8-10 while the local replica printed ALL OK): any query the latest
+# CORRECTNESS_r*.json marks red but the local gate just passed is a
+# protocol blind spot — the local replica normalizes something the
+# driver hashes. Such a row must be either re-fixed (and the fix
+# recorded in tools/driver_divergence.txt with the commit) or it
+# fails the round HERE instead of at judging (VERDICT r10 task 8).
+python3 - <<'EOF' || { echo "[gate] FAIL: unexplained driver-red row"; exit 1; }
+import glob, json, os, re, sys
+arts = sorted(glob.glob("CORRECTNESS_r*.json"),
+              key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+if not arts:
+    print("no driver artifact yet: nothing to diff"); sys.exit(0)
+art = arts[-1]
+d = json.load(open(art))
+qs = d.get("queries", d)
+red = sorted(k for k, v in qs.items() if isinstance(v, dict) and
+             not all(v.get(x, True) for x in
+                     ("rows_match", "schema_match", "hash_match")))
+if not red:
+    print(f"{art}: zero red rows, nothing to explain"); sys.exit(0)
+explained = set()
+if os.path.exists("tools/driver_divergence.txt"):
+    with open("tools/driver_divergence.txt") as f:
+        explained = {l.split("#")[0].strip() for l in f} - {""}
+bad = [q for q in red if q not in explained]
+if bad:
+    print(f"{art} marks these RED but the local gate passes them — "
+          f"each needs a root-caused entry in tools/driver_divergence.txt: "
+          f"{bad}")
+    sys.exit(1)
+print(f"{art}: {len(red)} red row(s), all root-caused in "
+      f"tools/driver_divergence.txt")
+EOF
 
 echo "[gate] PASS — tree is safe to commit at round close"
