@@ -644,18 +644,37 @@ object TextOps {
       headVocab: Int = DefaultHeadVocab): DataFrame = {
     require(headVocab > 0, "headVocab must be positive")
     val toks = tokens(col(textCol))
-    val pairs = when(size_(toks) >= 2,
-      zip_with(slice(toks, lit(1), size_(toks) - 1),
-        slice(toks, lit(2), size_(toks) - 1),
-        (a, b) => struct(a.as("prev"), b.as("cur"))))
-    val tf = docs
-      .select(col(idCol), explode(pairs).as("_p"))
-      .select(col(idCol), col("_p.prev").as("_prev"),
-        col("_p.cur").as("_cur"))
+    // ONE tokenize pass serves the whole chain (r11, the r10 scale
+    // artifact's weak 10x-Zipf row): zip every token with its
+    // successor — arrays_zip null-pads the shorter successor slice,
+    // so the last token of each doc rides with _cur = null. The
+    // exploded instance table then yields BOTH the bigram tf rows
+    // (filter _cur IS NOT NULL) and the exact corpus vocabulary
+    // (count_distinct(_prev): every token occurs exactly once as
+    // _prev, including 1-token docs), replacing a second full-corpus
+    // tokenize. The localCheckpoints pin each level so the broadcast
+    // heads and final scoring join never re-run an upstream pass
+    // (triangles / pageRank pattern; four corpus passes per action
+    // before, one after). The instance checkpoint is the storage
+    // trade: |tokens| rows of short strings — on storage-starved
+    // executors drop it and pay the recompute instead.
+    val inst = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(arrays_zip(
+        toks.as("_prev"),
+        slice(toks, lit(2), greatest(size_(toks) - 1, lit(0)))
+          .as("_cur"))).as("_z"))
+      .select(col(idCol), col("_z._prev").as("_prev"),
+        col("_z._cur").as("_cur"))
+      .localCheckpoint(true)
+    val tf = inst
+      .filter(col("_cur").isNotNull)
       .groupBy(col(idCol), col("_prev"), col("_cur"))
       .agg(count(lit(1)).as("_tf"))
+      .localCheckpoint(true)
     val pairCounts = tf.groupBy(col("_prev"), col("_cur"))
       .agg(sum(col("_tf")).as("_cpair"))
+      .localCheckpoint(true)
     val pairHead = pairCounts
       .orderBy(col("_cpair").desc, col("_prev").asc, col("_cur").asc)
       .limit(headVocab)
@@ -665,9 +684,8 @@ object TextOps {
       .agg(sum(col("_cpair")).as("_cprev"))
       .orderBy(col("_cprev").desc, col("_prev").asc)
       .limit(headVocab)
-    val vocab = docs
-      .select(explode(tokens(col(textCol))).as("_tok"))
-      .agg(count_distinct(col("_tok")).cast("double").as("__v"))
+    val vocab = inst
+      .agg(count_distinct(col("_prev")).cast("double").as("__v"))
     // floor coherence: a pair can sit in pairHead while its context
     // misses prevHead (many diffuse contexts can all outrank a
     // concentrated one). Flooring cprev to 0 under a REAL cpair
