@@ -592,6 +592,13 @@ object TextOps {
   def surprisal(docs: DataFrame, idCol: String, textCol: String,
       headVocab: Int = DefaultHeadVocab): DataFrame = {
     require(headVocab > 0, "headVocab must be positive")
+    // N derives exactly from tf (Σ _tf = Σ size(tokens(text)) — both
+    // count token instances; null/empty docs contribute nothing to
+    // either form), replacing what was a THIRD full corpus tokenize
+    // (r11). No localCheckpoint here, unlike the bigram sibling:
+    // measured A/B showed Spark's ReuseExchange already dedupes the
+    // (doc, token) aggregate exchange across this plan's subtrees,
+    // so materialization only added I/O.
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
       .groupBy(col(idCol), col("_tok"))
@@ -599,8 +606,7 @@ object TextOps {
     val head = tf.groupBy(col("_tok")).agg(sum(col("_tf")).as("_c"))
       .orderBy(col("_c").desc, col("_tok").asc)
       .limit(headVocab)
-    val n = docs.agg(
-      sum(tokenCount(col(textCol))).cast("double").as("__n"))
+    val n = tf.agg(sum(col("_tf")).cast("double").as("__n"))
     tf.join(broadcast(head), Seq("_tok"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("_tf")).as("n_tokens"),
