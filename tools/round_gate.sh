@@ -23,7 +23,14 @@
 #                            exceptions must be listed in
 #                            tools/spec_pinned.txt with a reason;
 #   5. DuckDB parity       — tools/oracle_check.py over the full dump
-#                            prints ALL OK (the driver's t2 compare).
+#                            prints ALL OK (the driver's t2 compare,
+#                            incl. declared-type parity — the
+#                            HUGEINT/DECIMAL drift class, r11);
+#   6. driver divergence   — any red row in the latest
+#                            CORRECTNESS_r*.json that the local gate
+#                            passes needs a root-caused entry in
+#                            tools/driver_divergence.txt (protocol
+#                            blind spots surface in-round, r11).
 #
 # The bench regression tripwire is separate (needs the previous
 # round's BENCH json + a full sf0.1 run):
@@ -35,17 +42,17 @@ SF=${ROUND_GATE_SF:-/root/testdata/sf0.001}
 OUT=$(mktemp -d /tmp/round_gate.XXXXXX)
 trap 'rm -rf "$OUT"' EXIT
 
-echo "[gate] 1/5 sbt Test/compile"
+echo "[gate] 1/6 sbt Test/compile"
 sbt -batch Test/compile >"$OUT/compile.log" 2>&1 || {
   tail -30 "$OUT/compile.log"; echo "[gate] FAIL: compile"; exit 1; }
 
-echo "[gate] 2/5 entry smoke (graft.Smoke, rows>0)"
+echo "[gate] 2/6 entry smoke (graft.Smoke, rows>0)"
 sbt -batch "runMain graft.Smoke" >"$OUT/smoke.log" 2>&1 || {
   tail -30 "$OUT/smoke.log"; echo "[gate] FAIL: entry smoke"; exit 1; }
 grep -q '"smoke":"entry"' "$OUT/smoke.log" || {
   echo "[gate] FAIL: entry smoke produced no summary"; exit 1; }
 
-echo "[gate] 3/5 FULL Verify sweep on $SF"
+echo "[gate] 3/6 FULL Verify sweep on $SF"
 sbt -batch "runMain graft.Verify $SF $OUT/v" \
   >"$OUT/verify.log" 2>&1 || {
   tail -30 "$OUT/verify.log"; echo "[gate] FAIL: Verify run"; exit 1; }
@@ -56,7 +63,7 @@ fi
 [ -f "$OUT/v/oracle_sql.json" ] || {
   echo "[gate] FAIL: oracle_sql.json not written"; exit 1; }
 
-echo "[gate] 4/5 oracle coverage (queries ⊆ oracleSql ∪ spec_pinned)"
+echo "[gate] 4/6 oracle coverage (queries ⊆ oracleSql ∪ spec_pinned)"
 python3 - "$OUT/v" <<'EOF' || { echo "[gate] FAIL: oracle coverage"; exit 1; }
 import json, os, sys
 out = sys.argv[1]
