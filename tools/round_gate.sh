@@ -109,22 +109,34 @@ if not arts:
 art = arts[-1]
 d = json.load(open(art))
 qs = d.get("queries", d)
+art_round = int(re.search(r"r(\d+)", art).group(1))
 red = sorted(k for k, v in qs.items() if isinstance(v, dict) and
              not all(v.get(x, True) for x in
                      ("rows_match", "schema_match", "hash_match")))
 if not red:
     print(f"{art}: zero red rows, nothing to explain"); sys.exit(0)
-explained = set()
+# Waiver format: "q_name rN  # root cause + fixing commit". The round
+# stamp bounds the waiver's life: it only covers artifacts up to rN, so
+# a NEW regression on a previously-waived query in a later artifact
+# fails here instead of being suppressed forever (ADVICE r11).
+explained = {}
 if os.path.exists("tools/driver_divergence.txt"):
     with open("tools/driver_divergence.txt") as f:
-        explained = {l.split("#")[0].strip() for l in f} - {""}
-bad = [q for q in red if q not in explained]
+        for l in f:
+            parts = l.split("#")[0].split()
+            if not parts:
+                continue
+            if len(parts) != 2 or not re.fullmatch(r"r\d+", parts[1]):
+                print(f"malformed waiver line (need 'q_name rN'): {l.rstrip()}")
+                sys.exit(1)
+            explained[parts[0]] = int(parts[1][1:])
+bad = [q for q in red if explained.get(q, -1) < art_round]
 if bad:
     print(f"{art} marks these RED but the local gate passes them — "
-          f"each needs a root-caused entry in tools/driver_divergence.txt: "
-          f"{bad}")
+          f"each needs a root-caused 'q_name r{art_round}' entry in "
+          f"tools/driver_divergence.txt: {bad}")
     sys.exit(1)
-print(f"{art}: {len(red)} red row(s), all root-caused in "
+print(f"{art}: {len(red)} red row(s), all waived for r>= {art_round} in "
       f"tools/driver_divergence.txt")
 EOF
 
