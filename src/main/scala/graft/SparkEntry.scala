@@ -2979,14 +2979,16 @@ object SparkEntry {
         .select(col("user_id"), e.as("lo"), (e + 600L).as("hi"))
       // ONE interval-merge pass serves both windows (the
       // burnRateStream single-state shape ported to batch — VERDICT
-      // r10 task 4); the short-window coverage filter reproduces the
-      // per-window-chain inner join: a key is present in a window's
-      // availability iff it covers >= 1 second of it
+      // r10 task 4); requiring coverage of BOTH windows reproduces the
+      // per-window-chain inner join independent of window nesting
+      // (with the short window inside the long one the long-side
+      // filter is implied, but the call site should not depend on the
+      // constants staying nested — ADVICE r11)
       operators.TimeSeries.availabilityMulti(iv, Seq("user_id"),
           "lo", "hi", Seq(
             ("long", 1704412800L, 1705708799L),   // Jan 5 - 19
             ("short", 1705017600L, 1705103999L))) // Jan 12
-        .filter(col("covered_s_short") >= 1L)
+        .filter(col("covered_s_short") >= 1L && col("covered_s_long") >= 1L)
         .select(col("user_id"),
           ((lit(1000000L) - col("availability_ppm_long")) * 100L)
             .as("burn_long_ppm"),

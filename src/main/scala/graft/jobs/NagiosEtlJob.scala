@@ -107,6 +107,54 @@ object NagiosEtlJob {
       .format(java.time.Instant.now()) +
       s"_n${quarantineNonce.getAndIncrement()}_batch$batchId"
 
+  /** Does the sink directory contain at least one COMMITTED parquet
+    * file — a visible data file whose tail carries the `PAR1` footer
+    * magic? Early-exit recursive walk that skips writer scratch
+    * (`_temporary`), markers (`_SUCCESS`, dotfiles); cost is O(first
+    * hit) plus one 4-byte tail read, not O(sink), even on a large
+    * partitioned sink. The footer check (not mere file existence) is
+    * what distinguishes "an aborted first append left only truncated
+    * part files" (→ empty sink, dedup starts fresh — the r10 wedge
+    * fix) from "sink has real data but the read failed" (→ propagate:
+    * never silently disable dedup on a healthy sink — ADVICE r11).
+    * Any exception the probe itself hits (FS hiccup, permissions) also
+    * propagates, for the same reason.
+    */
+  private[graft] def containsCommittedParquet(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean = {
+    val magic = Array[Byte]('P', 'A', 'R', '1')
+    val it = fs.listFiles(dir, /*recursive=*/ true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      val hidden = // Spark/Hadoop convention: not part of the dataset
+        name.startsWith("_") || name.startsWith(".")
+      val inScratch = { // any _temporary/.staging ancestor up to dir
+        var p = st.getPath.getParent
+        var found = false
+        while (p != null && p != dir && !found) {
+          val n = p.getName
+          found = n.startsWith("_") || n.startsWith(".")
+          p = p.getParent
+        }
+        found
+      }
+      // 12 = leading magic + footer length + trailing magic: the
+      // smallest length at which a trailing PAR1 could be a footer
+      if (!hidden && !inScratch && st.isFile && st.getLen >= 12) {
+        val in = fs.open(st.getPath)
+        try {
+          val tail = new Array[Byte](4)
+          in.seek(st.getLen - 4)
+          in.readFully(tail)
+          if (java.util.Arrays.equals(tail, magic)) return true
+        } finally in.close()
+      }
+    }
+    false
+  }
+
   /** Flatten → melt → dedup-vs-recent-sink-partitions → (family,
     * load_date)-partitioned append, with the quarantine failure path.
     * Public so a long-running deployment can mount the same logic on
@@ -136,22 +184,27 @@ object NagiosEtlJob {
     // old layout (full-sink dedup, family-only partitions, the pre-r10
     // behavior) until the operator rewrites it, and only new sinks get
     // the bounded-window layout. Detected from the sink's own schema.
-    // A dir that EXISTS but yields no readable schema (a first append
-    // that died before any footer landed) counts as nonexistent: the
-    // old behavior threw here on every subsequent tick, wedging the
-    // job with nothing ever quarantined (ADVICE r10).
+    // A dir that EXISTS but holds no committed parquet footer (a first
+    // append that died before any footer landed) counts as
+    // nonexistent: the pre-r10 behavior threw here on every subsequent
+    // tick, wedging the job with nothing ever quarantined (ADVICE
+    // r10). The probe is a footer scan, NOT a catch around the read: a
+    // blanket NonFatal catch turned any transient read failure (FS
+    // hiccup, permissions, concurrent writer) on a HEALTHY sink into a
+    // silent dedup-off tick — and worse, read oldLayout=false off an
+    // old-layout sink, appending mixed partition depths that Spark's
+    // discovery then refuses to read (ADVICE r11). With the probe, a
+    // sink that demonstrably contains committed data but fails to read
+    // propagates the failure loudly, and oldLayout can only ever be
+    // computed from a successful read.
     val sinkDf: Option[DataFrame] =
-      if (!fs.exists(path)) None
-      else
-        try Some(spark.read.parquet(dataDir))
-        catch {
-          case e if scala.util.control.NonFatal(e) =>
-            System.err.println(
-              s"[nagios-etl] $dataDir exists but has no readable " +
-                s"parquet (${e.getClass.getSimpleName}) — treating as " +
-                "an empty sink; dedup starts fresh this tick")
-            None
-        }
+      if (!fs.exists(path) || !containsCommittedParquet(fs, path)) {
+        if (fs.exists(path)) System.err.println(
+          s"[nagios-etl] $dataDir exists but holds no committed " +
+            "parquet footer (aborted first append) — treating as an " +
+            "empty sink; dedup starts fresh this tick")
+        None
+      } else Some(spark.read.parquet(dataDir))
     val oldLayout =
       sinkDf.exists(!_.columns.contains("load_date"))
     if (oldLayout) System.err.println(

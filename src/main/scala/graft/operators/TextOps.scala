@@ -647,7 +647,8 @@ object TextOps {
     * and counts shuffle. 6dp-rounded like its unigram sibling.
     */
   def surprisalBigram(docs: DataFrame, idCol: String, textCol: String,
-      headVocab: Int = DefaultHeadVocab): DataFrame = {
+      headVocab: Int = DefaultHeadVocab,
+      pinInstances: Boolean = true): DataFrame = {
     require(headVocab > 0, "headVocab must be positive")
     val toks = tokens(col(textCol))
     // ONE tokenize pass serves the whole chain (r11, the r10 scale
@@ -658,13 +659,27 @@ object TextOps {
     // (filter _cur IS NOT NULL) and the exact corpus vocabulary
     // (count_distinct(_prev): every token occurs exactly once as
     // _prev, including 1-token docs), replacing a second full-corpus
-    // tokenize. The localCheckpoints pin each level so the broadcast
-    // heads and final scoring join never re-run an upstream pass
-    // (triangles / pageRank pattern; four corpus passes per action
-    // before, one after). The instance checkpoint is the storage
-    // trade: |tokens| rows of short strings — on storage-starved
-    // executors drop it and pay the recompute instead.
-    val inst = docs
+    // tokenize. Reuse across the plan's many consumers (r11 closed
+    // four corpus passes per action down to one; ADVICE r11 then
+    // flagged the EAGER checkpoints doing that work at
+    // plan-construction time, failing on executor loss, and pinning
+    // |corpus tokens| rows unconditionally):
+    //  - tf and pairCounts carry NO checkpoint — each roots an
+    //    exchange, and ReuseExchange dedupes the identical shuffle
+    //    under every consumer (head broadcasts + final join) within
+    //    the one action, with full lineage for executor-loss recovery.
+    //    (A LAZY Dataset.localCheckpoint would not help here: under
+    //    AQE, toRdd at wrap time already materializes the upstream
+    //    stages, so "lazy" still ran the corpus passes at call time.)
+    //  - inst is narrow (no exchange), so its two consumers (tf's
+    //    shuffle map and the vocabulary count) cannot share an
+    //    exchange; a lazy localCheckpoint pins it after first
+    //    compute — zero jobs at construction because the checkpoint
+    //    plan has no stages to materialize. That pin is the storage
+    //    trade: |corpus tokens| rows of short strings — on
+    //    storage-starved executors pass pinInstances=false and pay a
+    //    second tokenize pass (the vocabulary count) instead.
+    val instBase = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol), explode(arrays_zip(
         toks.as("_prev"),
@@ -672,15 +687,14 @@ object TextOps {
           .as("_cur"))).as("_z"))
       .select(col(idCol), col("_z._prev").as("_prev"),
         col("_z._cur").as("_cur"))
-      .localCheckpoint(true)
+    val inst =
+      if (pinInstances) instBase.localCheckpoint(false) else instBase
     val tf = inst
       .filter(col("_cur").isNotNull)
       .groupBy(col(idCol), col("_prev"), col("_cur"))
       .agg(count(lit(1)).as("_tf"))
-      .localCheckpoint(true)
     val pairCounts = tf.groupBy(col("_prev"), col("_cur"))
       .agg(sum(col("_tf")).as("_cpair"))
-      .localCheckpoint(true)
     val pairHead = pairCounts
       .orderBy(col("_cpair").desc, col("_prev").asc, col("_cur").asc)
       .limit(headVocab)

@@ -646,6 +646,42 @@ class ExtensionOpsSpec extends SparkSpec {
       ((0 to 5).map(_.toLong -> 0L) ++ Seq(10L -> 10L, 11L -> 10L)).toMap)
   }
 
+  test("dedup: connected components converge in O(log n) rounds on an " +
+      "adversarial chain (VERDICT r11 task 5)") {
+    // a 256-node chain has diameter 255: plain min-label propagation
+    // needs 255 full edge-join rounds (or refuses at maxIters=50),
+    // while pointer-jumping compression collapses it in ~log2(n)
+    // rounds. maxIters=16 is the pin: far under the diameter, with
+    // headroom over the ~9 rounds the shape actually takes.
+    val n = 256
+    val chain = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(chain, maxIters = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size == n)
+    assert(comp.values.forall(_ == 0L),
+      s"chain must collapse to component 0, got ${comp.values.toSet}")
+    // ids placed ADVERSARIALLY along the chain (fixed-seed shuffle):
+    // the log-round property must not depend on ids increasing along
+    // the chain (where the minimum conveniently sits at one end)
+    val rng = new scala.util.Random(42)
+    val perm = rng.shuffle((0 until n).toList).map(_.toLong)
+    val shuffled = (0 until n - 1).map(i => (perm(i), perm(i + 1)))
+      .toDF("id_a", "id_b")
+    val compS = Dedup.connectedComponents(shuffled, maxIters = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(compS.size == n && compS.values.forall(_ == 0L),
+      s"shuffled chain: got components ${compS.values.toSet}")
+    // and a second disjoint chain keeps its own minimum
+    val two = ((0 until 50).map(i => (i.toLong, i.toLong + 1)) ++
+      (100 until 150).map(i => (i.toLong, i.toLong + 1)))
+      .toDF("id_a", "id_b")
+    val comp2 = Dedup.connectedComponents(two, maxIters = 16)
+      .as[(Long, Long)].collect().toMap
+    assert((0 to 50).forall(i => comp2(i.toLong) == 0L))
+    assert((100 to 150).forall(i => comp2(i.toLong) == 100L))
+  }
+
   test("dedup: simhash fingerprint determinism, hamming, blocking") {
     val a = "spark table join filter aggregate window shuffle partition"
     val df = Seq(
@@ -1369,6 +1405,49 @@ class ExtensionOpsSpec extends SparkSpec {
     // the (a,b) docs specifically: ln((12+5)/(12+1)) = ln(17/13)
     val expect = math.rint(math.log(17.0 / 13.0) * 1e6) / 1e6
     assert(got.find(_._1 == 1L).get._3 == expect)
+  }
+
+  test("surprisalBigram is lazy: plan construction runs zero Spark " +
+      "jobs, and pinInstances=false scores identically (ADVICE r11)") {
+    val df = Seq((1L, "a b a b a b"), (2L, "a a b b b a"))
+      .toDF("doc_id", "text")
+    df.count() // materialize the input outside the measured window
+    // listener events deliver async but FIFO: tag a marker action with
+    // a job group, wait for the marker's event, then any construction-
+    // time job would already have been delivered ahead of it
+    val groups = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        groups.add(Option(j.properties)
+          .map(_.getProperty("spark.jobGroup.id", "")).getOrElse(""))
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val plan = TextOps.surprisalBigram(df, "doc_id", "text")
+      spark.sparkContext.setJobGroup("lazy-probe-marker", "")
+      df.count()
+      spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (!groups.contains("lazy-probe-marker") &&
+          System.nanoTime() < deadline) Thread.sleep(20)
+      val beforeMarker = {
+        import scala.jdk.CollectionConverters._
+        groups.asScala.toSeq.takeWhile(_ != "lazy-probe-marker")
+      }
+      assert(beforeMarker.isEmpty,
+        s"plan construction ran ${beforeMarker.size} jobs — the " +
+          "eager-checkpoint regression (ADVICE r11)")
+      val pinned = plan.as[(Long, Long, Double)].collect().sorted.toSeq
+      val unpinned = TextOps
+        .surprisalBigram(df, "doc_id", "text", pinInstances = false)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      assert(pinned == unpinned,
+        "dropping the instance pin must not change scores")
+      assert(pinned.nonEmpty)
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("dsirLogWeights: target-like docs outrank target-unlike docs") {

@@ -170,6 +170,68 @@ class JobSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/data").count() == 1)
   }
 
+  test("sink probe classifies committed vs aborted state: only a " +
+      "trailing PAR1 footer counts as data, scratch/markers never do " +
+      "(ADVICE r11)") {
+    val base = java.nio.file.Files.createTempDirectory("graftprobe")
+    val dir = new org.apache.hadoop.fs.Path(base.toString)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = java.nio.file.Paths.get(s"$base/$rel")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, bytes)
+    }
+    // empty dir
+    assert(!NagiosEtlJob.containsCommittedParquet(fs, dir))
+    // markers + writer scratch + dotfiles: still "no data"
+    put("_SUCCESS", Array.emptyByteArray)
+    put(".part-0.crc", "PAR1xxxxPAR1".getBytes) // dotfile: ignored
+    put("_temporary/0/task/part-1.snappy.parquet",
+      "PAR1xxxxPAR1".getBytes) // in scratch: ignored
+    assert(!NagiosEtlJob.containsCommittedParquet(fs, dir))
+    // a truncated part file (the r10 wedge): no footer -> no data
+    put("part-00000.snappy.parquet", "not a parquet footer".getBytes)
+    assert(!NagiosEtlJob.containsCommittedParquet(fs, dir))
+    // a genuinely committed parquet file under a partition dir -> data
+    spark.range(1).toDF("x").coalesce(1).write
+      .parquet(s"$base/metric_family=cpu")
+    assert(NagiosEtlJob.containsCommittedParquet(fs, dir))
+  }
+
+  test("a sink with committed data that fails to read propagates the " +
+      "failure instead of silently disabling dedup (ADVICE r11)") {
+    // the scenario the blanket NonFatal catch got wrong: the sink HAS
+    // committed parquet, but the whole-dir read fails — here the exact
+    // state the migration guard (ingestBatch) warns about: MIXED
+    // partition depths, a committed file directly under
+    // metric_family=*/ alongside its load_date=*/ subdirs, which
+    // Spark's partition discovery refuses. Treating this as "empty
+    // sink" would silently disable dedup and keep appending into the
+    // broken layout forever; the job must fail the tick loudly.
+    val base = java.nio.file.Files.createTempDirectory("graftprop").toString
+    val (in, out) = (s"$base/in", s"$base/out")
+    val services = Seq("CPU Usage")
+    land(in, ("h1", "CPU Usage", cpuBody))
+    NagiosEtlJob.runOnce(spark, in, out, s"$base/ckpt1", services)
+    assert(spark.read.parquet(s"$out/data").count() == 1)
+    val famDir = new java.io.File(s"$out/data").listFiles()
+      .find(_.getName.startsWith("metric_family=")).get
+    val partFile = famDir.listFiles()
+      .find(_.getName.startsWith("load_date=")).get.listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val stray = new java.io.File(famDir, "part-stray.parquet")
+    java.nio.file.Files.copy(partFile.toPath, stray.toPath)
+    // precondition: the poisoned sink really is unreadable as a whole
+    intercept[Exception] { spark.read.parquet(s"$out/data").count() }
+    land(in, ("h1", "CPU Usage", cpuBody))
+    intercept[Exception] {
+      NagiosEtlJob.runOnce(spark, in, out, s"$base/ckpt2", services)
+    }
+    // and nothing was appended: the failed tick did not write
+    java.nio.file.Files.delete(stray.toPath)
+    assert(spark.read.parquet(s"$out/data").count() == 1)
+  }
+
   test("quarantine tags are unique across same-millisecond failures " +
       "and checkpoint-reset batch-id restarts, and are UTC") {
     // the ADVICE r9 failure path: after a checkpoint reset batch ids
