@@ -2387,15 +2387,24 @@ object SparkEntry {
     // mix, deterministic end to end
     "q_curation_v4" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val reps = docs.groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      // text never crosses an exchange (r12): representatives group on
+      // the 32-byte content digest, not the raw text; every
+      // inter-stage join carries only doc_id + small attributes, and
+      // the token weight is computed INSIDE the scan stage before its
+      // id-join instead of shuffling text to compute it after
+      val reps = docs
+        .select(sha2(col("text"), 256).as("__h"), col("doc_id"))
+        .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
       val kept = operators.Sampling
-        .temperatureRebalance(docs.join(reps, "doc_id"), "doc_id", "lang")
+        .temperatureRebalance(
+          docs.select(col("doc_id"), col("lang")).join(reps, "doc_id"),
+          "doc_id", "lang")
         .filter(col("kept")).select("doc_id")
       operators.Sampling.weightedSample(
-        docs.join(kept, "doc_id")
-          .select(col("doc_id"),
-            TextOps.tokenCount(col("text")).cast("long").as("weight")),
+        docs.select(col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("weight"))
+          .join(kept, "doc_id"),
         "doc_id", "weight", k = 100)
     }),
 
@@ -2414,23 +2423,35 @@ object SparkEntry {
     // this pins the COMPOSITION end to end
     "q_curation_v5" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // the 100 TB contract, pinned by PlanSpec (r12 — the r11 plan
+      // shuffled the raw text on six doc_id SortMergeJoins): text
+      // never crosses an exchange. Representatives group on the
+      // 32-byte content digest; every inter-stage join carries only
+      // doc_id + small attributes; the token weight is computed
+      // inside the scan stage; the k=100 survivor set broadcasts
+      // back for the final text pass.
       val band = TextOps.surprisal(docs, "doc_id", "text")
         .filter(col("surprisal").between(3.39, 3.41)).select("doc_id")
-      val reps = docs.groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-      val base = docs.join(reps, "doc_id").join(band, "doc_id")
+      val reps = docs
+        .select(sha2(col("text"), 256).as("__h"), col("doc_id"))
+        .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val base = docs.select(col("doc_id"), col("lang"))
+        .join(reps, "doc_id").join(band, "doc_id")
       val kept = operators.Sampling
         .temperatureRebalance(base, "doc_id", "lang")
         .filter(col("kept")).select("doc_id")
       val sel = operators.Sampling.weightedSample(
-        docs.join(kept, "doc_id")
-          .select(col("doc_id"),
-            TextOps.tokenCount(col("text")).cast("long").as("weight")),
+        docs.select(col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("weight"))
+          .join(kept, "doc_id"),
         "doc_id", "weight", k = 100)
+      // one identical broadcast on both sides so ReuseExchange builds
+      // the survivor set (and its weighted-sort lineage) exactly once
+      val selW = broadcast(sel.select(col("doc_id"), col("weight")))
       TextOps.mergePhrases(
-          docs.join(sel.select("doc_id"), "doc_id"),
-          "doc_id", "text", phraseTable)
-        .join(sel.select(col("doc_id"), col("weight")), "doc_id")
+          docs.join(selW, "doc_id"), "doc_id", "text", phraseTable)
+        .join(selW, "doc_id")
         .select(col("doc_id"), col("weight"), col("text_merged"),
           col("n_merged"))
     }),

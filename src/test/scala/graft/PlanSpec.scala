@@ -147,6 +147,32 @@ class PlanSpec extends SparkSpec {
     assert(hashEx("q_kaplan_meier") == 3)
   }
 
+  test("curation_v5 composition: no exchange ever carries the text " +
+      "column; survivors broadcast back for the final text pass (r12)") {
+    // the r11 shape shuffled raw document text on SIX doc_id
+    // SortMergeJoins — at 100 TB that ships the whole corpus body
+    // through every inter-stage exchange. The rewrite groups
+    // representatives on the 32-byte content digest, threads only
+    // (doc_id, lang, weight) between stages, and broadcasts the k=100
+    // survivor set for the final merge pass, so text stays inside its
+    // scan stages end to end.
+    for (q <- Seq("q_curation_v4", "q_curation_v5")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val exec = df.queryExecution.executedPlan
+      val offenders = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.output.exists(_.name == "text") => e
+      }
+      assert(offenders.isEmpty,
+        s"$q: text column crossed ${offenders.size} exchange(s):\n$exec")
+    }
+    // and the final text pass joins the survivor set as a broadcast —
+    // never a corpus-wide SortMergeJoin on the text side
+    val plan = physical(SparkEntry.queries("q_curation_v5")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"survivor set did not broadcast:\n$plan")
+  }
+
   test("bloom decontamination probes map-side, before any exchange") {
     val df = SparkEntry.queries("q_decontaminate_bloom")(spark, dir)
     // AdaptiveSparkPlanExec is a LEAF node — collect() stops at it;
