@@ -218,6 +218,25 @@ class BehaviorSpec extends SparkSpec {
     assert(prS("l1") > prS("l2")) // fed by the hub
   }
 
+  test("pageRank: broadcast-rank and shuffled-rank layouts are " +
+      "bit-identical (r12 layout policy)") {
+    // the |V|-gated layout choice (dst-partitioned edges + broadcast
+    // ranks vs src-partitioned edges + shuffled ranks) must never be
+    // observable in the result: decimal contribution sums are order-
+    // independent by design, so both paths hash-match exactly
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L),
+      (5L, 1L), (5L, 3L), (2L, 4L)
+    ).toDF("src", "dst")
+    val bcast = Behavior.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val shuffled = Behavior.pageRank(edges, "src", "dst", iters = 5,
+        broadcastRanksMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bcast == shuffled,
+      s"layout changed the result: $bcast vs $shuffled")
+  }
+
   test("triangleCounts: K4 exact, pendant absent, dirt canonicalized") {
     // K4 on 1..4 (four triangles, each node in three) + pendant node 5
     // + a self-loop, a duplicate edge, and a reversed edge — all of
