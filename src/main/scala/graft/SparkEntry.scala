@@ -697,6 +697,23 @@ object SparkEntry {
     Tables.memoRead(s, path)
   }
 
+  /** Staged span hashes for the incremental substring-dedup probe —
+    * the [[stagedHistoryBands]] convention on the span side: the
+    * substring corpus's distinct 8-token window hashes are written
+    * once per (dir, version) and every probe reads them back.
+    */
+  private def stagedSpanHashes(s: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val tag = Tables.dirTag(
+      s"$dir|${src.length()}|${src.lastModified()}|spans8")
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_staged_spans_$tag").getAbsolutePath
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Dedup.stageSpanHashes(substrCorpus(s, dir), "doc_id", "text",
+        path, k = 8)
+    Tables.memoRead(s, path)
+  }
+
   /** FROZEN BPE merges — the tokenizer artifact (production
     * tokenizers ship exactly this: an ordered merges file, not the
     * trainer). Learned once with [[TextOps.bpeLearn]] on the sf0.01
@@ -2190,6 +2207,23 @@ object SparkEntry {
           threshold = 0.5)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    // incremental substring dedup (the streaming twin's batch body):
+    // a synthetic batch — novel 4-token heads prepended to the first
+    // 20 history texts — probes the STAGED span hashes; every window
+    // already present in the staged corpus is cut, so each batch doc
+    // keeps its novel head (and any sub-8-token body). With batch ids
+    // after all history ids this equals the full repeatedSpans pass
+    // over (corpus ∪ batch) restricted to batch ids — which is
+    // exactly what the oracle computes.
+    "q_substring_incremental" -> ((s, dir) => {
+      val batch = Tables.documents(s, dir).filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("batch item "), col("doc_id").cast("string"),
+            lit(" says "), col("text")).as("text"))
+      Dedup.substringDedupIncremental(batch, "doc_id", "text", 8,
+        stagedSpanHashes(s, dir))
     }),
 
     // transitive-closure survivor rule: min-id representative per
@@ -4282,6 +4316,34 @@ object SparkEntry {
          |SELECT c.doc_id,
          |  coalesce(string_agg(k.t, ' ' ORDER BY k.i), '') AS text
          |FROM corpus c LEFT JOIN kept k ON c.doc_id = k.doc_id
+         |GROUP BY c.doc_id""".stripMargin,
+
+    // incremental oracle = the full pass over (corpus ∪ batch)
+    // restricted to batch ids: with every batch id after every
+    // history id, first occurrences stay in history, so the full-pass
+    // mask equals the staged-probe mask by construction
+    "q_substring_incremental" ->
+      s"""WITH corpus0 AS (
+         | SELECT doc_id, CASE WHEN doc_id % 5 = 0
+         |   THEN text || '$substrTail' ELSE text END AS text
+         | FROM documents),
+         |b AS (SELECT doc_id + 1000000 AS doc_id,
+         |  'batch item ' || CAST(doc_id AS VARCHAR) || ' says ' || text
+         |    AS text
+         |  FROM documents WHERE doc_id < 20),
+         |corpus AS (SELECT * FROM corpus0 UNION ALL SELECT * FROM b),
+         |$substrSpanSql,
+         |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+         |  FROM grp GROUP BY doc_id, island),
+         |tok AS (SELECT doc_id,
+         |  unnest(range(0, len(l))) AS i, unnest(l) AS t FROM toks),
+         |kept AS (SELECT t.doc_id, t.i, t.t
+         |  FROM tok t LEFT JOIN spans s
+         |    ON t.doc_id = s.doc_id AND t.i >= s.s AND t.i < s.e
+         |  WHERE s.doc_id IS NULL)
+         |SELECT c.doc_id,
+         |  coalesce(string_agg(k.t, ' ' ORDER BY k.i), '') AS text
+         |FROM b c LEFT JOIN kept k ON c.doc_id = k.doc_id
          |GROUP BY c.doc_id""".stripMargin,
 
     // curation v2 oracle: the proven per-op CTEs chained — line-dedup

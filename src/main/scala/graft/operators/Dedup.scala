@@ -313,10 +313,16 @@ object Dedup {
       // output work. Non-blocking future check, NOT a bare get: AQE
       // may skip the staged-side stage entirely (empty-batch probe
       // propagates an empty join side), and a blocking get would hang
-      // forever on metrics that will never fire — fall back to the r7
-      // dedicated aggregate in that rare case instead.
+      // forever on metrics that will never fire. AQE's replan can ALSO
+      // complete the Observation with an EMPTY map (the CollectMetrics
+      // node dropped from the replanned query — observed r12 on the
+      // span probe), so the fallback triggers on MISSING METRICS, not
+      // just on an incomplete future: the r7 dedicated aggregate,
+      // never a silently skipped validation.
+      val observed: Map[String, Any] =
+        if (o.future.isCompleted) o.get else Map.empty
       val m: Map[String, Any] =
-        if (o.future.isCompleted) o.get
+        if (observed.contains("k_min")) observed
         else {
           val r = stagedBands.agg(
             min(col("shingle_k")).as("k_min"),
@@ -738,30 +744,31 @@ object Dedup {
     * island merge shuffles (id, pos) pairs only for repeated windows,
     * a vanishing fraction of the corpus.
     */
-  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8): DataFrame = {
+  /** The k-token window explode both span passes share: (id, __pos,
+    * __h) with __h = md5 of the window's exact text. Map-side and
+    * narrow — the window text itself never leaves the stage.
+    */
+  private def spanWindows(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
     require(k >= 2, "window width k must be >= 2")
     val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
     val n = size(col("__toks"))
-    val wins = docs
+    docs
       .select(col(idCol), toks.as("__toks"))
       .filter(n >= k)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), n - k), i =>
           md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
         .as(Seq("__pos", "__h")))
-    val packed = col(idCol) * SpanPosCap + col("__pos")
-    val firsts = wins
-      .groupBy(col("__h"))
-      .agg(count(lit(1)).as("__n"), min(packed).as("__first"))
-      .filter(col("__n") > 1)
-    val masked = wins.join(firsts, Seq("__h"))
-      .filter(packed =!= col("__first"))
-      .select(col(idCol), col("__pos"))
-    // merge overlapping/adjacent windows per doc: all windows are k
-    // tokens, so a new island starts exactly when the gap to the
-    // previous start exceeds k (gaps-and-islands; the running-max end
-    // is monotone because widths are equal)
+  }
+
+  /** Merge a (id, __pos) masked-window set into maximal per-document
+    * spans: all windows are k tokens, so a new island starts exactly
+    * when the gap to the previous start exceeds k (gaps-and-islands;
+    * the running-max end is monotone because widths are equal).
+    */
+  private def mergeSpanIslands(masked: DataFrame, idCol: String,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     masked
       .withColumn("__prev", lag(col("__pos"), 1).over(w))
@@ -775,6 +782,155 @@ object Dedup {
         (max(col("__pos")) + k).cast("long").as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"))
   }
+
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val wins = spanWindows(docs, idCol, textCol, k)
+    val packed = col(idCol) * SpanPosCap + col("__pos")
+    val firsts = wins
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"), min(packed).as("__first"))
+      .filter(col("__n") > 1)
+    val masked = wins.join(firsts, Seq("__h"))
+      .filter(packed =!= col("__first"))
+      .select(col(idCol), col("__pos"))
+    mergeSpanIslands(masked, idCol, k)
+  }
+
+  /** Stage a corpus version's distinct k-token window hashes for the
+    * incremental/streaming substring-dedup probe — the span-side
+    * analogue of [[stageBandKeys]]: the expensive corpus-wide window
+    * pass is paid once per corpus version, and every micro-batch
+    * probes the staged hashes without re-tokenizing history. The
+    * window width is recorded per row so the probe can refuse
+    * parameter drift (a k-mismatched probe would silently miss every
+    * cross-epoch repeat).
+    */
+  def stageSpanHashes(docs: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 8): Unit = {
+    spanWindows(docs, idCol, textCol, k)
+      .select(col("__h").as("h")).distinct()
+      .withColumn("window_k", lit(k))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Repeated spans for a NEW batch against a staged corpus version
+    * ([[stageSpanHashes]] output) — the incremental continuation of
+    * [[repeatedSpans]]: a batch window masks out when its exact text
+    * already occurs in the staged corpus (whose own first occurrence
+    * is the canonical copy) OR is an all-but-first repeat INSIDE the
+    * batch. When every batch id sorts after every staged id — the
+    * steady-state ingest invariant — the result equals the full-pass
+    * [[repeatedSpans]] over (corpus ∪ batch) restricted to batch ids,
+    * which is how the spec pins it.
+    *
+    * Scale shape (the minhash touched-bucket lesson, VERDICT r9 task
+    * 5): the staged table is never shuffled — the batch's own distinct
+    * window hashes broadcast as a semi-join filter onto the staged
+    * scan, and the surviving (batch-touched) hash set broadcasts back
+    * onto the batch windows, so per-tick cost scales with the BATCH,
+    * not the corpus age. Parameter drift against the staged `window_k`
+    * metadata is refused via an `observe` metric on that same filtered
+    * scan — zero extra jobs.
+    */
+  def repeatedSpansIncremental(batch: DataFrame, idCol: String,
+      textCol: String, k: Int, stagedHashes: DataFrame): DataFrame = {
+    val wins = spanWindows(batch, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var knownCache: Option[DataFrame] = None
+    try {
+      wins.count() // materialize before multi-branch use
+      val kObs =
+        if (stagedHashes.columns.contains("window_k"))
+          Some(new org.apache.spark.sql.Observation())
+        else None
+      val stagedChecked = kObs match {
+        case Some(o) => stagedHashes.observe(o,
+          min(col("window_k")).as("k_min"),
+          max(col("window_k")).as("k_max"),
+          count(lit(1)).as("k_rows"))
+        case None => stagedHashes
+      }
+      val touched = wins.select(col("__h")).distinct()
+      val known = stagedChecked.select(col("h").as("__h"))
+        .join(broadcast(touched), Seq("__h"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      knownCache = Some(known)
+      // a DATASET-level action: it both materializes the probe set and
+      // fires the observe metrics (an RDD-level materialization like
+      // localCheckpoint never publishes them — no SQL execution event)
+      known.count()
+      kObs.foreach { o =>
+        // the count above ran the staged scan synchronously, so the
+        // metrics complete momentarily — but they publish on an async
+        // listener, AND AQE's replan can drop the CollectMetrics node
+        // from the probe query altogether (observed: the Observation
+        // completes with an EMPTY map). Bounded wait, then whenever
+        // the metrics are absent for ANY reason fall back to a
+        // dedicated aggregate over the staged table (the minhash
+        // incremental convention) — never a bare blocking get, never
+        // a silently skipped validation
+        val observed: Map[String, Any] =
+          try {
+            scala.concurrent.Await.ready(o.future,
+              scala.concurrent.duration.Duration(30, "seconds"))
+            o.get
+          } catch {
+            case _: java.util.concurrent.TimeoutException => Map.empty
+          }
+        val m: Map[String, Any] =
+          if (observed.contains("k_rows")) observed
+          else {
+            val r = stagedHashes.agg(
+              min(col("window_k")).as("k_min"),
+              max(col("window_k")).as("k_max"),
+              count(lit(1)).as("k_rows")).head()
+            Map("k_min" -> r.get(0), "k_max" -> r.get(1),
+              "k_rows" -> r.getLong(2))
+          }
+        (m.get("k_rows"), m.get("k_min"), m.get("k_max")) match {
+          case (Some(rows: Long), Some(lo: Int), Some(hi: Int))
+              if rows > 0L =>
+            require(lo == k && hi == k,
+              s"staged span hashes were built with window_k in [$lo, $hi]" +
+                s" but the probe uses k=$k — restage or match the width")
+          case _ => () // empty staging: nothing to drift against
+        }
+      }
+      val histMask = wins.join(broadcast(known), Seq("__h"))
+        .select(col(idCol), col("__pos"))
+      // intra-batch all-but-first, the same rule the full pass applies
+      val packed = col(idCol) * SpanPosCap + col("__pos")
+      val firsts = wins
+        .groupBy(col("__h"))
+        .agg(count(lit(1)).as("__n"), min(packed).as("__first"))
+        .filter(col("__n") > 1)
+      val batchMask = wins.join(firsts, Seq("__h"))
+        .filter(packed =!= col("__first"))
+        .select(col(idCol), col("__pos"))
+      val spans = mergeSpanIslands(
+          histMask.unionByName(batchMask).distinct(), idCol, k)
+        .localCheckpoint(true) // the caller composes this with the
+                               // batch text cut; unpersisting the
+                               // intermediates below must not strand
+                               // the lineage
+      spans
+    } finally {
+      wins.unpersist(false)
+      knownCache.foreach(_.unpersist(false))
+    }
+  }
+
+  /** [[substringDedup]]'s incremental/streaming twin: the new batch
+    * with every span already present in the staged corpus version
+    * ([[stageSpanHashes]]) — or repeated inside the batch — cut out.
+    * Mount inside `foreachBatch` for the continuously-ingesting shape.
+    */
+  def substringDedupIncremental(batch: DataFrame, idCol: String,
+      textCol: String, k: Int, stagedHashes: DataFrame): DataFrame =
+    substringDedupBySpans(batch, idCol, textCol, k,
+      repeatedSpansIncremental(batch, idCol, textCol, k, stagedHashes))
 
   /** [[repeatedSpans]] applied: documents with every repeated span
     * (all-but-first occurrence) cut out, tokens rejoined by single

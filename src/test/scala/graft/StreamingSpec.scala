@@ -889,6 +889,83 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(11L, 12L), kept.toString)
   }
 
+  test("streaming substring dedup: batches cut spans against staged " +
+      "hashes; equals the full batch pass (VERDICT r11 task 8)") {
+    // the span-side twin of the staged minhash curation job: the
+    // corpus version's window hashes stage ONCE; every micro-batch
+    // cuts (a) spans already present in the staged corpus and (b)
+    // all-but-first repeats inside the batch, without re-tokenizing
+    // history. With batch ids after all staged ids (the steady-state
+    // ingest invariant) this equals the full repeatedSpans pass over
+    // (corpus ∪ batch) restricted to batch ids.
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val spanDir = java.nio.file.Files
+      .createTempDirectory("graftspans").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graftsubout").toString
+    val boiler = "all rights reserved contact the site administrator now"
+    val hist = Seq(
+      (1L, s"first article body text here $boiler"),
+      (2L, "second history document with entirely fresh words"))
+      .toDF("doc_id", "text")
+    Dedup.stageSpanHashes(hist, "doc_id", "text", spanDir, k = 4)
+    val staged = spark.read.parquet(spanDir)
+    def curate(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Dedup.substringDedupIncremental(batch, "doc_id", "text", 4, staged)
+        .write.mode("append").parquet(outDir)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(curate _).outputMode("append").start()
+    val twin = "shared twin sentence repeated across this batch only"
+    input.addData(
+      (10L, s"novel opener then $boiler and a novel tail"),
+      (11L, "completely novel streaming document nothing repeats"),
+      (12L, s"intra batch one $twin"),
+      (13L, s"intra batch two $twin"))
+    q.processAllAvailable()
+    // a later batch still probes the same staged version
+    input.addData((20L, s"late arrival repeating $boiler verbatim"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outDir)
+      .as[(Long, String)].collect().toMap
+    // staged boilerplate cut from 10 and 20; novel text untouched
+    assert(!got(10L).contains("rights reserved"), got(10L))
+    assert(got(10L).contains("novel opener then") &&
+      got(10L).contains("and a novel tail"), got(10L))
+    assert(got(11L) ==
+      "completely novel streaming document nothing repeats")
+    assert(!got(20L).contains("rights reserved"), got(20L))
+    // intra-batch twin: first occurrence (12) keeps it, 13 loses it
+    assert(got(12L).contains("shared twin sentence"), got(12L))
+    assert(!got(13L).contains("shared twin sentence"), got(13L))
+    // batch == stream: the full pass over (hist ∪ all batches) agrees
+    // on every batch id
+    val all = hist.unionByName(Seq(
+      (10L, s"novel opener then $boiler and a novel tail"),
+      (11L, "completely novel streaming document nothing repeats"),
+      (12L, s"intra batch one $twin"),
+      (13L, s"intra batch two $twin"),
+      (20L, s"late arrival repeating $boiler verbatim"))
+      .toDF("doc_id", "text"))
+    val full = Dedup.substringDedup(all, "doc_id", "text", k = 4)
+      .filter($"doc_id" >= 10L)
+      .as[(Long, String)].collect().toMap
+    assert(got == full,
+      s"incremental != full pass:\n got=$got\nfull=$full")
+    // parameter drift refused: probing k=5 against a k=4 staging
+    val e = intercept[Exception] {
+      Dedup.substringDedupIncremental(
+        Seq((30L, "any text at all for the probe here")).toDF("doc_id", "text"),
+        "doc_id", "text", 5, staged).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(x => x.getMessage != null &&
+      x.getMessage.contains("restage or match the width")), e.toString)
+  }
+
   test("frozen-LM surprisal: streaming scores == batch scores") {
     // the production CCNet shape: the unigram model trains ONCE on a
     // reference corpus; every micro-batch scores against that frozen
