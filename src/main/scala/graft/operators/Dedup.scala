@@ -467,13 +467,20 @@ object Dedup {
         it += 1
         // grandparent table gp(u) = f(f(u)). Every label value is the
         // id of a component member, so it resolves in the labels
-        // table itself (left + coalesce only guards the invariant)
-        val parent = labels.select(col("id").as("component"),
-          col("component").as("__gp"))
-        val gp = labels.join(parent, Seq("component"), "left")
-          .select(col("id"), col("component"),
-            least(col("component"),
-              coalesce(col("__gp"), col("component"))).as("__gp"))
+        // table itself (left + coalesce only guards the invariant).
+        // Round 1 skips the self-join: labels are the identity, so
+        // gp(u) = u — the quasi-clique graphs minhash dedup actually
+        // makes converge in 2-3 rounds, and the first is the biggest
+        val gp =
+          if (it == 1) labels.withColumn("__gp", col("component"))
+          else {
+            val parent = labels.select(col("id").as("component"),
+              col("component").as("__gp"))
+            labels.join(parent, Seq("component"), "left")
+              .select(col("id"), col("component"),
+                least(col("component"),
+                  coalesce(col("__gp"), col("component"))).as("__gp"))
+          }
         // aggressive hooking per node u: min over neighbors v of
         // gp(v) — the round's ONE pass over the edge list (join +
         // map-side-combined groupBy), same edge cost as plain
@@ -487,12 +494,15 @@ object Dedup {
         //   stoch(w) = min over edges (u,v) with f(u)=w of gp(v)
         //            = min over u with f(u)=w of aggr(u)
         // so it derives from the NODE-sized aggr table instead of a
-        // second pass over the edges
-        val stoch = aggr
-          .join(labels.select(col("id"), col("component").as("__w")),
-            Seq("id"))
-          .groupBy(col("__w").as("id"))
-          .agg(min(col("__aggr")).as("__stoch"))
+        // second pass over the edges. Round 1: f(u) = u, so stoch
+        // coincides with aggr — skip the join too
+        val stoch =
+          if (it == 1) aggr.select(col("id"), col("__aggr").as("__stoch"))
+          else aggr
+            .join(labels.select(col("id"), col("component").as("__w")),
+              Seq("id"))
+            .groupBy(col("__w").as("id"))
+            .agg(min(col("__aggr")).as("__stoch"))
         val next = gp
           .join(aggr, Seq("id"), "left")
           .join(stoch, Seq("id"), "left")
