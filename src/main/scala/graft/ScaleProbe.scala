@@ -306,6 +306,26 @@ object ScaleProbe {
           s.read.parquet(s"$dir/embeddings.parquet"),
           "vec_id", "embedding", threshold = 0.2, nlist = 8 * f)
       }),
+      // the incremental span probe's FULL per-corpus-version cost:
+      // stage the window hashes, then cut a batch (2% of docs,
+      // id-shifted with novel heads) against them. Staging is the
+      // corpus-linear pass; the probe itself is batch-sized (the
+      // steady-state tick) — together the row reads the whole
+      // stage-once-probe-often pipeline under 10x corpus growth
+      "substring_incremental_full" -> ((s: SparkSession, dir: String) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_scale_spans").toString
+        graft.operators.Dedup.stageSpanHashes(docs, "doc_id", "text",
+          path, k = 8)
+        val batch = docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 100000000L).as("doc_id"),
+            concat(lit("batch head "), col("doc_id").cast("string"),
+              lit(" says "), col("text")).as("text"))
+        graft.operators.Dedup.substringDedupIncremental(batch,
+          "doc_id", "text", 8, s.read.parquet(path))
+      }),
       "minhash_cc_full" -> ((s: SparkSession, dir: String) => {
         val corpus = nearDupCorpus(s, dir)
         graft.operators.Dedup.dedupByComponents(corpus, "doc_id",
