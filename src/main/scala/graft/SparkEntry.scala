@@ -932,6 +932,20 @@ object SparkEntry {
       Dedup.contaminationReportBloom(docs, evalSet, "doc_id", "text", k = 3)
     }),
 
+    // SEMANTIC decontamination: the embedding-space pass n-gram
+    // overlap can't see — corpus vectors within cosine 0.3 of any
+    // frozen benchmark vector (vec_id < 50, broadcast) are dropped;
+    // cosines stay map-side (fused kernel), only contaminated ids
+    // shuffle
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") >= 50),
+        emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", threshold = 0.3)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+    }),
+
     // corpus-wide heavy hitters: top word-3-grams by document
     // frequency — partial+final agg, TakeOrderedAndProject top-N
     "q_top_ngrams" -> ((s, dir) => {
@@ -1023,6 +1037,22 @@ object SparkEntry {
             .otherwise(lit(""))).as("text"))
       Dedup.dedupCorpusLines(corpus, "doc_id", "text",
         maxOccurrences = 10L)
+    }),
+
+    // DOMAIN-scoped boilerplate removal (the CCNet template scrubber,
+    // relative-threshold sibling of q_dedup_lines): every doc gets its
+    // source's own banner line (100% of the domain -> killed), every
+    // 4th doc a per-source promo line (~25% < 50% threshold -> kept),
+    // and the body line is unique per doc (kept)
+    "q_boilerplate" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        col("source"),
+        concat(lit("welcome to "), col("source"), lit("\n"), col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("\nfollow "), col("source"), lit(" on social")))
+            .otherwise(lit(""))).as("text"))
+      Dedup.stripDomainBoilerplate(corpus, "doc_id", "source", "text",
+        minDomainDocs = 5L, minFraction = 0.5)
     }),
 
     // corpus-wide exact substring dedup (Lee et al. 2022 suffix-array
@@ -3019,6 +3049,23 @@ object SparkEntry {
         windowLo = 1704412800L, windowHi = 1705708799L) // Jan 5 - Jan 19
     }),
 
+    // scheduled-downtime-adjusted availability — the full Nagios
+    // report semantics: activity intervals minus maintenance windows
+    // (here: 30-minute windows around each error event), ppm over the
+    // window seconds NOT consumed by downtime. Integer end to end
+    // (the q_availability hash contract); one boundary-sweep window
+    // pass serves uptime, downtime and subtracted coverage at once
+    "q_downtime_adjusted" -> ((s, dir) => {
+      val e = unix_timestamp(col("ts"))
+      val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
+      val up = ev.select(col("user_id"), e.as("lo"), (e + 600L).as("hi"))
+      val down = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), e.as("lo"), (e + 1800L).as("hi"))
+      operators.TimeSeries.availabilityDowntimeAdjusted(up, down,
+        Seq("user_id"), "lo", "hi",
+        windowLo = 1704412800L, windowHi = 1705708799L) // Jan 5 - 19
+    }),
+
     // error-budget burn rate, the multi-window SRE alert rule: burn =
     // downtime fraction / (1 - SLO) over a LONG and a SHORT window;
     // paging when BOTH exceed 1 (fast burn confirmed by sustained
@@ -4079,6 +4126,28 @@ object SparkEntry {
         .stripMargin
     },
 
+    // semantic decontamination oracle: same double cosine (sequential
+    // list_sum over DOUBLE[] casts, zero-norm -> 0) as the engine's
+    // fused kernel — the q_semdedup threshold-parity contract — over
+    // the corpus x benchmark cross product
+    "q_decontaminate_semantic" ->
+      """WITH e AS (SELECT vec_id, label,
+        |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT v AS bv FROM e WHERE vec_id < 50),
+        |bad AS (SELECT DISTINCT t.vec_id
+        |  FROM e t CROSS JOIN b
+        |  WHERE t.vec_id >= 50 AND
+        |   (CASE WHEN list_sum(list_transform(t.v, x -> x * x)) = 0
+        |      OR list_sum(list_transform(bv, x -> x * x)) = 0 THEN 0.0
+        |    ELSE list_sum(list_transform(range(1, len(t.v) + 1),
+        |        i -> t.v[i] * bv[i]))
+        |      / (sqrt(list_sum(list_transform(t.v, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(bv, x -> x * x)))) END)
+        |   >= 0.3)
+        |SELECT vec_id, CAST(label AS BIGINT) AS label FROM e
+        |WHERE vec_id >= 50
+        |  AND vec_id NOT IN (SELECT vec_id FROM bad)""".stripMargin,
+
     // the Bloom path is exact after its verify step, so the oracle is
     // the same exact-overlap relation — false positives surviving to
     // the output would hash-mismatch here
@@ -4270,6 +4339,39 @@ object SparkEntry {
          |FROM corpus c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id"""
         .stripMargin
     },
+
+    // domain-scoped boilerplate oracle: per-(source, line) doc counts
+    // against per-source doc totals at the exact integer ppm
+    // threshold the engine uses (n * 10^6 >= ceil(f * 10^6) * dn)
+    "q_boilerplate" ->
+      s"""WITH corpus AS (SELECT doc_id, source,
+         |  'welcome to ' || source || chr(10) || text ||
+         |  CASE WHEN doc_id % 4 = 0
+         |    THEN chr(10) || 'follow ' || source || ' on social'
+         |    ELSE '' END AS text
+         |  FROM documents),
+         |l AS (SELECT doc_id, source,
+         |  unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+         |  unnest(string_split(text, chr(10))) AS line FROM corpus),
+         |dn AS (SELECT source, count(DISTINCT doc_id) AS dn
+         |  FROM corpus GROUP BY 1),
+         |kill AS (SELECT l.source, md5(l.line) AS k
+         |  FROM l JOIN dn ON l.source = dn.source AND dn.dn >= 5
+         |  GROUP BY l.source, md5(l.line), dn.dn
+         |  HAVING count(DISTINCT l.doc_id) * 1000000 >= 500000 * dn.dn),
+         |kept AS (SELECT l.doc_id, l.source, l.pos, l.line
+         |  FROM l LEFT JOIN kill
+         |    ON l.source = kill.source AND md5(l.line) = kill.k
+         |  WHERE kill.k IS NULL),
+         |rebuilt AS (SELECT doc_id,
+         |  string_agg(line, chr(10) ORDER BY pos) AS text,
+         |  count(*) AS n_kept FROM kept GROUP BY doc_id),
+         |total AS (SELECT doc_id, count(*) AS n_total FROM l GROUP BY 1)
+         |SELECT c.doc_id, c.source, coalesce(r.text, '') AS text,
+         |  CAST(t.n_total - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM corpus c
+         |LEFT JOIN rebuilt r ON c.doc_id = r.doc_id
+         |JOIN total t ON c.doc_id = t.doc_id""".stripMargin,
 
     // substring-dedup oracle: 8-token windows hashed per position
     // (1-based inclusive list slice), first occurrence = min packed
@@ -7004,6 +7106,59 @@ object SparkEntry {
         | CAST((sum(hi - lo + 1) * 2000000 + 1296000) // (2 * 1296000)
         |   AS BIGINT) AS availability_ppm
         |FROM mg GROUP BY 1""".stripMargin,
+
+    // same boundary sweep as the engine: ±1 events at lo / hi+1 for
+    // both interval sets, per-key running covers, segment sums; ppm
+    // over the downtime-adjusted window, all-integer
+    "q_downtime_adjusted" ->
+      """WITH up AS (
+        | SELECT user_id,
+        |  greatest(CAST(epoch(date_trunc('second', ts)) AS BIGINT),
+        |    1704412800) AS lo,
+        |  least(CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 600,
+        |    1705708799) AS hi
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |dn AS (
+        | SELECT user_id,
+        |  greatest(CAST(epoch(date_trunc('second', ts)) AS BIGINT),
+        |    1704412800) AS lo,
+        |  least(CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 1800,
+        |    1705708799) AS hi
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  AND event_type = 'error'),
+        |ev AS (
+        | SELECT user_id, lo AS t, 1 AS da, 0 AS db FROM up WHERE lo <= hi
+        | UNION ALL
+        | SELECT user_id, hi + 1, -1, 0 FROM up WHERE lo <= hi
+        | UNION ALL
+        | SELECT user_id, lo, 0, 1 FROM dn WHERE lo <= hi
+        | UNION ALL
+        | SELECT user_id, hi + 1, 0, -1 FROM dn WHERE lo <= hi),
+        |sw AS (
+        | SELECT user_id, t,
+        |  sum(da) OVER (PARTITION BY user_id ORDER BY t, da, db
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |  sum(db) OVER (PARTITION BY user_id ORDER BY t, da, db
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |  lead(t) OVER (PARTITION BY user_id ORDER BY t, da, db) AS tn
+        | FROM ev),
+        |ag AS (
+        | SELECT user_id,
+        |  sum(CASE WHEN ca > 0 THEN tn - t ELSE 0 END) AS uptime_raw_s,
+        |  sum(CASE WHEN ca > 0 AND cb = 0 THEN tn - t ELSE 0 END)
+        |    AS covered_s,
+        |  sum(CASE WHEN cb > 0 THEN tn - t ELSE 0 END) AS downtime_s
+        | FROM sw WHERE tn IS NOT NULL AND tn > t
+        | GROUP BY 1)
+        |SELECT user_id, CAST(covered_s AS BIGINT) AS covered_s,
+        | CAST(downtime_s AS BIGINT) AS downtime_s,
+        | CAST(1296000 AS BIGINT) AS window_s,
+        | CAST(1296000 - downtime_s AS BIGINT) AS adjusted_window_s,
+        | CAST(CASE WHEN 1296000 - downtime_s >= 1
+        |   THEN (covered_s * 2000000 + (1296000 - downtime_s))
+        |     // (2 * (1296000 - downtime_s))
+        |   ELSE 0 END AS BIGINT) AS availability_ppm
+        |FROM ag WHERE uptime_raw_s >= 1""".stripMargin,
 
     // level/trend recursion replayed row by row; 0.75 and 0.5 are the
     // EXACT complements of the engine's alpha/beta, so every literal

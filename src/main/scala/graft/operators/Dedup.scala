@@ -726,6 +726,76 @@ object Dedup {
         coalesce(col(textCol), lit("")).as(textCol))
   }
 
+  /** DOMAIN-scoped boilerplate line removal — the CCNet/web-corpus
+    * template scrubber, the relative sibling of [[dedupCorpusLines]]'s
+    * absolute corpus-wide threshold: a line is boilerplate when it
+    * appears in at least `minFraction` of its OWN domain's documents
+    * (site navigation, cookie banners, per-site footers), judged only
+    * in domains with at least `minDomainDocs` documents (tiny domains
+    * cannot establish a template). The relative test catches per-site
+    * templates an absolute corpus count misses (a 50-doc site's
+    * 50/50 footer) while sparing globally common but per-domain-rare
+    * lines the absolute rule would kill.
+    *
+    * Scale shape: the line explode is map-side; line identity travels
+    * as md5, never text, into the (domain, line-hash) count aggregate
+    * (partial-combined, so a mega-domain's hot template line arrives
+    * as one row per task). Domain doc totals are a domain-cardinality
+    * aggregate joined broadcast-small onto the counts. The kill list
+    * (only lines OVER threshold) is typically tiny and anti-joins as
+    * a build side; the rebuild groups surviving lines by document id
+    * — one exchange of surviving text, the honest reassembly cost
+    * (the [[dedupCorpusLines]] argument). Docs whose domain is below
+    * `minDomainDocs` pass through untouched, including their text —
+    * via the same anti-join (their kill set is empty), not a
+    * separate code path.
+    *
+    * Output: (idCol, domainCol, textCol, n_removed) — the rebuilt
+    * text with boilerplate lines deleted in place (order preserved)
+    * and the per-doc count of removed lines.
+    */
+  def stripDomainBoilerplate(docs: DataFrame, idCol: String,
+      domainCol: String, textCol: String, minDomainDocs: Long = 5L,
+      minFraction: Double = 0.5): DataFrame = {
+    require(minDomainDocs >= 1, "minDomainDocs must be >= 1")
+    require(minFraction > 0 && minFraction <= 1,
+      "minFraction must be in (0, 1]")
+    val lines = docs.select(col(idCol), col(domainCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__k", md5(col("__line")))
+    val domainDocs = docs.groupBy(col(domainCol))
+      .agg(countDistinct(col(idCol)).as("__dn"))
+    // relative threshold in exact integer arithmetic: n/dn >= f
+    // ⇔ n * 10^6 >= ceil(f * 10^6) * dn at the ppm resolution the
+    // caller's fraction is meaningful to (an IEEE divide here would
+    // put a float in the kill/keep decision)
+    val fPpm = math.ceil(minFraction * 1000000L).toLong
+    val killList = lines
+      .groupBy(col(domainCol), col("__k"))
+      .agg(countDistinct(col(idCol)).as("__n"))
+      .join(broadcast(domainDocs.filter(col("__dn") >= minDomainDocs)),
+        Seq(domainCol))
+      .filter(col("__n") * 1000000L >= lit(fPpm) * col("__dn"))
+      .select(col(domainCol), col("__k"))
+    val rebuilt = lines
+      .join(killList, Seq(domainCol, "__k"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line"))).as(textCol),
+        count(lit(1)).as("__kept"))
+    val total = lines.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__total"))
+    docs.select(col(idCol), col(domainCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .join(total, Seq(idCol), "left")
+      .select(col(idCol), col(domainCol),
+        coalesce(col(textCol), lit("")).as(textCol),
+        (coalesce(col("__total"), lit(0L)) -
+          coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Occurrence order key for [[repeatedSpans]]: (doc, pos) packed
     * into one long so the globally-first occurrence is a single
     * `min()` in ANY engine (a lexicographic struct-min does the same

@@ -322,6 +322,37 @@ object Similarity {
         .as("neighbors"))
   }
 
+  /** SEMANTIC decontamination — the embedding-space sibling of the
+    * 13-gram benchmark-overlap scrub ([[graft.operators.TextOps]]
+    * decontamination family): drop every corpus row whose embedding
+    * lies within cosine `threshold` of ANY vector in a frozen
+    * benchmark/eval set (the Phi/LLM-report "semantic dedup vs eval
+    * sets" pass — paraphrased test questions that n-gram overlap
+    * cannot see). Returns the SURVIVING corpus rows, all columns.
+    *
+    * Scale shape: the benchmark set is model-sized (eval suites, not
+    * corpora) and BROADCASTS; each corpus partition streams its rows
+    * against it in one whole-stage pipeline — cosines are computed
+    * map-side with the fused [[VectorExpressions.cosine]] kernel and
+    * collapse to a distinct id list BEFORE anything is exchanged, so
+    * no vector array ever crosses a shuffle (the library-wide ANN
+    * invariant) and the only shuffled payload is the contaminated-id
+    * set. The final anti-join builds on that (typically tiny) id set.
+    * The early-exit `>= threshold` filter means no per-row max is
+    * materialized — one hit condemns the row.
+    */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val b = broadcast(bench.select(col(vecCol).as("__graft_bvec")))
+    val contaminated = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(b)
+      .filter(VectorExpressions.cosine(col(vecCol), col("__graft_bvec"))
+        >= threshold)
+      .select(col(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Per-label mean embedding (class centroids) in long form:
     * (label, dim, mean), dim 1-based. The workhorse for label-cluster
     * statistics, centroid-distance features, and drift monitoring over

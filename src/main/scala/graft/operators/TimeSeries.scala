@@ -650,6 +650,156 @@ object TimeSeries {
       }: _*)
   }
 
+  /** Shared per-key boundary sweep over TWO closed integral interval
+    * sets A and B: one output row per (key, adjacent-boundary pair)
+    * half-open segment `[__t, __tn)`, annotated with how many A
+    * (`__ca`) and B (`__cb`) intervals cover it. The classic
+    * event-sweep: +1 at `lo`, −1 at `hi + 1` (closed-second
+    * semantics), running totals per key ordered by boundary.
+    *
+    * Duplicate boundaries need no pre-aggregation: among rows sharing
+    * a `__t`, every row except the group's last sees `__tn == __t`
+    * (a zero-length segment, filtered here), and the last row's
+    * running totals include the whole group regardless of
+    * tie order — so the output is deterministic without a
+    * (key, t)-keyed exchange, and the ONLY exchange in the sweep is
+    * the key-partitioned window sort (the [[mergeIntervals]]
+    * contract: per-key data fits a task's sort budget; there is no
+    * global window).
+    */
+  private def intervalSweep(a: DataFrame, b: DataFrame,
+      keyCols: Seq[String], loCol: String, hiCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    def events(df: DataFrame, aSide: Boolean): DataFrame = {
+      val clean = df
+        .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+          col(loCol).isNotNull && col(hiCol).isNotNull &&
+          col(loCol).cast("long") <= col(hiCol).cast("long"))
+      def ev(t: org.apache.spark.sql.Column, d: Long) =
+        clean.select(keys ++ Seq(t.as("__t"),
+          lit(if (aSide) d else 0L).as("__da"),
+          lit(if (aSide) 0L else d).as("__db")): _*)
+      ev(col(loCol).cast("long"), 1L)
+        .unionByName(ev(col(hiCol).cast("long") + 1L, -1L))
+    }
+    val ev = events(a, aSide = true).unionByName(events(b, aSide = false))
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(col("__t").asc, col("__da").asc, col("__db").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(keys ++ Seq(col("__t"),
+        sum(col("__da")).over(run).as("__ca"),
+        sum(col("__db")).over(run).as("__cb"),
+        lead(col("__t"), 1).over(w).as("__tn")): _*)
+      .filter(col("__tn").isNotNull && col("__tn") > col("__t"))
+  }
+
+  /** Per-key interval DIFFERENCE `A ∖ B` over closed integral
+    * `[lo, hi]` intervals — the missing algebra piece next to
+    * [[mergeIntervals]] (union) and [[graft.operators.Relational
+    * .intervalOverlapJoin]] (intersection pairing): the fragments of
+    * each key's A-coverage NOT covered by any of the key's B
+    * intervals, coalesced into maximal islands. The monitoring use is
+    * Nagios scheduled-downtime subtraction (outage intervals minus
+    * maintenance windows — the availability report's "exclude
+    * scheduled downtime" toggle); the pipeline use is subtracting
+    * quarantined/embargoed time ranges from ingest coverage.
+    *
+    * One [[intervalSweep]] (a single key-partitioned window exchange)
+    * emits segments where `A` covers and `B` does not; a second
+    * window pass on the SAME key partitioning (Spark reuses the
+    * exchange, paying only a re-sort) coalesces ADJACENT fragments —
+    * consecutive closed seconds split by a boundary event that
+    * changed neither side's zero/nonzero status. This is the
+    * closed-integer adjacency rule (`lo > prior hi + 1` starts an
+    * island), deliberately one second laxer than [[mergeIntervals]]'s
+    * overlap rule: fragments of one coverage run must rejoin.
+    * Output: (keys, loCol, hiCol), maximal disjoint intervals.
+    */
+  def subtractIntervals(a: DataFrame, b: DataFrame,
+      keyCols: Seq[String], loCol: String, hiCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "subtractIntervals needs at least one key")
+    val keys = keyCols.map(col)
+    val frags = intervalSweep(a, b, keyCols, loCol, hiCol)
+      .filter(col("__ca") > 0L && col("__cb") === 0L)
+      .select(keys ++ Seq(col("__t").as(loCol),
+        (col("__tn") - 1L).as(hiCol)): _*)
+    val order = Seq(col(loCol).asc, col(hiCol).asc)
+    val prior = Window.partitionBy(keys: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upToHere = Window.partitionBy(keys: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val priorMax = max(col(hiCol)).over(prior)
+    frags
+      .withColumn("__start",
+        when(priorMax.isNull || col(loCol) > priorMax + 1L, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__start")).over(upToHere))
+      .groupBy(keys :+ col("__island"): _*)
+      .agg(min(col(loCol)).as(loCol), max(col(hiCol)).as(hiCol))
+      .drop("__island")
+  }
+
+  /** [[availability]] with SCHEDULED-DOWNTIME subtraction — the full
+    * Nagios availability-report semantics (reference context: the
+    * status dashboards `url...py` feeds distinguish unplanned outage
+    * from scheduled downtime): per key, the fraction of the report
+    * window's NON-DOWNTIME seconds covered by the union of the key's
+    * `up` intervals outside its `down` intervals,
+    * `covered(A ∖ B) / (window − covered(B))`. Downtime is excluded
+    * from numerator AND denominator, so a host that was up whenever
+    * it was scheduled to be reads 100% regardless of maintenance
+    * volume.
+    *
+    * Emits one row per key with ≥ 1 in-window up-second BEFORE
+    * subtraction (the [[availability]] inner-join convention — keys
+    * known only from downtime records produce no row); a key whose
+    * uptime lies entirely inside downtime emits `covered_s = 0`.
+    * `availability_ppm` keeps the integer HALF_UP millionths
+    * contract (no float exists anywhere in the chain — the
+    * [[availability]] r9 hash lesson); a window fully consumed by
+    * downtime (`adjusted_window_s < 1`) reports 0 ppm.
+    *
+    * ONE [[intervalSweep]] serves uptime, downtime, and subtracted
+    * coverage (three conditional sums over the same segments): one
+    * key-partitioned window exchange plus the final partial-combined
+    * aggregate on the same key — the [[availabilityMulti]]
+    * one-merge-pass treatment applied to the subtraction problem.
+    */
+  def availabilityDowntimeAdjusted(up: DataFrame, down: DataFrame,
+      keyCols: Seq[String], loCol: String, hiCol: String,
+      windowLo: Long, windowHi: Long): DataFrame = {
+    require(keyCols.nonEmpty,
+      "availabilityDowntimeAdjusted needs at least one key")
+    require(windowHi >= windowLo, "window must be non-empty")
+    val windowS = windowHi - windowLo + 1
+    val keys = keyCols.map(col)
+    def clamp(df: DataFrame): DataFrame = df
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(loCol).isNotNull && col(hiCol).isNotNull)
+      .select(keys ++ Seq(
+        greatest(col(loCol).cast("long"), lit(windowLo)).as(loCol),
+        least(col(hiCol).cast("long"), lit(windowHi)).as(hiCol)): _*)
+      .filter(col(loCol) <= col(hiCol))
+    val len = col("__tn") - col("__t")
+    intervalSweep(clamp(up), clamp(down), keyCols, loCol, hiCol)
+      .groupBy(keys: _*)
+      .agg(
+        sum(when(col("__ca") > 0L, len).otherwise(0L))
+          .as("__uptime_raw_s"),
+        sum(when(col("__ca") > 0L && col("__cb") === 0L, len)
+          .otherwise(0L)).as("covered_s"),
+        sum(when(col("__cb") > 0L, len).otherwise(0L)).as("downtime_s"))
+      .filter(col("__uptime_raw_s") >= 1L)
+      .withColumn("window_s", lit(windowS))
+      .withColumn("adjusted_window_s", lit(windowS) - col("downtime_s"))
+      .withColumn("availability_ppm",
+        when(col("adjusted_window_s") >= 1L,
+          expr("(covered_s * 2000000L + adjusted_window_s) div " +
+            "(2L * adjusted_window_s)"))
+          .otherwise(0L))
+      .drop("__uptime_raw_s")
+  }
+
   /** [[m4]] for Structured Streaming — the live dashboard decimation
     * path (the [[consolidateStream]] convention): per entity and
     * FIXED-WIDTH epoch-aligned time bucket (a stream cannot know an

@@ -413,6 +413,65 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(kept(0L) == "para a0\n\npara b0", kept(0L))
   }
 
+  test("dedup: domain-scoped boilerplate is relative — a small site's " +
+      "100% template dies, the same count in a big domain survives") {
+    val corpus = Seq(
+      // domain A (5 docs): "banner a" in all 5 (100% >= 50% -> killed);
+      // "promo" in 2 of 5 (40% < 50% -> kept)
+      (1L, "a", "banner a\nbody one\npromo"),
+      (2L, "a", "banner a\nbody two\npromo"),
+      (3L, "a", "banner a\nbody three"),
+      (4L, "a", "banner a\nbody four"),
+      (5L, "a", "banner a"),             // fully boilerplate -> empty
+      // domain B (10 docs): "banner b" in 5 of 10 (exactly 50% -> killed
+      // at the >= threshold); "shared line" in 4 of 10 (kept) — the same
+      // ABSOLUTE count that died in domain A survives here
+      (11L, "b", "banner b\nshared line\nbody b1"),
+      (12L, "b", "banner b\nshared line\nbody b2"),
+      (13L, "b", "banner b\nshared line\nbody b3"),
+      (14L, "b", "banner b\nshared line\nbody b4"),
+      (15L, "b", "banner b\nbody b5"),
+      (16L, "b", "body b6"), (17L, "b", "body b7"), (18L, "b", "body b8"),
+      (19L, "b", "body b9"), (20L, "b", "body b10"),
+      // domain C below minDomainDocs: its universal template is SPARED
+      (21L, "c", "banner c\nbody c1"),
+      (22L, "c", "banner c\nbody c2"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.stripDomainBoilerplate(corpus, "doc_id", "source",
+        "text", minDomainDocs = 5L, minFraction = 0.5)
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(out(1L) == (("body one\npromo", 1L)), out(1L))
+    assert(out(5L) == (("", 1L)))                 // empty survivor, counted
+    assert(out(11L) == (("shared line\nbody b1", 1L)), out(11L))
+    assert(out(16L) == (("body b6", 0L)))
+    assert(out(21L) == (("banner c\nbody c1", 0L))) // tiny domain untouched
+    assert(out.size == corpus.count())
+  }
+
+  test("dedup: semantic decontamination drops within-threshold rows, " +
+      "keeps all corpus columns; empty benchmark is identity") {
+    val mk = (xs: Seq[Double]) => xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (100L, mk(Seq(1.0, 0.0)), "a"),   // cos 1.0 vs bench b1 -> dropped
+      (101L, mk(Seq(0.9, 0.1)), "b"),   // cos ~0.994 -> dropped
+      (102L, mk(Seq(0.0, 1.0)), "c"),   // orthogonal to both -> kept
+      (103L, mk(Seq(-1.0, 0.0)), "d"),  // cos -1 -> kept
+      (104L, mk(Seq(0.0, 0.0)), "e"))   // zero norm -> cos 0 -> kept
+      .toDF("vec_id", "embedding", "tag")
+    val bench = Seq((1L, mk(Seq(1.0, 0.0))), (2L, mk(Seq(2.0, 0.0))))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(corpus, bench,
+        "vec_id", "embedding", threshold = 0.9)
+      .select($"vec_id", $"tag").as[(Long, String)].collect().toMap
+    assert(got == Map(102L -> "c", 103L -> "d", 104L -> "e"), got.toString)
+    val empty = bench.filter($"vec_id" < 0L)
+    val id = Similarity.semanticDecontaminate(corpus, empty,
+        "vec_id", "embedding", threshold = 0.0)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(id == Set(100L, 101L, 102L, 103L, 104L))
+  }
+
   test("dedup: semantic dedup pairs within clusters only; greedy survivors") {
     // centroid seed = the 2 lowest ids: [1,0] and [0,1]. 3,4 cluster
     // with centroid 0; 5 with centroid 1; 6 sits at exactly 45° — the

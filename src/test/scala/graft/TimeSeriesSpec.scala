@@ -379,6 +379,81 @@ class TimeSeriesSpec extends SparkSpec {
       "h2" -> ((100L, 100L, 1000000L))), got.toString)
   }
 
+  test("subtractIntervals: splits, truncation, full erasure, touching " +
+      "fragments coalesce, per-key isolation") {
+    val a = Seq(
+      // one B hole in the middle -> split into two fragments
+      ("h1", 0L, 100L),
+      // B covers it entirely -> erased
+      ("h1", 200L, 210L),
+      // B clips the head only
+      ("h1", 300L, 320L),
+      // two overlapping A intervals minus nothing -> one merged island
+      ("h2", 0L, 10L), ("h2", 5L, 20L),
+      // key with no B at all -> passes through verbatim
+      ("h3", 50L, 60L))
+      .toDF("host", "lo", "hi")
+    val b = Seq(
+      ("h1", 40L, 59L), ("h1", 195L, 220L), ("h1", 290L, 309L),
+      // B for a key with no A: must not invent coverage
+      ("h9", 0L, 1000L))
+      .toDF("host", "lo", "hi")
+    val got = TimeSeries.subtractIntervals(a, b, Seq("host"), "lo", "hi")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq(
+      ("h1", 0L, 39L), ("h1", 60L, 100L), ("h1", 310L, 320L),
+      ("h2", 0L, 20L), ("h3", 50L, 60L)), got.toString)
+    // closed-second lengths of the h1 fragments: 40 + 41 + 11
+    assert(got.filter(_._1 == "h1").map(r => r._3 - r._2 + 1).sum == 92L)
+  }
+
+  test("availabilityDowntimeAdjusted: downtime leaves numerator AND " +
+      "denominator; all-downtime key reads 0 covered; down-only key " +
+      "emits no row") {
+    // window [100, 199] (100s)
+    val up = Seq(
+      // h1: up [100,179] (80s), downtime [140,159] (20s in window)
+      // -> covered 60 of adjusted 80 -> 750000 ppm
+      ("h1", 100L, 179L),
+      // h2: up the whole window, no downtime -> 100% of 100s
+      ("h2", 100L, 199L),
+      // h3: uptime entirely inside downtime -> row with covered 0
+      ("h3", 120L, 129L),
+      // h4: out-of-window uptime only -> no row
+      ("h4", 0L, 50L))
+      .toDF("host", "lo", "hi")
+    val down = Seq(
+      ("h1", 140L, 159L),
+      ("h3", 100L, 150L),
+      // h5 has downtime but no uptime -> no row
+      ("h5", 100L, 199L))
+      .toDF("host", "lo", "hi")
+    val got = TimeSeries.availabilityDowntimeAdjusted(up, down,
+        Seq("host"), "lo", "hi", windowLo = 100L, windowHi = 199L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == Map(
+      "h1" -> ((60L, 20L, 100L, 80L, 750000L)),
+      "h2" -> ((100L, 0L, 100L, 100L, 1000000L)),
+      "h3" -> ((0L, 51L, 100L, 49L, 0L))), got.toString)
+  }
+
+  test("availabilityDowntimeAdjusted: empty downtime degenerates to " +
+      "availability") {
+    val up = Seq(("h1", 90L, 120L), ("h1", 110L, 140L),
+      ("h1", 180L, 260L), ("h2", 100L, 199L)).toDF("host", "lo", "hi")
+    val down = Seq.empty[(String, Long, Long)].toDF("host", "lo", "hi")
+    val adj = TimeSeries.availabilityDowntimeAdjusted(up, down,
+        Seq("host"), "lo", "hi", 100L, 199L)
+      .select($"host", $"covered_s", $"window_s", $"availability_ppm")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val plain = TimeSeries.availability(up, Seq("host"), "lo", "hi",
+        100L, 199L)
+      .select($"host", $"covered_s", $"window_s", $"availability_ppm")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(adj == plain, s"$adj vs $plain")
+  }
+
   test("availabilityMulti: one merge pass over the hull reproduces " +
       "per-window availability exactly, for every window") {
     // windows: long [100,199], short [150,169]; h1 covers 61s of long
