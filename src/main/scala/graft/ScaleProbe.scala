@@ -326,6 +326,47 @@ object ScaleProbe {
         graft.operators.Dedup.substringDedupIncremental(batch,
           "doc_id", "text", 8, s.read.parquet(path))
       }),
+      // round-12 additions (no late addition ships without a scale
+      // row): boilerplate reads the mangled replica — same 20 sources,
+      // 10x docs per domain, so the relative-threshold kill list and
+      // the per-domain counts grow on the honest axis; the downtime
+      // sweep reads 10x intervals per user in the same report window
+      // (denser per-key boundary sets, the per-key window contract)
+      "boilerplate_full" -> SparkEntry.queries("q_boilerplate"),
+      // per-copy user shifts: 10x keys at constant per-key density,
+      // the availability_scale fleet-growth convention
+      "downtime_adjusted" -> ((s: SparkSession, dir: String) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .filter(col("ts").isNotNull)
+          .withColumn("user_id", col("user_id") +
+            floor(col("event_id") / 1000000000L).cast("long") * 10000000L)
+        val e = unix_timestamp(col("ts"))
+        val up = ev.select(col("user_id"), e.as("lo"), (e + 600L).as("hi"))
+        val down = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), e.as("lo"), (e + 1800L).as("hi"))
+        graft.operators.TimeSeries.availabilityDowntimeAdjusted(up, down,
+          Seq("user_id"), "lo", "hi", 1704412800L, 1705708799L)
+      }),
+      // entity resolution on a GENERATED name corpus (parts are a
+      // fixed dim in the replica): unique base64 names (64-symbol
+      // alphabet — hex's 16 symbols give only 4096 distinct 3-grams,
+      // which degenerates gram blocking into huge buckets) + a typo
+      // twin for every 10th record, nodes AND typos scale with the
+      // factor — gram buckets stay rare-gram-sized, so the pipeline
+      // should read ~linear (generated => no scan floor, so the ratio
+      // is conservative, the zipfCorpus note)
+      "entity_resolution_scale" -> ((s: SparkSession, dir: String) => {
+        val f = if (dir == scaleDir) factor else 1
+        val recs = s.range(20000L * f).select(col("id").as("rec_id"),
+          concat(lit("record "), base64(unhex(md5(col("id")
+            .cast("string"))))).as("name"))
+        val twins = recs.filter(col("rec_id") % 10 === 0)
+          .select((col("rec_id") + 100000000L).as("rec_id"),
+            concat(substring(col("name"), 1, 9), lit("z"),
+              substring(col("name"), 11, 1000)).as("name"))
+        graft.operators.Dedup.resolveEntities(
+          recs.unionByName(twins), "rec_id", "name", maxDist = 1)
+      }),
       "minhash_cc_full" -> ((s: SparkSession, dir: String) => {
         val corpus = nearDupCorpus(s, dir)
         graft.operators.Dedup.dedupByComponents(corpus, "doc_id",

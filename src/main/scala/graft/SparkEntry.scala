@@ -3272,6 +3272,23 @@ object SparkEntry {
           col("dist").cast("long").as("dist"))
     }),
 
+    // entity resolution: the record-linkage capstone — parts plus a
+    // typo'd twin of every 10th resolve into entities via the fuzzy
+    // self-join (prefix-filtered blocking) and FastSV transitive
+    // closure; the oracle's cross-product + recursive closure proves
+    // BOTH stages lossless at once
+    "q_entity_resolution" -> ((s, dir) => {
+      val base = Tables.part(s, dir)
+        .select(col("p_partkey").as("rec_id"), col("p_name").as("name"))
+      val twins = Tables.part(s, dir)
+        .filter(col("p_partkey") % 10 === 0)
+        .select((col("p_partkey") + 10000000L).as("rec_id"),
+          concat(substring(col("p_name"), 1, 2), lit("q"),
+            substring(col("p_name"), 4, 10000)).as("name"))
+      Dedup.resolveEntities(base.unionByName(twins), "rec_id", "name",
+        maxDist = 1, q = 3)
+    }),
+
     // null-aware anti join: NOT IN under three-valued logic — a NULL
     // probe value never qualifies (NULL NOT IN list is never TRUE), so
     // Catalyst must plan its dedicated null-aware anti join, not the
@@ -7763,6 +7780,31 @@ object SparkEntry {
         |FROM part p CROSS JOIN v
         |WHERE abs(length(p.p_name) - length(v.v_name)) <= 1
         |  AND levenshtein(p.p_name, v.v_name) <= 1""".stripMargin,
+
+    // ER oracle: exact cross-product match graph + recursive min-label
+    // closure (the q_minhash_dedup_cc reach idiom); unmatched records
+    // resolve to themselves
+    "q_entity_resolution" ->
+      """WITH RECURSIVE recs AS (
+        | SELECT p_partkey AS rec_id, p_name AS name FROM part
+        | UNION ALL
+        | SELECT p_partkey + 10000000,
+        |  substr(p_name, 1, 2) || 'q' || substr(p_name, 4)
+        | FROM part WHERE p_partkey % 10 = 0),
+        |pairs AS (
+        | SELECT a.rec_id AS u, b.rec_id AS v
+        | FROM recs a JOIN recs b ON a.rec_id < b.rec_id
+        | WHERE abs(length(a.name) - length(b.name)) <= 1
+        |  AND levenshtein(a.name, b.name) <= 1),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach(id, r) AS (
+        | SELECT DISTINCT u, u FROM edges
+        | UNION
+        | SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT r.rec_id, r.name,
+        | coalesce(c.component, r.rec_id) AS entity_id
+        |FROM recs r LEFT JOIN comp c ON r.rec_id = c.id""".stripMargin,
 
     // identical three-valued NOT IN semantics: nulled probe keys never
     // qualify

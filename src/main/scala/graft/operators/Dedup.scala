@@ -1388,6 +1388,37 @@ object Dedup {
       .select(col(leftId), col(rightId), col("dist"))
   }
 
+  /** Entity resolution over a fuzzy string key — the record-linkage
+    * composition of the library's own primitives: [[editDistanceJoin]]
+    * of the record set against itself (prefix-filtered blocking +
+    * levenshtein verify, never a cross product) builds the match
+    * graph, [[connectedComponents]] (FastSV, O(log n) rounds on any
+    * graph shape) closes transitive chains — A~B~C is one entity even
+    * when A and C differ by `2·maxDist` — and each record gets its
+    * component's minimum id as `entity_id`. Records matching nothing
+    * resolve to themselves. Output: every record column plus
+    * `entity_id`.
+    *
+    * Scale shape inherits its parts: the self-join runs over DISTINCT
+    * strings with rare-gram prefix blocking, CC state is (id, label)
+    * pairs, and the final attach is a left join on the (typically
+    * tiny) matched-id set.
+    */
+  def resolveEntities(records: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, q: Int = 3): DataFrame = {
+    val right = records.select(col(idCol).as("__graft_er_id"),
+      col(strCol).as("__graft_er_str"))
+    val pairs = editDistanceJoin(records, right, idCol, "__graft_er_id",
+        strCol, "__graft_er_str", maxDist, q)
+      .filter(col(idCol) < col("__graft_er_id"))
+      .select(col(idCol).as("id_a"), col("__graft_er_id").as("id_b"))
+    val comp = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component"))
+    records.join(comp, Seq(idCol), "left")
+      .withColumn("entity_id", coalesce(col("component"), col(idCol)))
+      .drop("component")
+  }
+
   /** Content-defined chunking (the FastCDC/rsync family): split each
     * document at positions where the hash of the `window`-char
     * context is ≡ 0 mod `divisor` — boundaries are decided by the

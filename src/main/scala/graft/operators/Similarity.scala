@@ -350,7 +350,13 @@ object Similarity {
         >= threshold)
       .select(col(idCol))
       .distinct()
-    corpus.join(contaminated, Seq(idCol), "left_anti")
+    // the id set BROADCASTS into the anti join: without the hint
+    // Catalyst cannot see through the distinct that the build side is
+    // small, and plans a sort-merge anti join that ships every corpus
+    // row (vector included) through an exchange — the exact leak the
+    // PlanSpec pin catches. Bound: contaminated ids only (benchmark-
+    // similar rows, a vanishing corpus fraction in any sane setup)
+    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
 
   /** Per-label mean embedding (class centroids) in long form:

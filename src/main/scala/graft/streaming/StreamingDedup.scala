@@ -1251,4 +1251,116 @@ object StreamingDedup {
           }
       }(stateEnc, rowEnc)
   }
+
+  /** Closed-length of the intersection of two sorted disjoint island
+    * lists — one linear two-pointer walk, no materialized fragment
+    * list. Used by [[availabilityDowntimeAdjustedStream]] to read
+    * covered(A∖B) = covered(A) − covered(A∩B) off the per-key state.
+    */
+  private def intersectS(a: Seq[(Long, Long)],
+      b: Seq[(Long, Long)]): Long = {
+    val av = a.toIndexedSeq; val bv = b.toIndexedSeq
+    var i = 0; var j = 0; var s = 0L
+    while (i < av.length && j < bv.length) {
+      val lo = math.max(av(i)._1, bv(j)._1)
+      val hi = math.min(av(i)._2, bv(j)._2)
+      if (lo <= hi) s += hi - lo + 1
+      if (av(i)._2 < bv(j)._2) i += 1 else j += 1
+    }
+    s
+  }
+
+  /** Cross-batch streaming twin of [[graft.operators.TimeSeries
+    * .availabilityDowntimeAdjusted]] — the live Nagios availability
+    * report with scheduled-downtime subtraction. ONE tagged interval
+    * stream (a boolean `downCol` marks maintenance windows — downtime
+    * announcements are monitoring events too, so a single source is
+    * the natural stream shape) folds into TWO merged island lists per
+    * key, the [[burnRateStream]] state pattern; each batch that
+    * changes either coverage FOR A KEY WITH UPTIME emits the batch
+    * operator's exact row: (keys, covered_s, downtime_s, window_s,
+    * adjusted_window_s, availability_ppm), all-integer. The
+    * subtracted coverage is read off the state as covered(A) −
+    * covered(A∩B) (one linear island-list walk, [[intersectS]]) —
+    * no fragment list is ever materialized. Duplicate and
+    * out-of-order deliveries merge idempotently (the
+    * [[availabilityStream]] argument); state per key = two
+    * window-clamped island lists, bounded by island counts.
+    */
+  def availabilityDowntimeAdjustedStream(stream: DataFrame,
+      keyCols: Seq[String], loCol: String, hiCol: String,
+      downCol: String, windowLo: Long, windowHi: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(keyCols.nonEmpty,
+      "availabilityDowntimeAdjustedStream needs at least one key")
+    require(windowHi >= windowLo, "window must be non-empty")
+    val windowS = windowHi - windowLo + 1
+    val keys = keyCols.map(col)
+    val clamped = stream
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(downCol).isNotNull)
+      .select(keys ++ Seq(
+        greatest(col(loCol).cast("long"), lit(windowLo)).as("__lo"),
+        least(col(hiCol).cast("long"), lit(windowHi)).as("__hi"),
+        col(downCol).cast("boolean").as("__down")): _*)
+      .filter(col("__lo") <= col("__hi"))
+    val schema = clamped.schema
+    val keyIdx = keyCols.indices
+    val loIdx = schema.fieldIndex("__lo")
+    val hiIdx = schema.fieldIndex("__hi")
+    val downIdx = schema.fieldIndex("__down")
+    val outSchema = StructType(
+      keyIdx.map(schema(_)) ++ Seq(
+        StructField("covered_s", LongType),
+        StructField("downtime_s", LongType),
+        StructField("window_s", LongType),
+        StructField("adjusted_window_s", LongType),
+        StructField("availability_ppm", LongType)))
+    val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    val stateEnc: Encoder[(Seq[(Long, Long)], Seq[(Long, Long)])] =
+      Encoders.product[(Seq[(Long, Long)], Seq[(Long, Long)])]
+    clamped
+      .groupByKey((r: Row) =>
+        keyIdx.map { i =>
+          val s = String.valueOf(r.get(i)); s.length + ":" + s
+        }.mkString("|"))(Encoders.STRING)
+      .flatMapGroupsWithState[(Seq[(Long, Long)], Seq[(Long, Long)]),
+          Row](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row],
+            state: GroupState[(Seq[(Long, Long)], Seq[(Long, Long)])]) =>
+          val rs = rows.toArray
+          val keyVals = keyIdx.map(rs.head.get)
+          val (beforeUp, beforeDn) =
+            state.getOption.getOrElse((Seq.empty, Seq.empty))
+          var up = beforeUp.toList
+          var dn = beforeDn.toList
+          rs.foreach { r =>
+            if (r.getBoolean(downIdx))
+              dn = insertIsland(dn, r.getLong(loIdx), r.getLong(hiIdx))
+            else
+              up = insertIsland(up, r.getLong(loIdx), r.getLong(hiIdx))
+          }
+          val covered = coveredS(up) - intersectS(up, dn)
+          val downtime = coveredS(dn)
+          // emit on any change of the emitted pair — AND on the first
+          // batch that gives the key uptime at all (its first row can
+          // have covered 0 when the uptime lies inside existing
+          // downtime, indistinguishable from "nothing yet" by values)
+          val changed = covered !=
+            (coveredS(beforeUp) - intersectS(beforeUp, beforeDn)) ||
+            downtime != coveredS(beforeDn) ||
+            (beforeUp.isEmpty && up.nonEmpty)
+          state.update((up, dn))
+          // the batch operator's inner-join convention: only keys
+          // with >= 1 pre-subtraction up-second in the window emit
+          if (!changed || up.isEmpty) Iterator.empty
+          else {
+            val adjusted = windowS - downtime
+            val p = if (adjusted >= 1) ppm(covered, adjusted) else 0L
+            Iterator.single(Row.fromSeq(keyVals ++ Seq[Any](
+              covered, downtime, windowS, adjusted, p)))
+          }
+      }(stateEnc, rowEnc)
+  }
 }

@@ -472,6 +472,21 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(id == Set(100L, 101L, 102L, 103L, 104L))
   }
 
+  test("dedup: entity resolution closes typo chains transitively; " +
+      "exact duplicates merge; singletons resolve to themselves") {
+    val recs = Seq(
+      (1L, "alpha"),   // root of the chain
+      (2L, "alphq"),   // dist 1 of #1
+      (3L, "alpqq"),   // dist 1 of #2, dist 2 of #1 — only the chain links it
+      (4L, "zzzz"),    // singleton
+      (5L, "alpha"))   // exact duplicate of #1 (dist 0)
+      .toDF("rec_id", "name")
+    val got = Dedup.resolveEntities(recs, "rec_id", "name", maxDist = 1)
+      .select($"rec_id", $"entity_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 1L),
+      got.toString)
+  }
+
   test("dedup: semantic dedup pairs within clusters only; greedy survivors") {
     // centroid seed = the 2 lowest ids: [1,0] and [0,1]. 3,4 cluster
     // with centroid 0; 5 with centroid 1; 6 sits at exactly 45° — the

@@ -914,4 +914,65 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
       s"expected partial aggregation:\n$plan")
   }
+
+  test("semantic decontamination: benchmark broadcasts, no vector " +
+      "array crosses an exchange, cosines collapse map-side") {
+    // the 100 TB contract: cosine scoring happens inside the corpus
+    // scan's stage against the broadcast benchmark; the only shuffled
+    // payload is the contaminated-id set (the distinct + anti join)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = graft.operators.Similarity.semanticDecontaminate(
+      emb.filter(col("vec_id") >= 50), emb.filter(col("vec_id") < 50),
+      "vec_id", "embedding", threshold = 0.3)
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      val arrays = e.output.filter(_.dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty,
+        s"vector column crossed an exchange (${arrays.map(_.name)}):\n$exec")
+    }
+    assert(exec.toString.contains("BroadcastNestedLoopJoin") ||
+      exec.toString.contains("BroadcastHashJoin"), exec.toString)
+  }
+
+  test("downtime-adjusted availability: ONE key-partitioned exchange " +
+      "serves the sweep, plus the final partial+final aggregate") {
+    import spark.implicits._
+    val up = Seq(("h1", 0L, 10L), ("h2", 5L, 9L)).toDF("host", "lo", "hi")
+    val down = Seq(("h1", 3L, 4L)).toDF("host", "lo", "hi")
+    val df = graft.operators.TimeSeries.availabilityDowntimeAdjusted(
+      up, down, Seq("host"), "lo", "hi", 0L, 100L)
+    val plan = physical(df)
+    // both running sums and the lead ride one window spec; the
+    // aggregate reuses the host partitioning (no second hash exchange
+    // on the same key in the single-partition local fixture either)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).toSeq
+    assert(exchanges.size <= 2,
+      s"expected <= 2 exchanges (window + agg):\n$plan")
+    val windows = "\\bWindow\\b".r.findAllIn(plan).toSeq
+    assert(windows.size == 1, s"expected ONE window stage:\n$plan")
+    assert(plan.contains("partial"), s"expected partial aggregation:\n$plan")
+  }
+
+  test("domain boilerplate: domain totals broadcast onto the line " +
+      "counts; the kill-list anti join is a broadcast") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val df = graft.operators.Dedup.stripDomainBoilerplate(docs,
+      "doc_id", "source", "text", minDomainDocs = 2L, minFraction = 0.5)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins for domain totals/kill list:\n$plan")
+    // the anti join of lines against the kill list must not shuffle
+    // the full line set on (domain, hash): AQE may leave it as BHJ
+    assert(!plan.contains("SortMergeJoin LeftAnti") ||
+      plan.contains("BroadcastHashJoin LeftAnti"),
+      s"kill-list anti join shuffled the corpus lines:\n$plan")
+  }
 }

@@ -1908,6 +1908,104 @@ class StreamingSpec extends SparkSpec {
       assert(got.size == 2)
     } finally q.stop()
   }
+  test("availabilityDowntimeAdjustedStream: one tagged fold == the batch " +
+      "operator after every batch; downtime-first keys surface on first " +
+      "uptime; duplicates silent") {
+    import graft.operators.TimeSeries
+    implicit val sq = spark.sqlContext
+    // window [100, 199]; rows are (host, lo, hi, is_downtime)
+    val in = MemoryStream[(String, Long, Long, Boolean)]
+    val got = scala.collection.mutable.ArrayBuffer[
+      (String, Long, Long, Long, Long, Long)]()
+    val q = StreamingDedup.availabilityDowntimeAdjustedStream(
+        in.toDF().toDF("host", "lo", "hi", "is_down"),
+        Seq("host"), "lo", "hi", "is_down", 100L, 199L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.as[(String, Long, Long, Long, Long, Long)].collect(); ()
+      }.start()
+    def batchAdj(rows: Seq[(String, Long, Long, Boolean)]) = {
+      val up = rows.filter(!_._4).map(r => (r._1, r._2, r._3))
+        .toDF("host", "lo", "hi")
+      val dn = rows.filter(_._4).map(r => (r._1, r._2, r._3))
+        .toDF("host", "lo", "hi")
+      TimeSeries.availabilityDowntimeAdjusted(up, dn, Seq("host"),
+          "lo", "hi", 100L, 199L)
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    }
+    def lastPerKey = got.groupBy(_._1).view
+      .mapValues(v => (v.last._2, v.last._3, v.last._4, v.last._5,
+        v.last._6)).toMap
+    val b1 = Seq(("h1", 100L, 179L, false),   // plain uptime
+      ("h2", 120L, 129L, true))               // downtime BEFORE any uptime
+    val b2 = Seq(("h1", 140L, 159L, true),    // punches a hole in h1
+      ("h2", 122L, 126L, false))              // inside downtime: covered 0
+    val b3 = Seq(("h1", 140L, 159L, true),    // duplicate: silent
+      ("h2", 122L, 126L, false))              // duplicate: silent
+    val b4 = Seq(("h2", 180L, 189L, false))   // h2 recovers outside downtime
+    try {
+      var seen = Seq.empty[(String, Long, Long, Boolean)]
+      for (b <- Seq(b1, b2, b3, b4)) {
+        in.addData(b: _*); q.processAllAvailable()
+        seen = seen ++ b
+        assert(lastPerKey == batchAdj(seen),
+          s"after batch: $lastPerKey vs ${batchAdj(seen)}")
+      }
+    } finally q.stop()
+    // h2 was downtime-only after b1 (silent), surfaced on b2's
+    // inside-downtime uptime with covered 0; the duplicate batch
+    // emitted nothing
+    assert(got.size == 4, got.toString) // h1 x2 + h2 x2
+    assert(lastPerKey("h1") == ((60L, 20L, 100L, 80L, 750000L)))
+    assert(lastPerKey("h2") == ((10L, 10L, 100L, 90L, 111111L)))
+  }
+  test("availabilityDowntimeAdjustedStream == batch on the sf0.001 " +
+      "events fixture, tagged union replayed in 3 interleaved batches") {
+    import graft.operators.TimeSeries
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    implicit val sq = spark.sqlContext
+    val ev = graft.sources.Tables.events(spark, sf("sf0.001"))
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+    val rows = ev.select(col("user_id"),
+        unix_timestamp(col("ts")).as("lo"),
+        (unix_timestamp(col("ts")) + 600L).as("hi"),
+        (col("event_type") === "error").as("is_down"))
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(r => (r._2, r._1))
+    // error events are ALSO 30-minute downtime windows (the
+    // q_downtime_adjusted shape: an event is activity; an error event
+    // additionally opens maintenance)
+    val all = rows.map(r => (r._1, r._2, r._3, false)) ++
+      rows.filter(_._4).map(r => (r._1, r._2, r._2 + 1800L, true))
+    val batches = (0 until 3).map(i =>
+      all.zipWithIndex.collect { case (r, j) if j % 3 == i => r })
+    val in = MemoryStream[(Long, Long, Long, Boolean)]
+    val last = scala.collection.mutable.Map[
+      Long, (Long, Long, Long, Long, Long)]()
+    val q = StreamingDedup.availabilityDowntimeAdjustedStream(
+        in.toDF().toDF("user_id", "lo", "hi", "is_down"),
+        Seq("user_id"), "lo", "hi", "is_down",
+        1704412800L, 1705708799L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[(Long, Long, Long, Long, Long, Long)].collect()
+          .foreach(r => last(r._1) = (r._2, r._3, r._4, r._5, r._6)); ()
+      }.start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val e = unix_timestamp(col("ts"))
+    val batch = TimeSeries.availabilityDowntimeAdjusted(
+        ev.select(col("user_id"), e.as("lo"), (e + 600L).as("hi")),
+        ev.filter(col("event_type") === "error")
+          .select(col("user_id"), e.as("lo"), (e + 1800L).as("hi")),
+        Seq("user_id"), "lo", "hi", 1704412800L, 1705708799L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(last.toMap == batch,
+      s"${last.size} streamed vs ${batch.size} batch keys")
+    assert(batch.nonEmpty)
+  }
   test("availabilityStream == batch availability on the sf0.001 events " +
       "fixture, arbitrary 3-way batch split") {
     import graft.operators.TimeSeries
