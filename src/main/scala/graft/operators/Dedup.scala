@@ -1390,33 +1390,48 @@ object Dedup {
 
   /** Entity resolution over a fuzzy string key — the record-linkage
     * composition of the library's own primitives: [[editDistanceJoin]]
-    * of the record set against itself (prefix-filtered blocking +
-    * levenshtein verify, never a cross product) builds the match
-    * graph, [[connectedComponents]] (FastSV, O(log n) rounds on any
-    * graph shape) closes transitive chains — A~B~C is one entity even
-    * when A and C differ by `2·maxDist` — and each record gets its
-    * component's minimum id as `entity_id`. Records matching nothing
-    * resolve to themselves. Output: every record column plus
-    * `entity_id`.
+    * (prefix-filtered blocking + levenshtein verify, never a cross
+    * product) builds the match graph, [[connectedComponents]] (FastSV,
+    * O(log n) rounds on any graph shape) closes transitive chains —
+    * A~B~C is one entity even when A and C differ by `2·maxDist` —
+    * and each record gets its component's minimum id as `entity_id`.
+    * Records matching nothing resolve to themselves. Output: every
+    * record column plus `entity_id`.
     *
-    * Scale shape inherits its parts: the self-join runs over DISTINCT
-    * strings with rare-gram prefix blocking, CC state is (id, label)
-    * pairs, and the final attach is a left join on the (typically
-    * tiny) matched-id set.
+    * Resolution runs on the DISTINCT-NAME graph, not the record
+    * graph: each distinct string becomes ONE node labeled with its
+    * min record id, edges come from the string-level fuzzy join, and
+    * records attach to their name's component by an equi-join at the
+    * end. Semantics are identical (min over per-name minima is the
+    * global component minimum; identical names unify through the
+    * shared node), but the cost model is not: duplicate-heavy corpora
+    * (real entity tables are — measured here, 20k part rows share 64
+    * names) would otherwise expand every matched string pair back to
+    * id level, materializing a C(n,2) clique per duplicate group —
+    * 4.6M pairs from 22k records in the first cut, with the closure
+    * then iterating over them. The name graph has one node per
+    * distinct string regardless of duplication.
     */
   def resolveEntities(records: DataFrame, idCol: String, strCol: String,
       maxDist: Int, q: Int = 3): DataFrame = {
-    val right = records.select(col(idCol).as("__graft_er_id"),
+    val names = records.groupBy(col(strCol))
+      .agg(min(col(idCol)).as("__graft_er_rep"))
+      .localCheckpoint(true) // feeds both join sides + the attach
+    val right = names.select(col("__graft_er_rep").as("__graft_er_rid"),
       col(strCol).as("__graft_er_str"))
-    val pairs = editDistanceJoin(records, right, idCol, "__graft_er_id",
-        strCol, "__graft_er_str", maxDist, q)
-      .filter(col(idCol) < col("__graft_er_id"))
-      .select(col(idCol).as("id_a"), col("__graft_er_id").as("id_b"))
+    val pairs = editDistanceJoin(names, right, "__graft_er_rep",
+        "__graft_er_rid", strCol, "__graft_er_str", maxDist, q)
+      .filter(col("__graft_er_rep") < col("__graft_er_rid"))
+      .select(col("__graft_er_rep").as("id_a"),
+        col("__graft_er_rid").as("id_b"))
     val comp = connectedComponents(pairs)
-      .select(col("id").as(idCol), col("component"))
-    records.join(comp, Seq(idCol), "left")
-      .withColumn("entity_id", coalesce(col("component"), col(idCol)))
-      .drop("component")
+      .select(col("id").as("__graft_er_rep"), col("component"))
+    val nameEntity = names.join(comp, Seq("__graft_er_rep"), "left")
+      .select(col(strCol),
+        coalesce(col("component"), col("__graft_er_rep"))
+          .as("entity_id"))
+    records.join(nameEntity, Seq(strCol))
+      .select(records.columns.map(col) :+ col("entity_id"): _*)
   }
 
   /** Content-defined chunking (the FastCDC/rsync family): split each
