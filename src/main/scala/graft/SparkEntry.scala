@@ -3049,6 +3049,20 @@ object SparkEntry {
         windowLo = 1704412800L, windowHi = 1705708799L) // Jan 5 - Jan 19
     }),
 
+    // interval difference A \ B as rows: activity fragments outside
+    // the per-user error-downtime windows — the operator the
+    // downtime-adjusted rollup sums; fragments here are the maximal
+    // disjoint islands (closed-integer adjacency coalesced)
+    "q_subtract_intervals" -> ((s, dir) => {
+      val e = unix_timestamp(col("ts"))
+      val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
+      val up = ev.select(col("user_id"), e.as("lo"), (e + 600L).as("hi"))
+      val down = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), e.as("lo"), (e + 1800L).as("hi"))
+      operators.TimeSeries.subtractIntervals(up, down,
+        Seq("user_id"), "lo", "hi")
+    }),
+
     // scheduled-downtime-adjusted availability — the full Nagios
     // report semantics: activity intervals minus maintenance windows
     // (here: 30-minute windows around each error event), ppm over the
@@ -7123,6 +7137,52 @@ object SparkEntry {
         | CAST((sum(hi - lo + 1) * 2000000 + 1296000) // (2 * 1296000)
         |   AS BIGINT) AS availability_ppm
         |FROM mg GROUP BY 1""".stripMargin,
+
+    // the same sweep emitting FRAGMENTS: segments where A covers and
+    // B does not, coalesced by the closed-integer adjacency rule
+    // (lo > prior hi + 1 starts an island)
+    "q_subtract_intervals" ->
+      """WITH up AS (
+        | SELECT user_id,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS lo,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 600 AS hi
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |dn AS (
+        | SELECT user_id,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS lo,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 1800 AS hi
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  AND event_type = 'error'),
+        |ev AS (
+        | SELECT user_id, lo AS t, 1 AS da, 0 AS db FROM up
+        | UNION ALL SELECT user_id, hi + 1, -1, 0 FROM up
+        | UNION ALL SELECT user_id, lo, 0, 1 FROM dn
+        | UNION ALL SELECT user_id, hi + 1, 0, -1 FROM dn),
+        |sw AS (
+        | SELECT user_id, t,
+        |  sum(da) OVER (PARTITION BY user_id ORDER BY t, da, db
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |  sum(db) OVER (PARTITION BY user_id ORDER BY t, da, db
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |  lead(t) OVER (PARTITION BY user_id ORDER BY t, da, db) AS tn
+        | FROM ev),
+        |frag AS (
+        | SELECT user_id, t AS lo, tn - 1 AS hi FROM sw
+        | WHERE tn IS NOT NULL AND tn > t AND ca > 0 AND cb = 0),
+        |m AS (
+        | SELECT user_id, lo, hi, max(hi) OVER (
+        |   PARTITION BY user_id ORDER BY lo, hi
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        | FROM frag),
+        |g AS (
+        | SELECT user_id, lo, hi, sum(
+        |   CASE WHEN pm IS NULL OR lo > pm + 1 THEN 1 ELSE 0 END) OVER (
+        |   PARTITION BY user_id ORDER BY lo, hi
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM m)
+        |SELECT user_id, CAST(min(lo) AS BIGINT) AS lo,
+        | CAST(max(hi) AS BIGINT) AS hi
+        |FROM g GROUP BY user_id, island""".stripMargin,
 
     // same boundary sweep as the engine: ±1 events at lo / hi+1 for
     // both interval sets, per-key running covers, segment sums; ppm
