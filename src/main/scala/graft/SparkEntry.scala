@@ -3303,6 +3303,36 @@ object SparkEntry {
         maxDist = 1, q = 3)
     }),
 
+    // incremental entity assignment — the serving arm of the staged
+    // family (staged bands / frozen BPE / staged spans): a batch of
+    // typo'd newcomers plus genuinely novel names assigns against the
+    // FROZEN resolved registry; matches take the registry's min
+    // entity within 1 edit, novel names become provisional entities
+    // (min batch id per exact string), no batch-internal fuzzy links
+    "q_entity_resolution_incremental" -> ((s, dir) => {
+      val base = Tables.part(s, dir)
+        .select(col("p_partkey").as("rec_id"), col("p_name").as("name"))
+      val twins = Tables.part(s, dir)
+        .filter(col("p_partkey") % 10 === 0)
+        .select((col("p_partkey") + 10000000L).as("rec_id"),
+          concat(substring(col("p_name"), 1, 2), lit("q"),
+            substring(col("p_name"), 4, 10000)).as("name"))
+      val registry = Dedup.resolveEntities(base.unionByName(twins),
+        "rec_id", "name", maxDist = 1, q = 3)
+      val batch = Tables.part(s, dir)
+        .filter(col("p_partkey") % 25 === 0)
+        .select((col("p_partkey") + 20000000L).as("rec_id"),
+          concat(substring(col("p_name"), 1, 1), lit("x"),
+            substring(col("p_name"), 3, 10000)).as("name"))
+        .unionByName(Tables.part(s, dir)
+          .filter(col("p_partkey") % 50 === 0)
+          .select((col("p_partkey") + 30000000L).as("rec_id"),
+            concat(lit("novel entity "),
+              (col("p_partkey") % 7).cast("string")).as("name")))
+      Dedup.resolveEntitiesAgainst(batch, registry, "rec_id", "name",
+        "entity_id", maxDist = 1, q = 3)
+    }),
+
     // null-aware anti join: NOT IN under three-valued logic — a NULL
     // probe value never qualifies (NULL NOT IN list is never TRUE), so
     // Catalyst must plan its dedicated null-aware anti join, not the
@@ -3354,6 +3384,29 @@ object SparkEntry {
         .union(pairs.select(col("p").as("src"), col("o").as("dst")))
       operators.Behavior.pageRank(edges, "src", "dst",
           iters = 3, damping = 0.85)
+        .select(when(col("node") % 2 === 0,
+            concat(lit("O"), (col("node") / 2).cast("long")))
+          .otherwise(concat(lit("S"), ((col("node") - 1) / 2)
+            .cast("long"))).as("node"),
+          col("pagerank"))
+    }),
+
+    // personalized PageRank on the same order/supplier graph: restart
+    // mass concentrated on every-10th supplier — proximity-to-seeds
+    // scores, the seeded-relevance readout global centrality can't
+    // express; same long-id trick, labels attached at the end
+    "q_personalized_pagerank" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select((col("l_orderkey").cast("long") * 2).as("o"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("p"))
+        .distinct()
+      val edges = pairs.select(col("o").as("src"), col("p").as("dst"))
+        .union(pairs.select(col("p").as("src"), col("o").as("dst")))
+      val seeds = Tables.lineitem(s, dir)
+        .filter(col("l_suppkey") % 10 === 0)
+        .select((col("l_suppkey").cast("long") * 2 + 1).as("node"))
+      operators.Behavior.personalizedPageRank(edges, "src", "dst",
+          seeds, "node", iters = 3, damping = 0.85)
         .select(when(col("node") % 2 === 0,
             concat(lit("O"), (col("node") / 2).cast("long")))
           .otherwise(concat(lit("S"), ((col("node") - 1) / 2)
@@ -7866,6 +7919,51 @@ object SparkEntry {
         | coalesce(c.component, r.rec_id) AS entity_id
         |FROM recs r LEFT JOIN comp c ON r.rec_id = c.id""".stripMargin,
 
+    // serving oracle: the ER closure CTEs rebuild the frozen registry,
+    // the batch cross-joins it under the same levenshtein predicate,
+    // min entity per batch name; unmatched names fall back to the
+    // batch's min id for that exact string
+    "q_entity_resolution_incremental" ->
+      """WITH RECURSIVE recs AS (
+        | SELECT p_partkey AS rec_id, p_name AS name FROM part
+        | UNION ALL
+        | SELECT p_partkey + 10000000,
+        |  substr(p_name, 1, 2) || 'q' || substr(p_name, 4)
+        | FROM part WHERE p_partkey % 10 = 0),
+        |pairs AS (
+        | SELECT a.rec_id AS u, b.rec_id AS v
+        | FROM recs a JOIN recs b ON a.rec_id < b.rec_id
+        | WHERE abs(length(a.name) - length(b.name)) <= 1
+        |  AND levenshtein(a.name, b.name) <= 1),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach(id, r) AS (
+        | SELECT DISTINCT u, u FROM edges
+        | UNION
+        | SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |reg AS (
+        | SELECT r.name, min(coalesce(c.component, r.rec_id)) AS ent
+        | FROM recs r LEFT JOIN comp c ON r.rec_id = c.id
+        | GROUP BY r.name),
+        |b AS (
+        | SELECT p_partkey + 20000000 AS rec_id,
+        |  substr(p_name, 1, 1) || 'x' || substr(p_name, 3) AS name
+        | FROM part WHERE p_partkey % 25 = 0
+        | UNION ALL
+        | SELECT p_partkey + 30000000,
+        |  'novel entity ' || CAST(p_partkey % 7 AS VARCHAR)
+        | FROM part WHERE p_partkey % 50 = 0),
+        |asg AS (
+        | SELECT b.name, min(reg.ent) AS best
+        | FROM b JOIN reg ON abs(length(b.name) - length(reg.name)) <= 1
+        |  AND levenshtein(b.name, reg.name) <= 1
+        | GROUP BY b.name),
+        |fb AS (SELECT name, min(rec_id) AS self FROM b GROUP BY name)
+        |SELECT b.rec_id, b.name,
+        | coalesce(a.best, fb.self) AS entity_id
+        |FROM b LEFT JOIN asg a ON b.name = a.name
+        |JOIN fb ON b.name = fb.name""".stripMargin,
+
     // identical three-valued NOT IN semantics: nulled probe keys never
     // qualify
     "q_not_in" ->
@@ -7978,6 +8076,27 @@ object SparkEntry {
          |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
          |pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
          |${pageRankIterCtesSql(3, "e")}
+         |SELECT node, round(pr, 6) AS pagerank FROM pr3""".stripMargin,
+
+    // seeded restart: r = 1 on every-10th supplier node, 0 elsewhere;
+    // pr0 = r; otherwise the exact q_pagerank iteration replay
+    "q_personalized_pagerank" ->
+      s"""WITH pairs AS (SELECT DISTINCT
+         |  'O' || CAST(l_orderkey AS VARCHAR) AS o,
+         |  'S' || CAST(l_suppkey AS VARCHAR) AS p FROM lineitem),
+         |e AS (SELECT o AS src, p AS dst FROM pairs
+         |  UNION ALL SELECT p, o FROM pairs),
+         |seeds AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR)
+         |  AS node FROM lineitem WHERE l_suppkey % 10 = 0),
+         |nodes AS (SELECT n.node,
+         |  CASE WHEN s.node IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS r
+         |  FROM (SELECT src AS node FROM e
+         |    UNION SELECT dst FROM e) n
+         |  LEFT JOIN seeds s ON n.node = s.node),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |pr0 AS (SELECT node, r, r AS pr FROM nodes),
+         |${personalizedPrIterCtesSql(3, "e")}
          |SELECT node, round(pr, 6) AS pagerank FROM pr3""".stripMargin,
 
     "q_inverted_index" ->
@@ -8249,6 +8368,27 @@ object SparkEntry {
     * round/decimal-sum/round contribution chain for every oracle
     * replaying [[operators.Behavior.pageRank]].
     */
+  /** [[pageRankIterCtesSql]] with the restart mass on a seed column:
+    * expects a `nodes` CTE carrying (node, r) with r ∈ {0.0, 1.0} and
+    * a `pr0` CTE of (node, pr = r). Same interpolated exact doubles.
+    */
+  private def personalizedPrIterCtesSql(iters: Int,
+      edgeTable: String): String = {
+    val d = 0.85
+    val teleport = 1.0 - d
+    (1 to iters).map { i =>
+      s"""pr$i AS (SELECT n.node, n.r,
+         | round(CAST($teleport AS DOUBLE) * n.r + CAST($d AS DOUBLE) *
+         |   COALESCE(CAST(c.m AS DOUBLE), 0.0), 12) AS pr
+         | FROM nodes n LEFT JOIN (
+         |  SELECT e.dst AS node,
+         |    sum(CAST(round(p.pr / g.deg, 12) AS DECIMAL(38,12))) AS m
+         |  FROM $edgeTable e JOIN pr${i - 1} p ON e.src = p.node
+         |   JOIN deg g ON e.src = g.src
+         |  GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+    }.mkString(",\n")
+  }
+
   private def pageRankIterCtesSql(iters: Int, edgeTable: String): String = {
     val d = 0.85
     val teleport = 1.0 - d // interpolated so both engines parse the

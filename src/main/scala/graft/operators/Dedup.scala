@@ -1434,6 +1434,51 @@ object Dedup {
       .select(records.columns.map(col) :+ col("entity_id"): _*)
   }
 
+  /** The SERVING arm of [[resolveEntities]] — incremental entity
+    * assignment against a FROZEN resolved registry (the staged-bands /
+    * frozen-BPE convention: the corpus-wide resolution is paid once
+    * per registry version; every ingest tick assigns new records
+    * against it without re-resolving history): each batch record gets
+    * the minimum `entity_id` among registry entries within
+    * `maxDist` of its string (ties to the smallest — deterministic);
+    * names matching nothing become PROVISIONAL entities labeled with
+    * the batch's minimum record id for that exact string (so
+    * identical novel strings in one tick share one provisional
+    * entity), to be folded in at the next registry rebuild. Batch
+    * records do NOT fuzzy-link to each other — deliberate serving
+    * semantics (two novel near-twins in one tick stay separate
+    * provisional entities; the rebuild merges them), keeping the tick
+    * cost batch×registry, never batch².
+    *
+    * Scale shape: one [[editDistanceJoin]] of batch names against
+    * registry names (rare-gram blocking, both sides distinct-string),
+    * one min aggregate, one attach join — per-tick cost scales with
+    * the batch and the registry's DISTINCT names.
+    */
+  def resolveEntitiesAgainst(records: DataFrame, registry: DataFrame,
+      idCol: String, strCol: String, entityCol: String,
+      maxDist: Int, q: Int = 3): DataFrame = {
+    val regNames = registry
+      .select(col(strCol).as("__graft_era_str"), col(entityCol))
+      .groupBy(col("__graft_era_str"))
+      .agg(min(col(entityCol)).as("__graft_era_ent"))
+    val names = records.select(col(strCol)).distinct()
+      .select(col(strCol), col(strCol).as("__graft_era_key"))
+    val matched = editDistanceJoin(names, regNames,
+      "__graft_era_key", "__graft_era_ent", strCol, "__graft_era_str",
+      maxDist, q)
+    val assigned = matched
+      .groupBy(col("__graft_era_key").as(strCol))
+      .agg(min(col("__graft_era_ent")).as("__graft_era_best"))
+    val fallback = records.groupBy(col(strCol))
+      .agg(min(col(idCol)).as("__graft_era_self"))
+    records.join(assigned, Seq(strCol), "left")
+      .join(fallback, Seq(strCol))
+      .withColumn("entity_id",
+        coalesce(col("__graft_era_best"), col("__graft_era_self")))
+      .select(records.columns.map(col) :+ col("entity_id"): _*)
+  }
+
   /** Content-defined chunking (the FastCDC/rsync family): split each
     * document at positions where the hash of the `window`-char
     * context is ≡ 0 mod `divisor` — boundaries are decided by the

@@ -237,6 +237,34 @@ class BehaviorSpec extends SparkSpec {
       s"layout changed the result: $bcast vs $shuffled")
   }
 
+  test("personalizedPageRank: hand-replayed 2 iterations; restart mass " +
+      "only at seeds; seedless far nodes read 0; layouts bit-identical") {
+    // a -> b, a -> c, b -> a; seed {a}, d = 0.85, 2 iterations:
+    // it1: a = 0.15, b = c = 0.85 * (1/2) = 0.425
+    // it2: a = 0.15 + 0.85*0.425 = 0.51125, b = c = 0.85*0.075 = 0.06375
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a"))
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val pr = Behavior.personalizedPageRank(edges, "src", "dst",
+        seeds, "node", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr == Map("a" -> 0.51125, "b" -> 0.06375, "c" -> 0.06375),
+      pr.toString)
+    // a disconnected pair never reachable from the seed scores 0
+    val edges2 = edges.unionAll(Seq(("x", "y"), ("y", "x"))
+      .toDF("src", "dst"))
+    val pr2 = Behavior.personalizedPageRank(edges2, "src", "dst",
+        seeds, "node", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr2("x") == 0.0 && pr2("y") == 0.0, pr2.toString)
+    assert(pr2("a") > pr2("b"))
+    // layout gate invisible in values (the pageRank r12 contract)
+    val shuffled = Behavior.personalizedPageRank(edges2, "src", "dst",
+        seeds, "node", iters = 4, broadcastRanksMax = 0L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr2 == shuffled)
+  }
+
   test("triangleCounts: K4 exact, pendant absent, dirt canonicalized") {
     // K4 on 1..4 (four triangles, each node in three) + pendant node 5
     // + a self-loop, a duplicate edge, and a reversed edge — all of

@@ -487,6 +487,28 @@ class ExtensionOpsSpec extends SparkSpec {
       got.toString)
   }
 
+  test("dedup: incremental entity assignment — registry match takes the " +
+      "min entity, novel names get per-string provisional ids, no " +
+      "batch-internal fuzzy links") {
+    val registry = Seq(
+      (1L, "alpha", 1L), (2L, "alphq", 1L), (5L, "alpha", 1L),
+      (4L, "zzzz", 4L))
+      .toDF("rec_id", "name", "entity_id")
+    val batch = Seq(
+      (10L, "alphz"),       // dist 1 of "alpha" AND "alphq" -> entity 1
+      (11L, "qqqq"),        // novel -> provisional 11
+      (12L, "zzzy"),        // dist 1 of "zzzz" -> entity 4
+      (13L, "brand new"),   // novel twins share the per-string min...
+      (14L, "brand new"),
+      (15L, "brand news"))  // ...but near-twins do NOT link in-batch
+      .toDF("rec_id", "name")
+    val got = Dedup.resolveEntitiesAgainst(batch, registry,
+        "rec_id", "name", "entity_id", maxDist = 1)
+      .select($"rec_id", $"entity_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 1L, 11L -> 11L, 12L -> 4L,
+      13L -> 13L, 14L -> 13L, 15L -> 15L), got.toString)
+  }
+
   test("dedup: semantic dedup pairs within clusters only; greedy survivors") {
     // centroid seed = the 2 lowest ids: [1,0] and [0,1]. 3,4 cluster
     // with centroid 0; 5 with centroid 1; 6 sits at exactly 45° — the
