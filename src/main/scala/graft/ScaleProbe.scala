@@ -367,6 +367,28 @@ object ScaleProbe {
         graft.operators.Dedup.resolveEntities(
           recs.unionByName(twins), "rec_id", "name", maxDist = 1)
       }),
+      // the serving tick under registry growth: a FIXED 2k-record
+      // batch assigns against a registry of 20k·f resolved names —
+      // the batch×registry claim says the tick grows with the
+      // registry's distinct names (here ~linearly, dominated by the
+      // registry-side gram pass), never batch²
+      "entity_assign_incremental" -> ((s: SparkSession, dir: String) => {
+        val f = if (dir == scaleDir) factor else 1
+        val registry = s.range(20000L * f).select(col("id").as("rec_id"),
+          concat(lit("record "), base64(unhex(md5(col("id")
+            .cast("string"))))).as("name"))
+          .withColumn("entity_id", col("rec_id"))
+        val batch = s.range(2000L).select(
+          (col("id") + 500000000L).as("rec_id"),
+          concat(substring(concat(lit("record "),
+              base64(unhex(md5((col("id") * 7L).cast("string"))))),
+            1, 9), lit("z"),
+            substring(concat(lit("record "),
+              base64(unhex(md5((col("id") * 7L).cast("string"))))),
+            11, 1000)).as("name"))
+        graft.operators.Dedup.resolveEntitiesAgainst(batch, registry,
+          "rec_id", "name", "entity_id", maxDist = 1)
+      }),
       "minhash_cc_full" -> ((s: SparkSession, dir: String) => {
         val corpus = nearDupCorpus(s, dir)
         graft.operators.Dedup.dedupByComponents(corpus, "doc_id",
