@@ -3093,6 +3093,21 @@ object SparkEntry {
         Seq("user_id"), "lo", "hi")
     }),
 
+    // coverage GAPS — Nagios's "undetermined time": the report window
+    // minus each user's activity union, i.e. subtractIntervals with
+    // the window itself as A — the unmonitored periods a dashboard
+    // must not silently count as up OR down
+    "q_coverage_gaps" -> ((s, dir) => {
+      val e = unix_timestamp(col("ts"))
+      val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
+      val act = ev.select(col("user_id"), e.as("lo"), (e + 600L).as("hi"))
+      val win = act.select(col("user_id")).distinct()
+        .select(col("user_id"), lit(1704412800L).as("lo"),
+          lit(1705708799L).as("hi")) // Jan 5 - 19
+      operators.TimeSeries.subtractIntervals(win, act,
+        Seq("user_id"), "lo", "hi")
+    }),
+
     // scheduled-downtime-adjusted availability — the full Nagios
     // report semantics: activity intervals minus maintenance windows
     // (here: 30-minute windows around each error event), ppm over the
@@ -7215,6 +7230,47 @@ object SparkEntry {
         | CAST((sum(hi - lo + 1) * 2000000 + 1296000) // (2 * 1296000)
         |   AS BIGINT) AS availability_ppm
         |FROM mg GROUP BY 1""".stripMargin,
+
+    // window-minus-activity: the subtract sweep with one whole-window
+    // A interval per active user
+    "q_coverage_gaps" ->
+      """WITH act AS (
+        | SELECT user_id,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS lo,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 600 AS hi
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |win AS (SELECT DISTINCT user_id, 1704412800 AS lo,
+        |  1705708799 AS hi FROM act),
+        |ev AS (
+        | SELECT user_id, lo AS t, 1 AS da, 0 AS db FROM win
+        | UNION ALL SELECT user_id, hi + 1, -1, 0 FROM win
+        | UNION ALL SELECT user_id, lo, 0, 1 FROM act
+        | UNION ALL SELECT user_id, hi + 1, 0, -1 FROM act),
+        |sw AS (
+        | SELECT user_id, t,
+        |  sum(da) OVER (PARTITION BY user_id ORDER BY t, da, db
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |  sum(db) OVER (PARTITION BY user_id ORDER BY t, da, db
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |  lead(t) OVER (PARTITION BY user_id ORDER BY t, da, db) AS tn
+        | FROM ev),
+        |frag AS (
+        | SELECT user_id, t AS lo, tn - 1 AS hi FROM sw
+        | WHERE tn IS NOT NULL AND tn > t AND ca > 0 AND cb = 0),
+        |m AS (
+        | SELECT user_id, lo, hi, max(hi) OVER (
+        |   PARTITION BY user_id ORDER BY lo, hi
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        | FROM frag),
+        |g AS (
+        | SELECT user_id, lo, hi, sum(
+        |   CASE WHEN pm IS NULL OR lo > pm + 1 THEN 1 ELSE 0 END) OVER (
+        |   PARTITION BY user_id ORDER BY lo, hi
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM m)
+        |SELECT user_id, CAST(min(lo) AS BIGINT) AS lo,
+        | CAST(max(hi) AS BIGINT) AS hi
+        |FROM g GROUP BY user_id, island""".stripMargin,
 
     // the same sweep emitting FRAGMENTS: segments where A covers and
     // B does not, coalesced by the closed-integer adjacency rule
