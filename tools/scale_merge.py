@@ -2,25 +2,43 @@
 """Merge N ScaleProbe run summaries into the round's scale artifact
 (the BENCH_r{N}_scale.json protocol, established round 8/9): per-query
 min-ratio across runs (each run is already min-of-2 timed after a
-warm-up pass), ratios < 0.5 discarded as polluted-denominator
-measurements (a host stall inflating the 1x sample reads as a fake
-speedup). x1/x10 are taken from the SAME run that produced the
+warm-up pass). x1/x10 are taken from the SAME run that produced the
 selected min ratio, so x10/x1 reproduces the reported ratio and the
 artifact stays internally consistent for auditing (ADVICE r10).
+
+Pollution guards, BOTH directions (round 12 — a stall can flatter
+either side of the fraction):
+  - ratio < 0.5: a host stall inflated the 1x sample so far the 10x
+    run "beats" it — fake speedup, discarded;
+  - x1 > 2 x median(x1 across runs): a stalled 1x side deflates the
+    ratio while still reading ratio >= 0.5 (observed live: a
+    pagerank_edges sample read ratio 1.64 off a 17.75 s 1x where every
+    other run's 1x was 6.5-8.1 s) — discarded unless it is the only
+    sample. The median is per query, so slow queries are not punished.
 
 Usage: scale_merge.py OUT.json RUN_SUMMARY.json...
 """
 import json
+import statistics
 import sys
 
 out, paths = sys.argv[1], sys.argv[2:]
 runs = [json.load(open(p)) for p in paths]
 queries = {}
+dropped = []
 for k in sorted({q for r in runs for q in r["queries"]}):
     samples = [r["queries"][k] for r in runs if k in r["queries"]]
-    clean = [s for s in samples if s["ratio"] >= 0.5]
-    pool = clean if clean else samples  # every sample polluted: raw min
-    best = min(pool, key=lambda s: s["ratio"])
+    med_x1 = statistics.median(s["x1"] for s in samples)
+    clean = [s for s in samples
+             if s["ratio"] >= 0.5 and s["x1"] <= 2 * med_x1]
+    if not clean:
+        clean = samples  # every sample polluted: raw min, flagged
+        dropped.append(f"{k}: ALL samples polluted, raw min kept")
+    elif len(clean) < len(samples):
+        dropped.append(
+            f"{k}: {len(samples) - len(clean)} sample(s) discarded "
+            f"(ratio<0.5 or x1 > 2x median {med_x1:.2f}s)")
+    best = min(clean, key=lambda s: s["ratio"])
     queries[k] = {
         "x1": round(best["x1"], 3),
         "x10": round(best["x10"], 3),
@@ -34,14 +52,17 @@ artifact = {
     "sf": base["sf"],
     "protocol": (
         f"per-query min-ratio merge of {len(runs)} same-code full runs "
-        "(each run min-of-2 timed after a warm-up pass; ratios <0.5 "
-        "discarded as polluted-denominator measurements) — damps the "
-        "±40% documented host noise; raw summaries in the probe "
-        "logs/BASELINE.md"),
+        "(each run min-of-2 timed after a warm-up pass; samples with "
+        "ratio <0.5 OR x1 > 2x the per-query median x1 discarded as "
+        "polluted — a host stall can flatter either side of the "
+        "fraction) — damps the documented host noise; raw summaries "
+        "in the probe logs/BASELINE.md"),
     "worst_ratio": max(v["ratio"] for v in queries.values()),
     "queries": queries,
 }
 json.dump(artifact, open(out, "w"), indent=1)
 print(f"{out}: n={artifact['n']} worst={artifact['worst_ratio']}")
+for note in dropped:
+    print(f"  [dropped] {note}")
 for k, v in sorted(queries.items(), key=lambda kv: -kv[1]["ratio"])[:8]:
     print(f"  {k:28s} {v['ratio']:5.2f}")
