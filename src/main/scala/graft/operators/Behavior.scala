@@ -669,6 +669,12 @@ object Behavior {
     * order-independent contribution sums are [[pageRank]]'s
     * verbatim; the only per-round difference is the |nodes|-row
     * restart column riding the node frame (checkpointed once).
+    *
+    * The node frame is edge endpoints ∪ SEEDS (ADVICE r12): an
+    * isolated seed (no edges touching it) still emits its teleport
+    * mass — rank `(1−d)·1` every round, nothing propagating — rather
+    * than vanishing from the output. Matches the restart-mass
+    * contract: `r(v)=1` for EVERY seed, not just the connected ones.
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: DataFrame, seedCol: String,
@@ -684,6 +690,7 @@ object Behavior {
       .filter(col("node").isNotNull).distinct()
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node")))
+      .union(seedSet) // isolated seeds stay in the frame (teleport mass)
       .distinct()
       .join(seedSet.withColumn("_r", lit(1.0)), Seq("node"), "left")
       .select(col("node"), coalesce(col("_r"), lit(0.0)).as("_r"))

@@ -757,12 +757,32 @@ object Dedup {
   def stripDomainBoilerplate(docs: DataFrame, idCol: String,
       domainCol: String, textCol: String, minDomainDocs: Long = 5L,
       minFraction: Double = 0.5): DataFrame = {
+    val lines = boilerplateLines(docs, idCol, domainCol, textCol)
+    val killList = boilerplateKillList(docs, lines, idCol, domainCol,
+      minDomainDocs, minFraction)
+    boilerplateRebuild(docs, lines, killList, idCol, domainCol, textCol)
+  }
+
+  /** The (id, domain, pos, line, line-md5) explode both boilerplate
+    * passes share — map-side, narrow (line identity travels as md5
+    * into every aggregate/join key; the text rides only to the
+    * rebuild). */
+  private def boilerplateLines(docs: DataFrame, idCol: String,
+      domainCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), col(domainCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__k", md5(col("__line")))
+
+  /** The relative-threshold kill list over an exploded corpus:
+    * (domainCol, __k) rows for every line present in ≥ `minFraction`
+    * of its domain's docs, judged only in domains with ≥
+    * `minDomainDocs` docs. */
+  private def boilerplateKillList(docs: DataFrame, lines: DataFrame,
+      idCol: String, domainCol: String, minDomainDocs: Long,
+      minFraction: Double): DataFrame = {
     require(minDomainDocs >= 1, "minDomainDocs must be >= 1")
     require(minFraction > 0 && minFraction <= 1,
       "minFraction must be in (0, 1]")
-    val lines = docs.select(col(idCol), col(domainCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
-      .withColumn("__k", md5(col("__line")))
     val domainDocs = docs.groupBy(col(domainCol))
       .agg(countDistinct(col(idCol)).as("__dn"))
     // relative threshold in exact integer arithmetic: n/dn >= f
@@ -770,13 +790,20 @@ object Dedup {
     // caller's fraction is meaningful to (an IEEE divide here would
     // put a float in the kill/keep decision)
     val fPpm = math.ceil(minFraction * 1000000L).toLong
-    val killList = lines
+    lines
       .groupBy(col(domainCol), col("__k"))
       .agg(countDistinct(col(idCol)).as("__n"))
       .join(broadcast(domainDocs.filter(col("__dn") >= minDomainDocs)),
         Seq(domainCol))
       .filter(col("__n") * 1000000L >= lit(fPpm) * col("__dn"))
       .select(col(domainCol), col("__k"))
+  }
+
+  /** Anti-join the kill list off the exploded lines and reassemble
+    * documents in place: (idCol, domainCol, textCol, n_removed). */
+  private def boilerplateRebuild(docs: DataFrame, lines: DataFrame,
+      killList: DataFrame, idCol: String, domainCol: String,
+      textCol: String): DataFrame = {
     val rebuilt = lines
       .join(killList, Seq(domainCol, "__k"), "left_anti")
       .groupBy(col(idCol))
@@ -794,6 +821,62 @@ object Dedup {
         coalesce(col(textCol), lit("")).as(textCol),
         (coalesce(col("__total"), lit(0L)) -
           coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Stage a corpus version's domain-boilerplate kill list for the
+    * incremental/streaming scrub — the frozen-artifact convention
+    * ([[stageBandKeys]] / [[stageSpanHashes]] / the ER registry)
+    * applied to [[stripDomainBoilerplate]]: the corpus-wide
+    * (domain, line) counting is paid ONCE per corpus version; every
+    * micro-batch scrubs against the staged list without recounting
+    * domains. The thresholds are BAKED into the artifact (a kill
+    * list is only meaningful under the thresholds that built it) and
+    * recorded per row as `min_domain_docs` / `min_fraction_ppm` for
+    * audit. Schema: (domainCol, k, min_domain_docs, min_fraction_ppm)
+    * — `k` is the boilerplate line's md5, never its text.
+    */
+  def stageBoilerplateKillList(docs: DataFrame, idCol: String,
+      domainCol: String, textCol: String, path: String,
+      minDomainDocs: Long = 5L, minFraction: Double = 0.5): Unit = {
+    val lines = boilerplateLines(docs, idCol, domainCol, textCol)
+    boilerplateKillList(docs, lines, idCol, domainCol,
+        minDomainDocs, minFraction)
+      .select(col(domainCol), col("__k").as("k"))
+      .withColumn("min_domain_docs", lit(minDomainDocs))
+      .withColumn("min_fraction_ppm",
+        lit(math.ceil(minFraction * 1000000L).toLong))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Scrub a NEW batch against a FROZEN kill list
+    * ([[stageBoilerplateKillList]] output) — the serving arm of
+    * [[stripDomainBoilerplate]], the streaming twin's batch body:
+    * each batch doc loses exactly the lines its domain's staged kill
+    * list names; batch docs in domains the staging never saw (or
+    * domains below the staging's `minDomainDocs`) pass through
+    * untouched via the same anti-join, not a separate code path.
+    * Deliberate serving semantics (the [[resolveEntitiesAgainst]]
+    * convention): the batch does NOT update the counts — a template
+    * line newly introduced by the batch is invisible until the next
+    * scheduled restage, keeping the tick cost batch-sized.
+    *
+    * Scale shape: the staged list is filtered to the batch's own
+    * (typically few) distinct domains — that domain set broadcasts
+    * as a semi-join onto the staged scan, and the surviving
+    * (batch-relevant) kill rows broadcast into the line anti-join —
+    * so per-tick cost scales with the BATCH, never with the staged
+    * corpus's domain population.
+    */
+  def stripDomainBoilerplateAgainst(batch: DataFrame, idCol: String,
+      domainCol: String, textCol: String,
+      killList: DataFrame): DataFrame = {
+    val lines = boilerplateLines(batch, idCol, domainCol, textCol)
+    val domains = batch.select(col(domainCol)).distinct()
+    val touched = killList
+      .select(col(domainCol), col("k").as("__k"))
+      .join(broadcast(domains), Seq(domainCol))
+    boilerplateRebuild(batch, lines, broadcast(touched), idCol,
+      domainCol, textCol)
   }
 
   /** Occurrence order key for [[repeatedSpans]]: (doc, pos) packed
@@ -1411,10 +1494,21 @@ object Dedup {
     * 4.6M pairs from 22k records in the first cut, with the closure
     * then iterating over them. The name graph has one node per
     * distinct string regardless of duplication.
+    *
+    * NULL-name records carry no identity evidence, so each resolves
+    * to ITSELF (`entity_id = idCol`) — they never fuzzy-match
+    * anything and, unlike equal non-null names, two NULLs do NOT
+    * unify (ADVICE r12: the inner attach join used to drop them
+    * silently).
     */
   def resolveEntities(records: DataFrame, idCol: String, strCol: String,
       maxDist: Int, q: Int = 3): DataFrame = {
-    val names = records.groupBy(col(strCol))
+    val outCols = records.columns.map(col) :+ col("entity_id")
+    val nullNamed = records.filter(col(strCol).isNull)
+      .withColumn("entity_id", col(idCol))
+      .select(outCols: _*)
+    val named = records.filter(col(strCol).isNotNull)
+    val names = named.groupBy(col(strCol))
       .agg(min(col(idCol)).as("__graft_er_rep"))
       .localCheckpoint(true) // feeds both join sides + the attach
     val right = names.select(col("__graft_er_rep").as("__graft_er_rid"),
@@ -1430,8 +1524,9 @@ object Dedup {
       .select(col(strCol),
         coalesce(col("component"), col("__graft_er_rep"))
           .as("entity_id"))
-    records.join(nameEntity, Seq(strCol))
-      .select(records.columns.map(col) :+ col("entity_id"): _*)
+    named.join(nameEntity, Seq(strCol))
+      .select(outCols: _*)
+      .unionByName(nullNamed)
   }
 
   /** The SERVING arm of [[resolveEntities]] — incremental entity
@@ -1454,15 +1549,32 @@ object Dedup {
     * registry names (rare-gram blocking, both sides distinct-string),
     * one min aggregate, one attach join — per-tick cost scales with
     * the batch and the registry's DISTINCT names.
+    *
+    * The OUTPUT column is named `entityCol` (the registry's own
+    * convention — output unions cleanly with the registry at the
+    * next rebuild); `records` must not already carry a column of
+    * that name. NULL-name batch records match nothing by definition
+    * and become per-RECORD provisional entities (`entityCol =
+    * idCol`) — NULL is not a name, so two NULL-named records do not
+    * share a provisional entity the way identical novel strings do
+    * (ADVICE r12: the inner fallback join used to drop them).
     */
   def resolveEntitiesAgainst(records: DataFrame, registry: DataFrame,
       idCol: String, strCol: String, entityCol: String,
       maxDist: Int, q: Int = 3): DataFrame = {
+    require(!records.columns.contains(entityCol),
+      s"records already has a '$entityCol' column — the output entity " +
+        "column would collide; rename one side")
+    val outCols = records.columns.map(col) :+ col(entityCol)
+    val nullNamed = records.filter(col(strCol).isNull)
+      .withColumn(entityCol, col(idCol))
+      .select(outCols: _*)
+    val named = records.filter(col(strCol).isNotNull)
     val regNames = registry
       .select(col(strCol).as("__graft_era_str"), col(entityCol))
       .groupBy(col("__graft_era_str"))
       .agg(min(col(entityCol)).as("__graft_era_ent"))
-    val names = records.select(col(strCol)).distinct()
+    val names = named.select(col(strCol)).distinct()
       .select(col(strCol), col(strCol).as("__graft_era_key"))
     val matched = editDistanceJoin(names, regNames,
       "__graft_era_key", "__graft_era_ent", strCol, "__graft_era_str",
@@ -1470,13 +1582,14 @@ object Dedup {
     val assigned = matched
       .groupBy(col("__graft_era_key").as(strCol))
       .agg(min(col("__graft_era_ent")).as("__graft_era_best"))
-    val fallback = records.groupBy(col(strCol))
+    val fallback = named.groupBy(col(strCol))
       .agg(min(col(idCol)).as("__graft_era_self"))
-    records.join(assigned, Seq(strCol), "left")
+    named.join(assigned, Seq(strCol), "left")
       .join(fallback, Seq(strCol))
-      .withColumn("entity_id",
+      .withColumn(entityCol,
         coalesce(col("__graft_era_best"), col("__graft_era_self")))
-      .select(records.columns.map(col) :+ col("entity_id"): _*)
+      .select(outCols: _*)
+      .unionByName(nullNamed)
   }
 
   /** Content-defined chunking (the FastCDC/rsync family): split each

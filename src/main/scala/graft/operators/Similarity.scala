@@ -340,9 +340,21 @@ object Similarity {
     * set. The final anti-join builds on that (typically tiny) id set.
     * The early-exit `>= threshold` filter means no per-row max is
     * materialized — one hit condemns the row.
+    *
+    * The "tiny id set" assumption is GUARDED, not assumed (ADVICE
+    * r12): the contaminated set is checkpointed and counted; at or
+    * under `broadcastIdsMax` it broadcasts into the anti join (the
+    * common case — benchmark-similar rows are a vanishing corpus
+    * fraction), above it the hint is withheld and the anti join
+    * shuffles the ids (the [[graft.operators.Behavior.pageRank]]
+    * `broadcastRanksMax` pattern — a low threshold or a
+    * benchmark-heavy corpus cannot blow driver/executor memory).
+    * Either way only ID scalars cross the exchange; the checkpoint
+    * also means the expensive cosine sweep runs exactly once.
     */
   def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
-      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+      idCol: String, vecCol: String, threshold: Double,
+      broadcastIdsMax: Long = 4000000L): DataFrame = {
     val b = broadcast(bench.select(col(vecCol).as("__graft_bvec")))
     val contaminated = corpus.select(col(idCol), col(vecCol))
       .crossJoin(b)
@@ -350,13 +362,15 @@ object Similarity {
         >= threshold)
       .select(col(idCol))
       .distinct()
-    // the id set BROADCASTS into the anti join: without the hint
-    // Catalyst cannot see through the distinct that the build side is
-    // small, and plans a sort-merge anti join that ships every corpus
-    // row (vector included) through an exchange — the exact leak the
-    // PlanSpec pin catches. Bound: contaminated ids only (benchmark-
-    // similar rows, a vanishing corpus fraction in any sane setup)
-    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    // the id set BROADCASTS into the anti join while it fits: without
+    // the hint Catalyst cannot see through the distinct that the build
+    // side is small, and plans a sort-merge anti join that ships every
+    // corpus row (vector included) through an exchange — the exact
+    // leak the PlanSpec pin catches
+    val build = if (contaminated.count() <= broadcastIdsMax)
+      broadcast(contaminated) else contaminated
+    corpus.join(build, Seq(idCol), "left_anti")
   }
 
   /** Per-label mean embedding (class centroids) in long form:

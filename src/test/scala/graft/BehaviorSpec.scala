@@ -265,6 +265,18 @@ class BehaviorSpec extends SparkSpec {
     assert(pr2 == shuffled)
   }
 
+  test("personalizedPageRank: an ISOLATED seed (no edges) still emits " +
+      "its teleport mass instead of vanishing (ADVICE r12)") {
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val seeds = Seq("a", "z").toDF("node") // z touches no edge
+    val pr = Behavior.personalizedPageRank(edges, "src", "dst",
+        seeds, "node", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // z: rank = (1-d)*r = 0.15 every round; nothing flows in or out
+    assert(pr.contains("z") && pr("z") == 0.15, pr.toString)
+    assert(pr("a") == 0.15, pr.toString) // a's mass all exits to b
+  }
+
   test("triangleCounts: K4 exact, pendant absent, dirt canonicalized") {
     // K4 on 1..4 (four triangles, each node in three) + pendant node 5
     // + a self-loop, a duplicate edge, and a reversed edge — all of

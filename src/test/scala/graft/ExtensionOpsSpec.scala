@@ -509,6 +509,53 @@ class ExtensionOpsSpec extends SparkSpec {
       13L -> 13L, 14L -> 13L, 15L -> 15L), got.toString)
   }
 
+  test("dedup: entity resolution NULL names resolve to THEMSELVES — " +
+      "not dropped, not unified with each other (ADVICE r12)") {
+    val recs = Seq[(Long, String)](
+      (1L, "alpha"), (2L, null), (3L, null), (4L, "alphq"))
+      .toDF("rec_id", "name")
+    val got = Dedup.resolveEntities(recs, "rec_id", "name", maxDist = 1)
+      .select($"rec_id", $"entity_id").as[(Long, Long)].collect().toMap
+    // named chain merges; each NULL record is its OWN entity
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 1L),
+      got.toString)
+  }
+
+  test("dedup: incremental assignment — NULL batch names become " +
+      "per-RECORD provisional entities; output column is entityCol; " +
+      "pre-existing entityCol column in records is refused") {
+    val registry = Seq((1L, "alpha", 1L)).toDF("rec_id", "name", "ent")
+    val batch = Seq[(Long, String)](
+      (10L, "alphq"), (11L, null), (12L, null))
+      .toDF("rec_id", "name")
+    val got = Dedup.resolveEntitiesAgainst(batch, registry,
+        "rec_id", "name", "ent", maxDist = 1)
+      .select($"rec_id", $"ent").as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 1L, 11L -> 11L, 12L -> 12L), got.toString)
+    // collision guard: records already carrying the output column
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.resolveEntitiesAgainst(batch.withColumn("ent", lit(0L)),
+        registry, "rec_id", "name", "ent", maxDist = 1)
+    }
+    assert(ex.getMessage.contains("collide"), ex.getMessage)
+  }
+
+  test("dedup: semantic decontamination — shuffled-id fallback above " +
+      "broadcastIdsMax is result-identical to the broadcast path") {
+    val mk = (xs: Seq[Double]) => xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (100L, mk(Seq(1.0, 0.0))), (101L, mk(Seq(0.9, 0.1))),
+      (102L, mk(Seq(0.0, 1.0))), (103L, mk(Seq(-1.0, 0.0))))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((1L, mk(Seq(1.0, 0.0)))).toDF("vec_id", "embedding")
+    val kept = (cap: Long) => Similarity.semanticDecontaminate(corpus,
+        bench, "vec_id", "embedding", threshold = 0.9,
+        broadcastIdsMax = cap)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept(4000000L) == Set(102L, 103L))
+    assert(kept(0L) == Set(102L, 103L)) // forced shuffled anti join
+  }
+
   test("dedup: semantic dedup pairs within clusters only; greedy survivors") {
     // centroid seed = the 2 lowest ids: [1,0] and [0,1]. 3,4 cluster
     // with centroid 0; 5 with centroid 1; 6 sits at exactly 45° — the

@@ -15,6 +15,13 @@ either side of the fraction):
     pagerank_edges sample read ratio 1.64 off a 17.75 s 1x where every
     other run's 1x was 6.5-8.1 s) — discarded unless it is the only
     sample. The median is per query, so slow queries are not punished.
+    The reference median is computed over the RATIO-CLEAN samples only
+    (a ratio<0.5-polluted run has a stalled x1 by construction, and
+    letting it into the median weakens the guard exactly when it is
+    needed), and the guard is marked INACTIVE for queries with <3
+    clean samples — with 2 samples max(x1) <= 2*median(x1) always
+    holds, so its silence there is vacuous, not a clean bill
+    (ADVICE r12).
 
 Usage: scale_merge.py OUT.json RUN_SUMMARY.json...
 """
@@ -26,18 +33,31 @@ out, paths = sys.argv[1], sys.argv[2:]
 runs = [json.load(open(p)) for p in paths]
 queries = {}
 dropped = []
+guard_inactive = []
 for k in sorted({q for r in runs for q in r["queries"]}):
     samples = [r["queries"][k] for r in runs if k in r["queries"]]
-    med_x1 = statistics.median(s["x1"] for s in samples)
-    clean = [s for s in samples
-             if s["ratio"] >= 0.5 and s["x1"] <= 2 * med_x1]
+    ratio_clean = [s for s in samples if s["ratio"] >= 0.5]
+    # the stall guard references the median of the ratio-CLEAN x1s
+    # (a ratio<0.5 sample has a stalled x1 by construction); with <3
+    # clean samples the max<=2*median inequality is vacuous for n=2
+    # and meaningless for n=1, so the guard is marked inactive rather
+    # than silently "passing"
+    if len(ratio_clean) >= 3:
+        med_x1 = statistics.median(s["x1"] for s in ratio_clean)
+        clean = [s for s in ratio_clean if s["x1"] <= 2 * med_x1]
+    else:
+        med_x1 = None
+        clean = ratio_clean
+        guard_inactive.append(k)
     if not clean:
         clean = samples  # every sample polluted: raw min, flagged
         dropped.append(f"{k}: ALL samples polluted, raw min kept")
     elif len(clean) < len(samples):
+        med_note = (f"x1 > 2x clean-median {med_x1:.2f}s"
+                    if med_x1 is not None else "stall guard inactive")
         dropped.append(
             f"{k}: {len(samples) - len(clean)} sample(s) discarded "
-            f"(ratio<0.5 or x1 > 2x median {med_x1:.2f}s)")
+            f"(ratio<0.5 or {med_note})")
     best = min(clean, key=lambda s: s["ratio"])
     queries[k] = {
         "x1": round(best["x1"], 3),
@@ -55,9 +75,11 @@ artifact = {
         "(each run min-of-2 timed after a warm-up pass; samples with "
         "ratio <0.5 OR x1 > 2x the per-query median x1 discarded as "
         "polluted — a host stall can flatter either side of the "
-        "fraction) — damps the documented host noise; raw summaries "
-        "in the probe logs/BASELINE.md"),
+        "fraction; the stall guard's median is over ratio-clean "
+        "samples and inactive below 3 of them) — damps the documented "
+        "host noise; raw summaries in the probe logs/BASELINE.md"),
     "worst_ratio": max(v["ratio"] for v in queries.values()),
+    "stall_guard_inactive": sorted(guard_inactive),
     "queries": queries,
 }
 json.dump(artifact, open(out, "w"), indent=1)
