@@ -129,6 +129,85 @@ object Bench {
     java.nio.file.Files.createDirectories(side.getParent)
     java.nio.file.Files.write(side,
       (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Same-code floor side artifact (VERDICT r12 task 5): one official
+    // run lands in whatever host window it lands in — this round's own
+    // logs showed 125/194/177 s on three back-to-back identical runs.
+    // Accumulate the per-query MIN across every full-surface run of
+    // the SAME compiled code at the same SF (the scale artifact's
+    // min-merge protocol), so the official row can be read against a
+    // same-code floor instead of a single window. The fingerprint ties
+    // the floor to the compiled SparkEntry class + the exact query
+    // surface + the SF dir; any recompile or surface change resets it.
+    if (only.isEmpty) writeFloor(results, sfDir)
     spark.stop()
+  }
+
+  private[graft] def writeFloor(results: Map[String, Double],
+      sfDir: String,
+      floorFile: String = "target/bench_floor.json"): Unit = {
+    val fp = {
+      // content hash of the compiled SparkEntry object — classloader-
+      // protocol-agnostic (sbt's layered loaders don't expose file:
+      // URLs reliably), and stable across a touch-without-change
+      val in = SparkEntry.getClass
+        .getResourceAsStream("SparkEntry$.class")
+      val code = if (in != null) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { md.update(buf, 0, n); n = in.read(buf) }
+        in.close()
+        md.digest().map("%02x".format(_)).mkString.take(12)
+      } else "unknown"
+      val surface = java.security.MessageDigest.getInstance("MD5")
+        .digest(results.keys.toSeq.sorted.mkString(",")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(12)
+      s"$code|$surface|$sfDir"
+    }
+    val floorPath = java.nio.file.Paths.get(floorFile)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val prev: Option[(Long, Map[String, Double])] =
+      if (java.nio.file.Files.exists(floorPath)) {
+        try {
+          val node = mapper.readTree(floorPath.toFile)
+          if (node.get("fingerprint").asText() == fp) {
+            val m = scala.collection.mutable.Map[String, Double]()
+            node.get("queries").fields().forEachRemaining { e =>
+              m(e.getKey) = e.getValue.asDouble()
+            }
+            Some((node.get("runs").asLong(), m.toMap))
+          } else None
+        } catch { case _: Throwable => None }
+      } else None
+    // -1 marks a query that failed every pass; a failure never beats a
+    // real sample, and a query with no successful sample yet stays -1
+    def minOk(a: Double, b: Double): Double =
+      (a >= 0, b >= 0) match {
+        case (true, true) => math.min(a, b)
+        case (true, false) => a
+        case (false, true) => b
+        case _ => -1.0
+      }
+    val (runs, merged) = prev match {
+      case Some((n, old)) => (n + 1, results.map { case (k, v) =>
+        k -> minOk(v, old.getOrElse(k, -1.0)) })
+      case None => (1L, results)
+    }
+    val floorTotal = merged.values.filter(_ >= 0).sum
+    val qs = merged.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"bench_floor","value":$floorTotal,"unit":"sec",""" +
+      s""""n":${merged.size},"runs":$runs,"sf":"$sfDir",""" +
+      s""""fingerprint":"$fp","queries":$qs}"""
+    if (floorPath.getParent != null)
+      java.nio.file.Files.createDirectories(floorPath.getParent)
+    java.nio.file.Files.write(floorPath,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(
+      f"[bench] same-code floor after $runs run(s): $floorTotal%.1f s " +
+        "(target/bench_floor.json)")
   }
 }

@@ -744,6 +744,41 @@ object SparkEntry {
     Tables.memoRead(s, path)
   }
 
+  /** The q_boilerplate corpus: every doc gets its source's banner
+    * (100% of the domain → killed at the 0.5 threshold), every 4th
+    * doc a per-source promo (~25% < 50% → kept), body unique per doc
+    * (kept). Shared by the full pass and the kill-list staging so the
+    * frozen artifact is built from exactly the corpus the serving arm
+    * claims as history. */
+  private def boilerCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      col("source"),
+      concat(lit("welcome to "), col("source"), lit("\n"), col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("\nfollow "), col("source"), lit(" on social")))
+          .otherwise(lit(""))).as("text"))
+
+  /** Staged domain-boilerplate kill list — the [[stagedSpanHashes]]
+    * convention on the CCNet-scrubber side: the corpus version's
+    * (domain, line-hash) kill list is written once per (dir, version)
+    * and every scrub tick reads it back, so the bench's min-of-N
+    * measures the steady-state batch scrub with the corpus-wide
+    * counting amortized exactly as in production (restaging is a
+    * scheduled job, not a per-tick cost). */
+  private def stagedBoilerplateKill(s: SparkSession,
+      dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val tag = Tables.dirTag(
+      s"$dir|${src.length()}|${src.lastModified()}|boiler5_500k")
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_staged_boiler_$tag").getAbsolutePath
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Dedup.stageBoilerplateKillList(boilerCorpus(s, dir), "doc_id",
+        "source", "text", path, minDomainDocs = 5L, minFraction = 0.5)
+    Tables.memoRead(s, path)
+  }
+
   /** FROZEN BPE merges — the tokenizer artifact (production
     * tokenizers ship exactly this: an ordered merges file, not the
     * trainer). Learned once with [[TextOps.bpeLearn]] on the sf0.01
@@ -1074,15 +1109,31 @@ object SparkEntry {
     // source's own banner line (100% of the domain -> killed), every
     // 4th doc a per-source promo line (~25% < 50% threshold -> kept),
     // and the body line is unique per doc (kept)
-    "q_boilerplate" -> ((s, dir) => {
-      val corpus = Tables.documents(s, dir).select(col("doc_id"),
-        col("source"),
-        concat(lit("welcome to "), col("source"), lit("\n"), col("text"),
-          when(col("doc_id") % 4 === 0,
-            concat(lit("\nfollow "), col("source"), lit(" on social")))
-            .otherwise(lit(""))).as("text"))
-      Dedup.stripDomainBoilerplate(corpus, "doc_id", "source", "text",
-        minDomainDocs = 5L, minFraction = 0.5)
+    "q_boilerplate" -> ((s, dir) =>
+      Dedup.stripDomainBoilerplate(boilerCorpus(s, dir), "doc_id",
+        "source", "text", minDomainDocs = 5L, minFraction = 0.5)),
+
+    // the SERVING arm (frozen-artifact convention — staged bands /
+    // frozen BPE / staged spans / ER registry): a fresh tick of docs
+    // scrubs against the corpus version's STAGED kill list without
+    // recounting domains. Known-domain banners are killed by the
+    // frozen list; sub-threshold promos survive; docs from a domain
+    // the staging never saw ('freshsource', every 7th) pass through
+    // untouched via the same anti-join
+    "q_boilerplate_incremental" -> ((s, dir) => {
+      val src = when(col("doc_id") % 7 === 0, lit("freshsource"))
+        .otherwise(col("source"))
+      val batch = Tables.documents(s, dir).filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          src.as("source"),
+          concat(lit("welcome to "), src, lit("\nfresh tick "),
+            (col("doc_id") + 1000000L).cast("string"), lit(" "),
+            col("text"),
+            when(col("doc_id") % 4 === 0,
+              concat(lit("\nfollow "), src, lit(" on social")))
+              .otherwise(lit(""))).as("text"))
+      Dedup.stripDomainBoilerplateAgainst(batch, "doc_id", "source",
+        "text", stagedBoilerplateKill(s, dir))
     }),
 
     // corpus-wide exact substring dedup (Lee et al. 2022 suffix-array
@@ -4495,6 +4546,51 @@ object SparkEntry {
          |  CAST(t.n_total - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
          |FROM corpus c
          |LEFT JOIN rebuilt r ON c.doc_id = r.doc_id
+         |JOIN total t ON c.doc_id = t.doc_id""".stripMargin,
+
+    // serving-arm oracle: the kill list is replayed over the HISTORY
+    // corpus only (exactly what the staging froze), then the batch is
+    // scrubbed against it — batch lines never feed the counts
+    "q_boilerplate_incremental" ->
+      s"""WITH corpus AS (SELECT doc_id, source,
+         |  'welcome to ' || source || chr(10) || text ||
+         |  CASE WHEN doc_id % 4 = 0
+         |    THEN chr(10) || 'follow ' || source || ' on social'
+         |    ELSE '' END AS text
+         |  FROM documents),
+         |l AS (SELECT doc_id, source,
+         |  unnest(string_split(text, chr(10))) AS line FROM corpus),
+         |dn AS (SELECT source, count(DISTINCT doc_id) AS dn
+         |  FROM corpus GROUP BY 1),
+         |kill AS (SELECT l.source, md5(l.line) AS k
+         |  FROM l JOIN dn ON l.source = dn.source AND dn.dn >= 5
+         |  GROUP BY l.source, md5(l.line), dn.dn
+         |  HAVING count(DISTINCT l.doc_id) * 1000000 >= 500000 * dn.dn),
+         |b AS (SELECT doc_id + 1000000 AS doc_id,
+         |  CASE WHEN doc_id % 7 = 0 THEN 'freshsource' ELSE source END
+         |    AS source,
+         |  'welcome to ' ||
+         |  CASE WHEN doc_id % 7 = 0 THEN 'freshsource' ELSE source END
+         |  || chr(10) || 'fresh tick ' ||
+         |  CAST(doc_id + 1000000 AS VARCHAR) || ' ' || text ||
+         |  CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'follow ' ||
+         |    CASE WHEN doc_id % 7 = 0 THEN 'freshsource' ELSE source END
+         |    || ' on social' ELSE '' END AS text
+         |  FROM documents WHERE doc_id < 20),
+         |bl AS (SELECT doc_id, source,
+         |  unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+         |  unnest(string_split(text, chr(10))) AS line FROM b),
+         |kept AS (SELECT bl.doc_id, bl.pos, bl.line
+         |  FROM bl LEFT JOIN kill
+         |    ON bl.source = kill.source AND md5(bl.line) = kill.k
+         |  WHERE kill.k IS NULL),
+         |rebuilt AS (SELECT doc_id,
+         |  string_agg(line, chr(10) ORDER BY pos) AS text,
+         |  count(*) AS n_kept FROM kept GROUP BY doc_id),
+         |total AS (SELECT doc_id, count(*) AS n_total FROM bl GROUP BY 1)
+         |SELECT c.doc_id, c.source, coalesce(r.text, '') AS text,
+         |  CAST(t.n_total - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM b c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id
          |JOIN total t ON c.doc_id = t.doc_id""".stripMargin,
 
     // substring-dedup oracle: 8-token windows hashed per position

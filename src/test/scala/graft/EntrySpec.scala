@@ -24,6 +24,32 @@ class EntrySpec extends SparkSpec {
     assert(empty.isEmpty, s"empty results: $empty")
   }
 
+  test("bench floor artifact min-merges same-fingerprint runs, keeps " +
+      "failure sentinels out of the min, resets on surface change") {
+    val f = java.nio.file.Files.createTempFile("graftfloor", ".json")
+      .toString
+    def read() = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      m.readTree(new java.io.File(f))
+    }
+    Bench.writeFloor(Map("a" -> 2.0, "b" -> 5.0, "c" -> -1.0), "sfX", f)
+    assert(read().get("runs").asLong() == 1L)
+    // second run: a slower (old min kept), b faster (new min taken),
+    // c succeeds (replaces the failure sentinel)
+    Bench.writeFloor(Map("a" -> 3.0, "b" -> 4.0, "c" -> 1.5), "sfX", f)
+    val n2 = read()
+    assert(n2.get("runs").asLong() == 2L)
+    assert(n2.get("queries").get("a").asDouble() == 2.0)
+    assert(n2.get("queries").get("b").asDouble() == 4.0)
+    assert(n2.get("queries").get("c").asDouble() == 1.5)
+    assert(n2.get("value").asDouble() == 7.5)
+    // surface change (new query set) => different fingerprint => reset
+    Bench.writeFloor(Map("a" -> 9.0, "d" -> 1.0), "sfX", f)
+    val n3 = read()
+    assert(n3.get("runs").asLong() == 1L)
+    assert(n3.get("queries").get("a").asDouble() == 9.0)
+  }
+
   test("benchOnly is disjoint from queries and never oracled") {
     // benchOnly exists precisely because these configurations are
     // approximate by design: an entry drifting into queries/oracleSql

@@ -449,6 +449,50 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out.size == corpus.count())
   }
 
+  test("dedup: boilerplate serving arm — batch scrubs against the FROZEN " +
+      "kill list; novel domains pass through; batch lines never feed " +
+      "the counts (VERDICT r12 task 4)") {
+    val hist = Seq(
+      (1L, "a", "banner a\nbody one"), (2L, "a", "banner a\nbody two"),
+      (3L, "a", "banner a\nbody three"), (4L, "a", "banner a\nbody four"),
+      (5L, "a", "banner a\nbody five"))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graftboiler").toString
+    Dedup.stageBoilerplateKillList(hist, "doc_id", "source", "text",
+      dir, minDomainDocs = 5L, minFraction = 0.5)
+    val staged = spark.read.parquet(dir)
+    // artifact audit columns: thresholds baked in, hash not text
+    assert(staged.columns.sorted.toSeq ==
+      Seq("k", "min_domain_docs", "min_fraction_ppm", "source"))
+    val batch = Seq(
+      (10L, "a", "banner a\nfresh batch body"), // frozen kill applies
+      // every batch doc carries "batch banner" — 100% of the BATCH's
+      // domain-a docs, but batch lines never feed counts -> survives
+      (11L, "a", "batch banner\nanother body"),
+      (12L, "a", "batch banner\nbanner a"),
+      (13L, "z", "banner z\nnovel domain body")) // unseen domain
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.stripDomainBoilerplateAgainst(batch, "doc_id",
+        "source", "text", staged)
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got(10L) == (("fresh batch body", 1L)), got(10L))
+    assert(got(11L) == (("batch banner\nanother body", 0L)), got(11L))
+    assert(got(12L) == (("batch banner", 1L)), got(12L))
+    assert(got(13L) == (("banner z\nnovel domain body", 0L)), got(13L))
+    // serving == full pass over (hist ∪ batch) restricted to batch ids
+    // ONLY where the batch introduces no new over-threshold lines; doc
+    // 10's row agrees, the batch-banner rows deliberately differ (the
+    // resolveEntitiesAgainst convention: merges wait for the restage)
+    val full = Dedup.stripDomainBoilerplate(hist.unionByName(batch),
+        "doc_id", "source", "text", minDomainDocs = 5L,
+        minFraction = 0.5)
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(full(10L) == got(10L))
+  }
+
   test("dedup: semantic decontamination drops within-threshold rows, " +
       "keeps all corpus columns; empty benchmark is identity") {
     val mk = (xs: Seq[Double]) => xs.map(_.toFloat).toArray

@@ -966,6 +966,66 @@ class StreamingSpec extends SparkSpec {
       x.getMessage.contains("restage or match the width")), e.toString)
   }
 
+  test("streaming boilerplate scrub: micro-batches strip against the " +
+      "STAGED kill list; equals the batch serving arm on every doc " +
+      "(VERDICT r12 task 4)") {
+    // the CCNet-scrubber twin of the staged-span curation job: the
+    // corpus version's (domain, line-hash) kill list stages ONCE;
+    // every micro-batch scrubs its docs against it without recounting
+    // domains — per-doc and state-free, so batch == stream exactly
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val killDir = java.nio.file.Files
+      .createTempDirectory("graftboilkill").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graftboilout").toString
+    val hist = Seq(
+      (1L, "a", "cookie banner\nbody one"),
+      (2L, "a", "cookie banner\nbody two"),
+      (3L, "a", "cookie banner\nbody three"),
+      (4L, "a", "cookie banner\nbody four"),
+      (5L, "a", "cookie banner\nbody five"))
+      .toDF("doc_id", "source", "text")
+    Dedup.stageBoilerplateKillList(hist, "doc_id", "source", "text",
+      killDir, minDomainDocs = 5L, minFraction = 0.5)
+    val staged = spark.read.parquet(killDir)
+    def scrub(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Dedup.stripDomainBoilerplateAgainst(b, "doc_id", "source",
+          "text", staged)
+        .write.mode("append").parquet(outDir)
+    val input = MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("doc_id", "source", "text")
+      .writeStream.foreachBatch(scrub _).outputMode("append").start()
+    val rows = Seq(
+      (10L, "a", "cookie banner\nfresh stream body"),
+      (11L, "z", "cookie banner\nnovel domain keeps it"),
+      (12L, "a", "only novel text here"))
+    input.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    // a later batch still scrubs against the same staged version
+    input.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outDir)
+      .select($"doc_id", $"text", $"n_removed")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // known-domain boilerplate cut; SAME line in an unseen domain kept
+    // (the kill list is domain-scoped, not a global line set)
+    assert(got(10L) == (("fresh stream body", 1L)), got(10L))
+    assert(got(11L) == (("cookie banner\nnovel domain keeps it", 0L)),
+      got(11L))
+    assert(got(12L) == (("only novel text here", 0L)), got(12L))
+    // batch == stream: the one-shot serving arm over all rows agrees
+    val batch = Dedup.stripDomainBoilerplateAgainst(
+        rows.toDF("doc_id", "source", "text"), "doc_id", "source",
+        "text", staged)
+      .select($"doc_id", $"text", $"n_removed")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == batch, s"stream=$got\nbatch=$batch")
+  }
+
   test("frozen-LM surprisal: streaming scores == batch scores") {
     // the production CCNet shape: the unigram model trains ONCE on a
     // reference corpus; every micro-batch scores against that frozen
