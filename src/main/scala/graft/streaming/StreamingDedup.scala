@@ -1270,6 +1270,128 @@ object StreamingDedup {
     s
   }
 
+  /** Closed-integer island list of `A ∖ B` from two CANONICAL
+    * (sorted, disjoint, adjacency-merged) island lists — one linear
+    * merge walk. Output fragments are maximal by construction:
+    * within one A island consecutive fragments are separated by ≥1
+    * B-covered second, and distinct A islands sit ≥2 apart
+    * (adjacency-merged), so no two output fragments are adjacent —
+    * exactly [[graft.operators.TimeSeries.subtractIntervals]]'s
+    * coalescing rule without a coalescing pass.
+    */
+  private def subtractIslands(a: Seq[(Long, Long)],
+      b: Seq[(Long, Long)]): List[(Long, Long)] = {
+    val bv = b.toIndexedSeq
+    val out = List.newBuilder[(Long, Long)]
+    var j = 0
+    a.foreach { case (alo, ahi) =>
+      while (j < bv.length && bv(j)._2 < alo) j += 1
+      var cur = alo
+      var k = j
+      var open = true
+      while (open && cur <= ahi) {
+        if (k < bv.length && bv(k)._1 <= ahi) {
+          if (bv(k)._1 > cur) out += ((cur, bv(k)._1 - 1))
+          cur = math.max(cur, bv(k)._2 + 1)
+          k += 1
+        } else {
+          out += ((cur, ahi))
+          open = false
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Fragment-level streaming twin of [[graft.operators.TimeSeries
+    * .subtractIntervals]] (VERDICT r12 task 8) — the live form of the
+    * `q_subtract_intervals` / `q_coverage_gaps` island rows, where
+    * [[availabilityDowntimeAdjustedStream]] is the live form of their
+    * ppm READOUT: one tagged interval stream (boolean `downCol` marks
+    * the B side) folds into the same two merged island lists per key;
+    * each batch that changes the key's `A ∖ B` fragment set emits the
+    * key's CURRENT maximal fragments — (keys, loCol, hiCol) exactly
+    * as the batch operator lays them — stamped with a per-key
+    * `emit_seq` so a consumer (and the spec) reads the latest
+    * snapshot as the max-seq rows per key. A change to an EMPTY
+    * fragment set (new downtime swallowing all coverage) emits one
+    * tombstone row with NULL lo/hi at the new seq — the batch
+    * operator simply omits the key, and a keyed retraction must be
+    * observable downstream, not silent. Duplicate and out-of-order
+    * deliveries merge idempotently into the island lists (no change
+    * ⇒ no emission); state per key = the two island lists plus the
+    * seq counter, bounded by island counts.
+    */
+  def subtractIntervalsStream(stream: DataFrame, keyCols: Seq[String],
+      loCol: String, hiCol: String, downCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(keyCols.nonEmpty,
+      "subtractIntervalsStream needs at least one key")
+    val keys = keyCols.map(col)
+    val clean = stream
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(downCol).isNotNull &&
+        col(loCol).cast("long") <= col(hiCol).cast("long"))
+      .select(keys ++ Seq(
+        col(loCol).cast("long").as("__lo"),
+        col(hiCol).cast("long").as("__hi"),
+        col(downCol).cast("boolean").as("__down")): _*)
+    val schema = clean.schema
+    val keyIdx = keyCols.indices
+    val loIdx = schema.fieldIndex("__lo")
+    val hiIdx = schema.fieldIndex("__hi")
+    val downIdx = schema.fieldIndex("__down")
+    val outSchema = StructType(
+      keyIdx.map(schema(_)) ++ Seq(
+        StructField(loCol, LongType, nullable = true),
+        StructField(hiCol, LongType, nullable = true),
+        StructField("emit_seq", LongType)))
+    val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    val stateEnc: Encoder[
+        (Seq[(Long, Long)], Seq[(Long, Long)], Long)] =
+      Encoders.product[(Seq[(Long, Long)], Seq[(Long, Long)], Long)]
+    clean
+      .groupByKey((r: Row) =>
+        keyIdx.map { i =>
+          val s = String.valueOf(r.get(i)); s.length + ":" + s
+        }.mkString("|"))(Encoders.STRING)
+      .flatMapGroupsWithState[
+          (Seq[(Long, Long)], Seq[(Long, Long)], Long), Row](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row],
+            state: GroupState[
+              (Seq[(Long, Long)], Seq[(Long, Long)], Long)]) =>
+          val rs = rows.toArray
+          val keyVals = keyIdx.map(rs.head.get)
+          val (beforeUp, beforeDn, seq) =
+            state.getOption.getOrElse((Seq.empty, Seq.empty, 0L))
+          var up = beforeUp.toList
+          var dn = beforeDn.toList
+          rs.foreach { r =>
+            if (r.getBoolean(downIdx))
+              dn = insertIsland(dn, r.getLong(loIdx), r.getLong(hiIdx))
+            else
+              up = insertIsland(up, r.getLong(loIdx), r.getLong(hiIdx))
+          }
+          val before = subtractIslands(beforeUp, beforeDn)
+          val after = subtractIslands(up, dn)
+          if (after == before) {
+            state.update((up, dn, seq))
+            Iterator.empty
+          } else {
+            val s = seq + 1
+            state.update((up, dn, s))
+            if (after.isEmpty)
+              Iterator.single(Row.fromSeq(
+                keyVals ++ Seq[Any](null, null, s)))
+            else after.iterator.map { case (lo, hi) =>
+              Row.fromSeq(keyVals ++ Seq[Any](lo, hi, s))
+            }
+          }
+      }(stateEnc, rowEnc)
+  }
+
   /** Cross-batch streaming twin of [[graft.operators.TimeSeries
     * .availabilityDowntimeAdjusted]] — the live Nagios availability
     * report with scheduled-downtime subtraction. ONE tagged interval

@@ -2020,6 +2020,66 @@ class StreamingSpec extends SparkSpec {
     assert(lastPerKey("h1") == ((60L, 20L, 100L, 80L, 750000L)))
     assert(lastPerKey("h2") == ((10L, 10L, 100L, 90L, 111111L)))
   }
+  test("subtractIntervalsStream: fragment islands == the batch operator " +
+      "after every batch; retraction to empty emits a tombstone; " +
+      "duplicates silent (VERDICT r12 task 8)") {
+    import graft.operators.TimeSeries
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long, Boolean)]
+    val got = scala.collection.mutable.ArrayBuffer[
+      (String, Option[Long], Option[Long], Long)]()
+    val q = StreamingDedup.subtractIntervalsStream(
+        in.toDF().toDF("host", "lo", "hi", "is_down"),
+        Seq("host"), "lo", "hi", "is_down")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.as[(String, Option[Long], Option[Long], Long)]
+          .collect(); ()
+      }.start()
+    // latest snapshot per key = the max-seq rows, tombstone = empty
+    def snapshot = got.groupBy(_._1).view.mapValues { v =>
+      val s = v.map(_._4).max
+      v.filter(r => r._4 == s && r._2.isDefined)
+        .map(r => (r._2.get, r._3.get)).sorted
+    }.toMap
+    def batchFrags(rows: Seq[(String, Long, Long, Boolean)]) = {
+      val up = rows.filter(!_._4).map(r => (r._1, r._2, r._3))
+        .toDF("host", "lo", "hi")
+      val dn = rows.filter(_._4).map(r => (r._1, r._2, r._3))
+        .toDF("host", "lo", "hi")
+      TimeSeries.subtractIntervals(up, dn, Seq("host"), "lo", "hi")
+        .as[(String, Long, Long)].collect().toSeq
+        .groupBy(_._1).view
+        .mapValues(_.map(r => (r._2, r._3)).sorted).toMap
+    }
+    val b1 = Seq(("h1", 100L, 179L, false), // plain coverage
+      ("h2", 120L, 129L, false))
+    val b2 = Seq(("h1", 140L, 159L, true),  // punches a hole -> 2 islands
+      ("h2", 110L, 140L, true))             // swallows h2 -> tombstone
+    val b3 = Seq(("h1", 140L, 159L, true))  // duplicate: silent
+    val b4 = Seq(("h1", 180L, 200L, false)) // adjacent: right island grows
+    try {
+      var seen = Seq.empty[(String, Long, Long, Boolean)]
+      for (b <- Seq(b1, b2, b3, b4)) {
+        in.addData(b: _*); q.processAllAvailable()
+        seen = seen ++ b
+        val want = batchFrags(seen)
+        // the batch operator omits fully-swallowed keys; the stream's
+        // tombstone reads as an empty snapshot — compare non-empty
+        assert(snapshot.filter(_._2.nonEmpty) == want,
+          s"after batch: $snapshot vs $want")
+      }
+    } finally q.stop()
+    // h2's retraction surfaced as a NULL tombstone at its latest seq
+    assert(snapshot("h2").isEmpty, got.toString)
+    assert(got.exists(r => r._1 == "h2" && r._2.isEmpty))
+    // b3 (pure duplicate) emitted nothing: h1's emissions are b1 (1
+    // row), b2 (2 rows), b4 (2 rows — the grown right island re-emits
+    // with its sibling at the same seq)
+    assert(got.count(_._1 == "h1") == 5, got.toString)
+    assert(snapshot("h1") == Seq((100L, 139L), (160L, 200L)))
+  }
+
   test("availabilityDowntimeAdjustedStream == batch on the sf0.001 " +
       "events fixture, tagged union replayed in 3 interleaved batches") {
     import graft.operators.TimeSeries
