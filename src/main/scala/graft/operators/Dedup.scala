@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -437,22 +437,149 @@ object Dedup {
     * Superseded checkpoint blocks are reclaimed by the ContextCleaner
     * once the previous round's frame is unreferenced.
     */
+  /** `localMaxEdges` is the small-graph gate (the pageRank
+    * `broadcastRanksMax` convention): when the symmetrized edge list
+    * is at most this many rows, the closure runs as ONE driver-side
+    * union-find over the (already-materialized) collected edges
+    * instead of 2–6 distributed FastSV rounds — the rounds each cost
+    * several jobs of fixed latency that dwarf the actual work on
+    * entity-resolution name graphs and sf-scale dup graphs (measured:
+    * the ER capstone's closure is all round latency on a 64-name
+    * graph). Labels are IDENTICAL by construction (min id per
+    * component — union-find tracks the same minimum FastSV's
+    * monotone min-label fixpoint converges to; differential
+    * spec-pinned). The collect is bounded by the gate; web-scale pair
+    * tables exceed it and take FastSV unchanged. Pass 0 to force the
+    * distributed path (the FastSV specs do). Value types outside the
+    * portable ordering set (integral, string — compared exactly as
+    * Spark's `least` via binary UTF8String order) fall back to
+    * FastSV regardless of size, as do edge lists containing nulls.
+    */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIters: Int = 50): DataFrame =
-    connectedComponentsWithRounds(pairs, aCol, bCol, maxIters)._1
+      bCol: String = "id_b", maxIters: Int = 50,
+      localMaxEdges: Long = 1000000L): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIters,
+      localMaxEdges)._1
+
+  /** Exact total order matching Spark's `least`/sort order for the
+    * node types the local closure supports. None = unsupported type
+    * (caller falls back to the distributed path).
+    */
+  private def sparkOrdering(dt: org.apache.spark.sql.types.DataType)
+      : Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Some(Ordering.by((v: Any) => v match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case s: Short => s.toLong
+          case b: Byte => b.toLong
+        }))
+      case StringType =>
+        Some(new Ordering[Any] {
+          def compare(a: Any, b: Any): Int =
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(a.asInstanceOf[String])
+              .compareTo(org.apache.spark.unsafe.types.UTF8String
+                .fromString(b.asInstanceOf[String]))
+        })
+      case _ => None
+    }
+  }
+
+  /** Driver-side union-find closure over a collected edge list —
+    * the small-graph arm of [[connectedComponents]]. Returns
+    * (id, component) rows with component = the component's minimum
+    * node value under `ord` (exactly the distributed fixpoint's
+    * labels). Path-compressed, union-by-size: O(E α(E)).
+    */
+  private def localComponents(spark: SparkSession,
+      edges: Array[(Any, Any)], ord: Ordering[Any],
+      dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idx = new java.util.HashMap[Any, Integer]()
+    val vals = new scala.collection.mutable.ArrayBuffer[Any]()
+    def id(v: Any): Int = {
+      val got = idx.get(v)
+      if (got != null) got.intValue
+      else {
+        val i = vals.length
+        idx.put(v, Integer.valueOf(i)); vals += v; i
+      }
+    }
+    edges.foreach { case (a, b) => id(a); id(b) }
+    val parent = Array.tabulate(vals.length)(identity)
+    val size = Array.fill(vals.length)(1)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(idx.get(a)); val rb = find(idx.get(b))
+      if (ra != rb) {
+        if (size(ra) >= size(rb)) { parent(rb) = ra; size(ra) += size(rb) }
+        else { parent(ra) = rb; size(rb) += size(ra) }
+      }
+    }
+    // component label = min node value among members
+    val minOf = new java.util.HashMap[Int, Any]()
+    vals.indices.foreach { i =>
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur == null || ord.lt(vals(i), cur)) minOf.put(r, vals(i))
+    }
+    val rows = new java.util.ArrayList[Row](vals.length)
+    vals.indices.foreach { i =>
+      rows.add(Row(vals(i), minOf.get(find(i))))
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", dt), StructField("component", dt))))
+  }
 
   /** [[connectedComponents]] plus the number of rounds the fixpoint
     * took — the observable the O(log n) contract is pinned on.
     */
   private[graft] def connectedComponentsWithRounds(pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b",
-      maxIters: Int = 50): (DataFrame, Int) = {
+      maxIters: Int = 50, localMaxEdges: Long = 1000000L)
+      : (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(lvl)
-    sym.count() // materialize before per-round multi-branch reuse
+    val symCount = sym.count() // materialize before multi-branch reuse
+    // small-graph gate: the count above already materialized the edge
+    // list, so the collect below re-reads the cache, never recomputes
+    // the (possibly expensive) pair pipeline. Null endpoints fall
+    // through to the distributed path (its join/distinct semantics
+    // own that case); 0 rounds marks the local arm in the observable.
+    if (symCount <= localMaxEdges) {
+      sparkOrdering(sym.schema("src").dataType).foreach { ord =>
+        val edges =
+          try sym.collect().map(r => (r.get(0), r.get(1)))
+          catch { case t: Throwable => sym.unpersist(false); throw t }
+        if (!edges.exists(e => e._1 == null || e._2 == null)) {
+          sym.unpersist(false)
+          return (localComponents(pairs.sparkSession, edges, ord,
+            sym.schema("src").dataType), 0)
+        }
+      }
+    }
     try {
+      // convergence observable: for NUMERIC ids, the exact decimal
+      // label sum (labels decrease monotonically under min, so an
+      // unchanged sum implies an unchanged vector — one aggregate on
+      // the checkpointed frame). Non-numeric ids (string keys — the
+      // r13 differential spec caught the old unconditional decimal
+      // cast throwing on them) use a changed-row probe against the
+      // previous round instead: a node-sized join with early-exit
+      // isEmpty, same O(|V|) round cost class.
+      val numericIds = sym.schema("src").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
       val sumType = org.apache.spark.sql.types.DecimalType(38, 0)
       def labelSum(df: DataFrame): java.math.BigDecimal =
         df.agg(sum(col("component").cast(sumType)))
@@ -460,7 +587,7 @@ object Dedup {
       var labels = sym.select(col("src").as("id")).distinct()
         .withColumn("component", col("id"))
         .localCheckpoint(true)
-      var prevSum = labelSum(labels)
+      var prevSum = if (numericIds) labelSum(labels) else null
       var it = 0
       var converged = false
       while (!converged && it < maxIters) {
@@ -511,10 +638,18 @@ object Dedup {
             coalesce(col("__stoch"), col("component")),
             coalesce(col("__aggr"), col("component"))).as("component"))
           .localCheckpoint(true)
-        val nextSum = labelSum(next)
+        if (numericIds) {
+          val nextSum = labelSum(next)
+          converged = nextSum.compareTo(prevSum) == 0
+          prevSum = nextSum
+        } else {
+          converged = next
+            .join(labels.select(col("id"),
+              col("component").as("__prevc")), Seq("id"))
+            .filter(col("component") =!= col("__prevc"))
+            .isEmpty
+        }
         labels = next
-        converged = nextSum.compareTo(prevSum) == 0
-        prevSum = nextSum
       }
       require(converged,
         s"connectedComponents did not converge in $maxIters rounds")

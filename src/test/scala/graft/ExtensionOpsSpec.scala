@@ -843,7 +843,7 @@ class ExtensionOpsSpec extends SparkSpec {
     val n = 256
     val chain = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
       .toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(chain, maxIters = 16)
+    val comp = Dedup.connectedComponents(chain, maxIters = 16, localMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(comp.size == n)
     assert(comp.values.forall(_ == 0L),
@@ -855,7 +855,7 @@ class ExtensionOpsSpec extends SparkSpec {
     val perm = rng.shuffle((0 until n).toList).map(_.toLong)
     val shuffled = (0 until n - 1).map(i => (perm(i), perm(i + 1)))
       .toDF("id_a", "id_b")
-    val compS = Dedup.connectedComponents(shuffled, maxIters = 16)
+    val compS = Dedup.connectedComponents(shuffled, maxIters = 16, localMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(compS.size == n && compS.values.forall(_ == 0L),
       s"shuffled chain: got components ${compS.values.toSet}")
@@ -863,10 +863,35 @@ class ExtensionOpsSpec extends SparkSpec {
     val two = ((0 until 50).map(i => (i.toLong, i.toLong + 1)) ++
       (100 until 150).map(i => (i.toLong, i.toLong + 1)))
       .toDF("id_a", "id_b")
-    val comp2 = Dedup.connectedComponents(two, maxIters = 16)
+    val comp2 = Dedup.connectedComponents(two, maxIters = 16, localMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert((0 to 50).forall(i => comp2(i.toLong) == 0L))
     assert((100 to 150).forall(i => comp2(i.toLong) == 100L))
+  }
+
+  test("dedup: connected components — the small-graph union-find arm is " +
+      "label-identical to FastSV on chains, cliques, stars and string " +
+      "keys (round 13 gate)") {
+    val rng = new scala.util.Random(7)
+    val perm = rng.shuffle((0 until 200).toList).map(_.toLong)
+    val longs = ((0 until 199).map(i => (perm(i), perm(i + 1))) ++ // chain
+      Seq((500L, 501L), (501L, 502L), (500L, 502L)) ++            // clique
+      (600 until 650).map(i => (599L, i.toLong)))                 // star
+      .toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(longs)
+      .as[(Long, Long)].collect().toMap
+    val fastsv = Dedup.connectedComponents(longs, localMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == fastsv, "long-key labels diverged")
+    // string keys: the local ordering must match Spark's least()
+    val strs = Seq(("b", "a"), ("c", "b"), ("Z", "a"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val localS = Dedup.connectedComponents(strs)
+      .as[(String, String)].collect().toMap
+    val fastsvS = Dedup.connectedComponents(strs, localMaxEdges = 0L)
+      .as[(String, String)].collect().toMap
+    assert(localS == fastsvS, s"$localS vs $fastsvS")
+    assert(localS("x") == "x" && localS("b") == "Z") // binary order: Z < a
   }
 
   test("dedup: simhash fingerprint determinism, hamming, blocking") {

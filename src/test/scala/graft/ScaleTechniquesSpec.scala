@@ -143,7 +143,7 @@ class ScaleTechniquesSpec extends SparkSpec {
     // neighbor array.
     val star = spark.range(1, 100001).select(
       lit(0L).as("id_a"), $"id".as("id_b"))
-    val starLabels = Dedup.connectedComponents(star)
+    val starLabels = Dedup.connectedComponents(star, localMaxEdges = 0L)
     assert(starLabels.count() == 100001)
     assert(starLabels.filter($"component" =!= 0L).count() == 0)
 
@@ -156,14 +156,14 @@ class ScaleTechniquesSpec extends SparkSpec {
     // shape that formulation exists for)
     val chain = spark.range(24).select(
       $"id".as("id_a"), ($"id" + 1).as("id_b"))
-    val chainLabels = Dedup.connectedComponents(chain)
+    val chainLabels = Dedup.connectedComponents(chain, localMaxEdges = 0L)
     assert(chainLabels.count() == 25)
     assert(chainLabels.filter($"component" =!= 0L).count() == 0)
 
     // the maxIters bound REFUSES instead of silently returning a
     // half-converged labeling (a wrong dedup would drop real docs)
     val e = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(chain, maxIters = 3)
+      Dedup.connectedComponents(chain, maxIters = 3, localMaxEdges = 0L)
     }
     assert(e.getMessage.contains("did not converge"))
   }
