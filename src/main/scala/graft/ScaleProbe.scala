@@ -333,6 +333,16 @@ object ScaleProbe {
       // sweep reads 10x intervals per user in the same report window
       // (denser per-key boundary sets, the per-key window contract)
       "boilerplate_full" -> SparkEntry.queries("q_boilerplate"),
+      // the serving arm under corpus growth (round 13, the
+      // entity_assign_incremental convention): a FIXED 20-doc batch
+      // scrubs against the per-(dir, version) STAGED kill list — the
+      // corpus-wide counting is paid once in the warm pass exactly as
+      // a scheduled restage is in production, and the tick itself
+      // touches only the batch plus the batch-domain slice of the
+      // staged parquet, so the ratio certifies the
+      // tick-scales-with-the-batch claim
+      "boilerplate_incremental_scale" ->
+        SparkEntry.queries("q_boilerplate_incremental"),
       // per-copy user shifts: 10x keys at constant per-key density,
       // the availability_scale fleet-growth convention
       "downtime_adjusted" -> ((s: SparkSession, dir: String) => {
