@@ -493,10 +493,14 @@ object ScaleProbe {
           .select(concat(lit("O"), col("l_orderkey")).as("o"),
             concat(lit("S"), col("l_suppkey")).as("p"))
           .distinct()
+        // localMaxEdges=0: this axis certifies the DISTRIBUTED path
+        // (the 1x graph fits the r13 driver arm, the 10x one does
+        // not — a regime flip mid-axis would compare two different
+        // algorithms; the spec convention of the CC/FastSV pins)
         graft.operators.Behavior.pageRank(
           pairs.select(col("o").as("src"), col("p").as("dst"))
             .union(pairs.select(col("p").as("src"), col("o").as("dst"))),
-          "src", "dst", iters = 5)
+          "src", "dst", iters = 5, localMaxEdges = 0L)
       }),
       // sessionization on the HONEST axis: users scale with the data
       // (copy index from the event-id stride re-keys each copy's

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -568,8 +568,17 @@ object Behavior {
     * correlation/moments and centroid oracles). Output:
     * (node, pagerank DOUBLE rounded 6dp).
     *
-    * Plan shape per iteration, chosen by |V| at setup (VERDICT r11
-    * task 6 — measured, not argued):
+    * THREE regimes by graph size (round 13 adds the smallest): at or
+    * under `localMaxEdges` edges (default 2M) the whole fixed-round
+    * loop replays driver-side over the collected (already
+    * checkpointed) edge list — see [[localPageRank]]; every sf-scale
+    * bench graph is otherwise pure multi-job round latency. Pass 0 to
+    * force the distributed path (the scale probe's `pagerank_edges`
+    * axis and the layout A/B specs do — a regime flip mid-axis would
+    * make the 1×/10× ratio compare different algorithms).
+    *
+    * Plan shape per distributed iteration, chosen by |V| at setup
+    * (VERDICT r11 task 6 — measured, not argued):
     *  - |V| ≤ `broadcastRanksMax` (the bench graphs, most entity
     *    graphs): the edge list is pre-partitioned on DST and the
     *    |nodes|-row weighted-rank side BROADCASTS onto it, so the
@@ -596,9 +605,94 @@ object Behavior {
     * window. Out-degree is precomputed once and joined, not windowed,
     * for the same reason.
     */
+  /** Driver-side replay of the EXACT per-round decimal dataflow the
+    * distributed loop runs — the small-graph arm (the
+    * `Dedup.connectedComponents` union-find convention): each helper
+    * reproduces the corresponding Catalyst expression bit-for-bit
+    * (`round(double, s)` = shortest-repr BigDecimal setScale HALF_UP
+    * back to double; `cast(double AS DECIMAL(38,12))` = the same
+    * setScale on the shortest repr; decimal sums are exact and
+    * order-independent in both worlds; `x * 1.0 == x` makes the
+    * uniform restart term `(1−d)` and the personalized `(1−d)·r`
+    * coincide for r = 1), so the local labels hash-match the
+    * distributed ones — differential-spec-pinned AND proven on the
+    * live oracle surface (q_pagerank / q_personalized_pagerank stay
+    * hash-exact with the gate active). Cost: one pass over the
+    * collected edge array per round — BigDecimal adds on the compact
+    * long path, ~1 s for 5 rounds on a 1.2M-edge graph vs 5 rounds
+    * of multi-job latency.
+    */
+  private def localPageRank(spark: SparkSession,
+      edges: Array[(Any, Any)], seeds: Option[Array[Any]], iters: Int,
+      damping: Double, dt: org.apache.spark.sql.types.DataType)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    def roundD(d: Double, s: Int): Double =
+      if (d.isNaN || d.isInfinite) d
+      else java.math.BigDecimal.valueOf(d)
+        .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    def dec12(d: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    val idx = new java.util.HashMap[Any, Integer]()
+    val vals = new scala.collection.mutable.ArrayBuffer[Any]()
+    def id(v: Any): Int = {
+      val got = idx.get(v)
+      if (got != null) got.intValue
+      else { val i = vals.length; idx.put(v, Integer.valueOf(i)); vals += v; i }
+    }
+    val es = edges.map { case (a, b) => (id(a), id(b)) }
+    seeds.foreach(_.foreach(id(_)))
+    val n = vals.length
+    val r = seeds match {
+      case Some(sv) =>
+        val arr = Array.fill(n)(0.0)
+        sv.foreach(v => arr(idx.get(v).intValue) = 1.0)
+        arr
+      case None => Array.fill(n)(1.0)
+    }
+    val deg = Array.fill(n)(0L)
+    es.foreach { case (s, _) => deg(s) += 1 }
+    val oneMinusD = 1.0 - damping
+    var pr = r.clone()
+    for (_ <- 1 to iters) {
+      // prW0: inner join on outDeg (deg>0) + the zero-mass prune —
+      // a no-op for the uniform arm, where pr >= 1-d > 0 always
+      val w = Array.ofDim[java.math.BigDecimal](n)
+      var u = 0
+      while (u < n) {
+        if (deg(u) > 0L && pr(u) != 0.0)
+          w(u) = dec12(roundD(pr(u) / deg(u).toDouble, 12))
+        u += 1
+      }
+      val acc = Array.ofDim[java.math.BigDecimal](n)
+      es.foreach { case (s, d) =>
+        val ws = w(s)
+        if (ws != null) acc(d) = if (acc(d) == null) ws else acc(d).add(ws)
+      }
+      val next = Array.ofDim[Double](n)
+      var v = 0
+      while (v < n) {
+        val in = if (acc(v) == null) 0.0 else acc(v).doubleValue()
+        next(v) = roundD(oneMinusD * r(v) + damping * in, 12)
+        v += 1
+      }
+      pr = next
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+    var i = 0
+    while (i < n) {
+      rows.add(org.apache.spark.sql.Row(vals(i), roundD(pr(i), 6)))
+      i += 1
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("node", dt), StructField("pagerank", DoubleType))))
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, damping: Double = 0.85,
-      broadcastRanksMax: Long = 4000000L): DataFrame = {
+      broadcastRanksMax: Long = 4000000L,
+      localMaxEdges: Long = 2000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0,1)")
     // Node type is PRESERVED, not cast to string — callers with
@@ -618,6 +712,12 @@ object Behavior {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .repartition(col("dst"))
       .localCheckpoint(true)
+    // small-graph gate: the checkpoint above already materialized the
+    // edge list, so the count and the collect both read the cache
+    if (e0.count() <= localMaxEdges)
+      return localPageRank(edges.sparkSession,
+        e0.collect().map(r => (r.get(0), r.get(1))), None, iters,
+        damping, e0.schema("src").dataType)
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
@@ -679,7 +779,8 @@ object Behavior {
   def personalizedPageRank(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: DataFrame, seedCol: String,
       iters: Int = 5, damping: Double = 0.85,
-      broadcastRanksMax: Long = 4000000L): DataFrame = {
+      broadcastRanksMax: Long = 4000000L,
+      localMaxEdges: Long = 2000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0,1)")
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -688,6 +789,18 @@ object Behavior {
       .localCheckpoint(true)
     val seedSet = seeds.select(col(seedCol).as("node"))
       .filter(col("node").isNotNull).distinct()
+    // small-graph gate (the pageRank arm's twin): the seed collect is
+    // BOUNDED by limit — an over-limit seed set falls through to the
+    // distributed path without ever materializing on the driver
+    if (e0.count() <= localMaxEdges) {
+      val sv = seedSet.limit(
+        (localMaxEdges + 1).min(Int.MaxValue.toLong).toInt).collect()
+      if (sv.length <= localMaxEdges)
+        return localPageRank(edges.sparkSession,
+          e0.collect().map(r => (r.get(0), r.get(1))),
+          Some(sv.map(_.get(0))), iters, damping,
+          e0.schema("src").dataType)
+    }
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node")))
       .union(seedSet) // isolated seeds stay in the frame (teleport mass)

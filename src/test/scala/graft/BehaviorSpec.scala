@@ -228,13 +228,20 @@ class BehaviorSpec extends SparkSpec {
       (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L),
       (5L, 1L), (5L, 3L), (2L, 4L)
     ).toDF("src", "dst")
-    val bcast = Behavior.pageRank(edges, "src", "dst", iters = 5)
+    val bcast = Behavior.pageRank(edges, "src", "dst", iters = 5,
+        localMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val shuffled = Behavior.pageRank(edges, "src", "dst", iters = 5,
-        broadcastRanksMax = 0L)
+        broadcastRanksMax = 0L, localMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(bcast == shuffled,
       s"layout changed the result: $bcast vs $shuffled")
+    // r13: the driver-side small-graph arm replays the same decimal
+    // dataflow — all THREE regimes bit-identical
+    val local = Behavior.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(local == bcast,
+      s"local arm changed the result: $local vs $bcast")
   }
 
   test("personalizedPageRank: hand-replayed 2 iterations; restart mass " +
@@ -260,9 +267,16 @@ class BehaviorSpec extends SparkSpec {
     assert(pr2("a") > pr2("b"))
     // layout gate invisible in values (the pageRank r12 contract)
     val shuffled = Behavior.personalizedPageRank(edges2, "src", "dst",
-        seeds, "node", iters = 4, broadcastRanksMax = 0L)
+        seeds, "node", iters = 4, broadcastRanksMax = 0L,
+        localMaxEdges = 0L)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(pr2 == shuffled)
+    // r13: and the distributed broadcast regime == the local arm that
+    // produced pr2 (string keys exercise the Any-keyed index path)
+    val dist = Behavior.personalizedPageRank(edges2, "src", "dst",
+        seeds, "node", iters = 4, localMaxEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr2 == dist, s"local vs distributed: $pr2 vs $dist")
   }
 
   test("personalizedPageRank: an ISOLATED seed (no edges) still emits " +

@@ -73,12 +73,12 @@ object ProfilePR {
     }
     // alternating passes: order bias cancels
     for (p <- 1 to 3) {
-      run(s"shuffle_p$p")(operators.Behavior.pageRank(edges, "src", "dst", 5,
+      run(s"shuffle_p$p")(operators.Behavior.pageRank(edges, "src", "dst", 5, localMaxEdges = 0L,
         broadcastRanksMax = 0L)) // force the shuffle path
-      run(s"bcast_p$p")(operators.Behavior.pageRank(edges, "src", "dst", 5))
+      run(s"bcast_p$p")(operators.Behavior.pageRank(edges, "src", "dst", 5, localMaxEdges = 0L))
     }
     // cross-check results identical
-    val a = operators.Behavior.pageRank(edges, "src", "dst", 5, broadcastRanksMax = 0L)
+    val a = operators.Behavior.pageRank(edges, "src", "dst", 5, broadcastRanksMax = 0L, localMaxEdges = 0L)
     val b = operators.Behavior.pageRank(edges, "src", "dst", 5)
     println("=== diff rows: " + a.except(b).union(b.except(a)).count())
     spark.stop()

@@ -79,7 +79,7 @@ object ProfilePagerank {
           recs.set(0); bytes.set(0)
           val t0 = System.nanoTime()
           graft.operators.Behavior.pageRank(e0, "src", "dst",
-              iters = 5, broadcastRanksMax = bMax)
+              iters = 5, broadcastRanksMax = bMax, localMaxEdges = 0L)
             .write.mode("overwrite").format("noop").save()
           val wall = (System.nanoTime() - t0) / 1e9
           // listener events drain asynchronously (the bus is
