@@ -146,19 +146,49 @@ object Bench {
       sfDir: String,
       floorFile: String = "target/bench_floor.json"): Unit = {
     val fp = {
-      // content hash of the compiled SparkEntry object — classloader-
-      // protocol-agnostic (sbt's layered loaders don't expose file:
-      // URLs reliably), and stable across a touch-without-change
-      val in = SparkEntry.getClass
-        .getResourceAsStream("SparkEntry$.class")
-      val code = if (in != null) {
-        val md = java.security.MessageDigest.getInstance("MD5")
+      // content hash of the WHOLE compiled library, not just one
+      // class (the r13 pageRank gate changed Behavior.scala without
+      // touching SparkEntry — a single-class fingerprint would have
+      // merged pre- and post-gate runs as "same code"): walk every
+      // .class under the code-source directory in sorted order and
+      // hash (path, length, content). Falls back to hashing the jar
+      // bytes, then to the single-class stream, then to "unknown".
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hashStream(in: java.io.InputStream): Unit = {
         val buf = new Array[Byte](8192)
         var n = in.read(buf)
         while (n > 0) { md.update(buf, 0, n); n = in.read(buf) }
         in.close()
-        md.digest().map("%02x".format(_)).mkString.take(12)
-      } else "unknown"
+      }
+      val src = Option(SparkEntry.getClass.getProtectionDomain)
+        .flatMap(d => Option(d.getCodeSource))
+        .flatMap(cs => Option(cs.getLocation))
+      val code = src match {
+        case Some(url) if url.getProtocol == "file" =>
+          val root = new java.io.File(url.toURI)
+          if (root.isDirectory) {
+            val files = new scala.collection.mutable.ArrayBuffer[java.io.File]()
+            def walk(f: java.io.File): Unit =
+              if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(walk)
+              else if (f.getName.endsWith(".class")) files += f
+            walk(root)
+            files.sortBy(_.getPath).foreach { f =>
+              md.update(f.getPath.getBytes("UTF-8"))
+              hashStream(new java.io.FileInputStream(f))
+            }
+            md.digest().map("%02x".format(_)).mkString.take(12)
+          } else { // a jar
+            hashStream(new java.io.FileInputStream(root))
+            md.digest().map("%02x".format(_)).mkString.take(12)
+          }
+        case _ =>
+          val in = SparkEntry.getClass
+            .getResourceAsStream("SparkEntry$.class")
+          if (in != null) {
+            hashStream(in)
+            md.digest().map("%02x".format(_)).mkString.take(12)
+          } else "unknown"
+      }
       val surface = java.security.MessageDigest.getInstance("MD5")
         .digest(results.keys.toSeq.sorted.mkString(",")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
