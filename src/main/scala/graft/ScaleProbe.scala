@@ -691,15 +691,20 @@ object ScaleProbe {
       // bounded. Generated, not materialized: the O(E) hash-draw cost
       // is noise against the triangle join, so the missing scan floor
       // only makes the ratio conservative (zipfCorpus note).
+      // localMaxEdges=0 on both graph rows: the axes certify the
+      // DISTRIBUTED wedge join / peel (the 1x graphs fit the r13
+      // driver arms, the 10x ones do not — the pagerank_edges rule)
       "triangles_zipf" -> ((s: SparkSession, dir: String) =>
         graft.operators.Behavior.triangleCounts(
-          zipfEdges(s, dir, scaleDir, factor), "src", "dst")),
+          zipfEdges(s, dir, scaleDir, factor), "src", "dst",
+          localMaxEdges = 0L)),
       // k-core peel on the same Zipf-degree graph: per-round degree
       // aggregates map-side-combine the hub, the keep list semi-joins
       // back — rounds are data-bounded shells, never a hub window
       "kcore_zipf" -> ((s: SparkSession, dir: String) =>
         graft.operators.Behavior.kCore(
-          zipfEdges(s, dir, scaleDir, factor), "src", "dst", k = 3)))
+          zipfEdges(s, dir, scaleDir, factor), "src", "dst", k = 3,
+          localMaxEdges = 0L)))
 
   /** Zipf-DEGREE random graph shared by the graph-family probes:
     * both endpoints drawn by the corpus axis's inverse-CDF Zipf,

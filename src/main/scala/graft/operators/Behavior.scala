@@ -881,8 +881,35 @@ object Behavior {
     * operator REFUSES (raise, not silent truncation) if the fixpoint
     * is not reached — partial peels are not a k-core.
     */
+  /** Index map shared by the small-graph arms: values → dense ints,
+    * appearance order (no ordering requirement — peel rounds and
+    * triangle counts are invariant under node relabeling). */
+  private def indexNodes(edges: Array[(Any, Any)])
+      : (java.util.HashMap[Any, Integer],
+         scala.collection.mutable.ArrayBuffer[Any], Array[(Int, Int)]) = {
+    val idx = new java.util.HashMap[Any, Integer]()
+    val vals = new scala.collection.mutable.ArrayBuffer[Any]()
+    def id(v: Any): Int = {
+      val got = idx.get(v)
+      if (got != null) got.intValue
+      else { val i = vals.length; idx.put(v, Integer.valueOf(i)); vals += v; i }
+    }
+    (idx, vals, edges.map { case (a, b) => (id(a), id(b)) })
+  }
+
+  /** `localMaxEdges` gates the r13 small-graph arm (the
+    * [[graft.operators.Dedup.connectedComponents]] /[[pageRank]]
+    * convention): at or under it, the peel runs driver-side over the
+    * collected canonical edge list — every round is otherwise a
+    * degree aggregate plus two semi-joins of fixed job latency. The
+    * peel is pure integer arithmetic on a relabeling-invariant graph,
+    * so the surviving (node, core_degree) rows are identical by
+    * construction (differential-spec-pinned); the `maxIters` refusal
+    * fires on the same round count. The scale probe's `kcore_zipf`
+    * axis pins `localMaxEdges = 0` (regime-consistent 1×/10×).
+    */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-      maxIters: Int = 40): DataFrame = {
+      maxIters: Int = 40, localMaxEdges: Long = 1000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     var surv = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
@@ -896,6 +923,34 @@ object Behavior {
       .union(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
     var nEdges = surv.count()
+    if (nEdges <= localMaxEdges) {
+      val dt = surv.schema("u").dataType
+      val (_, vals, es0) = indexNodes(
+        surv.collect().map(r => (r.get(0), r.get(1))))
+      var es = es0
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIters) {
+        it += 1
+        val d = Array.fill(vals.length)(0L)
+        es.foreach { case (u, v) => d(u) += 1; d(v) += 1 }
+        val next = es.filter { case (u, v) => d(u) >= k && d(v) >= k }
+        converged = next.length == es.length
+        es = next
+      }
+      require(converged,
+        s"kCore did not reach the fixpoint in $maxIters rounds")
+      val d = Array.fill(vals.length)(0L)
+      es.foreach { case (u, v) => d(u) += 1; d(v) += 1 }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      vals.indices.foreach { i =>
+        if (d(i) > 0L)
+          rows.add(org.apache.spark.sql.Row(vals(i), d(i)))
+      }
+      import org.apache.spark.sql.types._
+      return edges.sparkSession.createDataFrame(rows, StructType(Seq(
+        StructField("node", dt), StructField("core_degree", LongType))))
+    }
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -917,8 +972,17 @@ object Behavior {
     degrees(surv).select(col("node"), col("d").as("core_degree"))
   }
 
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String)
-      : DataFrame = {
+  /** `localMaxEdges` gates the r13 small-graph arm: per-node triangle
+    * counts are orientation- and relabeling-INVARIANT (every triangle
+    * is counted once under ANY acyclic orientation from a strict
+    * total order), so the driver-side degree-ordered wedge
+    * enumeration — the same Schank–Wagner algorithm, O(Σ C(d⁺,2))
+    * candidate work — returns identical rows without needing Spark's
+    * value ordering for ties (index order serves). The scale probe's
+    * `triangles_zipf` axis pins `localMaxEdges = 0`.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      localMaxEdges: Long = 1000000L): DataFrame = {
     // materialize the canonical edge set ONCE: it feeds the degree
     // aggregate (twice, via the endpoint union) and the orientation
     // join, and `o` below feeds three join sides — without the
@@ -932,6 +996,61 @@ object Behavior {
         col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    if (e0.count() <= localMaxEdges) {
+      val dt = e0.schema("u").dataType
+      val (_, vals, es) = indexNodes(
+        e0.collect().map(r => (r.get(0), r.get(1))))
+      val n = vals.length
+      val deg = Array.fill(n)(0)
+      es.foreach { case (u, v) => deg(u) += 1; deg(v) += 1 }
+      // orient low→high under (degree, index); out-adjacency sorted
+      // for merge intersection
+      def lowFirst(u: Int, v: Int): Boolean =
+        deg(u) < deg(v) || (deg(u) == deg(v) && u < v)
+      val outDeg = Array.fill(n)(0)
+      es.foreach { case (u, v) =>
+        if (lowFirst(u, v)) outDeg(u) += 1 else outDeg(v) += 1 }
+      val adj = Array.tabulate(n)(i => new Array[Int](outDeg(i)))
+      val fill = Array.fill(n)(0)
+      es.foreach { case (u, v) =>
+        val (a, b) = if (lowFirst(u, v)) (u, v) else (v, u)
+        adj(a)(fill(a)) = b; fill(a) += 1
+      }
+      adj.foreach(java.util.Arrays.sort)
+      val tri = Array.fill(n)(0L)
+      var a = 0
+      while (a < n) {
+        val na = adj(a)
+        var i = 0
+        while (i < na.length) {
+          val b = na(i)
+          val nb = adj(b)
+          // merge-intersect N+(a) and N+(b): each common c closes a
+          // triangle (a,b,c), counted exactly once
+          var p = 0; var q = 0
+          while (p < na.length && q < nb.length) {
+            if (na(p) < nb(q)) p += 1
+            else if (na(p) > nb(q)) q += 1
+            else {
+              tri(a) += 1L; tri(b) += 1L; tri(na(p)) += 1L
+              p += 1; q += 1
+            }
+          }
+          i += 1
+        }
+        a += 1
+      }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      var v = 0
+      while (v < n) {
+        if (tri(v) > 0L)
+          rows.add(org.apache.spark.sql.Row(vals(v), tri(v)))
+        v += 1
+      }
+      import org.apache.spark.sql.types._
+      return edges.sparkSession.createDataFrame(rows, StructType(Seq(
+        StructField("node", dt), StructField("triangles", LongType))))
+    }
     val deg = e0.select(col("u").as("node"))
       .union(e0.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))

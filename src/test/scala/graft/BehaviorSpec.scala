@@ -304,6 +304,12 @@ class BehaviorSpec extends SparkSpec {
     val got = Behavior.triangleCounts(edges, "s", "d")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // r13 differential: the distributed wedge join returns the same
+    // rows as the driver-side arm the default gate just took
+    val dist = Behavior.triangleCounts(edges, "s", "d",
+        localMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == got, s"local vs distributed: $got vs $dist")
   }
 
   test("kaplanMeier: hand-checked curve — censored subjects shrink " +
@@ -365,6 +371,13 @@ class BehaviorSpec extends SparkSpec {
     val again = Behavior.kCore(messy, "s", "d", k = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == k2)
+    // r13 differentials: the distributed peel matches the driver-side
+    // arm (same rows, same empty-at-k=4, cascade included)
+    val dist = Behavior.kCore(edges, "s", "d", k = 2, localMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == k2, s"local vs distributed: $k2 vs $dist")
+    assert(Behavior.kCore(edges, "s", "d", k = 4,
+      localMaxEdges = 0L).count() == 0L)
   }
 
   test("triangleCounts: two shared-edge triangles; partition-invariant") {

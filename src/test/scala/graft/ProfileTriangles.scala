@@ -39,9 +39,9 @@ object ProfileTriangles {
       .filter(col("s") >= 2).select(col("u"), col("v"))
     t("edges support>=2")(edges.count())
     t("warm full query")(operators.Behavior
-      .triangleCounts(edges, "u", "v").count())
+      .triangleCounts(edges, "u", "v", localMaxEdges = 0L).count())
     t("second full query")(operators.Behavior
-      .triangleCounts(edges, "u", "v").count())
+      .triangleCounts(edges, "u", "v", localMaxEdges = 0L).count())
     pairs.sparkSession.sharedState.cacheManager.clearCache()
     spark.stop()
   }
