@@ -169,7 +169,12 @@ object Bench {
           if (root.isDirectory) {
             val files = new scala.collection.mutable.ArrayBuffer[java.io.File]()
             def walk(f: java.io.File): Unit =
-              if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(walk)
+              // listFiles() returns NULL (not empty) on an unreadable
+              // dir — guard, or the whole floor write dies on one
+              // permission quirk in the class tree (ADVICE r13)
+              if (f.isDirectory)
+                Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+                  .sortBy(_.getName).foreach(walk)
               else if (f.getName.endsWith(".class")) files += f
             walk(root)
             files.sortBy(_.getPath).foreach { f =>
@@ -225,17 +230,24 @@ object Bench {
       case None => (1L, results)
     }
     val floorTotal = merged.values.filter(_ >= 0).sum
-    val qs = merged.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"bench_floor","value":$floorTotal,"unit":"sec",""" +
-      s""""n":${merged.size},"runs":$runs,"sf":"$sfDir",""" +
-      s""""fingerprint":"$fp","queries":$qs}"""
+    // emit via Jackson, not string interpolation (ADVICE r13): a
+    // quote/backslash in sfDir or a query key must be escaped, not
+    // pasted — a malformed side artifact is worse than none
+    val root = mapper.createObjectNode()
+    root.put("metric", "bench_floor")
+    root.put("value", floorTotal)
+    root.put("unit", "sec")
+    root.put("n", merged.size)
+    root.put("runs", runs)
+    root.put("sf", sfDir)
+    root.put("fingerprint", fp)
+    val qNode = root.putObject("queries")
+    merged.toSeq.sortBy(_._1).foreach { case (k, v) => qNode.put(k, v) }
     if (floorPath.getParent != null)
       java.nio.file.Files.createDirectories(floorPath.getParent)
     java.nio.file.Files.write(floorPath,
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (mapper.writeValueAsString(root) + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(
       f"[bench] same-code floor after $runs run(s): $floorTotal%.1f s " +
         "(target/bench_floor.json)")

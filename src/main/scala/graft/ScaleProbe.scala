@@ -332,7 +332,30 @@ object ScaleProbe {
       // the per-domain counts grow on the honest axis; the downtime
       // sweep reads 10x intervals per user in the same report window
       // (denser per-key boundary sets, the per-key window contract)
-      "boilerplate_full" -> SparkEntry.queries("q_boilerplate"),
+      // r14 (VERDICT r13 task 5): the raw sf0.1 1x side ran ~0.47 s —
+      // fixed-cost dominated, so this row flapped over 2.0 on session
+      // noise alone. Replicate the corpus 4x on BOTH axes (id-shifted
+      // copies over the SAME source set, so per-domain density grows —
+      // the honest axis for a relative-threshold kill list) and the
+      // denominator measures scaling work instead of session fixed
+      // cost; the 10x side still reads 10x the docs per domain.
+      "boilerplate_full" -> ((s: SparkSession, dir: String) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val rep = (0 until 4).map(i => docs.select(
+            (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+            col("source"), col("text")))
+          .reduce(_ unionByName _)
+        // the q_boilerplate corpus mangle, verbatim (shift is a
+        // multiple of 4, so each copy keeps the every-4th promo line)
+        val corpus = rep.select(col("doc_id"), col("source"),
+          concat(lit("welcome to "), col("source"), lit("\n"),
+            col("text"),
+            when(col("doc_id") % 4 === 0,
+              concat(lit("\nfollow "), col("source"), lit(" on social")))
+              .otherwise(lit(""))).as("text"))
+        graft.operators.Dedup.stripDomainBoilerplate(corpus, "doc_id",
+          "source", "text", minDomainDocs = 5L, minFraction = 0.5)
+      }),
       // the serving arm under corpus growth (round 13, the
       // entity_assign_incremental convention): a FIXED 20-doc batch
       // scrubs against the per-(dir, version) STAGED kill list — the

@@ -96,20 +96,78 @@ object SparkEntry {
     * for the same 1.2M pairs (measured ~2× the wall-clock at sf0.1).
     * ONE definition on each side (SQL twin in [[coPurchaseEdgesSql]]).
     */
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-    val pairs = li.groupBy(col("l_orderkey"))
-      .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
-        .as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps)), " +
-          "y -> struct(x AS u, y AS v))))")).as("p"))
-      .select(col("p.u").as("u"), col("p.v").as("v"))
-    pairs.groupBy(col("u"), col("v"))
-      .agg(count(lit(1)).as("s"))
-      .filter(col("s") >= 2).select(col("u"), col("v"))
+  private val coPurchaseEdgesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  // Memoized WITH checkpoint (VERDICT r13 task 3 — the
+  // [[nearDupPairsShared]] convention, but materialized): the r13
+  // small-graph arms made the triangle/k-core kernels ~free, so the
+  // edge derivation (per-order fold + support-2 aggregate) became the
+  // dominant cost of BOTH q_triangles and q_kcore — and it is the
+  // SAME canonical edge set. One derivation per (session, dir); both
+  // queries read the checkpointed |E|-row id table. Evicted with the
+  // session like every memo here.
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    memoized(coPurchaseEdgesMemo, s, dir) {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.groupBy(col("l_orderkey"))
+        .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
+          .as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), " +
+            "y -> struct(x AS u, y AS v))))")).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+      pairs.groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("s"))
+        .filter(col("s") >= 2).select(col("u"), col("v"))
+    }
+
+  /** The order/supplier bipartite graph on LONG node ids
+    * (orderkey*2 / suppkey*2+1) shared by the PageRank queries and
+    * their forced-distributed verify twins: rank values are
+    * independent of node naming, and long join keys roughly halve the
+    * per-iteration join/agg cost vs label strings (measured
+    * 6.4s -> 5.0s solo-bench). The 'O…'/'S…' labels attach only on
+    * the final |nodes|-row result ([[labelRankNodes]]).
+    */
+  private def orderSupplierEdges(s: SparkSession, dir: String)
+      : DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .select((col("l_orderkey").cast("long") * 2).as("o"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("p"))
+      .distinct()
+    pairs.select(col("o").as("src"), col("p").as("dst"))
+      .union(pairs.select(col("p").as("src"), col("o").as("dst")))
+  }
+
+  private def labelRankNodes(ranked: DataFrame): DataFrame =
+    ranked.select(when(col("node") % 2 === 0,
+        concat(lit("O"), (col("node") / 2).cast("long")))
+      .otherwise(concat(lit("S"), ((col("node") - 1) / 2)
+        .cast("long"))).as("node"),
+      col("pagerank"))
+
+  /** ONE body for `q_pagerank` and its `_dist` verify twin — only the
+    * small-graph gate differs (ADVICE r13: the gated queries oracle
+    * the driver arm at verify SF, so the distributed decimal dataflow
+    * keeps its own driver-oracle row via `localMaxEdges = 0`).
+    */
+  private def pageRankQuery(s: SparkSession, dir: String,
+      localMaxEdges: Long = 2000000L): DataFrame =
+    labelRankNodes(operators.Behavior.pageRank(
+      orderSupplierEdges(s, dir), "src", "dst",
+      iters = 3, damping = 0.85, localMaxEdges = localMaxEdges))
+
+  /** ONE body for `q_personalized_pagerank` and its `_dist` twin. */
+  private def pprQuery(s: SparkSession, dir: String,
+      localMaxEdges: Long = 2000000L): DataFrame = {
+    val seeds = Tables.lineitem(s, dir)
+      .filter(col("l_suppkey") % 10 === 0)
+      .select((col("l_suppkey").cast("long") * 2 + 1).as("node"))
+    labelRankNodes(operators.Behavior.personalizedPageRank(
+      orderSupplierEdges(s, dir), "src", "dst", seeds, "node",
+      iters = 3, damping = 0.85, localMaxEdges = localMaxEdges))
   }
 
   /** CTEs `p`, `e0` — the SQL twin of [[coPurchaseEdges]]. */
@@ -681,6 +739,35 @@ object SparkEntry {
     memoized(nearDupPairsMemo, s, dir, checkpoint = false)(
       Dedup.minhashNearDupPairs(nearDupCorpus(s, dir), "doc_id", "text",
         numHashes = 64, bands = 32, threshold = 0.5))
+
+  /** Shared Theil–Sen staging (VERDICT r13 task 8): `q_theil_sen`
+    * (exact, cap 4096) and `q_theil_sen_sampled` (cap 64, mod-7 pair
+    * sample) fit DIFFERENT policies over the SAME per-user series —
+    * the dominant cost of both is the in-series pair self-join, and
+    * the sampled arm's pair set is a pure filter of the exact arm's.
+    * Stage the points + pair pool once per (session, dir)
+    * (checkpointed), let each query run only its
+    * [[operators.TimeSeries.theilSenFit]] policy tail. Fits are
+    * bit-identical to the one-shot operator (TimeSeriesSpec pins the
+    * pooled-vs-direct differential), so both oracles stand unchanged.
+    */
+  private val theilSenStageMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+  private def theilSenStaged(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val key = (s, dir)
+    val hit = theilSenStageMemo.get(key)
+    if (hit != null) return hit
+    theilSenStageMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("x"),
+        col("value"))
+    val (pts, pool) = operators.TimeSeries.theilSenPairPool(
+      ev, Seq("user_id"), "x", "value")
+    val staged = (pts.localCheckpoint(true), pool.localCheckpoint(true))
+    val prev = theilSenStageMemo.putIfAbsent(key, staged)
+    if (prev != null) prev else staged
+  }
 
   private def stagedHistoryBands(s: SparkSession, dir: String): DataFrame = {
     val src = new java.io.File(s"$dir/documents.parquet")
@@ -3062,10 +3149,8 @@ object SparkEntry {
     // residual intercept — both exact rank-selected sample elements,
     // so the whole fit replays without an averaging step
     "q_theil_sen" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), unix_timestamp(col("ts")).as("x"),
-          col("value"))
-      operators.TimeSeries.theilSen(ev, Seq("user_id"), "x", "value")
+      val (pts, pool) = theilSenStaged(s, dir)
+      operators.TimeSeries.theilSenFit(pts, pool, Seq("user_id"))
     }),
 
     // the scale-graceful Theil-Sen arm (VERDICT r9 task 4): series
@@ -3075,10 +3160,8 @@ object SparkEntry {
     // one query oracles the exact arm, the sampled arm, and the
     // boundary between them
     "q_theil_sen_sampled" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), unix_timestamp(col("ts")).as("x"),
-          col("value"))
-      operators.TimeSeries.theilSen(ev, Seq("user_id"), "x", "value",
+      val (pts, pool) = theilSenStaged(s, dir)
+      operators.TimeSeries.theilSenFit(pts, pool, Seq("user_id"),
         maxPointsPerSeries = 64, oversizePairSampleMod = 7)
     }),
 
@@ -3461,49 +3544,13 @@ object SparkEntry {
     // BehaviorSpec's 5-round fixtures); contributions sum as
     // DECIMAL(38,12) so the result is reduce-order-independent and
     // replayable by the oracle's unrolled-CTE chain
-    "q_pagerank" -> ((s, dir) => {
-      // iterate on LONG node ids (orderkey*2 / suppkey*2+1) and
-      // attach the 'O…'/'S…' labels only on the final |nodes|-row
-      // result: rank values are independent of node naming, and long
-      // join keys roughly halve the per-iteration join/agg cost vs
-      // label strings (measured 6.4s -> 5.0s solo-bench)
-      val pairs = Tables.lineitem(s, dir)
-        .select((col("l_orderkey").cast("long") * 2).as("o"),
-          (col("l_suppkey").cast("long") * 2 + 1).as("p"))
-        .distinct()
-      val edges = pairs.select(col("o").as("src"), col("p").as("dst"))
-        .union(pairs.select(col("p").as("src"), col("o").as("dst")))
-      operators.Behavior.pageRank(edges, "src", "dst",
-          iters = 3, damping = 0.85)
-        .select(when(col("node") % 2 === 0,
-            concat(lit("O"), (col("node") / 2).cast("long")))
-          .otherwise(concat(lit("S"), ((col("node") - 1) / 2)
-            .cast("long"))).as("node"),
-          col("pagerank"))
-    }),
+    "q_pagerank" -> ((s, dir) => pageRankQuery(s, dir)),
 
     // personalized PageRank on the same order/supplier graph: restart
     // mass concentrated on every-10th supplier — proximity-to-seeds
     // scores, the seeded-relevance readout global centrality can't
     // express; same long-id trick, labels attached at the end
-    "q_personalized_pagerank" -> ((s, dir) => {
-      val pairs = Tables.lineitem(s, dir)
-        .select((col("l_orderkey").cast("long") * 2).as("o"),
-          (col("l_suppkey").cast("long") * 2 + 1).as("p"))
-        .distinct()
-      val edges = pairs.select(col("o").as("src"), col("p").as("dst"))
-        .union(pairs.select(col("p").as("src"), col("o").as("dst")))
-      val seeds = Tables.lineitem(s, dir)
-        .filter(col("l_suppkey") % 10 === 0)
-        .select((col("l_suppkey").cast("long") * 2 + 1).as("node"))
-      operators.Behavior.personalizedPageRank(edges, "src", "dst",
-          seeds, "node", iters = 3, damping = 0.85)
-        .select(when(col("node") % 2 === 0,
-            concat(lit("O"), (col("node") / 2).cast("long")))
-          .otherwise(concat(lit("S"), ((col("node") - 1) / 2)
-            .cast("long"))).as("node"),
-          col("pagerank"))
-    }),
+    "q_personalized_pagerank" -> ((s, dir) => pprQuery(s, dir)),
 
     // per-node triangle counts on the part co-purchase graph (parts
     // sharing >= 2 distinct orders): degree-ordered orientation keeps
@@ -3794,6 +3841,36 @@ object SparkEntry {
     * artifact carries zero unverifiable rows; kept in the bench so the
     * scale path stays measured.
     */
+  /** Forced-distributed (`localMaxEdges = 0`) twins of the gated
+    * graph queries (ADVICE r13): with the r13 small-graph gates
+    * active, the oracle rows for q_pagerank / q_personalized_pagerank
+    * / q_triangles / q_kcore / q_minhash_dedup_cc exercise the DRIVER
+    * arms at verify SF — distributed-plan parity rested only on
+    * tiny-graph unit differentials, so a regression in the
+    * distributed decimal dataflow would have slipped past the DuckDB
+    * gate. These twins re-run the SAME query bodies with the gate
+    * pinned off; `Verify` dumps them (so the driver hash-checks the
+    * distributed plans against the same oracles every round) and
+    * `Bench` does NOT run them (the bench surface, and with it the
+    * floor fingerprint protocol, is unchanged).
+    */
+  def verifyOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank_dist" -> ((s, dir) =>
+      pageRankQuery(s, dir, localMaxEdges = 0)),
+    "q_personalized_pagerank_dist" -> ((s, dir) =>
+      pprQuery(s, dir, localMaxEdges = 0)),
+    "q_triangles_dist" -> ((s, dir) =>
+      operators.Behavior.triangleCounts(
+        coPurchaseEdges(s, dir), "u", "v", localMaxEdges = 0)),
+    "q_kcore_dist" -> ((s, dir) =>
+      operators.Behavior.kCore(coPurchaseEdges(s, dir), "u", "v",
+        k = 3, localMaxEdges = 0)),
+    "q_minhash_dedup_cc_dist" -> ((s, dir) =>
+      Dedup.dedupByComponents(nearDupCorpus(s, dir), "doc_id",
+          nearDupPairsShared(s, dir), localMaxEdges = 0)
+        .select(col("doc_id"))),
+  )
+
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the flagship operational path, timed end to end: one committed
     // NagiosEtlJob cron tick (stream read of landed response docs →
@@ -4056,7 +4133,22 @@ object SparkEntry {
        |QUALIFY row_number() OVER (PARTITION BY qid
        |  ORDER BY score DESC, did ASC) <= 10""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** The [[verifyOnly]] twins hash against their siblings' EXACT SQL:
+    * the point of the forced-distributed pass is that both regimes
+    * answer the same oracle bit-for-bit.
+    */
+  def oracleSql: Map[String, String] = {
+    val base = baseOracleSql
+    base ++ Seq(
+      "q_pagerank_dist" -> "q_pagerank",
+      "q_personalized_pagerank_dist" -> "q_personalized_pagerank",
+      "q_triangles_dist" -> "q_triangles",
+      "q_kcore_dist" -> "q_kcore",
+      "q_minhash_dedup_cc_dist" -> "q_minhash_dedup_cc",
+    ).map { case (twin, sib) => twin -> base(sib) }
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | count(*) AS count_order, min(l_extendedprice) AS min_price,

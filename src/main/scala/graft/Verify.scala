@@ -22,7 +22,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // queries ++ verifyOnly: the forced-distributed graph twins are
+    // verify-surface only (ADVICE r13) — the driver oracles them every
+    // round, the bench never times them
+    (SparkEntry.queries ++ SparkEntry.verifyOnly)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

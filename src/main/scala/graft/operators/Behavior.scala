@@ -791,8 +791,18 @@ object Behavior {
       .filter(col("node").isNotNull).distinct()
     // small-graph gate (the pageRank arm's twin): the seed collect is
     // BOUNDED by limit — an over-limit seed set falls through to the
-    // distributed path without ever materializing on the driver
-    if (e0.count() <= localMaxEdges) {
+    // distributed path without ever materializing on the driver.
+    // The gate also requires the seed column's dataType to MATCH the
+    // edge node type (ADVICE r13): the distributed node-frame union
+    // widens IntegerType seeds against LongType edges, but the local
+    // HashMap keys by boxed equality, where Integer(5) != Long(5) — a
+    // matching seed would become a distinct isolated node and the
+    // mixed-type rows would then fail row encoding. Mismatched types
+    // take the distributed path, whose set-operation widening owns
+    // that case.
+    val seedTypeMatches =
+      seedSet.schema("node").dataType == e0.schema("src").dataType
+    if (seedTypeMatches && e0.count() <= localMaxEdges) {
       val sv = seedSet.limit(
         (localMaxEdges + 1).min(Int.MaxValue.toLong).toInt).collect()
       if (sv.length <= localMaxEdges)

@@ -669,9 +669,10 @@ object Dedup {
     * neighbor (so a chain 1~2, 2~0 keeps {0, 1}; the closure keeps
     * {0}). Docs in no pair survive untouched.
     */
-  def dedupByComponents(df: DataFrame, idCol: String, pairs: DataFrame)
-      : DataFrame = {
-    val losers = connectedComponents(pairs)
+  def dedupByComponents(df: DataFrame, idCol: String, pairs: DataFrame,
+      localMaxEdges: Long = 1000000L): DataFrame = {
+    val losers = connectedComponents(pairs,
+        localMaxEdges = localMaxEdges)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -1638,6 +1639,13 @@ object Dedup {
     */
   def resolveEntities(records: DataFrame, idCol: String, strCol: String,
       maxDist: Int, q: Int = 3): DataFrame = {
+    // same collision guard as the serving arm (ADVICE r13): the
+    // nullNamed branch withColumn's "entity_id", so pre-existing input
+    // columns of that name would yield duplicate/ambiguous columns and
+    // an opaque analysis error instead of this clear refusal
+    require(!records.columns.contains("entity_id"),
+      "records already has an 'entity_id' column — the output entity " +
+        "column would collide; rename it first")
     val outCols = records.columns.map(col) :+ col("entity_id")
     val nullNamed = records.filter(col(strCol).isNull)
       .withColumn("entity_id", col(idCol))

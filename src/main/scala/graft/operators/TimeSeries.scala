@@ -928,25 +928,71 @@ object TimeSeries {
       valueCol: String, maxPointsPerSeries: Int = 4096,
       oversizePairSampleMod: Int = 0): DataFrame = {
     require(keyCols.nonEmpty, "theilSen needs at least one key")
-    require(maxPointsPerSeries > 1,
-      "theilSen needs maxPointsPerSeries > 1")
-    require(oversizePairSampleMod >= 0,
-      "oversizePairSampleMod must be >= 0 (0 = raise on oversize)")
+    val (pts, pool) = theilSenPairPool(df, keyCols, xCol, valueCol)
+    theilSenFit(pts, pool, keyCols, maxPointsPerSeries,
+      oversizePairSampleMod)
+  }
+
+  /** The policy-free front half of [[theilSen]] — (points, pair pool):
+    * points carry (keys, __x, __xs, __y, __np), the pool carries one
+    * row per unequal-x in-series pair with its slope `__m` plus the
+    * metadata ([[theilSenFit]]'s cap/sample policies need): the
+    * series size `__np` and both x renderings `__xsa`/`__xsb` (the
+    * portable pair-hash input). Split out (VERDICT r13 task 8) so
+    * callers fitting SEVERAL policies over the same series — the
+    * exact arm and the sampled arm are one checkpoint apart on the
+    * bench — stage the dominant self-join once; the memo convention
+    * lives with the caller, not here.
+    */
+  private[graft] def theilSenPairPool(df: DataFrame,
+      keyCols: Seq[String], xCol: String, valueCol: String)
+      : (DataFrame, DataFrame) = {
+    require(keyCols.nonEmpty, "theilSen needs at least one key")
     val keys = keyCols.map(col)
     val wG = Window.partitionBy(keys: _*)
-    val sampling = oversizePairSampleMod > 0
-    val base = df
+    val pts = df
       .filter((keyCols :+ xCol :+ valueCol)
         .map(col(_).isNotNull).reduce(_ && _))
       .select(keys ++ Seq(col(xCol).cast("double").as("__x"),
         col(xCol).cast("string").as("__xs"),
         col(valueCol).cast("double").as("__y")): _*)
       .withColumn("__np", count(lit(1)).over(wG))
-    val pts =
-      if (sampling) base
-      else base
-        .withColumn("__x",
-          when(col("__np") <= maxPointsPerSeries, col("__x"))
+    val joinCond = keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _) && col("a.__x") < col("b.__x")
+    val pool = pts.as("a").join(pts.as("b"), joinCond)
+      .select(keyCols.map(k => col(s"a.$k").as(k)) ++ Seq(
+        col("a.__np").as("__np"),
+        col("a.__xs").as("__xsa"), col("b.__xs").as("__xsb"),
+        ((col("b.__y") - col("a.__y")) / (col("b.__x") - col("a.__x")))
+          .as("__m")): _*)
+    (pts, pool)
+  }
+
+  /** The policy tail of [[theilSen]] over a [[theilSenPairPool]]
+    * stage: exact mode (`oversizePairSampleMod = 0`) hard-raises on
+    * any pooled pair of an over-cap series (equivalent to the
+    * pre-split per-point raise on every practical input — a series
+    * only lacks pairs when ALL its points share one x); sampling
+    * mode keeps over-cap pairs by the same deterministic md5 pair
+    * hash as before. Median selection and residual-intercept
+    * arithmetic are verbatim, so fits are bit-identical to the
+    * one-shot form (pinned by the pooled-vs-direct differential in
+    * TimeSeriesSpec).
+    */
+  private[graft] def theilSenFit(pts: DataFrame, pool: DataFrame,
+      keyCols: Seq[String], maxPointsPerSeries: Int = 4096,
+      oversizePairSampleMod: Int = 0): DataFrame = {
+    require(keyCols.nonEmpty, "theilSen needs at least one key")
+    require(maxPointsPerSeries > 1,
+      "theilSen needs maxPointsPerSeries > 1")
+    require(oversizePairSampleMod >= 0,
+      "oversizePairSampleMod must be >= 0 (0 = raise on oversize)")
+    val keys = keyCols.map(col)
+    val sampling = oversizePairSampleMod > 0
+    val pairs =
+      if (!sampling) pool
+        .withColumn("__m",
+          when(col("__np") <= maxPointsPerSeries, col("__m"))
             .otherwise(raise_error(concat(
               lit(s"theilSen: series exceeds $maxPointsPerSeries " +
                 "points ("), col("__np"),
@@ -954,22 +1000,11 @@ object TimeSeries {
               concat_ws("/", keys.map(_.cast("string")): _*),
               lit(" — consolidate() the series first, raise " +
                 "maxPointsPerSeries, or set oversizePairSampleMod")))))
-        .drop("__np", "__xs")
-    val joinCond = {
-      val eq = keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
-        .reduce(_ && _) && col("a.__x") < col("b.__x")
-      if (!sampling) eq
-      else eq && (col("a.__np") <= maxPointsPerSeries ||
+      else pool.filter(col("__np") <= maxPointsPerSeries ||
         conv(substring(md5(concat_ws(":",
-            Seq(lit("tspair")) ++
-              keyCols.map(k => col(s"a.$k").cast("string")) ++
-              Seq(col("a.__xs"), col("b.__xs")): _*)), 1, 8), 16, 10)
+            Seq(lit("tspair")) ++ keys.map(_.cast("string")) ++
+              Seq(col("__xsa"), col("__xsb")): _*)), 1, 8), 16, 10)
           .cast("long") % oversizePairSampleMod === 0L)
-    }
-    val pairs = pts.as("a").join(pts.as("b"), joinCond)
-      .select(keyCols.map(k => col(s"a.$k").as(k)) ++ Seq(
-        ((col("b.__y") - col("a.__y")) / (col("b.__x") - col("a.__x")))
-          .as("__m")): _*)
     val wS = Window.partitionBy(keys: _*).orderBy(col("__m"))
     val wK = Window.partitionBy(keys: _*)
     val slope = pairs

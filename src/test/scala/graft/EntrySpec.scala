@@ -10,17 +10,37 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracleSql key has a matching query") {
-    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+  test("every oracleSql key has a matching query (verify surface = " +
+      "queries ++ verifyOnly)") {
+    val missing = SparkEntry.oracleSql.keySet --
+      SparkEntry.queries.keySet -- SparkEntry.verifyOnly.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("verifyOnly twins: every one is oracled (that is their whole " +
+      "point), disjoint from the bench surface, and hashes against " +
+      "its sibling's exact SQL") {
+    val unoracled =
+      SparkEntry.verifyOnly.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"verifyOnly without oracle: $unoracled")
+    assert((SparkEntry.verifyOnly.keySet &
+      SparkEntry.queries.keySet).isEmpty)
+    assert((SparkEntry.verifyOnly.keySet &
+      SparkEntry.benchOnly.keySet).isEmpty)
+    SparkEntry.verifyOnly.keySet.foreach { twin =>
+      val sib = twin.stripSuffix("_dist")
+      assert(SparkEntry.oracleSql(twin) == SparkEntry.oracleSql(sib),
+        s"$twin must share $sib's oracle verbatim")
+    }
+  }
+
   test("all queries return rows on sf0.001") {
-    val empty = (SparkEntry.queries ++ SparkEntry.benchOnly)
-      .flatMap { case (name, fn) =>
-        val n = fn(spark, sf("sf0.001")).count()
-        if (n == 0) Some(name) else None
-      }
+    val empty =
+      (SparkEntry.queries ++ SparkEntry.benchOnly ++ SparkEntry.verifyOnly)
+        .flatMap { case (name, fn) =>
+          val n = fn(spark, sf("sf0.001")).count()
+          if (n == 0) Some(name) else None
+        }
     assert(empty.isEmpty, s"empty results: $empty")
   }
 

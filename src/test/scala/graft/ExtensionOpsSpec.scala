@@ -563,6 +563,14 @@ class ExtensionOpsSpec extends SparkSpec {
     // named chain merges; each NULL record is its OWN entity
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 1L),
       got.toString)
+    // collision guard (ADVICE r13): input already carrying entity_id
+    // gets the serving arm's clear refusal, not an ambiguous-column
+    // analysis error out of the nullNamed withColumn
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.resolveEntities(recs.withColumn("entity_id", lit(0L)),
+        "rec_id", "name", maxDist = 1)
+    }
+    assert(ex.getMessage.contains("collide"), ex.getMessage)
   }
 
   test("dedup: incremental assignment — NULL batch names become " +

@@ -586,6 +586,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("theilSen: checkpointed pair-pool staging + fit is " +
+      "bit-identical to the one-shot operator for BOTH policies " +
+      "(the q_theil_sen shared-staging contract)") {
+    // hot series (noisy so pair subsampling could plausibly diverge)
+    // + a small exact series — both policies over ONE staged pool
+    val df = ((1 to 100).map(i =>
+        ("hot", i.toDouble, 2.0 * i + (i % 7) - 3.0)) ++
+      (1 to 9).map(i => ("cool", i.toDouble, 3.0 * i + (i % 2))))
+      .toDF("k", "x", "y")
+    val (pts, pool) = TimeSeries.theilSenPairPool(df, Seq("k"), "x", "y")
+    val (ptsC, poolC) = (pts.localCheckpoint(true),
+      pool.localCheckpoint(true)) // as SparkEntry stages it
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(String, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(rows(TimeSeries.theilSenFit(ptsC, poolC, Seq("k"))) ==
+      rows(TimeSeries.theilSen(df, Seq("k"), "x", "y")))
+    assert(rows(TimeSeries.theilSenFit(ptsC, poolC, Seq("k"),
+        maxPointsPerSeries = 64, oversizePairSampleMod = 7)) ==
+      rows(TimeSeries.theilSen(df, Seq("k"), "x", "y",
+        maxPointsPerSeries = 64, oversizePairSampleMod = 7)))
+    // the exact policy still hard-raises over the staged pool
+    val e = intercept[Exception] {
+      TimeSeries.theilSenFit(ptsC, poolC, Seq("k"),
+        maxPointsPerSeries = 64).collect()
+    }
+    assert(e.getMessage.contains("exceeds 64 points") &&
+      e.getMessage.contains("hot"), e.getMessage)
+  }
+
   test("acf: alternating series -1/+1, ramp +1, constant dropped") {
     val df = (
       (1 to 5).map(i => ("alt", i.toLong, (1 - i % 2).toDouble)) ++
