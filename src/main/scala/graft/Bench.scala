@@ -168,20 +168,32 @@ object Bench {
           val root = new java.io.File(url.toURI)
           if (root.isDirectory) {
             val files = new scala.collection.mutable.ArrayBuffer[java.io.File]()
+            var unreadable = 0
             def walk(f: java.io.File): Unit =
               // listFiles() returns NULL (not empty) on an unreadable
               // dir — guard, or the whole floor write dies on one
-              // permission quirk in the class tree (ADVICE r13)
-              if (f.isDirectory)
-                Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-                  .sortBy(_.getName).foreach(walk)
+              // permission quirk in the class tree (ADVICE r13). But a
+              // skipped dir means a PARTIALLY hashed library, and two
+              // partial walks could hash different subsets yet claim
+              // "same code" — so the skip TAINTS the fingerprint
+              // (ADVICE r14): a tainted floor never merges with a
+              // clean one, and the warning makes the quirk visible.
+              if (f.isDirectory) {
+                val kids = f.listFiles()
+                if (kids == null) {
+                  unreadable += 1
+                  System.err.println("[bench] WARNING: unreadable dir " +
+                    s"in class tree: $f — fingerprint tainted")
+                } else kids.sortBy(_.getName).foreach(walk)
+              }
               else if (f.getName.endsWith(".class")) files += f
             walk(root)
             files.sortBy(_.getPath).foreach { f =>
               md.update(f.getPath.getBytes("UTF-8"))
               hashStream(new java.io.FileInputStream(f))
             }
-            md.digest().map("%02x".format(_)).mkString.take(12)
+            val h = md.digest().map("%02x".format(_)).mkString.take(12)
+            if (unreadable > 0) s"$h!tainted$unreadable" else h
           } else { // a jar
             hashStream(new java.io.FileInputStream(root))
             md.digest().map("%02x".format(_)).mkString.take(12)
@@ -241,6 +253,17 @@ object Bench {
     root.put("runs", runs)
     root.put("sf", sfDir)
     root.put("fingerprint", fp)
+    // ADVICE r14: per-query floor entries for queries reading a
+    // SHARED in-session staged derivation time only their policy tail
+    // — the derivation lands in whichever consumer runs first (the
+    // warm-up pass in practice). Mark them so a floor reader knows
+    // those rows are not independently interpretable.
+    root.put("staging_note", "listed queries share memoized staged " +
+      "derivations paid once per session by their first consumer; " +
+      "per-query entries time the policy tail only (BASELINE.md " +
+      "staged-bands convention)")
+    val sNode = root.putArray("staging_dependent")
+    SparkEntry.stagingDependentQueries.foreach(sNode.add)
     val qNode = root.putObject("queries")
     merged.toSeq.sortBy(_._1).foreach { case (k, v) => qNode.put(k, v) }
     if (floorPath.getParent != null)

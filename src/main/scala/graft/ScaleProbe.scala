@@ -345,14 +345,10 @@ object ScaleProbe {
             (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
             col("source"), col("text")))
           .reduce(_ unionByName _)
-        // the q_boilerplate corpus mangle, verbatim (shift is a
-        // multiple of 4, so each copy keeps the every-4th promo line)
-        val corpus = rep.select(col("doc_id"), col("source"),
-          concat(lit("welcome to "), col("source"), lit("\n"),
-            col("text"),
-            when(col("doc_id") % 4 === 0,
-              concat(lit("\nfollow "), col("source"), lit(" on social")))
-              .otherwise(lit(""))).as("text"))
+        // the q_boilerplate corpus mangle, the ONE shared definition
+        // (id shift is a multiple of 4, so each copy keeps the
+        // every-4th promo line)
+        val corpus = SparkEntry.boilerMangle(rep)
         graft.operators.Dedup.stripDomainBoilerplate(corpus, "doc_id",
           "source", "text", minDomainDocs = 5L, minFraction = 0.5)
       }),

@@ -130,16 +130,39 @@ object SparkEntry {
     * per-iteration join/agg cost vs label strings (measured
     * 6.4s -> 5.0s solo-bench). The 'O…'/'S…' labels attach only on
     * the final |nodes|-row result ([[labelRankNodes]]).
+    *
+    * Memoized + checkpointed (VERDICT r14 task 1 — the
+    * [[coPurchaseEdges]] convention): `q_pagerank`,
+    * `q_personalized_pagerank`, and both `_dist` verify twins each
+    * consumed the SAME 1.2M-edge distinct+union derivation from
+    * lineitem — the two heaviest graph rows on the r14 floor
+    * (2.15 + 2.28 s) re-paid it per query. One derivation per
+    * (session, dir); every consumer reads the checkpointed |E|-row
+    * long-id table. Evicted with the session like every memo here.
     */
+  /** Bench queries whose per-query timing depends on shared staging
+    * order (ADVICE r14): each pair reads ONE memoized+checkpointed
+    * derivation ([[coPurchaseEdges]], [[orderSupplierEdges]],
+    * [[theilSenStaged]]) paid by whichever consumer runs first.
+    * Written into the floor artifact so its per-query rows carry the
+    * caveat machine-readably.
+    */
+  private[graft] val stagingDependentQueries: Seq[String] = Seq(
+    "q_triangles", "q_kcore", "q_pagerank", "q_personalized_pagerank",
+    "q_theil_sen", "q_theil_sen_sampled")
+
+  private val orderSupplierEdgesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def orderSupplierEdges(s: SparkSession, dir: String)
-      : DataFrame = {
-    val pairs = Tables.lineitem(s, dir)
-      .select((col("l_orderkey").cast("long") * 2).as("o"),
-        (col("l_suppkey").cast("long") * 2 + 1).as("p"))
-      .distinct()
-    pairs.select(col("o").as("src"), col("p").as("dst"))
-      .union(pairs.select(col("p").as("src"), col("o").as("dst")))
-  }
+      : DataFrame =
+    memoized(orderSupplierEdgesMemo, s, dir) {
+      val pairs = Tables.lineitem(s, dir)
+        .select((col("l_orderkey").cast("long") * 2).as("o"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("p"))
+        .distinct()
+      pairs.select(col("o").as("src"), col("p").as("dst"))
+        .union(pairs.select(col("p").as("src"), col("o").as("dst")))
+    }
 
   private def labelRankNodes(ranked: DataFrame): DataFrame =
     ranked.select(when(col("node") % 2 === 0,
@@ -279,17 +302,24 @@ object SparkEntry {
     val built = if (checkpoint) build.localCheckpoint(true) else build
     val prev = memo.putIfAbsent(key, built)
     if (prev != null) {
-      // the loser's checkpointed blocks would otherwise linger for the
-      // session's lifetime — release them, the winner's copy serves.
-      // NOT `built.rdd.unpersist`: Dataset.rdd derives a NEW wrapper
-      // RDD (never persisted); the blocks live on the LogicalRDD the
-      // checkpointed Dataset wraps
-      if (checkpoint) built.queryExecution.analyzed.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.foreach(_.unpersist(false))
+      if (checkpoint) unpersistCheckpointed(built)
       prev
     } else built
   }
+
+  /** Release a localCheckpoint'd frame's blocks — the putIfAbsent
+    * LOSER's copy would otherwise linger for the session's lifetime
+    * (the winner's serves). NOT `df.rdd.unpersist`: Dataset.rdd
+    * derives a NEW wrapper RDD (never persisted); the blocks live on
+    * the LogicalRDD the checkpointed Dataset wraps. Shared by
+    * [[memoized]] and the pair-valued [[theilSenStaged]] memo
+    * (ADVICE r14: the bare putIfAbsent there leaked the loser's two
+    * checkpointed RDDs).
+    */
+  private def unpersistCheckpointed(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
 
   private def curationV2(s: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.documents(s, dir).select(col("doc_id"),
@@ -766,7 +796,12 @@ object SparkEntry {
       ev, Seq("user_id"), "x", "value")
     val staged = (pts.localCheckpoint(true), pool.localCheckpoint(true))
     val prev = theilSenStageMemo.putIfAbsent(key, staged)
-    if (prev != null) prev else staged
+    if (prev != null) {
+      // loser-unpersist, the memoized() convention (ADVICE r14)
+      unpersistCheckpointed(staged._1)
+      unpersistCheckpointed(staged._2)
+      prev
+    } else staged
   }
 
   private def stagedHistoryBands(s: SparkSession, dir: String): DataFrame = {
@@ -838,7 +873,18 @@ object SparkEntry {
     * frozen artifact is built from exactly the corpus the serving arm
     * claims as history. */
   private def boilerCorpus(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"),
+    boilerMangle(Tables.documents(s, dir))
+
+  /** The canonical q_boilerplate corpus mangle over a
+    * (doc_id, source, text) frame — ONE definition (ADVICE r14: the
+    * bench query, the scale probe's regrown axis, and its attribution
+    * profiler each carried a verbatim copy; a future change to the
+    * mangle would silently desynchronize the scale row and its
+    * profiler from the oracled query). The SQL twin lives in the
+    * `q_boilerplate*` oracle strings.
+    */
+  private[graft] def boilerMangle(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       col("source"),
       concat(lit("welcome to "), col("source"), lit("\n"), col("text"),
         when(col("doc_id") % 4 === 0,
@@ -3074,22 +3120,25 @@ object SparkEntry {
 
     // frame-set dedup — the video-dedup shape: payloads explode to
     // contiguous 32-byte frames (the codec frame-grab stub), each
-    // frame md5s, and per-media frame-hash documents run the STANDARD
-    // minhash pipeline at shingleK=1 (frame-set Jaccard) — the whole
-    // near-dup machinery reused over a non-text modality
+    // frame md5s, and per-media frame-hash SETS run the STANDARD
+    // minhash pipeline through its token-array entry point (frame-set
+    // Jaccard) — the whole near-dup machinery reused over a non-text
+    // modality. collect_set, not array_join + shingleK=1 (VERDICT r14
+    // task 2): the joined string only existed for the pipeline to
+    // re-split, and re-md5ing every 32-char hash inside the signature
+    // kernel was the floor's single heaviest row; the signature over
+    // the token array is identical (min over a multiset = min over
+    // its support, verification set-ops the distinct tokens), so the
+    // replayed-md5 oracle stands unchanged.
     "q_frame_dedup" -> ((s, dir) => {
       val media = Multimodal.fromBinary(nearDupCorpus(s, dir),
         "doc_id", "text", "text/plain")
       val frameDocs = Multimodal.explodeFrames(media, stride = 32,
           frameLen = 32)
-        .select(col("media_id"),
-          struct(col("frame_no"), md5(col("frame")).as("fh")).as("__s"))
         .groupBy("media_id")
-        .agg(array_join(transform(
-          array_sort(collect_list(col("__s"))),
-          x => x.getField("fh")), " ").as("frames"))
-      Dedup.minhashNearDupPairs(frameDocs, "media_id", "frames",
-          shingleK = 1, numHashes = 64, bands = 32, threshold = 0.7)
+        .agg(collect_set(md5(col("frame"))).as("frames"))
+      Dedup.minhashNearDupPairsTokens(frameDocs, "media_id", "frames",
+          numHashes = 64, bands = 32, threshold = 0.7)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 4).as("jaccard"))
     }),

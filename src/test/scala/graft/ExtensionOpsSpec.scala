@@ -719,6 +719,27 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(deduped.filter($"doc_id" >= 100000).count() == 0)
   }
 
+  test("dedup: token-array minhash entry point is bit-identical to " +
+      "array_join + shingleK=1 over the same token sets (the " +
+      "q_frame_dedup contract, VERDICT r14 task 2)") {
+    // token sets with controlled overlap: doc i carries tokens
+    // i..i+19, so adjacent docs overlap 19/21 and distant ones ~0
+    val toked = spark.range(0, 40).select($"id".as("doc_id"),
+      transform(sequence($"id", $"id" + 19),
+        t => concat(lit("t"), t.cast("string"))).as("toks"))
+    val viaTokens = Dedup.minhashNearDupPairsTokens(toked, "doc_id",
+        "toks", numHashes = 64, bands = 32, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val viaText = Dedup.minhashNearDupPairs(
+        toked.select($"doc_id", array_join($"toks", " ").as("text")),
+        "doc_id", "text", shingleK = 1, numHashes = 64, bands = 32,
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    assert(viaTokens.nonEmpty, "fixture found no near-dup pairs")
+    assert(viaTokens == viaText,
+      s"token path diverged: $viaTokens vs $viaText")
+  }
+
   test("dedup: incremental minhash == full-run pairs touching the new batch") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val base = docs.select("doc_id", "text")

@@ -183,6 +183,125 @@ class GateBoundarySpec extends SparkSpec {
     assert(local.map(_._2).distinct.length == 5)
   }
 
+  /** Physical-plan descriptions of every SQL execution fired while
+    * `body` runs — the plan observable for the broadcastRanksMax
+    * layout-flip probe (job callsites can't tell the two layouts
+    * apart; the executed plans can).
+    */
+  private def sqlPlans(body: => Unit): Seq[String] = {
+    val plans =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui
+              .SparkListenerSQLExecutionStart =>
+            plans.add(s.physicalPlanDescription); ()
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      // flush marker: the bus is FIFO, so once the marker's own
+      // execution-start lands, every event from `body` has too
+      spark.range(1).select(col("id").as("__plan_marker")).collect()
+      import scala.jdk.CollectionConverters._
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (!plans.asScala.exists(_.contains("__plan_marker")) &&
+          System.nanoTime() < deadline) Thread.sleep(20)
+      plans.asScala.toSeq.takeWhile(!_.contains("__plan_marker"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("pageRank broadcastRanksMax: the rank-broadcast layout flips " +
+      "exactly at the constant (plan observable), ranks identical " +
+      "across the flip (VERDICT r14 task 6)") {
+    // ring + chords: |V| = 24, |E| = 36 — distributed path forced via
+    // localMaxEdges = 0. Auto-broadcast is disabled for the probe so
+    // the ONLY broadcast in any plan is the one the layout decision
+    // plants; otherwise Spark would broadcast these tiny sides on
+    // size estimation in both regimes and the observable would lie.
+    val edges = ((0L until 24L).map(i => (i, (i + 1) % 24L)) ++
+      (0L until 24L by 2).map(i => (i, (i + 7) % 24L)))
+      .toDF("src", "dst")
+    val nV = 24L
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
+    try {
+      var bc: Array[(Long, Double)] = null
+      val plansAt = sqlPlans {
+        bc = Behavior.pageRank(edges, "src", "dst", iters = 3,
+            localMaxEdges = 0L, broadcastRanksMax = nV)
+          .as[(Long, Double)].collect().sortBy(_._1)
+      }
+      assert(plansAt.exists(_.contains("BroadcastExchange")),
+        "at-gate run planted no rank broadcast")
+      var shuf: Array[(Long, Double)] = null
+      val plansAbove = sqlPlans {
+        shuf = Behavior.pageRank(edges, "src", "dst", iters = 3,
+            localMaxEdges = 0L, broadcastRanksMax = nV - 1)
+          .as[(Long, Double)].collect().sortBy(_._1)
+      }
+      assert(!plansAbove.exists(_.contains("BroadcastExchange")),
+        "just-above-gate run still broadcast the ranks")
+      // the huge-|V| layout pays its one extra |E| exchange: the
+      // src-repartition flip is one additional SQL execution (the
+      // eager checkpoint) vs the broadcast layout
+      assert(plansAbove.size == plansAt.size + 1,
+        s"expected exactly one extra execution (the src-layout " +
+          s"checkpoint): ${plansAt.size} vs ${plansAbove.size}")
+      assert(bc.nonEmpty && bc.sameElements(shuf),
+        s"layouts disagree across the flip: ${bc.toSeq} vs ${shuf.toSeq}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("personalizedPageRank broadcastRanksMax: layout flips at the " +
+      "constant, seeded ranks identical across it") {
+    val edges = ((0L until 24L).map(i => (i, (i + 1) % 24L)) ++
+      (0L until 24L by 3).map(i => (i, (i + 5) % 24L)))
+      .toDF("src", "dst")
+    val seeds = Seq(0L, 6L, 12L).toDF("node")
+    val nV = 24L
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
+    try {
+      var bc: Array[(Long, Double)] = null
+      val plansAt = sqlPlans {
+        bc = Behavior.personalizedPageRank(edges, "src", "dst", seeds,
+            "node", iters = 3, localMaxEdges = 0L,
+            broadcastRanksMax = nV)
+          .as[(Long, Double)].collect().sortBy(_._1)
+      }
+      assert(plansAt.exists(_.contains("BroadcastExchange")),
+        "at-gate run planted no rank broadcast")
+      var shuf: Array[(Long, Double)] = null
+      val plansAbove = sqlPlans {
+        shuf = Behavior.personalizedPageRank(edges, "src", "dst",
+            seeds, "node", iters = 3, localMaxEdges = 0L,
+            broadcastRanksMax = nV - 1)
+          .as[(Long, Double)].collect().sortBy(_._1)
+      }
+      assert(!plansAbove.exists(_.contains("BroadcastExchange")),
+        "just-above-gate run still broadcast the ranks")
+      assert(bc.nonEmpty && bc.sameElements(shuf),
+        s"layouts disagree across the flip: ${bc.toSeq} vs ${shuf.toSeq}")
+      assert(bc.toMap.apply(0L) > bc.toMap.apply(1L),
+        "seed must outrank non-seed")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("connectedComponents gate: null endpoints under the gate fall " +
       "through to the distributed closure (rounds > 0)") {
     val pairs = Seq[(java.lang.Long, java.lang.Long)](

@@ -39,12 +39,7 @@ object ProfileBoiler {
           (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
           col("source"), col("text")))
         .reduce(_ unionByName _)
-      rep.select(col("doc_id"), col("source"),
-        concat(lit("welcome to "), col("source"), lit("\n"),
-          col("text"),
-          when(col("doc_id") % 4 === 0,
-            concat(lit("\nfollow "), col("source"), lit(" on social")))
-            .otherwise(lit(""))).as("text"))
+      SparkEntry.boilerMangle(rep) // the ONE shared mangle definition
     }
     def wall(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -615,6 +615,29 @@ class TimeSeriesSpec extends SparkSpec {
       e.getMessage.contains("hot"), e.getMessage)
   }
 
+  test("theilSen: exact mode raises on an over-cap series even when " +
+      "ALL its points share one x (zero pairs — the degenerate shape " +
+      "the pooled raise alone would silently drop, VERDICT r14)") {
+    // 6 points, one x: the pair pool is EMPTY for this series (the
+    // join condition needs a.__x < b.__x), so a pair-riding raise
+    // never evaluates — the per-series guard must still fire
+    val df = ((1 to 6).map(i => ("flat", 1.0, i.toDouble)) ++
+      (1 to 3).map(i => ("cool", i.toDouble, 2.0 * i)))
+      .toDF("k", "x", "y")
+    val e = intercept[Exception] {
+      TimeSeries.theilSen(df, Seq("k"), "x", "y",
+        maxPointsPerSeries = 5).collect()
+    }
+    assert(e.getMessage.contains("exceeds 5 points") &&
+      e.getMessage.contains("flat"), e.getMessage)
+    // sampling mode keeps its documented behavior for the same shape:
+    // no pairs -> no fit for the degenerate series, the cool one fits
+    val sampled = TimeSeries.theilSen(df, Seq("k"), "x", "y",
+        maxPointsPerSeries = 5, oversizePairSampleMod = 7)
+      .collect().map(_.getString(0)).toSeq
+    assert(sampled == Seq("cool"), sampled.toString)
+  }
+
   test("acf: alternating series -1/+1, ramp +1, constant dropped") {
     val df = (
       (1 to 5).map(i => ("alt", i.toLong, (1 - i % 2).toDouble)) ++
