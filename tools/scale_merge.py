@@ -59,9 +59,12 @@ for k in sorted({q for r in runs for q in r["queries"]}):
             f"{k}: {len(samples) - len(clean)} sample(s) discarded "
             f"(ratio<0.5 or {med_note})")
     best = min(clean, key=lambda s: s["ratio"])
+    # the big-side key is factor-dependent ("x10", "x30", ...): carry
+    # it through verbatim so the artifact stays auditable at any factor
+    xbig = next(kk for kk in best if kk.startswith("x") and kk != "x1")
     queries[k] = {
         "x1": round(best["x1"], 3),
-        "x10": round(best["x10"], 3),
+        xbig: round(best[xbig], 3),
         "ratio": round(best["ratio"], 2),
     }
 base = runs[0]
